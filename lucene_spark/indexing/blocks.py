@@ -1,0 +1,127 @@
+"""Posting-block codec: delta-gap + varint packing, 128-doc blocks, impacts.
+
+Shape mirrors the reference postings layout semantically (not byte-for-byte):
+``Lucene90PostingsFormat`` packs postings in 128-doc blocks with skip data and
+per-block competitive (freq, norm) impact pairs
+(``core/codecs/lucene90/Lucene90PostingsWriter.java:211-272``,
+``core/codecs/CompetitiveImpactAccumulator.java:29-78``). We keep the three
+load-bearing properties:
+
+1. blocks of ≤128 docs, strictly increasing docIDs, delta-gap + LEB128 varint
+   packed (column-store ZSTD gets the rest);
+2. per-block skip metadata: ``first_doc`` / ``last_doc`` / ``count`` — the
+   level-0 skip list;
+3. per-block impacts = the Pareto frontier of (tf, norm) pairs — enough to
+   compute the exact block-max BM25 score for WAND pruning.
+
+All encode/decode is numpy-vectorized; these run inside Arrow UDF batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # ForUtil.BLOCK_SIZE (ForUtil.java:32)
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128 encode a non-negative int array (vectorized, ≤10 passes)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    # bit length via float log2 with integer fix-up (exact for uint64 range)
+    nbits[nz] = np.frexp(v[nz].astype(np.float64))[1]
+    # frexp exponent == bit_length for exact conversions; fix float rounding edges
+    pow_lo = np.where(nbits > 0, np.left_shift(np.uint64(1), np.maximum(nbits - 1, 0).astype(np.uint64)), np.uint64(0))
+    nbits[nz & (pow_lo > v)] -= 1
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        mask = nbytes > k
+        chunk = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = chunk | cont
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode LEB128 buffer → int64 array (fully vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    term = (b & 0x80) == 0  # terminator bytes
+    gid = np.zeros(b.size, dtype=np.int64)
+    gid[1:] = np.cumsum(term[:-1])
+    group_starts = np.concatenate([[0], np.flatnonzero(term)[:-1] + 1])
+    pos = np.arange(b.size, dtype=np.int64) - group_starts[gid]
+    vals = np.zeros(int(term.sum()), dtype=np.uint64)
+    np.add.at(vals, gid, (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    return vals.astype(np.int64)
+
+
+def pareto_impacts(tfs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Competitive (tf, norm) frontier per CompetitiveImpactAccumulator.
+
+    A pair dominates another if its tf is ≥ and its norm code is ≤ (norm codes
+    are order-preserving in decoded length, and BM25 is monotone ↑tf, ↓length).
+    Returns frontier sorted by tf ascending (norm ascending follows).
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    # unique pairs, sorted by (tf desc, norm asc)
+    order = np.lexsort((norms, -tfs))
+    t, n = tfs[order], norms[order]
+    # keep rows whose norm is a new running minimum (scanning tf-descending)
+    prev_min = np.concatenate(
+        [[np.iinfo(np.int64).max], np.minimum.accumulate(n)[:-1]]
+    )
+    keep = n < prev_min
+    return t[keep][::-1].copy(), n[keep][::-1].copy()
+
+
+def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
+    """Split one term's sorted postings into 128-doc encoded block dicts.
+
+    ``doc_ids`` strictly increasing; ``norms`` aligned per doc (for impacts).
+    Yields dicts matching the postings table schema (minus field/term/segment).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    n = doc_ids.size
+    for b in range(0, n, BLOCK_SIZE):
+        d = doc_ids[b : b + BLOCK_SIZE]
+        t = tfs[b : b + BLOCK_SIZE]
+        nm = norms[b : b + BLOCK_SIZE]
+        gaps = np.empty(d.size, dtype=np.int64)
+        gaps[0] = 0  # first doc stored absolutely in first_doc
+        gaps[1:] = np.diff(d)
+        itf, inorm = pareto_impacts(t, nm)
+        yield {
+            "block_id": b // BLOCK_SIZE,
+            "first_doc": int(d[0]),
+            "last_doc": int(d[-1]),
+            "count": int(d.size),
+            "ttf": int(t.sum()),
+            "max_tf": int(t.max()),
+            "doc_gaps": encode_varints(gaps[1:]),
+            "tfs": encode_varints(t),
+            "impact_tfs": itf.astype(np.int32).tolist(),
+            "impact_norms": inorm.astype(np.int32).tolist(),
+        }
+
+
+def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes):
+    """Inverse of encode_term_blocks for one block → (doc_ids, tfs)."""
+    gaps = decode_varints(doc_gaps)
+    doc_ids = np.empty(count, dtype=np.int64)
+    doc_ids[0] = first_doc
+    if count > 1:
+        doc_ids[1:] = first_doc + np.cumsum(gaps)
+    return doc_ids, decode_varints(tfs)

@@ -1,0 +1,402 @@
+"""Distributed inverted-index build — one wide shuffle, segment-per-partition.
+
+Execution shape (designed for 10^12 turns / 1000 executors, tested on local[32]):
+
+1. **Plan**: sample the sort key ``(conv_id, turn_idx)`` (seeded) → ``nseg``
+   deterministic range boundaries, persisted in ``manifest.json`` so re-runs
+   and resumes partition identically.
+2. **Count pass**: one columnar scan, ``groupBy(segment)`` → per-segment row
+   count + content fingerprint (order-independent sum of xxhash64). Map-side
+   partial aggregation makes this shuffle a few KB per segment. Counts give
+   each segment its global docID offset (docID == row_number over
+   ``(conv_id, turn_idx)`` - 1, the SURVEY §1.2 invariant).
+3. **Invert pass**: ``repartition(segment)`` — the ONLY shuffle of the corpus
+   — then ``sortWithinPartitions(segment, conv_id, turn_idx)`` and one Arrow
+   ``mapInPandas`` that tokenizes, inverts in memory (the DWPT-per-thread
+   analogy: ``core/index/DocumentsWriterPerThread.java:242``), and writes the
+   segment's ``docs`` + 128-block ``postings`` parquet directly (pyarrow,
+   atomic rename). Only tiny metric rows flow back to Spark.
+
+   Hot-term skew: postings are NEVER shuffled by term — each segment holds its
+   own doc-range slice of every hot term's posting list, so a billion-doc term
+   costs each task at most its per-segment share. The term-keyed shuffles that
+   remain (term_stats) move pre-aggregated counts only.
+4. **Stats**: ``term_stats`` / ``field_stats`` via plain Spark aggregation over
+   the postings metadata columns (column-pruned scan, whole-stage codegen).
+
+Checkpoint/resume: ``build_manifest`` records per-segment
+``(fingerprint, rows_in, doc_offset, terms, blocks, wall_ms, status)``. A
+resume re-runs the count pass and rebuilds only segments whose fingerprint or
+docID offset changed; untouched segment files are kept as-is.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.indexing.blocks import encode_term_blocks
+from lucene_spark.smallfloat import int_to_byte4
+
+FIELD = "text"
+SEP = "\x01"  # key separator; sorts below every printable conv_id char
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("dl", pa.int32()),
+        ("norm", pa.int32()),
+    ]
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("block_id", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("count", pa.int32()),
+        ("ttf", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("doc_gaps", pa.binary()),
+        ("tfs", pa.binary()),
+        ("impact_tfs", pa.list_(pa.int32())),
+        ("impact_norms", pa.list_(pa.int32())),
+    ]
+)
+
+METRICS_SCHEMA = (
+    "segment int, fingerprint long, rows_in long, doc_offset long, "
+    "terms long, blocks long, wall_ms long, status string"
+)
+
+
+def sort_key_expr():
+    """Sortable single-string key equivalent to ordering by (conv_id, turn_idx)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.col("conv_id"),
+        F.lit(SEP),
+        F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
+    )
+
+
+def plan_boundaries(df, num_segments: int, seed: int = 7, sample_rows: int = 200_000):
+    """Deterministic range boundaries over the sort key (sampled quantiles)."""
+    from pyspark.sql import functions as F
+
+    keys_df = df.select(sort_key_expr().alias("k"))
+    n = keys_df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = (
+        keys_df.sample(fraction=frac, seed=seed).toPandas()["k"].sort_values().to_numpy()
+        if frac < 1.0
+        else keys_df.toPandas()["k"].sort_values().to_numpy()
+    )
+    if sample.size == 0 or num_segments <= 1:
+        return [], n
+    qs = [int(round(i * sample.size / num_segments)) for i in range(1, num_segments)]
+    bounds = sorted({str(sample[min(q, sample.size - 1)]) for q in qs})
+    return bounds, n
+
+
+def _segment_udf(boundaries: list[str]):
+    """pandas UDF: sort key → segment id via searchsorted (Arrow-vectorized)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    barr = np.array(boundaries, dtype=object)
+
+    @pandas_udf("int")
+    def seg(key: pd.Series) -> pd.Series:
+        if barr.size == 0:
+            return pd.Series(np.zeros(len(key), dtype=np.int32))
+        idx = np.searchsorted(barr, key.to_numpy(dtype=object), side="left")
+        return pd.Series(idx.astype(np.int32))
+
+    return seg(sort_key_expr())
+
+
+def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 16384):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, row_group_size=row_group_size, compression="zstd")
+    os.replace(tmp, path)
+
+
+def _invert_segment(
+    seg: int,
+    pdf: pd.DataFrame,
+    doc_offset: int,
+    fingerprint: int,
+    index_dir: str,
+    analyzer_name: str,
+) -> dict:
+    """Invert one fully-accumulated, key-sorted segment and write its files."""
+    t0 = time.time()
+    analyzer = get_analyzer(analyzer_name)
+    n = len(pdf)
+    doc_ids = doc_offset + np.arange(n, dtype=np.int64)
+    tokens = analyzer.tokenize_series(pdf["text"])
+    dl = tokens.map(len).to_numpy(dtype=np.int64)
+    norms = int_to_byte4(dl).astype(np.int64)
+
+    docs_tbl = pa.Table.from_pydict(
+        {
+            "doc_id": doc_ids,
+            "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+            "turn_idx": pdf["turn_idx"].to_numpy().astype(np.int32),
+            "dl": dl.astype(np.int32),
+            "norm": norms.astype(np.int32),
+        },
+        schema=DOCS_SCHEMA,
+    )
+    _atomic_write_parquet(docs_tbl, f"{index_dir}/docs/seg={seg}/part-0.parquet")
+
+    # flat (term, local_doc, tf) via one concatenate + pandas groupby (C path)
+    lengths = dl
+    flat_terms = np.concatenate([np.array(t, dtype=object) for t in tokens]) if n else np.array([], dtype=object)
+    flat_docs = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    pairs = pd.DataFrame({"term": flat_terms, "d": flat_docs})
+    tf = pairs.groupby(["term", "d"], sort=True).size().reset_index(name="tf")
+
+    rows: dict[str, list] = {k: [] for k in [f.name for f in POSTINGS_SCHEMA]}
+    terms_arr = tf["term"].to_numpy(dtype=object)
+    d_arr = tf["d"].to_numpy(dtype=np.int64)
+    tf_arr = tf["tf"].to_numpy(dtype=np.int64)
+    # term boundaries (tf frame is sorted by term, then local doc)
+    if terms_arr.size:
+        change = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [terms_arr.size]])
+        for s, e in zip(starts, ends):
+            term = terms_arr[s]
+            docs_local = d_arr[s:e]
+            gdocs = doc_ids[docs_local]
+            gtfs = tf_arr[s:e]
+            gnorms = norms[docs_local]
+            for blk in encode_term_blocks(gdocs, gtfs, gnorms):
+                rows["field"].append(FIELD)
+                rows["term"].append(term)
+                for k, v in blk.items():
+                    rows[k].append(v)
+
+    postings_tbl = pa.Table.from_pydict(rows, schema=POSTINGS_SCHEMA)
+    _atomic_write_parquet(
+        postings_tbl, f"{index_dir}/postings/seg={seg}/part-0.parquet"
+    )
+    n_terms = int(terms_arr.size and (1 + (terms_arr[1:] != terms_arr[:-1]).sum()))
+    return {
+        "segment": int(seg),
+        "fingerprint": int(fingerprint),
+        "rows_in": int(n),
+        "doc_offset": int(doc_offset),
+        "terms": n_terms,
+        "blocks": postings_tbl.num_rows,
+        "wall_ms": int((time.time() - t0) * 1000),
+        "status": "ok",
+    }
+
+
+def _make_invert_fn(index_dir: str, analyzer_name: str, offsets: dict[int, int],
+                    fingerprints: dict[int, int]):
+    def invert(iterator):
+        cur_seg = None
+        buf: list[pd.DataFrame] = []
+        results = []
+
+        def flush():
+            if cur_seg is None:
+                return
+            pdf = pd.concat(buf, ignore_index=True)
+            results.append(
+                _invert_segment(
+                    cur_seg, pdf, offsets[cur_seg], fingerprints.get(cur_seg, 0),
+                    index_dir, analyzer_name,
+                )
+            )
+
+        for pdf in iterator:
+            for seg_val, grp in pdf.groupby("segment", sort=True):
+                seg_val = int(seg_val)
+                if cur_seg is not None and seg_val != cur_seg:
+                    flush()
+                    buf = []
+                cur_seg = seg_val
+                buf.append(grp)
+        flush()
+        if results:
+            yield pd.DataFrame(results)
+
+    return invert
+
+
+class IndexBuilder:
+    """Build (or resume) a transcript index at ``index_dir``."""
+
+    def __init__(self, spark, index_dir: str, analyzer: str = "standard",
+                 num_segments: int | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.analyzer = analyzer
+        self.num_segments = num_segments or spark.sparkContext.defaultParallelism
+
+    # -- manifest helpers ---------------------------------------------------
+    @property
+    def _manifest_path(self):
+        return f"{self.index_dir}/manifest.json"
+
+    def _load_manifest(self):
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return None
+
+    def _save_manifest(self, m: dict):
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = f"{self._manifest_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    # -- build --------------------------------------------------------------
+    def build(self, transcripts, resume: bool = False) -> dict:
+        from pyspark.sql import functions as F
+
+        spark = self.spark
+        manifest = self._load_manifest() if resume else None
+        if manifest is not None:
+            boundaries = manifest["boundaries"]
+        else:
+            boundaries, _ = plan_boundaries(transcripts, self.num_segments)
+
+        with_seg = transcripts.withColumn("segment", _segment_udf(boundaries))
+
+        # count + fingerprint pass (columnar scan, tiny shuffle)
+        stats = (
+            with_seg.groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                # order-independent content fingerprint (xor avoids ANSI
+                # long-overflow on sum; rows are unique per (conv_id, turn_idx))
+                F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("fp"),
+            )
+            .orderBy("segment")
+            .collect()
+        )
+        seg_rows = {r["segment"]: r["rows_in"] for r in stats}
+        seg_fp = {r["segment"]: (r["fp"] or 0) for r in stats}
+        offsets, acc = {}, 0
+        for seg in sorted(seg_rows):
+            offsets[seg] = acc
+            acc += seg_rows[seg]
+
+        # resume: skip segments whose fingerprint AND doc offset are unchanged
+        done: dict[int, dict] = {}
+        if resume and os.path.isdir(f"{self.index_dir}/build_manifest"):
+            prev = spark.read.parquet(f"{self.index_dir}/build_manifest").collect()
+            for r in prev:
+                s = r["segment"]
+                if (
+                    r["status"] == "ok"
+                    and seg_fp.get(s) == r["fingerprint"]
+                    and offsets.get(s) == r["doc_offset"]
+                    and os.path.exists(f"{self.index_dir}/postings/seg={s}/part-0.parquet")
+                ):
+                    done[s] = r.asDict()
+
+        todo = [s for s in sorted(seg_rows) if s not in done]
+        metrics_rows = list(done.values())
+        if todo:
+            work = with_seg.filter(F.col("segment").isin(todo))
+            key = sort_key_expr().alias("_k")
+            work = (
+                work.select("segment", "conv_id", "turn_idx", "text", key)
+                .repartition(self.num_segments, "segment")
+                .sortWithinPartitions("segment", "_k")
+                .drop("_k")
+            )
+            invert = _make_invert_fn(self.index_dir, self.analyzer, offsets, seg_fp)
+            metrics = work.mapInPandas(invert, METRICS_SCHEMA).collect()
+            metrics_rows.extend(r.asDict() for r in metrics)
+
+        mdf = spark.createDataFrame(pd.DataFrame(metrics_rows)[
+            ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
+             "blocks", "wall_ms", "status"]
+        ]) if metrics_rows else spark.createDataFrame([], METRICS_SCHEMA)
+        mdf.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.index_dir}/build_manifest"
+        )
+
+        self._write_stats()
+        self._save_manifest(
+            {
+                "version": 1,
+                "field": FIELD,
+                "analyzer": self.analyzer,
+                "num_segments": self.num_segments,
+                "boundaries": boundaries,
+                "doc_count": acc,
+                "segments_built": len(todo),
+                "segments_reused": len(done),
+            }
+        )
+        return {"doc_count": acc, "built": len(todo), "reused": len(done)}
+
+    def _write_stats(self):
+        from pyspark.sql import functions as F
+
+        spark = self.spark
+        if not os.path.isdir(f"{self.index_dir}/postings"):
+            # empty corpus → empty index: materialize zero-row stats tables
+            spark.createDataFrame(
+                [], "field string, term string, df long, ttf long, max_tf int"
+            ).write.mode("overwrite").parquet(f"{self.index_dir}/term_stats")
+            spark.createDataFrame(
+                [(FIELD, 0, 0, 0)],
+                "field string, doc_count long, sum_ttf long, sum_df long",
+            ).write.mode("overwrite").parquet(f"{self.index_dir}/field_stats")
+            return
+        postings = spark.read.parquet(f"{self.index_dir}/postings")
+        term_stats = (
+            postings.groupBy("field", "term")
+            .agg(
+                F.sum("count").cast("long").alias("df"),
+                F.sum("ttf").cast("long").alias("ttf"),
+                F.max("max_tf").cast("int").alias("max_tf"),
+            )
+        )
+        (
+            term_stats.repartitionByRange(
+                max(1, self.num_segments // 8), "field", "term"
+            )
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .parquet(f"{self.index_dir}/term_stats")
+        )
+        docs = spark.read.parquet(f"{self.index_dir}/docs")
+        ts = spark.read.parquet(f"{self.index_dir}/term_stats")
+        field_stats = (
+            docs.agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count"),
+                F.sum("dl").cast("long").alias("sum_ttf"),
+            )
+            .withColumn("field", F.lit(FIELD))
+            .crossJoin(ts.agg(F.sum("df").cast("long").alias("sum_df")))
+            .select("field", "doc_count", "sum_ttf", "sum_df")
+        )
+        field_stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.index_dir}/field_stats"
+        )

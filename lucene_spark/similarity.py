@@ -1,0 +1,113 @@
+"""BM25 scoring, bit-identical to the reference BM25Similarity (float32 ops).
+
+Contract reproduced (semantics, not code) from
+``core/search/similarities/BM25Similarity.java``:
+
+- ``idf = (float) log(1 + (docCount - df + 0.5) / (df + 0.5))`` — double math,
+  rounded once to float32 (:109-111 of the reference file).
+- ``avgdl = (float) (sumTotalTermFreq / (double) docCount)`` (:113-116).
+- per-norm cache: ``cache[c] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[c] / avgdl))``
+  — every op float32, evaluated left-to-right (:207-210).
+- ``weight = boost * idf`` float32 (:236); multi-term idf is the sum of per-term
+  float idfs accumulated in double, then cast to float (:185-194).
+- ``score(tf, norm) = weight - weight / (1f + tf * cache[norm & 0xFF])`` with
+  float32 multiply/add/divide/subtract (:240-252).
+
+numpy float32 uses IEEE-754 round-to-nearest-even, same as the JVM, so these
+kernels reproduce Java float results bit-for-bit as long as no op silently
+promotes to float64 — every intermediate below is dtype-pinned.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_spark.smallfloat import LENGTH_TABLE
+
+F32 = np.float32
+
+
+def idf(df: int, doc_count: int) -> np.float32:
+    """Per-term idf: double math, single rounding to float32."""
+    return np.float32(math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)))
+
+
+def sum_idf(dfs, doc_count: int) -> np.float32:
+    """Multi-term idf: per-term float32 idfs accumulated in float64, cast once."""
+    acc = 0.0  # python float == double
+    for df in dfs:
+        acc += float(idf(df, doc_count))
+    return np.float32(acc)
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_cache(avgdl: np.float32, k1: np.float32, b: np.float32) -> np.ndarray:
+    """256-entry float32 inverse-norm cache; all ops float32, left-to-right."""
+    k1 = F32(k1)
+    b = F32(b)
+    avgdl = F32(avgdl)
+    one = F32(1.0)
+    # (1 - b) + b * LENGTH_TABLE[i] / avgdl, float32 each step
+    t = (LENGTH_TABLE * b).astype(F32)
+    t = (t / avgdl).astype(F32)
+    t = ((one - b) + t).astype(F32)
+    t = (k1 * t).astype(F32)
+    return (one / t).astype(F32)
+
+
+@dataclass(frozen=True)
+class BM25Similarity:
+    """Reference-default BM25: k1=1.2, b=0.75, discountOverlaps=True."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+    def scorer(
+        self,
+        boost: float,
+        doc_count: int,
+        sum_total_term_freq: int,
+        dfs,
+    ) -> "BM25Scorer":
+        """Bind collection + term statistics, mirroring Similarity.scorer().
+
+        ``dfs`` is a sequence of per-term docFreqs; len>1 sums idfs (phrase /
+        synonym semantics). Stats are whole-index (all segments), so scores
+        are segmentation-independent.
+        """
+        dfs = list(dfs)
+        w_idf = idf(dfs[0], doc_count) if len(dfs) == 1 else sum_idf(dfs, doc_count)
+        avgdl = avg_field_length(sum_total_term_freq, doc_count)
+        cache = norm_cache(avgdl, F32(self.k1), F32(self.b))
+        weight = F32(F32(boost) * w_idf)  # float32 * float32 stays float32
+        return BM25Scorer(weight=weight, cache=cache, avgdl=avgdl)
+
+
+@dataclass(frozen=True)
+class BM25Scorer:
+    weight: np.float32
+    cache: np.ndarray  # float32[256]
+    avgdl: np.float32
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        """Vectorized float32 score for (tf, norm byte) arrays.
+
+        Exactly ``weight - weight / (1f + tf * cache[norm])`` in float32.
+        """
+        tf = np.asarray(tf, dtype=F32)
+        norm_code = np.asarray(norm_code, dtype=np.int64) & 0xFF
+        inv = self.cache[norm_code]  # float32
+        one = F32(1.0)
+        denom = (one + (tf * inv).astype(F32)).astype(F32)
+        return (self.weight - (self.weight / denom).astype(F32)).astype(F32)
+
+    def max_score(self, tf, norm_code) -> np.float32:
+        """Upper bound for a block given its competitive (tf, norm) impacts."""
+        s = self.score(np.asarray(tf), np.asarray(norm_code))
+        return F32(s.max()) if s.size else F32(0.0)
