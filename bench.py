@@ -1,0 +1,101 @@
+"""Benchmark harness — index-build throughput + top-k query latency.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32). The corpus is the deterministic
+synthetic transcript table (BASELINE.json input_hint shape) sized
+proportionally to the scale factor: sf0.1 → ~600k turns (lineitem-row
+equivalent). Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ..., "turns": ..., "turns_per_sec": ..., "cpus": ...}``
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``tools/scaling_bench.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from lucene_spark.corpus import VOCAB, synthetic_transcripts
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.session import get_spark
+
+    sf = infer_sf(sf_dir)
+    n_turns_target = int(6_000_000 * sf)
+    n_convs = max(200, n_turns_target * 2 // 9)  # ~4.5 turns/conv
+
+    spark = get_spark(cpus, app="lucene_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    idx = f"/tmp/lucene_spark_bench_idx/{os.path.basename(os.path.normpath(sf_dir))}_{cpus}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    # materialize the corpus once so the build measures indexing, not the RNG
+    corpus_path = f"/tmp/lucene_spark_bench_corpus/{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        synthetic_transcripts(spark, n_convs, parallelism=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n_turns = corpus.count()
+
+    t0 = time.time()
+    IndexBuilder(spark, idx, num_segments=cpus * 2).build(corpus)
+    timings["index_build"] = time.time() - t0
+
+    searcher = IndexSearcher(spark, idx)
+    qset = {
+        "topk_hot": VOCAB[0],
+        "topk_or3": f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}",
+        "topk_bool": f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}",
+        "topk_boost": f"{VOCAB[4]}^2.5 {VOCAB[9]}",
+        "topk_rare": VOCAB[1500],
+    }
+    for name, q in qset.items():
+        searcher.search(q, 10)  # warm (plans, parquet footers)
+        reps = []
+        for _ in range(3):
+            t = time.time()
+            searcher.search(q, 10)
+            reps.append(time.time() - t)
+        timings[name] = sorted(reps)[1]  # median
+
+    total = sum(timings.values())
+    result = {
+        "metric": "index_build_sec_plus_topk_query_latency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(result), file=out, flush=True)
+    if not keep_index:
+        shutil.rmtree(idx, ignore_errors=True)
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    run(sf_dir, cpus)

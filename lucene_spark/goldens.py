@@ -1,0 +1,106 @@
+"""Brute-force reference scorer — generates golden top-k from a raw corpus.
+
+Independent of the index format, block codec, and WAND kernel: works directly
+on a pandas corpus with dense python dicts, reimplementing only the scoring
+contract of SURVEY.md §2.8 (float32 BM25 over SmallFloat norm bytes). This is
+the FIXTURES.md §3 golden generator: every engine execution path (exhaustive
+and WAND, any segmentation) must reproduce these (doc_id, float32 score) lists
+exactly.
+
+Collector semantics mirrored: hit iff (all MUST ∧ no MUST_NOT ∧ (MUST present
+∨ ≥1 SHOULD) ∧ should-count ≥ minShouldMatch); score = float32(Σ_double of
+float32 clause scores); top-k by (score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.search import ast
+from lucene_spark.similarity import BM25Similarity
+from lucene_spark.smallfloat import int_to_byte4
+
+F32 = np.float32
+
+
+class BruteForceIndex:
+    """In-memory inverted index over a pandas transcript corpus."""
+
+    def __init__(self, corpus: pd.DataFrame, analyzer: str = "standard",
+                 similarity: BM25Similarity | None = None):
+        self.analyzer = get_analyzer(analyzer)
+        self.similarity = similarity or BM25Similarity()
+        pdf = corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+        self.pdf = pdf
+        tokens = self.analyzer.tokenize_series(pdf["text"])
+        self.n = len(pdf)
+        self.dl = tokens.map(len).to_numpy(dtype=np.int64)
+        self.norms = int_to_byte4(self.dl).astype(np.int64)
+        # postings: term -> (doc_id array, tf array), doc ascending
+        post: dict[str, dict[int, int]] = {}
+        for doc_id, toks in enumerate(tokens):
+            for t in toks:
+                post.setdefault(t, {})
+                post[t][doc_id] = post[t].get(doc_id, 0) + 1
+        self.postings = {
+            t: (
+                np.array(sorted(m), dtype=np.int64),
+                np.array([m[d] for d in sorted(m)], dtype=np.int64),
+            )
+            for t, m in post.items()
+        }
+        self.doc_count = self.n
+        self.sum_ttf = int(self.dl.sum())
+
+    def search(self, query, k: int = 10):
+        if isinstance(query, str):
+            query = ast.parse(query, self.analyzer)
+        q = ast.normalize(query)
+        if isinstance(q, ast.MatchNoDocsQuery) or self.doc_count == 0:
+            return []
+        if isinstance(q, ast.TermQuery):
+            q = ast.BooleanQuery(((ast.SHOULD, q),))
+
+        score = np.zeros(self.n, dtype=np.float64)
+        must_cnt = np.zeros(self.n, dtype=np.int64)
+        should_cnt = np.zeros(self.n, dtype=np.int64)
+        excluded = np.zeros(self.n, dtype=bool)
+        n_req = 0
+        any_scoring = False
+        for occur, tq in q.clauses:
+            hit = self.postings.get(tq.term)
+            if occur == ast.MUST_NOT:
+                if hit is not None:
+                    excluded[hit[0]] = True
+                continue
+            if occur in (ast.MUST, ast.FILTER):
+                n_req += 1
+                if hit is None:
+                    return []  # required term absent
+                must_cnt[hit[0]] += 1
+            if occur in (ast.MUST, ast.SHOULD):
+                if hit is None:
+                    continue
+                any_scoring = True
+                docs, tfs = hit
+                scorer = self.similarity.scorer(
+                    tq.boost, self.doc_count, self.sum_ttf, [docs.size]
+                )
+                score[docs] += scorer.score(tfs, self.norms[docs]).astype(np.float64)
+                if occur == ast.SHOULD:
+                    should_cnt[docs] += 1
+
+        msm = max(q.min_should_match, 0 if n_req else 1)
+        ok = (must_cnt >= n_req) & ~excluded
+        if msm:
+            ok &= should_cnt >= msm
+        if not any_scoring and n_req == 0:
+            return []
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            return []
+        sc = score[idx].astype(F32)
+        order = np.lexsort((idx, -sc.astype(np.float64)))[:k]
+        return [(int(idx[i]), float(sc[i])) for i in order]

@@ -112,16 +112,23 @@ def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
             "max_tf": int(t.max()),
             "doc_gaps": encode_varints(gaps[1:]),
             "tfs": encode_varints(t),
+            # per-doc norm codes denormalized into the block (1 byte/posting,
+            # ZSTD-friendly): saves the query-time join against the docs
+            # table that Lucene pays via .nvd random access
+            "norms": bytes(np.asarray(nm, dtype=np.uint8)[: d.size].tobytes()),
             "impact_tfs": itf.astype(np.int32).tolist(),
             "impact_norms": inorm.astype(np.int32).tolist(),
         }
 
 
-def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes):
-    """Inverse of encode_term_blocks for one block → (doc_ids, tfs)."""
+def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes,
+                 norms: bytes | None = None):
+    """Inverse of encode_term_blocks for one block → (doc_ids, tfs[, norms])."""
     gaps = decode_varints(doc_gaps)
     doc_ids = np.empty(count, dtype=np.int64)
     doc_ids[0] = first_doc
     if count > 1:
         doc_ids[1:] = first_doc + np.cumsum(gaps)
-    return doc_ids, decode_varints(tfs)
+    if norms is None:
+        return doc_ids, decode_varints(tfs)
+    return doc_ids, decode_varints(tfs), np.frombuffer(norms, dtype=np.uint8).astype(np.int64)

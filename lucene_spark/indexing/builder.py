@@ -71,6 +71,7 @@ POSTINGS_SCHEMA = pa.schema(
         ("max_tf", pa.int32()),
         ("doc_gaps", pa.binary()),
         ("tfs", pa.binary()),
+        ("norms", pa.binary()),
         ("impact_tfs", pa.list_(pa.int32())),
         ("impact_norms", pa.list_(pa.int32())),
     ]

@@ -1,0 +1,185 @@
+"""DuckDB oracle-SQL generators for the driver's correctness gate.
+
+These produce ANSI-ish SQL (DuckDB dialect) that recomputes engine results
+from the raw ``documents`` parquet with NO shared code: tokenization is
+``regexp_extract_all(lower(text), '[a-z0-9]+')`` (the SimpleAnalyzer
+contract), the SmallFloat norm lossiness is baked in as a 256-row VALUES
+range map, and BM25 is emitted with explicit ``::FLOAT`` casts after every
+binary op so DuckDB's true float32 arithmetic reproduces the engine's
+float32 scores bit-for-bit (verified: DuckDB FLOAT ops do not promote to
+DOUBLE; cast rounding is IEEE round-to-nearest, same as numpy/JVM).
+
+The documents→transcripts derivation is one-doc-one-turn
+(``corpus.transcripts_from_documents``): docID == row_number over
+conv_id == row_number over doc_id, minus 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.search import ast
+from lucene_spark.smallfloat import byte4_to_int
+
+K1 = "CAST(1.2 AS FLOAT)"
+B = "CAST(0.75 AS FLOAT)"
+
+
+def norm_map_values() -> str:
+    """256-row (lo, hi) VALUES list: dl ∈ [lo, hi] → decoded length lo."""
+    dec = byte4_to_int(np.arange(256))
+    rows = []
+    for c in range(256):
+        lo = int(dec[c])
+        hi = int(dec[c + 1] - 1) if c < 255 else 2**31 - 1
+        rows.append(f"({lo},{hi})")
+    return ",".join(rows)
+
+
+BASE_CTES = f"""
+docs0 AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lower(coalesce(text, '')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term FROM docs0
+),
+tf AS (
+  SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dls AS (
+  SELECT did, len(regexp_extract_all(t, '[a-z0-9]+'))::BIGINT AS dl FROM docs0
+),
+normmap(lo, hi) AS (VALUES {norm_map_values()}),
+dlen AS (
+  SELECT d.did, d.dl, m.lo AS dlen
+  FROM dls d JOIN normmap m ON d.dl BETWEEN m.lo AND m.hi
+),
+fstats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_ttf,
+         CAST(sum(dl) / count(*)::DOUBLE AS FLOAT) AS avgdl
+  FROM dls
+),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+
+def term_stats_sql(limit: int = 100) -> str:
+    return f"""
+WITH {BASE_CTES}
+SELECT term, df, ttf FROM (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+) ORDER BY df DESC, term ASC LIMIT {limit}
+"""
+
+
+def doc_norms_sql() -> str:
+    """(doc_id, dl, dlen) for every doc — validates docID order + SmallFloat."""
+    return f"""
+WITH {BASE_CTES}
+SELECT did AS doc_id, dl, dlen::BIGINT AS dlen FROM dlen ORDER BY did
+"""
+
+
+def _clause_rows(q) -> list[tuple[str, str, float]]:
+    """AST → [(term, occur, boost)] (normalized, v1 flat boolean)."""
+    q = ast.normalize(q)
+    if isinstance(q, ast.MatchNoDocsQuery):
+        return []
+    if isinstance(q, ast.TermQuery):
+        return [(q.term, ast.SHOULD, q.boost)]
+    return [(tq.term, occ, tq.boost) for occ, tq in q.clauses]
+
+
+def bm25_topk_sql(query, k: int) -> str:
+    """Float32-bit-exact BM25 top-k SQL for a (flat boolean) query AST.
+
+    Emits (doc_id, score DOUBLE) — score is the exact float32 widened to
+    double. Order: score DESC, doc_id ASC, LIMIT k.
+    """
+    clauses = _clause_rows(query)
+    scoring = [(t, b) for t, o, b in clauses if o in (ast.MUST, ast.SHOULD)]
+    must = sorted({t for t, o, _ in clauses if o in (ast.MUST, ast.FILTER)})
+    must_not = sorted({t for t, o, _ in clauses if o == ast.MUST_NOT})
+    n_req = sum(1 for t, o, _ in clauses if o in (ast.MUST, ast.FILTER))
+    has_should = any(o == ast.SHOULD for _, o, _ in clauses)
+
+    if not clauses or not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
+    )
+    # idf in DOUBLE, single cast to FLOAT; weight = boost*idf in FLOAT
+    # inv = 1f/(k1*((1-b) + (b*dlen)/avgdl)) with every op FLOAT
+    # clause score = w - w/(1f + tf*inv); per-doc sum in DOUBLE → cast FLOAT
+    clause_cte = f"""
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    conds = []
+    for t in must:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM tf m WHERE m.did = summed.did AND m.term = '{t}')"
+        )
+    for t in must_not:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = summed.did AND x.term = '{t}')"
+        )
+    if n_req == 0 and has_should:
+        pass  # every row in `summed` already matched ≥1 scoring clause
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return f"""
+WITH {BASE_CTES},{clause_cte}
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed{where}
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
+def count_sql(query) -> str:
+    """Exact hit count for a flat boolean query (integer result)."""
+    clauses = _clause_rows(query)
+    must = sorted({t for t, o, _ in clauses if o in (ast.MUST, ast.FILTER)})
+    should = sorted({t for t, o, _ in clauses if o == ast.SHOULD})
+    must_not = sorted({t for t, o, _ in clauses if o == ast.MUST_NOT})
+    conds = []
+    for t in must:
+        conds.append(f"EXISTS (SELECT 1 FROM tf m WHERE m.did = d.did AND m.term = '{t}')")
+    if not must and should:
+        ors = " OR ".join(
+            f"EXISTS (SELECT 1 FROM tf s WHERE s.did = d.did AND s.term = '{t}')"
+            for t in should
+        )
+        conds.append(f"({ors})")
+    for t in must_not:
+        conds.append(f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = d.did AND x.term = '{t}')")
+    where = " AND ".join(conds) if conds else "FALSE"
+    return f"""
+WITH {BASE_CTES}
+SELECT count(*)::BIGINT AS hits FROM dls d WHERE {where}
+"""

@@ -1,0 +1,132 @@
+"""Query AST, normalization, and a classic-syntax subset parser.
+
+Mirrors the reference semantics (not code):
+
+- AST ≈ the immutable ``Query`` tree (``core/search/Query.java``); clauses use
+  Lucene's four occurs (``core/search/BooleanClause.java``): MUST, SHOULD,
+  MUST_NOT, FILTER.
+- ``normalize`` ≈ the fixpoint rewrite (``core/search/IndexSearcher.java:761-770``
+  + ``core/search/BooleanQuery.java:249-310``): single-clause collapse,
+  MUST_NOT/FILTER set-dedup, MatchNoDocs propagation, empty → MatchNoDocs.
+- Parser ≈ the classic QueryParser subset used by the reference benchmark
+  query mix (``ReutersQueryMaker.java:41-52``): bare terms (SHOULD), ``+term``
+  (MUST), ``-term`` (MUST_NOT), ``term^2.5`` boosts, ``field:term``. Query
+  text is analyzed with the same analyzer as the index
+  (``QueryParserBase.java:455-506``). Phrases are v2 (no positions yet).
+
+Scoring contract per clause combination (see exhaustive/wand executors):
+hit = all MUST match ∧ no MUST_NOT matches ∧ (MUST present ∨ ≥1 SHOULD);
+score = Σ float32 clause scores accumulated in double, cast to float32
+(``DisjunctionSumScorer`` semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+FILTER = "FILTER"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    field: str = "text"
+    boost: float = 1.0
+
+    def boosted(self, b: float) -> "TermQuery":
+        return TermQuery(self.term, self.field, self.boost * b)
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery:
+    pass
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    # tuple of (occur, query); query is TermQuery after normalization (v1)
+    clauses: tuple = field(default_factory=tuple)
+    min_should_match: int = 0
+
+    @property
+    def by_occur(self):
+        out = {MUST: [], SHOULD: [], MUST_NOT: [], FILTER: []}
+        for occur, q in self.clauses:
+            out[occur].append(q)
+        return out
+
+
+Query = object  # union marker for readability
+
+
+def normalize(q):
+    """Fixpoint-free single-pass normalization (our ASTs are one level deep)."""
+    if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery)):
+        return q
+    if isinstance(q, BooleanQuery):
+        occ = q.by_occur
+        # FILTER / MUST_NOT have set semantics (BooleanQuery.java:142-155)
+        def dedup(qs):
+            seen, out = set(), []
+            for x in qs:
+                key = (x.field, x.term) if isinstance(x, TermQuery) else x
+                if key not in seen:
+                    seen.add(key)
+                    out.append(x)
+            return out
+
+        must, should = occ[MUST], occ[SHOULD]
+        must_not, filt = dedup(occ[MUST_NOT]), dedup(occ[FILTER])
+        if not must and not should and not filt:
+            return MatchNoDocsQuery()  # only-prohibited matches nothing
+        if len(must) == 1 and not should and not must_not and not filt:
+            return must[0]  # single-clause collapse
+        if len(should) == 1 and not must and not must_not and not filt \
+                and q.min_should_match <= 1:
+            return should[0]
+        clauses = (
+            [(MUST, x) for x in must]
+            + [(SHOULD, x) for x in should]
+            + [(MUST_NOT, x) for x in must_not]
+            + [(FILTER, x) for x in filt]
+        )
+        return BooleanQuery(tuple(clauses), q.min_should_match)
+    raise TypeError(f"unknown query node: {q!r}")
+
+
+def parse(query_str: str, analyzer, default_field: str = "text"):
+    """Classic-syntax subset → normalized AST. See module docstring."""
+    clauses = []
+    for raw in query_str.split():
+        occur = SHOULD
+        if raw.startswith("+"):
+            occur, raw = MUST, raw[1:]
+        elif raw.startswith("-"):
+            occur, raw = MUST_NOT, raw[1:]
+        boost = 1.0
+        if "^" in raw:
+            raw, _, b = raw.rpartition("^")
+            boost = float(b)
+        fieldname = default_field
+        if ":" in raw:
+            maybe_field, _, rest = raw.partition(":")
+            # only treat as field prefix for known fields; else it's MidLetter text
+            if maybe_field == default_field:
+                fieldname, raw = maybe_field, rest
+        # analyze the term text like the index side (QueryParserBase.java:455)
+        toks = analyzer.tokenize_text(raw)
+        if not toks:
+            continue  # analyzed to nothing (e.g. stopword / too long)
+        for t in toks:  # multi-token expansion: each token its own clause
+            clauses.append((occur, TermQuery(t, fieldname, boost)))
+    if not clauses:
+        return MatchNoDocsQuery()
+    return normalize(BooleanQuery(tuple(clauses)))

@@ -1,0 +1,127 @@
+"""IndexSearcher — parse → weight → per-segment kernel fan-out → merge.
+
+Mirrors the reference query lifecycle (``core/search/IndexSearcher.java:507``):
+rewrite/normalize on the driver, global statistics bound once
+(segmentation-independent, :943-958), per-segment execution in parallel
+(LeafSlice analogy), exact ``TopDocs.merge`` reduce with the
+(score DESC, doc_id ASC) tie-break. The per-segment executor is either the
+block-max WAND kernel (mode="wand", TOP_SCORES analogy) or the same kernel
+unpruned (mode="exhaustive", the CheckHits-style oracle — TestWANDScorer
+checks WAND == naive disjunction; our pytest does the same).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.search import ast
+from lucene_spark.search.reader import IndexReader
+from lucene_spark.search.wand import ClauseSpec, segment_topk
+from lucene_spark.similarity import BM25Similarity, norm_cache
+
+F32 = np.float32
+
+
+@dataclass(frozen=True)
+class ScoreDoc:
+    doc_id: int
+    score: float  # exact float32 value
+
+
+class IndexSearcher:
+    def __init__(self, spark, index_dir: str, similarity: BM25Similarity | None = None):
+        self.spark = spark
+        self.reader = IndexReader(spark, index_dir)
+        self.similarity = similarity or BM25Similarity()
+        self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
+
+    def parse(self, query_str: str):
+        return ast.parse(query_str, self.analyzer)
+
+    # -- weights ------------------------------------------------------------
+    def _weighted_clauses(self, query):
+        """Resolve stats → ClauseSpecs + shared norm cache. None → no match."""
+        q = ast.normalize(query)
+        if isinstance(q, ast.MatchNoDocsQuery):
+            return None
+        if isinstance(q, ast.TermQuery):
+            q = ast.BooleanQuery(((ast.SHOULD, q),))
+        occ_clauses = list(q.clauses)
+        terms = [tq.term for _, tq in occ_clauses]
+        stats = self.reader.term_stats(terms)
+        if self.reader.doc_count == 0:
+            return None
+        specs: list[ClauseSpec] = []
+        for occur, tq in occ_clauses:
+            st = stats.get(tq.term)
+            if st is None or st["df"] == 0:
+                if occur in (ast.MUST, ast.FILTER):
+                    return None  # required term absent from corpus
+                continue  # absent SHOULD / MUST_NOT clauses never match
+            if occur in (ast.MUST, ast.SHOULD):
+                scorer = self.reader.similarity_scorer(
+                    self.similarity, tq.boost, [st["df"]]
+                )
+                w = scorer.weight
+            else:
+                w = F32(0.0)
+            specs.append(ClauseSpec(tq.term, occur, w))
+        if not specs:
+            return None
+        if not any(c.occur in (ast.MUST, ast.SHOULD, ast.FILTER) for c in specs):
+            return None  # only prohibited clauses survived
+        cache = norm_cache(
+            np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
+            F32(self.similarity.k1), F32(self.similarity.b),
+        )
+        return specs, cache, q.min_should_match
+
+    # -- search -------------------------------------------------------------
+    def search(self, query, k: int = 10, mode: str = "wand") -> list[ScoreDoc]:
+        """Top-k hits. ``query``: AST node or classic-syntax string."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        wc = self._weighted_clauses(query)
+        if wc is None:
+            return []
+        specs, cache, msm = wc
+        prune = mode == "wand"
+        terms = sorted({c.term for c in specs})
+
+        postings = self.reader.postings(terms)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "impact_tfs", "impact_norms"]
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            d, s = segment_topk(rows, specs, cache, k, msm, prune=prune)
+            return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
+
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float")
+            .collect()
+        )
+        # TopDocs.merge: exact global tie-break (score DESC, doc_id ASC)
+        if not out:
+            return []
+        d = np.array([r["doc_id"] for r in out], dtype=np.int64)
+        s = np.array([r["score"] for r in out], dtype=np.float32)
+        order = np.lexsort((d, -s.astype(np.float64)))[:k]
+        return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
+
+    def count(self, query) -> int:
+        """TotalHitCountCollector analogy — exact hit count via the kernel."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        wc = self._weighted_clauses(query)
+        if wc is None:
+            return 0
+        specs, cache, msm = wc
+        big = self.reader.doc_count + 1
+        return len(self.search(query, k=big, mode="exhaustive"))

@@ -1,0 +1,243 @@
+"""Block-max WAND / MaxScore top-k kernel (numpy, per segment).
+
+The reference's headline optimization: skip whole 128-doc posting blocks whose
+maximum possible BM25 score is below the current k-th best score
+(``core/search/WANDScorer.java:30-51``, ``core/search/ImpactsDISI.java:92-124``,
+``core/search/MaxScoreCache.java:60-66``). Catalyst cannot express this, so it
+lives as a numpy kernel executed per segment (Lucene's LeafSlice analogy:
+``core/search/IndexSearcher.java:330-376``); the driver merges per-segment
+top-k exactly like ``TopDocs.merge``.
+
+Algorithm (impact-ordered, batch-vectorized):
+
+1. Doc space is chunked at the union of block boundaries, so within a chunk
+   each term has ≤1 active block. Chunk upper bound = Σ active blocks'
+   max impact score (computed from the stored Pareto (tf, norm) pairs with the
+   exact float32 kernel — so bounds are true bounds for float32 scores).
+2. Chunks are processed in upper-bound-descending order in batches; after each
+   batch the k-th best valid score θ rises; processing stops at the first
+   chunk whose UB < θ — everything after is pruned without ever being decoded.
+3. Chunk evaluation is exhaustive and vectorized: decode active blocks, mask
+   to selected chunks, combine per-doc contributions with ``np.add.at`` into a
+   float64 accumulator (clause float32 scores summed in double, cast to
+   float32 at the end — ``DisjunctionSumScorer`` semantics), apply
+   MUST/FILTER/MUST_NOT/minShouldMatch constraints, offer to the candidate
+   pool.
+
+Tie-break: (score DESC, doc_id ASC), the single-segment Lucene rule
+(``core/search/HitQueue.java:78-84``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_spark.search.ast import FILTER, MUST, MUST_NOT, SHOULD
+
+F32 = np.float32
+
+
+@dataclass
+class ClauseSpec:
+    """One (occur, term) with its bound float32 weight (boost × idf)."""
+
+    term: str
+    occur: str
+    weight: np.float32  # 0 for MUST_NOT / FILTER
+
+
+def _block_scores(weight: np.float32, cache: np.ndarray, tfs, norms) -> np.ndarray:
+    tf = np.asarray(tfs, dtype=F32)
+    inv = cache[np.asarray(norms, dtype=np.int64) & 0xFF]
+    denom = (F32(1.0) + (tf * inv).astype(F32)).astype(F32)
+    return (weight - (weight / denom).astype(F32)).astype(F32)
+
+
+def segment_topk(block_rows, clauses: list[ClauseSpec], cache: np.ndarray,
+                 k: int, min_should_match: int = 0, prune: bool = True):
+    """Top-k (doc_id, score_f32) for one segment.
+
+    ``block_rows``: dict of column-name → numpy array (postings block rows for
+    all query terms in this segment, any order).
+    """
+    from lucene_spark.indexing.blocks import decode_block
+
+    terms = block_rows["term"]
+    n_blocks = len(terms)
+    # clauses are a multiset for MUST/SHOULD (Lucene scores duplicates twice);
+    # group them per term, each clause keeps its own weight
+    by_term: dict[str, list[ClauseSpec]] = {}
+    for c in clauses:
+        by_term.setdefault(c.term, []).append(c)
+    must_terms = sorted({c.term for c in clauses if c.occur in (MUST, FILTER)})
+    # required-clause count per matching doc: a doc matching term t satisfies
+    # every required clause on t
+    req_per_term = {
+        t: sum(1 for c in cs if c.occur in (MUST, FILTER))
+        for t, cs in by_term.items()
+    }
+    n_req = sum(req_per_term.values())
+    should_per_term = {
+        t: sum(1 for c in cs if c.occur == SHOULD) for t, cs in by_term.items()
+    }
+
+    # ---- exclusion set (MUST_NOT): decode fully, they are cheap filters
+    excl_parts = []
+    keep_idx = []
+    for i in range(n_blocks):
+        t = terms[i]
+        cs = by_term.get(t)
+        if cs is None:
+            continue
+        if all(c.occur == MUST_NOT for c in cs):
+            d, _ = decode_block(
+                block_rows["first_doc"][i], block_rows["count"][i],
+                block_rows["doc_gaps"][i], block_rows["tfs"][i],
+            )
+            excl_parts.append(d)
+        else:
+            keep_idx.append(i)
+            if any(c.occur == MUST_NOT for c in cs):
+                d, _ = decode_block(
+                    block_rows["first_doc"][i], block_rows["count"][i],
+                    block_rows["doc_gaps"][i], block_rows["tfs"][i],
+                )
+                excl_parts.append(d)
+    excl = np.unique(np.concatenate(excl_parts)) if excl_parts else np.zeros(0, np.int64)
+
+    if not keep_idx:
+        return np.zeros(0, np.int64), np.zeros(0, F32)
+    kb = np.array(keep_idx, dtype=np.int64)
+    b_term = terms[kb]
+    b_first = block_rows["first_doc"][kb].astype(np.int64)
+    b_last = block_rows["last_doc"][kb].astype(np.int64)
+
+    # a MUST term absent from this segment → nothing can match here
+    seg_terms = set(b_term.tolist())
+    if any(t not in seg_terms for t in must_terms):
+        return np.zeros(0, np.int64), np.zeros(0, F32)
+
+    # ---- per-block max impact score (exact float32 bound, summed per clause)
+    b_max = np.zeros(kb.size, dtype=np.float64)
+    for j, i in enumerate(kb):
+        for c in by_term[terms[i]]:
+            if c.occur in (MUST, SHOULD):
+                s = _block_scores(c.weight, cache, block_rows["impact_tfs"][i],
+                                  block_rows["impact_norms"][i])
+                b_max[j] += float(s.max()) if s.size else 0.0
+
+    # ---- chunk the doc space at block boundaries
+    events = np.unique(np.concatenate([b_first, b_last + 1]))
+    starts = events[:-1]
+    n_iv = starts.size
+    if n_iv == 0:
+        return np.zeros(0, np.int64), np.zeros(0, F32)
+    s_idx = np.searchsorted(events, b_first)
+    e_idx = np.searchsorted(events, b_last + 1)  # exclusive interval index
+
+    # UB per interval via difference-array accumulation
+    ub = np.zeros(n_iv + 1, dtype=np.float64)
+    np.add.at(ub, s_idx, b_max)
+    np.add.at(ub, e_idx, -b_max)
+    ub = np.cumsum(ub)[:n_iv]
+    # MUST coverage per interval: count of required terms active
+    if n_req:
+        cov = np.zeros(n_iv + 1, dtype=np.int64)
+        req_w = np.array([req_per_term.get(t, 0) for t in b_term], dtype=np.int64)
+        np.add.at(cov, s_idx, req_w)
+        np.add.at(cov, e_idx, -req_w)
+        cov = np.cumsum(cov)[:n_iv]
+        ub[cov < n_req] = -np.inf
+
+    order = np.argsort(-ub, kind="stable")
+    order = order[np.isfinite(ub[order])]
+
+    # ---- impact-ordered batched evaluation
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    theta = -np.inf
+    total_kept = 0
+    decoded: dict[int, tuple] = {}
+    BATCH = max(16, 4 * k // 128 + 8)
+    pos = 0
+    while pos < order.size:
+        if prune and theta > -np.inf:
+            # stop at first chunk that cannot beat θ (ε covers f32 cast-up)
+            rem = order[pos:]
+            viable = ub[rem] * (1 + 1e-6) >= theta
+            if not viable.any():
+                break
+            order = np.concatenate([order[:pos], rem[viable]])
+            if pos >= order.size:
+                break
+        batch = order[pos : pos + BATCH]
+        pos += BATCH
+        sel = np.zeros(n_iv, dtype=bool)
+        sel[batch] = True
+
+        docs_parts, score_parts, must_parts, should_parts = [], [], [], []
+        for j, i in enumerate(kb):
+            if not sel[s_idx[j] : e_idx[j]].any():
+                continue
+            if j not in decoded:
+                decoded[j] = decode_block(
+                    block_rows["first_doc"][i], block_rows["count"][i],
+                    block_rows["doc_gaps"][i], block_rows["tfs"][i],
+                    block_rows["norms"][i],
+                )
+            d, tf, nm = decoded[j]
+            iv = np.searchsorted(starts, d, side="right") - 1
+            m = sel[iv]
+            if not m.any():
+                continue
+            d, tf, nm = d[m], tf[m], nm[m]
+            t = b_term[j]
+            # per-clause float32 scores summed in double (Disjunction semantics)
+            sc = np.zeros(d.size, dtype=np.float64)
+            for c in by_term[t]:
+                if c.occur in (MUST, SHOULD):
+                    sc += _block_scores(c.weight, cache, tf, nm).astype(np.float64)
+            docs_parts.append(d)
+            score_parts.append(sc)
+            must_parts.append(np.full(d.size, req_per_term.get(t, 0), np.int64))
+            should_parts.append(np.full(d.size, should_per_term.get(t, 0), np.int64))
+
+        if not docs_parts:
+            continue
+        alld = np.concatenate(docs_parts)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(score_parts))
+        mcnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(mcnt, inv, np.concatenate(must_parts))
+        scnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(scnt, inv, np.concatenate(should_parts))
+
+        ok = mcnt >= n_req if n_req else scnt >= max(1, min_should_match)
+        if n_req and min_should_match:
+            ok &= scnt >= min_should_match
+        if excl.size:
+            ok &= ~np.isin(uniq, excl)
+        if not ok.any():
+            continue
+        cand_docs.append(uniq[ok])
+        cand_scores.append(acc[ok].astype(F32))
+        total_kept += int(ok.sum())
+
+        if total_kept >= k:
+            allsc = np.concatenate(cand_scores)
+            theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+            if total_kept > 8 * k + 256:  # compact the candidate pool
+                alldc = np.concatenate(cand_docs)
+                keep = allsc.astype(np.float64) >= theta
+                cand_docs, cand_scores = [alldc[keep]], [allsc[keep]]
+                total_kept = int(keep.sum())
+
+    if not cand_docs:
+        return np.zeros(0, np.int64), np.zeros(0, F32)
+    d = np.concatenate(cand_docs)
+    s = np.concatenate(cand_scores)
+    order = np.lexsort((d, -s.astype(np.float64)))[:k]
+    return d[order], s[order]

@@ -1,0 +1,95 @@
+"""Index build invariants (FIXTURES.md §4) + checkpoint/resume semantics."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lucene_spark.corpus import synthetic_transcripts
+from lucene_spark.indexing.blocks import decode_block
+from lucene_spark.indexing.builder import IndexBuilder
+from lucene_spark.smallfloat import byte4_to_int, int_to_byte4
+
+
+def test_docid_assignment_invariant(spark, index_dir, corpus_pdf):
+    docs = spark.read.parquet(f"{index_dir}/docs").orderBy("doc_id").toPandas()
+    expected = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert docs["doc_id"].tolist() == list(range(len(expected)))
+    assert docs["conv_id"].tolist() == expected["conv_id"].tolist()
+    assert docs["turn_idx"].tolist() == expected["turn_idx"].tolist()
+
+
+def test_norm_is_smallfloat_of_dl(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    dl = docs["dl"].to_numpy()
+    assert (int_to_byte4(dl).astype(int) == docs["norm"].to_numpy()).all()
+    # decode ≤ dl and is the lossy LENGTH_TABLE value
+    assert (byte4_to_int(docs["norm"].to_numpy()) <= dl).all()
+
+
+def test_stats_consistent_with_postings(spark, index_dir):
+    post = spark.read.parquet(f"{index_dir}/postings")
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    fs = spark.read.parquet(f"{index_dir}/field_stats").collect()[0]
+    recount = post.groupBy("term").agg(
+        F.sum("count").alias("df2"), F.sum("ttf").alias("ttf2")
+    )
+    assert ts.join(recount, "term").filter("df != df2 or ttf != ttf2").count() == 0
+    assert fs["sum_ttf"] == docs.agg(F.sum("dl")).collect()[0][0]
+    assert fs["doc_count"] == docs.count()
+    assert fs["sum_df"] == ts.agg(F.sum("df")).collect()[0][0]
+
+
+def test_postings_decode_matches_bruteforce(spark, index_dir, corpus_pdf):
+    """Decode every block of a hot term; postings == recount from raw text."""
+    from lucene_spark.analysis import StandardAnalyzer
+    from lucene_spark.corpus import VOCAB
+
+    term = VOCAB[0]
+    rows = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("term") == term)
+        .orderBy("first_doc")
+        .collect()
+    )
+    got = {}
+    prev_last = -1
+    for r in rows:
+        d, t = decode_block(r["first_doc"], r["count"], bytes(r["doc_gaps"]), bytes(r["tfs"]))
+        assert d[0] > prev_last  # blocks globally disjoint & ordered per term
+        prev_last = int(d[-1])
+        got.update(dict(zip(d.tolist(), t.tolist())))
+
+    an = StandardAnalyzer()
+    expected = {}
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for doc_id, text in enumerate(ordered["text"]):
+        c = an.tokenize_text(text).count(term)
+        if c:
+            expected[doc_id] = c
+    assert got == expected
+
+
+def test_resume_rebuilds_only_changed_segment(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    df = synthetic_transcripts(spark, 40)
+    b = IndexBuilder(spark, d, num_segments=4)
+    r1 = b.build(df)
+    assert r1["built"] == 4
+    r2 = b.build(df, resume=True)
+    assert r2 == {"doc_count": r1["doc_count"], "built": 0, "reused": 4}
+    mut = df.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "conv00000003") & (F.col("turn_idx") == 0),
+            F.lit("totally new text here"),
+        ).otherwise(F.col("text")),
+    )
+    r3 = b.build(mut, resume=True)
+    assert r3["built"] == 1 and r3["reused"] == 3
+    assert (
+        spark.read.parquet(f"{d}/term_stats").filter("term='totally'").count() == 1
+    )
