@@ -88,12 +88,14 @@ def _q_doc_norms(spark, sf_dir):
 
     from lucene_spark.smallfloat import LENGTH_TABLE
 
+    from lucene_spark.search.reader import IndexReader
+
     d = _ensure_index(spark, sf_dir)
     lookup = spark.createDataFrame(
         [(i, int(LENGTH_TABLE[i])) for i in range(256)], "norm int, dlen long"
     )
     return (
-        spark.read.parquet(f"{d}/docs")
+        IndexReader(spark, d).docs()
         .join(F.broadcast(lookup), "norm")
         .select("doc_id", F.col("dl").cast("long").alias("dl"), "dlen")
         .orderBy("doc_id")

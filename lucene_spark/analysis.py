@@ -25,9 +25,11 @@ per-row Python UDFs — these run inside Arrow ``mapInPandas`` batches):
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
@@ -84,6 +86,37 @@ class StandardAnalyzer:
             out = out.map(lambda ts: [t for t in ts if t not in sw])
         return out
 
+    def tokenize_flat(self, texts: pd.Series):
+        """Batch tokenize → (flat_tokens: object ndarray, per_row_counts: int64).
+
+        The hot path for index builds: one C-level findall over lowercased
+        text, one chain-flatten, then vectorized length/underscore filtering
+        (the per-token regex fallback runs only on the rare '_' tokens).
+        ASCII casing doesn't move token boundaries, so lowercase-then-tokenize
+        ≡ tokenize-then-lowercase for this analyzer.
+        """
+        lists = texts.fillna("").str.lower().str.findall(_STANDARD_RE)
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+        flat = pd.Series(
+            list(itertools.chain.from_iterable(lists)), dtype=object
+        )
+        if len(flat) == 0:
+            return np.array([], dtype=object), lens
+        tlen = flat.str.len().to_numpy()
+        keep = tlen <= self.max_token_length
+        has_us = flat.str.contains("_", regex=False).to_numpy()
+        if has_us.any():
+            sub = flat[has_us]
+            ok = sub.map(lambda t: _HAS_ALNUM_RE.search(t) is not None).to_numpy()
+            keep[np.flatnonzero(has_us)] &= ok
+        if self.stopwords:
+            keep &= ~flat.isin(self.stopwords).to_numpy()
+        if not keep.all():
+            row_ids = np.repeat(np.arange(lens.size), lens)
+            lens = np.bincount(row_ids[keep], minlength=lens.size).astype(np.int64)
+            flat = flat[keep]
+        return flat.to_numpy(dtype=object), lens
+
 
 @dataclass(frozen=True)
 class SimpleAnalyzer:
@@ -104,6 +137,12 @@ class SimpleAnalyzer:
 
     def tokenize_series(self, texts: pd.Series) -> pd.Series:
         return texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
+
+    def tokenize_flat(self, texts: pd.Series):
+        lists = texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+        flat = np.array(list(itertools.chain.from_iterable(lists)), dtype=object)
+        return flat, lens
 
 
 def get_analyzer(name: str):

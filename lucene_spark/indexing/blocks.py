@@ -24,11 +24,11 @@ import numpy as np
 BLOCK_SIZE = 128  # ForUtil.BLOCK_SIZE (ForUtil.java:32)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128 encode a non-negative int array (vectorized, ≤10 passes)."""
+def encode_varints_sized(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 encode + per-value byte counts (vectorized, ≤10 passes)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     nz = v > 0
@@ -47,7 +47,27 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128 encode a non-negative int array (vectorized)."""
+    return encode_varints_sized(values)[0]
+
+
+def encode_varints_grouped(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """One vectorized LEB128 pass over ``values``, split into per-group bytes.
+
+    ``group_starts``: start index of each group in ``values`` (ascending,
+    first element 0). Returns one ``bytes`` per group. This is the whole-
+    segment encode path — one numpy pass for thousands of blocks instead of
+    one tiny call per block.
+    """
+    buf, nbytes = encode_varints_sized(values)
+    cum = np.concatenate([[0], np.cumsum(nbytes)])
+    offs = cum[group_starts]
+    ends = np.concatenate([offs[1:], [cum[-1]]]).astype(np.int64)
+    return [buf[o:e] for o, e in zip(offs.tolist(), ends.tolist())]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
@@ -119,6 +139,72 @@ def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
             "impact_tfs": itf.astype(np.int32).tolist(),
             "impact_norms": inorm.astype(np.int32).tolist(),
         }
+
+
+def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
+                          tf_arr: np.ndarray, norm_per_posting: np.ndarray) -> dict:
+    """Whole-segment vectorized block encoding.
+
+    Input: postings rows sorted by (term, doc) — ``terms_arr`` object strings,
+    ``d_arr`` segment-local docIDs, ``tf_arr`` term freqs, ``norm_per_posting``
+    aligned norm bytes. Output: dict of columns matching the postings schema
+    (minus ``field``), one entry per 128-doc block. Equivalent to running
+    ``encode_term_blocks`` per term, but with three numpy passes total instead
+    of a Python loop per term/block.
+    """
+    n = terms_arr.size
+    empty = {
+        "term": [], "block_id": [], "first_doc": [], "last_doc": [], "count": [],
+        "ttf": [], "max_tf": [], "doc_gaps": [], "tfs": [], "norms": [],
+        "impact_tfs": [], "impact_norms": [],
+    }
+    if n == 0:
+        return empty
+    idx = np.arange(n, dtype=np.int64)
+    term_start = np.empty(n, dtype=bool)
+    term_start[0] = True
+    term_start[1:] = terms_arr[1:] != terms_arr[:-1]
+    term_idx = np.cumsum(term_start) - 1
+    term_starts = np.flatnonzero(term_start)
+    pos_in_term = idx - term_starts[term_idx]
+    block_start = (pos_in_term % BLOCK_SIZE) == 0
+    starts = np.flatnonzero(block_start)
+    ends = np.concatenate([starts[1:], [n]])
+    counts = (ends - starts).astype(np.int64)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = d_arr[1:] - d_arr[:-1]
+    gaps[starts] = 0  # block-initial doc stored absolutely in first_doc
+
+    gap_mask = ~block_start
+    gap_vals = gaps[gap_mask]
+    gap_group_starts = np.concatenate([[0], np.cumsum(counts - 1)[:-1]]).astype(np.int64)
+    doc_gaps = encode_varints_grouped(gap_vals, gap_group_starts)
+    tf_bytes = encode_varints_grouped(tf_arr, starts)
+    norm_buf = norm_per_posting.astype(np.uint8).tobytes()
+    norms = [norm_buf[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+
+    impact_tfs, impact_norms = [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        it, inm = pareto_impacts(tf_arr[s:e], norm_per_posting[s:e])
+        impact_tfs.append(it.astype(np.int32).tolist())
+        impact_norms.append(inm.astype(np.int32).tolist())
+
+    return {
+        "term": terms_arr[starts],
+        "block_id": (pos_in_term[starts] // BLOCK_SIZE).astype(np.int32),
+        "first_doc": d_arr[starts],
+        "last_doc": d_arr[ends - 1],
+        "count": counts.astype(np.int32),
+        "ttf": np.add.reduceat(tf_arr, starts).astype(np.int64),
+        "max_tf": np.maximum.reduceat(tf_arr, starts).astype(np.int32),
+        "doc_gaps": doc_gaps,
+        "tfs": tf_bytes,
+        "norms": norms,
+        "impact_tfs": impact_tfs,
+        "impact_norms": impact_norms,
+    }
 
 
 def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes,

@@ -2,36 +2,44 @@
 
 Execution shape (designed for 10^12 turns / 1000 executors, tested on local[32]):
 
-1. **Plan**: sample the sort key ``(conv_id, turn_idx)`` (seeded) → ``nseg``
-   deterministic range boundaries, persisted in ``manifest.json`` so re-runs
-   and resumes partition identically.
-2. **Count pass**: one columnar scan, ``groupBy(segment)`` → per-segment row
-   count + content fingerprint (order-independent sum of xxhash64). Map-side
-   partial aggregation makes this shuffle a few KB per segment. Counts give
-   each segment its global docID offset (docID == row_number over
-   ``(conv_id, turn_idx)`` - 1, the SURVEY §1.2 invariant).
-3. **Invert pass**: ``repartition(segment)`` — the ONLY shuffle of the corpus
-   — then ``sortWithinPartitions(segment, conv_id, turn_idx)`` and one Arrow
-   ``mapInPandas`` that tokenizes, inverts in memory (the DWPT-per-thread
-   analogy: ``core/index/DocumentsWriterPerThread.java:242``), and writes the
-   segment's ``docs`` + 128-block ``postings`` parquet directly (pyarrow,
-   atomic rename). Only tiny metric rows flow back to Spark.
+1. **Plan**: deterministic hash-sample of the sort key ``(conv_id, turn_idx)``
+   (single light columnar scan) → range boundaries, persisted in
+   ``manifest.json`` so re-runs and resumes partition identically
+   (``partitioning.plan_boundaries``).
+2. **Invert pass** — the ONLY full scan of the corpus on a fresh build:
+   assign ``segment`` (Arrow searchsorted UDF) and a collision-free shuffle
+   key (``partitioning.collision_free_skeys`` — exactly one segment per
+   shuffle partition, no balls-in-bins stragglers), ``repartition`` +
+   ``sortWithinPartitions(conv_id, turn_idx)``, then one Arrow ``mapInPandas``
+   that tokenizes, inverts in memory (the DWPT analogy:
+   ``core/index/DocumentsWriterPerThread.java:242``), and writes the segment's
+   ``docs`` + 128-block ``postings`` parquet directly (pyarrow, atomic
+   rename). Only tiny metric rows flow back to Spark.
+
+   **docIDs are segment-local** in the files; the manifest stores each
+   segment's global ``doc_offset`` (cumulative row counts in segment order —
+   global docID = offset + local == row_number over (conv_id, turn_idx) - 1,
+   the SURVEY §1.2 invariant). Readers add the offset at scan time. This is
+   what lets a fresh build run without a separate counting pass, and lets a
+   resume reuse every unchanged segment even when an *earlier* segment grew.
 
    Hot-term skew: postings are NEVER shuffled by term — each segment holds its
    own doc-range slice of every hot term's posting list, so a billion-doc term
    costs each task at most its per-segment share. The term-keyed shuffles that
    remain (term_stats) move pre-aggregated counts only.
-4. **Stats**: ``term_stats`` / ``field_stats`` via plain Spark aggregation over
+3. **Stats**: ``term_stats`` / ``field_stats`` via plain Spark aggregation over
    the postings metadata columns (column-pruned scan, whole-stage codegen).
 
 Checkpoint/resume: ``build_manifest`` records per-segment
-``(fingerprint, rows_in, doc_offset, terms, blocks, wall_ms, status)``. A
-resume re-runs the count pass and rebuilds only segments whose fingerprint or
-docID offset changed; untouched segment files are kept as-is.
+``(fingerprint, rows_in, doc_offset, terms, blocks, wall_ms, status)``.
+A resume runs a cheap fingerprint pass (md5-xor per segment, same function the
+invert pass records) and re-inverts only segments whose content fingerprint
+changed or whose files are missing; offsets are recomputed for all segments.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -43,15 +51,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_spark.analysis import get_analyzer
-from lucene_spark.indexing.blocks import encode_term_blocks
+from lucene_spark.indexing.blocks import encode_segment_blocks
+from lucene_spark.indexing.partitioning import (
+    collision_free_skeys,
+    plan_boundaries,
+    segment_col,
+    skey_col,
+    sort_key_expr,
+)
 from lucene_spark.smallfloat import int_to_byte4
 
 FIELD = "text"
-SEP = "\x01"  # key separator; sorts below every printable conv_id char
 
 DOCS_SCHEMA = pa.schema(
     [
-        ("doc_id", pa.int64()),
+        ("doc_id", pa.int64()),  # segment-LOCAL; global = manifest offset + local
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("dl", pa.int32()),
@@ -64,8 +78,8 @@ POSTINGS_SCHEMA = pa.schema(
         ("field", pa.string()),
         ("term", pa.string()),
         ("block_id", pa.int32()),
-        ("first_doc", pa.int64()),
-        ("last_doc", pa.int64()),
+        ("first_doc", pa.int64()),  # segment-local
+        ("last_doc", pa.int64()),   # segment-local
         ("count", pa.int32()),
         ("ttf", pa.int64()),
         ("max_tf", pa.int32()),
@@ -78,56 +92,27 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 METRICS_SCHEMA = (
-    "segment int, fingerprint long, rows_in long, doc_offset long, "
+    "segment int, fingerprint long, rows_in long, "
     "terms long, blocks long, wall_ms long, status string"
 )
 
 
-def sort_key_expr():
-    """Sortable single-string key equivalent to ordering by (conv_id, turn_idx)."""
-    from pyspark.sql import functions as F
-
-    return F.concat(
-        F.col("conv_id"),
-        F.lit(SEP),
-        F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
-    )
+def _to_signed64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def plan_boundaries(df, num_segments: int, seed: int = 7, sample_rows: int = 200_000):
-    """Deterministic range boundaries over the sort key (sampled quantiles)."""
-    from pyspark.sql import functions as F
+def rows_fingerprint(conv_id, turn_idx, text) -> int:
+    """Order-independent content fingerprint: xor of per-row md5 prefixes.
 
-    keys_df = df.select(sort_key_expr().alias("k"))
-    n = keys_df.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    sample = (
-        keys_df.sample(fraction=frac, seed=seed).toPandas()["k"].sort_values().to_numpy()
-        if frac < 1.0
-        else keys_df.toPandas()["k"].sort_values().to_numpy()
-    )
-    if sample.size == 0 or num_segments <= 1:
-        return [], n
-    qs = [int(round(i * sample.size / num_segments)) for i in range(1, num_segments)]
-    bounds = sorted({str(sample[min(q, sample.size - 1)]) for q in qs})
-    return bounds, n
-
-
-def _segment_udf(boundaries: list[str]):
-    """pandas UDF: sort key → segment id via searchsorted (Arrow-vectorized)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
-
-    barr = np.array(boundaries, dtype=object)
-
-    @pandas_udf("int")
-    def seg(key: pd.Series) -> pd.Series:
-        if barr.size == 0:
-            return pd.Series(np.zeros(len(key), dtype=np.int32))
-        idx = np.searchsorted(barr, key.to_numpy(dtype=object), side="left")
-        return pd.Series(idx.astype(np.int32))
-
-    return seg(sort_key_expr())
+    Computed identically by the invert pass (fresh build) and the light
+    resume pass — pure Python/hashlib, no engine dependency.
+    """
+    acc = 0
+    for c, t, x in zip(conv_id, turn_idx, text):
+        row = f"{c}\x01{t}\x01{x if x is not None else ''}".encode()
+        acc ^= int.from_bytes(hashlib.md5(row).digest()[:8], "little")
+    return _to_signed64(acc)
 
 
 def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 16384):
@@ -137,26 +122,21 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 1638
     os.replace(tmp, path)
 
 
-def _invert_segment(
-    seg: int,
-    pdf: pd.DataFrame,
-    doc_offset: int,
-    fingerprint: int,
-    index_dir: str,
-    analyzer_name: str,
-) -> dict:
+def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
+                    analyzer_name: str) -> dict:
     """Invert one fully-accumulated, key-sorted segment and write its files."""
     t0 = time.time()
     analyzer = get_analyzer(analyzer_name)
     n = len(pdf)
-    doc_ids = doc_offset + np.arange(n, dtype=np.int64)
-    tokens = analyzer.tokenize_series(pdf["text"])
-    dl = tokens.map(len).to_numpy(dtype=np.int64)
+    fingerprint = rows_fingerprint(
+        pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(), pdf["text"].to_numpy()
+    )
+    flat_terms, dl = analyzer.tokenize_flat(pdf["text"])
     norms = int_to_byte4(dl).astype(np.int64)
 
     docs_tbl = pa.Table.from_pydict(
         {
-            "doc_id": doc_ids,
+            "doc_id": np.arange(n, dtype=np.int64),
             "conv_id": pdf["conv_id"].to_numpy(dtype=object),
             "turn_idx": pdf["turn_idx"].to_numpy().astype(np.int32),
             "dl": dl.astype(np.int32),
@@ -166,53 +146,37 @@ def _invert_segment(
     )
     _atomic_write_parquet(docs_tbl, f"{index_dir}/docs/seg={seg}/part-0.parquet")
 
-    # flat (term, local_doc, tf) via one concatenate + pandas groupby (C path)
-    lengths = dl
-    flat_terms = np.concatenate([np.array(t, dtype=object) for t in tokens]) if n else np.array([], dtype=object)
-    flat_docs = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    pairs = pd.DataFrame({"term": flat_terms, "d": flat_docs})
-    tf = pairs.groupby(["term", "d"], sort=True).size().reset_index(name="tf")
-
-    rows: dict[str, list] = {k: [] for k in [f.name for f in POSTINGS_SCHEMA]}
+    # flat (term, local_doc) → tf via one C-speed hash groupby, sorted
+    flat_docs = np.repeat(np.arange(n, dtype=np.int64), dl)
+    tf = (
+        pd.DataFrame({"term": flat_terms, "d": flat_docs})
+        .groupby(["term", "d"], sort=True)
+        .size()
+        .reset_index(name="tf")
+    )
     terms_arr = tf["term"].to_numpy(dtype=object)
     d_arr = tf["d"].to_numpy(dtype=np.int64)
     tf_arr = tf["tf"].to_numpy(dtype=np.int64)
-    # term boundaries (tf frame is sorted by term, then local doc)
-    if terms_arr.size:
-        change = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [terms_arr.size]])
-        for s, e in zip(starts, ends):
-            term = terms_arr[s]
-            docs_local = d_arr[s:e]
-            gdocs = doc_ids[docs_local]
-            gtfs = tf_arr[s:e]
-            gnorms = norms[docs_local]
-            for blk in encode_term_blocks(gdocs, gtfs, gnorms):
-                rows["field"].append(FIELD)
-                rows["term"].append(term)
-                for k, v in blk.items():
-                    rows[k].append(v)
-
-    postings_tbl = pa.Table.from_pydict(rows, schema=POSTINGS_SCHEMA)
-    _atomic_write_parquet(
-        postings_tbl, f"{index_dir}/postings/seg={seg}/part-0.parquet"
+    cols = encode_segment_blocks(terms_arr, d_arr, tf_arr, norms[d_arr])
+    n_blocks = len(cols["term"])
+    postings_tbl = pa.Table.from_pydict(
+        {"field": np.full(n_blocks, FIELD, dtype=object), **cols},
+        schema=POSTINGS_SCHEMA,
     )
+    _atomic_write_parquet(postings_tbl, f"{index_dir}/postings/seg={seg}/part-0.parquet")
     n_terms = int(terms_arr.size and (1 + (terms_arr[1:] != terms_arr[:-1]).sum()))
     return {
         "segment": int(seg),
         "fingerprint": int(fingerprint),
         "rows_in": int(n),
-        "doc_offset": int(doc_offset),
         "terms": n_terms,
-        "blocks": postings_tbl.num_rows,
+        "blocks": n_blocks,
         "wall_ms": int((time.time() - t0) * 1000),
         "status": "ok",
     }
 
 
-def _make_invert_fn(index_dir: str, analyzer_name: str, offsets: dict[int, int],
-                    fingerprints: dict[int, int]):
+def _make_invert_fn(index_dir: str, analyzer_name: str):
     def invert(iterator):
         cur_seg = None
         buf: list[pd.DataFrame] = []
@@ -222,12 +186,7 @@ def _make_invert_fn(index_dir: str, analyzer_name: str, offsets: dict[int, int],
             if cur_seg is None:
                 return
             pdf = pd.concat(buf, ignore_index=True)
-            results.append(
-                _invert_segment(
-                    cur_seg, pdf, offsets[cur_seg], fingerprints.get(cur_seg, 0),
-                    index_dir, analyzer_name,
-                )
-            )
+            results.append(_invert_segment(cur_seg, pdf, index_dir, analyzer_name))
 
         for pdf in iterator:
             for seg_val, grp in pdf.groupby("segment", sort=True):
@@ -242,6 +201,35 @@ def _make_invert_fn(index_dir: str, analyzer_name: str, offsets: dict[int, int],
             yield pd.DataFrame(results)
 
     return invert
+
+
+def _make_fingerprint_fn():
+    """Light resume pass: per-(partition, segment) partial (rows, fp)."""
+    def fp(iterator):
+        counts: dict[int, int] = {}
+        fps: dict[int, int] = {}
+        for pdf in iterator:
+            for seg_val, grp in pdf.groupby("segment", sort=False):
+                s = int(seg_val)
+                counts[s] = counts.get(s, 0) + len(grp)
+                fps[s] = _to_signed64(
+                    fps.get(s, 0)
+                    ^ rows_fingerprint(
+                        grp["conv_id"].to_numpy(),
+                        grp["turn_idx"].to_numpy(),
+                        grp["text"].to_numpy(),
+                    )
+                )
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "segment": list(counts),
+                    "rows_in": [counts[s] for s in counts],
+                    "fp": [fps[s] for s in counts],
+                }
+            )
+
+    return fp
 
 
 class IndexBuilder:
@@ -281,80 +269,115 @@ class IndexBuilder:
         if manifest is not None:
             boundaries = manifest["boundaries"]
         else:
-            boundaries, _ = plan_boundaries(transcripts, self.num_segments)
+            boundaries = plan_boundaries(transcripts, self.num_segments)
+        nseg = len(boundaries) + 1
+        skeys = collision_free_skeys(nseg)
 
-        with_seg = transcripts.withColumn("segment", _segment_udf(boundaries))
+        with_seg = transcripts.withColumn("segment", segment_col(boundaries))
 
-        # count + fingerprint pass (columnar scan, tiny shuffle)
-        stats = (
-            with_seg.groupBy("segment")
-            .agg(
-                F.count(F.lit(1)).alias("rows_in"),
-                # order-independent content fingerprint (xor avoids ANSI
-                # long-overflow on sum; rows are unique per (conv_id, turn_idx))
-                F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("fp"),
-            )
-            .orderBy("segment")
-            .collect()
-        )
-        seg_rows = {r["segment"]: r["rows_in"] for r in stats}
-        seg_fp = {r["segment"]: (r["fp"] or 0) for r in stats}
-        offsets, acc = {}, 0
-        for seg in sorted(seg_rows):
-            offsets[seg] = acc
-            acc += seg_rows[seg]
-
-        # resume: skip segments whose fingerprint AND doc offset are unchanged
+        # resume: light fingerprint pass decides which segments to re-invert
         done: dict[int, dict] = {}
         if resume and os.path.isdir(f"{self.index_dir}/build_manifest"):
+            fp_rows = (
+                with_seg.select("segment", "conv_id", "turn_idx", "text")
+                .mapInPandas(_make_fingerprint_fn(), "segment int, rows_in long, fp long")
+                .groupBy("segment")
+                .agg(F.sum("rows_in").alias("rows_in"), F.expr("bit_xor(fp)").alias("fp"))
+                .collect()
+            )
+            seg_fp = {r["segment"]: (r["fp"] or 0) for r in fp_rows}
             prev = spark.read.parquet(f"{self.index_dir}/build_manifest").collect()
             for r in prev:
                 s = r["segment"]
                 if (
-                    r["status"] == "ok"
-                    and seg_fp.get(s) == r["fingerprint"]
-                    and offsets.get(s) == r["doc_offset"]
+                    r["status"] in ("ok", "reused")
+                    and s in seg_fp
+                    and seg_fp[s] == r["fingerprint"]
                     and os.path.exists(f"{self.index_dir}/postings/seg={s}/part-0.parquet")
                 ):
-                    done[s] = r.asDict()
+                    done[s] = {
+                        "segment": s, "fingerprint": r["fingerprint"],
+                        "rows_in": r["rows_in"], "terms": r["terms"],
+                        "blocks": r["blocks"], "wall_ms": 0, "status": "reused",
+                    }
+            present = sorted(seg_fp)
+        else:
+            present = None  # fresh build: discovered by the invert pass
 
-        todo = [s for s in sorted(seg_rows) if s not in done]
-        metrics_rows = list(done.values())
-        if todo:
+        work = with_seg
+        if done:
+            todo = [s for s in present if s not in done]
             work = with_seg.filter(F.col("segment").isin(todo))
-            key = sort_key_expr().alias("_k")
-            work = (
-                work.select("segment", "conv_id", "turn_idx", "text", key)
-                .repartition(self.num_segments, "segment")
-                .sortWithinPartitions("segment", "_k")
-                .drop("_k")
+        metrics_rows = list(done.values())
+        if present is None or len(metrics_rows) < len(present):
+            shuffled = (
+                work.select("segment", "conv_id", "turn_idx", "text")
+                .withColumn("skey", skey_col(skeys))
+                .repartition(nseg, "skey")
+                .drop("skey")
+                .sortWithinPartitions("segment", "conv_id", "turn_idx")
             )
-            invert = _make_invert_fn(self.index_dir, self.analyzer, offsets, seg_fp)
-            metrics = work.mapInPandas(invert, METRICS_SCHEMA).collect()
+            invert = _make_invert_fn(self.index_dir, self.analyzer)
+            metrics = shuffled.mapInPandas(invert, METRICS_SCHEMA).collect()
             metrics_rows.extend(r.asDict() for r in metrics)
 
-        mdf = spark.createDataFrame(pd.DataFrame(metrics_rows)[
-            ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
-             "blocks", "wall_ms", "status"]
-        ]) if metrics_rows else spark.createDataFrame([], METRICS_SCHEMA)
+        # global docID offsets: cumulative row counts in segment (= key) order
+        metrics_rows.sort(key=lambda r: r["segment"])
+        offsets, acc = {}, 0
+        for r in metrics_rows:
+            offsets[r["segment"]] = acc
+            acc += r["rows_in"]
+
+        if metrics_rows:
+            mpdf = pd.DataFrame(metrics_rows)
+            mpdf["doc_offset"] = mpdf["segment"].map(offsets)
+            mdf = spark.createDataFrame(
+                mpdf[["segment", "fingerprint", "rows_in", "doc_offset",
+                      "terms", "blocks", "wall_ms", "status"]]
+            )
+        else:
+            mdf = spark.createDataFrame(
+                [], METRICS_SCHEMA + ", doc_offset long"
+            )
         mdf.coalesce(1).write.mode("overwrite").parquet(
             f"{self.index_dir}/build_manifest"
         )
 
+        self._drop_stale_segments(set(offsets))
         self._write_stats()
         self._save_manifest(
             {
-                "version": 1,
+                "version": 2,
                 "field": FIELD,
                 "analyzer": self.analyzer,
-                "num_segments": self.num_segments,
+                "num_segments": nseg,
                 "boundaries": boundaries,
                 "doc_count": acc,
-                "segments_built": len(todo),
+                "offsets": {str(k): v for k, v in offsets.items()},
+                "segments_built": sum(1 for r in metrics_rows if r["status"] == "ok"),
                 "segments_reused": len(done),
             }
         )
-        return {"doc_count": acc, "built": len(todo), "reused": len(done)}
+        return {
+            "doc_count": acc,
+            "built": sum(1 for r in metrics_rows if r["status"] == "ok"),
+            "reused": len(done),
+        }
+
+    def _drop_stale_segments(self, live: set):
+        """Remove segment dirs from earlier builds that no longer exist
+        (shrunk corpus / changed segment count) so readers never see them."""
+        import glob
+        import shutil
+
+        for sub in ("docs", "postings"):
+            for p in glob.glob(f"{self.index_dir}/{sub}/seg=*"):
+                try:
+                    s = int(p.rsplit("=", 1)[1])
+                except ValueError:
+                    continue
+                if s not in live:
+                    shutil.rmtree(p, ignore_errors=True)
 
     def _write_stats(self):
         from pyspark.sql import functions as F

@@ -1,0 +1,134 @@
+"""Deterministic range planning + collision-free segment→partition mapping.
+
+Two scale-critical pieces of the index build:
+
+1. ``plan_boundaries``: sample the sort key ``(conv_id, turn_idx)`` with a
+   deterministic hash filter (single columnar scan, no count pass) and cut it
+   into ``num_segments`` range boundaries. Stored in the manifest so re-runs
+   and resumes partition identically.
+2. ``collision_free_skeys``: ``df.repartition(n, col)`` places a row in
+   partition ``murmur3(col) pmod n`` — with segment ids 0..n-1 as keys,
+   hash collisions put 2-4 segments in one partition and leave others empty
+   (balls-in-bins), a 2-4× straggler tax on the build's only wide shuffle.
+   We instead shuffle on a *shuffle key* per segment chosen so that every
+   segment lands in its own partition. The Murmur3 below mirrors Spark's
+   ``Murmur3Hash`` for a single 32-bit int with seed 42 (same algorithm as
+   ``org.apache.spark.sql.catalyst.expressions.Murmur3Hash`` — public
+   Murmur3_x86_32); ``tests/test_builder.py`` asserts parity with ``F.hash``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_int32(value: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one 32-bit int, as Spark's ``F.hash`` computes it
+    (signed 32-bit result)."""
+    k1 = (value & _M32) * 0xCC9E2D51 & _M32
+    k1 = _rotl(k1, 15)
+    k1 = (k1 * 0x1B873593) & _M32
+    h1 = seed ^ k1
+    h1 = _rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & _M32
+    # fmix with total length 4 bytes
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def collision_free_skeys(n: int) -> list[int]:
+    """skeys[i] = smallest int k with murmur3(k) pmod n == i, for i in 0..n-1.
+
+    ``repartition(n, skey)`` then maps segment i → partition i exactly
+    (1 segment per task, no stragglers, no empty tasks). Coupon-collector
+    bounds make the scan ~n·ln(n); driver-side cost is microseconds per key.
+    """
+    if n <= 1:
+        return [0] * max(n, 1)
+    keys: dict[int, int] = {}
+    k = 0
+    while len(keys) < n:
+        b = murmur3_int32(k) % n
+        if b < 0:
+            b += n
+        if b not in keys:
+            keys[b] = k
+        k += 1
+        if k > 1000 * n + 10000:  # unreachable in practice
+            raise RuntimeError(f"could not cover {n} shuffle buckets")
+    return [keys[i] for i in range(n)]
+
+
+def sort_key_expr():
+    """Sortable single-string key equivalent to ordering by (conv_id, turn_idx)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.col("conv_id"),
+        F.lit("\x01"),
+        F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
+    )
+
+
+def plan_boundaries(df, num_segments: int, sample_mod: int = 101):
+    """Deterministic range boundaries over the sort key, single light scan.
+
+    Samples keys where ``xxhash64(key) % sample_mod == 0`` (deterministic,
+    partitioning-independent). Falls back to the full key set when the sample
+    is too small for the requested segment count (tiny corpora). At 10^12
+    rows the production variant samples a subset of files first — the
+    mechanism (hash filter → quantile cut) is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    keys_df = df.select(sort_key_expr().alias("k"))
+    if num_segments <= 1:
+        return []
+    sample = (
+        keys_df.filter(F.pmod(F.xxhash64("k"), F.lit(sample_mod)) == 0)
+        .toPandas()["k"].sort_values().to_numpy()
+    )
+    if sample.size < 4 * num_segments and sample_mod > 1:
+        sample = keys_df.toPandas()["k"].sort_values().to_numpy()
+    if sample.size == 0:
+        return []
+    qs = [int(round(i * sample.size / num_segments)) for i in range(1, num_segments)]
+    return sorted({str(sample[min(q, sample.size - 1)]) for q in qs})
+
+
+def segment_col(boundaries: list[str]):
+    """Arrow-vectorized searchsorted of the sort key over the boundary list."""
+    from pyspark.sql.functions import pandas_udf
+
+    barr = np.array(boundaries, dtype=object)
+
+    @pandas_udf("int")
+    def seg(key: pd.Series) -> pd.Series:
+        if barr.size == 0:
+            return pd.Series(np.zeros(len(key), dtype=np.int32))
+        idx = np.searchsorted(barr, key.to_numpy(dtype=object), side="left")
+        return pd.Series(idx.astype(np.int32))
+
+    return seg(sort_key_expr())
+
+
+def skey_col(skeys: list[int]):
+    """Collision-free shuffle key for an existing ``segment`` column."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(
+        F.array(*[F.lit(int(k)).cast("int") for k in skeys]),
+        F.col("segment") + 1,
+    )

@@ -1,0 +1,93 @@
+"""Similarity search over the embeddings table — brute-force cosine top-k and
+an LSH-bucketed approximate variant.
+
+Ordering contract: with all vectors quantized to ints (``contracts.
+quantized_embeddings``), cosine order for a fixed query = integer-dot order
+(top-k by ``dot DESC, vec_id ASC``), so results are hash-exact across engines.
+(For unnormalized corpora the production variant divides by |b| — same plan
+shape, float ordering; the quantized form is the oracle-gated one.)
+
+Scale: brute-force is one broadcast of the k query vectors against a full scan
+(embarrassingly parallel, no shuffle but the final top-k); the LSH variant
+prunes the scan to same-bucket candidates (sign-pattern buckets over the first
+16 dims), the standard random-hyperplane scheme with axis-aligned planes so
+both engines derive identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lucene_spark.pipeline.contracts import quantized_embeddings
+
+
+def _dot(qa, qb):
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """(query_id, rank, neighbor_id, dot) — exact top-k by quantized dot.
+
+    Queries = the first ``n_queries`` vec_ids; self-matches excluded. The
+    query side is tiny → broadcast; the corpus side is a single scan.
+    """
+    q = quantized_embeddings(emb)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
+def bucket_col(qcol):
+    """16-bit sign-pattern LSH bucket over the first 16 quantized dims."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.when(
+            F.element_at(qcol, j.cast("int")) >= 0,
+            F.pow(F.lit(2), j - 1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Same output shape as ``brute_topk``; recall < 1 by design (documented
+    ANN trade-off) but deterministic, so the oracle reproduces it exactly.
+    """
+    q = quantized_embeddings(emb).withColumn("bucket", bucket_col(F.col("q")))
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), "bucket"
+    )
+    scored = (
+        q.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )

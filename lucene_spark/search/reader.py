@@ -7,6 +7,12 @@ segmentation. Term lookups and postings scans push ``term`` predicates into
 the parquet scan — the postings files are written sorted by (term, block_id),
 so row-group min/max stats play the role of the block-tree term index
 (``Lucene90BlockTreeTermsWriter``'s ``.tip``).
+
+docIDs are **segment-local** in the files (see builder module doc); the
+manifest maps segment → global ``doc_offset`` (global docID = offset + local
+== row_number over (conv_id, turn_idx) - 1, exactly Lucene's leaf ``docBase``
+scheme, ``core/index/BaseCompositeReader.java``). The reader joins the tiny
+broadcast offset map at scan time.
 """
 
 from __future__ import annotations
@@ -22,10 +28,17 @@ class IndexReader:
         self.index_dir = index_dir
         with open(f"{index_dir}/manifest.json") as f:
             self.manifest = json.load(f)
+        self.offsets = {int(k): int(v) for k, v in self.manifest["offsets"].items()}
         fs = spark.read.parquet(f"{index_dir}/field_stats").collect()[0]
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
         self.field = fs["field"]
+
+    def _offsets_df(self):
+        return self.spark.createDataFrame(
+            [(s, o) for s, o in sorted(self.offsets.items())],
+            "seg int, doc_offset long",
+        )
 
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         """df/ttf/max_tf per term (pushdown scan over the sorted stats table)."""
@@ -45,16 +58,26 @@ class IndexReader:
         }
 
     def postings(self, terms: list[str]):
-        """DataFrame of posting-block rows for the given terms (+ ``seg``)."""
+        """Posting-block rows for the given terms, with ``seg`` +
+        ``doc_offset`` (the per-segment docBase) columns."""
         from pyspark.sql import functions as F
 
         return (
             self.spark.read.parquet(f"{self.index_dir}/postings")
             .filter(F.col("term").isin(list(set(terms))))
+            .join(F.broadcast(self._offsets_df()), "seg")
         )
 
     def docs(self):
-        return self.spark.read.parquet(f"{self.index_dir}/docs")
+        """docs table with GLOBAL doc_id (offset applied)."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.read.parquet(f"{self.index_dir}/docs")
+            .join(F.broadcast(self._offsets_df()), "seg")
+            .withColumn("doc_id", F.col("doc_id") + F.col("doc_offset"))
+            .drop("doc_offset")
+        )
 
     def similarity_scorer(self, similarity: BM25Similarity, boost: float, dfs):
         return similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs)

@@ -94,10 +94,14 @@ class IndexSearcher:
 
         postings = self.reader.postings(terms)
         cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-                "norms", "impact_tfs", "impact_norms"]
+                "norms", "impact_tfs", "impact_norms", "doc_offset"]
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
+            # globalize docIDs: local block bounds + the segment's docBase
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
             d, s = segment_topk(rows, specs, cache, k, msm, prune=prune)
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 

@@ -12,8 +12,14 @@ from lucene_spark.indexing.builder import IndexBuilder
 from lucene_spark.smallfloat import byte4_to_int, int_to_byte4
 
 
+def _reader(spark, index_dir):
+    from lucene_spark.search.reader import IndexReader
+
+    return IndexReader(spark, index_dir)
+
+
 def test_docid_assignment_invariant(spark, index_dir, corpus_pdf):
-    docs = spark.read.parquet(f"{index_dir}/docs").orderBy("doc_id").toPandas()
+    docs = _reader(spark, index_dir).docs().orderBy("doc_id").toPandas()
     expected = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert docs["doc_id"].tolist() == list(range(len(expected)))
     assert docs["conv_id"].tolist() == expected["conv_id"].tolist()
@@ -21,7 +27,7 @@ def test_docid_assignment_invariant(spark, index_dir, corpus_pdf):
 
 
 def test_norm_is_smallfloat_of_dl(spark, index_dir):
-    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    docs = _reader(spark, index_dir).docs().toPandas()
     dl = docs["dl"].to_numpy()
     assert (int_to_byte4(dl).astype(int) == docs["norm"].to_numpy()).all()
     # decode ≤ dl and is the lossy LENGTH_TABLE value
@@ -49,15 +55,16 @@ def test_postings_decode_matches_bruteforce(spark, index_dir, corpus_pdf):
 
     term = VOCAB[0]
     rows = (
-        spark.read.parquet(f"{index_dir}/postings")
+        _reader(spark, index_dir).postings([term])
         .filter(F.col("term") == term)
-        .orderBy("first_doc")
+        .orderBy(F.col("doc_offset") + F.col("first_doc"))
         .collect()
     )
     got = {}
     prev_last = -1
     for r in rows:
-        d, t = decode_block(r["first_doc"], r["count"], bytes(r["doc_gaps"]), bytes(r["tfs"]))
+        d, t = decode_block(r["doc_offset"] + r["first_doc"], r["count"],
+                            bytes(r["doc_gaps"]), bytes(r["tfs"]))
         assert d[0] > prev_last  # blocks globally disjoint & ordered per term
         prev_last = int(d[-1])
         got.update(dict(zip(d.tolist(), t.tolist())))
@@ -93,3 +100,62 @@ def test_resume_rebuilds_only_changed_segment(spark, tmp_path):
     assert (
         spark.read.parquet(f"{d}/term_stats").filter("term='totally'").count() == 1
     )
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """partitioning.murmur3_int32 must equal F.hash for int32 inputs — the
+    collision-free shuffle mapping depends on it."""
+    from lucene_spark.indexing.partitioning import collision_free_skeys, murmur3_int32
+
+    vals = list(range(200)) + [2**31 - 1, -1, -2**31, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r["v"]: r["h"] for r in df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        assert murmur3_int32(v) == got[v], v
+    # and the skeys really are collision-free under pmod
+    for n in (4, 16, 64):
+        ks = collision_free_skeys(n)
+        assert sorted(murmur3_int32(k) % n for k in ks) == list(range(n))
+
+
+def test_tokenize_flat_matches_tokenize_series(corpus_pdf):
+    from lucene_spark.analysis import SimpleAnalyzer, StandardAnalyzer
+
+    texts = corpus_pdf["text"].head(3000)
+    for an in (StandardAnalyzer(), SimpleAnalyzer()):
+        flat, lens = an.tokenize_flat(texts)
+        lists = an.tokenize_series(texts)
+        assert lens.tolist() == [len(x) for x in lists]
+        assert flat.tolist() == [t for ts in lists for t in ts]
+
+
+def test_vectorized_block_encode_matches_per_term(spark):
+    import numpy as np
+
+    from lucene_spark.indexing.blocks import (
+        encode_segment_blocks,
+        encode_term_blocks,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for term in ["aa", "bb", "cc"]:
+        docs = np.sort(rng.choice(5000, size=rng.randint(1, 700), replace=False))
+        tfs = rng.randint(1, 9, size=docs.size)
+        norms = rng.randint(0, 255, size=docs.size)
+        rows.append((term, docs, tfs, norms))
+    terms_arr = np.concatenate([np.full(d.size, t, dtype=object) for t, d, _, _ in rows])
+    d_arr = np.concatenate([d for _, d, _, _ in rows])
+    tf_arr = np.concatenate([tf for _, _, tf, _ in rows])
+    nm_arr = np.concatenate([nm for _, _, _, nm in rows])
+    got = encode_segment_blocks(terms_arr, d_arr, tf_arr, nm_arr)
+    i = 0
+    for term, docs, tfs, norms in rows:
+        for blk in encode_term_blocks(docs, tfs, norms):
+            assert got["term"][i] == term
+            for key in ("block_id", "first_doc", "last_doc", "count", "ttf",
+                        "max_tf", "doc_gaps", "tfs", "norms", "impact_tfs",
+                        "impact_norms"):
+                assert np.asarray(got[key][i]).tolist() == np.asarray(blk[key]).tolist(), (term, i, key)
+            i += 1
+    assert i == len(got["term"])
