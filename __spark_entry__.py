@@ -116,6 +116,94 @@ def _q_count_and(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+# --------------------------------------------- training-data pipeline ops --
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(augmented_docs(_docs(spark, sf_dir))).orderBy("a", "b")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(augmented_docs(_docs(spark, sf_dir))).orderBy("a", "b")
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.dedup import ngram_jaccard_topk
+
+    return ngram_jaccard_topk(augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from lucene_spark.pipeline.contracts import augmented_qemb, quantized_embeddings
+    from lucene_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        augmented_qemb(quantized_embeddings(_emb(spark, sf_dir)))
+    ).orderBy("a", "b")
+
+
+def _q_ann_brute(spark, sf_dir):
+    from lucene_spark.pipeline.simsearch import brute_topk
+
+    return brute_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from lucene_spark.pipeline.simsearch import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def _q_text_langid(spark, sf_dir):
+    from lucene_spark.pipeline.textqc import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_quality(spark, sf_dir):
+    from lucene_spark.pipeline.textqc import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_tokens(spark, sf_dir):
+    from lucene_spark.pipeline.textqc import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from lucene_spark.pipeline.textqc import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_mm_binary_stats(spark, sf_dir):
+    from lucene_spark.pipeline.multimodal import attach_payload, binary_stats
+
+    return binary_stats(attach_payload(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_term_stats": _q_term_stats,
@@ -125,10 +213,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
         "bm25_boost": _mk_bm25(Q_BOOST, K_BOOST),
         "count_and": _q_count_and,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_langid": _q_text_langid,
+        "text_quality": _q_text_quality,
+        "text_token_counts": _q_text_tokens,
+        "text_fingerprint": _q_text_fingerprint,
+        "mm_binary_stats": _q_mm_binary_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from lucene_spark.pipeline import oracles as po
+
     return {
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
@@ -137,4 +239,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool_mix": oracle.bm25_topk_sql(_parse(Q_BOOL), K_BOOL),
         "bm25_boost": oracle.bm25_topk_sql(_parse(Q_BOOST), K_BOOST),
         "count_and": oracle.count_sql(_parse(Q_AND)),
+        "dedup_exact": po.dedup_exact_sql(),
+        "dedup_minhash_lsh": po.dedup_minhash_sql(),
+        "dedup_simhash": po.dedup_simhash_sql(),
+        "dedup_ngram_jaccard": po.dedup_ngram_topk_sql(),
+        "dedup_embedding": po.dedup_embedding_sql(),
+        "ann_brute_topk": po.ann_brute_sql(),
+        "ann_lsh_topk": po.ann_lsh_sql(),
+        "text_langid": po.lang_id_sql(),
+        "text_quality": po.quality_sql(),
+        "text_token_counts": po.token_counts_sql(),
+        "text_fingerprint": po.fingerprints_sql(),
+        "mm_binary_stats": po.binary_stats_sql(),
     }

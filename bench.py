@@ -37,7 +37,7 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     from lucene_spark.session import get_spark
 
     sf = infer_sf(sf_dir)
-    n_turns_target = int(6_000_000 * sf)
+    n_turns_target = int(os.environ.get("SPARK_GRAFT_TURNS", 0)) or int(6_000_000 * sf)
     n_convs = max(200, n_turns_target * 2 // 9)  # ~4.5 turns/conv
 
     spark = get_spark(cpus, app="lucene_spark_bench")
@@ -48,7 +48,10 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     shutil.rmtree(idx, ignore_errors=True)
 
     # materialize the corpus once so the build measures indexing, not the RNG
-    corpus_path = f"/tmp/lucene_spark_bench_corpus/{os.path.basename(os.path.normpath(sf_dir))}"
+    corpus_path = (
+        f"/tmp/lucene_spark_bench_corpus/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_t{n_turns_target}"
+    )
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         synthetic_transcripts(spark, n_convs, parallelism=cpus * 2).write.mode(
             "overwrite"
@@ -56,8 +59,13 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     corpus = spark.read.parquet(corpus_path)
     n_turns = corpus.count()
 
+    # segment count follows DATA SIZE (~31k turns/segment), floored at 2
+    # tasks per core — so different parallelism levels build the identical
+    # index layout (the honest N-vs-4N comparison) once the corpus is big
+    # enough, while small corpora still use every core.
+    nseg = max(2 * cpus, n_turns // 31_250)
     t0 = time.time()
-    IndexBuilder(spark, idx, num_segments=cpus * 2).build(corpus)
+    IndexBuilder(spark, idx, num_segments=nseg).build(corpus)
     timings["index_build"] = time.time() - t0
 
     searcher = IndexSearcher(spark, idx)

@@ -25,7 +25,6 @@ per-row Python UDFs — these run inside Arrow ``mapInPandas`` batches):
 
 from __future__ import annotations
 
-import itertools
 import re
 from dataclasses import dataclass, field
 
@@ -47,6 +46,179 @@ _STANDARD_RE = re.compile(
 _HAS_ALNUM_RE = re.compile(r"[A-Za-z0-9]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+# ---------------------------------------------------------------------------
+# Byte-level vectorized tokenizer core (the index-build hot path).
+#
+# Produces integer term codes + a sorted unique-term pool instead of one
+# Python string per token — the object-churn-free representation that keeps
+# 32 concurrent Arrow workers memory-bandwidth-friendly. Unique-term order is
+# raw byte order (np.void memcmp), i.e. exactly Lucene's unsigned-UTF-8 term
+# order (``core/index/TermsHashPerField.java:110-112``).
+# ---------------------------------------------------------------------------
+
+_BASE = np.zeros(256, dtype=bool)       # [A-Za-z0-9_] (post-lowercase: a-z0-9_)
+_LETTER = np.zeros(256, dtype=bool)
+_DIGIT = np.zeros(256, dtype=bool)
+_STRICT = np.zeros(256, dtype=bool)     # [a-z0-9] — the "is a word" test
+for _c in range(ord("a"), ord("z") + 1):
+    _BASE[_c] = _LETTER[_c] = _STRICT[_c] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _BASE[_c] = _DIGIT[_c] = _STRICT[_c] = True
+_BASE[ord("_")] = True
+
+
+def _encode_rows(texts: pd.Series):
+    """texts → (byte buffer with NUL separators, per-row start offsets)."""
+    enc = texts.fillna("").str.encode("utf-8")
+    lens = enc.str.len().to_numpy(dtype=np.int64)
+    joined = b"\x00".join(enc.tolist()) + b"\x00" if len(enc) else b""
+    buf = np.frombuffer(joined, dtype=np.uint8).copy()
+    row_starts = np.zeros(lens.size, dtype=np.int64)
+    if lens.size > 1:
+        row_starts[1:] = np.cumsum(lens + 1)[:-1]
+    return buf, row_starts
+
+
+class _Scratch:
+    """Grow-only per-process scratch buffers for the tokenizer hot path.
+
+    This sandbox (and any memory-overcommitted VM) refaults freed-then-
+    reallocated pages at ~67µs/page — retaining and reusing buffers across
+    calls keeps the steady-state fault count near zero (measured 5-10×
+    end-to-end on 32 concurrent Arrow workers). Works with the
+    MALLOC_*_THRESHOLD_ env set in ``session.get_spark``.
+    """
+
+    def __init__(self):
+        self._bufs: dict = {}
+
+    def get(self, name: str, n: int, dtype) -> np.ndarray:
+        key = (name, np.dtype(dtype).str)
+        arr = self._bufs.get(key)
+        if arr is None or arr.size < n:
+            arr = np.empty(int(n * 1.25) + 64, dtype=dtype)
+            self._bufs[key] = arr
+        return arr[:n]
+
+
+_SCR = _Scratch()
+
+
+def _shift_and_into(out, cond, left, right):
+    """out[1:-1] |= cond[1:-1] & left[:-2] & right[2:] (joiner rule), via
+    slice views with no temporaries beyond ``cond`` itself."""
+    np.logical_and(cond[1:-1], left[:-2], out=cond[1:-1])
+    np.logical_and(cond[1:-1], right[2:], out=cond[1:-1])
+    np.logical_or(out[1:-1], cond[1:-1], out=out[1:-1])
+
+
+def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: int,
+                        stopwords=None):
+    """Shared byte-level tokenizer → (uniq_terms, codes, per_row_counts).
+
+    uniq_terms: object ndarray of unique tokens sorted in byte order;
+    codes: int64 per kept token (index into uniq_terms), document order;
+    per_row_counts: kept tokens per input row. All large intermediates live
+    in reused scratch buffers (see ``_Scratch``).
+    """
+    n_rows = len(texts)
+    empty = (np.array([], dtype=object), np.zeros(0, np.int64),
+             np.zeros(n_rows, np.int64))
+    if n_rows == 0:
+        return empty
+    src, row_starts = _encode_rows(texts)
+    B = src.size
+    if B == 0:
+        return empty
+    buf = _SCR.get("buf", B, np.uint8)
+    np.copyto(buf, src)
+    del src
+    # ASCII lowercase in place (tokens are ASCII-class only, so this is
+    # equivalent to str.lower() before tokenization)
+    t1 = _SCR.get("t1", B, bool)
+    t2 = _SCR.get("t2", B, bool)
+    np.greater_equal(buf, 65, out=t1)
+    np.less_equal(buf, 90, out=t2)
+    np.logical_and(t1, t2, out=t1)
+    np.add(buf, 32, out=buf, where=t1)
+
+    is_base = _SCR.get("is_base", B, bool)
+    np.take(_BASE, buf, out=is_base)
+    if joiners:
+        tok = _SCR.get("tok", B, bool)
+        np.copyto(tok, is_base)
+        if B > 2:
+            # ' and . join base|base
+            np.equal(buf, 39, out=t1)
+            np.equal(buf, 46, out=t2)
+            np.logical_or(t1, t2, out=t1)
+            _shift_and_into(tok, t1, is_base, is_base)
+            # : joins letter|letter
+            cls = _SCR.get("cls", B, bool)
+            np.take(_LETTER, buf, out=cls)
+            np.equal(buf, 58, out=t1)
+            _shift_and_into(tok, t1, cls, cls)
+            # , joins digit|digit
+            np.take(_DIGIT, buf, out=cls)
+            np.equal(buf, 44, out=t1)
+            _shift_and_into(tok, t1, cls, cls)
+    else:
+        tok = _SCR.get("tok", B, bool)
+        np.take(_STRICT, buf, out=tok)
+
+    # run starts/ends: tok[i] & ~tok[i-1] / tok[i] & ~tok[i+1]
+    np.copyto(t1, tok)
+    np.greater(tok[1:], tok[:-1], out=t1[1:])
+    starts = np.flatnonzero(t1)
+    if starts.size == 0:
+        return empty
+    np.copyto(t1, tok)
+    np.greater(tok[:-1], tok[1:], out=t1[:-1])
+    ends = np.flatnonzero(t1) + 1
+    lens = ends - starts
+
+    # keep: length cap (the >maxTokenLength drop rule) + ≥1 strict alnum char.
+    # add.reduceat on bool acts as logical-OR per [start, next_start) span;
+    # inter-token gaps contain no strict chars, so the span OR == token OR.
+    strict = _SCR.get("strict", B, bool)
+    np.take(_STRICT, buf, out=strict)
+    has_alnum = np.add.reduceat(strict, starts)
+    keep = (lens <= max_token_length) & (has_alnum > 0)
+    starts, ends, lens = starts[keep], ends[keep], lens[keep]
+    if starts.size == 0:
+        return empty
+
+    row_ids = np.searchsorted(row_starts, starts, side="right") - 1
+
+    # dedup via fixed-width byte matrix + void view (memcmp order)
+    maxlen = int(lens.max())
+    n_tok = starts.size
+    mat = _SCR.get("mat", n_tok * maxlen, np.uint8).reshape(n_tok, maxlen)
+    mat[:] = 0
+    for k in range(maxlen):
+        m = lens > k
+        mat[m, k] = buf[starts[m] + k]
+    v = mat.view(f"|V{maxlen}").ravel()
+    uniq_v, codes = np.unique(v, return_inverse=True)
+    uniq = np.array(
+        [bytes(x).rstrip(b"\x00").decode("utf-8") for x in uniq_v], dtype=object
+    )
+    codes = codes.astype(np.int64)
+
+    if stopwords:
+        stop_mask = np.array([t in stopwords for t in uniq], dtype=bool)
+        if stop_mask.any():
+            tok_keep = ~stop_mask[codes]
+            codes, row_ids = codes[tok_keep], row_ids[tok_keep]
+            # re-densify codes over the surviving vocabulary
+            remap = np.cumsum(~stop_mask) - 1
+            uniq = uniq[~stop_mask]
+            codes = remap[codes] if codes.size else codes
+
+    per_row = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+    return uniq, codes, per_row
 
 
 @dataclass(frozen=True)
@@ -86,36 +258,24 @@ class StandardAnalyzer:
             out = out.map(lambda ts: [t for t in ts if t not in sw])
         return out
 
-    def tokenize_flat(self, texts: pd.Series):
-        """Batch tokenize → (flat_tokens: object ndarray, per_row_counts: int64).
+    def tokenize_ids(self, texts: pd.Series):
+        """Byte-level vectorized tokenize → (uniq_terms, codes, per_row_counts).
 
-        The hot path for index builds: one C-level findall over lowercased
-        text, one chain-flatten, then vectorized length/underscore filtering
-        (the per-token regex fallback runs only on the rare '_' tokens).
-        ASCII casing doesn't move token boundaries, so lowercase-then-tokenize
-        ≡ tokenize-then-lowercase for this analyzer.
+        Parity with the regex chain is asserted by tests on the declared
+        corpus alphabet (ASCII words + plain punctuation); the byte rules ARE
+        the regex rules: base [A-Za-z0-9_], ``'``/``.`` join base|base,
+        ``:`` letters, ``,`` digits, >255-char tokens dropped, pure-``_``
+        runs dropped.
         """
-        lists = texts.fillna("").str.lower().str.findall(_STANDARD_RE)
-        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
-        flat = pd.Series(
-            list(itertools.chain.from_iterable(lists)), dtype=object
+        return _tokenize_ids_bytes(
+            texts, joiners=True, max_token_length=self.max_token_length,
+            stopwords=self.stopwords or None,
         )
-        if len(flat) == 0:
-            return np.array([], dtype=object), lens
-        tlen = flat.str.len().to_numpy()
-        keep = tlen <= self.max_token_length
-        has_us = flat.str.contains("_", regex=False).to_numpy()
-        if has_us.any():
-            sub = flat[has_us]
-            ok = sub.map(lambda t: _HAS_ALNUM_RE.search(t) is not None).to_numpy()
-            keep[np.flatnonzero(has_us)] &= ok
-        if self.stopwords:
-            keep &= ~flat.isin(self.stopwords).to_numpy()
-        if not keep.all():
-            row_ids = np.repeat(np.arange(lens.size), lens)
-            lens = np.bincount(row_ids[keep], minlength=lens.size).astype(np.int64)
-            flat = flat[keep]
-        return flat.to_numpy(dtype=object), lens
+
+    def tokenize_flat(self, texts: pd.Series):
+        """(flat_tokens: object ndarray, per_row_counts) via tokenize_ids."""
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return uniq[codes] if codes.size else np.array([], dtype=object), lens
 
 
 @dataclass(frozen=True)
@@ -138,11 +298,14 @@ class SimpleAnalyzer:
     def tokenize_series(self, texts: pd.Series) -> pd.Series:
         return texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
 
+    def tokenize_ids(self, texts: pd.Series):
+        return _tokenize_ids_bytes(
+            texts, joiners=False, max_token_length=1 << 40, stopwords=None
+        )
+
     def tokenize_flat(self, texts: pd.Series):
-        lists = texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
-        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
-        flat = np.array(list(itertools.chain.from_iterable(lists)), dtype=object)
-        return flat, lens
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return uniq[codes] if codes.size else np.array([], dtype=object), lens
 
 
 def get_analyzer(name: str):

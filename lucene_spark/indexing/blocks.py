@@ -142,15 +142,18 @@ def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
 
 
 def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
-                          tf_arr: np.ndarray, norm_per_posting: np.ndarray) -> dict:
+                          tf_arr: np.ndarray, norm_per_posting: np.ndarray,
+                          term_pool: np.ndarray | None = None) -> dict:
     """Whole-segment vectorized block encoding.
 
-    Input: postings rows sorted by (term, doc) — ``terms_arr`` object strings,
-    ``d_arr`` segment-local docIDs, ``tf_arr`` term freqs, ``norm_per_posting``
-    aligned norm bytes. Output: dict of columns matching the postings schema
-    (minus ``field``), one entry per 128-doc block. Equivalent to running
-    ``encode_term_blocks`` per term, but with three numpy passes total instead
-    of a Python loop per term/block.
+    Input: postings rows sorted by (term, doc) — ``terms_arr`` object strings
+    OR int64 term codes with ``term_pool`` mapping code → string (the
+    object-free hot path: per-posting data stays integer; strings materialize
+    only once per output block), ``d_arr`` segment-local docIDs, ``tf_arr``
+    term freqs, ``norm_per_posting`` aligned norm bytes. Output: dict of
+    columns matching the postings schema (minus ``field``), one entry per
+    128-doc block. Equivalent to running ``encode_term_blocks`` per term, but
+    with three numpy passes total instead of a Python loop per term/block.
     """
     n = terms_arr.size
     empty = {
@@ -191,8 +194,11 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
         impact_tfs.append(it.astype(np.int32).tolist())
         impact_norms.append(inm.astype(np.int32).tolist())
 
+    block_terms = terms_arr[starts]
+    if term_pool is not None:
+        block_terms = term_pool[block_terms]
     return {
-        "term": terms_arr[starts],
+        "term": block_terms,
         "block_id": (pos_in_term[starts] // BLOCK_SIZE).astype(np.int32),
         "first_doc": d_arr[starts],
         "last_doc": d_arr[ends - 1],

@@ -131,7 +131,9 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     fingerprint = rows_fingerprint(
         pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(), pdf["text"].to_numpy()
     )
-    flat_terms, dl = analyzer.tokenize_flat(pdf["text"])
+    # byte-level tokenize → sorted unique-term pool + int codes (no per-token
+    # Python objects; the pool is byte-ordered == Lucene term order)
+    uniq_terms, codes, dl = analyzer.tokenize_ids(pdf["text"])
     norms = int_to_byte4(dl).astype(np.int64)
 
     docs_tbl = pa.Table.from_pydict(
@@ -146,25 +148,24 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     )
     _atomic_write_parquet(docs_tbl, f"{index_dir}/docs/seg={seg}/part-0.parquet")
 
-    # flat (term, local_doc) → tf via one C-speed hash groupby, sorted
+    # tf over (term_code, local_doc) as one int64 key — a single radix-ish
+    # np.unique pass replaces the object-keyed hash groupby
     flat_docs = np.repeat(np.arange(n, dtype=np.int64), dl)
-    tf = (
-        pd.DataFrame({"term": flat_terms, "d": flat_docs})
-        .groupby(["term", "d"], sort=True)
-        .size()
-        .reset_index(name="tf")
+    key = codes * np.int64(max(n, 1)) + flat_docs
+    uc, tf_arr = np.unique(key, return_counts=True)
+    term_codes = uc // max(n, 1)
+    d_arr = uc % max(n, 1)
+    cols = encode_segment_blocks(
+        term_codes, d_arr, tf_arr.astype(np.int64), norms[d_arr],
+        term_pool=uniq_terms,
     )
-    terms_arr = tf["term"].to_numpy(dtype=object)
-    d_arr = tf["d"].to_numpy(dtype=np.int64)
-    tf_arr = tf["tf"].to_numpy(dtype=np.int64)
-    cols = encode_segment_blocks(terms_arr, d_arr, tf_arr, norms[d_arr])
     n_blocks = len(cols["term"])
     postings_tbl = pa.Table.from_pydict(
         {"field": np.full(n_blocks, FIELD, dtype=object), **cols},
         schema=POSTINGS_SCHEMA,
     )
     _atomic_write_parquet(postings_tbl, f"{index_dir}/postings/seg={seg}/part-0.parquet")
-    n_terms = int(terms_arr.size and (1 + (terms_arr[1:] != terms_arr[:-1]).sum()))
+    n_terms = int(uniq_terms.size)
     return {
         "segment": int(seg),
         "fingerprint": int(fingerprint),

@@ -95,3 +95,19 @@ def quantized_embeddings(emb: DataFrame) -> DataFrame:
             lambda x: F.floor(x.cast("double") * F.lit(float(EMB_SCALE))).cast("long"),
         ).alias("q"),
     )
+
+
+def augmented_qemb(qemb: DataFrame) -> DataFrame:
+    """quantized embeddings ∪ deterministic near-dup twins (dim 1 bumped +1).
+
+    Twin vec_id = vec_id + AUG_OFFSET, cosine(original, twin) ≈ 1 — gives the
+    embedding near-dup operator true positives without external data; integer
+    perturbation keeps both engines exact.
+    """
+    twins = qemb.select(
+        (F.col("vec_id") + F.lit(AUG_OFFSET)).alias("vec_id"),
+        F.transform(
+            "q", lambda x, i: x + F.when(i == 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ).alias("q"),
+    )
+    return qemb.unionAll(twins)

@@ -228,7 +228,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
     return (
         cand.join(sa, "a").join(sb, "b")
-        .select("a", "b", ham.alias("hamming"))
+        .select("a", "b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -270,12 +270,12 @@ def embedding_neardup_pairs(qemb: DataFrame, t_num: int = 361,
     dot ≥ 0) ⟺ t_den·dot² ≥ t_num·|a|²·|b|² — all int64 (components ≤ ~1e3,
     dims 64 → dot ≤ ~6.4e7, dot² ≤ 4.1e15 < 2^63). Default t² = 361/400 →
     t = 0.95. Pairwise only over same-LSH-bucket candidates (sign pattern of
-    the first 16 quantized dims), the scale path.
+    the first 8 quantized dims), the scale path.
     """
     b = qemb.select(
         "vec_id", "q",
         F.aggregate(
-            F.sequence(F.lit(1), F.lit(16)),
+            F.sequence(F.lit(1), F.lit(8)),
             F.lit(0).cast("long"),
             lambda acc, j: acc + F.when(
                 F.element_at(F.col("q"), j.cast("int")) >= 0,

@@ -1,0 +1,424 @@
+"""DuckDB oracle SQL for the pipeline operators (dedup / simsearch / textqc /
+multimodal).
+
+Each statement recomputes the corresponding Spark plan from the raw
+``documents`` / ``embeddings`` parquet with NO shared code, following the
+deterministic contracts in ``contracts.py`` (md5-hex hashing, integer
+similarity arithmetic, exact int-ratio doubles) so values hash-match
+bit-for-bit. Mirrors ``lucene_spark/pipeline/{dedup,simsearch,textqc,
+multimodal}.py`` — every constant here (16 perms, 4×4 bands, bucket cap 64,
+quantization 1000, thresholds) must stay in sync with those modules.
+"""
+
+from __future__ import annotations
+
+from lucene_spark.pipeline.textqc import LANG_MARKERS, STOPWORDS
+
+# ---------------------------------------------------------------- text CTEs -
+
+PDOCS = """
+pdocs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+ptoks AS (SELECT doc_id, regexp_extract_all(t, '[a-z0-9]+') AS toks FROM pdocs)
+"""
+
+# augmented corpus: base docs ∪ truncate-last-5-tokens twins (+1000000 ids)
+ADOCS = """
+adocs AS (
+  SELECT doc_id, toks FROM ptoks
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_slice(toks, 1, greatest(len(toks) - 5, 1)) AS toks
+  FROM ptoks
+),
+ash AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+    FROM adocs WHERE len(toks) >= 3
+  )
+)
+"""
+
+MINHASH = """
+perms AS (SELECT unnest(range(0, 16)) AS p),
+mh AS (
+  SELECT doc_id, p, min(md5(p::VARCHAR || ':' || sh)) AS h
+  FROM ash, perms GROUP BY doc_id, p
+),
+sig AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), '|')) AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS band) bb
+),
+sized AS (
+  SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+  FROM bandkeys
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM (SELECT * FROM sized WHERE bsz <= 64) l
+  JOIN (SELECT * FROM sized WHERE bsz <= 64) r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN ash sa ON sa.doc_id = c.a
+  JOIN ash sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ash GROUP BY doc_id),
+vj AS (
+  SELECT c.a, c.b,
+         coalesce(i.inter, 0) AS inter,
+         za.n + zb.n - coalesce(i.inter, 0) AS uni
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes za ON za.doc_id = c.a
+  JOIN sizes zb ON zb.doc_id = c.b
+)
+"""
+
+
+def dedup_exact_sql() -> str:
+    return f"""
+WITH {PDOCS},
+hashed AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS h FROM ptoks),
+grp AS (
+  SELECT h, min(doc_id) AS canonical_id, count(*)::BIGINT AS group_size
+  FROM hashed GROUP BY h
+)
+SELECT d.doc_id, g.canonical_id, g.group_size
+FROM hashed d JOIN grp g USING (h)
+ORDER BY doc_id
+"""
+
+
+def dedup_minhash_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {PDOCS},{ADOCS},{MINHASH}
+SELECT a, b, inter::BIGINT AS inter, uni::BIGINT AS uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM vj
+WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {threshold!r}
+ORDER BY a, b
+"""
+
+
+def dedup_ngram_topk_sql(k: int = 50, max_df: int = 100) -> str:
+    return f"""
+WITH {PDOCS},{ADOCS},
+rare AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ash
+  ) WHERE df <= {max_df}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rare l JOIN rare r ON l.sh = r.sh AND l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN ash sa ON sa.doc_id = c.a
+  JOIN ash sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ash GROUP BY doc_id),
+vj AS (
+  SELECT c.a, c.b, coalesce(i.inter, 0) AS inter,
+         za.n + zb.n - coalesce(i.inter, 0) AS uni
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes za ON za.doc_id = c.a
+  JOIN sizes zb ON zb.doc_id = c.b
+)
+SELECT a, b, inter::BIGINT AS inter, uni::BIGINT AS uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM vj
+ORDER BY jaccard DESC, a ASC, b ASC
+LIMIT {k}
+"""
+
+
+SIMHASH = """
+stf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM adocs)
+  GROUP BY doc_id, tok
+),
+sbits AS (
+  SELECT doc_id, (pos - 1) * 4 + q AS bitpos,
+         sum(tf * (2 * (CAST(floor((strpos('0123456789abcdef', substr(md5(tok), pos, 1)) - 1)
+                                   / power(2, q)) AS BIGINT) % 2) - 1)) AS w
+  FROM stf,
+       (SELECT unnest(range(1, 17)) AS pos) pp,
+       (SELECT unnest(range(0, 4)) AS q) qq
+  GROUP BY doc_id, bitpos
+),
+shb AS (
+  SELECT doc_id, CAST(floor(bitpos / 16) AS INT) AS band,
+         sum((CASE WHEN w > 0 THEN 1 ELSE 0 END)
+             * CAST(power(2, bitpos % 16) AS BIGINT)) AS v
+  FROM sbits GROUP BY doc_id, band
+),
+sh4 AS (
+  SELECT doc_id,
+         sum(CASE WHEN band = 0 THEN v ELSE 0 END)::BIGINT AS b0,
+         sum(CASE WHEN band = 1 THEN v ELSE 0 END)::BIGINT AS b1,
+         sum(CASE WHEN band = 2 THEN v ELSE 0 END)::BIGINT AS b2,
+         sum(CASE WHEN band = 3 THEN v ELSE 0 END)::BIGINT AS b3
+  FROM shb GROUP BY doc_id
+),
+scand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM shb l JOIN shb r
+    ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+)
+"""
+
+
+def dedup_simhash_sql(max_hamming: int = 8) -> str:
+    return f"""
+WITH {PDOCS},{ADOCS},{SIMHASH}
+SELECT a, b,
+       (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
+FROM scand c
+JOIN sh4 x ON x.doc_id = c.a
+JOIN sh4 y ON y.doc_id = c.b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+# ------------------------------------------------------------- embeddings ---
+
+QEMB = """
+qemb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS j FROM qemb
+),
+norms2 AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM comps GROUP BY vec_id),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN j <= 8 AND v >= 0
+                  THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+  FROM comps GROUP BY vec_id
+)
+"""
+
+# augmented: original vectors ∪ near-dup twins (dim 1 bumped +1, id +1000000)
+AQEMB = """
+aqemb AS (
+  SELECT vec_id, q FROM qemb
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(q) + 1),
+                        i -> q[i] + CASE WHEN i = 1 THEN 1 ELSE 0 END) AS q
+  FROM qemb
+),
+acomps AS (
+  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS j FROM aqemb
+),
+anorms2 AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM acomps GROUP BY vec_id),
+abuckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN j <= 8 AND v >= 0
+                  THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+  FROM acomps GROUP BY vec_id
+)
+"""
+
+
+def dedup_embedding_sql(t_num: int = 361, t_den: int = 400) -> str:
+    return f"""
+WITH {QEMB},{AQEMB},
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM abuckets x JOIN abuckets y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, sum(ca.v * cb.v)::BIGINT AS dot
+  FROM cand c
+  JOIN acomps ca ON ca.vec_id = c.a
+  JOIN acomps cb ON cb.vec_id = c.b AND cb.j = ca.j
+  GROUP BY c.a, c.b
+)
+SELECT d.a, d.b, d.dot
+FROM dots d
+JOIN anorms2 na ON na.vec_id = d.a
+JOIN anorms2 nb ON nb.vec_id = d.b
+WHERE d.dot >= 0 AND {t_den} * d.dot * d.dot >= {t_num} * na.n2 * nb.n2
+ORDER BY a, b
+"""
+
+
+def ann_brute_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH {QEMB},
+qcomps AS (
+  SELECT vec_id AS query_id, v, j FROM comps WHERE vec_id < {n_queries}
+),
+alldots AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id, sum(qc.v * c.v)::BIGINT AS dot
+  FROM qcomps qc
+  JOIN comps c ON c.j = qc.j AND c.vec_id != qc.query_id
+  GROUP BY qc.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rnk
+  FROM alldots
+)
+SELECT query_id, rnk::INT AS rank, neighbor_id, dot
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH {QEMB},
+cands AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM buckets q
+  JOIN buckets v ON v.bucket = q.bucket AND v.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(qc.v * nc.v)::BIGINT AS dot
+  FROM cands cd
+  JOIN comps qc ON qc.vec_id = cd.query_id
+  JOIN comps nc ON nc.vec_id = cd.neighbor_id AND nc.j = qc.j
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rnk
+  FROM dots
+)
+SELECT query_id, rnk::INT AS rank, neighbor_id, dot
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------------ textqc --
+
+def _markers_values() -> str:
+    return ",".join(
+        f"('{lang}','{t}')" for lang, ts in LANG_MARKERS.items() for t in ts
+    )
+
+
+def lang_id_sql() -> str:
+    return f"""
+WITH {PDOCS},
+markers(lang, tok) AS (VALUES {_markers_values()}),
+lhits AS (
+  SELECT t.doc_id, m.lang, count(*)::BIGINT AS n_hits
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM ptoks) t
+  JOIN markers m ON m.tok = t.tok
+  GROUP BY t.doc_id, m.lang
+),
+lbest AS (
+  SELECT doc_id, lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, lang ASC) AS rn
+  FROM lhits
+)
+SELECT p.doc_id AS doc_id, coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.n_hits, 0)::BIGINT AS n_hits
+FROM pdocs p
+LEFT JOIN (SELECT * FROM lbest WHERE rn = 1) b ON b.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+def quality_sql() -> str:
+    stop_list = ",".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH {PDOCS},
+q AS (
+  SELECT p.doc_id,
+         length(p.t)::BIGINT AS n_chars,
+         len(k.toks)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(k.toks, x -> length(x))), 0)::BIGINT AS n_alpha,
+         len(regexp_extract_all(p.t, '[^a-z0-9\\s]'))::BIGINT AS n_punct,
+         len(list_filter(k.toks, x -> list_contains([{stop_list}], x)))::BIGINT AS n_stop
+  FROM pdocs p JOIN ptoks k USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop,
+       (n_tokens >= 10 AND n_stop * 20 >= n_tokens AND n_punct * 5 <= n_tokens
+        AND n_alpha >= 2 * n_tokens AND n_alpha <= 12 * n_tokens) AS quality_ok
+FROM q ORDER BY doc_id
+"""
+
+
+def token_counts_sql() -> str:
+    return f"""
+WITH {PDOCS}
+SELECT doc_id,
+       len(regexp_extract_all(t, '\\S+'))::BIGINT AS n_ws,
+       len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe
+FROM pdocs ORDER BY doc_id
+"""
+
+
+def fingerprints_sql(sketch_size: int = 4) -> str:
+    return f"""
+WITH {PDOCS},
+psh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+    FROM ptoks WHERE len(toks) >= 3
+  )
+),
+fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM ptoks),
+sk AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_sort(list(DISTINCT md5(sh))), 1, {sketch_size}), '|') AS sketch
+  FROM psh GROUP BY doc_id
+)
+SELECT f.doc_id, f.fp, coalesce(k.sketch, '') AS sketch
+FROM fps f LEFT JOIN sk k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------------- multimodal --
+
+def binary_stats_sql() -> str:
+    return """
+WITH pay AS (
+  SELECT doc_id,
+         md5(coalesce(text, '')) || md5(coalesce(text, '') || '2') AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, i,
+         (16 * (strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1))::BIGINT AS bv
+  FROM pay, (SELECT unnest(range(1, 33)) AS i) ii
+)
+SELECT doc_id,
+       CAST(32 AS BIGINT) AS n_bytes,
+       sum(bv)::BIGINT AS sum_bytes,
+       max(bv)::BIGINT AS max_byte,
+       sum(CASE WHEN (i - 1) % 8 = 0 THEN bv ELSE 0 END)::BIGINT AS frame_sum
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""

@@ -56,9 +56,9 @@ def brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
 
 
 def bucket_col(qcol):
-    """16-bit sign-pattern LSH bucket over the first 16 quantized dims."""
+    """8-bit sign-pattern LSH bucket over the first 8 quantized dims."""
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(16)),
+        F.sequence(F.lit(1), F.lit(8)),
         F.lit(0).cast("long"),
         lambda acc, j: acc + F.when(
             F.element_at(qcol, j.cast("int")) >= 0,

@@ -117,12 +117,13 @@ def fingerprints(docs: DataFrame, sketch_size: int = 4) -> DataFrame:
         doc_shingles(docs)
         .select("doc_id", F.md5("sh").alias("h"))
         .groupBy("doc_id")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, sketch_size).alias("sketch"))
+        .agg(
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.collect_set("h")), 1, sketch_size)
+            ).alias("sketch")
+        )
     )
     return (
         fp.join(sk, "doc_id", "left")
-        .select(
-            "doc_id", "fp",
-            F.coalesce("sketch", F.array().cast("array<string>")).alias("sketch"),
-        )
+        .select("doc_id", "fp", F.coalesce("sketch", F.lit("")).alias("sketch"))
     )

@@ -15,6 +15,23 @@ from pyspark.sql import SparkSession
 
 def get_spark(cores: int | str = "*", app: str = "lucene_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
+    # Keep glibc from mmap/munmap-cycling the multi-MB numpy scratch arrays
+    # the Arrow workers allocate per batch: at 32 concurrent workers the
+    # munmap TLB shootdowns serialize the whole box (measured 6-9x slowdown
+    # of the invert kernels). Retained heap memory makes every call after the
+    # first reuse warm pages. Workers inherit the env from the JVM (set
+    # before the gateway starts) — on a real cluster ship the same via
+    # spark.executorEnv.* .
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    # numpy madvise(MADV_HUGEPAGE)s every >=4MB buffer; under 32 concurrent
+    # workers that turns page faults into 2MB-folio zeroing + compaction
+    # storms (observed: 95% system time, folio_zero_user in every stack).
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    # Route Arrow batch buffers through glibc (retained heap) instead of
+    # jemalloc, whose MADV_FREE purging un-backs pages that this VM then
+    # refaults at ~67µs each.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     master = f"local[{cores}]"
     b = (
         SparkSession.builder.master(master)
@@ -25,6 +42,10 @@ def get_spark(cores: int | str = "*", app: str = "lucene_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is not None:

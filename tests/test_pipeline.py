@@ -1,0 +1,99 @@
+"""Training-data pipeline operators: recall on planted dups, invariants.
+
+Full value-level verification against DuckDB runs in the driver gate
+(``tools/check_oracles.py`` / ``__spark_entry__.oracle_sql``); these tests
+pin the semantic properties that make the operators useful.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_planted_twins(spark, docs):
+    from lucene_spark.pipeline.contracts import AUG_OFFSET, augmented_docs
+    from lucene_spark.pipeline.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(augmented_docs(docs)).toPandas()
+    # every (doc, truncated-twin) pair has jaccard near 1 → LSH must find most
+    planted = pairs[(pairs["b"] - pairs["a"]) == AUG_OFFSET]
+    n_docs = docs.count()
+    assert len(planted) >= 0.8 * n_docs
+    assert (pairs["jaccard"] >= 0.5).all()
+    assert (pairs["inter"] <= pairs["uni"]).all()
+
+
+def test_simhash_twins_have_low_hamming(spark, docs):
+    from lucene_spark.pipeline.contracts import AUG_OFFSET, augmented_docs
+    from lucene_spark.pipeline.dedup import simhash_pairs
+
+    pairs = simhash_pairs(augmented_docs(docs)).toPandas()
+    planted = pairs[(pairs["b"] - pairs["a"]) == AUG_OFFSET]
+    # banded 4x16 LSH guarantees hamming<=3 recall; truncated twins often
+    # drift further, so recall is partial by design (deterministic: 337/500)
+    assert len(planted) >= 0.6 * docs.count()
+    assert (pairs["hamming"] <= 8).all()
+
+
+def test_exact_dedup_identity(spark, docs):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("canonical_id") > F.col("doc_id")).count() == 0
+
+
+def test_embedding_neardup_finds_twins(spark, emb):
+    from lucene_spark.pipeline.contracts import (
+        AUG_OFFSET,
+        augmented_qemb,
+        quantized_embeddings,
+    )
+    from lucene_spark.pipeline.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        augmented_qemb(quantized_embeddings(emb))
+    ).toPandas()
+    planted = (pairs["b"] - pairs["a"]) == AUG_OFFSET
+    assert planted.sum() >= 0.95 * emb.count()
+
+
+def test_ann_brute_topk_shape_and_order(spark, emb):
+    from lucene_spark.pipeline.simsearch import brute_topk
+
+    out = brute_topk(emb, n_queries=3, k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    for q, grp in out.groupby("query_id"):
+        assert grp["rank"].tolist() == [1, 2, 3, 4, 5]
+        assert (grp.sort_values("rank")["dot"].diff().dropna() <= 0).all()
+        assert (grp["neighbor_id"] != q).all()
+
+
+def test_quality_and_token_counts(spark, docs):
+    from lucene_spark.pipeline.textqc import quality_scores, token_counts
+
+    q = quality_scores(docs).toPandas()
+    assert (q["n_stop"] <= q["n_tokens"]).all()
+    assert (q["n_alpha"] <= q["n_chars"]).all()
+    t = token_counts(docs).toPandas()
+    assert (t["n_bpe"] >= t["n_ws"]).all()  # BPE-ish splits ⊇ whitespace splits
+
+
+def test_multimodal_binary_stats(spark, docs):
+    from lucene_spark.pipeline.multimodal import attach_payload, binary_stats
+
+    out = binary_stats(attach_payload(docs)).toPandas()
+    assert (out["n_bytes"] == 32).all()
+    assert (out["max_byte"] <= 255).all()
+    assert (out["sum_bytes"] >= out["frame_sum"]).all()
