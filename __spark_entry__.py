@@ -20,12 +20,13 @@ from lucene_spark import oracle
 from lucene_spark.analysis import SimpleAnalyzer
 from lucene_spark.search import ast
 
-K_HOT, K_OR, K_BOOL, K_BOOST = 20, 100, 50, 30
+K_HOT, K_OR, K_BOOL, K_BOOST, K_PHRASE = 20, 100, 50, 30, 25
 Q_HOT = "table"
 Q_OR = "table value query"
 Q_BOOL = "+table value -spark"
 Q_BOOST = "table^2.5 customer"
 Q_AND = "+table +value"
+PHRASE_TERMS = ("table", "value")
 
 _AN = SimpleAnalyzer()
 
@@ -40,13 +41,22 @@ def _index_dir(sf_dir: str) -> str:
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    import json
+    import shutil
+
     from lucene_spark.corpus import transcripts_from_documents
     from lucene_spark.indexing.builder import IndexBuilder
 
     d = _index_dir(sf_dir)
+    resume = os.path.exists(f"{d}/manifest.json")
+    if resume:  # layout upgrade: old index without positions → full rebuild
+        with open(f"{d}/manifest.json") as f:
+            if not json.load(f).get("positions", False):
+                shutil.rmtree(d, ignore_errors=True)
+                resume = False
     b = IndexBuilder(spark, d, analyzer="simple", num_segments=8)
     transcripts = transcripts_from_documents(spark, sf_dir)
-    b.build(transcripts, resume=os.path.exists(f"{d}/manifest.json"))
+    b.build(transcripts, resume=resume)
     return d
 
 
@@ -108,6 +118,12 @@ def _mk_bm25(qstr: str, k: int):
         return _hits_df(spark, s.search(_parse(qstr), k=k, mode="wand"))
 
     return run
+
+
+def _q_phrase(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    hits = s.search(ast.PhraseQuery(PHRASE_TERMS), k=K_PHRASE)
+    return _hits_df(spark, hits)
 
 
 def _q_count_and(spark, sf_dir):
@@ -212,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
         "bm25_boost": _mk_bm25(Q_BOOST, K_BOOST),
+        "bm25_phrase": _q_phrase,
         "count_and": _q_count_and,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -238,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_top100": oracle.bm25_topk_sql(_parse(Q_OR), K_OR),
         "bm25_bool_mix": oracle.bm25_topk_sql(_parse(Q_BOOL), K_BOOL),
         "bm25_boost": oracle.bm25_topk_sql(_parse(Q_BOOST), K_BOOST),
+        "bm25_phrase": oracle.phrase_topk_sql(list(PHRASE_TERMS), K_PHRASE),
         "count_and": oracle.count_sql(_parse(Q_AND)),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),

@@ -115,17 +115,25 @@ def _shift_and_into(out, cond, left, right):
 
 
 def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: int,
-                        stopwords=None):
-    """Shared byte-level tokenizer → (uniq_terms, codes, per_row_counts).
+                        stopwords=None, with_positions: bool = False):
+    """Shared byte-level tokenizer → (uniq_terms, codes, per_row_counts
+    [, positions]).
 
     uniq_terms: object ndarray of unique tokens sorted in byte order;
     codes: int64 per kept token (index into uniq_terms), document order;
-    per_row_counts: kept tokens per input row. All large intermediates live
-    in reused scratch buffers (see ``_Scratch``).
+    per_row_counts: kept tokens per input row;
+    positions (when requested): the Lucene token position of each kept token —
+    the ordinal over ALL tokens of its row including dropped over-length
+    tokens, which "are skipped but still increment the position"
+    (``core/analysis/standard/StandardTokenizer.java:145-168``). Stopword
+    removal likewise leaves position holes (``core/analysis/StopFilter.java``).
+    All large intermediates live in reused scratch buffers (see ``_Scratch``).
     """
     n_rows = len(texts)
     empty = (np.array([], dtype=object), np.zeros(0, np.int64),
              np.zeros(n_rows, np.int64))
+    if with_positions:
+        empty = (*empty, np.zeros(0, np.int64))
     if n_rows == 0:
         return empty
     src, row_starts = _encode_rows(texts)
@@ -186,6 +194,13 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     np.take(_STRICT, buf, out=strict)
     has_alnum = np.add.reduceat(strict, starts)
     keep = (lens <= max_token_length) & (has_alnum > 0)
+    positions = None
+    if with_positions:
+        # ordinal over ALL tokens of the row (pre-filter) = Lucene position
+        row_ids_all = np.searchsorted(row_starts, starts, side="right") - 1
+        firsts = np.searchsorted(row_ids_all, np.arange(n_rows))
+        positions = np.arange(starts.size, dtype=np.int64) - firsts[row_ids_all]
+        positions = positions[keep]
     starts, ends, lens = starts[keep], ends[keep], lens[keep]
     if starts.size == 0:
         return empty
@@ -212,12 +227,16 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
         if stop_mask.any():
             tok_keep = ~stop_mask[codes]
             codes, row_ids = codes[tok_keep], row_ids[tok_keep]
+            if positions is not None:
+                positions = positions[tok_keep]
             # re-densify codes over the surviving vocabulary
             remap = np.cumsum(~stop_mask) - 1
             uniq = uniq[~stop_mask]
             codes = remap[codes] if codes.size else codes
 
     per_row = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+    if with_positions:
+        return uniq, codes, per_row, positions
     return uniq, codes, per_row
 
 
@@ -258,8 +277,9 @@ class StandardAnalyzer:
             out = out.map(lambda ts: [t for t in ts if t not in sw])
         return out
 
-    def tokenize_ids(self, texts: pd.Series):
-        """Byte-level vectorized tokenize → (uniq_terms, codes, per_row_counts).
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        """Byte-level vectorized tokenize → (uniq_terms, codes, per_row_counts
+        [, positions]).
 
         Parity with the regex chain is asserted by tests on the declared
         corpus alphabet (ASCII words + plain punctuation); the byte rules ARE
@@ -269,7 +289,7 @@ class StandardAnalyzer:
         """
         return _tokenize_ids_bytes(
             texts, joiners=True, max_token_length=self.max_token_length,
-            stopwords=self.stopwords or None,
+            stopwords=self.stopwords or None, with_positions=with_positions,
         )
 
     def tokenize_flat(self, texts: pd.Series):
@@ -298,9 +318,10 @@ class SimpleAnalyzer:
     def tokenize_series(self, texts: pd.Series) -> pd.Series:
         return texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
 
-    def tokenize_ids(self, texts: pd.Series):
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
         return _tokenize_ids_bytes(
-            texts, joiners=False, max_token_length=1 << 40, stopwords=None
+            texts, joiners=False, max_token_length=1 << 40, stopwords=None,
+            with_positions=with_positions,
         )
 
     def tokenize_flat(self, texts: pd.Series):

@@ -38,12 +38,16 @@ class BruteForceIndex:
         self.n = len(pdf)
         self.dl = tokens.map(len).to_numpy(dtype=np.int64)
         self.norms = int_to_byte4(self.dl).astype(np.int64)
-        # postings: term -> (doc_id array, tf array), doc ascending
+        # postings: term -> (doc_id array, tf array), doc ascending; plus
+        # positions (term -> doc -> [pos]) with Lucene position semantics:
+        # dropped over-length tokens still increment the position counter
         post: dict[str, dict[int, int]] = {}
-        for doc_id, toks in enumerate(tokens):
-            for t in toks:
+        self.positions: dict[str, dict[int, list]] = {}
+        for doc_id, text in enumerate(pdf["text"]):
+            for pos, t in self._tokens_with_positions(text):
                 post.setdefault(t, {})
                 post[t][doc_id] = post[t].get(doc_id, 0) + 1
+                self.positions.setdefault(t, {}).setdefault(doc_id, []).append(pos)
         self.postings = {
             t: (
                 np.array(sorted(m), dtype=np.int64),
@@ -54,12 +58,69 @@ class BruteForceIndex:
         self.doc_count = self.n
         self.sum_ttf = int(self.dl.sum())
 
+    def _tokens_with_positions(self, text: str):
+        """(position, token) pairs via the analyzer's raw regex stream —
+        independent of the byte-level production tokenizer."""
+        import re
+
+        from lucene_spark import analysis as A
+
+        if not text:
+            return
+        if self.analyzer.name == "simple":
+            for pos, t in enumerate(A._SIMPLE_RE.findall(text.lower())):
+                yield pos, t
+            return
+        pos = 0
+        for t in A._STANDARD_RE.findall(text.lower()):
+            keep = (len(t) <= self.analyzer.max_token_length
+                    and A._HAS_ALNUM_RE.search(t))
+            if keep and (not self.analyzer.stopwords or t not in self.analyzer.stopwords):
+                yield pos, t
+            pos += 1  # skipped tokens still bump position (stop filter holes too)
+
+    def phrase_postings(self, terms):
+        """{doc: freq} of exact-phrase matches (consecutive positions)."""
+        out = {}
+        maps = [self.positions.get(t, {}) for t in terms]
+        if not maps or any(not m for m in maps):
+            return out
+        for doc, p0 in maps[0].items():
+            cand = set(p0)
+            for i, m in enumerate(maps[1:], start=1):
+                ps = m.get(doc)
+                if not ps:
+                    cand = set()
+                    break
+                cand &= {p - i for p in ps}
+                if not cand:
+                    break
+            if cand:
+                out[doc] = len(cand)
+        return out
+
     def search(self, query, k: int = 10):
         if isinstance(query, str):
             query = ast.parse(query, self.analyzer)
         q = ast.normalize(query)
         if isinstance(q, ast.MatchNoDocsQuery) or self.doc_count == 0:
             return []
+        if isinstance(q, ast.PhraseQuery):
+            matches = self.phrase_postings(list(q.terms))
+            if not matches:
+                return []
+            dfs = [self.postings[t][0].size if t in self.postings else 0
+                   for t in q.terms]
+            if any(d == 0 for d in dfs):
+                return []
+            scorer = self.similarity.scorer(
+                q.boost, self.doc_count, self.sum_ttf, dfs
+            )
+            docs = np.array(sorted(matches), dtype=np.int64)
+            freqs = np.array([matches[d] for d in docs.tolist()], dtype=np.int64)
+            sc = scorer.score(freqs, self.norms[docs])
+            order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
+            return [(int(docs[i]), float(sc[i])) for i in order]
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
 

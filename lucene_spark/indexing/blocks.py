@@ -143,7 +143,8 @@ def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
 
 def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
                           tf_arr: np.ndarray, norm_per_posting: np.ndarray,
-                          term_pool: np.ndarray | None = None) -> dict:
+                          term_pool: np.ndarray | None = None,
+                          pos_flat: np.ndarray | None = None) -> dict:
     """Whole-segment vectorized block encoding.
 
     Input: postings rows sorted by (term, doc) — ``terms_arr`` object strings
@@ -159,7 +160,7 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
     empty = {
         "term": [], "block_id": [], "first_doc": [], "last_doc": [], "count": [],
         "ttf": [], "max_tf": [], "doc_gaps": [], "tfs": [], "norms": [],
-        "impact_tfs": [], "impact_norms": [],
+        "positions": [], "impact_tfs": [], "impact_norms": [],
     }
     if n == 0:
         return empty
@@ -188,6 +189,21 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
     norm_buf = norm_per_posting.astype(np.uint8).tobytes()
     norms = [norm_buf[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
 
+    # positions: per-posting delta-encoded (first absolute), varint-packed at
+    # block granularity — the .pos-file analogue (Lucene90PostingsFormat
+    # DOCS_AND_FREQS_AND_POSITIONS)
+    if pos_flat is not None:
+        n_tok = pos_flat.size
+        tok_starts = np.concatenate([[0], np.cumsum(tf_arr)[:-1]]).astype(np.int64)
+        deltas = np.empty(n_tok, dtype=np.int64)
+        if n_tok:
+            deltas[0] = pos_flat[0]
+            deltas[1:] = pos_flat[1:] - pos_flat[:-1]
+            deltas[tok_starts] = pos_flat[tok_starts]  # reset at posting start
+        positions = encode_varints_grouped(deltas, tok_starts[starts])
+    else:
+        positions = [b""] * starts.size
+
     impact_tfs, impact_norms = [], []
     for s, e in zip(starts.tolist(), ends.tolist()):
         it, inm = pareto_impacts(tf_arr[s:e], norm_per_posting[s:e])
@@ -208,9 +224,24 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
         "doc_gaps": doc_gaps,
         "tfs": tf_bytes,
         "norms": norms,
+        "positions": positions,
         "impact_tfs": impact_tfs,
         "impact_norms": impact_norms,
     }
+
+
+def decode_block_positions(positions: bytes, tfs_decoded: np.ndarray):
+    """Inverse of the positions encoding for one block.
+
+    Returns (flat_abs_positions, per_posting_offsets): posting i's positions
+    are ``flat[offsets[i]:offsets[i] + tfs_decoded[i]]``.
+    """
+    deltas = decode_varints(positions)
+    tstarts = np.concatenate([[0], np.cumsum(tfs_decoded)[:-1]]).astype(np.int64)
+    cum = np.cumsum(deltas)
+    cum_before = np.concatenate([[0], cum])[tstarts]
+    flat = cum - np.repeat(cum_before, np.asarray(tfs_decoded, dtype=np.int64))
+    return flat, tstarts
 
 
 def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes,

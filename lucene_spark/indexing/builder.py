@@ -86,6 +86,7 @@ POSTINGS_SCHEMA = pa.schema(
         ("doc_gaps", pa.binary()),
         ("tfs", pa.binary()),
         ("norms", pa.binary()),
+        ("positions", pa.binary()),  # per-posting delta varints (the ".pos")
         ("impact_tfs", pa.list_(pa.int32())),
         ("impact_norms", pa.list_(pa.int32())),
     ]
@@ -123,7 +124,7 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 1638
 
 
 def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
-                    analyzer_name: str) -> dict:
+                    analyzer_name: str, positions: bool = True) -> dict:
     """Invert one fully-accumulated, key-sorted segment and write its files."""
     t0 = time.time()
     analyzer = get_analyzer(analyzer_name)
@@ -133,7 +134,13 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     )
     # byte-level tokenize → sorted unique-term pool + int codes (no per-token
     # Python objects; the pool is byte-ordered == Lucene term order)
-    uniq_terms, codes, dl = analyzer.tokenize_ids(pdf["text"])
+    if positions:
+        uniq_terms, codes, dl, tok_pos = analyzer.tokenize_ids(
+            pdf["text"], with_positions=True
+        )
+    else:
+        uniq_terms, codes, dl = analyzer.tokenize_ids(pdf["text"])
+        tok_pos = None
     norms = int_to_byte4(dl).astype(np.int64)
 
     docs_tbl = pa.Table.from_pydict(
@@ -148,16 +155,26 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     )
     _atomic_write_parquet(docs_tbl, f"{index_dir}/docs/seg={seg}/part-0.parquet")
 
-    # tf over (term_code, local_doc) as one int64 key — a single radix-ish
-    # np.unique pass replaces the object-keyed hash groupby
+    # tf over (term_code, local_doc) as one int64 key — a single stable sort
+    # replaces the object-keyed hash groupby; stability keeps each posting's
+    # positions in ascending order for the positions encoder
     flat_docs = np.repeat(np.arange(n, dtype=np.int64), dl)
     key = codes * np.int64(max(n, 1)) + flat_docs
-    uc, tf_arr = np.unique(key, return_counts=True)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    change = np.empty(key_s.size, dtype=bool)
+    if key_s.size:
+        change[0] = True
+        change[1:] = key_s[1:] != key_s[:-1]
+    posting_starts = np.flatnonzero(change)
+    uc = key_s[posting_starts]
+    tf_arr = np.diff(np.concatenate([posting_starts, [key_s.size]])).astype(np.int64)
     term_codes = uc // max(n, 1)
     d_arr = uc % max(n, 1)
+    pos_flat = tok_pos[order] if tok_pos is not None else None
     cols = encode_segment_blocks(
-        term_codes, d_arr, tf_arr.astype(np.int64), norms[d_arr],
-        term_pool=uniq_terms,
+        term_codes, d_arr, tf_arr, norms[d_arr],
+        term_pool=uniq_terms, pos_flat=pos_flat,
     )
     n_blocks = len(cols["term"])
     postings_tbl = pa.Table.from_pydict(
@@ -177,7 +194,7 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     }
 
 
-def _make_invert_fn(index_dir: str, analyzer_name: str):
+def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True):
     def invert(iterator):
         cur_seg = None
         buf: list[pd.DataFrame] = []
@@ -187,7 +204,9 @@ def _make_invert_fn(index_dir: str, analyzer_name: str):
             if cur_seg is None:
                 return
             pdf = pd.concat(buf, ignore_index=True)
-            results.append(_invert_segment(cur_seg, pdf, index_dir, analyzer_name))
+            results.append(
+                _invert_segment(cur_seg, pdf, index_dir, analyzer_name, positions)
+            )
 
         for pdf in iterator:
             for seg_val, grp in pdf.groupby("segment", sort=True):
@@ -237,11 +256,12 @@ class IndexBuilder:
     """Build (or resume) a transcript index at ``index_dir``."""
 
     def __init__(self, spark, index_dir: str, analyzer: str = "standard",
-                 num_segments: int | None = None):
+                 num_segments: int | None = None, positions: bool = True):
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.num_segments = num_segments or spark.sparkContext.defaultParallelism
+        self.positions = positions
 
     # -- manifest helpers ---------------------------------------------------
     @property
@@ -318,7 +338,7 @@ class IndexBuilder:
                 .drop("skey")
                 .sortWithinPartitions("segment", "conv_id", "turn_idx")
             )
-            invert = _make_invert_fn(self.index_dir, self.analyzer)
+            invert = _make_invert_fn(self.index_dir, self.analyzer, self.positions)
             metrics = shuffled.mapInPandas(invert, METRICS_SCHEMA).collect()
             metrics_rows.extend(r.asDict() for r in metrics)
 
@@ -351,6 +371,7 @@ class IndexBuilder:
                 "version": 2,
                 "field": FIELD,
                 "analyzer": self.analyzer,
+                "positions": self.positions,
                 "num_segments": nseg,
                 "boundaries": boundaries,
                 "doc_count": acc,

@@ -161,6 +161,61 @@ LIMIT {k}
 """
 
 
+def phrase_topk_sql(terms, k: int, boost: float = 1.0) -> str:
+    """Float32-bit-exact BM25 top-k for an exact phrase.
+
+    freq = number of consecutive-position matches; weight = boost × float32 of
+    the double-sum of per-term float32 idfs (BM25Similarity.java:185-194).
+    """
+    n_t = len(terms)
+    toksp = """
+toksp AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(t, '[a-z0-9]+'), 1) AS pos
+  FROM docs0
+)"""
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n_t)
+    )
+    conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+    idf_f32 = [
+        f"CAST(ln(1 + ((SELECT n FROM fstats) - (SELECT df FROM tstats WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5)) AS FLOAT)"
+        for t in terms
+    ]
+    sum_idf = " + ".join(f"CAST({x} AS DOUBLE)" for x in idf_f32)
+    guard = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tstats WHERE term = '{t}')" for t in terms
+    )
+    return f"""
+WITH {BASE_CTES},{toksp},
+ph AS (
+  SELECT t0.did, count(*)::BIGINT AS freq
+  FROM toksp t0{joins}
+  WHERE {conds}
+  GROUP BY t0.did
+),
+pw AS (SELECT CAST({boost!r} AS FLOAT) * CAST(({sum_idf}) AS FLOAT) AS w
+       WHERE {guard}),
+scored AS (
+  SELECT ph.did,
+         pw.w - pw.w / (CAST(1 AS FLOAT)
+                        + CAST(ph.freq AS FLOAT)
+                          * (CAST(1 AS FLOAT)
+                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                        + ({B} * CAST(d.dlen AS FLOAT))
+                                          / (SELECT avgdl FROM fstats))))) AS s
+  FROM ph CROSS JOIN pw
+  JOIN dlen d ON d.did = ph.did
+)
+SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
+FROM scored
+ORDER BY s DESC, did ASC
+LIMIT {k}
+"""
+
+
 def count_sql(query) -> str:
     """Exact hit count for a flat boolean query (integer result)."""
     clauses = _clause_rows(query)

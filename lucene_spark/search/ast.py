@@ -41,6 +41,20 @@ class TermQuery:
 
 
 @dataclass(frozen=True)
+class PhraseQuery:
+    """Exact phrase (slop=0): terms at consecutive positions.
+
+    Mirrors ``core/search/PhraseQuery.java`` + ``ExactPhraseMatcher.java``
+    semantics: freq = number of phrase occurrences; scored with the summed
+    per-term idf (``BM25Similarity.java:185-194``).
+    """
+
+    terms: tuple  # tuple[str, ...], in phrase order
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     boost: float = 1.0
 
@@ -69,6 +83,12 @@ Query = object  # union marker for readability
 
 def normalize(q):
     """Fixpoint-free single-pass normalization (our ASTs are one level deep)."""
+    if isinstance(q, PhraseQuery):
+        if not q.terms:
+            return MatchNoDocsQuery()
+        if len(q.terms) == 1:  # 1-term phrase collapses to TermQuery
+            return TermQuery(q.terms[0], q.field, q.boost)
+        return q
     if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery)):
         return q
     if isinstance(q, BooleanQuery):
@@ -102,21 +122,29 @@ def normalize(q):
     raise TypeError(f"unknown query node: {q!r}")
 
 
+import re as _re
+
+# one clause token: optional +/-, then a quoted phrase or bare word, then an
+# optional ^boost — the classic QueryParser subset incl. phrases
+_CLAUSE_RE = _re.compile(r'([+-]?)("(?:[^"]*)"|[^\s"^]+)(?:\^([\d.]+))?')
+
+
 def parse(query_str: str, analyzer, default_field: str = "text"):
-    """Classic-syntax subset → normalized AST. See module docstring."""
+    """Classic-syntax subset → normalized AST. See module docstring.
+
+    Supports ``"exact phrase"`` clauses (``QueryParserBase.getFieldQuery`` →
+    PhraseQuery when the analyzed text has >1 token).
+    """
     clauses = []
-    for raw in query_str.split():
-        occur = SHOULD
-        if raw.startswith("+"):
-            occur, raw = MUST, raw[1:]
-        elif raw.startswith("-"):
-            occur, raw = MUST_NOT, raw[1:]
-        boost = 1.0
-        if "^" in raw:
-            raw, _, b = raw.rpartition("^")
-            boost = float(b)
+    for m in _CLAUSE_RE.finditer(query_str):
+        sign, raw, boost_s = m.groups()
+        occur = MUST if sign == "+" else MUST_NOT if sign == "-" else SHOULD
+        boost = float(boost_s) if boost_s else 1.0
+        is_phrase = raw.startswith('"') and raw.endswith('"') and len(raw) >= 2
+        if is_phrase:
+            raw = raw[1:-1]
         fieldname = default_field
-        if ":" in raw:
+        if not is_phrase and ":" in raw:
             maybe_field, _, rest = raw.partition(":")
             # only treat as field prefix for known fields; else it's MidLetter text
             if maybe_field == default_field:
@@ -125,8 +153,16 @@ def parse(query_str: str, analyzer, default_field: str = "text"):
         toks = analyzer.tokenize_text(raw)
         if not toks:
             continue  # analyzed to nothing (e.g. stopword / too long)
-        for t in toks:  # multi-token expansion: each token its own clause
-            clauses.append((occur, TermQuery(t, fieldname, boost)))
+        if is_phrase:
+            clauses.append(
+                (occur, normalize(PhraseQuery(tuple(toks), fieldname, boost)))
+            )
+        else:
+            for t in toks:  # multi-token expansion: each token its own clause
+                clauses.append((occur, TermQuery(t, fieldname, boost)))
     if not clauses:
         return MatchNoDocsQuery()
+    if len(clauses) == 1 and isinstance(clauses[0][1], PhraseQuery) \
+            and clauses[0][0] == SHOULD:
+        return clauses[0][1]
     return normalize(BooleanQuery(tuple(clauses)))

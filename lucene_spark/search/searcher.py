@@ -51,6 +51,11 @@ class IndexSearcher:
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
         occ_clauses = list(q.clauses)
+        if any(not isinstance(tq, ast.TermQuery) for _, tq in occ_clauses):
+            raise NotImplementedError(
+                "phrase clauses inside boolean queries are not supported yet; "
+                "use a top-level phrase query"
+            )
         terms = [tq.term for _, tq in occ_clauses]
         stats = self.reader.term_stats(terms)
         if self.reader.doc_count == 0:
@@ -85,6 +90,9 @@ class IndexSearcher:
         """Top-k hits. ``query``: AST node or classic-syntax string."""
         if isinstance(query, str):
             query = self.parse(query)
+        query = ast.normalize(query)
+        if isinstance(query, ast.PhraseQuery):
+            return self._search_phrase(query, k)
         wc = self._weighted_clauses(query)
         if wc is None:
             return []
@@ -112,6 +120,51 @@ class IndexSearcher:
             .collect()
         )
         # TopDocs.merge: exact global tie-break (score DESC, doc_id ASC)
+        if not out:
+            return []
+        d = np.array([r["doc_id"] for r in out], dtype=np.int64)
+        s = np.array([r["score"] for r in out], dtype=np.float32)
+        order = np.lexsort((d, -s.astype(np.float64)))[:k]
+        return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
+
+    def _search_phrase(self, q: ast.PhraseQuery, k: int) -> list[ScoreDoc]:
+        """Exact-phrase top-k: docID leapfrog + positions verify per segment,
+        scored as one pseudo-term with summed idf (PhraseWeight semantics)."""
+        from lucene_spark.search.phrase import segment_phrase_postings
+
+        terms = list(q.terms)
+        stats = self.reader.term_stats(terms)
+        if any(t not in stats or stats[t]["df"] == 0 for t in terms):
+            return []
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions; "
+                             "rebuild with IndexBuilder(..., positions=True)")
+        scorer = self.reader.similarity_scorer(
+            self.similarity, q.boost, [stats[t]["df"] for t in terms]
+        )
+        postings = self.reader.postings(terms)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions", "doc_offset"]
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            d, f, nm = segment_phrase_postings(rows, terms)
+            if d.size == 0:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": np.int64, "score": np.float32})
+            s = scorer.score(f, nm)
+            order = np.lexsort((d, -s.astype(np.float64)))[:k]
+            return pd.DataFrame({"doc_id": d[order], "score": s[order]})
+
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float")
+            .collect()
+        )
         if not out:
             return []
         d = np.array([r["doc_id"] for r in out], dtype=np.int64)

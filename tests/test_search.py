@@ -98,3 +98,66 @@ def test_parser_shapes():
     # empty / all-dropped → MatchNoDocs
     assert isinstance(ast.parse("", an), ast.MatchNoDocsQuery)
     assert isinstance(ast.parse("x" * 300, an), ast.MatchNoDocsQuery)
+
+
+def test_phrase_golden_identity(spark, searcher, golden, corpus_pdf):
+    """Engine phrase top-k ≡ brute-force goldens (positions path end-to-end)."""
+    from lucene_spark.search.ast import PhraseQuery
+
+    # pick real adjacent token pairs + an absent phrase + a 3-gram
+    an = golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pairs, trigram = [], None
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2 and len(pairs) < 3:
+            pairs.append(tuple(toks[1:3] if len(toks) >= 3 else toks[:2]))
+        if len(toks) >= 5 and trigram is None:
+            trigram = tuple(toks[2:5])
+        if len(pairs) >= 3 and trigram:
+            break
+    queries = [PhraseQuery(p) for p in pairs]
+    queries.append(PhraseQuery(trigram))
+    queries.append(PhraseQuery(("zzznotaterm", "table")))
+    for q in queries:
+        exp = golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+        assert got == exp, f"phrase mismatch for {q.terms}"
+
+
+def test_phrase_parse_quoted(searcher):
+    from lucene_spark.search import ast as A
+
+    q = A.parse('"foo bar baz"', searcher.analyzer)
+    assert isinstance(q, A.PhraseQuery) and q.terms == ("foo", "bar", "baz")
+    q2 = A.parse('"single"', searcher.analyzer)
+    assert isinstance(q2, A.TermQuery)
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    from lucene_spark.indexing.blocks import (
+        decode_block_positions,
+        encode_segment_blocks,
+    )
+
+    rng = np.random.RandomState(3)
+    # one term, 300 postings (3 blocks), random ascending positions per doc
+    docs = np.arange(300, dtype=np.int64)
+    tfs = rng.randint(1, 6, size=300).astype(np.int64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(500, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    terms = np.zeros(300, dtype=np.int64)
+    pool = np.array(["t"], dtype=object)
+    cols = encode_segment_blocks(terms, docs, tfs, np.zeros(300, np.int64),
+                                 term_pool=pool, pos_flat=pos)
+    out = []
+    off = 0
+    for i in range(len(cols["term"])):
+        cnt = int(cols["count"][i])
+        flat, _ = decode_block_positions(cols["positions"][i], tfs[off:off + cnt])
+        out.append(flat)
+        off += cnt
+    assert np.concatenate(out).tolist() == pos.tolist()
