@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_spark import oracle
 from lucene_spark.analysis import SimpleAnalyzer
@@ -132,6 +132,100 @@ def _q_count_and(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _hits_df_const(spark, hits):
+    rows = [(int(h.doc_id), float(h.score)) for h in hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def _mk_multiterm(node, k: int):
+    def run(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return _hits_df_const(spark, s.search(node, k=k))
+
+    return run
+
+
+def _q_mt_fuzzy_count(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.MultiTermQuery("fuzzy", "tabel", max_edits=2))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_synonym(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.search(ast.SynonymQuery(("table", "row")), k=40))
+
+
+def _q_dismax(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return _hits_df(
+        spark, s.search(ast.DisjunctionMaxQuery(("table", "value")), k=40)
+    )
+
+
+def _docs_meta(spark, sf_dir):
+    """documents metadata keyed by global docID (== row_number over the
+    conv sort key - 1). Driver-side window is fine at gate scale; the engine
+    path derives the same mapping from reader.docs() segment offsets."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy(F.format_string("c%010d", F.col("doc_id")))
+    return docs.select(
+        (F.row_number().over(w) - 1).cast("long").alias("did"),
+        "lang", "source",
+    )
+
+
+def _q_group_top1(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    scores = s.score_df(_parse(Q_OR))
+    meta = _docs_meta(spark, sf_dir)
+    joined = scores.join(meta, scores["doc_id"] == meta["did"])
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("source").alias("grp"), "doc_id",
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _q_facet_lang(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    scores = s.score_df(_parse(Q_OR))
+    meta = _docs_meta(spark, sf_dir)
+    return (
+        scores.join(meta, scores["doc_id"] == meta["did"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+def _q_search_after(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.search_after(_parse(Q_OR), after_count=20, k=20))
+
+
+def _q_doc_range(spark, sf_dir):
+    from lucene_spark.search.reader import IndexReader
+
+    d = _ensure_index(spark, sf_dir)
+    return (
+        IndexReader(spark, d).docs()
+        .filter(F.col("dl").between(30, 60))
+        .select("doc_id", F.col("dl").cast("long").alias("dl"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 # --------------------------------------------- training-data pipeline ops --
 
 def _docs(spark, sf_dir):
@@ -230,6 +324,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boost": _mk_bm25(Q_BOOST, K_BOOST),
         "bm25_phrase": _q_phrase,
         "count_and": _q_count_and,
+        "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
+        "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
+        "mt_range": _mk_multiterm(
+            ast.MultiTermQuery("range", lower="query", upper="table"), 50
+        ),
+        "mt_set": _mk_multiterm(
+            ast.MultiTermQuery("set", terms=("table", "vector", "window")), 50
+        ),
+        "mt_fuzzy_count": _q_mt_fuzzy_count,
+        "synonym_topk": _q_synonym,
+        "dismax_topk": _q_dismax,
+        "group_top1_source": _q_group_top1,
+        "facet_lang_counts": _q_facet_lang,
+        "search_after_page2": _q_search_after,
+        "doc_range_dl": _q_doc_range,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -257,6 +366,23 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boost": oracle.bm25_topk_sql(_parse(Q_BOOST), K_BOOST),
         "bm25_phrase": oracle.phrase_topk_sql(list(PHRASE_TERMS), K_PHRASE),
         "count_and": oracle.count_sql(_parse(Q_AND)),
+        "mt_prefix": oracle.multiterm_sql("x.term LIKE 'ta%'", 50),
+        "mt_wildcard": oracle.multiterm_sql("x.term LIKE 'v_lue%'", 50),
+        "mt_range": oracle.multiterm_sql(
+            "x.term >= 'query' AND x.term <= 'table'", 50
+        ),
+        "mt_set": oracle.multiterm_sql(
+            "x.term IN ('table','vector','window')", 50
+        ),
+        "mt_fuzzy_count": oracle.multiterm_count_sql(
+            "length(x.term) BETWEEN 3 AND 7 AND levenshtein(x.term, 'tabel') <= 2"
+        ),
+        "synonym_topk": oracle.synonym_topk_sql(["table", "row"], 40),
+        "dismax_topk": oracle.dismax_topk_sql(["table", "value"], 40),
+        "group_top1_source": oracle.group_top1_sql(_parse(Q_OR), "source"),
+        "facet_lang_counts": oracle.facet_counts_sql(_parse(Q_OR), "lang"),
+        "search_after_page2": oracle.search_after_sql(_parse(Q_OR), 1, 20),
+        "doc_range_dl": oracle.doc_range_sql(30, 60, 100),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
         "dedup_simhash": po.dedup_simhash_sql(),

@@ -39,6 +39,7 @@ def norm_map_values() -> str:
 BASE_CTES = f"""
 docs0 AS (
   SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lang, source,
          lower(coalesce(text, '')) AS t
   FROM documents
 ),
@@ -213,6 +214,139 @@ SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
 FROM scored
 ORDER BY s DESC, did ASC
 LIMIT {k}
+"""
+
+
+def multiterm_sql(match_cond: str, k: int, boost: float = 1.0) -> str:
+    """CONSTANT_SCORE multi-term query: docs with ≥1 token matching
+    ``match_cond`` (SQL over column ``term``); k smallest docIDs, score=boost."""
+    return f"""
+WITH {BASE_CTES}
+SELECT d.did AS doc_id, CAST({boost!r} AS DOUBLE) AS score
+FROM dls d
+WHERE EXISTS (SELECT 1 FROM tf x WHERE x.did = d.did AND ({match_cond}))
+ORDER BY d.did ASC
+LIMIT {k}
+"""
+
+
+def multiterm_count_sql(match_cond: str) -> str:
+    return f"""
+WITH {BASE_CTES}
+SELECT count(*)::BIGINT AS hits FROM dls d
+WHERE EXISTS (SELECT 1 FROM tf x WHERE x.did = d.did AND ({match_cond}))
+"""
+
+
+def synonym_topk_sql(terms, k: int, boost: float = 1.0) -> str:
+    """SynonymQuery: tf summed across terms, one score with df = max(dfs)."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {BASE_CTES},
+syn AS (
+  SELECT did, sum(tf)::BIGINT AS tfsum FROM tf
+  WHERE term IN ({tl}) GROUP BY did
+),
+sw AS (
+  SELECT CAST({boost!r} AS FLOAT)
+         * CAST(ln(1 + ((SELECT n FROM fstats) - mx.df + 0.5) / (mx.df + 0.5)) AS FLOAT) AS w
+  FROM (SELECT max(df) AS df FROM tstats WHERE term IN ({tl})) mx
+  WHERE mx.df IS NOT NULL
+),
+scored AS (
+  SELECT s.did,
+         sw.w - sw.w / (CAST(1 AS FLOAT)
+                        + CAST(s.tfsum AS FLOAT)
+                          * (CAST(1 AS FLOAT)
+                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                        + ({B} * CAST(d.dlen AS FLOAT))
+                                          / (SELECT avgdl FROM fstats))))) AS sc
+  FROM syn s CROSS JOIN sw
+  JOIN dlen d ON d.did = s.did
+)
+SELECT did AS doc_id, CAST(sc AS DOUBLE) AS score
+FROM scored ORDER BY sc DESC, did ASC LIMIT {k}
+"""
+
+
+def dismax_topk_sql(terms, k: int, boost: float = 1.0) -> str:
+    """DisjunctionMaxQuery with tie_breaker = 0: per-doc max of clause scores."""
+    qvals = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {BASE_CTES},
+qterms(term) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.term,
+         CAST({boost!r} AS FLOAT)
+         * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5) / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+agg AS (SELECT did, max(s) AS sc FROM clause_scores GROUP BY did)
+SELECT did AS doc_id, CAST(sc AS DOUBLE) AS score
+FROM agg ORDER BY sc DESC, did ASC LIMIT {k}
+"""
+
+
+def group_top1_sql(query, group_col: str = "source") -> str:
+    """Top-1 doc per group by BM25 score (GroupingSearch analogy)."""
+    inner = bm25_topk_sql(query, 10**9)
+    # reuse the scored CTE body: wrap the full top-k SQL as a subquery
+    return f"""
+WITH ranked AS (
+  SELECT g.{group_col} AS grp, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY g.{group_col}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM ({inner}) s
+  JOIN (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+               {group_col} FROM documents) g
+    ON g.did = s.doc_id
+)
+SELECT grp, doc_id, score FROM ranked WHERE rn = 1 ORDER BY grp
+"""
+
+
+def facet_counts_sql(query, facet_col: str = "lang") -> str:
+    """Matching-doc counts per facet value (FacetsCollector analogy)."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+gmap AS (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+                {facet_col} AS fv FROM documents)
+SELECT g.fv AS {facet_col}, count(*)::BIGINT AS n
+FROM matched m JOIN gmap g ON g.did = m.doc_id
+GROUP BY g.fv ORDER BY g.fv
+"""
+
+
+def search_after_sql(query, page: int, k: int) -> str:
+    """Keyset pagination oracle: page ``page`` (0-based) of size k."""
+    inner = bm25_topk_sql(query, (page + 1) * k)
+    return f"""
+SELECT doc_id, score FROM ({inner})
+ORDER BY score DESC, doc_id ASC
+LIMIT {k} OFFSET {page * k}
+"""
+
+
+def doc_range_sql(lo: int, hi: int, k: int) -> str:
+    """PointRangeQuery analogy over the numeric dl doc value."""
+    return f"""
+WITH {BASE_CTES}
+SELECT did AS doc_id, dl FROM dls
+WHERE dl BETWEEN {lo} AND {hi}
+ORDER BY did ASC LIMIT {k}
 """
 
 

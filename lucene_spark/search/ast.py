@@ -55,6 +55,47 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiTermQuery:
+    """Term-expansion queries (``core/search/MultiTermQuery.java`` family).
+
+    ``kind``: prefix | wildcard | regexp | fuzzy | range | set. Expanded
+    against the term dictionary and executed with CONSTANT_SCORE rewrite
+    (score := boost for every matching doc), Lucene's default rewrite for
+    these queries.
+    """
+
+    kind: str
+    value: str = ""            # prefix / wildcard pattern / regexp / fuzzy term
+    lower: str | None = None   # range bounds (inclusive)
+    upper: str | None = None
+    max_edits: int = 2         # fuzzy (FuzzyQuery.java:54 caps at 2)
+    terms: tuple = ()          # for kind == "set" (TermInSetQuery)
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery:
+    """Scores as one pseudo-term: df = max over terms, tf summed per doc
+    (``core/search/SynonymQuery.java:205-222``)."""
+
+    terms: tuple
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """score = max(sub) + tie_breaker × Σ(others)
+    (``core/search/DisjunctionMaxScorer.java:26,49-51``). v1 subs are terms."""
+
+    terms: tuple
+    tie_breaker: float = 0.0
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     boost: float = 1.0
 
@@ -89,7 +130,16 @@ def normalize(q):
         if len(q.terms) == 1:  # 1-term phrase collapses to TermQuery
             return TermQuery(q.terms[0], q.field, q.boost)
         return q
-    if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery)):
+    if isinstance(q, SynonymQuery):
+        if not q.terms:
+            return MatchNoDocsQuery()
+        return q
+    if isinstance(q, DisjunctionMaxQuery):
+        if not q.terms:
+            return MatchNoDocsQuery()
+        return q
+    if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery,
+                      MultiTermQuery)):
         return q
     if isinstance(q, BooleanQuery):
         occ = q.by_occur
@@ -149,6 +199,24 @@ def parse(query_str: str, analyzer, default_field: str = "text"):
             # only treat as field prefix for known fields; else it's MidLetter text
             if maybe_field == default_field:
                 fieldname, raw = maybe_field, rest
+        if not is_phrase:
+            # wildcard / prefix / fuzzy syntax (QueryParserBase.java:690,793)
+            fz = _re.fullmatch(r"(.+?)~([012])?", raw)
+            if "*" in raw or "?" in raw:
+                low = raw.lower()
+                if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                    clauses.append((occur, MultiTermQuery(
+                        "prefix", low[:-1], field=fieldname, boost=boost)))
+                else:
+                    clauses.append((occur, MultiTermQuery(
+                        "wildcard", low, field=fieldname, boost=boost)))
+                continue
+            if fz:
+                edits = int(fz.group(2)) if fz.group(2) else 2
+                clauses.append((occur, MultiTermQuery(
+                    "fuzzy", fz.group(1).lower(), max_edits=edits,
+                    field=fieldname, boost=boost)))
+                continue
         # analyze the term text like the index side (QueryParserBase.java:455)
         toks = analyzer.tokenize_text(raw)
         if not toks:
@@ -162,7 +230,7 @@ def parse(query_str: str, analyzer, default_field: str = "text"):
                 clauses.append((occur, TermQuery(t, fieldname, boost)))
     if not clauses:
         return MatchNoDocsQuery()
-    if len(clauses) == 1 and isinstance(clauses[0][1], PhraseQuery) \
-            and clauses[0][0] == SHOULD:
+    if len(clauses) == 1 and clauses[0][0] == SHOULD \
+            and not isinstance(clauses[0][1], TermQuery):
         return clauses[0][1]
     return normalize(BooleanQuery(tuple(clauses)))

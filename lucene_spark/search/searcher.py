@@ -93,6 +93,22 @@ class IndexSearcher:
         query = ast.normalize(query)
         if isinstance(query, ast.PhraseQuery):
             return self._search_phrase(query, k)
+        if isinstance(query, ast.MultiTermQuery):
+            from lucene_spark.search.multiterm import (
+                constant_score_topk,
+                expand_terms,
+            )
+
+            terms = expand_terms(self.reader, query)
+            return constant_score_topk(self.reader, terms, k, query.boost)
+        if isinstance(query, ast.SynonymQuery):
+            from lucene_spark.search.multiterm import synonym_topk
+
+            return synonym_topk(self.reader, self.similarity, query, k)
+        if isinstance(query, ast.DisjunctionMaxQuery):
+            from lucene_spark.search.multiterm import dismax_topk
+
+            return dismax_topk(self.reader, self.similarity, query, k)
         wc = self._weighted_clauses(query)
         if wc is None:
             return []
@@ -176,9 +192,59 @@ class IndexSearcher:
         """TotalHitCountCollector analogy — exact hit count via the kernel."""
         if isinstance(query, str):
             query = self.parse(query)
+        query = ast.normalize(query)
+        big = self.reader.doc_count + 1
+        if isinstance(query, ast.MultiTermQuery):
+            from lucene_spark.search.multiterm import (
+                constant_score_count,
+                expand_terms,
+            )
+
+            return constant_score_count(self.reader, expand_terms(self.reader, query))
+        if isinstance(query, (ast.PhraseQuery, ast.SynonymQuery,
+                              ast.DisjunctionMaxQuery)):
+            return len(self.search(query, k=big))
         wc = self._weighted_clauses(query)
         if wc is None:
             return 0
-        specs, cache, msm = wc
-        big = self.reader.doc_count + 1
         return len(self.search(query, k=big, mode="exhaustive"))
+
+    def score_df(self, query):
+        """Exhaustive (doc_id, score) DataFrame of ALL matching docs.
+
+        The FacetsCollector / grouping substrate: stays distributed (no
+        driver collect) so downstream groupBy / window / join run as plain
+        Spark plans.
+        """
+        if isinstance(query, str):
+            query = self.parse(query)
+        wc = self._weighted_clauses(ast.normalize(query))
+        spark = self.spark
+        if wc is None:
+            return spark.createDataFrame([], "doc_id long, score float")
+        specs, cache, msm = wc
+        terms = sorted({c.term for c in specs})
+        postings = self.reader.postings(terms)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "impact_tfs", "impact_norms", "doc_offset"]
+        big = self.reader.doc_count + 1
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            d, s = segment_topk(rows, specs, cache, big, msm, prune=False)
+            return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
+
+        return (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float")
+        )
+
+    def search_after(self, query, after_count: int, k: int = 10,
+                     mode: str = "wand") -> list[ScoreDoc]:
+        """Keyset pagination (``TopScoreDocCollector.java:163-184`` analogy):
+        hits ranked after the first ``after_count``."""
+        return self.search(query, k=after_count + k, mode=mode)[after_count:]

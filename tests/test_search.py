@@ -161,3 +161,108 @@ def test_positions_roundtrip():
         out.append(flat)
         off += cnt
     assert np.concatenate(out).tolist() == pos.tolist()
+
+
+def test_multiterm_constant_score(spark, searcher, golden):
+    """Prefix/wildcard/range/set/fuzzy: CONSTANT_SCORE rewrite — k smallest
+    matching docIDs, score == boost; expansion verified against the golden
+    postings dict."""
+    from lucene_spark.search.ast import MultiTermQuery
+
+    cases = [
+        (MultiTermQuery("prefix", "ba", boost=1.5),
+         lambda t: t.startswith("ba")),
+        (MultiTermQuery("wildcard", "b?d*"),
+         lambda t: len(t) >= 3 and t[0] == "b" and t[2] == "d"),
+        (MultiTermQuery("range", lower="da", upper="dd"),
+         lambda t: "da" <= t <= "dd"),
+        (MultiTermQuery("set", terms=("bada", "dala", "zzz")),
+         lambda t: t in ("bada", "dala", "zzz")),
+    ]  # fuzzy covered by test_fuzzy_expansion
+    for q, pred in cases:
+        got = searcher.search(q, 30)
+        exp_docs = sorted(
+            {int(d) for t, (docs, _) in golden.postings.items() if pred(t)
+             for d in docs.tolist()}
+        )[:30]
+        assert [h.doc_id for h in got] == exp_docs, q
+        assert all(h.score == q.boost for h in got)
+        # count parity
+        full = sorted(
+            {int(d) for t, (docs, _) in golden.postings.items() if pred(t)
+             for d in docs.tolist()}
+        )
+        assert searcher.count(q) == len(full)
+
+
+def test_fuzzy_expansion(searcher, golden):
+    from lucene_spark.search.ast import MultiTermQuery
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    q = MultiTermQuery("fuzzy", "bada", max_edits=1)
+    exp_docs = sorted(
+        {int(d) for t, (docs, _) in golden.postings.items() if lev(t, "bada") <= 1
+         for d in docs.tolist()}
+    )[:30]
+    got = searcher.search(q, 30)
+    assert [h.doc_id for h in got] == exp_docs
+
+
+def test_synonym_blended_scoring(spark, searcher, golden):
+    from lucene_spark.search.ast import SynonymQuery
+
+    terms = (VOCAB[0], VOCAB[3])
+    q = SynonymQuery(terms, boost=1.25)
+    got = [(h.doc_id, h.score) for h in searcher.search(q, 60)]
+    # expected: tf summed, df = max, one BM25 score
+    tfsum = {}
+    for t in terms:
+        docs, tfs = golden.postings[t]
+        for d, tf in zip(docs.tolist(), tfs.tolist()):
+            tfsum[d] = tfsum.get(d, 0) + tf
+    df_blend = max(golden.postings[t][0].size for t in terms)
+    scorer = golden.similarity.scorer(1.25, golden.doc_count, golden.sum_ttf,
+                                      [df_blend])
+    docs = np.array(sorted(tfsum), dtype=np.int64)
+    sc = scorer.score(np.array([tfsum[d] for d in docs.tolist()]),
+                      golden.norms[docs])
+    order = np.lexsort((docs, -sc.astype(np.float64)))[:60]
+    exp = [(int(docs[i]), float(sc[i])) for i in order]
+    assert got == exp
+
+
+def test_dismax_max_scoring(spark, searcher, golden):
+    from lucene_spark.search.ast import DisjunctionMaxQuery
+
+    terms = (VOCAB[0], VOCAB[5])
+    q = DisjunctionMaxQuery(terms)
+    got = [(h.doc_id, h.score) for h in searcher.search(q, 60)]
+    best = {}
+    for t in terms:
+        docs, tfs = golden.postings[t]
+        scorer = golden.similarity.scorer(1.0, golden.doc_count,
+                                          golden.sum_ttf, [docs.size])
+        sc = scorer.score(tfs, golden.norms[docs])
+        for d, s in zip(docs.tolist(), sc.tolist()):
+            best[d] = max(best.get(d, 0.0), s)
+    docs = np.array(sorted(best), dtype=np.int64)
+    sc = np.array([best[d] for d in docs.tolist()], dtype=np.float32)
+    order = np.lexsort((docs, -sc.astype(np.float64)))[:60]
+    exp = [(int(docs[i]), float(sc[i])) for i in order]
+    assert got == exp
+
+
+def test_search_after_pagination(searcher):
+    q = f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}"
+    full = searcher.search(q, 30)
+    page2 = searcher.search_after(q, after_count=10, k=10)
+    assert [(h.doc_id, h.score) for h in page2] == \
+        [(h.doc_id, h.score) for h in full[10:20]]
