@@ -213,6 +213,30 @@ def _q_search_after(spark, sf_dir):
     return _hits_df(spark, s.search_after(_parse(Q_OR), after_count=20, k=20))
 
 
+def _q_streaming_incremental(spark, sf_dir):
+    """Incremental (2-batch append) index ≡ batch index: run the same BM25
+    top-k on an index built via IncrementalIndexer appends; the oracle is the
+    plain whole-corpus SQL, so the gate proves append-commit correctness."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_inc/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    half = "c" + "%010d" % (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 2
+    )
+    inc = IncrementalIndexer(spark, d, analyzer="simple", rows_per_segment=100)
+    inc.append(t.filter(F.col("conv_id") < half), epoch_id=0)
+    inc.append(t.filter(F.col("conv_id") >= half), epoch_id=1)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
+
+
 def _q_doc_range(spark, sf_dir):
     from lucene_spark.search.reader import IndexReader
 
@@ -339,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_counts": _q_facet_lang,
         "search_after_page2": _q_search_after,
         "doc_range_dl": _q_doc_range,
+        "streaming_incremental": _q_streaming_incremental,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -383,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang_counts": oracle.facet_counts_sql(_parse(Q_OR), "lang"),
         "search_after_page2": oracle.search_after_sql(_parse(Q_OR), 1, 20),
         "doc_range_dl": oracle.doc_range_sql(30, 60, 100),
+        "streaming_incremental": oracle.bm25_topk_sql(_parse(Q_OR), 50),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
         "dedup_simhash": po.dedup_simhash_sql(),

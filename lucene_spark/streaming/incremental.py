@@ -1,0 +1,145 @@
+"""Incremental / streaming index maintenance — segment appends.
+
+The near-real-time story of the reference (``core/search/SearcherManager.java``
+/ ``DirectoryReader.openIfChanged``: new flushes publish new segments, readers
+re-open a newer point-in-time view) mapped to Spark: each micro-batch becomes
+one-or-more NEW immutable segments appended after the existing ones; the
+manifest rewrite is the commit point (``segments_N`` analogy — readers opened
+after the atomic manifest replace see the new segments, open readers keep
+their view).
+
+docID semantics are exactly Lucene's: arrival order. Batch b's documents get
+docIDs after everything already committed, ordered by (conv_id, turn_idx)
+within the batch (``core/index/DocumentsWriterPerThread.java:242`` —
+``processDocument(numDocsInRAM++, doc)``).
+
+Exactly-once: ``foreachBatch`` may replay a batch after failure; the manifest
+records applied epoch ids and ``append`` is a no-op for an epoch it has
+already committed (idempotent sink + Spark source checkpointing = end-to-end
+exactly-once).
+"""
+
+from __future__ import annotations
+
+import os
+
+from lucene_spark.indexing.builder import IndexBuilder
+from lucene_spark.indexing.partitioning import (
+    collision_free_skeys,
+    plan_boundaries,
+    segment_col,
+    skey_col,
+)
+
+
+class IncrementalIndexer:
+    """Append micro-batches of transcripts to an on-disk index."""
+
+    def __init__(self, spark, index_dir: str, analyzer: str = "standard",
+                 rows_per_segment: int = 31_250, positions: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.analyzer = analyzer
+        self.rows_per_segment = rows_per_segment
+        self.positions = positions
+        self._builder = IndexBuilder(spark, index_dir, analyzer=analyzer,
+                                     positions=positions)
+
+    def append(self, batch_df, epoch_id: int | None = None) -> dict:
+        """Append one batch as new segments. Idempotent per epoch_id."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from lucene_spark.indexing import builder as B
+
+        b = self._builder
+        manifest = b._load_manifest()
+        if manifest is None:
+            # first batch bootstraps a normal build
+            n = batch_df.count()
+            b.num_segments = max(1, n // self.rows_per_segment)
+            res = b.build(batch_df)
+            m = b._load_manifest()
+            m["applied_epochs"] = [] if epoch_id is None else [int(epoch_id)]
+            b._save_manifest(m)
+            return res
+        applied = manifest.get("applied_epochs", [])
+        if epoch_id is not None and int(epoch_id) in applied:
+            return {"doc_count": manifest["doc_count"], "built": 0,
+                    "reused": 0, "skipped_epoch": int(epoch_id)}
+
+        n = batch_df.count()
+        if n == 0:
+            return {"doc_count": manifest["doc_count"], "built": 0, "reused": 0}
+        nseg = max(1, n // self.rows_per_segment)
+        boundaries = plan_boundaries(batch_df, nseg)
+        nseg = len(boundaries) + 1
+        base_seg = 1 + max(int(s) for s in manifest["offsets"]) \
+            if manifest["offsets"] else 0
+        skeys = collision_free_skeys(nseg)
+
+        with_seg = batch_df.withColumn("segment", segment_col(boundaries)) \
+            .withColumn("segment", (F.col("segment") + F.lit(base_seg)).cast("int"))
+        shuffled = (
+            with_seg.select("segment", "conv_id", "turn_idx", "text")
+            .withColumn("skey", skey_col([0] * base_seg + skeys))
+            .repartition(nseg, "skey")
+            .drop("skey")
+            .sortWithinPartitions("segment", "conv_id", "turn_idx")
+        )
+        invert = B._make_invert_fn(self.index_dir, self.analyzer, self.positions)
+        metrics = shuffled.mapInPandas(invert, B.METRICS_SCHEMA).collect()
+        rows = sorted((r.asDict() for r in metrics), key=lambda r: r["segment"])
+
+        offsets = {int(k): int(v) for k, v in manifest["offsets"].items()}
+        acc = manifest["doc_count"]
+        for r in rows:
+            offsets[r["segment"]] = acc
+            acc += r["rows_in"]
+            r["doc_offset"] = offsets[r["segment"]]
+
+        # extend build_manifest (lineage) with the new segments
+        prev = self.spark.read.parquet(f"{self.index_dir}/build_manifest") \
+            if os.path.isdir(f"{self.index_dir}/build_manifest") else None
+        mpdf = pd.DataFrame(rows)[
+            ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
+             "blocks", "wall_ms", "status"]
+        ]
+        new_mdf = self.spark.createDataFrame(mpdf)
+        all_mdf = prev.unionByName(new_mdf) if prev is not None else new_mdf
+        all_mdf.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.index_dir}/build_manifest.tmp"
+        )
+        # swap (parquet dir replace; readers re-open via manifest anyway)
+        import shutil
+        shutil.rmtree(f"{self.index_dir}/build_manifest", ignore_errors=True)
+        os.replace(f"{self.index_dir}/build_manifest.tmp",
+                   f"{self.index_dir}/build_manifest")
+
+        b._write_stats()
+        manifest["doc_count"] = acc
+        manifest["offsets"] = {str(k): v for k, v in sorted(offsets.items())}
+        manifest["num_segments"] = len(offsets)
+        if epoch_id is not None:
+            manifest["applied_epochs"] = applied + [int(epoch_id)]
+        b._save_manifest(manifest)  # atomic commit point
+        return {"doc_count": acc, "built": len(rows), "reused": 0}
+
+    # -- Structured Streaming sink -----------------------------------------
+    def foreach_batch(self):
+        """``df.writeStream.foreachBatch(indexer.foreach_batch())``."""
+        def fn(batch_df, epoch_id):
+            self.append(batch_df, epoch_id=epoch_id)
+
+        return fn
+
+    def write_stream(self, stream_df, checkpoint_dir: str, **trigger):
+        """Attach the indexer as a streaming sink (exactly-once with the
+        source checkpoint)."""
+        return (
+            stream_df.writeStream
+            .foreachBatch(self.foreach_batch())
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )

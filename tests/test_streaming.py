@@ -1,0 +1,87 @@
+"""Incremental / streaming index maintenance: appended segments ≡ one-shot
+batch build; exactly-once epoch guard; real Structured Streaming source."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.corpus import synthetic_transcripts
+from lucene_spark.indexing.builder import IndexBuilder
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.streaming.incremental import IncrementalIndexer
+
+
+def _hits(searcher, q, k=50):
+    return [(h.doc_id, h.score) for h in searcher.search(q, k)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_transcripts(spark, 60).cache()
+
+
+def test_incremental_append_equals_batch(spark, corpus, tmp_path):
+    from lucene_spark.corpus import VOCAB
+
+    d_batch = str(tmp_path / "batch")
+    d_inc = str(tmp_path / "inc")
+    IndexBuilder(spark, d_batch, num_segments=3).build(corpus)
+
+    # split by conv ranges so arrival order == global (conv, turn) order
+    lo = corpus.filter(F.col("conv_id") < "conv00000030")
+    hi = corpus.filter(F.col("conv_id") >= "conv00000030")
+    inc = IncrementalIndexer(spark, d_inc, rows_per_segment=40)
+    r1 = inc.append(lo, epoch_id=0)
+    r2 = inc.append(hi, epoch_id=1)
+    assert r1["doc_count"] + 0 < r2["doc_count"]
+
+    sb = IndexSearcher(spark, d_batch)
+    si = IndexSearcher(spark, d_inc)
+    for q in (VOCAB[0], f"+{VOCAB[1]} {VOCAB[5]}", f"{VOCAB[0]} {VOCAB[3]}"):
+        assert _hits(sb, q) == _hits(si, q), q
+
+    # replayed epoch is a no-op (exactly-once sink semantics)
+    before = si.reader.manifest["doc_count"]
+    r3 = inc.append(hi, epoch_id=1)
+    assert r3.get("skipped_epoch") == 1
+    si2 = IndexSearcher(spark, d_inc)
+    assert si2.reader.doc_count == before
+
+
+def test_structured_streaming_source(spark, corpus, tmp_path):
+    from lucene_spark.corpus import VOCAB
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "stream_idx")
+    shutil.rmtree(src, ignore_errors=True)
+
+    lo = corpus.filter(F.col("conv_id") < "conv00000030")
+    hi = corpus.filter(F.col("conv_id") >= "conv00000030")
+    lo.write.mode("overwrite").parquet(src)
+
+    indexer = IncrementalIndexer(spark, idx, rows_per_segment=40)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q1 = indexer.write_stream(stream, ckpt)
+    q1.awaitTermination(120)
+
+    # late-arriving files → next availableNow pass appends them
+    hi.write.mode("append").parquet(src)
+    q2 = indexer.write_stream(
+        spark.readStream.schema(corpus.schema).parquet(src), ckpt
+    )
+    q2.awaitTermination(120)
+
+    d_batch = str(tmp_path / "batch2")
+    IndexBuilder(spark, d_batch, num_segments=3).build(corpus)
+    sb = IndexSearcher(spark, d_batch)
+    si = IndexSearcher(spark, idx)
+    # appended stream order was (lo files..., hi files...) → same docID space
+    assert si.reader.doc_count == sb.reader.doc_count
+    for q in (VOCAB[0], f"{VOCAB[0]} {VOCAB[3]}"):
+        got = {h.doc_id for h in si.search(q, 50)}
+        exp = {h.doc_id for h in sb.search(q, 50)}
+        # file-source ordering within one batch may interleave lo-files, so
+        # docIDs are assigned in (conv, turn) order per batch — identical sets
+        assert got == exp, q
