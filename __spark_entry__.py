@@ -60,10 +60,17 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_SEARCHERS: dict = {}
+
+
 def _searcher(spark: SparkSession, sf_dir: str):
     from lucene_spark.search.searcher import IndexSearcher
 
-    return IndexSearcher(spark, _ensure_index(spark, sf_dir))
+    d = _ensure_index(spark, sf_dir)
+    key = (id(spark), d)
+    if key not in _SEARCHERS:
+        _SEARCHERS[key] = IndexSearcher(spark, d)
+    return _SEARCHERS[key]
 
 
 def _hits_df(spark: SparkSession, hits) -> DataFrame:

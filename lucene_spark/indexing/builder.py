@@ -116,7 +116,10 @@ def rows_fingerprint(conv_id, turn_idx, text) -> int:
     return _to_signed64(acc)
 
 
-def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 16384):
+def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 4096):
+    """Write with small row groups: postings are sorted by (term, block) so
+    row-group min/max stats prune non-query terms at scan time (the .tip
+    analogue) — smaller groups = finer pruning."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     pq.write_table(table, tmp, row_group_size=row_group_size, compression="zstd")
@@ -424,9 +427,12 @@ class IndexBuilder:
                 F.max("max_tf").cast("int").alias("max_tf"),
             )
         )
+        # file count follows dictionary size (~500k terms/file): tiny dicts →
+        # one footer to read per lookup; huge dicts keep range pruning
+        n_terms = term_stats.count()
         (
             term_stats.repartitionByRange(
-                max(1, self.num_segments // 8), "field", "term"
+                max(1, n_terms // 500_000), "field", "term"
             )
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")

@@ -42,7 +42,7 @@ def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> lis
     """Matching terms from the term dictionary (predicate-pushdown scan)."""
     from pyspark.sql import functions as F
 
-    ts = reader.spark.read.parquet(f"{reader.index_dir}/term_stats")
+    ts = reader._term_stats_df
     c = F.col("term")
     if q.kind == "prefix":
         cond = c.startswith(q.value)

@@ -33,21 +33,52 @@ class IndexReader:
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
         self.field = fs["field"]
+        # point-in-time DataFrames: the parquet file listing (InMemoryFileIndex)
+        # is resolved once per reader open, not once per query — the
+        # DirectoryReader-open analogy; per-query work is then only the
+        # filter + scan jobs
+        self._postings_df = spark.read.parquet(f"{index_dir}/postings")
+        self._term_stats_df = spark.read.parquet(f"{index_dir}/term_stats")
+        self._docs_df = spark.read.parquet(f"{index_dir}/docs")
 
     def _offsets_df(self):
-        return self.spark.createDataFrame(
-            [(s, o) for s, o in sorted(self.offsets.items())],
-            "seg int, doc_offset long",
-        )
+        if not hasattr(self, "_offsets_df_cached"):
+            self._offsets_df_cached = self.spark.createDataFrame(
+                [(s, o) for s, o in sorted(self.offsets.items())],
+                "seg int, doc_offset long",
+            )
+        return self._offsets_df_cached
+
+    # dictionaries up to this size are pinned in driver memory (a ~2M-term
+    # dict ≈ 100 MB) — one Spark job less per query; bigger dicts fall back
+    # to the pushdown scan (Lucene's terms are also memory-resident via the
+    # FST index; this is the same trade at the driver)
+    TERM_CACHE_MAX = 2_000_000
+
+    def _term_cache(self):
+        if not hasattr(self, "_term_cache_map"):
+            n = self._term_stats_df.count()
+            if n <= self.TERM_CACHE_MAX:
+                self._term_cache_map = {
+                    r["term"]: {"df": int(r["df"]), "ttf": int(r["ttf"]),
+                                "max_tf": int(r["max_tf"])}
+                    for r in self._term_stats_df.collect()
+                }
+            else:
+                self._term_cache_map = None
+        return self._term_cache_map
 
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
-        """df/ttf/max_tf per term (pushdown scan over the sorted stats table)."""
+        """df/ttf/max_tf per term (driver cache, else pushdown scan)."""
         if not terms:
             return {}
+        cache = self._term_cache()
+        if cache is not None:
+            return {t: cache[t] for t in set(terms) if t in cache}
         from pyspark.sql import functions as F
 
         rows = (
-            self.spark.read.parquet(f"{self.index_dir}/term_stats")
+            self._term_stats_df
             .filter(F.col("term").isin(list(set(terms))))
             .collect()
         )
@@ -63,7 +94,7 @@ class IndexReader:
         from pyspark.sql import functions as F
 
         return (
-            self.spark.read.parquet(f"{self.index_dir}/postings")
+            self._postings_df
             .filter(F.col("term").isin(list(set(terms))))
             .join(F.broadcast(self._offsets_df()), "seg")
         )
@@ -73,7 +104,7 @@ class IndexReader:
         from pyspark.sql import functions as F
 
         return (
-            self.spark.read.parquet(f"{self.index_dir}/docs")
+            self._docs_df
             .join(F.broadcast(self._offsets_df()), "seg")
             .withColumn("doc_id", F.col("doc_id") + F.col("doc_offset"))
             .drop("doc_offset")
