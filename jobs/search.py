@@ -1,0 +1,44 @@
+"""spark-submit entry point: run top-k queries against a built index.
+
+    spark-submit --py-files dist/lucene_spark.zip jobs/search.py \
+        --index <index dir> --query 'hello "exact phrase" +must -not pre*' \
+        [--k 10] [--mode wand|exhaustive]
+
+Prints one JSON line per query: {"query": ..., "hits": [[doc_id, score], ...],
+"sec": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True,
+                    help="classic-syntax query (repeatable)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from lucene_spark.search.searcher import IndexSearcher
+
+    spark = SparkSession.builder.appName("lucene_spark_search").getOrCreate()
+    s = IndexSearcher(spark, args.index)
+    for q in args.query:
+        t0 = time.time()
+        hits = s.search(q, k=args.k, mode=args.mode)
+        print(json.dumps({
+            "query": q,
+            "hits": [[h.doc_id, h.score] for h in hits],
+            "sec": round(time.time() - t0, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()
