@@ -368,7 +368,11 @@ class IndexBuilder:
         )
 
         self._drop_stale_segments(set(offsets))
-        self._write_stats()
+        built_any = any(r["status"] == "ok" for r in metrics_rows)
+        if built_any or not os.path.isdir(f"{self.index_dir}/term_stats"):
+            # no-op resumes leave every file untouched (open readers keep
+            # their point-in-time view; stats are unchanged by definition)
+            self._write_stats()
         self._save_manifest(
             {
                 "version": 2,

@@ -207,7 +207,29 @@ class IndexSearcher:
         wc = self._weighted_clauses(query)
         if wc is None:
             return 0
-        return len(self.search(query, k=big, mode="exhaustive"))
+        # distributed count: per-segment hit counts summed (never ships the
+        # doc list to the driver — a hot term at 10^12 scale matches billions)
+        specs, cache, msm = wc
+        terms = sorted({c.term for c in specs})
+        postings = self.reader.postings(terms)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "impact_tfs", "impact_norms", "doc_offset"]
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            d, _ = segment_topk(rows, specs, cache, big, msm, prune=False)
+            return pd.DataFrame({"n": [int(d.size)]})
+
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "n long")
+            .collect()
+        )
+        return sum(int(r["n"]) for r in out)
 
     def score_df(self, query):
         """Exhaustive (doc_id, score) DataFrame of ALL matching docs.

@@ -41,7 +41,11 @@ def main(sf_dir: str):
     from lucene_spark.search.reader import IndexReader
 
     rd = IndexReader(spark, d)
-    post = rd.postings(["table", "value"])
+    # exactly the projection the WAND searcher runs (positions NOT read)
+    post = rd.postings(["table", "value"]).select(
+        "seg", "term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+        "norms", "impact_tfs", "impact_norms", "doc_offset",
+    )
     sections.append(("postings scan for a 2-term query (expect PushedFilters "
                      "In(term,...), pruned ReadSchema, broadcast offsets join)",
                      capture(post)))
