@@ -26,6 +26,7 @@ Q_OR = "table value query"
 Q_BOOL = "+table value -spark"
 Q_BOOST = "table^2.5 customer"
 Q_AND = "+table +value"
+Q_MIXED = '+"table value" query -spark'
 PHRASE_TERMS = ("table", "value")
 
 _AN = SimpleAnalyzer()
@@ -354,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
         "bm25_boost": _mk_bm25(Q_BOOST, K_BOOST),
         "bm25_phrase": _q_phrase,
+        "bm25_mixed_phrase_bool": _mk_bm25(Q_MIXED, 40),
         "count_and": _q_count_and,
         "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
         "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
@@ -397,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bool_mix": oracle.bm25_topk_sql(_parse(Q_BOOL), K_BOOL),
         "bm25_boost": oracle.bm25_topk_sql(_parse(Q_BOOST), K_BOOST),
         "bm25_phrase": oracle.phrase_topk_sql(list(PHRASE_TERMS), K_PHRASE),
+        "bm25_mixed_phrase_bool": oracle.bm25_mixed_topk_sql(_parse(Q_MIXED), 40),
         "count_and": oracle.count_sql(_parse(Q_AND)),
         "mt_prefix": oracle.multiterm_sql("x.term LIKE 'ta%'", 50),
         "mt_wildcard": oracle.multiterm_sql("x.term LIKE 'v_lue%'", 50),

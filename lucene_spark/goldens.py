@@ -131,7 +131,23 @@ class BruteForceIndex:
         n_req = 0
         any_scoring = False
         for occur, tq in q.clauses:
-            hit = self.postings.get(tq.term)
+            if isinstance(tq, ast.PhraseQuery):
+                matches = self.phrase_postings(list(tq.terms))
+                present = bool(matches) and all(
+                    t in self.postings for t in tq.terms
+                )
+                hit = None
+                if present:
+                    pd_ = np.array(sorted(matches), dtype=np.int64)
+                    hit = (pd_, np.array([matches[d] for d in pd_.tolist()],
+                                         dtype=np.int64))
+                dfs = [self.postings[t][0].size for t in tq.terms
+                       if t in self.postings]
+                if len(dfs) != len(tq.terms):
+                    hit = None
+            else:
+                hit = self.postings.get(tq.term)
+                dfs = [hit[0].size] if hit is not None else []
             if occur == ast.MUST_NOT:
                 if hit is not None:
                     excluded[hit[0]] = True
@@ -139,7 +155,7 @@ class BruteForceIndex:
             if occur in (ast.MUST, ast.FILTER):
                 n_req += 1
                 if hit is None:
-                    return []  # required term absent
+                    return []  # required clause absent / never matches
                 must_cnt[hit[0]] += 1
             if occur in (ast.MUST, ast.SHOULD):
                 if hit is None:
@@ -147,7 +163,7 @@ class BruteForceIndex:
                 any_scoring = True
                 docs, tfs = hit
                 scorer = self.similarity.scorer(
-                    tq.boost, self.doc_count, self.sum_ttf, [docs.size]
+                    tq.boost, self.doc_count, self.sum_ttf, dfs
                 )
                 score[docs] += scorer.score(tfs, self.norms[docs]).astype(np.float64)
                 if occur == ast.SHOULD:

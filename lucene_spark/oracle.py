@@ -350,6 +350,108 @@ ORDER BY did ASC LIMIT {k}
 """
 
 
+TOKSP = """
+toksp AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(t, '[a-z0-9]+'), 1) AS pos
+  FROM docs0
+)"""
+
+
+def _phrase_freq_cte(name: str, terms) -> str:
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(terms))
+    )
+    conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+    return (f"{name} AS (\n  SELECT t0.did, count(*)::BIGINT AS freq"
+            f"\n  FROM toksp t0{joins}\n  WHERE {conds}\n  GROUP BY t0.did\n)")
+
+
+def _idf_f32(t: str) -> str:
+    return (f"CAST(ln(1 + ((SELECT n FROM fstats) - "
+            f"(SELECT df FROM tstats WHERE term = '{t}') + 0.5)"
+            f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5)) AS FLOAT)")
+
+
+def _clause_weight(terms, boost: float) -> str:
+    """boost × float32(Σ_double float32 per-term idfs)."""
+    s = " + ".join(f"CAST({_idf_f32(t)} AS DOUBLE)" for t in terms)
+    return f"CAST({boost!r} AS FLOAT) * CAST(({s}) AS FLOAT)"
+
+
+_INV = (f"(CAST(1 AS FLOAT) / ({K1} * ((CAST(1 AS FLOAT) - {B})"
+        f" + ({B} * CAST(d.dlen AS FLOAT)) / (SELECT avgdl FROM fstats))))")
+
+
+def bm25_mixed_topk_sql(query, k: int) -> str:
+    """BM25 top-k for boolean queries mixing term and phrase clauses."""
+    q = ast.normalize(query)
+    clauses = []  # (occur, terms tuple, boost)
+    for occ, sub in q.clauses:
+        if isinstance(sub, ast.PhraseQuery):
+            clauses.append((occ, tuple(sub.terms), sub.boost))
+        else:
+            clauses.append((occ, (sub.term,), sub.boost))
+
+    phrase_ctes, score_sqls, conds = [], [], []
+    pi = 0
+    for occ, terms, boost in clauses:
+        is_phrase = len(terms) > 1
+        if is_phrase:
+            name = f"ph{pi}"
+            pi += 1
+            phrase_ctes.append(_phrase_freq_cte(name, terms))
+        if occ in (ast.MUST, ast.SHOULD):
+            w = _clause_weight(terms, boost)
+            if is_phrase:
+                score_sqls.append(
+                    f"SELECT p.did, ({w}) - ({w}) / (CAST(1 AS FLOAT)"
+                    f" + CAST(p.freq AS FLOAT) * {_INV}) AS s"
+                    f" FROM {name} p JOIN dlen d ON d.did = p.did"
+                )
+            else:
+                score_sqls.append(
+                    f"SELECT tf.did, ({w}) - ({w}) / (CAST(1 AS FLOAT)"
+                    f" + CAST(tf.tf AS FLOAT) * {_INV}) AS s"
+                    f" FROM tf JOIN dlen d ON d.did = tf.did"
+                    f" WHERE tf.term = '{terms[0]}'"
+                )
+        if occ == ast.MUST:
+            if is_phrase:
+                conds.append(f"EXISTS (SELECT 1 FROM {name} m WHERE m.did = summed.did)")
+            else:
+                conds.append(f"EXISTS (SELECT 1 FROM tf m WHERE m.did = summed.did"
+                             f" AND m.term = '{terms[0]}')")
+        elif occ == ast.MUST_NOT:
+            if is_phrase:
+                conds.append(f"NOT EXISTS (SELECT 1 FROM {name} x WHERE x.did = summed.did)")
+            else:
+                conds.append(f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = summed.did"
+                             f" AND x.term = '{terms[0]}')")
+    # a required clause whose terms are absent from the corpus → empty result
+    req_guard = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tstats WHERE term = '{t}')"
+        for occ, terms, _ in clauses if occ in (ast.MUST, ast.FILTER)
+        for t in terms
+    ) or "TRUE"
+    all_ctes = ",".join([BASE_CTES, TOKSP] + phrase_ctes)
+    union = "\n  UNION ALL\n  ".join(score_sqls)
+    where = (" AND " + " AND ".join(conds)) if conds else ""
+    return f"""
+WITH {all_ctes},
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM ({union}) GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed
+WHERE ({req_guard}){where}
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
 def count_sql(query) -> str:
     """Exact hit count for a flat boolean query (integer result)."""
     clauses = _clause_rows(query)

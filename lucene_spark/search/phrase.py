@@ -44,6 +44,100 @@ def _term_postings_with_positions(rows, idxs):
     return docs, tfs, norms, flat_pos, offsets
 
 
+def term_postings(rows, idxs):
+    """Concatenate a term's blocks → (docs, tfs, norms)."""
+    order = sorted(idxs, key=lambda i: int(rows["first_doc"][i]))
+    parts = [
+        decode_block(rows["first_doc"][i], rows["count"][i],
+                     rows["doc_gaps"][i], rows["tfs"][i], rows["norms"][i])
+        for i in order
+    ]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 0):
+    """Exhaustive boolean evaluation where clauses are terms OR phrases.
+
+    ``clauses``: list of dicts {occur, kind: 'term'|'phrase', terms: tuple,
+    weight: float32 (0 for FILTER/MUST_NOT)}. Semantics identical to the
+    term-only kernel: score = float32(Σ_double float32 clause scores), hit iff
+    all MUST ∧ no MUST_NOT ∧ (MUST present ∨ ≥ minShouldMatch SHOULD).
+    """
+    from lucene_spark.search.ast import FILTER, MUST, MUST_NOT, SHOULD
+
+    by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(rows["term"]):
+        by_term.setdefault(t, []).append(i)
+
+    def clause_postings(c):
+        """(docs, contrib_f32 or None) for one clause; None docs → no match."""
+        if c["kind"] == "term":
+            t = c["terms"][0]
+            if t not in by_term:
+                return None, None
+            d, tf, nm = term_postings(rows, by_term[t])
+        else:
+            d, tf, nm = segment_phrase_postings(rows, list(c["terms"]))
+            if d.size == 0:
+                return None, None
+        if c["occur"] in (MUST, SHOULD):
+            w = np.float32(c["weight"])
+            inv = cache[np.asarray(nm, dtype=np.int64) & 0xFF]
+            tf32 = np.asarray(tf, dtype=F32)
+            denom = (F32(1.0) + (tf32 * inv).astype(F32)).astype(F32)
+            return d, (w - (w / denom).astype(F32)).astype(F32)
+        return d, None
+
+    n_req = sum(1 for c in clauses if c["occur"] in (MUST, FILTER))
+    docs_parts, score_parts, must_parts, should_parts = [], [], [], []
+    excl_parts = []
+    for c in clauses:
+        d, sc = clause_postings(c)
+        if d is None:
+            if c["occur"] in (MUST, FILTER):
+                return np.zeros(0, np.int64), np.zeros(0, F32)
+            continue
+        if c["occur"] == MUST_NOT:
+            excl_parts.append(d)
+            continue
+        docs_parts.append(d)
+        score_parts.append(
+            sc.astype(np.float64) if sc is not None else np.zeros(d.size)
+        )
+        must_parts.append(
+            np.full(d.size, 1 if c["occur"] in (MUST, FILTER) else 0, np.int64)
+        )
+        should_parts.append(
+            np.full(d.size, 1 if c["occur"] == SHOULD else 0, np.int64)
+        )
+
+    if not docs_parts:
+        return np.zeros(0, np.int64), np.zeros(0, F32)
+    alld = np.concatenate(docs_parts)
+    uniq, inv = np.unique(alld, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, np.concatenate(score_parts))
+    mcnt = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(mcnt, inv, np.concatenate(must_parts))
+    scnt = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(scnt, inv, np.concatenate(should_parts))
+
+    ok = mcnt >= n_req if n_req else scnt >= max(1, min_should_match)
+    if n_req and min_should_match:
+        ok &= scnt >= min_should_match
+    if excl_parts:
+        excl = np.unique(np.concatenate(excl_parts))
+        ok &= ~np.isin(uniq, excl)
+    if not ok.any():
+        return np.zeros(0, np.int64), np.zeros(0, F32)
+    d = uniq[ok]
+    s = acc[ok].astype(F32)
+    order = np.lexsort((d, -s.astype(np.float64)))[:k]
+    return d[order], s[order]
+
+
 def segment_phrase_postings(rows, terms: list[str]):
     """(docs, freqs, norms) of exact-phrase matches within one segment.
 

@@ -109,6 +109,10 @@ class IndexSearcher:
             from lucene_spark.search.multiterm import dismax_topk
 
             return dismax_topk(self.reader, self.similarity, query, k)
+        if isinstance(query, ast.BooleanQuery) and any(
+            isinstance(sub, ast.PhraseQuery) for _, sub in query.clauses
+        ):
+            return self._search_boolean_mixed(query, k)
         wc = self._weighted_clauses(query)
         if wc is None:
             return []
@@ -136,6 +140,79 @@ class IndexSearcher:
             .collect()
         )
         # TopDocs.merge: exact global tie-break (score DESC, doc_id ASC)
+        if not out:
+            return []
+        d = np.array([r["doc_id"] for r in out], dtype=np.int64)
+        s = np.array([r["score"] for r in out], dtype=np.float32)
+        order = np.lexsort((d, -s.astype(np.float64)))[:k]
+        return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
+
+    def _search_boolean_mixed(self, q: ast.BooleanQuery, k: int) -> list[ScoreDoc]:
+        """Boolean queries whose clauses mix terms and phrases (exhaustive;
+        phrase clauses have no block-max bound yet, so no pruning)."""
+        from lucene_spark.search.phrase import segment_boolean_mixed
+
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        all_terms: set[str] = set()
+        for _, sub in q.clauses:
+            all_terms.update(
+                sub.terms if isinstance(sub, ast.PhraseQuery) else [sub.term]
+            )
+        stats = self.reader.term_stats(sorted(all_terms))
+        if self.reader.doc_count == 0:
+            return []
+
+        def df_of(t):
+            return stats.get(t, {}).get("df", 0)
+
+        clauses = []
+        for occur, sub in q.clauses:
+            terms = tuple(sub.terms) if isinstance(sub, ast.PhraseQuery) \
+                else (sub.term,)
+            present = all(df_of(t) > 0 for t in terms)
+            if not present:
+                if occur in (ast.MUST, ast.FILTER):
+                    return []  # required clause can never match
+                continue  # absent SHOULD / MUST_NOT never matches
+            if occur in (ast.MUST, ast.SHOULD):
+                scorer = self.reader.similarity_scorer(
+                    self.similarity, sub.boost, [df_of(t) for t in terms]
+                )
+                w = float(scorer.weight)
+            else:
+                w = 0.0
+            clauses.append({"occur": occur, "terms": terms, "weight": w,
+                            "kind": "phrase" if len(terms) > 1 or
+                            isinstance(sub, ast.PhraseQuery) else "term"})
+        if not clauses or not any(
+            c["occur"] in (ast.MUST, ast.SHOULD, ast.FILTER) for c in clauses
+        ):
+            return []
+        cache = norm_cache(
+            np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
+            F32(self.similarity.k1), F32(self.similarity.b),
+        )
+        msm = q.min_should_match
+        fetch = sorted({t for c in clauses for t in c["terms"]})
+        postings = self.reader.postings(fetch)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions", "doc_offset"]
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            d, s = segment_boolean_mixed(rows, clauses, cache, k, msm)
+            return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
+
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float")
+            .collect()
+        )
         if not out:
             return []
         d = np.array([r["doc_id"] for r in out], dtype=np.int64)
@@ -202,7 +279,10 @@ class IndexSearcher:
 
             return constant_score_count(self.reader, expand_terms(self.reader, query))
         if isinstance(query, (ast.PhraseQuery, ast.SynonymQuery,
-                              ast.DisjunctionMaxQuery)):
+                              ast.DisjunctionMaxQuery)) or (
+            isinstance(query, ast.BooleanQuery)
+            and any(isinstance(s, ast.PhraseQuery) for _, s in query.clauses)
+        ):
             return len(self.search(query, k=big))
         wc = self._weighted_clauses(query)
         if wc is None:

@@ -266,3 +266,27 @@ def test_search_after_pagination(searcher):
     page2 = searcher.search_after(q, after_count=10, k=10)
     assert [(h.doc_id, h.score) for h in page2] == \
         [(h.doc_id, h.score) for h in full[10:20]]
+
+
+def test_boolean_with_phrase_clauses(spark, searcher, golden, corpus_pdf):
+    """Mixed boolean (term + phrase clauses) ≡ brute-force goldens."""
+    an = golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pair = None
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    ph = f'"{pair[0]} {pair[1]}"'
+    queries = [
+        f"+{ph} {VOCAB[3]}",                 # MUST phrase + SHOULD term
+        f"{ph} {VOCAB[0]}",                  # SHOULD phrase + SHOULD term
+        f"+{VOCAB[0]} -{ph}",                # MUST term + MUST_NOT phrase
+        f'+{ph} +"{VOCAB[0]} zzznotaterm"',  # required phrase that never matches
+        f"{ph}^2.5 {VOCAB[5]}",              # boosted phrase clause
+    ]
+    for q in queries:
+        exp = golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+        assert got == exp, f"mixed boolean mismatch for {q!r}"
