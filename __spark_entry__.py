@@ -365,7 +365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_set": _mk_multiterm(
             ast.MultiTermQuery("set", terms=("table", "vector", "window")), 50
         ),
+        "mt_regexp": _mk_multiterm(
+            ast.MultiTermQuery("regexp", "(ta|va)[a-z]+e"), 50
+        ),
         "mt_fuzzy_count": _q_mt_fuzzy_count,
+        "match_all_count": lambda spark, sf_dir: spark.createDataFrame(
+            [(int(_searcher(spark, sf_dir).reader.doc_count),)], "hits long"
+        ),
         "synonym_topk": _q_synonym,
         "dismax_topk": _q_dismax,
         "group_top1_source": _q_group_top1,
@@ -409,9 +415,13 @@ def oracle_sql() -> dict[str, str]:
         "mt_set": oracle.multiterm_sql(
             "x.term IN ('table','vector','window')", 50
         ),
+        "mt_regexp": oracle.multiterm_sql(
+            "regexp_matches(x.term, '^(?:(ta|va)[a-z]+e)$')", 50
+        ),
         "mt_fuzzy_count": oracle.multiterm_count_sql(
             "length(x.term) BETWEEN 3 AND 7 AND levenshtein(x.term, 'tabel') <= 2"
         ),
+        "match_all_count": "SELECT count(*)::BIGINT AS hits FROM documents",
         "synonym_topk": oracle.synonym_topk_sql(["table", "row"], 40),
         "dismax_topk": oracle.dismax_topk_sql(["table", "value"], 40),
         "group_top1_source": oracle.group_top1_sql(_parse(Q_OR), "source"),

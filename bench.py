@@ -75,6 +75,8 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
         "topk_bool": f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}",
         "topk_boost": f"{VOCAB[4]}^2.5 {VOCAB[9]}",
         "topk_rare": VOCAB[1500],
+        "topk_phrase": f'"{VOCAB[0]} {VOCAB[3]}"',
+        "topk_prefix": f"{VOCAB[1][:3]}*",
     }
     for name, q in qset.items():
         searcher.search(q, 10)  # warm (plans, parquet footers)
