@@ -33,7 +33,7 @@ _AN = SimpleAnalyzer()
 
 
 def _parse(s: str):
-    return ast.parse(s, _AN)
+    return ast.parse(s, _AN, fields=("text", "role"))
 
 
 def _index_dir(sf_dir: str) -> str:
@@ -50,12 +50,14 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     d = _index_dir(sf_dir)
     resume = os.path.exists(f"{d}/manifest.json")
-    if resume:  # layout upgrade: old index without positions → full rebuild
+    if resume:  # layout upgrade: old index lacking positions/fields → rebuild
         with open(f"{d}/manifest.json") as f:
-            if not json.load(f).get("positions", False):
-                shutil.rmtree(d, ignore_errors=True)
-                resume = False
-    b = IndexBuilder(spark, d, analyzer="simple", num_segments=8)
+            m = json.load(f)
+        if not m.get("positions", False) or m.get("keyword_fields") != ["role"]:
+            shutil.rmtree(d, ignore_errors=True)
+            resume = False
+    b = IndexBuilder(spark, d, analyzer="simple", num_segments=8,
+                     keyword_fields=("role",))
     transcripts = transcripts_from_documents(spark, sf_dir)
     b.build(transcripts, resume=resume)
     return d
@@ -93,6 +95,7 @@ def _q_term_stats(spark, sf_dir):
     d = _ensure_index(spark, sf_dir)
     return (
         spark.read.parquet(f"{d}/term_stats")
+        .filter(F.col("field") == "text")
         .orderBy(F.desc("df"), F.asc("term"))
         .select("term", "df", "ttf")
         .limit(100)
@@ -365,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_set": _mk_multiterm(
             ast.MultiTermQuery("set", terms=("table", "vector", "window")), 50
         ),
+        "kw_role_filter": _mk_bm25("+role:user +table", 20),
+        "kw_role_miss_count": lambda spark, sf_dir: spark.createDataFrame(
+            [(int(_searcher(spark, sf_dir).count("+role:assistant +table")),)],
+            "hits long",
+        ),
         "mt_regexp": _mk_multiterm(
             ast.MultiTermQuery("regexp", "(ta|va)[a-z]+e"), 50
         ),
@@ -415,6 +423,12 @@ def oracle_sql() -> dict[str, str]:
         "mt_set": oracle.multiterm_sql(
             "x.term IN ('table','vector','window')", 50
         ),
+        # the documents→transcripts mapping sets role='user' on every turn, so
+        # the role filter is all-pass / none-pass by construction — the oracle
+        # reflects exactly that while the engine resolves it via real keyword-
+        # field postings
+        "kw_role_filter": oracle.bm25_topk_sql(_parse("+table"), 20),
+        "kw_role_miss_count": "SELECT CAST(0 AS BIGINT) AS hits",
         "mt_regexp": oracle.multiterm_sql(
             "regexp_matches(x.term, '^(?:(ta|va)[a-z]+e)$')", 50
         ),

@@ -29,11 +29,21 @@ class BruteForceIndex:
     """In-memory inverted index over a pandas transcript corpus."""
 
     def __init__(self, corpus: pd.DataFrame, analyzer: str = "standard",
-                 similarity: BM25Similarity | None = None):
+                 similarity: BM25Similarity | None = None,
+                 keyword_fields: tuple = ()):
         self.analyzer = get_analyzer(analyzer)
         self.similarity = similarity or BM25Similarity()
         pdf = corpus.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
         self.pdf = pdf
+        # keyword fields: field -> value -> sorted doc array (StringField)
+        self.keyword: dict[str, dict[str, np.ndarray]] = {}
+        for kf in keyword_fields:
+            m: dict[str, list] = {}
+            for doc_id, v in enumerate(pdf[kf]):
+                if v is not None:
+                    m.setdefault(str(v), []).append(doc_id)
+            self.keyword[kf] = {v: np.array(d, dtype=np.int64)
+                                for v, d in m.items()}
         tokens = self.analyzer.tokenize_series(pdf["text"])
         self.n = len(pdf)
         self.dl = tokens.map(len).to_numpy(dtype=np.int64)
@@ -101,7 +111,8 @@ class BruteForceIndex:
 
     def search(self, query, k: int = 10):
         if isinstance(query, str):
-            query = ast.parse(query, self.analyzer)
+            query = ast.parse(query, self.analyzer,
+                              fields=("text",) + tuple(self.keyword))
         q = ast.normalize(query)
         if isinstance(q, ast.MatchNoDocsQuery) or self.doc_count == 0:
             return []
@@ -131,6 +142,18 @@ class BruteForceIndex:
         n_req = 0
         any_scoring = False
         for occur, tq in q.clauses:
+            if isinstance(tq, ast.TermQuery) and tq.field != "text":
+                # keyword field: filter-only (MUST coerced to FILTER, no score)
+                docs = self.keyword.get(tq.field, {}).get(tq.term)
+                if occur == ast.MUST_NOT:
+                    if docs is not None:
+                        excluded[docs] = True
+                    continue
+                n_req += 1
+                if docs is None:
+                    return []
+                must_cnt[docs] += 1
+                continue
             if isinstance(tq, ast.PhraseQuery):
                 matches = self.phrase_postings(list(tq.terms))
                 present = bool(matches) and all(

@@ -103,16 +103,20 @@ def _to_signed64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def rows_fingerprint(conv_id, turn_idx, text) -> int:
+def rows_fingerprint(conv_id, turn_idx, text, extra_cols=()) -> int:
     """Order-independent content fingerprint: xor of per-row md5 prefixes.
 
     Computed identically by the invert pass (fresh build) and the light
-    resume pass — pure Python/hashlib, no engine dependency.
+    resume pass — pure Python/hashlib, no engine dependency. ``extra_cols``:
+    additional per-row value arrays (keyword fields) folded into the hash.
     """
     acc = 0
-    for c, t, x in zip(conv_id, turn_idx, text):
-        row = f"{c}\x01{t}\x01{x if x is not None else ''}".encode()
-        acc ^= int.from_bytes(hashlib.md5(row).digest()[:8], "little")
+    for i, (c, t, x) in enumerate(zip(conv_id, turn_idx, text)):
+        row = f"{c}\x01{t}\x01{x if x is not None else ''}"
+        for col in extra_cols:
+            v = col[i]
+            row += f"\x01{v if v is not None else ''}"
+        acc ^= int.from_bytes(hashlib.md5(row.encode()).digest()[:8], "little")
     return _to_signed64(acc)
 
 
@@ -127,13 +131,16 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 4096
 
 
 def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
-                    analyzer_name: str, positions: bool = True) -> dict:
+                    analyzer_name: str, positions: bool = True,
+                    keyword_fields: tuple = ()) -> dict:
     """Invert one fully-accumulated, key-sorted segment and write its files."""
     t0 = time.time()
     analyzer = get_analyzer(analyzer_name)
     n = len(pdf)
     fingerprint = rows_fingerprint(
-        pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(), pdf["text"].to_numpy()
+        pdf["conv_id"].to_numpy(), pdf["turn_idx"].to_numpy(),
+        pdf["text"].to_numpy(),
+        [pdf[f].to_numpy() for f in keyword_fields],
     )
     # byte-level tokenize → sorted unique-term pool + int codes (no per-token
     # Python objects; the pool is byte-ordered == Lucene term order)
@@ -180,8 +187,36 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
         term_pool=uniq_terms, pos_flat=pos_flat,
     )
     n_blocks = len(cols["term"])
+    field_col = [np.full(n_blocks, FIELD, dtype=object)]
+    col_parts = [cols]
+
+    # keyword fields (StringField/KeywordField analogy): one atomic token per
+    # doc, tf=1, norms omitted (Lucene omitNorms → constant-score semantics)
+    for kf in keyword_fields:
+        vals = pdf[kf].to_numpy(dtype=object)
+        present = np.flatnonzero(np.array([v is not None for v in vals]))
+        if present.size == 0:
+            continue
+        sub = vals[present]
+        kw_uniq, kw_codes = np.unique(sub.astype(str), return_inverse=True)
+        order_k = np.argsort(kw_codes * np.int64(max(n, 1)) + present, kind="stable")
+        kcols = encode_segment_blocks(
+            kw_codes[order_k].astype(np.int64),
+            present[order_k].astype(np.int64),
+            np.ones(present.size, dtype=np.int64),
+            np.ones(present.size, dtype=np.int64),
+            term_pool=np.array(kw_uniq, dtype=object),
+        )
+        field_col.append(np.full(len(kcols["term"]), kf, dtype=object))
+        col_parts.append(kcols)
+
+    merged = (
+        {k: sum((list(p[k]) for p in col_parts), []) for k in col_parts[0]}
+        if len(col_parts) > 1 else cols
+    )
+    n_blocks = len(merged["term"])
     postings_tbl = pa.Table.from_pydict(
-        {"field": np.full(n_blocks, FIELD, dtype=object), **cols},
+        {"field": np.concatenate(field_col), **merged},
         schema=POSTINGS_SCHEMA,
     )
     _atomic_write_parquet(postings_tbl, f"{index_dir}/postings/seg={seg}/part-0.parquet")
@@ -197,7 +232,8 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     }
 
 
-def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True):
+def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True,
+                    keyword_fields: tuple = ()):
     def invert(iterator):
         cur_seg = None
         buf: list[pd.DataFrame] = []
@@ -208,7 +244,8 @@ def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True):
                 return
             pdf = pd.concat(buf, ignore_index=True)
             results.append(
-                _invert_segment(cur_seg, pdf, index_dir, analyzer_name, positions)
+                _invert_segment(cur_seg, pdf, index_dir, analyzer_name,
+                                positions, keyword_fields)
             )
 
         for pdf in iterator:
@@ -226,7 +263,7 @@ def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True):
     return invert
 
 
-def _make_fingerprint_fn():
+def _make_fingerprint_fn(keyword_fields: tuple = ()):
     """Light resume pass: per-(partition, segment) partial (rows, fp)."""
     def fp(iterator):
         counts: dict[int, int] = {}
@@ -241,6 +278,7 @@ def _make_fingerprint_fn():
                         grp["conv_id"].to_numpy(),
                         grp["turn_idx"].to_numpy(),
                         grp["text"].to_numpy(),
+                        [grp[f].to_numpy() for f in keyword_fields],
                     )
                 )
         if counts:
@@ -259,12 +297,14 @@ class IndexBuilder:
     """Build (or resume) a transcript index at ``index_dir``."""
 
     def __init__(self, spark, index_dir: str, analyzer: str = "standard",
-                 num_segments: int | None = None, positions: bool = True):
+                 num_segments: int | None = None, positions: bool = True,
+                 keyword_fields: tuple = ()):
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.num_segments = num_segments or spark.sparkContext.defaultParallelism
         self.positions = positions
+        self.keyword_fields = tuple(keyword_fields)
 
     # -- manifest helpers ---------------------------------------------------
     @property
@@ -303,8 +343,10 @@ class IndexBuilder:
         done: dict[int, dict] = {}
         if resume and os.path.isdir(f"{self.index_dir}/build_manifest"):
             fp_rows = (
-                with_seg.select("segment", "conv_id", "turn_idx", "text")
-                .mapInPandas(_make_fingerprint_fn(), "segment int, rows_in long, fp long")
+                with_seg.select("segment", "conv_id", "turn_idx", "text",
+                                *self.keyword_fields)
+                .mapInPandas(_make_fingerprint_fn(self.keyword_fields),
+                             "segment int, rows_in long, fp long")
                 .groupBy("segment")
                 .agg(F.sum("rows_in").alias("rows_in"), F.expr("bit_xor(fp)").alias("fp"))
                 .collect()
@@ -335,13 +377,15 @@ class IndexBuilder:
         metrics_rows = list(done.values())
         if present is None or len(metrics_rows) < len(present):
             shuffled = (
-                work.select("segment", "conv_id", "turn_idx", "text")
+                work.select("segment", "conv_id", "turn_idx", "text",
+                            *self.keyword_fields)
                 .withColumn("skey", skey_col(skeys))
                 .repartition(nseg, "skey")
                 .drop("skey")
                 .sortWithinPartitions("segment", "conv_id", "turn_idx")
             )
-            invert = _make_invert_fn(self.index_dir, self.analyzer, self.positions)
+            invert = _make_invert_fn(self.index_dir, self.analyzer,
+                                     self.positions, self.keyword_fields)
             metrics = shuffled.mapInPandas(invert, METRICS_SCHEMA).collect()
             metrics_rows.extend(r.asDict() for r in metrics)
 
@@ -379,6 +423,7 @@ class IndexBuilder:
                 "field": FIELD,
                 "analyzer": self.analyzer,
                 "positions": self.positions,
+                "keyword_fields": list(self.keyword_fields),
                 "num_segments": nseg,
                 "boundaries": boundaries,
                 "doc_count": acc,
@@ -450,7 +495,10 @@ class IndexBuilder:
                 F.sum("dl").cast("long").alias("sum_ttf"),
             )
             .withColumn("field", F.lit(FIELD))
-            .crossJoin(ts.agg(F.sum("df").cast("long").alias("sum_df")))
+            .crossJoin(
+                ts.filter(F.col("field") == FIELD)
+                .agg(F.sum("df").cast("long").alias("sum_df"))
+            )
             .select("field", "doc_count", "sum_ttf", "sum_df")
         )
         field_stats.coalesce(1).write.mode("overwrite").parquet(

@@ -179,11 +179,14 @@ import re as _re
 _CLAUSE_RE = _re.compile(r'([+-]?)("(?:[^"]*)"|[^\s"^]+)(?:\^([\d.]+))?')
 
 
-def parse(query_str: str, analyzer, default_field: str = "text"):
+def parse(query_str: str, analyzer, default_field: str = "text",
+          fields: tuple = ("text",)):
     """Classic-syntax subset → normalized AST. See module docstring.
 
     Supports ``"exact phrase"`` clauses (``QueryParserBase.getFieldQuery`` →
-    PhraseQuery when the analyzed text has >1 token).
+    PhraseQuery when the analyzed text has >1 token) and ``field:term`` for
+    any field in ``fields`` — non-default fields are keyword fields whose
+    values are NOT analyzed (StringField semantics).
     """
     clauses = []
     for m in _CLAUSE_RE.finditer(query_str):
@@ -197,8 +200,12 @@ def parse(query_str: str, analyzer, default_field: str = "text"):
         if not is_phrase and ":" in raw:
             maybe_field, _, rest = raw.partition(":")
             # only treat as field prefix for known fields; else it's MidLetter text
-            if maybe_field == default_field:
+            if maybe_field in fields:
                 fieldname, raw = maybe_field, rest
+                if maybe_field != default_field:
+                    # keyword field: exact, unanalyzed term
+                    clauses.append((occur, TermQuery(raw, fieldname, boost)))
+                    continue
         if not is_phrase:
             # wildcard / prefix / fuzzy syntax (QueryParserBase.java:690,793)
             fz = _re.fullmatch(r"(.+?)~([012])?", raw)

@@ -60,26 +60,30 @@ class IndexReader:
             n = self._term_stats_df.count()
             if n <= self.TERM_CACHE_MAX:
                 self._term_cache_map = {
-                    r["term"]: {"df": int(r["df"]), "ttf": int(r["ttf"]),
-                                "max_tf": int(r["max_tf"])}
+                    (r["field"], r["term"]): {
+                        "df": int(r["df"]), "ttf": int(r["ttf"]),
+                        "max_tf": int(r["max_tf"]),
+                    }
                     for r in self._term_stats_df.collect()
                 }
             else:
                 self._term_cache_map = None
         return self._term_cache_map
 
-    def term_stats(self, terms: list[str]) -> dict[str, dict]:
-        """df/ttf/max_tf per term (driver cache, else pushdown scan)."""
+    def term_stats(self, terms: list[str], field: str = "text") -> dict[str, dict]:
+        """df/ttf/max_tf per term in ``field`` (driver cache, else scan)."""
         if not terms:
             return {}
         cache = self._term_cache()
         if cache is not None:
-            return {t: cache[t] for t in set(terms) if t in cache}
+            return {t: cache[(field, t)] for t in set(terms)
+                    if (field, t) in cache}
         from pyspark.sql import functions as F
 
         rows = (
             self._term_stats_df
-            .filter(F.col("term").isin(list(set(terms))))
+            .filter((F.col("field") == field)
+                    & F.col("term").isin(list(set(terms))))
             .collect()
         )
         return {
@@ -88,14 +92,31 @@ class IndexReader:
             for r in rows
         }
 
-    def postings(self, terms: list[str]):
+    def postings(self, terms: list[str], field: str = "text"):
         """Posting-block rows for the given terms, with ``seg`` +
         ``doc_offset`` (the per-segment docBase) columns."""
         from pyspark.sql import functions as F
 
         return (
             self._postings_df
-            .filter(F.col("term").isin(list(set(terms))))
+            .filter((F.col("field") == field)
+                    & F.col("term").isin(list(set(terms))))
+            .join(F.broadcast(self._offsets_df()), "seg")
+        )
+
+    def postings_multi(self, field_terms: dict):
+        """Posting blocks for {field: [terms]} (multi-field queries)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        conds = [
+            (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
+            for f, ts in field_terms.items() if ts
+        ]
+        cond = reduce(lambda a, b: a | b, conds)
+        return (
+            self._postings_df.filter(cond)
             .join(F.broadcast(self._offsets_df()), "seg")
         )
 

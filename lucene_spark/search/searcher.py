@@ -40,11 +40,20 @@ class IndexSearcher:
         self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
 
     def parse(self, query_str: str):
-        return ast.parse(query_str, self.analyzer)
+        kw = tuple(self.reader.manifest.get("keyword_fields", []))
+        return ast.parse(query_str, self.analyzer, fields=("text",) + kw)
+
+    FIELD_SEP = "\x1f"  # kernel clause key = field + SEP + term
 
     # -- weights ------------------------------------------------------------
     def _weighted_clauses(self, query):
-        """Resolve stats → ClauseSpecs + shared norm cache. None → no match."""
+        """Resolve stats → ClauseSpecs + shared norm cache. None → no match.
+
+        Multi-field: clauses on keyword fields (any field != "text") act as
+        constant/filter clauses — MUST is coerced to FILTER (KeywordField /
+        StringField omitNorms semantics: no BM25 contribution), SHOULD on a
+        keyword field is unsupported.
+        """
         q = ast.normalize(query)
         if isinstance(q, ast.MatchNoDocsQuery):
             return None
@@ -53,16 +62,28 @@ class IndexSearcher:
         occ_clauses = list(q.clauses)
         if any(not isinstance(tq, ast.TermQuery) for _, tq in occ_clauses):
             raise NotImplementedError(
-                "phrase clauses inside boolean queries are not supported yet; "
-                "use a top-level phrase query"
+                "phrase clauses inside boolean queries are handled by the "
+                "mixed path"
             )
-        terms = [tq.term for _, tq in occ_clauses]
-        stats = self.reader.term_stats(terms)
+        by_field: dict[str, list[str]] = {}
+        for _, tq in occ_clauses:
+            by_field.setdefault(tq.field, []).append(tq.term)
+        stats = {}
+        for f, ts in by_field.items():
+            stats.update({(f, t): v for t, v
+                          in self.reader.term_stats(ts, field=f).items()})
         if self.reader.doc_count == 0:
             return None
         specs: list[ClauseSpec] = []
         for occur, tq in occ_clauses:
-            st = stats.get(tq.term)
+            if tq.field != "text":
+                if occur == ast.SHOULD:
+                    raise NotImplementedError(
+                        "SHOULD on keyword fields is not supported (filter-only)"
+                    )
+                if occur == ast.MUST:
+                    occur = ast.FILTER
+            st = stats.get((tq.field, tq.term))
             if st is None or st["df"] == 0:
                 if occur in (ast.MUST, ast.FILTER):
                     return None  # required term absent from corpus
@@ -74,7 +95,9 @@ class IndexSearcher:
                 w = scorer.weight
             else:
                 w = F32(0.0)
-            specs.append(ClauseSpec(tq.term, occur, w))
+            specs.append(
+                ClauseSpec(tq.field + self.FIELD_SEP + tq.term, occur, w)
+            )
         if not specs:
             return None
         if not any(c.occur in (ast.MUST, ast.SHOULD, ast.FILTER) for c in specs):
@@ -118,14 +141,15 @@ class IndexSearcher:
             return []
         specs, cache, msm = wc
         prune = mode == "wand"
-        terms = sorted({c.term for c in specs})
 
-        postings = self.reader.postings(terms)
-        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-                "norms", "impact_tfs", "impact_norms", "doc_offset"]
+        postings = self._postings_for_specs(specs)
+        cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
+                "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
+        sep = self.FIELD_SEP
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
+            rows["term"] = (pdf["field"] + sep + pdf["term"]).to_numpy(dtype=object)
             # globalize docIDs: local block bounds + the segment's docBase
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
@@ -146,6 +170,13 @@ class IndexSearcher:
         s = np.array([r["score"] for r in out], dtype=np.float32)
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
+
+    def _postings_for_specs(self, specs):
+        field_terms: dict[str, list[str]] = {}
+        for c in specs:
+            f, t = c.term.split(self.FIELD_SEP, 1)
+            field_terms.setdefault(f, []).append(t)
+        return self.reader.postings_multi(field_terms)
 
     def _search_boolean_mixed(self, q: ast.BooleanQuery, k: int) -> list[ScoreDoc]:
         """Boolean queries whose clauses mix terms and phrases (exhaustive;
@@ -290,13 +321,14 @@ class IndexSearcher:
         # distributed count: per-segment hit counts summed (never ships the
         # doc list to the driver — a hot term at 10^12 scale matches billions)
         specs, cache, msm = wc
-        terms = sorted({c.term for c in specs})
-        postings = self.reader.postings(terms)
-        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-                "norms", "impact_tfs", "impact_norms", "doc_offset"]
+        postings = self._postings_for_specs(specs)
+        cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
+                "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
+        sep = self.FIELD_SEP
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
+            rows["term"] = (pdf["field"] + sep + pdf["term"]).to_numpy(dtype=object)
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
@@ -325,14 +357,15 @@ class IndexSearcher:
         if wc is None:
             return spark.createDataFrame([], "doc_id long, score float")
         specs, cache, msm = wc
-        terms = sorted({c.term for c in specs})
-        postings = self.reader.postings(terms)
-        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-                "norms", "impact_tfs", "impact_norms", "doc_offset"]
+        postings = self._postings_for_specs(specs)
+        cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
+                "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
         big = self.reader.doc_count + 1
+        sep = self.FIELD_SEP
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
+            rows["term"] = (pdf["field"] + sep + pdf["term"]).to_numpy(dtype=object)
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off

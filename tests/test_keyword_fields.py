@@ -1,0 +1,59 @@
+"""Multi-field indexing: keyword fields (StringField/KeywordField analogy) as
+filter clauses alongside scored text clauses."""
+
+import shutil
+
+import pytest
+
+from lucene_spark.corpus import VOCAB, synthetic_transcripts, synthetic_transcripts_pdf
+from lucene_spark.goldens import BruteForceIndex
+from lucene_spark.indexing.builder import IndexBuilder
+from lucene_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def kw_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("kwidx") / "index")
+    shutil.rmtree(d, ignore_errors=True)
+    df = synthetic_transcripts(spark, 80)
+    IndexBuilder(spark, d, num_segments=4, keyword_fields=("role",)).build(df)
+    return d
+
+
+@pytest.fixture(scope="module")
+def kw_golden(corpus_pdf):
+    return BruteForceIndex(corpus_pdf, keyword_fields=("role",))
+
+
+def test_keyword_filter_clauses(spark, kw_index, kw_golden):
+    s = IndexSearcher(spark, kw_index)
+    queries = [
+        f"+role:assistant {VOCAB[0]}",       # keyword MUST(→FILTER) + scored
+        f"+role:tool +{VOCAB[1]}",           # keyword + text MUST
+        f"-role:user {VOCAB[0]} {VOCAB[3]}", # keyword MUST_NOT
+        f"+role:nosuchrole {VOCAB[0]}",      # absent keyword value → no hits
+    ]
+    for q in queries:
+        exp = kw_golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in s.search(q, 50)]
+        assert got == exp, f"keyword-field mismatch for {q!r}"
+    # keyword filter on a required text term selects a strict subset
+    # (note: FILTER + bare SHOULD matches on the filter alone — Lucene
+    # semantics — so the subset claim needs MUST on the text term)
+    base = {h.doc_id for h in s.search(f"+{VOCAB[0]}", 100_000)}
+    filt = {h.doc_id for h in s.search(f"+role:assistant +{VOCAB[0]}", 100_000)}
+    assert filt and filt < base
+
+
+def test_keyword_field_stats_and_resume(spark, kw_index, corpus_pdf):
+    from pyspark.sql import functions as F
+
+    ts = spark.read.parquet(f"{kw_index}/term_stats")
+    roles = {r["term"]: r["df"] for r in
+             ts.filter(F.col("field") == "role").collect()}
+    expected = corpus_pdf["role"].value_counts().to_dict()
+    assert roles == expected
+    # resume with identical data reuses everything (fingerprint covers role)
+    b = IndexBuilder(spark, kw_index, num_segments=4, keyword_fields=("role",))
+    r = b.build(synthetic_transcripts(spark, 80), resume=True)
+    assert r["built"] == 0 and r["reused"] == 4

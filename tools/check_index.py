@@ -29,7 +29,8 @@ def check_segment_postings(pdf: pd.DataFrame) -> list[str]:
     from lucene_spark.indexing.blocks import decode_block, pareto_impacts
 
     errs = []
-    for term, grp in pdf.groupby("term", sort=False):
+    for (field, term), grp in pdf.groupby(["field", "term"], sort=False):
+        term = f"{field}:{term}"
         grp = grp.sort_values("block_id")
         prev_last = -1
         if grp["block_id"].tolist() != list(range(len(grp))):
@@ -124,9 +125,9 @@ def main():
 
     # stats consistency
     ts = spark.read.parquet(f"{index_dir}/term_stats")
-    rec = post.groupBy("term").agg(F.sum("count").alias("df2"),
-                                   F.sum("ttf").alias("ttf2"))
-    bad_ts = ts.join(rec, "term").filter("df != df2 OR ttf != ttf2").count()
+    rec = post.groupBy("field", "term").agg(F.sum("count").alias("df2"),
+                                            F.sum("ttf").alias("ttf2"))
+    bad_ts = ts.join(rec, ["field", "term"]).filter("df != df2 OR ttf != ttf2").count()
     if bad_ts:
         problems.append(f"{bad_ts} terms with inconsistent term_stats")
     fs = spark.read.parquet(f"{index_dir}/field_stats").collect()[0]
