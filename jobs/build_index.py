@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume from checkpoint (re-invert changed segments only)")
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--keyword-fields", default="",
+                    help="comma-separated atomic keyword fields (e.g. role)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +51,7 @@ def main():
     res = IndexBuilder(
         spark, args.index, analyzer=args.analyzer, num_segments=nseg,
         positions=not args.no_positions,
+        keyword_fields=tuple(f for f in args.keyword_fields.split(",") if f),
     ).build(df, resume=args.resume)
     res["wall_sec"] = round(time.time() - t0, 2)
     res["segments"] = nseg
