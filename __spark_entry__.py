@@ -433,7 +433,8 @@ def oracle_sql() -> dict[str, str]:
             "regexp_matches(x.term, '^(?:(ta|va)[a-z]+e)$')", 50
         ),
         "mt_fuzzy_count": oracle.multiterm_count_sql(
-            "length(x.term) BETWEEN 3 AND 7 AND levenshtein(x.term, 'tabel') <= 2"
+            "length(x.term) BETWEEN 3 AND 7 "
+            "AND damerau_levenshtein(x.term, 'tabel') <= 2"
         ),
         "match_all_count": "SELECT count(*)::BIGINT AS hits FROM documents",
         "synonym_topk": oracle.synonym_topk_sql(["table", "row"], 40),

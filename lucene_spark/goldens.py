@@ -109,6 +109,34 @@ class BruteForceIndex:
                 out[doc] = len(cand)
         return out
 
+    def _mt_matches(self, q) -> list:
+        """Terms of the text field matching a MultiTermQuery (brute force)."""
+        import re
+
+        from lucene_spark.search.multiterm import damerau_levenshtein
+
+        def pred(t):
+            if q.kind == "prefix":
+                return t.startswith(q.value)
+            if q.kind == "wildcard":
+                rx = "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                    for ch in q.value
+                )
+                return re.fullmatch(rx, t) is not None
+            if q.kind == "regexp":
+                return re.fullmatch(f"(?:{q.value})", t) is not None
+            if q.kind == "fuzzy":
+                return damerau_levenshtein(t, q.value) <= q.max_edits
+            if q.kind == "range":
+                return ((q.lower is None or t >= q.lower)
+                        and (q.upper is None or t <= q.upper))
+            if q.kind == "set":
+                return t in q.terms
+            raise ValueError(q.kind)
+
+        return [t for t in self.postings if pred(t)]
+
     def search(self, query, k: int = 10):
         if isinstance(query, str):
             query = ast.parse(query, self.analyzer,
@@ -153,6 +181,29 @@ class BruteForceIndex:
                 if docs is None:
                     return []
                 must_cnt[docs] += 1
+                continue
+            if isinstance(tq, ast.MultiTermQuery):
+                # CONSTANT_SCORE rewrite: union doc set, contributes boost
+                matched = self._mt_matches(tq)
+                docs = (np.unique(np.concatenate(
+                    [self.postings[t][0] for t in matched]))
+                    if matched else None)
+                if occur == ast.MUST_NOT:
+                    if docs is not None:
+                        excluded[docs] = True
+                    continue
+                if occur in (ast.MUST, ast.FILTER):
+                    n_req += 1
+                    if docs is None:
+                        return []
+                    must_cnt[docs] += 1
+                if occur in (ast.MUST, ast.SHOULD):
+                    if docs is None:
+                        continue
+                    any_scoring = True
+                    score[docs] += float(F32(tq.boost))
+                    if occur == ast.SHOULD:
+                        should_cnt[docs] += 1
                 continue
             if isinstance(tq, ast.PhraseQuery):
                 matches = self.phrase_postings(list(tq.terms))

@@ -39,7 +39,6 @@ changed or whose files are missing; offsets are recomputed for all segments.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -104,19 +103,26 @@ def _to_signed64(x: int) -> int:
 
 
 def rows_fingerprint(conv_id, turn_idx, text, extra_cols=()) -> int:
-    """Order-independent content fingerprint: xor of per-row md5 prefixes.
+    """Order-independent content fingerprint: xor of per-row 64-bit hashes.
 
-    Computed identically by the invert pass (fresh build) and the light
-    resume pass — pure Python/hashlib, no engine dependency. ``extra_cols``:
-    additional per-row value arrays (keyword fields) folded into the hash.
+    Vectorized end-to-end (pandas str concat + ``hash_pandas_object``'s
+    C siphash with its fixed default key — deterministic across runs and
+    processes). Computed identically by the invert pass (fresh build) and
+    the light resume pass. ``extra_cols``: additional per-row value arrays
+    (keyword fields) folded into the hash.
     """
-    acc = 0
-    for i, (c, t, x) in enumerate(zip(conv_id, turn_idx, text)):
-        row = f"{c}\x01{t}\x01{x if x is not None else ''}"
-        for col in extra_cols:
-            v = col[i]
-            row += f"\x01{v if v is not None else ''}"
-        acc ^= int.from_bytes(hashlib.md5(row.encode()).digest()[:8], "little")
+    def as_str(col):
+        return pd.Series(col, dtype="object").fillna("").astype(str)
+
+    s = (
+        as_str(conv_id)
+        .str.cat(pd.Series(turn_idx).astype(str), sep="\x01")
+        .str.cat(as_str(text), sep="\x01")
+    )
+    for col in extra_cols:
+        s = s.str.cat(as_str(col), sep="\x01")
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+    acc = int(np.bitwise_xor.reduce(h)) if h.size else 0
     return _to_signed64(acc)
 
 

@@ -23,6 +23,50 @@ from lucene_spark.search import ast
 F32 = np.float32
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """True Damerau-Levenshtein distance (insert/delete/substitute/adjacent
+    transposition, transposed substrings may be edited again).
+
+    Matches the reference ``FuzzyQuery`` default ``transpositions=true``
+    (``core/search/FuzzyQuery.java:57``; the LevenshteinAutomata treat an
+    adjacent swap as ONE edit) — plain Levenshtein counts 'tabel'→'table' as
+    2 edits and wrongly excludes it at max_edits=1. Also what DuckDB's
+    ``damerau_levenshtein`` computes, so oracles can mirror it exactly.
+    """
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    inf = la + lb
+    # classic DL with "last occurrence" row memory; d is (la+2) x (lb+2)
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        ch_a = a[i - 1]
+        last_col = 0
+        for j in range(1, lb + 1):
+            ch_b = b[j - 1]
+            i1 = last_row.get(ch_b, 0)
+            j1 = last_col
+            cost = 0 if ch_a == ch_b else 1
+            if cost == 0:
+                last_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute / match
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
+            )
+        last_row[ch_a] = i
+    return d[la + 1][lb + 1]
+
+
 def _wildcard_to_like(pattern: str) -> str:
     """Lucene wildcard (* any run, ? one char) → SQL LIKE pattern."""
     out = []
@@ -38,11 +82,19 @@ def _wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
-def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> list[str]:
-    """Matching terms from the term dictionary (predicate-pushdown scan)."""
+class TooManyClauses(RuntimeError):
+    """Raised when a multi-term expansion exceeds ``max_terms`` — the
+    ``IndexSearcher.TooManyClauses`` analogue (``core/search/IndexSearcher.java:81``,
+    default maxClauseCount=1024; ours is higher because expansion cost is a
+    distributed scan, not a per-clause scorer). Callers that can execute
+    without a driver-side term list (the semi-join path) never hit this."""
+
+
+def expansion_condition(q: ast.MultiTermQuery):
+    """Catalyst predicate selecting the terms matched by a MultiTermQuery
+    (pushed into the sorted term-dict parquet scan)."""
     from pyspark.sql import functions as F
 
-    ts = reader._term_stats_df
     c = F.col("term")
     if q.kind == "prefix":
         cond = c.startswith(q.value)
@@ -51,12 +103,23 @@ def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> lis
     elif q.kind == "regexp":
         cond = c.rlike(f"^(?:{q.value})$")  # Lucene regexps are anchored
     elif q.kind == "fuzzy":
-        # length pre-filter prunes the scan; exact Levenshtein on the rest
-        n = len(q.value)
+        # length band + JVM Levenshtein prune the scan (a transposition costs
+        # ≤2 plain edits, so DL ≤ e implies Levenshtein ≤ 2e); the exact
+        # Damerau-Levenshtein check runs as an Arrow-batched residual filter
+        # over the few survivors
+        from pyspark.sql.functions import pandas_udf
+
+        n, me, val = len(q.value), int(q.max_edits), q.value
+
+        @pandas_udf("boolean")
+        def _dl_ok(terms: pd.Series) -> pd.Series:
+            return terms.map(lambda t: damerau_levenshtein(t, val) <= me)
+
         cond = (
-            (F.length(c) >= n - q.max_edits)
-            & (F.length(c) <= n + q.max_edits)
-            & (F.levenshtein(c, F.lit(q.value)) <= q.max_edits)
+            (F.length(c) >= n - me)
+            & (F.length(c) <= n + me)
+            & (F.levenshtein(c, F.lit(val)) <= 2 * me)
+            & _dl_ok(c)
         )
     elif q.kind == "range":
         cond = F.lit(True)
@@ -68,37 +131,78 @@ def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> lis
         cond = c.isin(list(q.terms))
     else:
         raise ValueError(f"unknown MultiTermQuery kind: {q.kind}")
-    rows = ts.filter(cond).select("term").limit(max_terms).collect()
+    return cond
+
+
+def matched_terms_df(reader, q: ast.MultiTermQuery):
+    """DataFrame of (term) rows matching ``q`` in its field — the driver-free
+    expansion used by the semi-join execution path."""
+    from pyspark.sql import functions as F
+
+    return (
+        reader._term_stats_df
+        .filter((F.col("field") == q.field) & expansion_condition(q))
+        .select("term")
+    )
+
+
+def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> list[str]:
+    """Matching terms from the term dictionary (predicate-pushdown scan).
+
+    Raises :class:`TooManyClauses` past ``max_terms`` (never silently
+    truncates — a wildcard like ``a*`` over a 10^8-term dictionary must fail
+    loudly, not return wrong results). Use the semi-join path
+    (:func:`matched_terms_df` + :func:`constant_score_topk`) when the term
+    list itself is not needed on the driver.
+    """
+    rows = matched_terms_df(reader, q).limit(max_terms + 1).collect()
+    if len(rows) > max_terms:
+        raise TooManyClauses(
+            f"{q.kind} query expanded past max_terms={max_terms}; "
+            "use the semi-join execution path"
+        )
     return [r["term"] for r in rows]
 
 
-def constant_score_topk(reader, terms: list[str], k: int, boost: float):
+def constant_score_topk(reader, postings, k: int, boost: float):
     """First k matching docIDs (docID asc) with score == boost.
 
-    Per segment: decode only enough leading blocks to cover k docs (blocks
-    are doc-ordered), union, take k smallest; driver merges.
+    ``postings``: posting-block rows of the matched terms (either from a
+    driver term list via ``reader.postings`` or — the 10^12-scale path — the
+    semi-join ``reader.postings_semijoin(matched_terms_df(...))`` that never
+    materializes the term set anywhere). Per segment: decode leading blocks
+    until the k smallest docIDs are provably complete; driver merges.
     """
     from lucene_spark.search.searcher import ScoreDoc
 
-    if not terms:
+    if postings is None:
         return []
-    postings = reader.postings(terms)
     cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
         off = np.int64(rows["doc_offset"][0])
         order = np.argsort(rows["first_doc"], kind="stable")
+        firsts = rows["first_doc"][order].astype(np.int64) + off
         parts, seen = [], 0
-        for i in order.tolist():
+        for j, i in enumerate(order.tolist()):
             d, _ = decode_block(
                 rows["first_doc"][i] + off, rows["count"][i],
                 rows["doc_gaps"][i], rows["tfs"][i],
             )
             parts.append(d)
             seen += d.size
-            if seen >= 4 * k and np.unique(np.concatenate(parts)).size >= k:
-                break
+            # sound early exit: blocks are ordered by first_doc only, so an
+            # undecoded block may still hold docIDs smaller than anything
+            # seen — stop ONLY when the k-th smallest docID collected so far
+            # is <= the next undecoded block's first_doc (every remaining
+            # block starts at or after it and so cannot displace the top-k)
+            if seen >= k and j + 1 < order.size and (j & 31) == 31:
+                uniq = np.unique(np.concatenate(parts))
+                if uniq.size >= k and uniq[k - 1] <= firsts[j + 1]:
+                    parts = [uniq[:k]]
+                    break
+                parts, seen = [uniq], uniq.size
         docs = np.unique(np.concatenate(parts))[:k]
         return pd.DataFrame({"doc_id": docs})
 
@@ -112,11 +216,11 @@ def constant_score_topk(reader, terms: list[str], k: int, boost: float):
     return [ScoreDoc(d, float(boost)) for d in docs]
 
 
-def constant_score_count(reader, terms: list[str]) -> int:
-    """Exact matching-doc count (union of posting doc-sets)."""
-    if not terms:
+def constant_score_count(reader, postings) -> int:
+    """Exact matching-doc count (union of posting doc-sets), distributed:
+    one count per segment returns to the driver."""
+    if postings is None:
         return 0
-    postings = reader.postings(terms)
     cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -58,12 +58,17 @@ def term_postings(rows, idxs):
 
 
 def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 0):
-    """Exhaustive boolean evaluation where clauses are terms OR phrases.
+    """Exhaustive boolean evaluation where clauses are terms, phrases, or
+    constant-score term sets (rewritten MultiTermQuery clauses).
 
-    ``clauses``: list of dicts {occur, kind: 'term'|'phrase', terms: tuple,
-    weight: float32 (0 for FILTER/MUST_NOT)}. Semantics identical to the
-    term-only kernel: score = float32(Σ_double float32 clause scores), hit iff
-    all MUST ∧ no MUST_NOT ∧ (MUST present ∨ ≥ minShouldMatch SHOULD).
+    ``clauses``: list of dicts {occur, kind: 'term'|'phrase'|'const',
+    terms: tuple, weight: float32 (0 for FILTER/MUST_NOT)}. ``kind='const'``
+    matches the union of the terms' doc sets and contributes the constant
+    ``weight`` (ConstantScoreQuery semantics — the CONSTANT_SCORE rewrite of
+    prefix/wildcard/fuzzy/range/set clauses inside booleans). Otherwise
+    identical to the term-only kernel: score = float32(Σ_double float32
+    clause scores), hit iff all MUST ∧ no MUST_NOT ∧ (MUST present ∨
+    ≥ minShouldMatch SHOULD).
     """
     from lucene_spark.search.ast import FILTER, MUST, MUST_NOT, SHOULD
 
@@ -73,6 +78,19 @@ def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 
 
     def clause_postings(c):
         """(docs, contrib_f32 or None) for one clause; None docs → no match."""
+        if c["kind"] == "const":
+            idxs = [i for t in c["terms"] if t in by_term for i in by_term[t]]
+            if not idxs:
+                return None, None
+            parts = [
+                decode_block(rows["first_doc"][i], rows["count"][i],
+                             rows["doc_gaps"][i], rows["tfs"][i])[0]
+                for i in idxs
+            ]
+            d = np.unique(np.concatenate(parts))
+            if c["occur"] in (MUST, SHOULD):
+                return d, np.full(d.size, np.float32(c["weight"]), dtype=F32)
+            return d, None
         if c["kind"] == "term":
             t = c["terms"][0]
             if t not in by_term:
@@ -134,6 +152,8 @@ def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 
         return np.zeros(0, np.int64), np.zeros(0, F32)
     d = uniq[ok]
     s = acc[ok].astype(F32)
+    if k is None:  # count-only callers: skip the top-k sort
+        return d, s
     order = np.lexsort((d, -s.astype(np.float64)))[:k]
     return d[order], s[order]
 

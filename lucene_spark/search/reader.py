@@ -104,6 +104,21 @@ class IndexReader:
             .join(F.broadcast(self._offsets_df()), "seg")
         )
 
+    def postings_semijoin(self, terms_df, field: str = "text"):
+        """Posting-block rows whose term appears in ``terms_df`` (a DataFrame
+        with a ``term`` column) — the expansion path that never collects the
+        matched term set to the driver (``MultiTermQuery`` rewrite at
+        10^8-term-dictionary scale). AQE picks broadcast vs shuffle join by
+        the runtime size of the matched set."""
+        from pyspark.sql import functions as F
+
+        return (
+            self._postings_df
+            .filter(F.col("field") == field)
+            .join(terms_df.select("term").distinct(), "term", "left_semi")
+            .join(F.broadcast(self._offsets_df()), "seg")
+        )
+
     def postings_multi(self, field_terms: dict):
         """Posting blocks for {field: [terms]} (multi-field queries)."""
         from functools import reduce

@@ -62,8 +62,8 @@ class IndexSearcher:
         occ_clauses = list(q.clauses)
         if any(not isinstance(tq, ast.TermQuery) for _, tq in occ_clauses):
             raise NotImplementedError(
-                "phrase clauses inside boolean queries are handled by the "
-                "mixed path"
+                "phrase/multiterm clauses inside boolean queries are handled "
+                "by the mixed path (_search_boolean_mixed)"
             )
         by_field: dict[str, list[str]] = {}
         for _, tq in occ_clauses:
@@ -117,13 +117,16 @@ class IndexSearcher:
         if isinstance(query, ast.PhraseQuery):
             return self._search_phrase(query, k)
         if isinstance(query, ast.MultiTermQuery):
+            # semi-join execution: matched terms never reach the driver
             from lucene_spark.search.multiterm import (
                 constant_score_topk,
-                expand_terms,
+                matched_terms_df,
             )
 
-            terms = expand_terms(self.reader, query)
-            return constant_score_topk(self.reader, terms, k, query.boost)
+            postings = self.reader.postings_semijoin(
+                matched_terms_df(self.reader, query), query.field
+            )
+            return constant_score_topk(self.reader, postings, k, query.boost)
         if isinstance(query, ast.SynonymQuery):
             from lucene_spark.search.multiterm import synonym_topk
 
@@ -133,7 +136,7 @@ class IndexSearcher:
 
             return dismax_topk(self.reader, self.similarity, query, k)
         if isinstance(query, ast.BooleanQuery) and any(
-            isinstance(sub, ast.PhraseQuery) for _, sub in query.clauses
+            not isinstance(sub, ast.TermQuery) for _, sub in query.clauses
         ):
             return self._search_boolean_mixed(query, k)
         wc = self._weighted_clauses(query)
@@ -178,72 +181,141 @@ class IndexSearcher:
             field_terms.setdefault(f, []).append(t)
         return self.reader.postings_multi(field_terms)
 
-    def _search_boolean_mixed(self, q: ast.BooleanQuery, k: int) -> list[ScoreDoc]:
-        """Boolean queries whose clauses mix terms and phrases (exhaustive;
-        phrase clauses have no block-max bound yet, so no pruning)."""
-        from lucene_spark.search.phrase import segment_boolean_mixed
+    def _mixed_clauses(self, q: ast.BooleanQuery):
+        """Resolve a mixed boolean (terms + phrases + multiterm expansions)
+        into field-aware kernel clause dicts. Returns None when the query can
+        never match, else (clauses, cache, msm, field_terms, need_positions).
 
-        if not self.reader.manifest.get("positions", False):
-            raise ValueError("index was built without positions")
-        all_terms: set[str] = set()
-        for _, sub in q.clauses:
-            all_terms.update(
-                sub.terms if isinstance(sub, ast.PhraseQuery) else [sub.term]
-            )
-        stats = self.reader.term_stats(sorted(all_terms))
-        if self.reader.doc_count == 0:
-            return []
+        Field handling mirrors ``_weighted_clauses``: clauses on keyword
+        fields are constant/filter clauses — MUST is coerced to FILTER
+        (StringField omitNorms semantics), SHOULD on a keyword field is
+        unsupported. MultiTermQuery clauses take the CONSTANT_SCORE rewrite:
+        the clause matches the union of its expanded terms' doc sets and
+        contributes ``boost`` (``ConstantScoreQuery`` semantics).
+        """
+        from lucene_spark.search.multiterm import expand_terms
 
-        def df_of(t):
-            return stats.get(t, {}).get("df", 0)
+        sep = self.FIELD_SEP
+        flat = []  # (occur, kind, field, terms, boost)
+        need_positions = False
+        for occur, sub in q.clauses:
+            if isinstance(sub, ast.PhraseQuery):
+                need_positions = True
+                flat.append((occur, "phrase", sub.field, tuple(sub.terms),
+                             sub.boost))
+            elif isinstance(sub, ast.TermQuery):
+                flat.append((occur, "term", sub.field, (sub.term,), sub.boost))
+            elif isinstance(sub, ast.MultiTermQuery):
+                terms = tuple(expand_terms(self.reader, sub))
+                if not terms:
+                    if occur in (ast.MUST, ast.FILTER):
+                        return None
+                    continue
+                flat.append((occur, "const", sub.field, terms, sub.boost))
+            else:
+                raise NotImplementedError(
+                    f"unsupported clause type in boolean query: {type(sub).__name__}"
+                )
+        if self.reader.doc_count == 0 or not flat:
+            return None
+
+        by_field: dict[str, set] = {}
+        for _occ, kind, f, terms, _b in flat:
+            if kind in ("term", "phrase"):
+                by_field.setdefault(f, set()).update(terms)
+        stats = {}
+        for f, ts in by_field.items():
+            stats.update({(f, t): v for t, v
+                          in self.reader.term_stats(sorted(ts), field=f).items()})
+
+        def df_of(f, t):
+            return stats.get((f, t), {}).get("df", 0)
 
         clauses = []
-        for occur, sub in q.clauses:
-            terms = tuple(sub.terms) if isinstance(sub, ast.PhraseQuery) \
-                else (sub.term,)
-            present = all(df_of(t) > 0 for t in terms)
-            if not present:
-                if occur in (ast.MUST, ast.FILTER):
-                    return []  # required clause can never match
-                continue  # absent SHOULD / MUST_NOT never matches
-            if occur in (ast.MUST, ast.SHOULD):
+        for occur, kind, f, terms, boost in flat:
+            if f != "text" and kind != "const":
+                if occur == ast.SHOULD:
+                    raise NotImplementedError(
+                        "SHOULD on keyword fields is not supported (filter-only)"
+                    )
+                if occur == ast.MUST:
+                    occur = ast.FILTER
+            if kind != "const":
+                if not all(df_of(f, t) > 0 for t in terms):
+                    if occur in (ast.MUST, ast.FILTER):
+                        return None  # required clause can never match
+                    continue  # absent SHOULD / MUST_NOT never matches
+            if kind == "const":
+                w = float(boost)
+            elif occur in (ast.MUST, ast.SHOULD):
                 scorer = self.reader.similarity_scorer(
-                    self.similarity, sub.boost, [df_of(t) for t in terms]
+                    self.similarity, boost, [df_of(f, t) for t in terms]
                 )
                 w = float(scorer.weight)
             else:
                 w = 0.0
-            clauses.append({"occur": occur, "terms": terms, "weight": w,
-                            "kind": "phrase" if len(terms) > 1 or
-                            isinstance(sub, ast.PhraseQuery) else "term"})
+            clauses.append({"occur": occur, "kind": kind, "field": f,
+                            "terms": tuple(f + sep + t for t in terms),
+                            "weight": w})
         if not clauses or not any(
             c["occur"] in (ast.MUST, ast.SHOULD, ast.FILTER) for c in clauses
         ):
-            return []
+            return None
         cache = norm_cache(
             np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
             F32(self.similarity.k1), F32(self.similarity.b),
         )
-        msm = q.min_should_match
-        fetch = sorted({t for c in clauses for t in c["terms"]})
-        postings = self.reader.postings(fetch)
-        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-                "norms", "positions", "doc_offset"]
+        field_terms: dict[str, list] = {}
+        for _occ, kind, f, terms, _b in flat:
+            field_terms.setdefault(f, []).extend(terms)
+        return clauses, cache, q.min_should_match, field_terms, need_positions
+
+    def _mixed_segment_df(self, q: ast.BooleanQuery, k, count_only: bool = False):
+        """Per-segment rows for a mixed boolean: (doc_id, score) top-k rows,
+        or — with ``count_only`` — one hit-count row per segment (the
+        distributed TotalHitCount path: billions of hits never leave their
+        segment's task)."""
+        from lucene_spark.search.phrase import segment_boolean_mixed
+
+        mc = self._mixed_clauses(q)
+        if mc is None:
+            return None
+        clauses, cache, msm, field_terms, need_positions = mc
+        if need_positions and not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        postings = self.reader.postings_multi(field_terms)
+        cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
+                "tfs", "norms", "positions", "doc_offset"]
+        sep = self.FIELD_SEP
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
+            rows["term"] = (pdf["field"] + sep + pdf["term"]).to_numpy(dtype=object)
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            d, s = segment_boolean_mixed(rows, clauses, cache, k, msm)
+            d, s = segment_boolean_mixed(
+                rows, clauses, cache, None if count_only else k, msm
+            )
+            if count_only:
+                return pd.DataFrame({"n": [int(d.size)]})
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
-        out = (
+        schema = "n long" if count_only else "doc_id long, score float"
+        return (
             postings.select("seg", *cols)
             .groupBy("seg")
-            .applyInPandas(run_segment, "doc_id long, score float")
-            .collect()
+            .applyInPandas(run_segment, schema)
         )
+
+    def _search_boolean_mixed(self, q: ast.BooleanQuery, k: int) -> list[ScoreDoc]:
+        """Boolean queries whose clauses mix terms with phrases and/or
+        multi-term expansions (exhaustive; phrase clauses have no block-max
+        bound yet, so no pruning)."""
+        df = self._mixed_segment_df(q, k)
+        if df is None:
+            return []
+        out = df.collect()
         if not out:
             return []
         d = np.array([r["doc_id"] for r in out], dtype=np.int64)
@@ -296,8 +368,37 @@ class IndexSearcher:
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
 
+    def _phrase_count(self, q: ast.PhraseQuery) -> int:
+        """Distributed phrase-hit count: one count row per segment (a hot
+        phrase at 10^12 scale matches billions of docs — never collected)."""
+        from lucene_spark.search.phrase import segment_phrase_postings
+
+        terms = list(q.terms)
+        stats = self.reader.term_stats(terms, field=q.field)
+        if any(stats.get(t, {}).get("df", 0) == 0 for t in terms):
+            return 0
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        postings = self.reader.postings(terms, field=q.field)
+        cols = ["term", "first_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions"]
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            d, _f, _nm = segment_phrase_postings(rows, terms)
+            return pd.DataFrame({"n": [int(d.size)]})
+
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "n long")
+            .collect()
+        )
+        return sum(int(r["n"]) for r in out)
+
     def count(self, query) -> int:
-        """TotalHitCountCollector analogy — exact hit count via the kernel."""
+        """TotalHitCountCollector analogy — exact hit count, distributed on
+        every query shape: per-segment counts summed, never the doc lists."""
         if isinstance(query, str):
             query = self.parse(query)
         query = ast.normalize(query)
@@ -305,16 +406,36 @@ class IndexSearcher:
         if isinstance(query, ast.MultiTermQuery):
             from lucene_spark.search.multiterm import (
                 constant_score_count,
-                expand_terms,
+                matched_terms_df,
             )
 
-            return constant_score_count(self.reader, expand_terms(self.reader, query))
-        if isinstance(query, (ast.PhraseQuery, ast.SynonymQuery,
-                              ast.DisjunctionMaxQuery)) or (
-            isinstance(query, ast.BooleanQuery)
-            and any(isinstance(s, ast.PhraseQuery) for _, s in query.clauses)
+            return constant_score_count(
+                self.reader,
+                self.reader.postings_semijoin(
+                    matched_terms_df(self.reader, query), query.field
+                ),
+            )
+        if isinstance(query, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
+            # hit set = union of the terms' doc sets (scores don't affect it)
+            from lucene_spark.search.multiterm import constant_score_count
+
+            terms = list(dict.fromkeys(query.terms))
+            stats = self.reader.term_stats(terms, field=query.field)
+            present = [t for t in terms if stats.get(t, {}).get("df", 0) > 0]
+            if not present:
+                return 0
+            return constant_score_count(
+                self.reader, self.reader.postings(present, field=query.field)
+            )
+        if isinstance(query, ast.PhraseQuery):
+            return self._phrase_count(query)
+        if isinstance(query, ast.BooleanQuery) and any(
+            not isinstance(s, ast.TermQuery) for _, s in query.clauses
         ):
-            return len(self.search(query, k=big))
+            df = self._mixed_segment_df(query, None, count_only=True)
+            if df is None:
+                return 0
+            return sum(int(r["n"]) for r in df.collect())
         wc = self._weighted_clauses(query)
         if wc is None:
             return 0

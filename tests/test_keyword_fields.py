@@ -57,3 +57,29 @@ def test_keyword_field_stats_and_resume(spark, kw_index, corpus_pdf):
     b = IndexBuilder(spark, kw_index, num_segments=4, keyword_fields=("role",))
     r = b.build(synthetic_transcripts(spark, 80), resume=True)
     assert r["built"] == 0 and r["reused"] == 4
+
+
+def test_keyword_with_phrase_and_multiterm_clauses(spark, kw_index, kw_golden,
+                                                   corpus_pdf):
+    """Mixed booleans resolve stats/postings per clause field (ADVICE r1:
+    a keyword clause next to a phrase must NOT become a text-field lookup)."""
+    an = kw_golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pair = None
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    s = IndexSearcher(spark, kw_index)
+    ph = f'"{pair[0]} {pair[1]}"'
+    queries = [
+        f"+role:assistant {ph}",            # keyword FILTER + phrase
+        f"-role:user {ph} {VOCAB[0]}",      # keyword MUST_NOT + phrase + term
+        f"+role:assistant ba* {VOCAB[0]}",  # keyword + multiterm + term
+        f"+role:nosuchrole {ph}",           # absent keyword value → no hits
+    ]
+    for q in queries:
+        exp = kw_golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in s.search(q, 50)]
+        assert got == exp, f"keyword mixed mismatch for {q!r}"

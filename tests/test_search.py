@@ -196,24 +196,19 @@ def test_multiterm_constant_score(spark, searcher, golden):
 
 
 def test_fuzzy_expansion(searcher, golden):
+    """Fuzzy expansion uses Damerau-Levenshtein (FuzzyQuery.java:57
+    transpositions=true): an adjacent swap counts as ONE edit."""
     from lucene_spark.search.ast import MultiTermQuery
+    from lucene_spark.search.multiterm import damerau_levenshtein as dl
 
-    def lev(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                         prev + (ca != cb))
-        return dp[-1]
-
-    q = MultiTermQuery("fuzzy", "bada", max_edits=1)
-    exp_docs = sorted(
-        {int(d) for t, (docs, _) in golden.postings.items() if lev(t, "bada") <= 1
-         for d in docs.tolist()}
-    )[:30]
-    got = searcher.search(q, 30)
-    assert [h.doc_id for h in got] == exp_docs
+    for value, me in [("bada", 1), ("abda", 1), ("dala", 2)]:
+        q = MultiTermQuery("fuzzy", value, max_edits=me)
+        exp_docs = sorted(
+            {int(d) for t, (docs, _) in golden.postings.items()
+             if dl(t, value) <= me for d in docs.tolist()}
+        )[:30]
+        got = searcher.search(q, 30)
+        assert [h.doc_id for h in got] == exp_docs, (value, me)
 
 
 def test_synonym_blended_scoring(spark, searcher, golden):
@@ -290,3 +285,98 @@ def test_boolean_with_phrase_clauses(spark, searcher, golden, corpus_pdf):
         exp = golden.search(q, 50)
         got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
         assert got == exp, f"mixed boolean mismatch for {q!r}"
+
+
+def test_damerau_levenshtein_unit():
+    from lucene_spark.search.multiterm import damerau_levenshtein as dl
+
+    assert dl("tabel", "table") == 1   # adjacent transposition = ONE edit
+    assert dl("ca", "abc") == 2        # true DL, not OSA (which gives 3)
+    assert dl("", "abc") == 3
+    assert dl("kitten", "sitting") == 3
+    assert dl("abc", "abc") == 0
+
+
+def test_constant_score_block_order_soundness(spark, tmp_path):
+    """A sparse leading block spanning a wide doc range must not trigger a
+    premature early exit: CONSTANT_SCORE top-k = the k smallest matching
+    docIDs (ADVICE r1: multiterm.py early break was unsound)."""
+    import shutil
+
+    from lucene_spark.indexing.builder import IndexBuilder
+
+    n = 1200
+    texts = []
+    for i in range(n):
+        if i % 100 == 0:
+            texts.append("qqa filler")      # sparse term: docs 0,100,...,1100
+        elif i < 100:
+            texts.append("qqb filler")      # dense term: docs 1..99
+        else:
+            texts.append("filler")
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:06d}" for i in range(n)],
+        "turn_idx": [0] * n, "role": ["user"] * n,
+        "text": texts, "tool": [None] * n, "ts": [None] * n,
+    })
+    d = str(tmp_path / "csidx")
+    shutil.rmtree(d, ignore_errors=True)
+    IndexBuilder(spark, d, num_segments=1).build(spark.createDataFrame(pdf))
+    s = IndexSearcher(spark, d)
+    hits = s.search(ast.MultiTermQuery("prefix", "qq"), 3)
+    assert [h.doc_id for h in hits] == [0, 1, 2]
+    assert s.count(ast.MultiTermQuery("prefix", "qq")) == 12 + 99
+
+
+def test_too_many_clauses(searcher):
+    from lucene_spark.search.ast import MultiTermQuery
+    from lucene_spark.search.multiterm import TooManyClauses, expand_terms
+
+    with pytest.raises(TooManyClauses):
+        expand_terms(searcher.reader, MultiTermQuery("prefix", "b"),
+                     max_terms=3)
+
+
+def test_boolean_with_multiterm_clauses(searcher, golden):
+    """Boolean queries mixing scored term clauses with constant-score
+    multiterm clauses (CONSTANT_SCORE rewrite) ≡ brute-force goldens."""
+    queries = [
+        f"{VOCAB[0]} ba*",       # SHOULD term + SHOULD prefix
+        f"+{VOCAB[0]} ba*",      # MUST term + SHOULD prefix
+        f"+ba* {VOCAB[3]}",      # MUST prefix + SHOULD term
+        f"+{VOCAB[1]} -da*",     # MUST term + MUST_NOT prefix
+        f"{VOCAB[0]} b?d*^2.5",  # boosted wildcard clause
+        f"+zzzz* {VOCAB[0]}",    # never-matching required prefix → no hits
+    ]
+    for q in queries:
+        exp = golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+        assert got == exp, f"mixed multiterm mismatch for {q!r}"
+
+
+def test_distributed_counts_match_search(searcher, golden, corpus_pdf):
+    """count() must agree with exhaustive search on every query shape
+    (phrase / synonym / dismax / mixed boolean take the distributed path)."""
+    an = golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pair = None
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    big = 10 ** 6
+    cases = [
+        ast.PhraseQuery(pair),
+        searcher.parse(f'+"{pair[0]} {pair[1]}" {VOCAB[0]}'),
+        searcher.parse(f"+{VOCAB[0]} ba*"),
+    ]
+    for q in cases:
+        assert searcher.count(q) == len(golden.search(q, big)), q
+    # synonym / dismax hit set = union of the terms' doc sets
+    for terms in [(VOCAB[0], VOCAB[3]), (VOCAB[0], VOCAB[5])]:
+        exp = np.unique(
+            np.concatenate([golden.postings[t][0] for t in terms])
+        ).size
+        assert searcher.count(ast.SynonymQuery(terms)) == exp
+        assert searcher.count(ast.DisjunctionMaxQuery(terms)) == exp
