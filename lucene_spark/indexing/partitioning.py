@@ -82,26 +82,57 @@ def sort_key_expr():
     )
 
 
-def plan_boundaries(df, num_segments: int, sample_mod: int = 101):
-    """Deterministic range boundaries over the sort key, single light scan.
+def plan_boundaries(df, num_segments: int, sample_mod: int = 101,
+                    target_per_segment: int = 200, _stats: dict | None = None):
+    """Deterministic range boundaries over the sort key — the driver never
+    materializes more than O(num_segments) keys.
 
-    Samples keys where ``xxhash64(key) % sample_mod == 0`` (deterministic,
-    partitioning-independent). Falls back to the full key set when the sample
-    is too small for the requested segment count (tiny corpora). At 10^12
-    rows the production variant samples a subset of files first — the
-    mechanism (hash filter → quantile cut) is unchanged.
+    Two-stage, fully distributed sampling (both stages are deterministic hash
+    filters, so re-runs and resumes plan identical boundaries regardless of
+    partitioning):
+
+    1. ``xxhash64(key) % sample_mod == 0`` pre-sample + a distributed count
+       of the survivors (one light columnar scan; nothing collected).
+    2. A second, salted hash filter thins the pre-sample down to
+       ``~target_per_segment × num_segments`` keys; ONLY those reach the
+       driver for the quantile cut. At 10^12 turns stage 1 keeps ~10^10 keys
+       distributed, and the driver still sees only ~200 × num_segments.
+
+    Falls back to the full key set when the corpus is too small for the
+    requested segment count. ``_stats`` (tests): records how many keys were
+    actually collected to the driver.
     """
     from pyspark.sql import functions as F
 
-    keys_df = df.select(sort_key_expr().alias("k"))
     if num_segments <= 1:
         return []
-    sample = (
-        keys_df.filter(F.pmod(F.xxhash64("k"), F.lit(sample_mod)) == 0)
-        .toPandas()["k"].sort_values().to_numpy()
-    )
-    if sample.size < 4 * num_segments and sample_mod > 1:
-        sample = keys_df.toPandas()["k"].sort_values().to_numpy()
+    keys_df = df.select(sort_key_expr().alias("k"))
+    sampled = keys_df.filter(F.pmod(F.xxhash64("k"), F.lit(sample_mod)) == 0)
+    n_sample = sampled.count()
+    if n_sample < 4 * num_segments and sample_mod > 1:
+        sampled, n_sample = keys_df, keys_df.count()
+    if n_sample == 0:
+        return []
+    budget = max(target_per_segment * num_segments, 4 * num_segments)
+    thin_mod = max(1, n_sample // budget)
+    while True:
+        if thin_mod > 1:
+            thin = sampled.filter(
+                F.pmod(F.xxhash64(F.concat(F.col("k"), F.lit("\x02b"))),
+                       F.lit(thin_mod)) == 0
+            )
+        else:
+            thin = sampled
+        sample = thin.toPandas()["k"].sort_values().to_numpy()
+        if sample.size >= num_segments or thin_mod == 1:
+            break
+        # degenerate thinning (heavily duplicated keys hash together):
+        # deterministically relax the filter and retry — O(log) scans worst
+        # case, driver collection still bounded by the filter itself
+        thin_mod = max(1, thin_mod // 8)
+    if _stats is not None:
+        _stats["collected"] = int(sample.size)
+        _stats["pre_sample"] = int(n_sample)
     if sample.size == 0:
         return []
     qs = [int(round(i * sample.size / num_segments)) for i in range(1, num_segments)]

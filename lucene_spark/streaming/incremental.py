@@ -116,7 +116,9 @@ class IncrementalIndexer:
         os.replace(f"{self.index_dir}/build_manifest.tmp",
                    f"{self.index_dir}/build_manifest")
 
-        b._write_stats()
+        # incremental stats merge: new segments only (stats are sums), not
+        # the O(index-size) full rewrite per micro-batch
+        b._merge_stats([r["segment"] for r in rows])
         manifest["doc_count"] = acc
         manifest["offsets"] = {str(k): v for k, v in sorted(offsets.items())}
         manifest["num_segments"] = len(offsets)

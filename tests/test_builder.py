@@ -159,3 +159,26 @@ def test_vectorized_block_encode_matches_per_term(spark):
                 assert np.asarray(got[key][i]).tolist() == np.asarray(blk[key]).tolist(), (term, i, key)
             i += 1
     assert i == len(got["term"])
+
+
+def test_plan_boundaries_bounded_driver_collection(spark):
+    """The boundary planner must never materialize more than
+    O(num_segments) keys on the driver (scale blocker: VERDICT r1 #1) and
+    must plan identical boundaries on a re-run."""
+    from lucene_spark.corpus import synthetic_transcripts
+    from lucene_spark.indexing.partitioning import plan_boundaries
+
+    df = synthetic_transcripts(spark, 120)
+    n_rows = df.count()
+    stats: dict = {}
+    b1 = plan_boundaries(df, 4, sample_mod=1, target_per_segment=4,
+                         _stats=stats)
+    budget = 4 * 4
+    assert stats["pre_sample"] == n_rows
+    assert stats["collected"] <= 8 * budget           # O(num_segments)
+    assert stats["collected"] < n_rows / 2            # really thinned
+    assert len(b1) == 3
+    stats2: dict = {}
+    b2 = plan_boundaries(df, 4, sample_mod=1, target_per_segment=4,
+                         _stats=stats2)
+    assert b1 == b2 and stats2 == stats               # deterministic

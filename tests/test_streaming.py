@@ -85,3 +85,39 @@ def test_structured_streaming_source(spark, corpus, tmp_path):
         # file-source ordering within one batch may interleave lo-files, so
         # docIDs are assigned in (conv, turn) order per batch — identical sets
         assert got == exp, q
+
+
+def test_append_stats_match_fresh_build(spark, tmp_path):
+    """Incremental stats merge (per-append delta) ≡ full recompute: after
+    several appends, term_stats and field_stats equal a fresh build's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import synthetic_transcripts
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    df = synthetic_transcripts(spark, 60).cache()
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    cuts = [convs[20], convs[40]]
+    d_inc = str(tmp_path / "inc")
+    d_full = str(tmp_path / "full")
+    shutil.rmtree(d_inc, ignore_errors=True)
+    inc = IncrementalIndexer(spark, d_inc, rows_per_segment=40)
+    inc.append(df.filter(F.col("conv_id") < cuts[0]), epoch_id=0)
+    inc.append(df.filter((F.col("conv_id") >= cuts[0])
+                         & (F.col("conv_id") < cuts[1])), epoch_id=1)
+    inc.append(df.filter(F.col("conv_id") >= cuts[1]), epoch_id=2)
+    IndexBuilder(spark, d_full, num_segments=3).build(df)
+
+    def stats(d):
+        ts = spark.read.parquet(f"{d}/term_stats")
+        return {(r["field"], r["term"]): (r["df"], r["ttf"], r["max_tf"])
+                for r in ts.collect()}
+
+    assert stats(d_inc) == stats(d_full)
+    fs_inc = spark.read.parquet(f"{d_inc}/field_stats").collect()[0]
+    fs_full = spark.read.parquet(f"{d_full}/field_stats").collect()[0]
+    assert (fs_inc["doc_count"], fs_inc["sum_ttf"], fs_inc["sum_df"]) == \
+        (fs_full["doc_count"], fs_full["sum_ttf"], fs_full["sum_df"])
