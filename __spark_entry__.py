@@ -143,6 +143,28 @@ def _q_count_and(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_count_phrase(spark, sf_dir):
+    """Distributed exact-phrase hit count (per-segment sums, no doc lists)."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.PhraseQuery(PHRASE_TERMS))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_count_sloppy_phrase(spark, sf_dir):
+    """Sloppy phrase '"table value"~2' hit count (SloppyPhraseMatcher)."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.PhraseQuery(PHRASE_TERMS, slop=2))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_multiphrase(spark, sf_dir):
+    """MultiPhraseQuery '(table|row) value' exact top-k (union postings,
+    idf summed over all slot terms)."""
+    s = _searcher(spark, sf_dir)
+    q = ast.MultiPhraseQuery((("table", "row"), ("value",)))
+    return _hits_df(spark, s.search(q, k=40))
+
+
 def _hits_df_const(spark, hits):
     rows = [(int(h.doc_id), float(h.score)) for h in hits]
     return spark.createDataFrame(rows, "doc_id long, score double")
@@ -244,6 +266,31 @@ def _q_streaming_incremental(spark, sf_dir):
     inc = IncrementalIndexer(spark, d, analyzer="simple", rows_per_segment=100)
     inc.append(t.filter(F.col("conv_id") < half), epoch_id=0)
     inc.append(t.filter(F.col("conv_id") >= half), epoch_id=1)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
+
+
+def _q_delete_compact(spark, sf_dir):
+    """Mutation lifecycle gate: build → delete-by-term('spark') → compact →
+    BM25 top-k. After compaction, docIDs are densely renumbered and stats
+    recomputed, so results must equal a fresh build of the surviving docs —
+    which is exactly what the oracle SQL computes (docs filtered BEFORE
+    row_number docID assignment)."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.indexing.maintenance import IndexMaintenance
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_del/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="simple", num_segments=6).build(t)
+    mnt = IndexMaintenance(spark, d)
+    mnt.delete_by_term("spark")
+    mnt.compact(target_rows=10 ** 9)
     s = IndexSearcher(spark, d)
     return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
 
@@ -360,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_phrase,
         "bm25_mixed_phrase_bool": _mk_bm25(Q_MIXED, 40),
         "count_and": _q_count_and,
+        "count_phrase": _q_count_phrase,
+        "count_sloppy_phrase": _q_count_sloppy_phrase,
+        "bm25_multiphrase": _q_multiphrase,
         "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
         "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
         "mt_range": _mk_multiterm(
@@ -387,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
+        "delete_compact_topk": _q_delete_compact,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -415,6 +466,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase": oracle.phrase_topk_sql(list(PHRASE_TERMS), K_PHRASE),
         "bm25_mixed_phrase_bool": oracle.bm25_mixed_topk_sql(_parse(Q_MIXED), 40),
         "count_and": oracle.count_sql(_parse(Q_AND)),
+        "count_phrase": oracle.phrase_count_sql(list(PHRASE_TERMS)),
+        "count_sloppy_phrase": oracle.sloppy_pair_count_sql(
+            PHRASE_TERMS[0], PHRASE_TERMS[1], 2
+        ),
+        "bm25_multiphrase": oracle.multiphrase_topk_sql(
+            [("table", "row"), ("value",)], 40
+        ),
         "mt_prefix": oracle.multiterm_sql("x.term LIKE 'ta%'", 50),
         "mt_wildcard": oracle.multiterm_sql("x.term LIKE 'v_lue%'", 50),
         "mt_range": oracle.multiterm_sql(
@@ -444,6 +502,13 @@ def oracle_sql() -> dict[str, str]:
         "search_after_page2": oracle.search_after_sql(_parse(Q_OR), 1, 20),
         "doc_range_dl": oracle.doc_range_sql(30, 60, 100),
         "streaming_incremental": oracle.bm25_topk_sql(_parse(Q_OR), 50),
+        "delete_compact_topk": oracle.bm25_topk_sql(
+            _parse(Q_OR), 50,
+            doc_where=(
+                "NOT list_contains(regexp_extract_all("
+                "lower(coalesce(text, '')), '[a-z0-9]+'), 'spark')"
+            ),
+        ),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
         "dedup_simhash": po.dedup_simhash_sql(),

@@ -137,6 +137,59 @@ class BruteForceIndex:
 
         return [t for t in self.postings if pred(t)]
 
+    def sloppy_phrase_postings(self, per_slot_positions, slop):
+        """{doc: float32 freq} under sloppy matching. ``per_slot_positions``:
+        one {doc: [raw positions]} map per phrase slot. Uses the shared
+        per-doc matcher (validated separately by hand-derived unit goldens);
+        positions here come from the independent regex token stream."""
+        from lucene_spark.search.phrase import _sloppy_freq_doc
+
+        docs = set(per_slot_positions[0])
+        for m in per_slot_positions[1:]:
+            docs &= set(m)
+        out = {}
+        for doc in docs:
+            pls = [np.array(sorted(m[doc]), dtype=np.int64) - i
+                   for i, m in enumerate(per_slot_positions)]
+            f = _sloppy_freq_doc(pls, slop)
+            if f > 0.0:
+                out[doc] = f
+        return out
+
+    def _slot_positions(self, slot):
+        """Union {doc: sorted positions} over a tuple of alternative terms."""
+        out: dict[int, set] = {}
+        for t in slot:
+            for doc, ps in self.positions.get(t, {}).items():
+                out.setdefault(doc, set()).update(ps)
+        return {d: sorted(ps) for d, ps in out.items()}
+
+    def _exact_slot_matches(self, per_slot_positions):
+        """{doc: freq}: count of start positions matching every slot."""
+        out = {}
+        docs = set(per_slot_positions[0])
+        for m in per_slot_positions[1:]:
+            docs &= set(m)
+        for doc in docs:
+            sets = [
+                {p - i for p in per_slot_positions[i][doc]}
+                for i in range(len(per_slot_positions))
+            ]
+            inter = set.intersection(*sets)
+            if inter:
+                out[doc] = len(inter)
+        return out
+
+    def _phrase_topk(self, matches, dfs, boost, k):
+        if not matches or any(d == 0 for d in dfs):
+            return []
+        scorer = self.similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs)
+        docs = np.array(sorted(matches), dtype=np.int64)
+        freqs = np.array([matches[d] for d in docs.tolist()])
+        sc = scorer.score(freqs, self.norms[docs])
+        order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
+        return [(int(docs[i]), float(sc[i])) for i in order]
+
     def search(self, query, k: int = 10):
         if isinstance(query, str):
             query = ast.parse(query, self.analyzer,
@@ -145,21 +198,39 @@ class BruteForceIndex:
         if isinstance(q, ast.MatchNoDocsQuery) or self.doc_count == 0:
             return []
         if isinstance(q, ast.PhraseQuery):
-            matches = self.phrase_postings(list(q.terms))
-            if not matches:
-                return []
             dfs = [self.postings[t][0].size if t in self.postings else 0
                    for t in q.terms]
             if any(d == 0 for d in dfs):
                 return []
-            scorer = self.similarity.scorer(
-                q.boost, self.doc_count, self.sum_ttf, dfs
-            )
-            docs = np.array(sorted(matches), dtype=np.int64)
-            freqs = np.array([matches[d] for d in docs.tolist()], dtype=np.int64)
-            sc = scorer.score(freqs, self.norms[docs])
-            order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
-            return [(int(docs[i]), float(sc[i])) for i in order]
+            if q.slop:
+                slots = [dict(self.positions.get(t, {})) for t in q.terms]
+                matches = self.sloppy_phrase_postings(slots, q.slop)
+            else:
+                matches = self.phrase_postings(list(q.terms))
+            return self._phrase_topk(matches, dfs, q.boost, k)
+        if isinstance(q, ast.MultiPhraseQuery):
+            present_slots = [
+                tuple(t for t in slot if t in self.postings)
+                for slot in q.slots
+            ]
+            if any(not s for s in present_slots):
+                return []
+            dfs = [self.postings[t][0].size for slot in present_slots
+                   for t in slot]
+            per_slot = [self._slot_positions(s) for s in present_slots]
+            if q.slop:
+                matches = self.sloppy_phrase_postings(per_slot, q.slop)
+            else:
+                matches = self._exact_slot_matches(per_slot)
+            return self._phrase_topk(matches, dfs, q.boost, k)
+        if isinstance(q, ast.MultiTermQuery):
+            # CONSTANT_SCORE: k smallest matching docIDs, score == boost
+            matched = self._mt_matches(q)
+            if not matched:
+                return []
+            docs = np.unique(np.concatenate(
+                [self.postings[t][0] for t in matched]))
+            return [(int(d), float(F32(q.boost))) for d in docs[:k]]
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
 

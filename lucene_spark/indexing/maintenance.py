@@ -1,0 +1,380 @@
+"""Index maintenance: deletes (live docs) and segment compaction.
+
+Mirrors the reference's mutation model, Spark-first:
+
+- **delete-by-term** (``core/index/IndexWriter.java:1468-1530``,
+  ``Lucene90LiveDocsFormat``): deletes never touch postings — each segment
+  gets a side parquet of DELETED local docIDs
+  (``live_docs/seg=N/part-0.parquet``); absent file = all live. Readers load
+  the (tiny) per-segment deleted set inside the per-segment kernel and
+  exclude those docs before top-k/count. As in Lucene, collection/term
+  statistics are NOT updated by deletes — docFreq counts deleted docs until
+  a merge rewrites the segment (``IndexWriter`` semantics) — so scores match
+  Lucene's deleted-docs behavior, and match a fresh build only after
+  ``compact``.
+
+- **compaction** (``core/index/SegmentMerger.java:104-160``,
+  ``core/index/TieredMergePolicy.java:89-95`` in spirit): consecutive small
+  segments are merged into one, deleted docs dropped and docIDs renumbered
+  densely (exactly Lucene's merge renumbering,
+  ``SegmentMerger``/``MergeState.DocMap``). Merging is distributed — one
+  Spark task per merge run decodes the run's posting blocks, remaps docIDs,
+  re-encodes 128-doc blocks, and writes the merged segment files directly
+  (same executor-write pattern as the build's invert pass). Stats are
+  recomputed afterwards (the point where deletes leave the statistics).
+
+docID invariant after compact: global docID = row_number over the surviving
+docs in (conv_id, turn_idx) order − 1, i.e. identical to a fresh build of
+the surviving corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_spark.indexing.blocks import (
+    decode_block,
+    decode_block_positions,
+    encode_segment_blocks,
+)
+from lucene_spark.indexing.builder import (
+    DOCS_SCHEMA,
+    POSTINGS_SCHEMA,
+    IndexBuilder,
+    _atomic_write_parquet,
+)
+
+LIVE_SCHEMA = pa.schema([("doc_id", pa.int64())])  # DELETED local docIDs
+
+
+def deleted_for_segment(index_dir: str, seg: int) -> np.ndarray:
+    """Sorted local docIDs deleted in ``seg`` (empty when none). Runs inside
+    executor kernels — index storage is shared, same as the build's direct
+    segment writes."""
+    path = f"{index_dir}/live_docs/seg={seg}/part-0.parquet"
+    if not os.path.exists(path):
+        return np.zeros(0, dtype=np.int64)
+    arr = pq.read_table(path).column("doc_id").to_numpy()
+    return np.asarray(arr, dtype=np.int64)
+
+
+def write_deleted(index_dir: str, seg: int, doc_ids: np.ndarray):
+    arr = np.unique(np.asarray(doc_ids, dtype=np.int64))
+    tbl = pa.Table.from_pydict({"doc_id": arr}, schema=LIVE_SCHEMA)
+    _atomic_write_parquet(tbl, f"{index_dir}/live_docs/seg={seg}/part-0.parquet")
+
+
+class IndexMaintenance:
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def _manifest(self) -> dict:
+        with open(f"{self.index_dir}/manifest.json") as f:
+            return json.load(f)
+
+    def _save_manifest(self, m: dict):
+        tmp = f"{self.index_dir}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, f"{self.index_dir}/manifest.json")
+
+    # -- deletes ------------------------------------------------------------
+    def delete_by_term(self, term: str, field: str = "text") -> int:
+        """Mark every doc containing ``(field, term)`` deleted. Distributed:
+        per-segment kernels decode the term's postings, union with the
+        existing deleted set, and write the segment's live-docs file; only
+        per-segment delete counts return to the driver. Returns the number
+        of newly deleted docs."""
+        from pyspark.sql import functions as F
+
+        index_dir = self.index_dir
+        postings = (
+            self.spark.read.parquet(f"{index_dir}/postings")
+            .filter((F.col("field") == field) & (F.col("term") == term))
+        )
+        cols = ["first_doc", "count", "doc_gaps", "tfs"]
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["seg"].iloc[0])
+            parts = [
+                decode_block(pdf["first_doc"].iloc[i], pdf["count"].iloc[i],
+                             pdf["doc_gaps"].iloc[i], pdf["tfs"].iloc[i])[0]
+                for i in range(len(pdf))
+            ]
+            hit = np.unique(np.concatenate(parts))
+            old = deleted_for_segment(index_dir, seg)
+            new = np.union1d(old, hit)
+            if new.size > old.size:
+                write_deleted(index_dir, seg, new)
+            return pd.DataFrame({"n": [int(new.size - old.size)]})
+
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "n long")
+            .collect()
+        )
+        n_new = sum(int(r["n"]) for r in out)
+        m = self._manifest()
+        m["deleted_count"] = int(m.get("deleted_count", 0)) + n_new
+        m["has_deletes"] = m.get("deleted_count", 0) > 0 or n_new > 0
+        self._save_manifest(m)  # commit point: readers opened after see it
+        return n_new
+
+    # -- compaction ---------------------------------------------------------
+    def plan_merges(self, target_rows: int) -> list[list[int]]:
+        """Greedy tiered plan: consecutive runs (segment-id order == global
+        doc order) whose total LIVE rows fit in ``target_rows``; singleton
+        runs are kept only when the segment has deletes to purge."""
+        m = self._manifest()
+        segs = sorted(int(s) for s in m["offsets"])
+        rows = {
+            int(r["segment"]): int(r["rows_in"])
+            for r in self.spark.read.parquet(
+                f"{self.index_dir}/build_manifest").collect()
+        }
+        live = {s: rows[s] - deleted_for_segment(self.index_dir, s).size
+                for s in segs}
+        runs, cur, cur_rows = [], [], 0
+        for s in segs:
+            if cur and cur_rows + live[s] > target_rows:
+                runs.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(s)
+            cur_rows += live[s]
+        if cur:
+            runs.append(cur)
+        return [
+            r for r in runs
+            if len(r) > 1
+            or any(deleted_for_segment(self.index_dir, s).size for s in r)
+        ]
+
+    def compact(self, target_rows: int = 1_000_000) -> dict:
+        """Merge small/deleted segments (one distributed task per run),
+        renumber docIDs densely, recompute stats. Equivalent to a fresh
+        build of the surviving docs (same docID assignment, same scores)."""
+        from pyspark.sql import functions as F
+
+        runs = self.plan_merges(target_rows)
+        if not runs:
+            return {"merged_runs": 0}
+        index_dir = self.index_dir
+        spark = self.spark
+        manifest = self._manifest()
+        rows_in = {
+            int(r["segment"]): int(r["rows_in"])
+            for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
+        }
+        fps = {
+            int(r["segment"]): int(r["fingerprint"])
+            for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
+        }
+        run_of = {s: i for i, run in enumerate(runs) for s in run}
+        run_list = [list(run) for run in runs]
+        seg_rows = {s: rows_in[s] for run in runs for s in run}
+
+        def run_remap(run_id: int):
+            """(bases, live_run_ids): run-local docID remap inputs."""
+            segs = run_list[run_id]
+            bases, acc = {}, 0
+            for s in segs:
+                bases[s] = acc
+                acc += seg_rows[s]
+            dele = [deleted_for_segment(index_dir, s) + bases[s] for s in segs]
+            deleted = (np.concatenate(dele) if dele
+                       else np.zeros(0, np.int64))
+            live = np.setdiff1d(np.arange(acc, dtype=np.int64), deleted,
+                                assume_unique=True)
+            return bases, live
+
+        # --- merge docs tables (one task per run) --------------------------
+        docs = spark.read.parquet(f"{index_dir}/docs")
+        run_map_expr = F.create_map(
+            *[x for s, r in run_of.items() for x in (F.lit(s), F.lit(r))]
+        )
+        docs_in = docs.filter(F.col("seg").isin(list(run_of))) \
+            .withColumn("run", run_map_expr[F.col("seg")])
+
+        def merge_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            run_id = int(pdf["run"].iloc[0])
+            segs = run_list[run_id]
+            bases, live = run_remap(run_id)
+            pdf = pdf.sort_values(["seg", "doc_id"])
+            run_ids = pdf["doc_id"].to_numpy() + pdf["seg"].map(bases).to_numpy()
+            keep = np.isin(run_ids, live)
+            sub = pdf.loc[keep]
+            new_seg = segs[0]
+            tbl = pa.Table.from_pydict(
+                {
+                    "doc_id": np.arange(int(keep.sum()), dtype=np.int64),
+                    "conv_id": sub["conv_id"].to_numpy(dtype=object),
+                    "turn_idx": sub["turn_idx"].to_numpy().astype(np.int32),
+                    "dl": sub["dl"].to_numpy().astype(np.int32),
+                    "norm": sub["norm"].to_numpy().astype(np.int32),
+                },
+                schema=DOCS_SCHEMA,
+            )
+            _atomic_write_parquet(
+                tbl, f"{index_dir}/docs/seg={new_seg}.merging/part-0.parquet")
+            return pd.DataFrame({"run": [run_id], "rows": [int(keep.sum())]})
+
+        doc_counts = {
+            int(r["run"]): int(r["rows"])
+            for r in docs_in.groupBy("run")
+            .applyInPandas(merge_docs, "run int, rows long").collect()
+        }
+
+        # --- merge postings (one task per run) -----------------------------
+        postings = spark.read.parquet(f"{index_dir}/postings")
+        post_in = postings.filter(F.col("seg").isin(list(run_of))) \
+            .withColumn("run", run_map_expr[F.col("seg")])
+        pcols = ["seg", "field", "term", "block_id", "first_doc", "count",
+                 "doc_gaps", "tfs", "norms", "positions"]
+
+        def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+            run_id = int(pdf["run"].iloc[0])
+            segs = run_list[run_id]
+            bases, live = run_remap(run_id)
+            new_seg = segs[0]
+            out_parts, field_cols = [], []
+            # per field: decode blocks in (term, seg, block) order — the
+            # concatenation is already (term, new docID)-sorted because
+            # segment id order == doc order and remapping is monotone
+            for fval, fpdf in pdf.groupby("field", sort=True):
+                fpdf = fpdf.sort_values(["term", "seg", "block_id"])
+                has_pos = any(len(p) > 0 for p in fpdf["positions"])
+                parts = {"term": [], "d": [], "tf": [], "nm": [], "pos": []}
+                for row in fpdf.itertuples(index=False):
+                    d, tf, nm = decode_block(row.first_doc, row.count,
+                                             row.doc_gaps, row.tfs, row.norms)
+                    d = d + bases[row.seg]
+                    keep = np.isin(d, live)
+                    if not keep.any():
+                        continue
+                    parts["term"].append(
+                        np.full(int(keep.sum()), row.term, dtype=object))
+                    parts["d"].append(np.searchsorted(live, d[keep]))
+                    parts["tf"].append(tf[keep])
+                    parts["nm"].append(nm[keep])
+                    if has_pos:
+                        flat, _ = decode_block_positions(row.positions, tf)
+                        parts["pos"].append(flat[np.repeat(keep, tf)])
+                if not parts["d"]:
+                    continue
+                cols = encode_segment_blocks(
+                    np.concatenate(parts["term"]),
+                    np.concatenate(parts["d"]).astype(np.int64),
+                    np.concatenate(parts["tf"]).astype(np.int64),
+                    np.concatenate(parts["nm"]).astype(np.int64),
+                    pos_flat=(np.concatenate(parts["pos"]).astype(np.int64)
+                              if has_pos else None),
+                )
+                out_parts.append(cols)
+                field_cols.append(
+                    np.full(len(cols["term"]), fval, dtype=object))
+            if not out_parts:
+                tbl = pa.Table.from_pydict(
+                    {k: [] for k in POSTINGS_SCHEMA.names},
+                    schema=POSTINGS_SCHEMA)
+                _atomic_write_parquet(
+                    tbl,
+                    f"{index_dir}/postings/seg={new_seg}.merging/part-0.parquet",
+                )
+                return pd.DataFrame({"run": [run_id], "blocks": [0]})
+            merged = {
+                k: sum((list(p[k]) for p in out_parts), [])
+                for k in out_parts[0]
+            }
+            n_blocks = len(merged["term"])
+            tbl = pa.Table.from_pydict(
+                {"field": np.concatenate(field_cols), **merged},
+                schema=POSTINGS_SCHEMA,
+            )
+            _atomic_write_parquet(
+                tbl,
+                f"{index_dir}/postings/seg={new_seg}.merging/part-0.parquet",
+            )
+            return pd.DataFrame({"run": [run_id], "blocks": [n_blocks]})
+
+        post_in.select("run", *pcols).groupBy("run").applyInPandas(
+            merge_postings, "run int, blocks long"
+        ).collect()
+
+        # --- commit: swap dirs, renumber offsets, rewrite manifests --------
+        for run in runs:
+            new_seg = run[0]
+            for sub in ("docs", "postings"):
+                src = f"{index_dir}/{sub}/seg={new_seg}.merging"
+                dst = f"{index_dir}/{sub}/seg={new_seg}"
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+            for s in run:
+                shutil.rmtree(f"{index_dir}/live_docs/seg={s}",
+                              ignore_errors=True)
+                if s != new_seg:
+                    for sub in ("docs", "postings"):
+                        shutil.rmtree(f"{index_dir}/{sub}/seg={s}",
+                                      ignore_errors=True)
+
+        survivors = []
+        for s in sorted(int(x) for x in manifest["offsets"]):
+            if s in run_of:
+                run = run_list[run_of[s]]
+                if s == run[0]:
+                    had_deletes = (
+                        doc_counts[run_of[s]] != sum(seg_rows[y] for y in run)
+                    )
+                    # xor of sub fingerprints is the merged fingerprint when
+                    # nothing was deleted (order-independent xor); with
+                    # deletes the source fingerprint is unknowable → 0 forces
+                    # re-invert on a later resume (conservative, correct)
+                    fp = 0
+                    if not had_deletes:
+                        for y in run:
+                            fp ^= fps[y] & ((1 << 64) - 1)
+                        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+                    survivors.append((s, doc_counts[run_of[s]], fp))
+                # non-first members of a run disappear
+            else:
+                survivors.append((s, rows_in[s], fps[s]))
+
+        offsets, acc = {}, 0
+        mrows = []
+        for s, n, fp in survivors:
+            offsets[s] = acc
+            acc += n
+            mrows.append({"segment": s, "fingerprint": fp, "rows_in": n,
+                          "doc_offset": offsets[s], "terms": -1, "blocks": -1,
+                          "wall_ms": 0,
+                          "status": "merged" if s in run_of else "ok"})
+        mdf = spark.createDataFrame(pd.DataFrame(mrows)[
+            ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
+             "blocks", "wall_ms", "status"]
+        ])
+        tmp = f"{index_dir}/build_manifest.tmp"
+        mdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{index_dir}/build_manifest", ignore_errors=True)
+        os.replace(tmp, f"{index_dir}/build_manifest")
+
+        # stats: recomputed from surviving postings — the moment deleted
+        # docs leave the statistics (Lucene merge semantics)
+        IndexBuilder(spark, index_dir)._write_stats()
+
+        manifest["offsets"] = {str(s): o for s, o in sorted(offsets.items())}
+        manifest["doc_count"] = acc
+        manifest["num_segments"] = len(offsets)
+        manifest["deleted_count"] = 0
+        manifest["has_deletes"] = False
+        self._save_manifest(manifest)
+        return {"merged_runs": len(runs), "doc_count": acc,
+                "num_segments": len(offsets)}

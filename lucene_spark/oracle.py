@@ -36,12 +36,17 @@ def norm_map_values() -> str:
     return ",".join(rows)
 
 
-BASE_CTES = f"""
+def base_ctes(doc_where: str = "TRUE") -> str:
+    """The shared CTE block; ``doc_where`` filters the source docs BEFORE
+    docID assignment (row_number) — used by the delete+compact gate, whose
+    surviving docs are renumbered densely exactly like a fresh build."""
+    return f"""
 docs0 AS (
   SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
          lang, source,
          lower(coalesce(text, '')) AS t
   FROM documents
+  WHERE {doc_where}
 ),
 toks AS (
   SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term FROM docs0
@@ -64,6 +69,9 @@ fstats AS (
 ),
 tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 """
+
+
+BASE_CTES = base_ctes()
 
 
 def term_stats_sql(limit: int = 100) -> str:
@@ -94,7 +102,7 @@ def _clause_rows(q) -> list[tuple[str, str, float]]:
     return [(tq.term, occ, tq.boost) for occ, tq in q.clauses]
 
 
-def bm25_topk_sql(query, k: int) -> str:
+def bm25_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
     """Float32-bit-exact BM25 top-k SQL for a (flat boolean) query AST.
 
     Emits (doc_id, score DOUBLE) — score is the exact float32 widened to
@@ -154,7 +162,7 @@ summed AS (
         pass  # every row in `summed` already matched ≥1 scoring clause
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
-WITH {BASE_CTES},{clause_cte}
+WITH {base_ctes(doc_where)},{clause_cte}
 SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
 FROM summed{where}
 ORDER BY score DESC, did ASC
@@ -199,6 +207,101 @@ ph AS (
 ),
 pw AS (SELECT CAST({boost!r} AS FLOAT) * CAST(({sum_idf}) AS FLOAT) AS w
        WHERE {guard}),
+scored AS (
+  SELECT ph.did,
+         pw.w - pw.w / (CAST(1 AS FLOAT)
+                        + CAST(ph.freq AS FLOAT)
+                          * (CAST(1 AS FLOAT)
+                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                        + ({B} * CAST(d.dlen AS FLOAT))
+                                          / (SELECT avgdl FROM fstats))))) AS s
+  FROM ph CROSS JOIN pw
+  JOIN dlen d ON d.did = ph.did
+)
+SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
+FROM scored
+ORDER BY s DESC, did ASC
+LIMIT {k}
+"""
+
+
+_TOKSP_CTE = """
+toksp AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(t, '[a-z0-9]+'), 1) AS pos
+  FROM docs0
+)"""
+
+
+def phrase_count_sql(terms) -> str:
+    """Exact-phrase hit count (docs with ≥1 consecutive-position match)."""
+    n_t = len(terms)
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n_t)
+    )
+    conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT t0.did FROM toksp t0{joins}
+  WHERE {conds}
+  GROUP BY t0.did
+)
+"""
+
+
+def sloppy_pair_count_sql(t0: str, t1: str, slop: int) -> str:
+    """Sloppy 2-term phrase hit count: a doc matches ``"t0 t1"~slop`` iff
+    some position pair has |pos(t1) - pos(t0) - 1| <= slop (the minimal
+    adjusted window the greedy SloppyPhraseMatcher finds for two distinct
+    terms)."""
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT a.did
+  FROM toksp a JOIN toksp b ON b.did = a.did
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+    AND abs(b.pos - a.pos - 1) <= {slop}
+  GROUP BY a.did
+)
+"""
+
+
+def multiphrase_topk_sql(slots, k: int, boost: float = 1.0) -> str:
+    """Exact MultiPhrase top-k: slot i matches when ANY of its terms is at
+    start+i; freq = count of matching start positions; weight = boost ×
+    float32(Σ over ALL slot terms of float32 idf) (MultiPhraseQuery.java:234).
+    Assumes every listed term occurs in the corpus (gate queries use
+    corpus-vocabulary terms)."""
+    all_terms = [t for slot in slots for t in slot]
+    joins = []
+    conds = []
+    for i, slot in enumerate(slots):
+        inlist = ", ".join(f"'{t}'" for t in slot)
+        if i == 0:
+            conds.append(f"t0.term IN ({inlist})")
+        else:
+            joins.append(
+                f"\n  JOIN toksp t{i} ON t{i}.did = t0.did "
+                f"AND t{i}.pos = t0.pos + {i}"
+            )
+            conds.append(f"t{i}.term IN ({inlist})")
+    idf_f32 = [
+        f"CAST(ln(1 + ((SELECT n FROM fstats) - (SELECT df FROM tstats WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5)) AS FLOAT)"
+        for t in all_terms
+    ]
+    sum_idf = " + ".join(f"CAST({x} AS DOUBLE)" for x in idf_f32)
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE},
+ph AS (
+  SELECT t0.did, count(DISTINCT t0.pos)::BIGINT AS freq
+  FROM toksp t0{"".join(joins)}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
+),
+pw AS (SELECT CAST({boost!r} AS FLOAT) * CAST(({sum_idf}) AS FLOAT) AS w),
 scored AS (
   SELECT ph.did,
          pw.w - pw.w / (CAST(1 AS FLOAT)

@@ -42,16 +42,32 @@ class TermQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
-    """Exact phrase (slop=0): terms at consecutive positions.
+    """Phrase query; ``slop=0`` → exact (terms at consecutive positions),
+    ``slop>0`` → sloppy.
 
-    Mirrors ``core/search/PhraseQuery.java`` + ``ExactPhraseMatcher.java``
-    semantics: freq = number of phrase occurrences; scored with the summed
-    per-term idf (``BM25Similarity.java:185-194``).
+    Mirrors ``core/search/PhraseQuery.java`` semantics: exact freq = number
+    of phrase occurrences (``ExactPhraseMatcher.java``); sloppy freq =
+    Σ 1/(1+matchLength) over the greedy minimal-window matches
+    (``SloppyPhraseMatcher.java:170``, ``PhraseScorer.java:74-80``). Scored
+    with the summed per-term idf (``BM25Similarity.java:185-194``).
     """
 
     terms: tuple  # tuple[str, ...], in phrase order
     field: str = "text"
     boost: float = 1.0
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase with per-position alternatives (``core/search/MultiPhraseQuery.java``):
+    position i matches when ANY term of ``slots[i]`` occurs there (union
+    postings, :303). idf = sum over ALL terms of all slots (:234)."""
+
+    slots: tuple  # tuple[tuple[str, ...], ...]
+    field: str = "text"
+    boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -130,6 +146,17 @@ def normalize(q):
         if len(q.terms) == 1:  # 1-term phrase collapses to TermQuery
             return TermQuery(q.terms[0], q.field, q.boost)
         return q
+    if isinstance(q, MultiPhraseQuery):
+        if not q.slots or any(not s for s in q.slots):
+            return MatchNoDocsQuery()
+        if all(len(s) == 1 for s in q.slots):  # no alternatives → PhraseQuery
+            return normalize(PhraseQuery(tuple(s[0] for s in q.slots),
+                                         q.field, q.boost, q.slop))
+        if len(q.slots) == 1:  # one-term-array case → SHOULD bool (:189-195)
+            return normalize(BooleanQuery(tuple(
+                (SHOULD, TermQuery(t, q.field, q.boost)) for t in q.slots[0]
+            )))
+        return q
     if isinstance(q, SynonymQuery):
         if not q.terms:
             return MatchNoDocsQuery()
@@ -174,9 +201,11 @@ def normalize(q):
 
 import re as _re
 
-# one clause token: optional +/-, then a quoted phrase or bare word, then an
-# optional ^boost — the classic QueryParser subset incl. phrases
-_CLAUSE_RE = _re.compile(r'([+-]?)("(?:[^"]*)"|[^\s"^]+)(?:\^([\d.]+))?')
+# one clause token: optional +/-, then a quoted phrase (with optional ~slop)
+# or bare word, then an optional ^boost — the classic QueryParser subset
+_CLAUSE_RE = _re.compile(
+    r'([+-]?)("(?:[^"]*)"(?:~(\d+))?|[^\s"^]+)(?:\^([\d.]+))?'
+)
 
 
 def parse(query_str: str, analyzer, default_field: str = "text",
@@ -190,12 +219,13 @@ def parse(query_str: str, analyzer, default_field: str = "text",
     """
     clauses = []
     for m in _CLAUSE_RE.finditer(query_str):
-        sign, raw, boost_s = m.groups()
+        sign, raw, slop_s, boost_s = m.groups()
         occur = MUST if sign == "+" else MUST_NOT if sign == "-" else SHOULD
         boost = float(boost_s) if boost_s else 1.0
-        is_phrase = raw.startswith('"') and raw.endswith('"') and len(raw) >= 2
+        slop = int(slop_s) if slop_s else 0
+        is_phrase = raw.startswith('"')
         if is_phrase:
-            raw = raw[1:-1]
+            raw = raw[1: raw.rindex('"')]  # strip quotes (and trailing ~N)
         fieldname = default_field
         if not is_phrase and ":" in raw:
             maybe_field, _, rest = raw.partition(":")
@@ -230,7 +260,8 @@ def parse(query_str: str, analyzer, default_field: str = "text",
             continue  # analyzed to nothing (e.g. stopword / too long)
         if is_phrase:
             clauses.append(
-                (occur, normalize(PhraseQuery(tuple(toks), fieldname, boost)))
+                (occur,
+                 normalize(PhraseQuery(tuple(toks), fieldname, boost, slop)))
             )
         else:
             for t in toks:  # multi-token expansion: each token its own clause

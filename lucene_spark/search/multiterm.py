@@ -164,7 +164,8 @@ def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> lis
     return [r["term"] for r in rows]
 
 
-def constant_score_topk(reader, postings, k: int, boost: float):
+def constant_score_topk(reader, postings, k: int, boost: float,
+                        deleted_loader=None):
     """First k matching docIDs (docID asc) with score == boost.
 
     ``postings``: posting-block rows of the matched terms (either from a
@@ -182,6 +183,8 @@ def constant_score_topk(reader, postings, k: int, boost: float):
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
         off = np.int64(rows["doc_offset"][0])
+        dele = (deleted_loader(pdf["seg"].iloc[0]) + off
+                if deleted_loader else None)
         order = np.argsort(rows["first_doc"], kind="stable")
         firsts = rows["first_doc"][order].astype(np.int64) + off
         parts, seen = [], 0
@@ -190,6 +193,8 @@ def constant_score_topk(reader, postings, k: int, boost: float):
                 rows["first_doc"][i] + off, rows["count"][i],
                 rows["doc_gaps"][i], rows["tfs"][i],
             )
+            if dele is not None and dele.size:
+                d = d[~np.isin(d, dele)]
             parts.append(d)
             seen += d.size
             # sound early exit: blocks are ordered by first_doc only, so an
@@ -216,7 +221,7 @@ def constant_score_topk(reader, postings, k: int, boost: float):
     return [ScoreDoc(d, float(boost)) for d in docs]
 
 
-def constant_score_count(reader, postings) -> int:
+def constant_score_count(reader, postings, deleted_loader=None) -> int:
     """Exact matching-doc count (union of posting doc-sets), distributed:
     one count per segment returns to the driver."""
     if postings is None:
@@ -230,8 +235,12 @@ def constant_score_count(reader, postings) -> int:
                          rows["doc_gaps"][i], rows["tfs"][i])[0]
             for i in range(len(pdf))
         ]
-        n = int(np.unique(np.concatenate(parts)).size) if parts else 0
-        return pd.DataFrame({"n": [n]})
+        if not parts:
+            return pd.DataFrame({"n": [0]})
+        u = np.unique(np.concatenate(parts))
+        if deleted_loader:  # docIDs are segment-local in this kernel
+            u = u[~np.isin(u, deleted_loader(pdf["seg"].iloc[0]))]
+        return pd.DataFrame({"n": [int(u.size)]})
 
     out = (
         postings.select("seg", *cols)
@@ -255,11 +264,13 @@ def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
     df_blend = max(stats[t]["df"] for t in present)
     scorer = reader.similarity_scorer(similarity, q.boost, [df_blend])
     postings = reader.postings(present)
+    dload = reader.deleted_loader()
     cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "norms", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
         off = np.int64(rows["doc_offset"][0])
+        dele = dload(pdf["seg"].iloc[0]) + off if dload else None
         d_parts, tf_parts, nm_parts = [], [], []
         for i in range(len(pdf)):
             d, tf, nm = decode_block(
@@ -275,6 +286,9 @@ def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
         np.add.at(tfsum, inv, np.concatenate(tf_parts))
         norm = np.zeros(uniq.size, dtype=np.int64)
         norm[inv] = np.concatenate(nm_parts)  # same doc → same norm
+        if dele is not None and dele.size:
+            live = ~np.isin(uniq, dele)
+            uniq, tfsum, norm = uniq[live], tfsum[live], norm[live]
         s = scorer.score(tfsum, norm)
         order = np.lexsort((uniq, -s.astype(np.float64)))[:k]
         return pd.DataFrame({"doc_id": uniq[order], "score": s[order]})
@@ -296,11 +310,13 @@ def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
     }
     tie = F32(q.tie_breaker)
     postings = reader.postings(present)
+    dload = reader.deleted_loader()
     cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "norms", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
         off = np.int64(rows["doc_offset"][0])
+        dele = dload(pdf["seg"].iloc[0]) + off if dload else None
         d_parts, s_parts = [], []
         for i in range(len(pdf)):
             d, tf, nm = decode_block(
@@ -317,6 +333,9 @@ def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
         ssum = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(ssum, inv, alls.astype(np.float64))
         score = (smax + (tie * (ssum.astype(F32) - smax).astype(F32)).astype(F32)).astype(F32)
+        if dele is not None and dele.size:
+            live = ~np.isin(uniq, dele)
+            uniq, score = uniq[live], score[live]
         order = np.lexsort((uniq, -score.astype(np.float64)))[:k]
         return pd.DataFrame({"doc_id": uniq[order], "score": score[order]})
 

@@ -148,3 +148,19 @@ class IndexReader:
 
     def similarity_scorer(self, similarity: BM25Similarity, boost: float, dfs):
         return similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs)
+
+    def deleted_loader(self):
+        """None when the index has no deletes; else an executor-safe callable
+        ``seg -> sorted LOCAL deleted docIDs`` (the .liv read, loaded inside
+        the per-segment kernel). Stats deliberately still count deleted docs
+        until compaction — Lucene's live-docs semantics."""
+        if not self.manifest.get("has_deletes", False):
+            return None
+        index_dir = self.index_dir
+
+        def load(seg) -> "np.ndarray":
+            from lucene_spark.indexing.maintenance import deleted_for_segment
+
+            return deleted_for_segment(index_dir, int(seg))
+
+        return load

@@ -116,6 +116,8 @@ class IndexSearcher:
         query = ast.normalize(query)
         if isinstance(query, ast.PhraseQuery):
             return self._search_phrase(query, k)
+        if isinstance(query, ast.MultiPhraseQuery):
+            return self._search_multiphrase(query, k)
         if isinstance(query, ast.MultiTermQuery):
             # semi-join execution: matched terms never reach the driver
             from lucene_spark.search.multiterm import (
@@ -126,7 +128,8 @@ class IndexSearcher:
             postings = self.reader.postings_semijoin(
                 matched_terms_df(self.reader, query), query.field
             )
-            return constant_score_topk(self.reader, postings, k, query.boost)
+            return constant_score_topk(self.reader, postings, k, query.boost,
+                                       deleted_loader=self.reader.deleted_loader())
         if isinstance(query, ast.SynonymQuery):
             from lucene_spark.search.multiterm import synonym_topk
 
@@ -149,6 +152,7 @@ class IndexSearcher:
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
         sep = self.FIELD_SEP
+        dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -157,7 +161,9 @@ class IndexSearcher:
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            d, s = segment_topk(rows, specs, cache, k, msm, prune=prune)
+            dele = dload(pdf["seg"].iloc[0]) + off if dload else None
+            d, s = segment_topk(rows, specs, cache, k, msm, prune=prune,
+                                deleted=dele)
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
         out = (
@@ -196,22 +202,26 @@ class IndexSearcher:
         from lucene_spark.search.multiterm import expand_terms
 
         sep = self.FIELD_SEP
-        flat = []  # (occur, kind, field, terms, boost)
+        flat = []  # (occur, kind, field, terms, boost, slop)
         need_positions = False
         for occur, sub in q.clauses:
             if isinstance(sub, ast.PhraseQuery):
                 need_positions = True
+                if sub.slop and len(set(sub.terms)) != len(sub.terms):
+                    raise NotImplementedError(
+                        "sloppy phrases with repeated terms are not supported"
+                    )
                 flat.append((occur, "phrase", sub.field, tuple(sub.terms),
-                             sub.boost))
+                             sub.boost, int(sub.slop)))
             elif isinstance(sub, ast.TermQuery):
-                flat.append((occur, "term", sub.field, (sub.term,), sub.boost))
+                flat.append((occur, "term", sub.field, (sub.term,), sub.boost, 0))
             elif isinstance(sub, ast.MultiTermQuery):
                 terms = tuple(expand_terms(self.reader, sub))
                 if not terms:
                     if occur in (ast.MUST, ast.FILTER):
                         return None
                     continue
-                flat.append((occur, "const", sub.field, terms, sub.boost))
+                flat.append((occur, "const", sub.field, terms, sub.boost, 0))
             else:
                 raise NotImplementedError(
                     f"unsupported clause type in boolean query: {type(sub).__name__}"
@@ -220,7 +230,7 @@ class IndexSearcher:
             return None
 
         by_field: dict[str, set] = {}
-        for _occ, kind, f, terms, _b in flat:
+        for _occ, kind, f, terms, _b, _sl in flat:
             if kind in ("term", "phrase"):
                 by_field.setdefault(f, set()).update(terms)
         stats = {}
@@ -232,7 +242,7 @@ class IndexSearcher:
             return stats.get((f, t), {}).get("df", 0)
 
         clauses = []
-        for occur, kind, f, terms, boost in flat:
+        for occur, kind, f, terms, boost, slop in flat:
             if f != "text" and kind != "const":
                 if occur == ast.SHOULD:
                     raise NotImplementedError(
@@ -256,7 +266,7 @@ class IndexSearcher:
                 w = 0.0
             clauses.append({"occur": occur, "kind": kind, "field": f,
                             "terms": tuple(f + sep + t for t in terms),
-                            "weight": w})
+                            "weight": w, "slop": slop})
         if not clauses or not any(
             c["occur"] in (ast.MUST, ast.SHOULD, ast.FILTER) for c in clauses
         ):
@@ -266,7 +276,7 @@ class IndexSearcher:
             F32(self.similarity.k1), F32(self.similarity.b),
         )
         field_terms: dict[str, list] = {}
-        for _occ, kind, f, terms, _b in flat:
+        for _occ, kind, f, terms, _b, _sl in flat:
             field_terms.setdefault(f, []).extend(terms)
         return clauses, cache, q.min_should_match, field_terms, need_positions
 
@@ -287,6 +297,7 @@ class IndexSearcher:
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "positions", "doc_offset"]
         sep = self.FIELD_SEP
+        dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -294,8 +305,10 @@ class IndexSearcher:
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            dele = dload(pdf["seg"].iloc[0]) + off if dload else None
             d, s = segment_boolean_mixed(
-                rows, clauses, cache, None if count_only else k, msm
+                rows, clauses, cache, None if count_only else k, msm,
+                deleted=dele,
             )
             if count_only:
                 return pd.DataFrame({"n": [int(d.size)]})
@@ -324,30 +337,77 @@ class IndexSearcher:
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
 
     def _search_phrase(self, q: ast.PhraseQuery, k: int) -> list[ScoreDoc]:
-        """Exact-phrase top-k: docID leapfrog + positions verify per segment,
-        scored as one pseudo-term with summed idf (PhraseWeight semantics)."""
+        """Phrase top-k (exact or sloppy): docID leapfrog + positions verify
+        per segment, scored as one pseudo-term with summed idf (PhraseWeight
+        semantics). Sloppy freq = float32 Σ 1/(1+matchLength)."""
         from lucene_spark.search.phrase import segment_phrase_postings
 
         terms = list(q.terms)
+        if q.slop and len(set(terms)) != len(terms):
+            raise NotImplementedError(
+                "sloppy phrases with repeated terms (SloppyPhraseMatcher "
+                "repeat groups) are not supported"
+            )
         stats = self.reader.term_stats(terms)
         if any(t not in stats or stats[t]["df"] == 0 for t in terms):
             return []
-        if not self.reader.manifest.get("positions", False):
-            raise ValueError("index was built without positions; "
-                             "rebuild with IndexBuilder(..., positions=True)")
         scorer = self.reader.similarity_scorer(
             self.similarity, q.boost, [stats[t]["df"] for t in terms]
         )
-        postings = self.reader.postings(terms)
+        slop = int(q.slop)
+        return self._run_phrase_kernel(
+            self.reader.postings(terms), k, scorer,
+            lambda rows: segment_phrase_postings(rows, terms, slop),
+        )
+
+    def _search_multiphrase(self, q: ast.MultiPhraseQuery, k: int):
+        """MultiPhraseQuery top-k: union postings per slot, idf summed over
+        ALL present terms of all slots (MultiPhraseQuery.java:226-245)."""
+        from lucene_spark.search.phrase import segment_multiphrase_postings
+
+        all_terms = [t for slot in q.slots for t in slot]
+        if q.slop and len(set(all_terms)) != len(all_terms):
+            raise NotImplementedError(
+                "sloppy multi-phrases with repeated terms are not supported"
+            )
+        stats = self.reader.term_stats(all_terms)
+
+        def df_of(t):
+            return stats.get(t, {}).get("df", 0)
+
+        present_slots = tuple(
+            tuple(t for t in slot if df_of(t) > 0) for slot in q.slots
+        )
+        if any(not s for s in present_slots):
+            return []
+        dfs = [df_of(t) for slot in present_slots for t in slot]
+        scorer = self.reader.similarity_scorer(self.similarity, q.boost, dfs)
+        fetch = sorted({t for slot in present_slots for t in slot})
+        slop = int(q.slop)
+        return self._run_phrase_kernel(
+            self.reader.postings(fetch), k, scorer,
+            lambda rows: segment_multiphrase_postings(rows, present_slots, slop),
+        )
+
+    def _run_phrase_kernel(self, postings, k: int, scorer, kernel):
+        """Shared per-segment fan-out for phrase-shaped queries: ``kernel``
+        maps block rows → (docs, freqs, norms)."""
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions; "
+                             "rebuild with IndexBuilder(..., positions=True)")
         cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
                 "norms", "positions", "doc_offset"]
+        dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            d, f, nm = segment_phrase_postings(rows, terms)
+            d, f, nm = kernel(rows)
+            if d.size and dload:
+                m = ~np.isin(d, dload(pdf["seg"].iloc[0]) + off)
+                d, f, nm = d[m], f[m], nm[m]
             if d.size == 0:
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": np.int64, "score": np.float32})
@@ -374,6 +434,7 @@ class IndexSearcher:
         from lucene_spark.search.phrase import segment_phrase_postings
 
         terms = list(q.terms)
+        slop = int(q.slop)
         stats = self.reader.term_stats(terms, field=q.field)
         if any(stats.get(t, {}).get("df", 0) == 0 for t in terms):
             return 0
@@ -382,10 +443,13 @@ class IndexSearcher:
         postings = self.reader.postings(terms, field=q.field)
         cols = ["term", "first_doc", "count", "doc_gaps", "tfs",
                 "norms", "positions"]
+        dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
-            d, _f, _nm = segment_phrase_postings(rows, terms)
+            d, _f, _nm = segment_phrase_postings(rows, terms, slop)
+            if d.size and dload:  # kernel docIDs are segment-local here
+                d = d[~np.isin(d, dload(pdf["seg"].iloc[0]))]
             return pd.DataFrame({"n": [int(d.size)]})
 
         out = (
@@ -414,6 +478,7 @@ class IndexSearcher:
                 self.reader.postings_semijoin(
                     matched_terms_df(self.reader, query), query.field
                 ),
+                deleted_loader=self.reader.deleted_loader(),
             )
         if isinstance(query, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
             # hit set = union of the terms' doc sets (scores don't affect it)
@@ -425,10 +490,44 @@ class IndexSearcher:
             if not present:
                 return 0
             return constant_score_count(
-                self.reader, self.reader.postings(present, field=query.field)
+                self.reader, self.reader.postings(present, field=query.field),
+                deleted_loader=self.reader.deleted_loader(),
             )
         if isinstance(query, ast.PhraseQuery):
             return self._phrase_count(query)
+        if isinstance(query, ast.MultiPhraseQuery):
+            from lucene_spark.search.phrase import segment_multiphrase_postings
+
+            all_terms = sorted({t for slot in query.slots for t in slot})
+            stats = self.reader.term_stats(all_terms, field=query.field)
+            slots = tuple(
+                tuple(t for t in slot
+                      if stats.get(t, {}).get("df", 0) > 0)
+                for slot in query.slots
+            )
+            if any(not s for s in slots):
+                return 0
+            fetch = sorted({t for slot in slots for t in slot})
+            postings = self.reader.postings(fetch, field=query.field)
+            slop = int(query.slop)
+            cols = ["term", "first_doc", "count", "doc_gaps", "tfs",
+                    "norms", "positions"]
+            dload = self.reader.deleted_loader()
+
+            def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+                rows = {c: pdf[c].to_numpy() for c in cols}
+                d, _f, _nm = segment_multiphrase_postings(rows, slots, slop)
+                if d.size and dload:  # segment-local docIDs here
+                    d = d[~np.isin(d, dload(pdf["seg"].iloc[0]))]
+                return pd.DataFrame({"n": [int(d.size)]})
+
+            out = (
+                postings.select("seg", *cols)
+                .groupBy("seg")
+                .applyInPandas(run_segment, "n long")
+                .collect()
+            )
+            return sum(int(r["n"]) for r in out)
         if isinstance(query, ast.BooleanQuery) and any(
             not isinstance(s, ast.TermQuery) for _, s in query.clauses
         ):
@@ -446,6 +545,7 @@ class IndexSearcher:
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
         sep = self.FIELD_SEP
+        dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -453,7 +553,9 @@ class IndexSearcher:
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            d, _ = segment_topk(rows, specs, cache, big, msm, prune=False)
+            dele = dload(pdf["seg"].iloc[0]) + off if dload else None
+            d, _ = segment_topk(rows, specs, cache, big, msm, prune=False,
+                                deleted=dele)
             return pd.DataFrame({"n": [int(d.size)]})
 
         out = (
@@ -483,6 +585,7 @@ class IndexSearcher:
                 "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
         big = self.reader.doc_count + 1
         sep = self.FIELD_SEP
+        dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -490,7 +593,9 @@ class IndexSearcher:
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            d, s = segment_topk(rows, specs, cache, big, msm, prune=False)
+            dele = dload(pdf["seg"].iloc[0]) + off if dload else None
+            d, s = segment_topk(rows, specs, cache, big, msm, prune=False,
+                                deleted=dele)
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
         return (

@@ -56,11 +56,14 @@ def _block_scores(weight: np.float32, cache: np.ndarray, tfs, norms) -> np.ndarr
 
 
 def segment_topk(block_rows, clauses: list[ClauseSpec], cache: np.ndarray,
-                 k: int, min_should_match: int = 0, prune: bool = True):
+                 k: int, min_should_match: int = 0, prune: bool = True,
+                 deleted: np.ndarray | None = None):
     """Top-k (doc_id, score_f32) for one segment.
 
     ``block_rows``: dict of column-name → numpy array (postings block rows for
-    all query terms in this segment, any order).
+    all query terms in this segment, any order). ``deleted``: GLOBAL docIDs
+    masked out (live-docs filtering) — folded into the exclusion set so the
+    θ-pruning bound never counts a deleted doc.
     """
     from lucene_spark.indexing.blocks import decode_block
 
@@ -105,6 +108,8 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], cache: np.ndarray,
                     block_rows["doc_gaps"][i], block_rows["tfs"][i],
                 )
                 excl_parts.append(d)
+    if deleted is not None and deleted.size:
+        excl_parts.append(np.asarray(deleted, dtype=np.int64))
     excl = np.unique(np.concatenate(excl_parts)) if excl_parts else np.zeros(0, np.int64)
 
     if not keep_idx:

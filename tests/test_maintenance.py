@@ -1,0 +1,135 @@
+"""Deletes (live docs) + segment compaction: delete-by-term filtering on
+every query shape, stale-stats semantics (Lucene parity), and the
+build → append → delete → compact ≡ fresh-build-of-survivors contract."""
+
+import shutil
+
+import pytest
+
+from lucene_spark.corpus import VOCAB, synthetic_transcripts, synthetic_transcripts_pdf
+from lucene_spark.goldens import BruteForceIndex
+from lucene_spark.indexing.builder import IndexBuilder
+from lucene_spark.indexing.maintenance import IndexMaintenance
+from lucene_spark.search import ast
+from lucene_spark.search.searcher import IndexSearcher
+
+N = 60
+
+
+@pytest.fixture(scope="module")
+def pdf60():
+    return synthetic_transcripts_pdf(N)
+
+
+def _queries():
+    return [
+        VOCAB[0],
+        f"+{VOCAB[1]} {VOCAB[5]}",
+        f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}",
+        f"+{VOCAB[2]} -{VOCAB[0]}",
+    ]
+
+
+def test_delete_by_term_then_compact(spark, tmp_path, pdf60):
+    df = synthetic_transcripts(spark, N)
+    d = str(tmp_path / "delidx")
+    shutil.rmtree(d, ignore_errors=True)
+    IndexBuilder(spark, d, num_segments=5).build(df)
+    s = IndexSearcher(spark, d)
+    victim = VOCAB[7]
+    big = 10 ** 5
+    before = {q: s.search(q, big) for q in _queries()}
+    deleted_docs = {h.doc_id for h in s.search(f"+{victim}", big)}
+    assert deleted_docs
+
+    m = IndexMaintenance(spark, d)
+    n = m.delete_by_term(victim)
+    assert n == len(deleted_docs)
+    assert m.delete_by_term(victim) == 0  # idempotent
+
+    # deletes filter hits on every query shape, scores unchanged for
+    # survivors (stats are stale until merge — Lucene live-docs semantics)
+    s2 = IndexSearcher(spark, d)
+    assert s2.count(f"+{victim}") == 0
+    for q in _queries():
+        got = [(h.doc_id, h.score) for h in s2.search(q, big)]
+        exp = [(h.doc_id, h.score) for h in before[q]
+               if h.doc_id not in deleted_docs]
+        assert got == exp, f"post-delete mismatch for {q!r}"
+    # multiterm + phrase + count paths also respect live docs
+    pref = s2.search(ast.MultiTermQuery("prefix", victim[:4]), big)
+    assert deleted_docs.isdisjoint({h.doc_id for h in pref})
+    assert s2.count(ast.MultiTermQuery("prefix", victim[:4])) == len(pref)
+
+    # compact: drop deleted rows, renumber docIDs, recompute stats —
+    # must equal a FRESH build of the surviving corpus exactly
+    res = m.compact(target_rows=10 ** 6)
+    assert res["merged_runs"] >= 1
+
+    golden = BruteForceIndex(pdf60)
+    del_ids = set(golden.postings[victim][0].tolist())
+    assert del_ids == deleted_docs
+    ordered = pdf60.sort_values(["conv_id", "turn_idx"],
+                                kind="mergesort").reset_index(drop=True)
+    surv = ordered[~ordered.index.isin(del_ids)]
+    fresh_d = str(tmp_path / "freshidx")
+    IndexBuilder(spark, fresh_d, num_segments=2).build(
+        spark.createDataFrame(surv))
+
+    s3 = IndexSearcher(spark, d)
+    s4 = IndexSearcher(spark, fresh_d)
+    assert s3.reader.doc_count == s4.reader.doc_count
+    assert s3.reader.sum_ttf == s4.reader.sum_ttf
+    phrase = None
+    gold_surv = BruteForceIndex(surv)
+    an = gold_surv.analyzer
+    for text in surv["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2:
+            phrase = ast.PhraseQuery((toks[0], toks[1]))
+            break
+    checks = _queries() + [phrase, ast.MultiTermQuery("prefix", "ba")]
+    for q in checks:
+        a = [(h.doc_id, h.score) for h in s3.search(q, 200)]
+        b = [(h.doc_id, h.score) for h in s4.search(q, 200)]
+        assert a == b, f"compacted != fresh for {q!r}"
+        ge = gold_surv.search(q, 200)
+        assert a == ge, f"compacted != golden for {q!r}"
+
+
+def test_append_many_then_compact_pure_merge(spark, tmp_path):
+    """Thousands-of-micro-segments scenario in miniature: many appended
+    segments compact into few, with identical query results (no deletes)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    df = synthetic_transcripts(spark, 40).cache()
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    d = str(tmp_path / "incidx")
+    shutil.rmtree(d, ignore_errors=True)
+    inc = IncrementalIndexer(spark, d, rows_per_segment=25)
+    step = len(convs) // 4
+    bounds = [convs[i * step] for i in range(1, 4)] + [None]
+    lo = None
+    for i, hi in enumerate([convs[step], convs[2 * step], convs[3 * step], None]):
+        part = df
+        if lo is not None:
+            part = part.filter(F.col("conv_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("conv_id") < hi)
+        inc.append(part, epoch_id=i)
+        lo = hi
+    s_before = IndexSearcher(spark, d)
+    n_seg_before = s_before.reader.manifest["num_segments"]
+    assert n_seg_before >= 4
+    before = {q: s_before.search(q, 500) for q in _queries()}
+
+    res = IndexMaintenance(spark, d).compact(target_rows=10 ** 6)
+    assert res["num_segments"] < n_seg_before
+
+    s_after = IndexSearcher(spark, d)
+    for q in _queries():
+        assert s_after.search(q, 500) == before[q], q
+    # per-query task count shrinks with the segment count
+    assert s_after.reader.manifest["num_segments"] == res["num_segments"]

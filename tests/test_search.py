@@ -380,3 +380,85 @@ def test_distributed_counts_match_search(searcher, golden, corpus_pdf):
         ).size
         assert searcher.count(ast.SynonymQuery(terms)) == exp
         assert searcher.count(ast.DisjunctionMaxQuery(terms)) == exp
+
+
+def test_sloppy_matcher_hand_goldens():
+    """Per-doc sloppy freq vs hand-derived expectations from the reference
+    algorithm (SloppyPhraseMatcher.java greedy minimal-window semantics)."""
+    from lucene_spark.search.phrase import _sloppy_freq_doc
+
+    def f(pls, slop):
+        return _sloppy_freq_doc([np.array(p, dtype=np.int64) - i
+                                 for i, p in enumerate(pls)], slop)
+
+    # "a b" in doc "a b": one exact match, weight 1/(1+0)
+    assert f([[0], [1]], 1) == 1.0
+    # "a b" in doc "a x b": distance 1 → weight 1/2 (and no match at slop 0)
+    assert f([[0], [2]], 1) == 0.5
+    assert f([[0], [2]], 0) == 0.0
+    # reversed order "b a" needs slop 2 → weight 1/3
+    assert f([[1], [0]], 2) == float(np.float32(1.0 / 3.0))
+    assert f([[1], [0]], 1) == 0.0
+    # "a b a b" with slop 0 ≡ exact: two matches, weight 1 each
+    assert f([[0, 2], [1, 3]], 0) == 2.0
+    # 3-term "a b c" in "a b x c": window = 1 → 1/2
+    assert f([[0], [1], [3]], 1) == 0.5
+
+
+def test_sloppy_phrase_golden_identity(spark, searcher, golden, corpus_pdf):
+    """Engine sloppy-phrase top-k ≡ goldens (independent positions stream);
+    parser handles the ~N syntax."""
+    an = golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pairs, gapped = [], None
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2 and len(pairs) < 2:
+            pairs.append((toks[0], toks[1]))
+        if len(toks) >= 4 and gapped is None:
+            gapped = (toks[0], toks[2])   # distance-1 pair → needs slop ≥ 1
+        if len(pairs) >= 2 and gapped:
+            break
+    queries = [
+        ast.PhraseQuery(pairs[0], slop=1),
+        ast.PhraseQuery(pairs[1], slop=3),
+        ast.PhraseQuery(gapped, slop=1),
+        ast.PhraseQuery((pairs[0][1], pairs[0][0]), slop=2),  # reversed
+    ]
+    for q in queries:
+        exp = golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+        assert got == exp, f"sloppy mismatch for {q.terms} slop={q.slop}"
+    # parser syntax "a b"~2 and count parity
+    qs = f'"{pairs[0][0]} {pairs[0][1]}"~2'
+    parsed = searcher.parse(qs)
+    assert isinstance(parsed, ast.PhraseQuery) and parsed.slop == 2
+    assert searcher.count(parsed) == len(golden.search(parsed, 10 ** 6))
+
+
+def test_multiphrase_golden_identity(spark, searcher, golden, corpus_pdf):
+    """MultiPhraseQuery (per-slot alternatives, union postings, summed idf
+    over all terms) ≡ goldens, exact and sloppy."""
+    an = golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pairs = []
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2:
+            pairs.append((toks[0], toks[1]))
+        if len(pairs) >= 2:
+            break
+    (a1, b1), (a2, b2) = pairs[0], pairs[1]
+    queries = [
+        ast.MultiPhraseQuery(((a1, a2), (b1,))),
+        ast.MultiPhraseQuery(((a1,), (b1, b2)), boost=1.5),
+        ast.MultiPhraseQuery(((a1, a2), (b1, b2)), slop=1),
+        ast.MultiPhraseQuery(((a1, "zzznotaterm"), (b1,))),
+    ]
+    for q in queries:
+        exp = golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+        assert got == exp, f"multiphrase mismatch for {q.slots} slop={q.slop}"
+    # count parity on the sloppy variant
+    q = queries[2]
+    assert searcher.count(q) == len(golden.search(q, 10 ** 6))
