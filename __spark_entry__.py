@@ -241,6 +241,15 @@ def _q_facet_lang(spark, sf_dir):
     )
 
 
+def _q_sort_by_dl(spark, sf_dir):
+    """TopFieldCollector analogue: OR-match set sorted by dl DESC, docID ASC."""
+    s = _searcher(spark, sf_dir)
+    hits = s.search_sorted(_parse(Q_OR), "dl", k=50, reverse=True)
+    return spark.createDataFrame(
+        [(int(d), int(v)) for d, v in hits], "doc_id long, dl long"
+    )
+
+
 def _q_search_after(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return _hits_df(spark, s.search_after(_parse(Q_OR), after_count=20, k=20))
@@ -293,6 +302,28 @@ def _q_delete_compact(spark, sf_dir):
     mnt.compact(target_rows=10 ** 9)
     s = IndexSearcher(spark, d)
     return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
+
+
+def _q_english_stem(spark, sf_dir):
+    """EnglishAnalyzer (possessive + stop + Porter) end-to-end: build a
+    stemmed index and query with morphological variants ('tables' stems to
+    the same term as 'table'). No SQL oracle — Porter isn't expressible in
+    DuckDB — so the driver records the weaker rows-only check; pytest golden
+    vectors cover the algorithm itself (tests/test_english.py)."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_en/{tag}"
+    if not os.path.exists(f"{d}/manifest.json"):
+        shutil.rmtree(d, ignore_errors=True)
+        t = transcripts_from_documents(spark, sf_dir)
+        IndexBuilder(spark, d, analyzer="english", num_segments=6).build(t)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search("tables values", k=50, mode="wand"))
 
 
 def _q_doc_range(spark, sf_dir):
@@ -435,9 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_top1_source": _q_group_top1,
         "facet_lang_counts": _q_facet_lang,
         "search_after_page2": _q_search_after,
+        "sort_by_dl_topk": _q_sort_by_dl,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
         "delete_compact_topk": _q_delete_compact,
+        "english_stem_topk": _q_english_stem,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -500,6 +533,9 @@ def oracle_sql() -> dict[str, str]:
         "group_top1_source": oracle.group_top1_sql(_parse(Q_OR), "source"),
         "facet_lang_counts": oracle.facet_counts_sql(_parse(Q_OR), "lang"),
         "search_after_page2": oracle.search_after_sql(_parse(Q_OR), 1, 20),
+        "sort_by_dl_topk": oracle.sort_by_dl_sql(
+            ["table", "value", "query"], 50
+        ),
         "doc_range_dl": oracle.doc_range_sql(30, 60, 100),
         "streaming_incremental": oracle.bm25_topk_sql(_parse(Q_OR), 50),
         "delete_compact_topk": oracle.bm25_topk_sql(

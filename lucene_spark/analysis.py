@@ -334,4 +334,8 @@ def get_analyzer(name: str):
         return StandardAnalyzer()
     if name == "simple":
         return SimpleAnalyzer()
+    if name == "english":
+        from lucene_spark.analysis_en import EnglishAnalyzer
+
+        return EnglishAnalyzer()
     raise ValueError(f"unknown analyzer: {name}")

@@ -82,11 +82,18 @@ class BruteForceIndex:
                 yield pos, t
             return
         pos = 0
+        filt = getattr(self.analyzer, "filter_token", None)
+        stop = getattr(self.analyzer, "stopwords", None)
         for t in A._STANDARD_RE.findall(text.lower()):
             keep = (len(t) <= self.analyzer.max_token_length
                     and A._HAS_ALNUM_RE.search(t))
-            if keep and (not self.analyzer.stopwords or t not in self.analyzer.stopwords):
-                yield pos, t
+            if keep:
+                if filt is not None:  # english chain: possessive/stop/stem
+                    t2 = filt(t)
+                    if t2 is not None:
+                        yield pos, t2
+                elif not stop or t not in stop:
+                    yield pos, t
             pos += 1  # skipped tokens still bump position (stop filter holes too)
 
     def phrase_postings(self, terms):

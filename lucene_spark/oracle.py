@@ -577,3 +577,18 @@ def count_sql(query) -> str:
 WITH {BASE_CTES}
 SELECT count(*)::BIGINT AS hits FROM dls d WHERE {where}
 """
+
+
+def sort_by_dl_sql(terms, k: int) -> str:
+    """Sort-by-field (dl DESC, docID ASC) top-k over docs matching ANY of
+    ``terms`` — the TopFieldCollector gate's oracle."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {BASE_CTES}
+SELECT d.did AS doc_id, d.dl AS dl
+FROM dls d
+WHERE EXISTS (SELECT 1 FROM tf
+              WHERE tf.did = d.did AND tf.term IN ({inlist}))
+ORDER BY d.dl DESC, d.did ASC
+LIMIT {k}
+"""

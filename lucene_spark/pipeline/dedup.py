@@ -195,12 +195,15 @@ def simhash64(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  max_bucket: int = 64) -> DataFrame:
     """(a, b, hamming) — banded SimHash near-dup join.
 
     Candidates share ≥1 identical 16-bit band (finds all pairs with ≤3
     differing bits, plus most up to max_hamming); Hamming distance is
-    bit_count(xor) summed over bands.
+    bit_count(xor) summed over bands. ``max_bucket`` prunes degenerate
+    giant buckets before the self-join — without it a boilerplate-heavy
+    corpus (16-bit bands over 10^9 docs) goes ~n²/2^15 quadratic.
     """
     sh = simhash64(docs)
     bands = sh.select(
@@ -214,9 +217,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    sized = bands.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "v"))
+    ).filter(F.col("bsz") <= max_bucket)
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "v"])
+        sized.alias("x")
+        .join(sized.alias("y"), ["band", "v"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
@@ -263,32 +269,59 @@ def ngram_jaccard_topk(docs: DataFrame, k: int = 50, max_df: int = 100) -> DataF
 # --------------------------------------------------- embedding near-dup -----
 
 def embedding_neardup_pairs(qemb: DataFrame, t_num: int = 361,
-                            t_den: int = 400) -> DataFrame:
+                            t_den: int = 400, bands: int = 4,
+                            band_bits: int = 16,
+                            max_bucket: int = 64) -> DataFrame:
     """(a, b, dot) — pairs with cosine ≥ sqrt(t_num/t_den), integer-exact.
 
     Input: quantized embeddings (vec_id, q array<long>). cos ≥ t (with
     dot ≥ 0) ⟺ t_den·dot² ≥ t_num·|a|²·|b|² — all int64 (components ≤ ~1e3,
     dims 64 → dot ≤ ~6.4e7, dot² ≤ 4.1e15 < 2^63). Default t² = 361/400 →
-    t = 0.95. Pairwise only over same-LSH-bucket candidates (sign pattern of
-    the first 8 quantized dims), the scale path.
+    t = 0.95.
+
+    Candidate generation is a BANDED hyperplane LSH: ``bands`` keys per
+    vector, each the 16-bit sign pattern of one 16-dim slice (64 bits of
+    hyperplane signature total — not the 8-bit/256-bucket scheme that goes
+    O(n²/256) at corpus scale); a near-dup pair collides when ANY band
+    matches. ``max_bucket`` prunes degenerate buckets (zero/constant
+    vectors) before the self-join.
     """
     b = qemb.select(
         "vec_id", "q",
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(8)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc + F.when(
-                F.element_at(F.col("q"), j.cast("int")) >= 0,
-                F.pow(F.lit(2), j - 1).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ).alias("bucket"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a2, x: a2 + x * x).alias("n2"),
     )
-    l = b.select(F.col("vec_id").alias("a"), F.col("q").alias("qa"),
-                 F.col("n2").alias("na"), "bucket")
-    r = b.select(F.col("vec_id").alias("b"), F.col("q").alias("qb"),
-                 F.col("n2").alias("nb"), "bucket")
-    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    bandrows = b.select(
+        "vec_id", "q",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "vec_id", "band",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(band_bits)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.when(
+                F.element_at(
+                    F.col("q"),
+                    (F.col("band") * band_bits + j).cast("int"),
+                ) >= 0,
+                F.pow(F.lit(2), j - 1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("key"),
+    )
+    sized = bandrows.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bsz") <= max_bucket)
+    pairs = (
+        sized.select("band", "key", F.col("vec_id").alias("a"))
+        .join(sized.select("band", "key", F.col("vec_id").alias("b")),
+              ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .join(b.select(F.col("vec_id").alias("a"), F.col("q").alias("qa"),
+                       F.col("n2").alias("na")), "a")
+        .join(b.select(F.col("vec_id").alias("b"), F.col("q").alias("qb"),
+                       F.col("n2").alias("nb")), "b")
+    )
     dotted = pairs.withColumn(
         "dot",
         F.aggregate(

@@ -172,10 +172,15 @@ sh4 AS (
          sum(CASE WHEN band = 3 THEN v ELSE 0 END)::BIGINT AS b3
   FROM shb GROUP BY doc_id
 ),
+ssized AS (
+  SELECT doc_id, band, v, count(*) OVER (PARTITION BY band, v) AS bsz
+  FROM shb
+),
 scand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM shb l JOIN shb r
+  FROM ssized l JOIN ssized r
     ON l.band = r.band AND l.v = r.v AND l.doc_id < r.doc_id
+  WHERE l.bsz <= 64
 )
 """
 
@@ -230,11 +235,16 @@ acomps AS (
   SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS j FROM aqemb
 ),
 anorms2 AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM acomps GROUP BY vec_id),
-abuckets AS (
-  SELECT vec_id,
-         sum(CASE WHEN j <= 8 AND v >= 0
-                  THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
-  FROM acomps GROUP BY vec_id
+abands AS (
+  SELECT vec_id, CAST(floor((j - 1) / 16) AS BIGINT) AS band,
+         sum(CASE WHEN v >= 0
+                  THEN CAST(power(2, (j - 1) % 16) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS key
+  FROM acomps GROUP BY vec_id, band
+),
+asized AS (
+  SELECT vec_id, band, key, count(*) OVER (PARTITION BY band, key) AS bsz
+  FROM abands
 )
 """
 
@@ -243,9 +253,10 @@ def dedup_embedding_sql(t_num: int = 361, t_den: int = 400) -> str:
     return f"""
 WITH {QEMB},{AQEMB},
 cand AS (
-  SELECT x.vec_id AS a, y.vec_id AS b
-  FROM abuckets x JOIN abuckets y
-    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM asized x JOIN asized y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+  WHERE x.bsz <= 64
 ),
 dots AS (
   SELECT c.a, c.b, sum(ca.v * cb.v)::BIGINT AS dot

@@ -604,6 +604,29 @@ class IndexSearcher:
             .applyInPandas(run_segment, "doc_id long, score float")
         )
 
+    def search_sorted(self, query, sort_field: str, k: int = 10,
+                      reverse: bool = True) -> list[tuple]:
+        """Sort-by-field top-k — the ``TopFieldCollector`` analogue
+        (``core/search/TopFieldCollector.java``): hits ordered by a
+        doc-values column of the docs table (``dl``, ``turn_idx``, …) with
+        the exact Lucene tie-break (field order, then docID ascending).
+
+        Plan shape: the match set stays distributed (``score_df``), joins
+        the doc-values column, and reduces via Spark's TakeOrderedAndProject
+        (per-partition top-k, no global sort shuffle) — the plan you want at
+        10^12 docs. Returns [(doc_id, field_value), ...].
+        """
+        from pyspark.sql import functions as F
+
+        matches = self.score_df(query).select("doc_id")
+        docs = self.reader.docs().select("doc_id", sort_field)
+        order = [
+            F.col(sort_field).desc() if reverse else F.col(sort_field).asc(),
+            F.col("doc_id").asc(),
+        ]
+        rows = matches.join(docs, "doc_id").orderBy(*order).limit(k).collect()
+        return [(int(r["doc_id"]), r[sort_field]) for r in rows]
+
     def search_after(self, query, after_count: int, k: int = 10,
                      mode: str = "wand") -> list[ScoreDoc]:
         """Keyset pagination (``TopScoreDocCollector.java:163-184`` analogy):

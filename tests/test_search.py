@@ -462,3 +462,17 @@ def test_multiphrase_golden_identity(spark, searcher, golden, corpus_pdf):
     # count parity on the sloppy variant
     q = queries[2]
     assert searcher.count(q) == len(golden.search(q, 10 ** 6))
+
+
+def test_search_sorted_topfield(searcher, golden):
+    """TopFieldCollector analogue: sort-by-dl top-k with docID tie-break."""
+    q = f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}"
+    match_ids = [h for h, _ in golden.search(q, 10 ** 6)]
+    exp_desc = sorted(match_ids, key=lambda d: (-int(golden.dl[d]), d))[:30]
+    got = searcher.search_sorted(searcher.parse(q), "dl", k=30, reverse=True)
+    assert [d for d, _ in got] == exp_desc
+    assert all(v == int(golden.dl[d]) for d, v in got)
+    exp_asc = sorted(match_ids, key=lambda d: (int(golden.dl[d]), d))[:30]
+    got_asc = searcher.search_sorted(searcher.parse(q), "dl", k=30,
+                                     reverse=False)
+    assert [d for d, _ in got_asc] == exp_asc

@@ -71,10 +71,16 @@ def main(sf_dir: str):
                      "BroadcastExchange on the tiny query side + window)",
                      capture(brute_topk(emb))))
 
+    import re
+
     checks = []
     txt0 = sections[0][1]
-    checks.append(("postings term pushdown", "PushedFilters: [In(term" in txt0
-                   or "PushedFilters: [In(`term`" in txt0))
+    # the filter list may lead with IsNotNull(...) etc. — accept In(term, …)
+    # anywhere inside the PushedFilters list (VERDICT r1 wrong-#7: the old
+    # prefix-anchored match false-negatived)
+    checks.append(("postings term pushdown", bool(
+        re.search(r"PushedFilters: \[[^\]]*In\(`?term`?,", txt0)
+    )))
     checks.append(("postings schema pruned (no positions col in term scan)",
                    "positions" not in txt0.split("ReadSchema")[1][:400]
                    if "ReadSchema" in txt0 else False))
