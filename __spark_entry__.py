@@ -184,6 +184,38 @@ def _q_mt_fuzzy_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _mk_sim_topk(sim_name: str, k: int):
+    """Alternative-similarity top-k (Similarity plug-in surface): same WAND
+    kernel, different scoring model bound per clause."""
+    def run(spark, sf_dir):
+        from lucene_spark.search.searcher import IndexSearcher
+        from lucene_spark.similarity import get_similarity
+
+        d = _ensure_index(spark, sf_dir)
+        s = IndexSearcher(spark, d, similarity=get_similarity(sim_name))
+        return _hits_df(spark, s.search(_parse(Q_OR), k=k, mode="wand"))
+
+    return run
+
+
+def _q_const_score_bool(spark, sf_dir):
+    """Generic ConstantScoreQuery wrapper over a boolean query."""
+    s = _searcher(spark, sf_dir)
+    q = ast.ConstantScoreQuery(_parse(Q_BOOL), boost=1.5)
+    return _hits_df(spark, s.search(q, k=50))
+
+
+def _q_function_score(spark, sf_dir):
+    """FunctionScoreQuery boostByValue: BM25 × ln(1+dl) doc-values expr."""
+    from pyspark.sql import functions as F
+
+    s = _searcher(spark, sf_dir)
+    hits = s.function_score(
+        _parse(Q_OR), F.log(F.lit(1.0) + F.col("dl").cast("double")), k=40
+    )
+    return _hits_df(spark, hits)
+
+
 def _q_synonym(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return _hits_df(spark, s.search(ast.SynonymQuery(("table", "row")), k=40))
@@ -394,7 +426,11 @@ def _q_ann_brute(spark, sf_dir):
 def _q_ann_lsh(spark, sf_dir):
     from lucene_spark.pipeline.simsearch import lsh_topk
 
-    return lsh_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+    # gate runs the multi-probe setting (8 bands × 8 hyperplanes) so random
+    # synthetic vectors actually collide; library default is 4×16 (the
+    # selective-at-scale setting)
+    return lsh_topk(_emb(spark, sf_dir), bands=8, band_bits=8) \
+        .orderBy("query_id", "rank")
 
 
 def _q_text_langid(spark, sf_dir):
@@ -461,6 +497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all_count": lambda spark, sf_dir: spark.createDataFrame(
             [(int(_searcher(spark, sf_dir).reader.doc_count),)], "hits long"
         ),
+        "const_score_bool_topk": _q_const_score_bool,
+        "function_score_topk": _q_function_score,
+        "classic_tfidf_topk": _mk_sim_topk("classic", 40),
+        "boolean_sim_topk": _mk_sim_topk("boolean", 40),
+        "lm_dirichlet_topk": _mk_sim_topk("lm_dirichlet", 40),
         "synonym_topk": _q_synonym,
         "dismax_topk": _q_dismax,
         "group_top1_source": _q_group_top1,
@@ -528,6 +569,13 @@ def oracle_sql() -> dict[str, str]:
             "AND damerau_levenshtein(x.term, 'tabel') <= 2"
         ),
         "match_all_count": "SELECT count(*)::BIGINT AS hits FROM documents",
+        "const_score_bool_topk": oracle.constant_score_sql(
+            _parse(Q_BOOL), 50, boost=1.5
+        ),
+        "function_score_topk": oracle.function_score_sql(_parse(Q_OR), 40),
+        "classic_tfidf_topk": oracle.classic_topk_sql(_parse(Q_OR), 40),
+        "boolean_sim_topk": oracle.boolean_sim_topk_sql(_parse(Q_OR), 40),
+        "lm_dirichlet_topk": oracle.lm_dirichlet_topk_sql(_parse(Q_OR), 40),
         "synonym_topk": oracle.synonym_topk_sql(["table", "row"], 40),
         "dismax_topk": oracle.dismax_topk_sql(["table", "value"], 40),
         "group_top1_source": oracle.group_top1_sql(_parse(Q_OR), "source"),

@@ -314,8 +314,10 @@ class BruteForceIndex:
                     continue
                 any_scoring = True
                 docs, tfs = hit
+                ttfs = ([int(tfs.sum())]
+                        if isinstance(tq, ast.TermQuery) else None)
                 scorer = self.similarity.scorer(
-                    tq.boost, self.doc_count, self.sum_ttf, dfs
+                    tq.boost, self.doc_count, self.sum_ttf, dfs, ttfs=ttfs
                 )
                 score[docs] += scorer.score(tfs, self.norms[docs]).astype(np.float64)
                 if occur == ast.SHOULD:

@@ -592,3 +592,222 @@ WHERE EXISTS (SELECT 1 FROM tf
 ORDER BY d.dl DESC, d.did ASC
 LIMIT {k}
 """
+
+
+def _boolean_filtered(query):
+    """Shared clause decomposition for alternative-similarity oracles."""
+    clauses = _clause_rows(query)
+    scoring = [(t, b) for t, o, b in clauses if o in (ast.MUST, ast.SHOULD)]
+    must = sorted({t for t, o, _ in clauses if o in (ast.MUST, ast.FILTER)})
+    must_not = sorted({t for t, o, _ in clauses if o == ast.MUST_NOT})
+    return clauses, scoring, must, must_not
+
+
+def _topk_tail(must, must_not, k):
+    conds = []
+    for t in must:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM tf m WHERE m.did = summed.did AND m.term = '{t}')"
+        )
+    for t in must_not:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = summed.did AND x.term = '{t}')"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return f"""
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed{where}
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
+def classic_topk_sql(query, k: int) -> str:
+    """ClassicSimilarity (vector-space TF-IDF) top-k, float32-bit-exact:
+    clause score = f32(sqrt(tf)) · f32(boost·idf) · f32(1/sqrt(dlen)),
+    idf = f32(ln((n+1)/(df+1)) + 1), per-doc clause sum in DOUBLE → f32."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         CAST(q.boost * CAST(ln(((SELECT n FROM fstats) + 1) / (ts.df + 1.0))
+                             + 1.0 AS FLOAT) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT) * w.w AS FLOAT)
+              * CAST(1.0 / sqrt(CAST(d.dlen AS DOUBLE)) AS FLOAT) AS FLOAT) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def boolean_sim_topk_sql(query, k: int) -> str:
+    """BooleanSimilarity top-k: every matching scoring clause contributes
+    exactly f32(boost); per-doc sum in DOUBLE → f32."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+qterms(cid, term, boost) AS (VALUES {qvals}),
+clause_scores AS (
+  SELECT tf.did, q.boost AS s
+  FROM tf JOIN qterms q ON q.term = tf.term
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def lm_dirichlet_topk_sql(query, k: int, mu: float = 2000.0) -> str:
+    """LMDirichletSimilarity top-k: clause score =
+    f32(max(0, boost·(ln(1 + tf/(μ·P)) + ln(μ/(dlen+μ))))) with
+    P = (ttf+1)/(sum_ttf+1) in DOUBLE; per-doc clause sum in DOUBLE → f32."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+probs AS (
+  SELECT q.cid, q.term, q.boost,
+         (ts.ttf + 1.0) / ((SELECT sum_ttf FROM fstats) + 1.0) AS p
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(GREATEST(
+           pr.boost * (ln(1 + CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                              / ({mu!r} * pr.p))
+                       + ln({mu!r} / (CAST(d.dlen AS DOUBLE) + {mu!r}))),
+           0.0) AS FLOAT) AS s
+  FROM tf
+  JOIN probs pr ON pr.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def constant_score_sql(query, k: int, boost: float = 1.0) -> str:
+    """ConstantScoreQuery wrapper: matching docs of a (flat boolean) query,
+    k smallest docIDs, score == f32(boost)."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    should = [t for t, o, _ in clauses if o == ast.SHOULD]
+    conds = []
+    for t in must:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM tf m WHERE m.did = d.did AND m.term = '{t}')"
+        )
+    for t in must_not:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = d.did AND x.term = '{t}')"
+        )
+    if not must:
+        if should:
+            ors = " OR ".join(
+                f"EXISTS (SELECT 1 FROM tf s WHERE s.did = d.did AND s.term = '{t}')"
+                for t in should
+            )
+            conds.append(f"({ors})")
+        else:
+            conds.append("FALSE")
+    return f"""
+WITH {BASE_CTES}
+SELECT d.did AS doc_id, CAST(CAST({boost!r} AS FLOAT) AS DOUBLE) AS score
+FROM dls d
+WHERE {" AND ".join(conds)}
+ORDER BY d.did ASC
+LIMIT {k}
+"""
+
+
+def function_score_sql(query, k: int) -> str:
+    """FunctionScoreQuery boostByValue gate: BM25 score × ln(1+dl) in
+    DOUBLE, cast once to f32 — mirrors searcher.function_score with
+    value_col = ln(1 + dl)."""
+    clauses = _clause_rows(query)
+    scoring = [(t, b) for t, o, b in clauses if o in (ast.MUST, ast.SHOULD)]
+    must = sorted({t for t, o, _ in clauses if o in (ast.MUST, ast.FILTER)})
+    must_not = sorted({t for t, o, _ in clauses if o == ast.MUST_NOT})
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+),
+rescored AS (
+  SELECT s.did,
+         CAST(CAST(s.score AS DOUBLE)
+              * ln(1 + CAST(dd.dl AS DOUBLE)) AS FLOAT) AS score
+  FROM summed s JOIN dls dd ON dd.did = s.did
+)
+"""
+    conds = []
+    for t in must:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM tf m WHERE m.did = rescored.did AND m.term = '{t}')"
+        )
+    for t in must_not:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = rescored.did AND x.term = '{t}')"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return f"""
+WITH {BASE_CTES},{body}
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM rescored{where}
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""

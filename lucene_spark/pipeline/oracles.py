@@ -298,13 +298,23 @@ ORDER BY query_id, rank
 """
 
 
-def ann_lsh_sql(n_queries: int = 5, k: int = 10) -> str:
+def ann_lsh_sql(n_queries: int = 5, k: int = 10, bands: int = 8,
+                band_bits: int = 8) -> str:
     return f"""
 WITH {QEMB},
+qbands AS (
+  SELECT vec_id, CAST(floor((j - 1) / {band_bits}) AS BIGINT) AS band,
+         sum(CASE WHEN v >= 0
+                  THEN CAST(power(2, (j - 1) % {band_bits}) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS key
+  FROM comps
+  WHERE j <= {bands * band_bits}
+  GROUP BY vec_id, band
+),
 cands AS (
-  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
-  FROM buckets q
-  JOIN buckets v ON v.bucket = q.bucket AND v.vec_id != q.vec_id
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+  FROM qbands q
+  JOIN qbands v ON v.band = q.band AND v.key = q.key AND v.vec_id != q.vec_id
   WHERE q.vec_id < {n_queries}
 ),
 dots AS (

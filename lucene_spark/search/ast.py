@@ -112,6 +112,16 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Generic constant-score wrapper (``core/search/ConstantScoreQuery.java``):
+    every doc matched by ``query`` scores exactly ``boost``; top-k ties break
+    by docID, so top-k = the k smallest matching docIDs."""
+
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     boost: float = 1.0
 
@@ -165,6 +175,11 @@ def normalize(q):
         if not q.terms:
             return MatchNoDocsQuery()
         return q
+    if isinstance(q, ConstantScoreQuery):
+        inner = normalize(q.query)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        return ConstantScoreQuery(inner, q.boost)
     if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery,
                       MultiTermQuery)):
         return q

@@ -146,8 +146,10 @@ class IndexReader:
             .drop("doc_offset")
         )
 
-    def similarity_scorer(self, similarity: BM25Similarity, boost: float, dfs):
-        return similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs)
+    def similarity_scorer(self, similarity: BM25Similarity, boost: float, dfs,
+                          ttfs=None):
+        return similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs,
+                                 ttfs=ttfs)
 
     def deleted_loader(self):
         """None when the index has no deletes; else an executor-safe callable

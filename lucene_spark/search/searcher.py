@@ -90,22 +90,28 @@ class IndexSearcher:
                 continue  # absent SHOULD / MUST_NOT clauses never match
             if occur in (ast.MUST, ast.SHOULD):
                 scorer = self.reader.similarity_scorer(
-                    self.similarity, tq.boost, [st["df"]]
+                    self.similarity, tq.boost, [st["df"]], ttfs=[st["ttf"]]
                 )
                 w = scorer.weight
             else:
-                w = F32(0.0)
+                scorer, w = None, F32(0.0)
             specs.append(
-                ClauseSpec(tq.field + self.FIELD_SEP + tq.term, occur, w)
+                ClauseSpec(tq.field + self.FIELD_SEP + tq.term, occur, w,
+                           scorer)
             )
         if not specs:
             return None
         if not any(c.occur in (ast.MUST, ast.SHOULD, ast.FILTER) for c in specs):
             return None  # only prohibited clauses survived
-        cache = norm_cache(
-            np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
-            F32(self.similarity.k1), F32(self.similarity.b),
-        )
+        # the norm cache is BM25-specific plumbing (mixed kernel); clause
+        # scoring itself goes through each spec's similarity scorer
+        if isinstance(self.similarity, BM25Similarity):
+            cache = norm_cache(
+                np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
+                F32(self.similarity.k1), F32(self.similarity.b),
+            )
+        else:
+            cache = np.zeros(256, dtype=F32)
         return specs, cache, q.min_should_match
 
     # -- search -------------------------------------------------------------
@@ -114,6 +120,16 @@ class IndexSearcher:
         if isinstance(query, str):
             query = self.parse(query)
         query = ast.normalize(query)
+        if isinstance(query, ast.ConstantScoreQuery):
+            # k smallest matching docIDs, score == boost (ties → docID asc);
+            # match set stays distributed, TakeOrdered reduces to k
+            inner = ast.normalize(query.query)
+            rows = (
+                self.score_df(inner).select("doc_id")
+                .orderBy("doc_id").limit(k).collect()
+            )
+            b = float(F32(query.boost))
+            return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
         if isinstance(query, ast.PhraseQuery):
             return self._search_phrase(query, k)
         if isinstance(query, ast.MultiPhraseQuery):
@@ -201,6 +217,11 @@ class IndexSearcher:
         """
         from lucene_spark.search.multiterm import expand_terms
 
+        if not isinstance(self.similarity, BM25Similarity):
+            raise NotImplementedError(
+                "mixed boolean clauses (phrase/multiterm) score with BM25 "
+                "only; term-only booleans accept any similarity"
+            )
         sep = self.FIELD_SEP
         flat = []  # (occur, kind, field, terms, boost, slop)
         need_positions = False
@@ -493,6 +514,8 @@ class IndexSearcher:
                 self.reader, self.reader.postings(present, field=query.field),
                 deleted_loader=self.reader.deleted_loader(),
             )
+        if isinstance(query, ast.ConstantScoreQuery):
+            return int(self.score_df(ast.normalize(query.query)).count())
         if isinstance(query, ast.PhraseQuery):
             return self._phrase_count(query)
         if isinstance(query, ast.MultiPhraseQuery):
@@ -603,6 +626,41 @@ class IndexSearcher:
             .groupBy("seg")
             .applyInPandas(run_segment, "doc_id long, score float")
         )
+
+    def function_score_df(self, query, value_col, combine: str = "multiply"):
+        """FunctionScoreQuery analogue (``lucene/queries`` FunctionScoreQuery
+        + DoubleValuesSource expressions): rescore the match set by a
+        doc-values expression — ``value_col`` is a Catalyst Column over the
+        docs-table columns (``dl``, ``turn_idx``, …), evaluated JVM-side.
+
+        ``combine='multiply'`` → new = f32(double(score) × double(expr))
+        (boostByValue); ``'replace'`` → new = f32(expr) (fromExpression).
+        Returns a distributed (doc_id, score float) DataFrame.
+        """
+        from pyspark.sql import functions as F
+
+        scores = self.score_df(query)
+        joined = scores.join(self.reader.docs(), "doc_id")
+        if combine == "multiply":
+            ns = (F.col("score").cast("double")
+                  * value_col.cast("double")).cast("float")
+        elif combine == "replace":
+            ns = value_col.cast("float")
+        else:
+            raise ValueError(f"unknown combine mode: {combine}")
+        return joined.select("doc_id", ns.alias("score"))
+
+    def function_score(self, query, value_col, k: int = 10,
+                       combine: str = "multiply") -> list[ScoreDoc]:
+        """Top-k of :meth:`function_score_df` with the standard
+        (score DESC, docID ASC) tie-break."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.function_score_df(query, value_col, combine)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def search_sorted(self, query, sort_field: str, k: int = 10,
                       reverse: bool = True) -> list[tuple]:

@@ -41,11 +41,16 @@ F32 = np.float32
 
 @dataclass
 class ClauseSpec:
-    """One (occur, term) with its bound float32 weight (boost × idf)."""
+    """One (occur, term) with its bound float32 weight (boost × idf) and the
+    similarity scorer that computes its per-doc contribution. ``scorer`` is
+    None for MUST_NOT / FILTER clauses (no score). Any similarity whose
+    score is monotone ↑tf and ↓decoded-length works — the Pareto impacts
+    stay valid block-max bounds (all shipped models qualify)."""
 
     term: str
     occur: str
     weight: np.float32  # 0 for MUST_NOT / FILTER
+    scorer: object = None
 
 
 def _block_scores(weight: np.float32, cache: np.ndarray, tfs, norms) -> np.ndarray:
@@ -125,38 +130,34 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], cache: np.ndarray,
         return np.zeros(0, np.int64), np.zeros(0, F32)
 
     # ---- per-block max impact score (exact float32 bound, summed per clause)
-    # Vectorized over ALL blocks at once: the clause score
-    # w − w/(1 + tf·inv) is monotone in tf·inv (IEEE division is monotone),
-    # so one per-block max of tf·inv serves every clause weight — no
-    # per-block Python loop (the level-1 "skip metadata" read, in one pass).
+    # Vectorized per term across ALL its blocks at once: score every stored
+    # Pareto impact pair with the clause's similarity scorer in one call,
+    # segment-max via reduceat — no per-block Python loop (the level-1
+    # "skip metadata" read happens in one pass).
     imp_tfs = block_rows["impact_tfs"]
     imp_norms = block_rows["impact_norms"]
     ilens = np.array([len(imp_tfs[i]) for i in kb], dtype=np.int64)
     b_max = np.zeros(kb.size, dtype=np.float64)
-    nz = ilens > 0
-    if nz.any():
-        flat_tf = np.concatenate(
-            [np.asarray(imp_tfs[i], dtype=np.int64) for i in kb[nz]])
-        flat_nm = np.concatenate(
-            [np.asarray(imp_norms[i], dtype=np.int64) for i in kb[nz]])
-        flat_m = (flat_tf.astype(F32) * cache[flat_nm & 0xFF]).astype(F32)
-        starts = np.concatenate([[0], np.cumsum(ilens[nz])[:-1]]).astype(np.int64)
-        block_m = np.maximum.reduceat(flat_m, starts)
-        m_by_block = np.zeros(kb.size, dtype=F32)
-        m_by_block[nz] = block_m
-        one = F32(1.0)
-        for t, cs in by_term.items():
-            sel_t = np.flatnonzero(b_term == t)
-            if sel_t.size == 0:
-                continue
-            m_t = m_by_block[sel_t]
-            denom = (one + m_t).astype(F32)
-            acc = np.zeros(sel_t.size, dtype=np.float64)
-            for c in cs:
-                if c.occur in (MUST, SHOULD):
-                    acc += (c.weight - (c.weight / denom).astype(F32)
-                            ).astype(F32).astype(np.float64)
-            b_max[sel_t] += acc
+    for t, cs in by_term.items():
+        scoring = [c for c in cs if c.occur in (MUST, SHOULD)
+                   and c.scorer is not None]
+        if not scoring:
+            continue
+        sel_t = np.flatnonzero(
+            np.array([b_term[j] == t and ilens[j] > 0
+                      for j in range(kb.size)]))
+        if sel_t.size == 0:
+            continue
+        ft = np.concatenate(
+            [np.asarray(imp_tfs[kb[j]], dtype=np.int64) for j in sel_t])
+        fn = np.concatenate(
+            [np.asarray(imp_norms[kb[j]], dtype=np.int64) for j in sel_t])
+        st = np.concatenate([[0], np.cumsum(ilens[sel_t])[:-1]]).astype(np.int64)
+        acc = np.zeros(sel_t.size, dtype=np.float64)
+        for c in scoring:
+            s = c.scorer.score(ft, fn).astype(np.float64)
+            acc += np.maximum.reduceat(s, st)
+        b_max[sel_t] += acc
 
     # ---- chunk the doc space at block boundaries
     events = np.unique(np.concatenate([b_first, b_last + 1]))
@@ -227,8 +228,8 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], cache: np.ndarray,
             # per-clause float32 scores summed in double (Disjunction semantics)
             sc = np.zeros(d.size, dtype=np.float64)
             for c in by_term[t]:
-                if c.occur in (MUST, SHOULD):
-                    sc += _block_scores(c.weight, cache, tf, nm).astype(np.float64)
+                if c.occur in (MUST, SHOULD) and c.scorer is not None:
+                    sc += c.scorer.score(tf, nm).astype(np.float64)
             docs_parts.append(d)
             score_parts.append(sc)
             must_parts.append(np.full(d.size, req_per_term.get(t, 0), np.int64))

@@ -74,6 +74,7 @@ class BM25Similarity:
         doc_count: int,
         sum_total_term_freq: int,
         dfs,
+        ttfs=None,
     ) -> "BM25Scorer":
         """Bind collection + term statistics, mirroring Similarity.scorer().
 
@@ -111,3 +112,121 @@ class BM25Scorer:
         """Upper bound for a block given its competitive (tf, norm) impacts."""
         s = self.score(np.asarray(tf), np.asarray(norm_code))
         return F32(s.max()) if s.size else F32(0.0)
+
+
+# --------------------------------------------------------------------------
+# Additional similarity models — the Similarity plug-in surface
+# (``core/search/similarities/``). Each provides the same
+# ``scorer(boost, doc_count, sum_ttf, dfs, ttfs=None)`` protocol as BM25;
+# the returned scorer exposes ``weight`` (float32, used for spec metadata)
+# and vectorized ``score(tf, norm_code)``. All models are monotone ↑tf and
+# ↓decoded-length, so the stored Pareto impacts remain valid block-max
+# bounds for the generic WAND kernel.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ClassicSimilarity:
+    """Vector-space TF-IDF (``core/search/similarities/ClassicSimilarity.java``):
+    idf = float(ln((docCount+1)/(df+1)) + 1); tf = float(sqrt(freq));
+    lengthNorm = float(1/sqrt(decoded_len)); score = tf·(boost·idf)·norm,
+    each op float32 (``TFIDFSimilarity.java:505-510``)."""
+
+    name = "classic"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        dfs = list(dfs)
+        # per-term float idfs summed in double, cast once (idfExplain array)
+        acc = 0.0
+        for df in dfs:
+            acc += float(F32(math.log((doc_count + 1) / float(df + 1)) + 1.0))
+        w_idf = F32(acc) if len(dfs) > 1 else F32(
+            math.log((doc_count + 1) / float(dfs[0] + 1)) + 1.0)
+        query_weight = F32(F32(boost) * w_idf)
+        norm_table = np.zeros(256, dtype=F32)
+        lt = LENGTH_TABLE.astype(np.float64)
+        norm_table[1:] = (1.0 / np.sqrt(lt[1:])).astype(F32)
+        norm_table[0] = F32(F32(1.0) / norm_table[255])
+        return ClassicScorer(weight=query_weight, norm_table=norm_table)
+
+
+@dataclass(frozen=True)
+class ClassicScorer:
+    weight: np.float32
+    norm_table: np.ndarray
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        raw = (np.sqrt(np.asarray(tf, dtype=np.float64)).astype(F32)
+               * self.weight).astype(F32)
+        nv = self.norm_table[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        return (raw * nv).astype(F32)
+
+
+@dataclass(frozen=True)
+class BooleanSimilarity:
+    """Constant per-clause score == boost
+    (``core/search/similarities/BooleanSimilarity.java:58-60``)."""
+
+    name = "boolean"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        return BooleanScorer(weight=F32(boost))
+
+
+@dataclass(frozen=True)
+class BooleanScorer:
+    weight: np.float32
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        return np.full(np.asarray(tf).shape, self.weight, dtype=F32)
+
+
+@dataclass(frozen=True)
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed language model
+    (``core/search/similarities/LMDirichletSimilarity.java:68-75``):
+    score = float(max(0, boost·(ln(1 + tf/(μ·P)) + ln(μ/(dl+μ))))) with
+    P = (ttf+1)/(sumTTF+1) in double (``LMSimilarity.java:145-147``) and
+    dl the decoded SmallFloat length (``SimilarityBase.java:218-224``)."""
+
+    mu: float = 2000.0
+    name = "lm_dirichlet"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(ttfs) != 1:
+            raise NotImplementedError(
+                "LMDirichletSimilarity scores single-term clauses "
+                "(ttf statistics required)"
+            )
+        p = (float(ttfs[0]) + 1.0) / (float(sum_ttf) + 1.0)
+        return LMDirichletScorer(weight=F32(boost), boost=float(boost),
+                                 mu=float(F32(self.mu)), p=p)
+
+
+@dataclass(frozen=True)
+class LMDirichletScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    mu: float
+    p: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        s = self.boost * (np.log(1.0 + tf64 / (self.mu * self.p))
+                          + np.log(self.mu / (dl + self.mu)))
+        return np.maximum(s, 0.0).astype(F32)
+
+
+def get_similarity(name: str, **kw):
+    """Similarity registry — the plug-in lookup used by jobs and gates."""
+    if name == "bm25":
+        return BM25Similarity(**kw)
+    if name == "classic":
+        return ClassicSimilarity()
+    if name == "boolean":
+        return BooleanSimilarity()
+    if name == "lm_dirichlet":
+        return LMDirichletSimilarity(**kw)
+    raise ValueError(f"unknown similarity: {name}")

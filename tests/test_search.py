@@ -476,3 +476,32 @@ def test_search_sorted_topfield(searcher, golden):
     got_asc = searcher.search_sorted(searcher.parse(q), "dl", k=30,
                                      reverse=False)
     assert [d for d, _ in got_asc] == exp_asc
+
+
+def test_constant_score_wrapper(searcher, golden):
+    """Generic ConstantScoreQuery: k smallest matching docIDs, score = boost."""
+    q = searcher.parse(f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}")
+    exp_ids = sorted(h for h, _ in golden.search(q, 10 ** 6))[:25]
+    got = searcher.search(ast.ConstantScoreQuery(q, boost=2.5), 25)
+    assert [h.doc_id for h in got] == exp_ids
+    assert all(h.score == 2.5 for h in got)
+    assert searcher.count(ast.ConstantScoreQuery(q)) == \
+        len(golden.search(q, 10 ** 6))
+
+
+def test_function_score(searcher, golden):
+    """FunctionScoreQuery boostByValue: BM25 × ln(1+dl), f32 result."""
+    from pyspark.sql import functions as F
+
+    q = f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}"
+    base = golden.search(q, 10 ** 6)
+    exp = [
+        (d, float(np.float32(float(np.float32(s)) *
+                             np.log(1.0 + float(golden.dl[d])))))
+        for d, s in base
+    ]
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    got = searcher.function_score(
+        searcher.parse(q), F.log(F.lit(1.0) + F.col("dl").cast("double")), k=30
+    )
+    assert [(h.doc_id, h.score) for h in got] == exp[:30]

@@ -66,3 +66,68 @@ def test_multi_term_idf_sums_in_double():
     for df in (3, 50, 400):
         acc += float(idf(df, 1000))
     assert float(sc.weight) == np.float32(1.0) * np.float32(acc)
+
+
+def test_alternative_similarities_engine_vs_golden(spark, index_dir, corpus_pdf):
+    """Classic / Boolean / LMDirichlet ride the same generic WAND kernel:
+    engine ≡ golden, and WAND ≡ exhaustive, per similarity."""
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.goldens import BruteForceIndex
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.similarity import get_similarity
+
+    queries = [
+        VOCAB[0],
+        f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}",
+        f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}",
+        f"{VOCAB[4]}^2.5 {VOCAB[9]}",
+    ]
+    for name in ["classic", "boolean", "lm_dirichlet"]:
+        sim = get_similarity(name)
+        s = IndexSearcher(spark, index_dir, similarity=sim)
+        golden = BruteForceIndex(corpus_pdf, similarity=sim)
+        for q in queries:
+            exp = golden.search(q, 60)
+            wand = [(h.doc_id, h.score) for h in s.search(q, 60, mode="wand")]
+            exh = [(h.doc_id, h.score) for h in s.search(q, 60, mode="exhaustive")]
+            assert wand == exp, f"{name} wand mismatch for {q!r}"
+            assert exh == exp, f"{name} exhaustive mismatch for {q!r}"
+
+
+def test_similarity_formula_spot_checks():
+    """Hand-computed formula values (reference file:line in similarity.py)."""
+    import math
+
+    import numpy as np
+
+    from lucene_spark.similarity import (
+        BooleanSimilarity,
+        ClassicSimilarity,
+        LMDirichletSimilarity,
+    )
+    from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    # Classic: tf=4, df=9, n=99, dl decodes exactly (dl=16)
+    sc = ClassicSimilarity().scorer(1.0, 99, 10_000, [9])
+    norm = int(int_to_byte4(np.array([16]))[0])
+    idf = np.float32(math.log(100 / 10.0) + 1.0)
+    exp = np.float32(np.float32(np.float32(math.sqrt(4.0)) * idf)
+                     * np.float32(1.0 / math.sqrt(16.0)))
+    assert sc.score(np.array([4]), np.array([norm]))[0] == exp
+
+    # Boolean: constant boost
+    bs = BooleanSimilarity().scorer(2.5, 99, 10_000, [9])
+    assert bs.score(np.array([7]), np.array([norm]))[0] == np.float32(2.5)
+
+    # LMDirichlet: tf below the collection model's prediction clamps to 0
+    lm = LMDirichletSimilarity().scorer(1.0, 99, 10, [9], ttfs=[9])
+    # P = 10/11 is huge → log(1 + tf/(mu*P)) tiny, doc norm negative → 0
+    assert lm.score(np.array([1]), np.array([norm]))[0] == np.float32(0.0)
+    # and a genuinely positive case
+    lm2 = LMDirichletSimilarity().scorer(1.0, 10 ** 6, 50_000_000, [9],
+                                         ttfs=[9])
+    p = 10.0 / 50_000_001.0
+    dl = float(LENGTH_TABLE[norm])
+    exp2 = np.float32(max(0.0, math.log(1 + 3.0 / (2000.0 * p))
+                          + math.log(2000.0 / (dl + 2000.0))))
+    assert lm2.score(np.array([3]), np.array([norm]))[0] == exp2
