@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tfidf_topk": _mk_sim_topk("classic", 40),
         "boolean_sim_topk": _mk_sim_topk("boolean", 40),
         "lm_dirichlet_topk": _mk_sim_topk("lm_dirichlet", 40),
+        "lm_jelinek_mercer_topk": _mk_sim_topk("lm_jelinek_mercer", 40),
         "synonym_topk": _q_synonym,
         "dismax_topk": _q_dismax,
         "group_top1_source": _q_group_top1,
@@ -576,6 +577,9 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf_topk": oracle.classic_topk_sql(_parse(Q_OR), 40),
         "boolean_sim_topk": oracle.boolean_sim_topk_sql(_parse(Q_OR), 40),
         "lm_dirichlet_topk": oracle.lm_dirichlet_topk_sql(_parse(Q_OR), 40),
+        "lm_jelinek_mercer_topk": oracle.lm_jelinek_mercer_topk_sql(
+            _parse(Q_OR), 40
+        ),
         "synonym_topk": oracle.synonym_topk_sql(["table", "row"], 40),
         "dismax_topk": oracle.dismax_topk_sql(["table", "value"], 40),
         "group_top1_source": oracle.group_top1_sql(_parse(Q_OR), "source"),

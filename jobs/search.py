@@ -22,14 +22,19 @@ def main():
                     help="classic-syntax query (repeatable)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    ap.add_argument("--similarity", default="bm25",
+                    choices=["bm25", "classic", "boolean", "lm_dirichlet",
+                             "lm_jelinek_mercer"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.similarity import get_similarity
 
     spark = SparkSession.builder.appName("lucene_spark_search").getOrCreate()
-    s = IndexSearcher(spark, args.index)
+    s = IndexSearcher(spark, args.index,
+                      similarity=get_similarity(args.similarity))
     for q in args.query:
         t0 = time.time()
         hits = s.search(q, k=args.k, mode=args.mode)

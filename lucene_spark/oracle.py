@@ -811,3 +811,42 @@ FROM rescored{where}
 ORDER BY score DESC, did ASC
 LIMIT {k}
 """
+
+
+def lm_jelinek_mercer_topk_sql(query, k: int, lam: float = 0.1) -> str:
+    """LMJelinekMercerSimilarity top-k: clause score =
+    f32(boost · ln(1 + ((1−λ)·tf/dlen) / (λ·P))), double math,
+    P = (ttf+1)/(sum_ttf+1); per-doc clause sum in DOUBLE → f32."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    lam32 = float(np.float32(lam))
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+probs AS (
+  SELECT q.cid, q.term, q.boost,
+         (ts.ttf + 1.0) / ((SELECT sum_ttf FROM fstats) + 1.0) AS p
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(pr.boost * ln(1 + ((1.0 - {lam32!r}) * CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                                 / CAST(d.dlen AS DOUBLE))
+                                / ({lam32!r} * pr.p)) AS FLOAT) AS s
+  FROM tf
+  JOIN probs pr ON pr.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"

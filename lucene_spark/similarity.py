@@ -229,4 +229,43 @@ def get_similarity(name: str, **kw):
         return BooleanSimilarity()
     if name == "lm_dirichlet":
         return LMDirichletSimilarity(**kw)
+    if name == "lm_jelinek_mercer":
+        return LMJelinekMercerSimilarity(**kw)
     raise ValueError(f"unknown similarity: {name}")
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer smoothed language model
+    (``core/search/similarities/LMJelinekMercerSimilarity.java:62-68``):
+    score = float(boost · ln(1 + ((1−λ)·tf/dl) / (λ·P))), double math,
+    P = (ttf+1)/(sumTTF+1), dl the decoded SmallFloat length."""
+
+    lam: float = 0.1
+    name = "lm_jelinek_mercer"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(ttfs) != 1:
+            raise NotImplementedError(
+                "LMJelinekMercerSimilarity scores single-term clauses"
+            )
+        p = (float(ttfs[0]) + 1.0) / (float(sum_ttf) + 1.0)
+        return LMJelinekMercerScorer(weight=F32(boost), boost=float(boost),
+                                     lam=float(F32(self.lam)), p=p)
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    lam: float
+    p: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        s = self.boost * np.log(
+            1.0 + ((1.0 - self.lam) * tf64 / dl) / (self.lam * self.p)
+        )
+        return s.astype(F32)
