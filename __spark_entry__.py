@@ -350,10 +350,12 @@ def _q_english_stem(spark, sf_dir):
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     d = f"/tmp/lucene_spark_driver_en/{tag}"
-    if not os.path.exists(f"{d}/manifest.json"):
-        shutil.rmtree(d, ignore_errors=True)
-        t = transcripts_from_documents(spark, sf_dir)
-        IndexBuilder(spark, d, analyzer="english", num_segments=6).build(t)
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    # resume=True: per-segment fingerprints detect corpus changes, so a
+    # regenerated sf_dir rebuilds instead of serving the stale cached index
+    IndexBuilder(spark, d, analyzer="english", num_segments=6).build(
+        t, resume=resume)
     s = IndexSearcher(spark, d)
     return _hits_df(spark, s.search("tables values", k=50, mode="wand"))
 

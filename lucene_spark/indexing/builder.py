@@ -419,9 +419,15 @@ class IndexBuilder:
 
         self._drop_stale_segments(set(offsets))
         built_any = any(r["status"] == "ok" for r in metrics_rows)
-        if built_any or not os.path.isdir(f"{self.index_dir}/term_stats"):
-            # no-op resumes leave every file untouched (open readers keep
-            # their point-in-time view; stats are unchanged by definition)
+        prev_sdirs = self._stats_dirs(manifest or {})
+        if (built_any
+                or prev_sdirs != {"term_stats": "term_stats",
+                                  "field_stats": "field_stats"}
+                or not os.path.isdir(f"{self.index_dir}/term_stats")):
+            # no-op resumes on a default-generation index leave every file
+            # untouched (open readers keep their point-in-time view); any
+            # other state (new segments, or stats living in an append/compact
+            # generation dir) gets a full recompute into the default dirs
             self._write_stats()
         self._save_manifest(
             {
@@ -434,15 +440,30 @@ class IndexBuilder:
                 "boundaries": boundaries,
                 "doc_count": acc,
                 "offsets": {str(k): v for k, v in offsets.items()},
+                "stats_dirs": {"term_stats": "term_stats",
+                               "field_stats": "field_stats"},
+                "stats_gen": 0,
                 "segments_built": sum(1 for r in metrics_rows if r["status"] == "ok"),
                 "segments_reused": len(done),
             }
         )
+        self._gc_stats_generations(keep={"term_stats", "field_stats"})
         return {
             "doc_count": acc,
             "built": sum(1 for r in metrics_rows if r["status"] == "ok"),
             "reused": len(done),
         }
+
+    def _gc_stats_generations(self, keep: set):
+        """Remove stats generation dirs no longer referenced by the manifest
+        (post-commit garbage collection; stale gens are never read)."""
+        import glob
+        import shutil
+
+        for p in glob.glob(f"{self.index_dir}/term_stats*") + glob.glob(
+                f"{self.index_dir}/field_stats*"):
+            if os.path.basename(p) not in keep:
+                shutil.rmtree(p, ignore_errors=True)
 
     def _drop_stale_segments(self, live: set):
         """Remove segment dirs from earlier builds that no longer exist
@@ -465,20 +486,33 @@ class IndexBuilder:
         shutil.rmtree(dst, ignore_errors=True)
         os.replace(tmp, dst)
 
-    def _merge_stats(self, new_segs: list):
+    def _stats_dirs(self, manifest: dict | None = None) -> dict:
+        """Current stats dir names (manifest pointer, legacy defaults)."""
+        m = manifest if manifest is not None else (self._load_manifest() or {})
+        sd = m.get("stats_dirs", {})
+        return {"term_stats": sd.get("term_stats", "term_stats"),
+                "field_stats": sd.get("field_stats", "field_stats")}
+
+    def _merge_stats(self, new_segs: list, suffix: str) -> dict:
         """Incremental stats maintenance for appends: aggregate ONLY the new
         segments' postings (partition-pruned scan over ``seg=N`` dirs) and
-        merge into the existing stats tables — df/ttf/sum are sums and
+        merge with the CURRENT stats generation — df/ttf/sum are sums and
         max_tf a max, so the merge is exact. O(new data + dictionary) per
-        micro-batch instead of the O(whole index) full rewrite that made
-        total streaming cost quadratic (VERDICT r1 wrong-#6).
+        micro-batch instead of an O(whole index) rewrite.
+
+        Writes ``term_stats{suffix}`` / ``field_stats{suffix}`` WITHOUT
+        touching the live generation; the caller publishes the returned dir
+        names by flipping ``manifest["stats_dirs"]`` in its single atomic
+        manifest commit. Replay-safe: a crashed epoch leaves the pointer on
+        the old generation, and the replay recomputes this generation from
+        it (same inputs → same output; exactly-once preserved).
         """
         from pyspark.sql import functions as F
 
         spark = self.spark
-        if not new_segs or not os.path.isdir(f"{self.index_dir}/term_stats"):
-            self._write_stats()
-            return
+        cur = self._stats_dirs()
+        out = {"term_stats": f"term_stats{suffix}",
+               "field_stats": f"field_stats{suffix}"}
         segs = [int(s) for s in new_segs]
         delta = (
             spark.read.parquet(f"{self.index_dir}/postings")
@@ -489,8 +523,9 @@ class IndexBuilder:
                 F.sum("ttf").cast("long").alias("ttf"),
                 F.max("max_tf").cast("int").alias("max_tf"),
             )
+            .persist()
         )
-        old = spark.read.parquet(f"{self.index_dir}/term_stats")
+        old = spark.read.parquet(f"{self.index_dir}/{cur['term_stats']}")
         merged = (
             old.unionByName(delta)
             .groupBy("field", "term")
@@ -499,16 +534,18 @@ class IndexBuilder:
                 F.sum("ttf").cast("long").alias("ttf"),
                 F.max("max_tf").cast("int").alias("max_tf"),
             )
+            .persist()
         )
         n_terms = merged.count()
-        tmp = f"{self.index_dir}/term_stats.tmp"
         (
             merged.repartitionByRange(max(1, n_terms // 500_000), "field", "term")
             .sortWithinPartitions("field", "term")
-            .write.mode("overwrite").parquet(tmp)
+            .write.mode("overwrite")
+            .parquet(f"{self.index_dir}/{out['term_stats']}")
         )
         # field_stats: additive deltas from the new docs / new dictionary rows
-        old_fs = spark.read.parquet(f"{self.index_dir}/field_stats").collect()[0]
+        old_fs = spark.read.parquet(
+            f"{self.index_dir}/{cur['field_stats']}").collect()[0]
         nd = (
             spark.read.parquet(f"{self.index_dir}/docs")
             .filter(F.col("seg").isin(segs))
@@ -519,32 +556,44 @@ class IndexBuilder:
         ddf = delta.filter(F.col("field") == FIELD).agg(
             F.sum("df").cast("long").alias("sum_df")
         ).collect()[0]
-        self._replace_dir(tmp, f"{self.index_dir}/term_stats")
-        fs_tmp = f"{self.index_dir}/field_stats.tmp"
         spark.createDataFrame(
             [(FIELD,
               int(old_fs["doc_count"]) + int(nd["n"] or 0),
               int(old_fs["sum_ttf"]) + int(nd["ttf"] or 0),
               int(old_fs["sum_df"]) + int(ddf["sum_df"] or 0))],
             "field string, doc_count long, sum_ttf long, sum_df long",
-        ).coalesce(1).write.mode("overwrite").parquet(fs_tmp)
-        self._replace_dir(fs_tmp, f"{self.index_dir}/field_stats")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.index_dir}/{out['field_stats']}"
+        )
+        merged.unpersist()
+        delta.unpersist()
+        return out
 
-    def _write_stats(self):
+    def _write_stats(self, suffix: str = "", segs: list | None = None):
+        """Full stats recompute into ``term_stats{suffix}`` /
+        ``field_stats{suffix}``; ``segs`` restricts the scan to the given
+        segment ids (compaction recomputes over survivors only)."""
         from pyspark.sql import functions as F
 
         spark = self.spark
+        ts_path = f"{self.index_dir}/term_stats{suffix}"
+        fs_path = f"{self.index_dir}/field_stats{suffix}"
         if not os.path.isdir(f"{self.index_dir}/postings"):
             # empty corpus → empty index: materialize zero-row stats tables
             spark.createDataFrame(
                 [], "field string, term string, df long, ttf long, max_tf int"
-            ).write.mode("overwrite").parquet(f"{self.index_dir}/term_stats")
+            ).write.mode("overwrite").parquet(ts_path)
             spark.createDataFrame(
                 [(FIELD, 0, 0, 0)],
                 "field string, doc_count long, sum_ttf long, sum_df long",
-            ).write.mode("overwrite").parquet(f"{self.index_dir}/field_stats")
+            ).write.mode("overwrite").parquet(fs_path)
             return
         postings = spark.read.parquet(f"{self.index_dir}/postings")
+        docs = spark.read.parquet(f"{self.index_dir}/docs")
+        if segs is not None:
+            seg_ids = [int(s) for s in segs]
+            postings = postings.filter(F.col("seg").isin(seg_ids))
+            docs = docs.filter(F.col("seg").isin(seg_ids))
         term_stats = (
             postings.groupBy("field", "term")
             .agg(
@@ -562,10 +611,9 @@ class IndexBuilder:
             )
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
-            .parquet(f"{self.index_dir}/term_stats")
+            .parquet(ts_path)
         )
-        docs = spark.read.parquet(f"{self.index_dir}/docs")
-        ts = spark.read.parquet(f"{self.index_dir}/term_stats")
+        ts = spark.read.parquet(ts_path)
         field_stats = (
             docs.agg(
                 F.count(F.lit(1)).cast("long").alias("doc_count"),
@@ -578,6 +626,4 @@ class IndexBuilder:
             )
             .select("field", "doc_count", "sum_ttf", "sum_df")
         )
-        field_stats.coalesce(1).write.mode("overwrite").parquet(
-            f"{self.index_dir}/field_stats"
-        )
+        field_stats.coalesce(1).write.mode("overwrite").parquet(fs_path)

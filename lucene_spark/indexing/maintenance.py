@@ -30,10 +30,8 @@ the surviving corpus.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import uuid
 
 import numpy as np
 import pandas as pd
@@ -76,16 +74,14 @@ class IndexMaintenance:
     def __init__(self, spark, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        # manifest I/O shares the builder's helpers (one commit protocol)
+        self._builder = IndexBuilder(spark, index_dir)
 
     def _manifest(self) -> dict:
-        with open(f"{self.index_dir}/manifest.json") as f:
-            return json.load(f)
+        return self._builder._load_manifest()
 
     def _save_manifest(self, m: dict):
-        tmp = f"{self.index_dir}/manifest.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, f"{self.index_dir}/manifest.json")
+        self._builder._save_manifest(m)
 
     # -- deletes ------------------------------------------------------------
     def delete_by_term(self, term: str, field: str = "text") -> int:
@@ -132,11 +128,14 @@ class IndexMaintenance:
 
     # -- compaction ---------------------------------------------------------
     def plan_merges(self, target_rows: int) -> list[list[int]]:
-        """Greedy tiered plan: consecutive runs (segment-id order == global
-        doc order) whose total LIVE rows fit in ``target_rows``; singleton
-        runs are kept only when the segment has deletes to purge."""
+        """Greedy tiered plan: consecutive runs in GLOBAL DOC ORDER (the
+        manifest's doc_offset order — segment ids are opaque after a
+        compaction assigns fresh ones) whose total LIVE rows fit in
+        ``target_rows``; singleton runs are kept only when the segment has
+        deletes to purge."""
         m = self._manifest()
-        segs = sorted(int(s) for s in m["offsets"])
+        segs = [int(s) for s, _off in
+                sorted(m["offsets"].items(), key=lambda kv: int(kv[1]))]
         rows = {
             int(r["segment"]): int(r["rows_in"])
             for r in self.spark.read.parquet(
@@ -162,7 +161,17 @@ class IndexMaintenance:
     def compact(self, target_rows: int = 1_000_000) -> dict:
         """Merge small/deleted segments (one distributed task per run),
         renumber docIDs densely, recompute stats. Equivalent to a fresh
-        build of the surviving docs (same docID assignment, same scores)."""
+        build of the surviving docs (same docID assignment, same scores).
+
+        Commit protocol: merged segments are written under FRESH segment ids
+        and the new stats under a fresh generation dir — both inert to
+        readers (the offsets join and the manifest stats pointer ignore
+        them) — so the atomic ``manifest.json`` replace is the SINGLE commit
+        point. A crash at any earlier moment leaves the old index fully
+        intact; old segment dirs and stats generations are garbage-collected
+        only after the commit (a crash between commit and GC leaves inert
+        stale dirs that the next maintenance pass removes).
+        """
         from pyspark.sql import functions as F
 
         runs = self.plan_merges(target_rows)
@@ -175,12 +184,13 @@ class IndexMaintenance:
             int(r["segment"]): int(r["rows_in"])
             for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
         }
-        fps = {
-            int(r["segment"]): int(r["fingerprint"])
-            for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
-        }
+        old_order = [int(x) for x, _ in
+                     sorted(manifest["offsets"].items(),
+                            key=lambda kv: int(kv[1]))]
+        base = max(int(x) for x in manifest["offsets"]) + 1
         run_of = {s: i for i, run in enumerate(runs) for s in run}
         run_list = [list(run) for run in runs]
+        new_ids = [base + i for i in range(len(runs))]
         seg_rows = {s: rows_in[s] for run in runs for s in run}
 
         def run_remap(run_id: int):
@@ -207,13 +217,11 @@ class IndexMaintenance:
 
         def merge_docs(pdf: pd.DataFrame) -> pd.DataFrame:
             run_id = int(pdf["run"].iloc[0])
-            segs = run_list[run_id]
             bases, live = run_remap(run_id)
             pdf = pdf.sort_values(["seg", "doc_id"])
             run_ids = pdf["doc_id"].to_numpy() + pdf["seg"].map(bases).to_numpy()
             keep = np.isin(run_ids, live)
             sub = pdf.loc[keep]
-            new_seg = segs[0]
             tbl = pa.Table.from_pydict(
                 {
                     "doc_id": np.arange(int(keep.sum()), dtype=np.int64),
@@ -225,7 +233,8 @@ class IndexMaintenance:
                 schema=DOCS_SCHEMA,
             )
             _atomic_write_parquet(
-                tbl, f"{index_dir}/docs/seg={new_seg}.merging/part-0.parquet")
+                tbl,
+                f"{index_dir}/docs/seg={new_ids[run_id]}/part-0.parquet")
             return pd.DataFrame({"run": [run_id], "rows": [int(keep.sum())]})
 
         doc_counts = {
@@ -243,13 +252,12 @@ class IndexMaintenance:
 
         def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:
             run_id = int(pdf["run"].iloc[0])
-            segs = run_list[run_id]
             bases, live = run_remap(run_id)
-            new_seg = segs[0]
+            new_seg = new_ids[run_id]
             out_parts, field_cols = [], []
             # per field: decode blocks in (term, seg, block) order — the
             # concatenation is already (term, new docID)-sorted because
-            # segment id order == doc order and remapping is monotone
+            # run order == doc order and remapping is monotone
             for fval, fpdf in pdf.groupby("field", sort=True):
                 fpdf = fpdf.sort_values(["term", "seg", "block_id"])
                 has_pos = any(len(p) > 0 for p in fpdf["positions"])
@@ -287,9 +295,7 @@ class IndexMaintenance:
                     {k: [] for k in POSTINGS_SCHEMA.names},
                     schema=POSTINGS_SCHEMA)
                 _atomic_write_parquet(
-                    tbl,
-                    f"{index_dir}/postings/seg={new_seg}.merging/part-0.parquet",
-                )
+                    tbl, f"{index_dir}/postings/seg={new_seg}/part-0.parquet")
                 return pd.DataFrame({"run": [run_id], "blocks": [0]})
             merged = {
                 k: sum((list(p[k]) for p in out_parts), [])
@@ -301,62 +307,52 @@ class IndexMaintenance:
                 schema=POSTINGS_SCHEMA,
             )
             _atomic_write_parquet(
-                tbl,
-                f"{index_dir}/postings/seg={new_seg}.merging/part-0.parquet",
-            )
+                tbl, f"{index_dir}/postings/seg={new_seg}/part-0.parquet")
             return pd.DataFrame({"run": [run_id], "blocks": [n_blocks]})
 
         post_in.select("run", *pcols).groupBy("run").applyInPandas(
             merge_postings, "run int, blocks long"
         ).collect()
 
-        # --- commit: swap dirs, renumber offsets, rewrite manifests --------
-        for run in runs:
-            new_seg = run[0]
-            for sub in ("docs", "postings"):
-                src = f"{index_dir}/{sub}/seg={new_seg}.merging"
-                dst = f"{index_dir}/{sub}/seg={new_seg}"
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(src, dst)
-            for s in run:
-                shutil.rmtree(f"{index_dir}/live_docs/seg={s}",
-                              ignore_errors=True)
-                if s != new_seg:
-                    for sub in ("docs", "postings"):
-                        shutil.rmtree(f"{index_dir}/{sub}/seg={s}",
-                                      ignore_errors=True)
-
-        survivors = []
-        for s in sorted(int(x) for x in manifest["offsets"]):
+        # --- survivors in global doc order; fresh ids replace their runs ---
+        survivors = []  # (seg_id, rows, fingerprint)
+        for s in old_order:
             if s in run_of:
                 run = run_list[run_of[s]]
                 if s == run[0]:
-                    had_deletes = (
-                        doc_counts[run_of[s]] != sum(seg_rows[y] for y in run)
-                    )
-                    # xor of sub fingerprints is the merged fingerprint when
-                    # nothing was deleted (order-independent xor); with
-                    # deletes the source fingerprint is unknowable → 0 forces
-                    # re-invert on a later resume (conservative, correct)
-                    fp = 0
-                    if not had_deletes:
-                        for y in run:
-                            fp ^= fps[y] & ((1 << 64) - 1)
-                        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
-                    survivors.append((s, doc_counts[run_of[s]], fp))
-                # non-first members of a run disappear
+                    # merged fingerprint is unknowable (source rows were
+                    # re-numbered / partially deleted) → 0 forces a later
+                    # resume to re-invert: conservative, always correct
+                    survivors.append((new_ids[run_of[s]],
+                                      doc_counts.get(run_of[s], 0), 0))
             else:
-                survivors.append((s, rows_in[s], fps[s]))
+                survivors.append((s, rows_in[s],
+                                  None))  # keep existing fingerprint row
 
+        fps = {
+            int(r["segment"]): int(r["fingerprint"])
+            for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
+        }
         offsets, acc = {}, 0
         mrows = []
         for s, n, fp in survivors:
             offsets[s] = acc
             acc += n
-            mrows.append({"segment": s, "fingerprint": fp, "rows_in": n,
-                          "doc_offset": offsets[s], "terms": -1, "blocks": -1,
-                          "wall_ms": 0,
-                          "status": "merged" if s in run_of else "ok"})
+            mrows.append({"segment": s,
+                          "fingerprint": fps[s] if fp is None else fp,
+                          "rows_in": n, "doc_offset": offsets[s],
+                          "terms": -1, "blocks": -1, "wall_ms": 0,
+                          "status": "merged" if fp is not None else "ok"})
+
+        # stats: full recompute over the SURVIVOR segments into a fresh
+        # generation dir — the moment deleted docs leave the statistics
+        # (Lucene merge semantics); published by the manifest commit below
+        gen = int(manifest.get("stats_gen", 0)) + 1
+        survivor_ids = [s for s, _n, _fp in survivors]
+        self._builder._write_stats(suffix=f".g{gen}", segs=survivor_ids)
+        sdirs = {"term_stats": f"term_stats.g{gen}",
+                 "field_stats": f"field_stats.g{gen}"}
+
         mdf = spark.createDataFrame(pd.DataFrame(mrows)[
             ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
              "blocks", "wall_ms", "status"]
@@ -366,15 +362,21 @@ class IndexMaintenance:
         shutil.rmtree(f"{index_dir}/build_manifest", ignore_errors=True)
         os.replace(tmp, f"{index_dir}/build_manifest")
 
-        # stats: recomputed from surviving postings — the moment deleted
-        # docs leave the statistics (Lucene merge semantics)
-        IndexBuilder(spark, index_dir)._write_stats()
-
         manifest["offsets"] = {str(s): o for s, o in sorted(offsets.items())}
         manifest["doc_count"] = acc
         manifest["num_segments"] = len(offsets)
         manifest["deleted_count"] = 0
         manifest["has_deletes"] = False
-        self._save_manifest(manifest)
+        manifest["stats_dirs"] = sdirs
+        manifest["stats_gen"] = gen
+        self._save_manifest(manifest)  # THE commit point
+
+        # --- post-commit GC: old run segments, live docs, old stats gens ---
+        for run in runs:
+            for s in run:
+                for sub in ("docs", "postings", "live_docs"):
+                    shutil.rmtree(f"{index_dir}/{sub}/seg={s}",
+                                  ignore_errors=True)
+        self._builder._gc_stats_generations(keep=set(sdirs.values()))
         return {"merged_runs": len(runs), "doc_count": acc,
                 "num_segments": len(offsets)}

@@ -218,7 +218,37 @@ def constant_score_topk(reader, postings, k: int, boost: float,
         .collect()
     )
     docs = sorted(int(r["doc_id"]) for r in out)[:k]
-    return [ScoreDoc(d, float(boost)) for d in docs]
+    b = float(F32(boost))  # float32 score contract (goldens mirror this)
+    return [ScoreDoc(d, b) for d in docs]
+
+
+def matching_docs_df(reader, postings, deleted_loader=None):
+    """Distributed (doc_id) DataFrame of the union doc set of ``postings``
+    — the CONSTANT_SCORE match set with GLOBAL docIDs, never collected."""
+    if postings is None:
+        return reader.spark.createDataFrame([], "doc_id long")
+    cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "doc_offset"]
+
+    def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {c: pdf[c].to_numpy() for c in cols}
+        off = np.int64(rows["doc_offset"][0])
+        parts = [
+            decode_block(rows["first_doc"][i] + off, rows["count"][i],
+                         rows["doc_gaps"][i], rows["tfs"][i])[0]
+            for i in range(len(pdf))
+        ]
+        if not parts:
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": np.int64})
+        u = np.unique(np.concatenate(parts))
+        if deleted_loader:
+            u = u[~np.isin(u, deleted_loader(pdf["seg"].iloc[0]) + off)]
+        return pd.DataFrame({"doc_id": u})
+
+    return (
+        postings.select("seg", *cols)
+        .groupBy("seg")
+        .applyInPandas(run_segment, "doc_id long")
+    )
 
 
 def constant_score_count(reader, postings, deleted_loader=None) -> int:

@@ -29,7 +29,14 @@ class IndexReader:
         with open(f"{index_dir}/manifest.json") as f:
             self.manifest = json.load(f)
         self.offsets = {int(k): int(v) for k, v in self.manifest["offsets"].items()}
-        fs = spark.read.parquet(f"{index_dir}/field_stats").collect()[0]
+        # stats tables are resolved through manifest pointers so that stats
+        # rewrites (append merges, compaction) can publish a NEW generation
+        # dir and flip the pointer in one atomic manifest replace — the
+        # segments_N commit-point analogy extended to statistics
+        sdirs = self.manifest.get("stats_dirs", {})
+        ts_dir = sdirs.get("term_stats", "term_stats")
+        fs_dir = sdirs.get("field_stats", "field_stats")
+        fs = spark.read.parquet(f"{index_dir}/{fs_dir}").collect()[0]
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
         self.field = fs["field"]
@@ -38,7 +45,7 @@ class IndexReader:
         # DirectoryReader-open analogy; per-query work is then only the
         # filter + scan jobs
         self._postings_df = spark.read.parquet(f"{index_dir}/postings")
-        self._term_stats_df = spark.read.parquet(f"{index_dir}/term_stats")
+        self._term_stats_df = spark.read.parquet(f"{index_dir}/{ts_dir}")
         self._docs_df = spark.read.parquet(f"{index_dir}/docs")
 
     def _offsets_df(self):
@@ -135,13 +142,20 @@ class IndexReader:
             .join(F.broadcast(self._offsets_df()), "seg")
         )
 
-    def docs(self):
-        """docs table with GLOBAL doc_id (offset applied)."""
+    def docs(self, live_only: bool = False):
+        """docs table with GLOBAL doc_id (offset applied). ``live_only``
+        anti-joins the per-segment deleted sets (live-docs filtering)."""
         from pyspark.sql import functions as F
 
+        import os
+
+        d = self._docs_df
+        if (live_only and self.manifest.get("has_deletes", False)
+                and os.path.isdir(f"{self.index_dir}/live_docs")):
+            dele = self.spark.read.parquet(f"{self.index_dir}/live_docs")
+            d = d.join(dele, ["seg", "doc_id"], "left_anti")
         return (
-            self._docs_df
-            .join(F.broadcast(self._offsets_df()), "seg")
+            d.join(F.broadcast(self._offsets_df()), "seg")
             .withColumn("doc_id", F.col("doc_id") + F.col("doc_offset"))
             .drop("doc_offset")
         )

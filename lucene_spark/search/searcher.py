@@ -47,7 +47,8 @@ class IndexSearcher:
 
     # -- weights ------------------------------------------------------------
     def _weighted_clauses(self, query):
-        """Resolve stats → ClauseSpecs + shared norm cache. None → no match.
+        """Resolve stats → ClauseSpecs (each carrying its similarity scorer).
+        None → no match.
 
         Multi-field: clauses on keyword fields (any field != "text") act as
         constant/filter clauses — MUST is coerced to FILTER (KeywordField /
@@ -103,16 +104,7 @@ class IndexSearcher:
             return None
         if not any(c.occur in (ast.MUST, ast.SHOULD, ast.FILTER) for c in specs):
             return None  # only prohibited clauses survived
-        # the norm cache is BM25-specific plumbing (mixed kernel); clause
-        # scoring itself goes through each spec's similarity scorer
-        if isinstance(self.similarity, BM25Similarity):
-            cache = norm_cache(
-                np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
-                F32(self.similarity.k1), F32(self.similarity.b),
-            )
-        else:
-            cache = np.zeros(256, dtype=F32)
-        return specs, cache, q.min_should_match
+        return specs, q.min_should_match
 
     # -- search -------------------------------------------------------------
     def search(self, query, k: int = 10, mode: str = "wand") -> list[ScoreDoc]:
@@ -122,10 +114,10 @@ class IndexSearcher:
         query = ast.normalize(query)
         if isinstance(query, ast.ConstantScoreQuery):
             # k smallest matching docIDs, score == boost (ties → docID asc);
-            # match set stays distributed, TakeOrdered reduces to k
-            inner = ast.normalize(query.query)
+            # match set stays distributed for ANY inner query shape,
+            # TakeOrdered reduces to k
             rows = (
-                self.score_df(inner).select("doc_id")
+                self.match_df(query.query)
                 .orderBy("doc_id").limit(k).collect()
             )
             b = float(F32(query.boost))
@@ -161,7 +153,7 @@ class IndexSearcher:
         wc = self._weighted_clauses(query)
         if wc is None:
             return []
-        specs, cache, msm = wc
+        specs, msm = wc
         prune = mode == "wand"
 
         postings = self._postings_for_specs(specs)
@@ -178,7 +170,7 @@ class IndexSearcher:
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
             dele = dload(pdf["seg"].iloc[0]) + off if dload else None
-            d, s = segment_topk(rows, specs, cache, k, msm, prune=prune,
+            d, s = segment_topk(rows, specs, k, msm, prune=prune,
                                 deleted=dele)
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
@@ -369,7 +361,7 @@ class IndexSearcher:
                 "sloppy phrases with repeated terms (SloppyPhraseMatcher "
                 "repeat groups) are not supported"
             )
-        stats = self.reader.term_stats(terms)
+        stats = self.reader.term_stats(terms, field=q.field)
         if any(t not in stats or stats[t]["df"] == 0 for t in terms):
             return []
         scorer = self.reader.similarity_scorer(
@@ -377,7 +369,7 @@ class IndexSearcher:
         )
         slop = int(q.slop)
         return self._run_phrase_kernel(
-            self.reader.postings(terms), k, scorer,
+            self.reader.postings(terms, field=q.field), k, scorer,
             lambda rows: segment_phrase_postings(rows, terms, slop),
         )
 
@@ -391,7 +383,7 @@ class IndexSearcher:
             raise NotImplementedError(
                 "sloppy multi-phrases with repeated terms are not supported"
             )
-        stats = self.reader.term_stats(all_terms)
+        stats = self.reader.term_stats(all_terms, field=q.field)
 
         def df_of(t):
             return stats.get(t, {}).get("df", 0)
@@ -406,7 +398,7 @@ class IndexSearcher:
         fetch = sorted({t for slot in present_slots for t in slot})
         slop = int(q.slop)
         return self._run_phrase_kernel(
-            self.reader.postings(fetch), k, scorer,
+            self.reader.postings(fetch, field=q.field), k, scorer,
             lambda rows: segment_multiphrase_postings(rows, present_slots, slop),
         )
 
@@ -515,7 +507,7 @@ class IndexSearcher:
                 deleted_loader=self.reader.deleted_loader(),
             )
         if isinstance(query, ast.ConstantScoreQuery):
-            return int(self.score_df(ast.normalize(query.query)).count())
+            return int(self.match_df(query.query).count())
         if isinstance(query, ast.PhraseQuery):
             return self._phrase_count(query)
         if isinstance(query, ast.MultiPhraseQuery):
@@ -563,7 +555,7 @@ class IndexSearcher:
             return 0
         # distributed count: per-segment hit counts summed (never ships the
         # doc list to the driver — a hot term at 10^12 scale matches billions)
-        specs, cache, msm = wc
+        specs, msm = wc
         postings = self._postings_for_specs(specs)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
@@ -577,7 +569,7 @@ class IndexSearcher:
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
             dele = dload(pdf["seg"].iloc[0]) + off if dload else None
-            d, _ = segment_topk(rows, specs, cache, big, msm, prune=False,
+            d, _ = segment_topk(rows, specs, big, msm, prune=False,
                                 deleted=dele)
             return pd.DataFrame({"n": [int(d.size)]})
 
@@ -602,7 +594,7 @@ class IndexSearcher:
         spark = self.spark
         if wc is None:
             return spark.createDataFrame([], "doc_id long, score float")
-        specs, cache, msm = wc
+        specs, msm = wc
         postings = self._postings_for_specs(specs)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
@@ -617,7 +609,7 @@ class IndexSearcher:
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
             dele = dload(pdf["seg"].iloc[0]) + off if dload else None
-            d, s = segment_topk(rows, specs, cache, big, msm, prune=False,
+            d, s = segment_topk(rows, specs, big, msm, prune=False,
                                 deleted=dele)
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
@@ -625,6 +617,102 @@ class IndexSearcher:
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, "doc_id long, score float")
+        )
+
+    def match_df(self, query):
+        """Distributed (doc_id) DataFrame of the docs matching ANY query
+        shape — the match-set substrate for ConstantScoreQuery and
+        set-algebra composition. Live-docs filtering applied throughout."""
+        from pyspark.sql import functions as F
+
+        q = ast.normalize(query)
+        if isinstance(q, ast.MatchNoDocsQuery) or self.reader.doc_count == 0:
+            return self.spark.createDataFrame([], "doc_id long")
+        if isinstance(q, ast.ConstantScoreQuery):
+            return self.match_df(q.query)
+        if isinstance(q, ast.MatchAllDocsQuery):
+            return self.reader.docs(live_only=True).select("doc_id")
+        if isinstance(q, ast.MultiTermQuery):
+            from lucene_spark.search.multiterm import (
+                matched_terms_df,
+                matching_docs_df,
+            )
+
+            postings = self.reader.postings_semijoin(
+                matched_terms_df(self.reader, q), q.field
+            )
+            return matching_docs_df(self.reader, postings,
+                                    self.reader.deleted_loader())
+        if isinstance(q, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
+            from lucene_spark.search.multiterm import matching_docs_df
+
+            terms = list(dict.fromkeys(q.terms))
+            stats = self.reader.term_stats(terms, field=q.field)
+            present = [t for t in terms
+                       if stats.get(t, {}).get("df", 0) > 0]
+            if not present:
+                return self.spark.createDataFrame([], "doc_id long")
+            return matching_docs_df(
+                self.reader, self.reader.postings(present, field=q.field),
+                self.reader.deleted_loader(),
+            )
+        if isinstance(q, (ast.PhraseQuery, ast.MultiPhraseQuery)):
+            return self._phrase_match_df(q)
+        if isinstance(q, ast.BooleanQuery) and any(
+            not isinstance(sub, ast.TermQuery) for _, sub in q.clauses
+        ):
+            df = self._mixed_segment_df(q, None)
+            if df is None:
+                return self.spark.createDataFrame([], "doc_id long")
+            return df.select("doc_id")
+        return self.score_df(q).select("doc_id")
+
+    def _phrase_match_df(self, q):
+        """Distributed (doc_id) match set for phrase-shaped queries."""
+        from lucene_spark.search.phrase import (
+            segment_multiphrase_postings,
+            segment_phrase_postings,
+        )
+
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        slop = int(q.slop)
+        if isinstance(q, ast.MultiPhraseQuery):
+            all_terms = sorted({t for slot in q.slots for t in slot})
+            stats = self.reader.term_stats(all_terms, field=q.field)
+            slots = tuple(
+                tuple(t for t in slot if stats.get(t, {}).get("df", 0) > 0)
+                for slot in q.slots
+            )
+            if any(not s for s in slots):
+                return self.spark.createDataFrame([], "doc_id long")
+            fetch = sorted({t for slot in slots for t in slot})
+            kernel = lambda rows: segment_multiphrase_postings(rows, slots, slop)  # noqa: E731
+        else:
+            terms = list(q.terms)
+            stats = self.reader.term_stats(terms, field=q.field)
+            if any(stats.get(t, {}).get("df", 0) == 0 for t in terms):
+                return self.spark.createDataFrame([], "doc_id long")
+            fetch = terms
+            kernel = lambda rows: segment_phrase_postings(rows, terms, slop)  # noqa: E731
+        postings = self.reader.postings(fetch, field=q.field)
+        cols = ["term", "first_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions", "doc_offset"]
+        dload = self.reader.deleted_loader()
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            d, _f, _nm = kernel(rows)
+            d = d + off
+            if d.size and dload:
+                d = d[~np.isin(d, dload(pdf["seg"].iloc[0]) + off)]
+            return pd.DataFrame({"doc_id": d})
+
+        return (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long")
         )
 
     def function_score_df(self, query, value_col, combine: str = "multiply"):

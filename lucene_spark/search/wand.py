@@ -53,15 +53,8 @@ class ClauseSpec:
     scorer: object = None
 
 
-def _block_scores(weight: np.float32, cache: np.ndarray, tfs, norms) -> np.ndarray:
-    tf = np.asarray(tfs, dtype=F32)
-    inv = cache[np.asarray(norms, dtype=np.int64) & 0xFF]
-    denom = (F32(1.0) + (tf * inv).astype(F32)).astype(F32)
-    return (weight - (weight / denom).astype(F32)).astype(F32)
-
-
-def segment_topk(block_rows, clauses: list[ClauseSpec], cache: np.ndarray,
-                 k: int, min_should_match: int = 0, prune: bool = True,
+def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
+                 min_should_match: int = 0, prune: bool = True,
                  deleted: np.ndarray | None = None):
     """Top-k (doc_id, score_f32) for one segment.
 

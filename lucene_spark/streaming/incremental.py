@@ -98,7 +98,10 @@ class IncrementalIndexer:
             acc += r["rows_in"]
             r["doc_offset"] = offsets[r["segment"]]
 
-        # extend build_manifest (lineage) with the new segments
+        # extend build_manifest (lineage) with the new segments — idempotent
+        # under epoch replay: rows for re-appended segment ids replace any
+        # half-committed rows from a crashed attempt instead of duplicating
+        new_ids = [int(r["segment"]) for r in rows]
         prev = self.spark.read.parquet(f"{self.index_dir}/build_manifest") \
             if os.path.isdir(f"{self.index_dir}/build_manifest") else None
         mpdf = pd.DataFrame(rows)[
@@ -106,25 +109,36 @@ class IncrementalIndexer:
              "blocks", "wall_ms", "status"]
         ]
         new_mdf = self.spark.createDataFrame(mpdf)
-        all_mdf = prev.unionByName(new_mdf) if prev is not None else new_mdf
+        if prev is not None:
+            prev = prev.filter(~F.col("segment").isin(new_ids))
+            all_mdf = prev.unionByName(new_mdf)
+        else:
+            all_mdf = new_mdf
         all_mdf.coalesce(1).write.mode("overwrite").parquet(
             f"{self.index_dir}/build_manifest.tmp"
         )
-        # swap (parquet dir replace; readers re-open via manifest anyway)
         import shutil
         shutil.rmtree(f"{self.index_dir}/build_manifest", ignore_errors=True)
         os.replace(f"{self.index_dir}/build_manifest.tmp",
                    f"{self.index_dir}/build_manifest")
 
         # incremental stats merge: new segments only (stats are sums), not
-        # the O(index-size) full rewrite per micro-batch
-        b._merge_stats([r["segment"] for r in rows])
+        # an O(index-size) full rewrite per micro-batch. Written to a NEW
+        # generation dir; the manifest replace below is the SINGLE commit
+        # point that publishes segments + stats + epoch together, so a
+        # replayed epoch never double-counts (exactly-once preserved).
+        gen = int(manifest.get("stats_gen", 0)) + 1
+        sdirs = b._merge_stats(new_ids, suffix=f".g{gen}")
         manifest["doc_count"] = acc
         manifest["offsets"] = {str(k): v for k, v in sorted(offsets.items())}
         manifest["num_segments"] = len(offsets)
+        manifest["stats_dirs"] = sdirs
+        manifest["stats_gen"] = gen
         if epoch_id is not None:
             manifest["applied_epochs"] = applied + [int(epoch_id)]
         b._save_manifest(manifest)  # atomic commit point
+        # post-commit GC of the superseded stats generation
+        b._gc_stats_generations(keep=set(sdirs.values()))
         return {"doc_count": acc, "built": len(rows), "reused": 0}
 
     # -- Structured Streaming sink -----------------------------------------

@@ -112,3 +112,43 @@ def test_tokenizer_byte_path_equals_regex_path(texts):
         lists = an.tokenize_series(s)
         assert lens.tolist() == [len(x) for x in lists]
         assert flat.tolist() == [t for ts in lists for t in ts]
+
+
+@given(
+    pos_lists=st.lists(
+        st.lists(st.integers(0, 60), min_size=1, max_size=8, unique=True),
+        min_size=2, max_size=4,
+    ),
+    slop=st.integers(0, 6),
+)
+@settings(max_examples=300, deadline=None)
+def test_sloppy_matcher_invariants(pos_lists, slop):
+    """Independent invariants of the sloppy matcher (no shared code):
+    1. slop=0 ≡ exact matching: freq == count of aligned start positions;
+    2. binary match ⟺ some alignment tuple has window ≤ slop (brute force);
+    3. freq is monotone non-decreasing in slop.
+    """
+    import itertools
+
+    import numpy as np
+
+    from lucene_spark.search.phrase import _sloppy_freq_doc
+
+    pls = [np.array(sorted(p), dtype=np.int64) - i
+           for i, p in enumerate(pos_lists)]
+
+    # 1. slop=0 equals exact count (intersection of adjusted positions)
+    exact = len(set(pls[0].tolist()).intersection(
+        *[set(p.tolist()) for p in pls[1:]]))
+    assert _sloppy_freq_doc(pls, 0) == float(np.float32(exact))
+
+    # 2. binary match vs brute force over all alignment tuples
+    f = _sloppy_freq_doc(pls, slop)
+    brute = any(
+        max(t) - min(t) <= slop
+        for t in itertools.product(*[p.tolist() for p in pls])
+    )
+    assert (f > 0.0) == brute, (pos_lists, slop, f)
+
+    # 3. monotone in slop
+    assert _sloppy_freq_doc(pls, slop + 1) >= f - 1e-6

@@ -505,3 +505,37 @@ def test_function_score(searcher, golden):
         searcher.parse(q), F.log(F.lit(1.0) + F.col("dl").cast("double")), k=30
     )
     assert [(h.doc_id, h.score) for h in got] == exp[:30]
+
+
+def test_constant_score_wrapper_generic_inners(searcher, golden, corpus_pdf):
+    """ConstantScoreQuery must accept ANY inner query shape (Lucene's most
+    common use wraps multiterm/phrase queries)."""
+    an = golden.analyzer
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pair = None
+    for text in ordered["text"]:
+        toks = an.tokenize_text(text)
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    # prefix inner
+    q = ast.ConstantScoreQuery(ast.MultiTermQuery("prefix", "ba"), boost=0.3)
+    exp = sorted({int(d) for t, (docs, _) in golden.postings.items()
+                  if t.startswith("ba") for d in docs.tolist()})
+    got = searcher.search(q, 20)
+    assert [h.doc_id for h in got] == exp[:20]
+    assert all(h.score == float(np.float32(0.3)) for h in got)
+    assert searcher.count(q) == len(exp)
+    # phrase inner
+    qp = ast.ConstantScoreQuery(ast.PhraseQuery(pair), boost=2.0)
+    exp_p = sorted(d for d, _ in golden.search(ast.PhraseQuery(pair), 10 ** 6))
+    gotp = searcher.search(qp, 15)
+    assert [h.doc_id for h in gotp] == exp_p[:15]
+    assert searcher.count(qp) == len(exp_p)
+    # match-all inner
+    qa = ast.ConstantScoreQuery(ast.MatchAllDocsQuery())
+    assert searcher.count(qa) == golden.doc_count
+    assert [h.doc_id for h in searcher.search(qa, 5)] == [0, 1, 2, 3, 4]
+    # mixed boolean inner (phrase clause)
+    qm = ast.ConstantScoreQuery(searcher.parse(f'+"{pair[0]} {pair[1]}"'))
+    assert searcher.count(qm) == len(exp_p)

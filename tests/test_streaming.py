@@ -111,13 +111,78 @@ def test_append_stats_match_fresh_build(spark, tmp_path):
     inc.append(df.filter(F.col("conv_id") >= cuts[1]), epoch_id=2)
     IndexBuilder(spark, d_full, num_segments=3).build(df)
 
+    def sdirs(d):
+        import json
+
+        with open(f"{d}/manifest.json") as f:
+            m = json.load(f)
+        sd = m.get("stats_dirs", {})
+        return (sd.get("term_stats", "term_stats"),
+                sd.get("field_stats", "field_stats"))
+
     def stats(d):
-        ts = spark.read.parquet(f"{d}/term_stats")
+        ts = spark.read.parquet(f"{d}/{sdirs(d)[0]}")
         return {(r["field"], r["term"]): (r["df"], r["ttf"], r["max_tf"])
                 for r in ts.collect()}
 
     assert stats(d_inc) == stats(d_full)
-    fs_inc = spark.read.parquet(f"{d_inc}/field_stats").collect()[0]
-    fs_full = spark.read.parquet(f"{d_full}/field_stats").collect()[0]
+    fs_inc = spark.read.parquet(f"{d_inc}/{sdirs(d_inc)[1]}").collect()[0]
+    fs_full = spark.read.parquet(f"{d_full}/{sdirs(d_full)[1]}").collect()[0]
     assert (fs_inc["doc_count"], fs_inc["sum_ttf"], fs_inc["sum_df"]) == \
         (fs_full["doc_count"], fs_full["sum_ttf"], fs_full["sum_df"])
+
+
+def test_append_crash_replay_exactly_once(spark, tmp_path):
+    """A micro-batch that crashes AFTER writing segments/stats but BEFORE
+    the manifest commit must be replayable without double-counting stats
+    (the manifest replace is the single commit point)."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import synthetic_transcripts
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    df = synthetic_transcripts(spark, 40).cache()
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    d = str(tmp_path / "replayidx")
+    shutil.rmtree(d, ignore_errors=True)
+    inc = IncrementalIndexer(spark, d, rows_per_segment=40)
+    inc.append(df.filter(F.col("conv_id") < cut), epoch_id=0)
+
+    batch2 = df.filter(F.col("conv_id") >= cut)
+    # crash injection: fail at the manifest commit
+    orig = inc._builder._save_manifest
+    def crash(m):
+        raise RuntimeError("injected crash before commit")
+    inc._builder._save_manifest = crash
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        inc.append(batch2, epoch_id=1)
+    inc._builder._save_manifest = orig
+    # replay the same epoch (what foreachBatch does after recovery)
+    inc.append(batch2, epoch_id=1)
+    # a second replay is a no-op (epoch recorded)
+    res = inc.append(batch2, epoch_id=1)
+    assert res.get("skipped_epoch") == 1
+
+    # stats must equal a fresh build of the full corpus — no double counts
+    d_full = str(tmp_path / "replayfull")
+    IndexBuilder(spark, d_full, num_segments=2).build(df)
+
+    def stats(dd):
+        with open(f"{dd}/manifest.json") as f:
+            m = json.load(f)
+        sd = m.get("stats_dirs", {})
+        ts = spark.read.parquet(
+            f"{dd}/{sd.get('term_stats', 'term_stats')}")
+        fs = spark.read.parquet(
+            f"{dd}/{sd.get('field_stats', 'field_stats')}").collect()[0]
+        return ({(r['field'], r['term']): (r['df'], r['ttf'])
+                 for r in ts.collect()},
+                (fs['doc_count'], fs['sum_ttf'], fs['sum_df']))
+
+    assert stats(d) == stats(d_full)
