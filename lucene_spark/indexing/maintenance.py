@@ -84,12 +84,15 @@ class IndexMaintenance:
         self._builder._save_manifest(m)
 
     # -- deletes ------------------------------------------------------------
-    def delete_by_term(self, term: str, field: str = "text") -> int:
-        """Mark every doc containing ``(field, term)`` deleted. Distributed:
-        per-segment kernels decode the term's postings, union with the
-        existing deleted set, and write the segment's live-docs file; only
-        per-segment delete counts return to the driver. Returns the number
-        of newly deleted docs."""
+    def mark_deleted(self, term: str, field: str = "text",
+                     segs: list | None = None) -> int:
+        """Write live-docs files marking every doc containing
+        ``(field, term)`` deleted, WITHOUT the manifest commit — inert to
+        readers until a caller publishes ``has_deletes`` (used by
+        ``delete_by_term`` and the update-document path, whose append commit
+        publishes deletes and added docs together). Idempotent (set union).
+        ``segs`` restricts the scan (update semantics: only docs added
+        BEFORE the update are deleted)."""
         from pyspark.sql import functions as F
 
         index_dir = self.index_dir
@@ -97,6 +100,8 @@ class IndexMaintenance:
             self.spark.read.parquet(f"{index_dir}/postings")
             .filter((F.col("field") == field) & (F.col("term") == term))
         )
+        if segs is not None:
+            postings = postings.filter(F.col("seg").isin([int(s) for s in segs]))
         cols = ["first_doc", "count", "doc_gaps", "tfs"]
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -119,7 +124,15 @@ class IndexMaintenance:
             .applyInPandas(run_segment, "n long")
             .collect()
         )
-        n_new = sum(int(r["n"]) for r in out)
+        return sum(int(r["n"]) for r in out)
+
+    def delete_by_term(self, term: str, field: str = "text") -> int:
+        """Mark every doc containing ``(field, term)`` deleted and commit.
+        Distributed: per-segment kernels decode the term's postings, union
+        with the existing deleted set, and write the segment's live-docs
+        file; only per-segment delete counts return to the driver. Returns
+        the number of newly deleted docs."""
+        n_new = self.mark_deleted(term, field)
         m = self._manifest()
         m["deleted_count"] = int(m.get("deleted_count", 0)) + n_new
         m["has_deletes"] = m.get("deleted_count", 0) > 0 or n_new > 0

@@ -750,28 +750,34 @@ class IndexSearcher:
         )
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
-    def search_sorted(self, query, sort_field: str, k: int = 10,
+    def search_sorted(self, query, sort_field, k: int = 10,
                       reverse: bool = True) -> list[tuple]:
         """Sort-by-field top-k — the ``TopFieldCollector`` analogue
-        (``core/search/TopFieldCollector.java``): hits ordered by a
-        doc-values column of the docs table (``dl``, ``turn_idx``, …) with
-        the exact Lucene tie-break (field order, then docID ascending).
+        (``core/search/TopFieldCollector.java``), supporting an arbitrary
+        Sort: ``sort_field`` is one doc-values column name (``dl``,
+        ``turn_idx``, ``conv_id``, …; ``reverse`` flips it) or a list of
+        ``(field, reverse)`` pairs evaluated in order; the final tie-break
+        is always docID ascending (the Lucene rule).
 
         Plan shape: the match set stays distributed (``score_df``), joins
-        the doc-values column, and reduces via Spark's TakeOrderedAndProject
-        (per-partition top-k, no global sort shuffle) — the plan you want at
-        10^12 docs. Returns [(doc_id, field_value), ...].
+        the doc-values columns, and reduces via Spark's
+        TakeOrderedAndProject (per-partition top-k, no global sort shuffle)
+        — the plan you want at 10^12 docs. Returns
+        [(doc_id, field_value_1[, field_value_2, ...]), ...].
         """
         from pyspark.sql import functions as F
 
+        keys = ([(sort_field, reverse)] if isinstance(sort_field, str)
+                else [(f, bool(r)) for f, r in sort_field])
+        fields = [f for f, _ in keys]
         matches = self.score_df(query).select("doc_id")
-        docs = self.reader.docs().select("doc_id", sort_field)
+        docs = self.reader.docs().select("doc_id", *fields)
         order = [
-            F.col(sort_field).desc() if reverse else F.col(sort_field).asc(),
-            F.col("doc_id").asc(),
-        ]
+            (F.col(f).desc() if rev else F.col(f).asc()) for f, rev in keys
+        ] + [F.col("doc_id").asc()]
         rows = matches.join(docs, "doc_id").orderBy(*order).limit(k).collect()
-        return [(int(r["doc_id"]), r[sort_field]) for r in rows]
+        return [tuple([int(r["doc_id"])] + [r[f] for f in fields])
+                for r in rows]
 
     def search_after(self, query, after_count: int, k: int = 10,
                      mode: str = "wand") -> list[ScoreDoc]:

@@ -45,8 +45,11 @@ class IncrementalIndexer:
         self._builder = IndexBuilder(spark, index_dir, analyzer=analyzer,
                                      positions=positions)
 
-    def append(self, batch_df, epoch_id: int | None = None) -> dict:
-        """Append one batch as new segments. Idempotent per epoch_id."""
+    def append(self, batch_df, epoch_id: int | None = None,
+               extra_manifest: dict | None = None) -> dict:
+        """Append one batch as new segments. Idempotent per epoch_id.
+        ``extra_manifest``: extra fields published by the same atomic
+        manifest commit (the update-document path's delete flags)."""
         import pandas as pd
         from pyspark.sql import functions as F
 
@@ -134,12 +137,52 @@ class IncrementalIndexer:
         manifest["num_segments"] = len(offsets)
         manifest["stats_dirs"] = sdirs
         manifest["stats_gen"] = gen
+        if extra_manifest:
+            manifest.update(extra_manifest)
         if epoch_id is not None:
             manifest["applied_epochs"] = applied + [int(epoch_id)]
         b._save_manifest(manifest)  # atomic commit point
         # post-commit GC of the superseded stats generation
         b._gc_stats_generations(keep=set(sdirs.values()))
         return {"doc_count": acc, "built": len(rows), "reused": 0}
+
+    def update(self, batch_df, delete_term: str, delete_field: str = "text",
+               epoch_id: int | None = None) -> dict:
+        """``updateDocument`` analogue (``core/index/IndexWriter.java:1468-1530``):
+        atomically delete every EXISTING doc containing
+        ``(delete_field, delete_term)`` and append ``batch_df`` — the
+        append's single manifest commit publishes the deletes and the new
+        segments together. As in Lucene, the delete applies only to docs
+        present before the update; the appended docs are untouched even if
+        they contain the term. Idempotent per epoch (live-docs marking is a
+        set union; the append is content-idempotent)."""
+        from lucene_spark.indexing.maintenance import IndexMaintenance
+
+        b = self._builder
+        manifest = b._load_manifest()
+        if manifest is None:
+            return self.append(batch_df, epoch_id=epoch_id)
+        applied = manifest.get("applied_epochs", [])
+        if epoch_id is not None and int(epoch_id) in applied:
+            return {"doc_count": manifest["doc_count"], "built": 0,
+                    "reused": 0, "skipped_epoch": int(epoch_id)}
+        existing = [int(s) for s in manifest["offsets"]]
+        mnt = IndexMaintenance(self.spark, self.index_dir)
+        n_del = mnt.mark_deleted(delete_term, field=delete_field,
+                                 segs=existing)
+        total_del = int(manifest.get("deleted_count", 0)) + n_del
+        extra = {"has_deletes": total_del > 0, "deleted_count": total_del}
+        if batch_df.count() == 0:  # pure-delete update
+            m = b._load_manifest()
+            m.update(extra)
+            if epoch_id is not None:
+                m["applied_epochs"] = applied + [int(epoch_id)]
+            b._save_manifest(m)
+            return {"doc_count": m["doc_count"], "built": 0, "reused": 0,
+                    "deleted": n_del}
+        res = self.append(batch_df, epoch_id=epoch_id, extra_manifest=extra)
+        res["deleted"] = n_del
+        return res
 
     # -- Structured Streaming sink -----------------------------------------
     def foreach_batch(self):

@@ -133,3 +133,44 @@ def test_append_many_then_compact_pure_merge(spark, tmp_path):
         assert s_after.search(q, 500) == before[q], q
     # per-query task count shrinks with the segment count
     assert s_after.reader.manifest["num_segments"] == res["num_segments"]
+
+
+def test_update_by_term_single_commit(spark, tmp_path):
+    """updateDocument analogue: delete-by-term + append published by ONE
+    commit ≡ separate delete then append; delete applies only to docs
+    present before the update (Lucene semantics)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    df = synthetic_transcripts(spark, 40).cache()
+    convs = sorted(r["conv_id"] for r in df.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    lo = df.filter(F.col("conv_id") < cut)
+    hi = df.filter(F.col("conv_id") >= cut)
+    victim = VOCAB[3]
+
+    d_u = str(tmp_path / "upd")
+    inc_u = IncrementalIndexer(spark, d_u, rows_per_segment=40)
+    inc_u.append(lo, epoch_id=0)
+    res = inc_u.update(hi, delete_term=victim, epoch_id=1)
+    assert res["deleted"] > 0
+
+    d_s = str(tmp_path / "sep")
+    inc_s = IncrementalIndexer(spark, d_s, rows_per_segment=40)
+    inc_s.append(lo, epoch_id=0)
+    IndexMaintenance(spark, d_s).delete_by_term(victim)
+    inc_s.append(hi, epoch_id=1)
+
+    su = IndexSearcher(spark, d_u)
+    ss = IndexSearcher(spark, d_s)
+    for q in _queries() + [f"+{victim}"]:
+        assert [(h.doc_id, h.score) for h in su.search(q, 500)] == \
+            [(h.doc_id, h.score) for h in ss.search(q, 500)], q
+    # the appended docs containing the victim term still match
+    lo_count = len({h.doc_id for h in su.search(f"+{victim}", 500)})
+    assert lo_count > 0  # survivors come from the appended batch only
+    assert su.count(f"+{victim}") == lo_count
+    # replayed epoch is a no-op
+    assert inc_u.update(hi, delete_term=victim, epoch_id=1) \
+        .get("skipped_epoch") == 1

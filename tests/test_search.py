@@ -539,3 +539,19 @@ def test_constant_score_wrapper_generic_inners(searcher, golden, corpus_pdf):
     # mixed boolean inner (phrase clause)
     qm = ast.ConstantScoreQuery(searcher.parse(f'+"{pair[0]} {pair[1]}"'))
     assert searcher.count(qm) == len(exp_p)
+
+
+def test_search_sorted_multi_key(searcher, golden, corpus_pdf):
+    """Arbitrary Sort: multiple (field, reverse) keys with docID tie-break."""
+    q = f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}"
+    match_ids = [h for h, _ in golden.search(q, 10 ** 6)]
+    ordered = corpus_pdf.sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+    ti = ordered["turn_idx"].to_numpy()
+    exp = sorted(match_ids,
+                 key=lambda d: (-int(ti[d]), int(golden.dl[d]), d))[:25]
+    got = searcher.search_sorted(
+        searcher.parse(q), [("turn_idx", True), ("dl", False)], k=25)
+    assert [t[0] for t in got] == exp
+    assert all(t[1] == int(ti[t[0]]) and t[2] == int(golden.dl[t[0]])
+               for t in got)

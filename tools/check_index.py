@@ -71,12 +71,17 @@ def main():
     with open(f"{index_dir}/manifest.json") as f:
         manifest = json.load(f)
     offsets = {int(k): int(v) for k, v in manifest["offsets"].items()}
+    live_segs = sorted(offsets)
 
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    # only manifest-listed segments are live (a crashed compaction may leave
+    # inert extra seg dirs awaiting GC); doc ORDER is doc_offset order, not
+    # segment-id order (compaction assigns fresh ids)
+    docs = spark.read.parquet(f"{index_dir}/docs") \
+        .filter(F.col("seg").isin(live_segs))
     seg_counts = {r["seg"]: r["n"] for r in
                   docs.groupBy("seg").agg(F.count("*").alias("n")).collect()}
     acc = 0
-    for s in sorted(offsets):
+    for s in sorted(offsets, key=lambda x: offsets[x]):
         if offsets[s] != acc:
             problems.append(f"manifest offset for seg {s}: {offsets[s]} != {acc}")
         acc += seg_counts.get(s, 0)
@@ -112,7 +117,8 @@ def main():
         problems.append(f"{disorder} docs out of (conv_id, turn_idx) order")
 
     # postings invariants per segment (distributed)
-    post = spark.read.parquet(f"{index_dir}/postings")
+    post = spark.read.parquet(f"{index_dir}/postings") \
+        .filter(F.col("seg").isin(live_segs))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         errs = check_segment_postings(pdf)
@@ -123,14 +129,17 @@ def main():
     )
     problems.extend(r["err"] for r in errs)
 
-    # stats consistency
-    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    # stats consistency (resolved through the manifest generation pointer)
+    sdirs = manifest.get("stats_dirs", {})
+    ts = spark.read.parquet(
+        f"{index_dir}/{sdirs.get('term_stats', 'term_stats')}")
     rec = post.groupBy("field", "term").agg(F.sum("count").alias("df2"),
                                             F.sum("ttf").alias("ttf2"))
     bad_ts = ts.join(rec, ["field", "term"]).filter("df != df2 OR ttf != ttf2").count()
     if bad_ts:
         problems.append(f"{bad_ts} terms with inconsistent term_stats")
-    fs = spark.read.parquet(f"{index_dir}/field_stats").collect()[0]
+    fs = spark.read.parquet(
+        f"{index_dir}/{sdirs.get('field_stats', 'field_stats')}").collect()[0]
     sum_dl = docs.agg(F.sum("dl")).collect()[0][0] or 0
     if fs["sum_ttf"] != sum_dl:
         problems.append(f"field_stats sum_ttf {fs['sum_ttf']} != Σ dl {sum_dl}")
