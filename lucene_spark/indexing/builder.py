@@ -332,6 +332,13 @@ class IndexBuilder:
 
     # -- build --------------------------------------------------------------
     def build(self, transcripts, resume: bool = False) -> dict:
+        """Build (or resume) the index so it reflects ``transcripts``.
+
+        A build is AUTHORITATIVE: the result equals a fresh index of the
+        source corpus, so any live-docs state from earlier deletes/updates
+        is cleared (stale per-segment deleted ids would be meaningless
+        against re-inverted segments) and streaming epoch history resets.
+        """
         from pyspark.sql import functions as F
 
         spark = self.spark
@@ -448,6 +455,13 @@ class IndexBuilder:
             }
         )
         self._gc_stats_generations(keep={"term_stats", "field_stats"})
+        # authoritative rebuild: clear live-docs generations (their local
+        # docIDs refer to the pre-rebuild segmentation)
+        import glob
+        import shutil as _sh
+
+        for p in glob.glob(f"{self.index_dir}/live_docs*"):
+            _sh.rmtree(p, ignore_errors=True)
         return {
             "doc_count": acc,
             "built": sum(1 for r in metrics_rows if r["status"] == "ok"),

@@ -53,21 +53,31 @@ from lucene_spark.indexing.builder import (
 LIVE_SCHEMA = pa.schema([("doc_id", pa.int64())])  # DELETED local docIDs
 
 
-def deleted_for_segment(index_dir: str, seg: int) -> np.ndarray:
+def deleted_for_segment(index_dir: str, seg: int,
+                        live_dir: str = "live_docs") -> np.ndarray:
     """Sorted local docIDs deleted in ``seg`` (empty when none). Runs inside
     executor kernels — index storage is shared, same as the build's direct
-    segment writes."""
-    path = f"{index_dir}/live_docs/seg={seg}/part-0.parquet"
+    segment writes. ``live_dir`` is the manifest-published generation dir
+    (deletes are copy-on-write: a new generation becomes visible only via
+    the atomic manifest commit)."""
+    path = f"{index_dir}/{live_dir}/seg={seg}/part-0.parquet"
     if not os.path.exists(path):
         return np.zeros(0, dtype=np.int64)
     arr = pq.read_table(path).column("doc_id").to_numpy()
     return np.asarray(arr, dtype=np.int64)
 
 
-def write_deleted(index_dir: str, seg: int, doc_ids: np.ndarray):
+def write_deleted(index_dir: str, seg: int, doc_ids: np.ndarray,
+                  live_dir: str = "live_docs"):
     arr = np.unique(np.asarray(doc_ids, dtype=np.int64))
     tbl = pa.Table.from_pydict({"doc_id": arr}, schema=LIVE_SCHEMA)
-    _atomic_write_parquet(tbl, f"{index_dir}/live_docs/seg={seg}/part-0.parquet")
+    _atomic_write_parquet(
+        tbl, f"{index_dir}/{live_dir}/seg={seg}/part-0.parquet")
+
+
+def live_dir_of(manifest: dict) -> str:
+    """The manifest-published live-docs generation dir."""
+    return manifest.get("live_dir", "live_docs")
 
 
 class IndexMaintenance:
@@ -84,24 +94,33 @@ class IndexMaintenance:
         self._builder._save_manifest(m)
 
     # -- deletes ------------------------------------------------------------
-    def mark_deleted(self, term: str, field: str = "text",
-                     segs: list | None = None) -> int:
-        """Write live-docs files marking every doc containing
-        ``(field, term)`` deleted, WITHOUT the manifest commit — inert to
-        readers until a caller publishes ``has_deletes`` (used by
-        ``delete_by_term`` and the update-document path, whose append commit
-        publishes deletes and added docs together). Idempotent (set union).
-        ``segs`` restricts the scan (update semantics: only docs added
-        BEFORE the update are deleted)."""
+    def stage_deletes(self, term: str, field: str = "text") -> dict:
+        """Copy-on-write delete marking: build a NEW live-docs generation
+        containing every existing deleted set plus the docs matching
+        ``(field, term)``, without touching the published generation — inert
+        until a caller flips the manifest ``live_dir`` pointer (so open
+        readers and pre-commit crashes never see partial deletes, even on an
+        index that already has deletes).
+
+        Only manifest-live segments are scanned (inert dirs from a crashed
+        compaction are ignored). Returns the manifest fields to publish:
+        ``{live_dir, live_gen, has_deletes, deleted_count, newly_deleted}``
+        — ``deleted_count`` is an absolute recount, so a replayed epoch
+        publishes the same correct state (idempotent).
+        """
         from pyspark.sql import functions as F
 
         index_dir = self.index_dir
+        m = self._manifest()
+        old_live = live_dir_of(m)
+        gen = int(m.get("live_gen", 0)) + 1
+        out_live = f"live_docs.g{gen}"
+        segs = sorted(int(x) for x in m["offsets"])
         postings = (
             self.spark.read.parquet(f"{index_dir}/postings")
-            .filter((F.col("field") == field) & (F.col("term") == term))
+            .filter((F.col("field") == field) & (F.col("term") == term)
+                    & F.col("seg").isin(segs))
         )
-        if segs is not None:
-            postings = postings.filter(F.col("seg").isin([int(s) for s in segs]))
         cols = ["first_doc", "count", "doc_gaps", "tfs"]
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -112,32 +131,58 @@ class IndexMaintenance:
                 for i in range(len(pdf))
             ]
             hit = np.unique(np.concatenate(parts))
-            old = deleted_for_segment(index_dir, seg)
+            old = deleted_for_segment(index_dir, seg, old_live)
             new = np.union1d(old, hit)
-            if new.size > old.size:
-                write_deleted(index_dir, seg, new)
-            return pd.DataFrame({"n": [int(new.size - old.size)]})
+            write_deleted(index_dir, seg, new, out_live)
+            return pd.DataFrame({"seg": [seg], "n_new": [int(new.size - old.size)],
+                                 "n_total": [int(new.size)]})
 
         out = (
             postings.select("seg", *cols)
             .groupBy("seg")
-            .applyInPandas(run_segment, "n long")
+            .applyInPandas(run_segment, "seg int, n_new long, n_total long")
             .collect()
         )
-        return sum(int(r["n"]) for r in out)
+        written = {int(r["seg"]): (int(r["n_new"]), int(r["n_total"]))
+                   for r in out}
+        # copy forward segments with existing deletes but no new matches
+        total = sum(t for _n, t in written.values())
+        n_new = sum(n for n, _t in written.values())
+        for seg in segs:
+            if seg in written:
+                continue
+            old = deleted_for_segment(index_dir, seg, old_live)
+            if old.size:
+                write_deleted(index_dir, seg, old, out_live)
+                total += int(old.size)
+        return {"live_dir": out_live, "live_gen": gen,
+                "has_deletes": total > 0, "deleted_count": total,
+                "newly_deleted": n_new}
+
+    def _gc_live_generations(self, keep: set):
+        """Remove live-docs generation dirs not in ``keep`` (post-commit;
+        keep the previous generation too so open readers stay valid)."""
+        import glob
+
+        for p in glob.glob(f"{self.index_dir}/live_docs*"):
+            if os.path.basename(p) not in keep:
+                shutil.rmtree(p, ignore_errors=True)
 
     def delete_by_term(self, term: str, field: str = "text") -> int:
-        """Mark every doc containing ``(field, term)`` deleted and commit.
-        Distributed: per-segment kernels decode the term's postings, union
-        with the existing deleted set, and write the segment's live-docs
-        file; only per-segment delete counts return to the driver. Returns
-        the number of newly deleted docs."""
-        n_new = self.mark_deleted(term, field)
+        """Mark every doc containing ``(field, term)`` deleted and commit
+        (atomic manifest pointer flip to a new live-docs generation).
+        Returns the number of newly deleted docs."""
+        staged = self.stage_deletes(term, field)
         m = self._manifest()
-        m["deleted_count"] = int(m.get("deleted_count", 0)) + n_new
-        m["has_deletes"] = m.get("deleted_count", 0) > 0 or n_new > 0
+        old_live = live_dir_of(m)
+        m["live_dir"] = staged["live_dir"]
+        m["live_gen"] = staged["live_gen"]
+        m["has_deletes"] = staged["has_deletes"]
+        m["deleted_count"] = staged["deleted_count"]
         self._save_manifest(m)  # commit point: readers opened after see it
-        return n_new
+        # keep the previous generation for already-open readers
+        self._gc_live_generations(keep={staged["live_dir"], old_live})
+        return staged["newly_deleted"]
 
     # -- compaction ---------------------------------------------------------
     def plan_merges(self, target_rows: int) -> list[list[int]]:
@@ -154,7 +199,8 @@ class IndexMaintenance:
             for r in self.spark.read.parquet(
                 f"{self.index_dir}/build_manifest").collect()
         }
-        live = {s: rows[s] - deleted_for_segment(self.index_dir, s).size
+        ld = live_dir_of(m)
+        live = {s: rows[s] - deleted_for_segment(self.index_dir, s, ld).size
                 for s in segs}
         runs, cur, cur_rows = [], [], 0
         for s in segs:
@@ -168,7 +214,7 @@ class IndexMaintenance:
         return [
             r for r in runs
             if len(r) > 1
-            or any(deleted_for_segment(self.index_dir, s).size for s in r)
+            or any(deleted_for_segment(self.index_dir, s, ld).size for s in r)
         ]
 
     def compact(self, target_rows: int = 1_000_000) -> dict:
@@ -193,10 +239,10 @@ class IndexMaintenance:
         index_dir = self.index_dir
         spark = self.spark
         manifest = self._manifest()
-        rows_in = {
-            int(r["segment"]): int(r["rows_in"])
-            for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
-        }
+        live_dir = live_dir_of(manifest)
+        bm_rows = [r.asDict() for r in
+                   spark.read.parquet(f"{index_dir}/build_manifest").collect()]
+        rows_in = {int(r["segment"]): int(r["rows_in"]) for r in bm_rows}
         old_order = [int(x) for x, _ in
                      sorted(manifest["offsets"].items(),
                             key=lambda kv: int(kv[1]))]
@@ -213,7 +259,8 @@ class IndexMaintenance:
             for s in segs:
                 bases[s] = acc
                 acc += seg_rows[s]
-            dele = [deleted_for_segment(index_dir, s) + bases[s] for s in segs]
+            dele = [deleted_for_segment(index_dir, s, live_dir) + bases[s]
+                    for s in segs]
             deleted = (np.concatenate(dele) if dele
                        else np.zeros(0, np.int64))
             live = np.setdiff1d(np.arange(acc, dtype=np.int64), deleted,
@@ -231,8 +278,12 @@ class IndexMaintenance:
         def merge_docs(pdf: pd.DataFrame) -> pd.DataFrame:
             run_id = int(pdf["run"].iloc[0])
             bases, live = run_remap(run_id)
-            pdf = pdf.sort_values(["seg", "doc_id"])
+            # order by run-local docID (DOC order — after a prior compaction
+            # assigned fresh ids, segment-id order no longer matches it)
             run_ids = pdf["doc_id"].to_numpy() + pdf["seg"].map(bases).to_numpy()
+            order = np.argsort(run_ids, kind="stable")
+            pdf = pdf.iloc[order]
+            run_ids = run_ids[order]
             keep = np.isin(run_ids, live)
             sub = pdf.loc[keep]
             tbl = pa.Table.from_pydict(
@@ -267,12 +318,15 @@ class IndexMaintenance:
             run_id = int(pdf["run"].iloc[0])
             bases, live = run_remap(run_id)
             new_seg = new_ids[run_id]
+            pos_of = {sg: i for i, sg in enumerate(run_list[run_id])}
             out_parts, field_cols = [], []
-            # per field: decode blocks in (term, seg, block) order — the
-            # concatenation is already (term, new docID)-sorted because
-            # run order == doc order and remapping is monotone
+            # per field: decode blocks in (term, RUN-POSITION, block) order —
+            # run position is doc order (segment-id order is not, once a
+            # prior compaction assigned fresh ids), so the concatenation is
+            # (term, new docID)-sorted and remapping stays monotone
             for fval, fpdf in pdf.groupby("field", sort=True):
-                fpdf = fpdf.sort_values(["term", "seg", "block_id"])
+                fpdf = fpdf.assign(_pos=fpdf["seg"].map(pos_of))
+                fpdf = fpdf.sort_values(["term", "_pos", "block_id"])
                 has_pos = any(len(p) > 0 for p in fpdf["positions"])
                 parts = {"term": [], "d": [], "tf": [], "nm": [], "pos": []}
                 for row in fpdf.itertuples(index=False):
@@ -342,10 +396,7 @@ class IndexMaintenance:
                 survivors.append((s, rows_in[s],
                                   None))  # keep existing fingerprint row
 
-        fps = {
-            int(r["segment"]): int(r["fingerprint"])
-            for r in spark.read.parquet(f"{index_dir}/build_manifest").collect()
-        }
+        fps = {int(r["segment"]): int(r["fingerprint"]) for r in bm_rows}
         offsets, acc = {}, 0
         mrows = []
         for s, n, fp in survivors:
@@ -366,10 +417,16 @@ class IndexMaintenance:
         sdirs = {"term_stats": f"term_stats.g{gen}",
                  "field_stats": f"field_stats.g{gen}"}
 
-        mdf = spark.createDataFrame(pd.DataFrame(mrows)[
-            ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
-             "blocks", "wall_ms", "status"]
-        ])
+        # the new build_manifest keeps the OLD manifest-live rows alongside
+        # the merged rows: a crash between this swap and the manifest commit
+        # leaves every old segment fully described; extra rows are inert and
+        # self-healed by the next compact (filtered to manifest segments)
+        cols_bm = ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
+                   "blocks", "wall_ms", "status"]
+        live_old = {int(x) for x in manifest["offsets"]}
+        old_rows = [{c: r[c] for c in cols_bm} for r in bm_rows
+                    if int(r["segment"]) in live_old]
+        mdf = spark.createDataFrame(pd.DataFrame(old_rows + mrows)[cols_bm])
         tmp = f"{index_dir}/build_manifest.tmp"
         mdf.coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(f"{index_dir}/build_manifest", ignore_errors=True)
@@ -378,18 +435,24 @@ class IndexMaintenance:
         manifest["offsets"] = {str(s): o for s, o in sorted(offsets.items())}
         manifest["doc_count"] = acc
         manifest["num_segments"] = len(offsets)
+        old_sdirs = self._builder._stats_dirs(manifest)
         manifest["deleted_count"] = 0
         manifest["has_deletes"] = False
+        manifest["live_dir"] = "live_docs"
         manifest["stats_dirs"] = sdirs
         manifest["stats_gen"] = gen
         self._save_manifest(manifest)  # THE commit point
 
         # --- post-commit GC: old run segments, live docs, old stats gens ---
+        # (the immediately-previous stats generation is kept so readers
+        # opened just before the commit keep a consistent view)
         for run in runs:
             for s in run:
-                for sub in ("docs", "postings", "live_docs"):
+                for sub in ("docs", "postings"):
                     shutil.rmtree(f"{index_dir}/{sub}/seg={s}",
                                   ignore_errors=True)
-        self._builder._gc_stats_generations(keep=set(sdirs.values()))
+        self._gc_live_generations(keep={live_dir})
+        self._builder._gc_stats_generations(
+            keep=set(sdirs.values()) | set(old_sdirs.values()))
         return {"merged_runs": len(runs), "doc_count": acc,
                 "num_segments": len(offsets)}

@@ -150,9 +150,10 @@ class IndexReader:
         import os
 
         d = self._docs_df
+        live_dir = self.manifest.get("live_dir", "live_docs")
         if (live_only and self.manifest.get("has_deletes", False)
-                and os.path.isdir(f"{self.index_dir}/live_docs")):
-            dele = self.spark.read.parquet(f"{self.index_dir}/live_docs")
+                and os.path.isdir(f"{self.index_dir}/{live_dir}")):
+            dele = self.spark.read.parquet(f"{self.index_dir}/{live_dir}")
             d = d.join(dele, ["seg", "doc_id"], "left_anti")
         return (
             d.join(F.broadcast(self._offsets_df()), "seg")
@@ -173,10 +174,11 @@ class IndexReader:
         if not self.manifest.get("has_deletes", False):
             return None
         index_dir = self.index_dir
+        live_dir = self.manifest.get("live_dir", "live_docs")
 
         def load(seg) -> "np.ndarray":
             from lucene_spark.indexing.maintenance import deleted_for_segment
 
-            return deleted_for_segment(index_dir, int(seg))
+            return deleted_for_segment(index_dir, int(seg), live_dir)
 
         return load

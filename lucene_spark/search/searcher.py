@@ -195,7 +195,7 @@ class IndexSearcher:
             field_terms.setdefault(f, []).append(t)
         return self.reader.postings_multi(field_terms)
 
-    def _mixed_clauses(self, q: ast.BooleanQuery):
+    def _mixed_clauses(self, q: ast.BooleanQuery, match_only: bool = False):
         """Resolve a mixed boolean (terms + phrases + multiterm expansions)
         into field-aware kernel clause dicts. Returns None when the query can
         never match, else (clauses, cache, msm, field_terms, need_positions).
@@ -209,11 +209,15 @@ class IndexSearcher:
         """
         from lucene_spark.search.multiterm import expand_terms
 
-        if not isinstance(self.similarity, BM25Similarity):
-            raise NotImplementedError(
-                "mixed boolean clauses (phrase/multiterm) score with BM25 "
-                "only; term-only booleans accept any similarity"
-            )
+        scoring_sim = self.similarity
+        if not isinstance(scoring_sim, BM25Similarity):
+            if match_only:
+                scoring_sim = BM25Similarity()  # weights are discarded
+            else:
+                raise NotImplementedError(
+                    "mixed boolean clauses (phrase/multiterm) score with "
+                    "BM25 only; term-only booleans accept any similarity"
+                )
         sep = self.FIELD_SEP
         flat = []  # (occur, kind, field, terms, boost, slop)
         need_positions = False
@@ -272,7 +276,7 @@ class IndexSearcher:
                 w = float(boost)
             elif occur in (ast.MUST, ast.SHOULD):
                 scorer = self.reader.similarity_scorer(
-                    self.similarity, boost, [df_of(f, t) for t in terms]
+                    scoring_sim, boost, [df_of(f, t) for t in terms]
                 )
                 w = float(scorer.weight)
             else:
@@ -286,21 +290,23 @@ class IndexSearcher:
             return None
         cache = norm_cache(
             np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
-            F32(self.similarity.k1), F32(self.similarity.b),
+            F32(scoring_sim.k1), F32(scoring_sim.b),
         )
         field_terms: dict[str, list] = {}
         for _occ, kind, f, terms, _b, _sl in flat:
             field_terms.setdefault(f, []).extend(terms)
         return clauses, cache, q.min_should_match, field_terms, need_positions
 
-    def _mixed_segment_df(self, q: ast.BooleanQuery, k, count_only: bool = False):
+    def _mixed_segment_df(self, q: ast.BooleanQuery, k,
+                          count_only: bool = False,
+                          match_only: bool = False):
         """Per-segment rows for a mixed boolean: (doc_id, score) top-k rows,
         or — with ``count_only`` — one hit-count row per segment (the
         distributed TotalHitCount path: billions of hits never leave their
         segment's task)."""
         from lucene_spark.search.phrase import segment_boolean_mixed
 
-        mc = self._mixed_clauses(q)
+        mc = self._mixed_clauses(q, match_only=match_only)
         if mc is None:
             return None
         clauses, cache, msm, field_terms, need_positions = mc
@@ -661,7 +667,10 @@ class IndexSearcher:
         if isinstance(q, ast.BooleanQuery) and any(
             not isinstance(sub, ast.TermQuery) for _, sub in q.clauses
         ):
-            df = self._mixed_segment_df(q, None)
+            # match sets are similarity-independent: score mixed clauses
+            # with BM25 regardless of the searcher's similarity (the
+            # weights are discarded)
+            df = self._mixed_segment_df(q, None, match_only=True)
             if df is None:
                 return self.spark.createDataFrame([], "doc_id long")
             return df.select("doc_id")
@@ -677,6 +686,12 @@ class IndexSearcher:
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
         slop = int(q.slop)
+        q_terms = ([t for slot in q.slots for t in slot]
+                   if isinstance(q, ast.MultiPhraseQuery) else list(q.terms))
+        if slop and len(set(q_terms)) != len(q_terms):
+            raise NotImplementedError(
+                "sloppy phrases with repeated terms are not supported"
+            )
         if isinstance(q, ast.MultiPhraseQuery):
             all_terms = sorted({t for slot in q.slots for t in slot})
             stats = self.reader.term_stats(all_terms, field=q.field)

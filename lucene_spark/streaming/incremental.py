@@ -130,6 +130,7 @@ class IncrementalIndexer:
         # generation dir; the manifest replace below is the SINGLE commit
         # point that publishes segments + stats + epoch together, so a
         # replayed epoch never double-counts (exactly-once preserved).
+        old_sdirs = b._stats_dirs(manifest)
         gen = int(manifest.get("stats_gen", 0)) + 1
         sdirs = b._merge_stats(new_ids, suffix=f".g{gen}")
         manifest["doc_count"] = acc
@@ -142,8 +143,11 @@ class IncrementalIndexer:
         if epoch_id is not None:
             manifest["applied_epochs"] = applied + [int(epoch_id)]
         b._save_manifest(manifest)  # atomic commit point
-        # post-commit GC of the superseded stats generation
-        b._gc_stats_generations(keep=set(sdirs.values()))
+        # post-commit GC — the immediately-previous generation is kept so
+        # already-open readers (pinned to it) stay valid; it falls out of
+        # the keep set on the NEXT append
+        b._gc_stats_generations(keep=set(sdirs.values())
+                                | set(old_sdirs.values()))
         return {"doc_count": acc, "built": len(rows), "reused": 0}
 
     def update(self, batch_df, delete_term: str, delete_field: str = "text",
@@ -156,7 +160,7 @@ class IncrementalIndexer:
         present before the update; the appended docs are untouched even if
         they contain the term. Idempotent per epoch (live-docs marking is a
         set union; the append is content-idempotent)."""
-        from lucene_spark.indexing.maintenance import IndexMaintenance
+        from lucene_spark.indexing.maintenance import IndexMaintenance, live_dir_of
 
         b = self._builder
         manifest = b._load_manifest()
@@ -166,23 +170,27 @@ class IncrementalIndexer:
         if epoch_id is not None and int(epoch_id) in applied:
             return {"doc_count": manifest["doc_count"], "built": 0,
                     "reused": 0, "skipped_epoch": int(epoch_id)}
-        existing = [int(s) for s in manifest["offsets"]]
         mnt = IndexMaintenance(self.spark, self.index_dir)
-        n_del = mnt.mark_deleted(delete_term, field=delete_field,
-                                 segs=existing)
-        total_del = int(manifest.get("deleted_count", 0)) + n_del
-        extra = {"has_deletes": total_del > 0, "deleted_count": total_del}
+        # copy-on-write staging: a NEW live-docs generation, invisible until
+        # the commit flips the pointer. deleted_count is an absolute recount,
+        # so a crashed-then-replayed epoch republishes the same state — no
+        # lost deletes and no double counting.
+        staged = mnt.stage_deletes(delete_term, field=delete_field)
+        n_del = staged.pop("newly_deleted")
+        old_live = live_dir_of(manifest)
         if batch_df.count() == 0:  # pure-delete update
             m = b._load_manifest()
-            m.update(extra)
+            m.update(staged)
             if epoch_id is not None:
                 m["applied_epochs"] = applied + [int(epoch_id)]
             b._save_manifest(m)
-            return {"doc_count": m["doc_count"], "built": 0, "reused": 0,
-                    "deleted": n_del}
-        res = self.append(batch_df, epoch_id=epoch_id, extra_manifest=extra)
-        res["deleted"] = n_del
-        return res
+            out = {"doc_count": m["doc_count"], "built": 0, "reused": 0}
+        else:
+            out = self.append(batch_df, epoch_id=epoch_id,
+                              extra_manifest=staged)
+        mnt._gc_live_generations(keep={staged["live_dir"], old_live})
+        out["deleted"] = n_del
+        return out
 
     # -- Structured Streaming sink -----------------------------------------
     def foreach_batch(self):

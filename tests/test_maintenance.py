@@ -174,3 +174,62 @@ def test_update_by_term_single_commit(spark, tmp_path):
     # replayed epoch is a no-op
     assert inc_u.update(hi, delete_term=victim, epoch_id=1) \
         .get("skipped_epoch") == 1
+
+
+def test_second_compaction_id_order_vs_doc_order(spark, tmp_path):
+    """After a first compaction assigns fresh segment ids, segment-id order
+    no longer matches doc order; a second compaction spanning old and fresh
+    ids must still merge in DOC order (review r2: sorting by seg id here
+    silently corrupted docs/postings alignment)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    n = 160
+    texts = []
+    for i in range(n):
+        t = f"alpha w{i % 5} beta"
+        if i % 4 == 0:
+            t += " vkill"
+        texts.append(t)
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:05d}" for i in range(n)],
+        "turn_idx": [0] * n, "role": ["user"] * n,
+        "text": texts, "tool": [None] * n, "ts": [None] * n,
+    })
+    df = spark.createDataFrame(pdf)
+    d = str(tmp_path / "dbl")
+    shutil.rmtree(d, ignore_errors=True)
+    inc = IncrementalIndexer(spark, d, rows_per_segment=10 ** 6)
+    # four appends → segments 0..3 sized 60/20/20/60
+    for e, (lo, hi) in enumerate([(0, 60), (60, 80), (80, 100), (100, 160)]):
+        inc.append(df.filter((F.col("conv_id") >= f"c{lo:05d}")
+                             & (F.col("conv_id") < f"c{hi:05d}")), epoch_id=e)
+    m = IndexMaintenance(spark, d)
+    # first compact merges ONLY the middle pair [1,2] → fresh id 4;
+    # doc order becomes [0, 4, 3] while id order is [0, 3, 4]
+    res1 = m.compact(target_rows=50)
+    assert res1["merged_runs"] == 1 and res1["num_segments"] == 3
+    order = sorted(IndexSearcher(spark, d).reader.offsets.items(),
+                   key=lambda kv: kv[1])
+    assert [s for s, _ in order] != sorted(s for s, _ in order), \
+        "precondition: id order must differ from doc order"
+
+    # delete + second compact spanning the out-of-id-order run
+    m.delete_by_term("vkill")
+    res2 = m.compact(target_rows=10 ** 6)
+    assert res2["num_segments"] == 1
+
+    surv = pdf[~pdf["text"].str.contains("vkill")].reset_index(drop=True)
+    fresh = str(tmp_path / "dblfresh")
+    IndexBuilder(spark, fresh, num_segments=2).build(spark.createDataFrame(surv))
+    s_c = IndexSearcher(spark, d)
+    s_f = IndexSearcher(spark, fresh)
+    golden = BruteForceIndex(surv)
+    for q in ["alpha", "w0", "w3", "+alpha +w1", '"alpha w2"',
+              ast.MultiTermQuery("prefix", "w")]:
+        a = [(h.doc_id, h.score) for h in s_c.search(q, 200)]
+        b = [(h.doc_id, h.score) for h in s_f.search(q, 200)]
+        assert a == b, f"double-compaction mismatch for {q!r}"
+        assert a == golden.search(q, 200), f"golden mismatch for {q!r}"
