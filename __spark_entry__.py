@@ -459,6 +459,18 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_highlight(spark, sf_dir):
+    """Highlighter-lite: first-match ±4-token snippets with <b> tags,
+    computed in one codegen pass over the source table."""
+    from lucene_spark.search.highlight import highlight_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        highlight_df(docs, ["table", "value"], window=4)
+        .orderBy("doc_id").limit(100)
+    )
+
+
 def _q_mm_binary_stats(spark, sf_dir):
     from lucene_spark.pipeline.multimodal import attach_payload, binary_stats
 
@@ -526,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
+        "highlight_snippets": _q_highlight,
         "mm_binary_stats": _q_mm_binary_stats,
     }
 
@@ -610,5 +623,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": po.quality_sql(),
         "text_token_counts": po.token_counts_sql(),
         "text_fingerprint": po.fingerprints_sql(),
+        "highlight_snippets": oracle.highlight_sql(["table", "value"], 4, 100),
         "mm_binary_stats": po.binary_stats_sql(),
     }

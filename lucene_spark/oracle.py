@@ -850,3 +850,37 @@ summed AS (
 )
 """
     return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def highlight_sql(terms, window: int = 4, limit: int = 100) -> str:
+    """Snippet extraction mirror of ``search.highlight.highlight_df``:
+    tokens of the lowercased text, first query-term position, ±window token
+    slice, matched terms wrapped in <b>…</b>."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    positions = ", ".join(f"list_position(toks, '{t}')" for t in terms)
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, toks,
+         list_min(list_filter([{positions}],
+                              x -> x IS NOT NULL AND x > 0)) AS fpos
+  FROM d0
+),
+snip AS (
+  SELECT doc_id,
+         list_transform(
+           list_slice(toks, greatest(fpos - {window}, 1),
+                      greatest(fpos - {window}, 1) + {2 * window}),
+           x -> CASE WHEN x IN ({inlist})
+                     THEN '<b>' || x || '</b>' ELSE x END) AS marked
+  FROM sel WHERE fpos IS NOT NULL
+)
+SELECT doc_id, array_to_string(marked, ' ') AS snippet
+FROM snip
+ORDER BY doc_id
+LIMIT {limit}
+"""

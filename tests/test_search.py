@@ -555,3 +555,26 @@ def test_search_sorted_multi_key(searcher, golden, corpus_pdf):
     assert [t[0] for t in got] == exp
     assert all(t[1] == int(ti[t[0]]) and t[2] == int(golden.dl[t[0]])
                for t in got)
+
+
+def test_highlight_snippets(spark):
+    """Highlighter-lite: first-match window, <b> tags, per-term marking."""
+    import pandas as pd
+
+    from lucene_spark.search.highlight import highlight_df
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "zero one two TARGET four five six seven",
+            "no match here at all",
+            "target at the start",
+            "a b c d e f g h i j target k",
+        ],
+    }))
+    out = {r["doc_id"]: r["snippet"]
+           for r in highlight_df(docs, ["target"], window=2).collect()}
+    assert out[0] == "one two <b>target</b> four five"
+    assert 1 not in out
+    assert out[2] == "<b>target</b> at the start"
+    assert out[3] == "i j <b>target</b> k"
