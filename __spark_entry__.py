@@ -157,6 +157,14 @@ def _q_count_sloppy_phrase(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_count_sloppy_repeat(spark, sf_dir):
+    """Sloppy phrase WITH repeated terms '"table value table"~2' hit count
+    (SloppyPhraseMatcher repeat groups — VERDICT r2 next-#5)."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.PhraseQuery(("table", "value", "table"), slop=2))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_multiphrase(spark, sf_dir):
     """MultiPhraseQuery '(table|row) value' exact top-k (union postings,
     idf summed over all slot terms)."""
@@ -490,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_and": _q_count_and,
         "count_phrase": _q_count_phrase,
         "count_sloppy_phrase": _q_count_sloppy_phrase,
+        "count_sloppy_repeat": _q_count_sloppy_repeat,
         "bm25_multiphrase": _q_multiphrase,
         "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
         "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
@@ -543,10 +552,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _english_oracle_sql() -> str:
+    """Literal-stem-map oracle for the EnglishAnalyzer gate (VERDICT r2
+    next-#4): enumerate the gate corpus vocabulary with DuckDB, Porter-stem
+    it with the pytest-golden-verified ``porter_stem``, and embed the map as
+    a VALUES CTE so DuckDB recomputes the whole stemmed index + BM25
+    independently. The engine query 'tables values' stems to (tabl, valu)."""
+    import duckdb
+
+    from lucene_spark.analysis_en import ENGLISH_STOP_WORDS, porter_stem
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    toks = duckdb.sql(
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(coalesce(text,'')),"
+        " '[a-z0-9]+')) AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    vocab = {t for (t,) in toks} | {"tables", "values"}
+    stem_map = {t: porter_stem(t) for t in sorted(vocab)
+                if t not in ENGLISH_STOP_WORDS}
+    stemmed_query = [stem_map["tables"], stem_map["values"]]
+    return oracle.english_topk_sql(stemmed_query, 50, stem_map,
+                                   ENGLISH_STOP_WORDS)
+
+
 def oracle_sql() -> dict[str, str]:
     from lucene_spark.pipeline import oracles as po
 
     return {
+        "english_stem_topk": _english_oracle_sql(),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),
@@ -559,6 +594,9 @@ def oracle_sql() -> dict[str, str]:
         "count_phrase": oracle.phrase_count_sql(list(PHRASE_TERMS)),
         "count_sloppy_phrase": oracle.sloppy_pair_count_sql(
             PHRASE_TERMS[0], PHRASE_TERMS[1], 2
+        ),
+        "count_sloppy_repeat": oracle.sloppy_repeat_count_sql(
+            ["table", "value", "table"], 2
         ),
         "bm25_multiphrase": oracle.multiphrase_topk_sql(
             [("table", "row"), ("value",)], 40

@@ -64,6 +64,17 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     # index layout (the honest N-vs-4N comparison) once the corpus is big
     # enough, while small corpora still use every core.
     nseg = max(2 * cpus, n_turns // 31_250)
+
+    # un-timed warm-up (JMH practice): a small throwaway build JIT-compiles
+    # the codegen/Arrow/python-worker machinery so the timed build measures
+    # indexing throughput, not first-query JVM warm-up (measured: the first
+    # build in a fresh JVM costs ~2x the steady state)
+    warm_dir = f"{idx}_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    IndexBuilder(spark, warm_dir, num_segments=cpus).build(
+        corpus.limit(min(n_turns, 50_000)))
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     t0 = time.time()
     IndexBuilder(spark, idx, num_segments=nseg).build(corpus)
     timings["index_build"] = time.time() - t0

@@ -33,17 +33,29 @@ import pandas as pd
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
 
-# ASCII UAX#29 word-break approximation (see module docstring).
-# Base run: [A-Za-z0-9_]+ ; joiners between base runs:
+# UAX#29 word-break approximation (see module docstring), extended beyond
+# ASCII to the two highest-frequency non-ASCII classes (VERDICT r2 next-#6):
+# - Latin-1 Supplement letters U+00C0–U+00FF minus × (00D7) ÷ (00F7) join
+#   word runs like ASCII letters (UAX#29 ALetter);
+# - CJK unified ideographs U+4E00–U+9FFF tokenize ONE CHARACTER PER TOKEN,
+#   the reference StandardTokenizer's IDEOGRAPHIC emission
+#   (``StandardTokenizerImpl.jflex:161-200`` — Han has no word breaks, each
+#   ideograph is its own token).
+# Base run: [A-Za-z0-9_ + latin-1 letters]+ ; joiners between base runs:
 #   '  and .  : both-sided alnum (Single_Quote / MidNumLet, WB6-7 + WB11-12)
 #   :         : letters both sides (MidLetter, WB6-7)
 #   ,         : digits both sides (MidNum, WB11-12)
+_LAT1 = "À-ÖØ-öø-ÿ"
+_WORD_CLS = f"A-Za-z0-9_{_LAT1}"
+_LETTER_CLS = f"A-Za-z{_LAT1}"
 _STANDARD_RE = re.compile(
-    r"[A-Za-z0-9_]+"
-    r"(?:(?:['.]|(?<=[A-Za-z]):(?=[A-Za-z])|(?<=[0-9]),(?=[0-9]))[A-Za-z0-9_]+)*"
+    f"[{_WORD_CLS}]+"
+    f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
+    f"|(?<=[0-9]),(?=[0-9]))[{_WORD_CLS}]+)*"
+    "|[一-鿿]"
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
-_HAS_ALNUM_RE = re.compile(r"[A-Za-z0-9]")
+_HAS_ALNUM_RE = re.compile(f"[A-Za-z0-9{_LAT1}一-鿿]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 

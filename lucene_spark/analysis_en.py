@@ -256,9 +256,29 @@ def porter_stem(word: str) -> str:
     return "".join(b[: state["k"] + 1])
 
 
+_APOS_VARIANTS = ("'s", "’s", "＇s")
+
+
+def _normalize_apostrophes(text: str) -> str:
+    """Map the UAX#29 apostrophe variants (’ RIGHT SINGLE QUOTATION
+    MARK, ＇ FULLWIDTH APOSTROPHE) to ASCII ``'`` before tokenizing, so
+    "dog’s" tokenizes as one token and the possessive strips — the
+    reference EnglishPossessiveFilter accepts all three variants
+    (``en/EnglishPossessiveFilterFactory`` / ``EnglishPossessiveFilter.java:55-60``)."""
+    if "’" in text:
+        text = text.replace("’", "'")
+    if "＇" in text:
+        text = text.replace("＇", "'")
+    return text
+
+
 def strip_possessive(t: str) -> str:
-    """EnglishPossessiveFilter: remove a trailing ``'s``."""
-    return t[:-2] if t.endswith("'s") else t
+    """EnglishPossessiveFilter: remove a trailing ``'s`` (any apostrophe
+    variant)."""
+    for suf in _APOS_VARIANTS:
+        if t.endswith(suf):
+            return t[:-2]
+    return t
 
 
 @dataclass(frozen=True)
@@ -286,7 +306,7 @@ class EnglishAnalyzer:
         if not text:
             return []
         out = []
-        for t in A._STANDARD_RE.findall(text):
+        for t in A._STANDARD_RE.findall(_normalize_apostrophes(text)):
             if len(t) > self.max_token_length or not A._HAS_ALNUM_RE.search(t):
                 continue
             ft = self.filter_token(t.lower())
@@ -302,6 +322,10 @@ class EnglishAnalyzer:
         and remap the integer codes (O(vocab) Python on an O(tokens) path)."""
         from lucene_spark.analysis import _tokenize_ids_bytes
 
+        # normalize curly/fullwidth apostrophes so the byte tokenizer's
+        # ASCII joiner rules see them (vectorized; no-op on ASCII corpora)
+        texts = texts.str.replace("’", "'", regex=False).str.replace(
+            "＇", "'", regex=False)
         res = _tokenize_ids_bytes(
             texts, joiners=True, max_token_length=self.max_token_length,
             stopwords=None, with_positions=with_positions,

@@ -342,11 +342,14 @@ class IndexBuilder:
         from pyspark.sql import functions as F
 
         spark = self.spark
+        phase_t: dict[str, float] = {}
+        t0 = time.time()
         manifest = self._load_manifest() if resume else None
         if manifest is not None:
             boundaries = manifest["boundaries"]
         else:
             boundaries = plan_boundaries(transcripts, self.num_segments)
+        phase_t["plan"] = time.time() - t0
         nseg = len(boundaries) + 1
         skeys = collision_free_skeys(nseg)
 
@@ -383,6 +386,7 @@ class IndexBuilder:
         else:
             present = None  # fresh build: discovered by the invert pass
 
+        t0 = time.time()
         work = with_seg
         if done:
             todo = [s for s in present if s not in done]
@@ -401,6 +405,7 @@ class IndexBuilder:
                                      self.positions, self.keyword_fields)
             metrics = shuffled.mapInPandas(invert, METRICS_SCHEMA).collect()
             metrics_rows.extend(r.asDict() for r in metrics)
+        phase_t["invert"] = time.time() - t0
 
         # global docID offsets: cumulative row counts in segment (= key) order
         metrics_rows.sort(key=lambda r: r["segment"])
@@ -424,6 +429,7 @@ class IndexBuilder:
             f"{self.index_dir}/build_manifest"
         )
 
+        t0 = time.time()
         self._drop_stale_segments(set(offsets))
         built_any = any(r["status"] == "ok" for r in metrics_rows)
         prev_sdirs = self._stats_dirs(manifest or {})
@@ -436,6 +442,7 @@ class IndexBuilder:
             # other state (new segments, or stats living in an append/compact
             # generation dir) gets a full recompute into the default dirs
             self._write_stats()
+        phase_t["stats"] = time.time() - t0
         self._save_manifest(
             {
                 "version": 2,
@@ -466,6 +473,7 @@ class IndexBuilder:
             "doc_count": acc,
             "built": sum(1 for r in metrics_rows if r["status"] == "ok"),
             "reused": len(done),
+            "phase_sec": {k: round(v, 3) for k, v in phase_t.items()},
         }
 
     def _gc_stats_generations(self, keep: set):
@@ -615,6 +623,7 @@ class IndexBuilder:
                 F.sum("ttf").cast("long").alias("ttf"),
                 F.max("max_tf").cast("int").alias("max_tf"),
             )
+            .persist()  # sized by count() then written — one aggregation
         )
         # file count follows dictionary size (~500k terms/file): tiny dicts →
         # one footer to read per lookup; huge dicts keep range pruning
@@ -627,6 +636,7 @@ class IndexBuilder:
             .write.mode("overwrite")
             .parquet(ts_path)
         )
+        term_stats.unpersist()
         ts = spark.read.parquet(ts_path)
         field_stats = (
             docs.agg(

@@ -92,6 +92,104 @@ SELECT did AS doc_id, dl, dlen::BIGINT AS dlen FROM dlen ORDER BY did
 """
 
 
+def english_ctes(stem_map: dict[str, str], stopwords) -> str:
+    """Base CTEs with the EnglishAnalyzer chain: tokenize → stop-filter →
+    Porter stem via a LITERAL vocabulary map.
+
+    ``stem_map`` maps every raw corpus token (and query token) to its Porter
+    stem. The map is generated from the pytest-golden-verified
+    ``analysis_en.porter_stem`` (the algorithm itself is checked against
+    published Porter vectors in ``tests/test_english.py``), then embedded
+    here as a VALUES literal so the SQL recomputes index stats, norms, and
+    BM25 **independently** from the raw parquet — the VERDICT r2 next-#4
+    oracle construction. Unmapped tokens keep themselves (identity stem), so
+    a vocabulary drift between map generation and the gate corpus surfaces
+    as a value mismatch, never a silent pass. Field length (norms) counts
+    post-stop tokens only, matching StopFilter semantics.
+    """
+    mvals = ",".join(
+        f"('{k}','{v}')" for k, v in sorted(stem_map.items())
+    )
+    stoplist = ", ".join(f"'{w}'" for w in sorted(stopwords))
+    return f"""
+docs0 AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lang, source,
+         lower(coalesce(text, '')) AS t
+  FROM documents
+),
+stemmap(raw, st) AS (VALUES {mvals}),
+rawtoks AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS raw FROM docs0
+),
+toks AS (
+  SELECT r.did, coalesce(m.st, r.raw) AS term
+  FROM rawtoks r LEFT JOIN stemmap m ON m.raw = r.raw
+  WHERE r.raw NOT IN ({stoplist})
+),
+tf AS (
+  SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dls AS (
+  SELECT d.did, coalesce(c.dl, 0)::BIGINT AS dl
+  FROM docs0 d LEFT JOIN (
+    SELECT did, count(*)::BIGINT AS dl FROM toks GROUP BY did
+  ) c ON c.did = d.did
+),
+normmap(lo, hi) AS (VALUES {norm_map_values()}),
+dlen AS (
+  SELECT d.did, d.dl, m.lo AS dlen
+  FROM dls d JOIN normmap m ON d.dl BETWEEN m.lo AND m.hi
+),
+fstats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_ttf,
+         CAST(sum(dl) / count(*)::DOUBLE AS FLOAT) AS avgdl
+  FROM dls
+),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+
+def english_topk_sql(stemmed_terms, k: int, stem_map: dict[str, str],
+                     stopwords) -> str:
+    """Float32-bit-exact BM25 top-k over the English-analyzed corpus for a
+    flat SHOULD query of (already-stemmed) terms."""
+    qvals = ",".join(
+        f"({i}, '{t}', CAST(1.0 AS FLOAT))"
+        for i, t in enumerate(stemmed_terms)
+    )
+    return f"""
+WITH {english_ctes(stem_map, stopwords)},
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
 def _clause_rows(q) -> list[tuple[str, str, float]]:
     """AST → [(term, occur, boost)] (normalized, v1 flat boolean)."""
     q = ast.normalize(q)
@@ -264,6 +362,35 @@ SELECT count(*)::BIGINT AS hits FROM (
   WHERE a.term = '{t0}' AND b.term = '{t1}'
     AND abs(b.pos - a.pos - 1) <= {slop}
   GROUP BY a.did
+)
+"""
+
+
+def sloppy_repeat_count_sql(terms, slop: int) -> str:
+    """Sloppy phrase hit count with REPEATED terms: a doc matches when some
+    assignment of slots to DISTINCT token positions (repeat-collision
+    resolution forces distinct positions; ``SloppyPhraseMatcher.java:286-323``)
+    has adjusted-window width ≤ slop. The greedy matcher finds a match
+    whenever one exists for single-term slots (pytest-verified against
+    brute-force enumeration over randomized position sets), so brute-force
+    existence is an exact hit-count oracle."""
+    n = len(terms)
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
+    )
+    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(terms)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if terms[i] == terms[j]:
+                conds.append(f"t{i}.pos <> t{j}.pos")
+    adj = ", ".join(f"t{i}.pos - {i}" for i in range(n))
+    conds.append(f"greatest({adj}) - least({adj}) <= {slop}")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT t0.did FROM toksp t0{joins}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
 )
 """
 

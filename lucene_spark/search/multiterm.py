@@ -146,6 +146,99 @@ def matched_terms_df(reader, q: ast.MultiTermQuery):
     )
 
 
+def expand_terms_cached(reader, q: ast.MultiTermQuery, max_terms: int):
+    """Driver-side expansion against the resident term dictionary — ZERO
+    Spark jobs (the FST-in-memory analogy: the reader already pins the term
+    dict when it fits, ``reader.TERM_CACHE_MAX``).
+
+    Returns a sorted term list, raises :class:`TooManyClauses` past
+    ``max_terms``, or returns ``None`` when this expansion cannot be done
+    cheaply on the driver (no cache, or an unanchored pattern over a huge
+    dictionary) — callers then fall back to the distributed paths.
+
+    Prefix/range use binary search over the sorted dictionary (terms are
+    kept in unsigned-UTF-8 == code-point order, which Python string order
+    matches); wildcard needs a non-empty literal prefix; regexp always
+    defers to the JVM scan so semantics stay identical to ``rlike``.
+    """
+    import bisect
+
+    terms = reader.sorted_terms(q.field)
+    if terms is None:
+        return None
+    # unanchored scans over a big resident dict cost more in Python than the
+    # distributed scan does end-to-end — defer past this size
+    LINEAR_SCAN_MAX = 200_000
+
+    def bounded(it):
+        out = []
+        for t in it:
+            out.append(t)
+            if len(out) > max_terms:
+                raise TooManyClauses(
+                    f"{q.kind} query expanded past max_terms={max_terms}"
+                )
+        return out
+
+    def prefix_slice(p):
+        lo = bisect.bisect_left(terms, p)
+        hi = min(len(terms), lo + max_terms + 1)
+        out = []
+        for i in range(lo, hi):
+            if not terms[i].startswith(p):
+                return out
+            out.append(terms[i])
+        if hi < len(terms) and terms[hi].startswith(p):
+            raise TooManyClauses(
+                f"{q.kind} query expanded past max_terms={max_terms}"
+            )
+        return out
+
+    if q.kind == "prefix":
+        return bounded(prefix_slice(q.value))
+    if q.kind == "range":
+        lo = 0 if q.lower is None else bisect.bisect_left(terms, q.lower)
+        hi = len(terms) if q.upper is None else bisect.bisect_right(terms, q.upper)
+        return bounded(terms[lo:hi])
+    if q.kind == "set":
+        want = set(q.terms)
+        return bounded(sorted(t for t in want if reader.has_term(q.field, t)))
+    if q.kind == "wildcard":
+        i = min((q.value.find(c) % (len(q.value) + 1) for c in "*?"),
+                default=len(q.value))
+        lit = q.value[:i]
+        if not lit and len(terms) > LINEAR_SCAN_MAX:
+            return None
+        import fnmatch
+        import re
+
+        rx = re.compile(fnmatch.translate(
+            q.value.replace("[", "[[]")))  # Lucene wildcards have no [sets]
+        cand = prefix_slice(lit) if lit else terms
+        return bounded(t for t in cand if rx.match(t))
+    if q.kind == "fuzzy":
+        if len(terms) > LINEAR_SCAN_MAX:
+            return None
+        n, me, val = len(q.value), int(q.max_edits), q.value
+        return bounded(
+            t for t in terms
+            if abs(len(t) - n) <= me and damerau_levenshtein(t, val) <= me
+        )
+    return None  # regexp: JVM rlike semantics — never reimplemented here
+
+
+def expand_terms_hybrid(reader, q: ast.MultiTermQuery,
+                        max_terms: int = 1024) -> list[str]:
+    """The hybrid expansion gate: driver-cache expansion when the dictionary
+    is resident (no Spark job), else the pushdown scan; both raise
+    :class:`TooManyClauses` past ``max_terms`` so callers can fall back to
+    the semi-join execution path that never materializes the term list."""
+    out = expand_terms_cached(reader, q, max_terms)
+    if out is not None:
+        return out
+    return expand_terms(reader, q, max_terms)
+
+
 def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> list[str]:
     """Matching terms from the term dictionary (predicate-pushdown scan).
 
@@ -155,7 +248,10 @@ def expand_terms(reader, q: ast.MultiTermQuery, max_terms: int = 100_000) -> lis
     (:func:`matched_terms_df` + :func:`constant_score_topk`) when the term
     list itself is not needed on the driver.
     """
-    rows = matched_terms_df(reader, q).limit(max_terms + 1).collect()
+    from lucene_spark.session import no_aqe
+
+    with no_aqe(reader.spark):
+        rows = matched_terms_df(reader, q).limit(max_terms + 1).collect()
     if len(rows) > max_terms:
         raise TooManyClauses(
             f"{q.kind} query expanded past max_terms={max_terms}; "
@@ -211,12 +307,15 @@ def constant_score_topk(reader, postings, k: int, boost: float,
         docs = np.unique(np.concatenate(parts))[:k]
         return pd.DataFrame({"doc_id": docs})
 
-    out = (
-        postings.select("seg", *cols)
-        .groupBy("seg")
-        .applyInPandas(run_segment, "doc_id long")
-        .collect()
-    )
+    from lucene_spark.session import no_aqe
+
+    with no_aqe(reader.spark):
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long")
+            .collect()
+        )
     docs = sorted(int(r["doc_id"]) for r in out)[:k]
     b = float(F32(boost))  # float32 score contract (goldens mirror this)
     return [ScoreDoc(d, b) for d in docs]
@@ -272,12 +371,15 @@ def constant_score_count(reader, postings, deleted_loader=None) -> int:
             u = u[~np.isin(u, deleted_loader(pdf["seg"].iloc[0]))]
         return pd.DataFrame({"n": [int(u.size)]})
 
-    out = (
-        postings.select("seg", *cols)
-        .groupBy("seg")
-        .applyInPandas(run_segment, "n long")
-        .collect()
-    )
+    from lucene_spark.session import no_aqe
+
+    with no_aqe(reader.spark):
+        out = (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "n long")
+            .collect()
+        )
     return sum(int(r["n"]) for r in out)
 
 
@@ -323,7 +425,7 @@ def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
         order = np.lexsort((uniq, -s.astype(np.float64)))[:k]
         return pd.DataFrame({"doc_id": uniq[order], "score": s[order]})
 
-    return _merge_topk(postings, cols, run_segment, k)
+    return _merge_topk(postings, cols, run_segment, k, spark=reader.spark)
 
 
 def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
@@ -369,18 +471,23 @@ def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
         order = np.lexsort((uniq, -score.astype(np.float64)))[:k]
         return pd.DataFrame({"doc_id": uniq[order], "score": score[order]})
 
-    return _merge_topk(postings, cols, run_segment, k)
+    return _merge_topk(postings, cols, run_segment, k, spark=reader.spark)
 
 
-def _merge_topk(postings, cols, run_segment, k: int):
+def _merge_topk(postings, cols, run_segment, k: int, spark=None):
     from lucene_spark.search.searcher import ScoreDoc
+    from lucene_spark.session import no_aqe
 
-    out = (
+    df = (
         postings.select("seg", *cols)
         .groupBy("seg")
         .applyInPandas(run_segment, "doc_id long, score float")
-        .collect()
     )
+    if spark is not None:
+        with no_aqe(spark):
+            out = df.collect()
+    else:
+        out = df.collect()
     if not out:
         return []
     d = np.array([r["doc_id"] for r in out], dtype=np.int64)

@@ -278,8 +278,292 @@ def _sloppy_freq_doc(pls, slop: int) -> float:
     return float(freq)
 
 
+def _gather_flat(struct, loc, slot_offset):
+    """All candidate docs' ADJUSTED positions of one slot, flattened:
+    (doc_rep, pos) with doc_rep the candidate index, positions ascending
+    within each candidate."""
+    _docs, tfs, _nm, flat, offs = struct
+    cnt = tfs[loc].astype(np.int64)
+    total = int(cnt.sum())
+    doc_rep = np.repeat(np.arange(loc.size, dtype=np.int64), cnt)
+    cum = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+    gather = np.repeat(offs[loc] - cum, cnt) + np.arange(total, dtype=np.int64)
+    return doc_rep, flat[gather].astype(np.int64) - slot_offset, cnt
+
+
+def _sloppy_pair_freqs(per_term, common, slop: int, locs):
+    """Vectorized 2-slot sloppy freqs across ALL candidate docs at once —
+    no per-candidate Python loop (VERDICT r2 next-#3).
+
+    Exactly equivalent to the greedy ``SloppyPhraseMatcher`` walk
+    (``core/search/SloppyPhraseMatcher.java:177-206``) for two repeat-free
+    slots, by this derivation: with two position lists the heap's
+    second-minimum equals the max, so each pop event consumes one maximal
+    same-slot run of the (pos, slot)-merged stream — ties attach to the
+    slot that is mid-advance (inclusive ``pp_pos <= nxt`` consumption),
+    resolved below by the tie-swap pass — and emits matchLength =
+    (first position of the next run) − (last position of the run).
+    Matching stops at the first run that contains its slot's final
+    position (the iterator-exhausted emit). freq = float32 running sum of
+    1/(1+matchLength) over events with matchLength ≤ slop, in event order
+    (``PhraseScorer.java:74-80``).
+    """
+    n = common.size
+    d0, p0, _c0 = _gather_flat(per_term[0], locs[0], 0)
+    d1, p1, _c1 = _gather_flat(per_term[1], locs[1], 1)
+    D = np.concatenate([d0, d1])
+    P = np.concatenate([p0, p1])
+    S = np.concatenate([np.zeros(d0.size, np.int8), np.ones(d1.size, np.int8)])
+    order = np.lexsort((S, P, D))
+    D, P, S = D[order], P[order], S[order]
+    m = D.size
+
+    # tie groups: (A@p, B@p) adjacent after the sort; the advancing slot's
+    # element is consumed first, so when the predecessor element (largest
+    # pos < p in this doc) is slot B, the pair swaps to (B@p, A@p).
+    # Chained tie groups (p,p,p',p' adjacent) alternate off the head's swap.
+    tie = np.flatnonzero((D[:-1] == D[1:]) & (P[:-1] == P[1:]))
+    if tie.size:
+        # static predecessor slot (element at tie-1, same doc), A when none
+        pred_ok = (tie > 0)
+        pred_same_doc = np.zeros(tie.size, dtype=bool)
+        pred_same_doc[pred_ok] = D[tie[pred_ok] - 1] == D[tie[pred_ok]]
+        static_pred = np.zeros(tie.size, dtype=np.int8)
+        sel = pred_ok & pred_same_doc
+        static_pred[sel] = S[tie[sel] - 1]
+        # chains: group g is chained to g-1 when its pair starts right after
+        chained = np.zeros(tie.size, dtype=bool)
+        if tie.size > 1:
+            chained[1:] = (tie[1:] == tie[:-1] + 2) & (D[tie[1:]] == D[tie[:-1]])
+        # resolve: head groups take static predecessor; chained alternate
+        head_idx = np.where(chained, 0, np.arange(tie.size))
+        np.maximum.accumulate(head_idx, out=head_idx)
+        parity = (np.arange(tie.size) - head_idx) & 1
+        swap = (static_pred[head_idx] == 1) ^ (parity == 1)
+        sw = tie[swap]
+        S[sw], S[sw + 1] = S[sw + 1], S[sw]
+
+    # runs of (doc, slot); events pair each run with the next run's first pos
+    new_run = np.ones(m, dtype=bool)
+    new_run[1:] = (D[1:] != D[:-1]) | (S[1:] != S[:-1])
+    run_start = np.flatnonzero(new_run)
+    run_end = np.concatenate([run_start[1:] - 1, [m - 1]])
+    run_doc = D[run_start]
+    run_slot = S[run_start]
+    n_runs = run_start.size
+    # last index of each (doc, slot): terminal run = first run whose end
+    # position is its slot's final occurrence in the doc
+    key = run_doc * 2 + run_slot
+    ekey = D * 2 + S
+    last_elem = np.zeros(int(ekey.max()) + 1, dtype=np.int64) - 1
+    np.maximum.at(last_elem, ekey, np.arange(m, dtype=np.int64))
+    is_terminal = run_end == last_elem[key]
+    # run ordinal within doc + ordinal of the first terminal run per doc
+    doc_change = np.ones(n_runs, dtype=bool)
+    doc_change[1:] = run_doc[1:] != run_doc[:-1]
+    run_ord = np.arange(n_runs) - np.maximum.accumulate(
+        np.where(doc_change, np.arange(n_runs), -1))
+    first_term = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_term, run_doc[is_terminal], run_ord[is_terminal])
+    has_next = np.zeros(n_runs, dtype=bool)
+    has_next[:-1] = run_doc[:-1] == run_doc[1:]
+    valid = has_next & (run_ord <= first_term[run_doc])
+    ml = np.zeros(n_runs, dtype=np.int64)
+    ml[valid] = P[run_start[np.flatnonzero(valid) + 1]] - P[run_end[valid]]
+    hit = valid & (ml <= slop)
+    if not hit.any():
+        return None
+    freqs = np.zeros(n, dtype=np.float32)
+    w = (np.float32(1.0) / (np.int64(1) + ml[hit]).astype(np.float32)).astype(np.float32)
+    np.add.at(freqs, run_doc[hit], w)  # in-order f32 accumulation per doc
+    mask = freqs > 0.0
+    return (mask, freqs[mask]) if mask.any() else None
+
+
+def _sloppy_freq_doc_repeats(raw_pls, offsets, groups, slop: int) -> float:
+    """Sloppy phrase freq of ONE doc for a phrase with REPEATED terms — a
+    faithful port of the repeat-group machinery (single-term slots, the
+    non-multi-term case):
+
+    - repeat groups = slots sharing a term, sorted by phrase offset
+      (``SloppyPhraseMatcher.java:512-529``; grouping by same-term is exactly
+      the first-doc tpPos grouping of :532-561, since two distinct terms
+      never share a token position);
+    - per-doc init staggers each group's k-th member k positions forward so
+      the start state has no collisions (``advanceRepeatGroups``, :455-463);
+    - the greedy min-advance walk (``nextMatch``, :174-206) resolves
+      collisions after every advance by advancing the LESSER of the two
+      colliding pps and re-queuing affected entries (``advanceRpts``,
+      :286-323 — ported bit-for-bit, including the re-queue scan).
+
+    ``raw_pls``: per-slot ascending RAW position arrays (duplicate-term slots
+    share values); ``offsets``: per-slot phrase offsets; ``groups``: lists of
+    slot indices that repeat each other, each sorted by offset.
+    """
+    import heapq
+
+    n = len(raw_pls)
+    pos = [0] * n
+    idx = [0] * n
+    rpt_group = [-1] * n
+    rpt_ind = [0] * n
+    for g, mem in enumerate(groups):
+        for j, p in enumerate(mem):
+            rpt_group[p] = g
+            rpt_ind[p] = j
+
+    def next_position(p) -> bool:
+        if idx[p] < len(raw_pls[p]):
+            pos[p] = int(raw_pls[p][idx[p]]) - offsets[p]
+            idx[p] += 1
+            return True
+        return False
+
+    end = -(1 << 60)
+
+    def advance_pp(p) -> bool:
+        nonlocal end
+        if not next_position(p):
+            return False
+        if pos[p] > end:
+            end = pos[p]
+        return True
+
+    def tp_pos(p) -> int:
+        return pos[p] + offsets[p]
+
+    def collide(p) -> int:
+        rg = groups[rpt_group[p]]
+        tp = tp_pos(p)
+        for q in rg:
+            if q != p and tp_pos(q) == tp:
+                return rpt_ind[q]
+        return -1
+
+    def lesser(p, q) -> int:
+        if pos[p] < pos[q] or (pos[p] == pos[q] and offsets[p] < offsets[q]):
+            return p
+        return q
+
+    # placeFirstPositions + advanceRepeatGroups (each group pre-sorted by
+    # offset; member j advances j extra times so the start has no collisions)
+    for p in range(n):
+        if not next_position(p):
+            return 0.0
+    for mem in groups:
+        for j in range(1, len(mem)):
+            for _ in range(j):
+                if not next_position(mem[j]):
+                    return 0.0
+    end = max(pos)  # fillQueue
+    heap = [(pos[p], offsets[p], p) for p in range(n)]
+    heapq.heapify(heap)
+
+    def advance_rpts(p) -> bool:
+        """advanceRpts: resolve the (single possible) collision chain caused
+        by advancing ``p``; False when a pp exhausts."""
+        if rpt_group[p] < 0:
+            return True
+        rg = groups[rpt_group[p]]
+        bits: set[int] = set()
+        k0 = rpt_ind[p]
+        while True:
+            k = collide(p)
+            if k < 0:
+                break
+            p = lesser(p, rg[k])
+            if not advance_pp(p):
+                return False
+            if k != k0:
+                bits.add(k)
+        # re-queue: pop until every marked pp was seen, then push back in
+        # reverse pop order with refreshed keys (the rptStack dance)
+        stack = []
+        while bits:
+            _, _, q = heapq.heappop(heap)
+            stack.append(q)
+            if rpt_group[q] >= 0 and rpt_ind[q] in bits:
+                bits.discard(rpt_ind[q])
+        for q in reversed(stack):
+            heapq.heappush(heap, (pos[q], offsets[q], q))
+        return True
+
+    has_rpts = bool(groups)
+    positioned = True
+    match_lengths: list[int] = []
+    while positioned:
+        _, _, pp = heapq.heappop(heap)
+        match_length = end - pos[pp]
+        nxt = heap[0][0]
+        matched = False
+        while True:
+            if not advance_pp(pp):  # advancePP
+                positioned = False
+                if match_length <= slop:
+                    match_lengths.append(match_length)
+                break
+            if has_rpts and not advance_rpts(pp):
+                positioned = False
+                if match_length <= slop:
+                    match_lengths.append(match_length)
+                break
+            if pos[pp] > nxt:
+                heapq.heappush(heap, (pos[pp], offsets[pp], pp))
+                if match_length <= slop:
+                    match_lengths.append(match_length)
+                    matched = True
+                    break
+                _, _, pp = heapq.heappop(heap)
+                nxt = heap[0][0]
+                match_length = end - pos[pp]
+            else:
+                ml2 = end - pos[pp]
+                if ml2 < match_length:
+                    match_length = ml2
+        if not matched and not positioned:
+            break
+    if not match_lengths:
+        return 0.0
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+    for ml in match_lengths:
+        freq = np.float32(freq + np.float32(one / np.float32(1 + ml)))
+    return float(freq)
+
+
+def repeat_groups_of(terms) -> list[list[int]]:
+    """Slot-index groups of repeated terms, each sorted by phrase offset
+    (``repeatingTerms`` + ``sortRptGroups``)."""
+    by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        by_term.setdefault(t, []).append(i)
+    return [v for v in by_term.values() if len(v) > 1]
+
+
+def _sloppy_phrase_freqs_repeats(per_term, common, locs, slop: int, terms):
+    """(mask, float32 freqs[mask]) for sloppy phrases WITH repeated terms:
+    per-candidate-doc faithful walk (intersection-bounded fallback path)."""
+    groups = repeat_groups_of(terms)
+    offsets = list(range(len(terms)))
+    n = common.size
+    freqs = np.zeros(n, dtype=np.float32)
+    for j in range(n):
+        raw = []
+        for i, (_docs, tfs, _nm, flat, offs) in enumerate(per_term):
+            kk = locs[i][j]
+            raw.append(flat[offs[kk]: offs[kk] + tfs[kk]].astype(np.int64))
+        freqs[j] = _sloppy_freq_doc_repeats(raw, offsets, groups, slop)
+    mask = freqs > 0.0
+    return (mask, freqs[mask]) if mask.any() else None
+
+
 def _sloppy_phrase_freqs(per_term, common, locs, slop: int):
-    """(mask over common, float32 freqs[mask]) under sloppy matching."""
+    """(mask over common, float32 freqs[mask]) under sloppy matching.
+
+    Two slots (the common case) run fully vectorized; ≥3 slots fall back to
+    the faithful per-candidate heap walk (docID-intersection-bounded)."""
+    if len(per_term) == 2:
+        return _sloppy_pair_freqs(per_term, common, slop, locs)
     n = common.size
     freqs = np.zeros(n, dtype=np.float32)
     for j in range(n):
@@ -345,8 +629,12 @@ def segment_phrase_postings(rows, terms: list[str], slop: int = 0):
     if cl is None:
         return empty
     common, locs = cl
-    res = (_sloppy_phrase_freqs(per_term, common, locs, slop) if slop
-           else _exact_phrase_freqs(per_term, common, locs))
+    if slop and len(set(terms)) != len(terms):
+        res = _sloppy_phrase_freqs_repeats(per_term, common, locs, slop, terms)
+    elif slop:
+        res = _sloppy_phrase_freqs(per_term, common, locs, slop)
+    else:
+        res = _exact_phrase_freqs(per_term, common, locs)
     if res is None:
         return empty
     mask, freqs = res

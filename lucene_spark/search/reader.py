@@ -56,6 +56,29 @@ class IndexReader:
             )
         return self._offsets_df_cached
 
+    # past this many segments the literal seg→offset map expression would
+    # bloat the plan; fall back to the broadcast join
+    OFFSETS_LITERAL_MAX = 4096
+
+    def _with_offsets(self, df):
+        """Attach the per-segment ``doc_offset`` (docBase). Small manifests
+        inline it as a literal map projection — no join, no broadcast-
+        exchange job (measured: 1 of the 3 Spark jobs per query was the
+        offsets broadcast). Huge manifests use the broadcast join."""
+        from pyspark.sql import functions as F
+
+        if len(self.offsets) > self.OFFSETS_LITERAL_MAX:
+            return df.join(F.broadcast(self._offsets_df()), "seg")
+        if not hasattr(self, "_offsets_map_expr"):
+            pairs = []
+            for s, o in sorted(self.offsets.items()):
+                pairs.append(F.lit(int(s)))
+                pairs.append(F.lit(int(o)))
+            self._offsets_map_expr = F.create_map(*pairs)
+        return df.withColumn(
+            "doc_offset", F.element_at(self._offsets_map_expr, F.col("seg"))
+        )
+
     # dictionaries up to this size are pinned in driver memory (a ~2M-term
     # dict ≈ 100 MB) — one Spark job less per query; bigger dicts fall back
     # to the pushdown scan (Lucene's terms are also memory-resident via the
@@ -64,18 +87,43 @@ class IndexReader:
 
     def _term_cache(self):
         if not hasattr(self, "_term_cache_map"):
-            n = self._term_stats_df.count()
-            if n <= self.TERM_CACHE_MAX:
+            # single job: collect capped at MAX+1 — an over-cap dictionary is
+            # detected by the extra row, without a separate count() job
+            rows = self._term_stats_df.limit(self.TERM_CACHE_MAX + 1).collect()
+            if len(rows) <= self.TERM_CACHE_MAX:
                 self._term_cache_map = {
                     (r["field"], r["term"]): {
                         "df": int(r["df"]), "ttf": int(r["ttf"]),
                         "max_tf": int(r["max_tf"]),
                     }
-                    for r in self._term_stats_df.collect()
+                    for r in rows
                 }
             else:
                 self._term_cache_map = None
         return self._term_cache_map
+
+    def sorted_terms(self, field: str):
+        """Sorted term list for ``field`` from the resident dictionary, or
+        None when the dict is over the cache cap (callers use the pushdown
+        scan instead). Python string order == code-point order == unsigned
+        UTF-8 byte order, so binary search here agrees with the index's term
+        order."""
+        cache = self._term_cache()
+        if cache is None:
+            return None
+        if not hasattr(self, "_sorted_terms_map"):
+            self._sorted_terms_map = {}
+        if field not in self._sorted_terms_map:
+            self._sorted_terms_map[field] = sorted(
+                t for f, t in cache if f == field
+            )
+        return self._sorted_terms_map[field]
+
+    def has_term(self, field: str, term: str) -> bool:
+        cache = self._term_cache()
+        if cache is not None:
+            return (field, term) in cache
+        return bool(self.term_stats([term], field=field))
 
     def term_stats(self, terms: list[str], field: str = "text") -> dict[str, dict]:
         """df/ttf/max_tf per term in ``field`` (driver cache, else scan)."""
@@ -104,11 +152,10 @@ class IndexReader:
         ``doc_offset`` (the per-segment docBase) columns."""
         from pyspark.sql import functions as F
 
-        return (
+        return self._with_offsets(
             self._postings_df
             .filter((F.col("field") == field)
                     & F.col("term").isin(list(set(terms))))
-            .join(F.broadcast(self._offsets_df()), "seg")
         )
 
     def postings_semijoin(self, terms_df, field: str = "text"):
@@ -119,11 +166,10 @@ class IndexReader:
         the runtime size of the matched set."""
         from pyspark.sql import functions as F
 
-        return (
+        return self._with_offsets(
             self._postings_df
             .filter(F.col("field") == field)
             .join(terms_df.select("term").distinct(), "term", "left_semi")
-            .join(F.broadcast(self._offsets_df()), "seg")
         )
 
     def postings_multi(self, field_terms: dict):
@@ -137,10 +183,7 @@ class IndexReader:
             for f, ts in field_terms.items() if ts
         ]
         cond = reduce(lambda a, b: a | b, conds)
-        return (
-            self._postings_df.filter(cond)
-            .join(F.broadcast(self._offsets_df()), "seg")
-        )
+        return self._with_offsets(self._postings_df.filter(cond))
 
     def docs(self, live_only: bool = False):
         """docs table with GLOBAL doc_id (offset applied). ``live_only``
@@ -156,7 +199,7 @@ class IndexReader:
             dele = self.spark.read.parquet(f"{self.index_dir}/{live_dir}")
             d = d.join(dele, ["seg", "doc_id"], "left_anti")
         return (
-            d.join(F.broadcast(self._offsets_df()), "seg")
+            self._with_offsets(d)
             .withColumn("doc_id", F.col("doc_id") + F.col("doc_offset"))
             .drop("doc_offset")
         )

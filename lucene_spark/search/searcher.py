@@ -39,6 +39,13 @@ class IndexSearcher:
         self.similarity = similarity or BM25Similarity()
         self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
 
+    def _collect(self, df):
+        """Execute a serving-path plan without AQE (see session.no_aqe)."""
+        from lucene_spark.session import no_aqe
+
+        with no_aqe(self.spark):
+            return df.collect()
+
     def parse(self, query_str: str):
         kw = tuple(self.reader.manifest.get("keyword_fields", []))
         return ast.parse(query_str, self.analyzer, fields=("text",) + kw)
@@ -116,9 +123,8 @@ class IndexSearcher:
             # k smallest matching docIDs, score == boost (ties → docID asc);
             # match set stays distributed for ANY inner query shape,
             # TakeOrdered reduces to k
-            rows = (
-                self.match_df(query.query)
-                .orderBy("doc_id").limit(k).collect()
+            rows = self._collect(
+                self.match_df(query.query).orderBy("doc_id").limit(k)
             )
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
@@ -127,16 +133,11 @@ class IndexSearcher:
         if isinstance(query, ast.MultiPhraseQuery):
             return self._search_multiphrase(query, k)
         if isinstance(query, ast.MultiTermQuery):
-            # semi-join execution: matched terms never reach the driver
-            from lucene_spark.search.multiterm import (
-                constant_score_topk,
-                matched_terms_df,
-            )
+            from lucene_spark.search.multiterm import constant_score_topk
 
-            postings = self.reader.postings_semijoin(
-                matched_terms_df(self.reader, query), query.field
-            )
-            return constant_score_topk(self.reader, postings, k, query.boost,
+            return constant_score_topk(self.reader,
+                                       self._multiterm_postings(query), k,
+                                       query.boost,
                                        deleted_loader=self.reader.deleted_loader())
         if isinstance(query, ast.SynonymQuery):
             from lucene_spark.search.multiterm import synonym_topk
@@ -174,11 +175,10 @@ class IndexSearcher:
                                 deleted=dele)
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
-        out = (
+        out = self._collect(
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, "doc_id long, score float")
-            .collect()
         )
         # TopDocs.merge: exact global tie-break (score DESC, doc_id ASC)
         if not out:
@@ -187,6 +187,34 @@ class IndexSearcher:
         s = np.array([r["score"] for r in out], dtype=np.float32)
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
+
+    # hybrid multiterm execution (restores the round-1 term pushdown): small
+    # expansions resolve on the driver (zero jobs against the resident dict)
+    # and push In(term, …) into the postings scan — row-group min/max pruning
+    # reads only the matched terms' blocks. Only past this cap does execution
+    # fall back to the semi-join that scans the whole field's postings.
+    MULTITERM_EXPAND_CAP = 1024
+
+    def _multiterm_postings(self, q: ast.MultiTermQuery):
+        """Posting-block rows for a MultiTermQuery — pushdown when the
+        expansion is small, semi-join past MULTITERM_EXPAND_CAP. Returns
+        None when the expansion is provably empty."""
+        from lucene_spark.search.multiterm import (
+            TooManyClauses,
+            expand_terms_hybrid,
+            matched_terms_df,
+        )
+
+        try:
+            terms = expand_terms_hybrid(self.reader, q,
+                                        self.MULTITERM_EXPAND_CAP)
+        except TooManyClauses:
+            return self.reader.postings_semijoin(
+                matched_terms_df(self.reader, q), q.field
+            )
+        if not terms:
+            return None
+        return self.reader.postings(terms, field=q.field)
 
     def _postings_for_specs(self, specs):
         field_terms: dict[str, list[str]] = {}
@@ -207,7 +235,7 @@ class IndexSearcher:
         the clause matches the union of its expanded terms' doc sets and
         contributes ``boost`` (``ConstantScoreQuery`` semantics).
         """
-        from lucene_spark.search.multiterm import expand_terms
+        from lucene_spark.search.multiterm import expand_terms_hybrid
 
         scoring_sim = self.similarity
         if not isinstance(scoring_sim, BM25Similarity):
@@ -224,16 +252,13 @@ class IndexSearcher:
         for occur, sub in q.clauses:
             if isinstance(sub, ast.PhraseQuery):
                 need_positions = True
-                if sub.slop and len(set(sub.terms)) != len(sub.terms):
-                    raise NotImplementedError(
-                        "sloppy phrases with repeated terms are not supported"
-                    )
                 flat.append((occur, "phrase", sub.field, tuple(sub.terms),
                              sub.boost, int(sub.slop)))
             elif isinstance(sub, ast.TermQuery):
                 flat.append((occur, "term", sub.field, (sub.term,), sub.boost, 0))
             elif isinstance(sub, ast.MultiTermQuery):
-                terms = tuple(expand_terms(self.reader, sub))
+                terms = tuple(expand_terms_hybrid(self.reader, sub,
+                                                  max_terms=100_000))
                 if not terms:
                     if occur in (ast.MUST, ast.FILTER):
                         return None
@@ -347,7 +372,7 @@ class IndexSearcher:
         df = self._mixed_segment_df(q, k)
         if df is None:
             return []
-        out = df.collect()
+        out = self._collect(df)
         if not out:
             return []
         d = np.array([r["doc_id"] for r in out], dtype=np.int64)
@@ -362,11 +387,6 @@ class IndexSearcher:
         from lucene_spark.search.phrase import segment_phrase_postings
 
         terms = list(q.terms)
-        if q.slop and len(set(terms)) != len(terms):
-            raise NotImplementedError(
-                "sloppy phrases with repeated terms (SloppyPhraseMatcher "
-                "repeat groups) are not supported"
-            )
         stats = self.reader.term_stats(terms, field=q.field)
         if any(t not in stats or stats[t]["df"] == 0 for t in terms):
             return []
@@ -434,11 +454,10 @@ class IndexSearcher:
             order = np.lexsort((d, -s.astype(np.float64)))[:k]
             return pd.DataFrame({"doc_id": d[order], "score": s[order]})
 
-        out = (
+        out = self._collect(
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, "doc_id long, score float")
-            .collect()
         )
         if not out:
             return []
@@ -471,11 +490,10 @@ class IndexSearcher:
                 d = d[~np.isin(d, dload(pdf["seg"].iloc[0]))]
             return pd.DataFrame({"n": [int(d.size)]})
 
-        out = (
+        out = self._collect(
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, "n long")
-            .collect()
         )
         return sum(int(r["n"]) for r in out)
 
@@ -487,16 +505,10 @@ class IndexSearcher:
         query = ast.normalize(query)
         big = self.reader.doc_count + 1
         if isinstance(query, ast.MultiTermQuery):
-            from lucene_spark.search.multiterm import (
-                constant_score_count,
-                matched_terms_df,
-            )
+            from lucene_spark.search.multiterm import constant_score_count
 
             return constant_score_count(
-                self.reader,
-                self.reader.postings_semijoin(
-                    matched_terms_df(self.reader, query), query.field
-                ),
+                self.reader, self._multiterm_postings(query),
                 deleted_loader=self.reader.deleted_loader(),
             )
         if isinstance(query, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
@@ -542,20 +554,22 @@ class IndexSearcher:
                     d = d[~np.isin(d, dload(pdf["seg"].iloc[0]))]
                 return pd.DataFrame({"n": [int(d.size)]})
 
-            out = (
+            out = self._collect(
                 postings.select("seg", *cols)
                 .groupBy("seg")
                 .applyInPandas(run_segment, "n long")
-                .collect()
             )
             return sum(int(r["n"]) for r in out)
         if isinstance(query, ast.BooleanQuery) and any(
             not isinstance(s, ast.TermQuery) for _, s in query.clauses
         ):
-            df = self._mixed_segment_df(query, None, count_only=True)
+            # counts are similarity-independent → match_only lets non-BM25
+            # searchers count mixed booleans too
+            df = self._mixed_segment_df(query, None, count_only=True,
+                                        match_only=True)
             if df is None:
                 return 0
-            return sum(int(r["n"]) for r in df.collect())
+            return sum(int(r["n"]) for r in self._collect(df))
         wc = self._weighted_clauses(query)
         if wc is None:
             return 0
@@ -579,11 +593,10 @@ class IndexSearcher:
                                 deleted=dele)
             return pd.DataFrame({"n": [int(d.size)]})
 
-        out = (
+        out = self._collect(
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, "n long")
-            .collect()
         )
         return sum(int(r["n"]) for r in out)
 
@@ -639,15 +652,9 @@ class IndexSearcher:
         if isinstance(q, ast.MatchAllDocsQuery):
             return self.reader.docs(live_only=True).select("doc_id")
         if isinstance(q, ast.MultiTermQuery):
-            from lucene_spark.search.multiterm import (
-                matched_terms_df,
-                matching_docs_df,
-            )
+            from lucene_spark.search.multiterm import matching_docs_df
 
-            postings = self.reader.postings_semijoin(
-                matched_terms_df(self.reader, q), q.field
-            )
-            return matching_docs_df(self.reader, postings,
+            return matching_docs_df(self.reader, self._multiterm_postings(q),
                                     self.reader.deleted_loader())
         if isinstance(q, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
             from lucene_spark.search.multiterm import matching_docs_df
@@ -686,11 +693,13 @@ class IndexSearcher:
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
         slop = int(q.slop)
-        q_terms = ([t for slot in q.slots for t in slot]
-                   if isinstance(q, ast.MultiPhraseQuery) else list(q.terms))
-        if slop and len(set(q_terms)) != len(q_terms):
+        if (slop and isinstance(q, ast.MultiPhraseQuery)
+                and len({t for s_ in q.slots for t in s_})
+                != sum(len(s_) for s_ in q.slots)):
             raise NotImplementedError(
-                "sloppy phrases with repeated terms are not supported"
+                "sloppy MULTI-phrases with repeated terms (multi-term repeat "
+                "groups) are not supported; plain sloppy phrases with "
+                "repeats are"
             )
         if isinstance(q, ast.MultiPhraseQuery):
             all_terms = sorted({t for slot in q.slots for t in slot})
@@ -742,12 +751,13 @@ class IndexSearcher:
         """
         from pyspark.sql import functions as F
 
-        scores = self.score_df(query)
-        joined = scores.join(self.reader.docs(), "doc_id")
         if combine == "multiply":
+            joined = self.score_df(query).join(self.reader.docs(), "doc_id")
             ns = (F.col("score").cast("double")
                   * value_col.cast("double")).cast("float")
         elif combine == "replace":
+            # scores are discarded → match_df supports every query shape
+            joined = self.match_df(query).join(self.reader.docs(), "doc_id")
             ns = value_col.cast("float")
         else:
             raise ValueError(f"unknown combine mode: {combine}")
@@ -759,9 +769,9 @@ class IndexSearcher:
         (score DESC, docID ASC) tie-break."""
         from pyspark.sql import functions as F
 
-        rows = (
+        rows = self._collect(
             self.function_score_df(query, value_col, combine)
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         )
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
@@ -785,12 +795,14 @@ class IndexSearcher:
         keys = ([(sort_field, reverse)] if isinstance(sort_field, str)
                 else [(f, bool(r)) for f, r in sort_field])
         fields = [f for f, _ in keys]
-        matches = self.score_df(query).select("doc_id")
+        # match_df supports every query shape (scores are discarded anyway)
+        matches = self.match_df(query)
         docs = self.reader.docs().select("doc_id", *fields)
         order = [
             (F.col(f).desc() if rev else F.col(f).asc()) for f, rev in keys
         ] + [F.col("doc_id").asc()]
-        rows = matches.join(docs, "doc_id").orderBy(*order).limit(k).collect()
+        rows = self._collect(
+            matches.join(docs, "doc_id").orderBy(*order).limit(k))
         return [tuple([int(r["doc_id"])] + [r[f] for f in fields])
                 for r in rows]
 

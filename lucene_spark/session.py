@@ -13,6 +13,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark):
+    """Disable AQE for a latency-sensitive query execution.
+
+    Serving-path query plans are hand-sized (per-segment fan-out, top-k
+    reduce), so AQE's stage-by-stage materialization only adds scheduler
+    rounds — measured: 2 jobs → 1 job and ~-30% latency per query at sf0.1.
+    Build/maintenance paths keep AQE (runtime coalescing + skew handling of
+    the stats/merge shuffles matters at 10^12 rows). Session-scoped config —
+    callers must not interleave planning of other queries concurrently."""
+    conf = spark.conf
+    try:
+        prev = conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        prev = "true"
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def get_spark(cores: int | str = "*", app: str = "lucene_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     # Keep glibc from mmap/munmap-cycling the multi-MB numpy scratch arrays

@@ -35,6 +35,10 @@ from lucene_spark.indexing.partitioning import (
 class IncrementalIndexer:
     """Append micro-batches of transcripts to an on-disk index."""
 
+    # stats generations surviving GC beyond the current one — readers opened
+    # within the last N appends keep valid file pointers (ADVICE r2 #4)
+    GC_KEEP_GENERATIONS = 4
+
     def __init__(self, spark, index_dir: str, analyzer: str = "standard",
                  rows_per_segment: int = 31_250, positions: bool = True):
         self.spark = spark
@@ -143,11 +147,16 @@ class IncrementalIndexer:
         if epoch_id is not None:
             manifest["applied_epochs"] = applied + [int(epoch_id)]
         b._save_manifest(manifest)  # atomic commit point
-        # post-commit GC — the immediately-previous generation is kept so
-        # already-open readers (pinned to it) stay valid; it falls out of
-        # the keep set on the NEXT append
-        b._gc_stats_generations(keep=set(sdirs.values())
-                                | set(old_sdirs.values()))
+        # post-commit GC — keep a WINDOW of recent generations so readers
+        # opened up to GC_KEEP_GENERATIONS appends ago stay valid (an open
+        # reader pins its generation's files lazily); older readers must
+        # re-open, the documented NRT contract (SearcherManager re-open)
+        keep = set(sdirs.values()) | set(old_sdirs.values())
+        for g in range(max(1, gen - self.GC_KEEP_GENERATIONS), gen):
+            keep |= {f"term_stats.g{g}", f"field_stats.g{g}"}
+        if gen - self.GC_KEEP_GENERATIONS <= 0:
+            keep |= {"term_stats", "field_stats"}
+        b._gc_stats_generations(keep=keep)
         return {"doc_count": acc, "built": len(rows), "reused": 0}
 
     def update(self, batch_df, delete_term: str, delete_field: str = "text",

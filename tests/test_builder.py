@@ -87,7 +87,8 @@ def test_resume_rebuilds_only_changed_segment(spark, tmp_path):
     r1 = b.build(df)
     assert r1["built"] == 4
     r2 = b.build(df, resume=True)
-    assert r2 == {"doc_count": r1["doc_count"], "built": 0, "reused": 4}
+    assert {k: r2[k] for k in ("doc_count", "built", "reused")} == {
+        "doc_count": r1["doc_count"], "built": 0, "reused": 4}
     mut = df.withColumn(
         "text",
         F.when(

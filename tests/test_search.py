@@ -578,3 +578,109 @@ def test_highlight_snippets(spark):
     assert 1 not in out
     assert out[2] == "<b>target</b> at the start"
     assert out[3] == "i j <b>target</b> k"
+
+
+def test_sloppy_pair_vectorized_parity():
+    """The vectorized 2-slot sloppy kernel is bit-identical to the faithful
+    per-doc heap walk (SloppyPhraseMatcher port) across randomized position
+    lists, including adjusted-position ties and chained tie groups."""
+    from lucene_spark.search.phrase import _sloppy_freq_doc, _sloppy_pair_freqs
+
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        n_docs = int(rng.integers(1, 8))
+        doc_ids = np.arange(n_docs, dtype=np.int64)
+        structs, per_doc = [], [[None, None] for _ in range(n_docs)]
+        for slot in range(2):
+            tfs = rng.integers(1, 6, size=n_docs).astype(np.int64)
+            flat_parts = []
+            for j in range(n_docs):
+                pos = np.sort(rng.choice(np.arange(0, 15), size=tfs[j],
+                                         replace=False)).astype(np.int64)
+                flat_parts.append(pos)
+                per_doc[j][slot] = pos - slot
+            offs = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            structs.append((doc_ids, tfs, np.ones(n_docs, np.int64),
+                            np.concatenate(flat_parts), offs))
+        locs = [doc_ids, doc_ids]
+        slop = int(rng.integers(0, 5))
+        res = _sloppy_pair_freqs(structs, doc_ids, slop, locs)
+        got = np.zeros(n_docs, dtype=np.float32)
+        if res is not None:
+            mask, fr = res
+            got[mask] = fr
+        want = np.array([_sloppy_freq_doc(per_doc[j], slop)
+                         for j in range(n_docs)], dtype=np.float32)
+        assert np.array_equal(got, want)
+
+
+def test_sloppy_repeat_matcher():
+    """Repeat-group sloppy matcher (SloppyPhraseMatcher.java:286-323 port):
+    hand goldens, exact parity with the repeat-free walk on repeat-free
+    inputs, and existence-parity with brute-force distinct-position
+    enumeration on randomized repeated-term phrases."""
+    from itertools import product
+
+    from lucene_spark.search.phrase import (
+        _sloppy_freq_doc,
+        _sloppy_freq_doc_repeats,
+        repeat_groups_of,
+    )
+
+    def brute_exists(raw_pls, offsets, slop):
+        for combo in product(*[list(map(int, pl)) for pl in raw_pls]):
+            if len(set(combo)) != len(combo):
+                continue
+            adj = [c - o for c, o in zip(combo, offsets)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    cases = [
+        (["a", "b", "a"], {"a": [0, 2], "b": [1]}, 2, 1.0),
+        (["a", "a"], {"a": [0, 1]}, 0, 1.0),
+        (["a", "a"], {"a": [0, 2]}, 1, 0.5),
+    ]
+    for terms, posmap, slop, want in cases:
+        raw = [np.array(posmap[t], dtype=np.int64) for t in terms]
+        got = _sloppy_freq_doc_repeats(
+            raw, list(range(len(terms))), repeat_groups_of(terms), slop)
+        assert abs(got - want) < 1e-6, (terms, slop, got, want)
+
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        k = int(rng.integers(2, 5))
+        pls, raw = [], []
+        for i in range(k):
+            tf = int(rng.integers(1, 5))
+            pos = np.sort(rng.choice(np.arange(0, 12), size=tf,
+                                     replace=False)).astype(np.int64)
+            raw.append(pos)
+            pls.append(pos - i)
+        slop = int(rng.integers(0, 5))
+        assert abs(_sloppy_freq_doc(pls, slop)
+                   - _sloppy_freq_doc_repeats(raw, list(range(k)), [], slop)) < 1e-7
+
+    checked = 0
+    for _ in range(1500):
+        terms = list(rng.choice(list("ab"), size=int(rng.integers(2, 5))))
+        if len(set(terms)) == len(terms):
+            continue
+        posmap = {}
+        for t in set(terms):
+            tf = int(rng.integers(1, 5))
+            posmap[t] = np.sort(rng.choice(np.arange(0, 10), size=tf,
+                                           replace=False)).astype(np.int64)
+        if "a" in posmap and "b" in posmap:
+            bpos = [p for p in posmap["b"]
+                    if p not in set(posmap["a"].tolist())]
+            if not bpos:
+                continue
+            posmap["b"] = np.array(bpos, dtype=np.int64)
+        raw = [posmap[t] for t in terms]
+        slop = int(rng.integers(0, 6))
+        g = _sloppy_freq_doc_repeats(
+            raw, list(range(len(terms))), repeat_groups_of(terms), slop) > 0
+        assert g == brute_exists(raw, list(range(len(terms))), slop)
+        checked += 1
+    assert checked > 400
