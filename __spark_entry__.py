@@ -368,6 +368,66 @@ def _q_english_stem(spark, sf_dir):
     return _hits_df(spark, s.search("tables values", k=50, mode="wand"))
 
 
+def _q_join_conv(spark, sf_dir):
+    """Block-join gate (VERDICT r2 next-#9): top-10 CONVERSATIONS whose
+    turns match 'table value', ScoreMode.Max — index built over the
+    multi-turn chunked corpus so parents genuinely have many children."""
+    from lucene_spark.corpus import multiturn_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_conv/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = multiturn_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="simple", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    hits = s.join_conversations(_parse("table value"), k=10,
+                                score_mode="max")
+    return spark.createDataFrame(
+        [(c, sc) for c, sc in hits], "conv_id string, score double")
+
+
+def _q_kw_should(spark, sf_dir):
+    """Scoring SHOULD on a keyword field (VERDICT r2 next-#7): 'table
+    role:user' — the optional StringField clause adds a constant-score
+    contribution (boost) to every doc carrying the role."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.search(_parse("table role:user"), k=30,
+                                    mode="wand"))
+
+
+UNI_REPL = ((r"\btable\b", "tàblé"), (r"\bvalue\b", "值"))
+
+
+def _q_unicode_topk(spark, sf_dir):
+    """Unicode tokenizer gate (VERDICT r2 next-#6): inject Latin-1-accented
+    and CJK vocabulary into the corpus ('table'→'tàblé', 'value'→'值'),
+    index with the byte-level StandardAnalyzer (accented runs join words,
+    each ideograph is its own token), query the non-ASCII terms. The oracle
+    recomputes BM25 from the same derivation with a Unicode regex
+    tokenizer."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_uni/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in UNI_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search("tàblé 值", k=50, mode="wand"))
+
+
 def _q_doc_range(spark, sf_dir):
     from lucene_spark.search.reader import IndexReader
 
@@ -509,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.MultiTermQuery("set", terms=("table", "vector", "window")), 50
         ),
         "kw_role_filter": _mk_bm25("+role:user +table", 20),
+        "kw_should_topk": _q_kw_should,
+        "join_conv_top10": _q_join_conv,
         "kw_role_miss_count": lambda spark, sf_dir: spark.createDataFrame(
             [(int(_searcher(spark, sf_dir).count("+role:assistant +table")),)],
             "hits long",
@@ -526,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_sim_topk": _mk_sim_topk("boolean", 40),
         "lm_dirichlet_topk": _mk_sim_topk("lm_dirichlet", 40),
         "lm_jelinek_mercer_topk": _mk_sim_topk("lm_jelinek_mercer", 40),
+        "dfr_gb2_topk": _mk_sim_topk("dfr_gb2", 40),
+        "ib_ll_topk": _mk_sim_topk("ib_ll", 40),
         "synonym_topk": _q_synonym,
         "dismax_topk": _q_dismax,
         "group_top1_source": _q_group_top1,
@@ -536,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental": _q_streaming_incremental,
         "delete_compact_topk": _q_delete_compact,
         "english_stem_topk": _q_english_stem,
+        "unicode_topk": _q_unicode_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -582,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "english_stem_topk": _english_oracle_sql(),
+        "unicode_topk": oracle.unicode_topk_sql(
+            ["tàblé", "值"], 50,
+            [(r"\btable\b", "tàblé"), (r"\bvalue\b", "值")]
+        ),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),
@@ -614,6 +683,10 @@ def oracle_sql() -> dict[str, str]:
         # reflects exactly that while the engine resolves it via real keyword-
         # field postings
         "kw_role_filter": oracle.bm25_topk_sql(_parse("+table"), 20),
+        "kw_should_topk": oracle.kw_should_topk_sql(
+            _parse("table"), 30, const_boost=1.0
+        ),
+        "join_conv_top10": oracle.join_conv_topk_sql(["table", "value"], 10),
         "kw_role_miss_count": "SELECT CAST(0 AS BIGINT) AS hits",
         "mt_regexp": oracle.multiterm_sql(
             "regexp_matches(x.term, '^(?:(ta|va)[a-z]+e)$')", 50
@@ -630,6 +703,8 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf_topk": oracle.classic_topk_sql(_parse(Q_OR), 40),
         "boolean_sim_topk": oracle.boolean_sim_topk_sql(_parse(Q_OR), 40),
         "lm_dirichlet_topk": oracle.lm_dirichlet_topk_sql(_parse(Q_OR), 40),
+        "dfr_gb2_topk": oracle.dfr_gb2_topk_sql(_parse(Q_OR), 40),
+        "ib_ll_topk": oracle.ib_ll_topk_sql(_parse(Q_OR), 40),
         "lm_jelinek_mercer_topk": oracle.lm_jelinek_mercer_topk_sql(
             _parse(Q_OR), 40
         ),

@@ -98,12 +98,36 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
             reps.append(time.time() - t)
         timings[name] = sorted(reps)[1]  # median
 
+    # extra (non-headline) queries — kept OUT of the summed value so the
+    # headline metric stays comparable across rounds; reported alongside
+    extra: dict[str, float] = {}
+    sloppy_q = f'"{VOCAB[0]} {VOCAB[3]}"~3'
+    searcher.search(sloppy_q, 10)
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.search(sloppy_q, 10)
+        reps.append(time.time() - t)
+    extra["topk_sloppy"] = sorted(reps)[1]
+    # repeated-filter query: second-hit latency through the LRU query cache
+    from lucene_spark.search import ast as _ast
+
+    fq = _ast.MultiTermQuery("prefix", VOCAB[2][:4])
+    t = time.time()
+    searcher.count(_ast.ConstantScoreQuery(fq))
+    extra["filter_first"] = time.time() - t
+    searcher.count(_ast.ConstantScoreQuery(fq))  # 2nd use → persisted
+    t = time.time()
+    searcher.count(_ast.ConstantScoreQuery(fq))
+    extra["filter_cached"] = time.time() - t
+
     total = sum(timings.values())
     result = {
         "metric": "index_build_sec_plus_topk_query_latency",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
+        "extra_queries": {k: round(v, 4) for k, v in extra.items()},
         "sf": sf,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / timings["index_build"], 1),

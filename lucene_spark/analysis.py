@@ -155,7 +155,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     buf = _SCR.get("buf", B, np.uint8)
     np.copyto(buf, src)
     del src
-    # ASCII lowercase in place (tokens are ASCII-class only, so this is
+    # ASCII lowercase in place (byte-class tokens only, so this is
     # equivalent to str.lower() before tokenization)
     t1 = _SCR.get("t1", B, bool)
     t2 = _SCR.get("t2", B, bool)
@@ -164,8 +164,44 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     np.logical_and(t1, t2, out=t1)
     np.add(buf, 32, out=buf, where=t1)
 
+    # ---- Unicode step-up (joiners/StandardAnalyzer mode only):
+    # Latin-1 Supplement letters (UTF-8 C3 page) lowercase + letter-class;
+    # CJK unified ideographs (U+4E00–U+9FFF) one-token-per-character.
+    lat_lead = lat_cont = cjk_starts = None
+    if joiners and B > 1:
+        c3 = buf == 0xC3
+        if c3.any():
+            # lowercase: C3 80–9E minus 97 (À–Þ minus ×) → +0x20
+            up = (buf >= 0x80) & (buf <= 0x9E) & (buf != 0x97)
+            up[:1] = False
+            up[1:] &= c3[:-1]
+            np.add(buf, 0x20, out=buf, where=up)
+            # letter continuations post-lowercase: 9F (ß) + A0–BF minus B7
+            # (à–ÿ minus ÷)
+            cont = ((buf >= 0xA0) & (buf <= 0xBF) & (buf != 0xB7)) \
+                | (buf == 0x9F)
+            lat_cont = np.zeros(B, dtype=bool)
+            lat_cont[1:] = c3[:-1] & cont[1:]
+            lat_lead = np.zeros(B, dtype=bool)
+            lat_lead[:-1] = lat_cont[1:]
+        e_lead = (buf >= 0xE4) & (buf <= 0xE9)
+        if e_lead.any() and B > 2:
+            li = np.flatnonzero(e_lead[:-2])
+            cp = ((buf[li].astype(np.int32) & 0x0F) << 12) \
+                | ((buf[li + 1].astype(np.int32) & 0x3F) << 6) \
+                | (buf[li + 2].astype(np.int32) & 0x3F)
+            ok = ((cp >= 0x4E00) & (cp <= 0x9FFF)
+                  & (buf[li + 1] >= 0x80) & (buf[li + 1] <= 0xBF)
+                  & (buf[li + 2] >= 0x80) & (buf[li + 2] <= 0xBF))
+            cjk_starts = li[ok]
+            if cjk_starts.size == 0:
+                cjk_starts = None
+
     is_base = _SCR.get("is_base", B, bool)
     np.take(_BASE, buf, out=is_base)
+    if lat_lead is not None:
+        np.logical_or(is_base, lat_lead, out=is_base)
+        np.logical_or(is_base, lat_cont, out=is_base)
     if joiners:
         tok = _SCR.get("tok", B, bool)
         np.copyto(tok, is_base)
@@ -178,6 +214,9 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             # : joins letter|letter
             cls = _SCR.get("cls", B, bool)
             np.take(_LETTER, buf, out=cls)
+            if lat_lead is not None:
+                np.logical_or(cls, lat_lead, out=cls)
+                np.logical_or(cls, lat_cont, out=cls)
             np.equal(buf, 58, out=t1)
             _shift_and_into(tok, t1, cls, cls)
             # , joins digit|digit
@@ -192,7 +231,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     np.copyto(t1, tok)
     np.greater(tok[1:], tok[:-1], out=t1[1:])
     starts = np.flatnonzero(t1)
-    if starts.size == 0:
+    if starts.size == 0 and cjk_starts is None:
         return empty
     np.copyto(t1, tok)
     np.greater(tok[:-1], tok[1:], out=t1[:-1])
@@ -202,10 +241,29 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     # keep: length cap (the >maxTokenLength drop rule) + ≥1 strict alnum char.
     # add.reduceat on bool acts as logical-OR per [start, next_start) span;
     # inter-token gaps contain no strict chars, so the span OR == token OR.
+    # Latin-1 letter leads count as word characters (a pure-accent run like
+    # "àé" is a word).
     strict = _SCR.get("strict", B, bool)
     np.take(_STRICT, buf, out=strict)
-    has_alnum = np.add.reduceat(strict, starts)
+    if lat_lead is not None:
+        np.logical_or(strict, lat_lead, out=strict)
+    has_alnum = (np.add.reduceat(strict, starts) if starts.size
+                 else np.zeros(0, dtype=np.int64))
     keep = (lens <= max_token_length) & (has_alnum > 0)
+
+    if cjk_starts is not None:
+        # each ideograph is its own 3-byte token, always kept; merge the two
+        # token streams in text order (CJK bytes are never base-class, so
+        # the streams are disjoint)
+        all_starts = np.concatenate([starts, cjk_starts])
+        order = np.argsort(all_starts, kind="stable")
+        starts = all_starts[order]
+        ends = np.concatenate([ends, cjk_starts + 3])[order]
+        lens = ends - starts
+        keep = np.concatenate(
+            [keep, np.ones(cjk_starts.size, dtype=bool)])[order]
+        if starts.size == 0:
+            return empty
     positions = None
     if with_positions:
         # ordinal over ALL tokens of the row (pre-filter) = Lucene position

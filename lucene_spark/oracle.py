@@ -190,6 +190,81 @@ LIMIT {k}
 """
 
 
+UNICODE_TOKEN_RE = "[a-z0-9à-öø-ÿ]+|[一-鿿]"
+
+
+def unicode_topk_sql(terms, k: int, replacements) -> str:
+    """Float32-bit-exact BM25 top-k over a corpus derived by injecting
+    non-ASCII vocabulary (VERDICT r2 next-#6 gate): ``replacements`` is a
+    list of (token_regex, replacement) applied to the raw text, then the
+    oracle tokenizes with the Unicode contract — Latin-1 letter runs join
+    words, CJK ideographs are ONE TOKEN PER CHARACTER (``[一-鿿]`` =
+    U+4E00–U+9FFF) — recomputing stats/norms/scores independently of the
+    engine's byte-level tokenizer."""
+    t_expr = "lower(coalesce(text, ''))"
+    for pat, rep in replacements:
+        t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST(1.0 AS FLOAT))" for i, t in enumerate(terms)
+    )
+    return f"""
+WITH docs0 AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         {t_expr} AS t
+  FROM documents
+),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(t, '{UNICODE_TOKEN_RE}')) AS term
+  FROM docs0
+),
+tf AS (
+  SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dls AS (
+  SELECT did, len(regexp_extract_all(t, '{UNICODE_TOKEN_RE}'))::BIGINT AS dl
+  FROM docs0
+),
+normmap(lo, hi) AS (VALUES {norm_map_values()}),
+dlen AS (
+  SELECT d.did, d.dl, m.lo AS dlen
+  FROM dls d JOIN normmap m ON d.dl BETWEEN m.lo AND m.hi
+),
+fstats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_ttf,
+         CAST(sum(dl) / count(*)::DOUBLE AS FLOAT) AS avgdl
+  FROM dls
+),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
 def _clause_rows(q) -> list[tuple[str, str, float]]:
     """AST → [(term, occur, boost)] (normalized, v1 flat boolean)."""
     q = ast.normalize(q)
@@ -263,6 +338,138 @@ summed AS (
 WITH {base_ctes(doc_where)},{clause_cte}
 SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
 FROM summed{where}
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
+def join_conv_topk_sql(terms, k: int, words_per_turn: int = 40) -> str:
+    """Block-join oracle: derive the multi-turn corpus exactly like
+    ``corpus.multiturn_from_documents`` (word-chunking, verified
+    value-identical to the Spark derivation), score turns with float32 BM25
+    for a flat SHOULD query, then aggregate per conversation with MAX
+    (float32-exact) — ``JoinUtil.createJoinQuery`` ScoreMode.Max."""
+    w = words_per_turn
+    qvals = ",".join(
+        f"({i}, '{t}', CAST(1.0 AS FLOAT))" for i, t in enumerate(terms)
+    )
+    return rf"""
+WITH src AS (
+  SELECT printf('c%010d', doc_id) AS conv_id,
+         regexp_split_to_array(coalesce(text, ''), '\s+') AS words
+  FROM documents
+),
+sized AS (
+  SELECT conv_id, words,
+         greatest(1, CAST(ceil(len(words) / {w}.0) AS BIGINT)) AS n_turns
+  FROM src
+),
+turns AS (
+  SELECT conv_id, CAST(u.t AS INT) AS turn_idx,
+         array_to_string(list_slice(words, u.t*{w} + 1, u.t*{w} + {w}),
+                         ' ') AS txt
+  FROM sized, unnest(range(n_turns)) AS u(t)
+),
+docs0 AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS did,
+         conv_id, lower(txt) AS t
+  FROM turns
+),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term FROM docs0
+),
+tf AS (
+  SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dls AS (
+  SELECT did, len(regexp_extract_all(t, '[a-z0-9]+'))::BIGINT AS dl
+  FROM docs0
+),
+normmap(lo, hi) AS (VALUES {norm_map_values()}),
+dlen AS (
+  SELECT d.did, d.dl, m.lo AS dlen
+  FROM dls d JOIN normmap m ON d.dl BETWEEN m.lo AND m.hi
+),
+fstats AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(dl) / count(*)::DOUBLE AS FLOAT) AS avgdl
+  FROM dls
+),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT d0.conv_id, CAST(MAX(s0.score) AS DOUBLE) AS score
+FROM summed s0 JOIN docs0 d0 ON d0.did = s0.did
+GROUP BY d0.conv_id
+ORDER BY MAX(s0.score) DESC, d0.conv_id ASC
+LIMIT {k}
+"""
+
+
+def kw_should_topk_sql(query, k: int, const_boost: float = 1.0) -> str:
+    """Top-k for a boolean of text SHOULD terms + ONE keyword-field SHOULD
+    clause that every doc satisfies (the documents→transcripts mapping sets
+    role='user' on every turn): match set = all docs, score = float32 of
+    (Σ_double per-term float32 BM25 + double(float32 const_boost)).
+    Mirrors the engine's constant-score keyword SHOULD contribution."""
+    clauses = _clause_rows(query)
+    scoring = [(t, b) for t, o, b in clauses if o == ast.SHOULD]
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
+    )
+    return f"""
+WITH {BASE_CTES},
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT d0.did,
+         CAST(coalesce(cs.ss, 0)
+              + CAST(CAST({const_boost!r} AS FLOAT) AS DOUBLE) AS FLOAT)
+           AS score
+  FROM docs0 d0
+  LEFT JOIN (SELECT did, SUM(CAST(s AS DOUBLE)) AS ss
+             FROM clause_scores GROUP BY did) cs ON cs.did = d0.did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed
 ORDER BY score DESC, did ASC
 LIMIT {k}
 """
@@ -836,6 +1043,101 @@ clause_scores AS (
            0.0) AS FLOAT) AS s
   FROM tf
   JOIN probs pr ON pr.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def dfr_gb2_topk_sql(query, k: int) -> str:
+    """DFR GB2 top-k: per clause (double math, one float cast):
+    F = ttf+1; λ = F/(N+F); A = log2(λ+1); B = log2((1+λ)/λ);
+    ae = (F+1)/(df+1); tfn = tf·log2(1 + avgdl/dlen) with avgdl =
+    sum_ttf/N in DOUBLE; s = f32(boost·(B − (B−A)/(1+tfn))·ae)."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+),
+avg_d AS (
+  SELECT CAST(sum_ttf AS DOUBLE) / n AS avgdl, CAST(n AS DOUBLE) AS nn
+  FROM fstats
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+parts AS (
+  SELECT q.cid, q.term, q.boost,
+         ts.ttf + 1.0 AS f,
+         (ts.ttf + 1.0) / ((SELECT nn FROM avg_d) + ts.ttf + 1.0) AS lam,
+         (ts.ttf + 2.0) / (ts.df + 1.0) AS ae
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(p.boost
+              * ((ln((1 + p.lam) / p.lam) / ln(2))
+                 - ((ln((1 + p.lam) / p.lam) / ln(2))
+                    - (ln(p.lam + 1) / ln(2)))
+                   / (1 + CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                          * (ln(1 + (SELECT avgdl FROM avg_d)
+                                    / CAST(d.dlen AS DOUBLE)) / ln(2))))
+              * p.ae AS FLOAT) AS s
+  FROM tf
+  JOIN parts p ON p.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def ib_ll_topk_sql(query, k: int) -> str:
+    """IB LL·DF·H2(c=1) top-k: λ = f32((df+1)/(N+1)) widened to double;
+    tfn = tf·log2(1 + avgdl/dlen), avgdl = sum_ttf/N in DOUBLE;
+    s = f32(boost · (−ln(λ/(tfn+λ))))."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+),
+avg_d AS (
+  SELECT CAST(sum_ttf AS DOUBLE) / n AS avgdl, CAST(n AS DOUBLE) AS nn
+  FROM fstats
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+parts AS (
+  SELECT q.cid, q.term, q.boost,
+         CAST(CAST((ts.df + 1.0) / ((SELECT nn FROM avg_d) + 1.0) AS FLOAT)
+              AS DOUBLE) AS lam
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(p.boost * (-ln(p.lam
+              / (CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                 * (ln(1 + (SELECT avgdl FROM avg_d)
+                           / CAST(d.dlen AS DOUBLE)) / ln(2))
+                 + p.lam))) AS FLOAT) AS s
+  FROM tf
+  JOIN parts p ON p.term = tf.term
   JOIN dlen d ON d.did = tf.did
 ),
 summed AS (

@@ -11,8 +11,8 @@ so row-group min/max stats play the role of the block-tree term index
 docIDs are **segment-local** in the files (see builder module doc); the
 manifest maps segment → global ``doc_offset`` (global docID = offset + local
 == row_number over (conv_id, turn_idx) - 1, exactly Lucene's leaf ``docBase``
-scheme, ``core/index/BaseCompositeReader.java``). The reader joins the tiny
-broadcast offset map at scan time.
+scheme, ``core/index/BaseCompositeReader.java``). The reader attaches the
+offset map as a literal projection (broadcast join past 4096 segments).
 """
 
 from __future__ import annotations

@@ -32,12 +32,30 @@ class ScoreDoc:
     score: float  # exact float32 value
 
 
+class ConstScorer:
+    """Constant-score per-doc contribution (float32 == boost) for keyword
+    (StringField) clauses inside scoring booleans: omitNorms/DOCS-only
+    fields have no tf/norm signal, so an optional keyword clause scores as
+    if wrapped in ConstantScoreQuery — `text:foo OR role:assistant` adds
+    ``boost`` for docs with the role. (Deliberate, documented departure from
+    BM25-on-StringField, which would need per-keyword-field avgdl stats.)"""
+
+    def __init__(self, boost: float):
+        self.weight = F32(boost)
+
+    def score(self, tfs, norms):
+        return np.full(np.asarray(tfs).shape[0], self.weight, dtype=F32)
+
+
 class IndexSearcher:
     def __init__(self, spark, index_dir: str, similarity: BM25Similarity | None = None):
+        from lucene_spark.search.querycache import LRUQueryCache
+
         self.spark = spark
         self.reader = IndexReader(spark, index_dir)
         self.similarity = similarity or BM25Similarity()
         self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
+        self.query_cache = LRUQueryCache()
 
     def _collect(self, df):
         """Execute a serving-path plan without AQE (see session.no_aqe)."""
@@ -59,8 +77,8 @@ class IndexSearcher:
 
         Multi-field: clauses on keyword fields (any field != "text") act as
         constant/filter clauses — MUST is coerced to FILTER (KeywordField /
-        StringField omitNorms semantics: no BM25 contribution), SHOULD on a
-        keyword field is unsupported.
+        StringField omitNorms semantics: no BM25 contribution), SHOULD
+        contributes a constant score == boost (:class:`ConstScorer`).
         """
         q = ast.normalize(query)
         if isinstance(q, ast.MatchNoDocsQuery):
@@ -84,19 +102,21 @@ class IndexSearcher:
             return None
         specs: list[ClauseSpec] = []
         for occur, tq in occ_clauses:
+            const_score = False
             if tq.field != "text":
-                if occur == ast.SHOULD:
-                    raise NotImplementedError(
-                        "SHOULD on keyword fields is not supported (filter-only)"
-                    )
                 if occur == ast.MUST:
-                    occur = ast.FILTER
+                    occur = ast.FILTER  # required keyword = pure filter
+                elif occur == ast.SHOULD:
+                    const_score = True  # optional keyword = constant boost
             st = stats.get((tq.field, tq.term))
             if st is None or st["df"] == 0:
                 if occur in (ast.MUST, ast.FILTER):
                     return None  # required term absent from corpus
                 continue  # absent SHOULD / MUST_NOT clauses never match
-            if occur in (ast.MUST, ast.SHOULD):
+            if const_score:
+                scorer = ConstScorer(tq.boost)
+                w = scorer.weight
+            elif occur in (ast.MUST, ast.SHOULD):
                 scorer = self.reader.similarity_scorer(
                     self.similarity, tq.boost, [st["df"]], ttfs=[st["ttf"]]
                 )
@@ -159,7 +179,8 @@ class IndexSearcher:
 
         postings = self._postings_for_specs(specs)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
-                "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
+                "tfs", "norms", "max_tf", "impact_tfs", "impact_norms",
+                "doc_offset"]
         sep = self.FIELD_SEP
         dload = self.reader.deleted_loader()
 
@@ -230,8 +251,8 @@ class IndexSearcher:
 
         Field handling mirrors ``_weighted_clauses``: clauses on keyword
         fields are constant/filter clauses — MUST is coerced to FILTER
-        (StringField omitNorms semantics), SHOULD on a keyword field is
-        unsupported. MultiTermQuery clauses take the CONSTANT_SCORE rewrite:
+        (StringField omitNorms semantics), SHOULD becomes a constant-score
+        clause. MultiTermQuery clauses take the CONSTANT_SCORE rewrite:
         the clause matches the union of its expanded terms' doc sets and
         contributes ``boost`` (``ConstantScoreQuery`` semantics).
         """
@@ -286,12 +307,10 @@ class IndexSearcher:
         clauses = []
         for occur, kind, f, terms, boost, slop in flat:
             if f != "text" and kind != "const":
-                if occur == ast.SHOULD:
-                    raise NotImplementedError(
-                        "SHOULD on keyword fields is not supported (filter-only)"
-                    )
                 if occur == ast.MUST:
-                    occur = ast.FILTER
+                    occur = ast.FILTER  # required keyword = pure filter
+                elif occur == ast.SHOULD:
+                    kind = "const"  # optional keyword = constant boost
             if kind != "const":
                 if not all(df_of(f, t) > 0 for t in terms):
                     if occur in (ast.MUST, ast.FILTER):
@@ -578,7 +597,8 @@ class IndexSearcher:
         specs, msm = wc
         postings = self._postings_for_specs(specs)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
-                "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
+                "tfs", "norms", "max_tf", "impact_tfs", "impact_norms",
+                "doc_offset"]
         sep = self.FIELD_SEP
         dload = self.reader.deleted_loader()
 
@@ -616,7 +636,8 @@ class IndexSearcher:
         specs, msm = wc
         postings = self._postings_for_specs(specs)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
-                "tfs", "norms", "impact_tfs", "impact_norms", "doc_offset"]
+                "tfs", "norms", "max_tf", "impact_tfs", "impact_norms",
+                "doc_offset"]
         big = self.reader.doc_count + 1
         sep = self.FIELD_SEP
         dload = self.reader.deleted_loader()
@@ -641,14 +662,26 @@ class IndexSearcher:
     def match_df(self, query):
         """Distributed (doc_id) DataFrame of the docs matching ANY query
         shape — the match-set substrate for ConstantScoreQuery and
-        set-algebra composition. Live-docs filtering applied throughout."""
-        from pyspark.sql import functions as F
+        set-algebra composition. Live-docs filtering applied throughout.
 
+        Hot filters are memoized through the :class:`LRUQueryCache`
+        analogue: the SECOND use of the same normalized query persists its
+        match set, so repeated keyword/multiterm filters hit executor
+        storage instead of re-decoding postings (LRUQueryCache.java +
+        UsageTrackingQueryCachingPolicy)."""
         q = ast.normalize(query)
         if isinstance(q, ast.MatchNoDocsQuery) or self.reader.doc_count == 0:
             return self.spark.createDataFrame([], "doc_id long")
         if isinstance(q, ast.ConstantScoreQuery):
             return self.match_df(q.query)
+        try:
+            hash(q)  # frozen dataclasses: structural hash/equality
+        except TypeError:
+            return self._match_df_impl(q)
+        return self.query_cache.get_or_build(
+            q, lambda: self._match_df_impl(q))
+
+    def _match_df_impl(self, q):
         if isinstance(q, ast.MatchAllDocsQuery):
             return self.reader.docs(live_only=True).select("doc_id")
         if isinstance(q, ast.MultiTermQuery):
@@ -805,6 +838,42 @@ class IndexSearcher:
             matches.join(docs, "doc_id").orderBy(*order).limit(k))
         return [tuple([int(r["doc_id"])] + [r[f] for f in fields])
                 for r in rows]
+
+    def join_conversations_df(self, query, score_mode: str = "max"):
+        """Block-join / JoinUtil analogue (``lucene/join/.../JoinUtil.java``
+        ``createJoinQuery`` + ``ToParentBlockJoinQuery`` score modes): child
+        (turn) hits aggregate to parent (conversation) hits.
+
+        Plan shape: distributed child match+score set joins the docs table
+        on doc_id (co-partitionable at scale), then a map-side-combined
+        groupBy(conv_id) — billions of child hits reduce to one row per
+        matched conversation, never collected. Returns (conv_id,
+        score float32) distributed. ``score_mode``: max | min | sum | avg
+        (Max/Min are float32-exact; Sum/Avg accumulate in double and cast)."""
+        from pyspark.sql import functions as F
+
+        aggs = {"max": F.max, "min": F.min, "sum": F.sum, "avg": F.avg}
+        if score_mode not in aggs:
+            raise ValueError(f"unknown score_mode: {score_mode}")
+        scores = self.score_df(query)
+        docs = self.reader.docs().select("doc_id", "conv_id")
+        return (
+            scores.join(docs, "doc_id")
+            .groupBy("conv_id")
+            .agg(aggs[score_mode]("score").cast("float").alias("score"))
+        )
+
+    def join_conversations(self, query, k: int = 10,
+                           score_mode: str = "max") -> list[tuple]:
+        """Top-k parent conversations of :meth:`join_conversations_df`,
+        tie-break (score DESC, conv_id ASC)."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.join_conversations_df(query, score_mode)
+            .orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+        )
+        return [(r["conv_id"], float(r["score"])) for r in rows]
 
     def search_after(self, query, after_count: int, k: int = 10,
                      mode: str = "wand") -> list[ScoreDoc]:

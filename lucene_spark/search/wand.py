@@ -55,7 +55,8 @@ class ClauseSpec:
 
 def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
                  min_should_match: int = 0, prune: bool = True,
-                 deleted: np.ndarray | None = None):
+                 deleted: np.ndarray | None = None,
+                 stats: dict | None = None):
     """Top-k (doc_id, score_f32) for one segment.
 
     ``block_rows``: dict of column-name → numpy array (postings block rows for
@@ -122,18 +123,29 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
     if any(t not in seg_terms for t in must_terms):
         return np.zeros(0, np.int64), np.zeros(0, F32)
 
-    # ---- per-block max impact score (exact float32 bound, summed per clause)
-    # Vectorized per term across ALL its blocks at once: score every stored
-    # Pareto impact pair with the clause's similarity scorer in one call,
-    # segment-max via reduceat — no per-block Python loop (the level-1
-    # "skip metadata" read happens in one pass).
+    # ---- two-level block bounds (MultiLevelSkipListWriter analogue):
+    # LEVEL 1 (cheap screen): per-block scalar bound score(max_tf, min_norm)
+    # — one vectorized scorer call per clause over ALL blocks. Valid upper
+    # bound for any similarity monotone ↑tf / ↓decoded-length (the pair
+    # (max_tf, min_norm) dominates every stored Pareto pair). LEVEL 0
+    # (exact): the stored Pareto (tf, norm) pairs, scored LAZILY only for
+    # blocks that reach a processed batch — hot terms' long impact arrays
+    # are never touched for θ-pruned doc ranges (VERDICT r2 next-#8).
     imp_tfs = block_rows["impact_tfs"]
     imp_norms = block_rows["impact_norms"]
     ilens = np.array([len(imp_tfs[i]) for i in kb], dtype=np.int64)
-    b_max = np.zeros(kb.size, dtype=np.float64)
+    b_maxtf = block_rows["max_tf"][kb].astype(np.int64)
+    # Pareto pairs are tf-ascending with norms non-decreasing → min norm
+    # is the first element
+    b_minnm = np.array(
+        [imp_norms[i][0] if len(imp_norms[i]) else 1 for i in kb],
+        dtype=np.int64)
+    b_max = np.zeros(kb.size, dtype=np.float64)  # level-1 (loose) bound
+    term_scoring: dict[str, list] = {}
     for t, cs in by_term.items():
         scoring = [c for c in cs if c.occur in (MUST, SHOULD)
                    and c.scorer is not None]
+        term_scoring[t] = scoring
         if not scoring:
             continue
         sel_t = np.flatnonzero(
@@ -141,16 +153,37 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
                       for j in range(kb.size)]))
         if sel_t.size == 0:
             continue
-        ft = np.concatenate(
-            [np.asarray(imp_tfs[kb[j]], dtype=np.int64) for j in sel_t])
-        fn = np.concatenate(
-            [np.asarray(imp_norms[kb[j]], dtype=np.int64) for j in sel_t])
-        st = np.concatenate([[0], np.cumsum(ilens[sel_t])[:-1]]).astype(np.int64)
         acc = np.zeros(sel_t.size, dtype=np.float64)
         for c in scoring:
-            s = c.scorer.score(ft, fn).astype(np.float64)
-            acc += np.maximum.reduceat(s, st)
+            acc += c.scorer.score(b_maxtf[sel_t],
+                                  b_minnm[sel_t]).astype(np.float64)
         b_max[sel_t] += acc
+
+    def exact_bounds_for(block_mask):
+        """Level-0 exact float32 Pareto bounds for the masked kept-blocks —
+        one vectorized reduceat pass per term over ONLY those blocks'
+        impact arrays (the arrays of loose-pruned blocks are never read)."""
+        out = np.copy(b_max)
+        for t, scoring in term_scoring.items():
+            if not scoring:
+                continue
+            sel_t = np.flatnonzero(
+                np.array([block_mask[j] and b_term[j] == t and ilens[j] > 0
+                          for j in range(kb.size)]))
+            if sel_t.size == 0:
+                continue
+            ft = np.concatenate(
+                [np.asarray(imp_tfs[kb[j]], dtype=np.int64) for j in sel_t])
+            fn = np.concatenate(
+                [np.asarray(imp_norms[kb[j]], dtype=np.int64) for j in sel_t])
+            st = np.concatenate(
+                [[0], np.cumsum(ilens[sel_t])[:-1]]).astype(np.int64)
+            acc = np.zeros(sel_t.size, dtype=np.float64)
+            for c in scoring:
+                s = c.scorer.score(ft, fn).astype(np.float64)
+                acc += np.maximum.reduceat(s, st)
+            out[sel_t] = np.minimum(out[sel_t], acc)
+        return out
 
     # ---- chunk the doc space at block boundaries
     events = np.unique(np.concatenate([b_first, b_last + 1]))
@@ -184,10 +217,29 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
     theta = -np.inf
     total_kept = 0
     decoded: dict[int, tuple] = {}
+    n_exact = 0
+    refined_all = not prune  # exhaustive mode never uses bounds
     BATCH = max(16, 4 * k // 128 + 8)
     pos = 0
     while pos < order.size:
         if prune and theta > -np.inf:
+            if not refined_all:
+                # one-time level-0 refinement at first θ: exact Pareto
+                # bounds for the STILL-VIABLE blocks only (one vectorized
+                # reduceat pass); loose-pruned blocks' impact arrays are
+                # never read — the level-1 → level-0 descent
+                cs = np.concatenate(
+                    [[0], np.cumsum(ub * (1 + 1e-6) >= theta)])
+                viable_blocks = (cs[e_idx] - cs[s_idx]) > 0
+                n_exact = int(viable_blocks.sum())
+                b_exact = exact_bounds_for(viable_blocks)
+                delta = b_max - b_exact
+                dd = np.zeros(n_iv + 1, dtype=np.float64)
+                np.add.at(dd, s_idx, delta)
+                np.add.at(dd, e_idx, -delta)
+                fin = np.isfinite(ub)
+                ub[fin] -= np.cumsum(dd)[:n_iv][fin]
+                refined_all = True
             # stop at first chunk that cannot beat θ (ε covers f32 cast-up)
             rem = order[pos:]
             viable = ub[rem] * (1 + 1e-6) >= theta
@@ -259,6 +311,10 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
                 cand_docs, cand_scores = [alldc[keep]], [allsc[keep]]
                 total_kept = int(keep.sum())
 
+    if stats is not None:
+        stats["blocks_kept"] = int(kb.size)
+        stats["blocks_exact"] = n_exact  # level-0 impact arrays touched
+        stats["blocks_decoded"] = len(decoded)
     if not cand_docs:
         return np.zeros(0, np.int64), np.zeros(0, F32)
     d = np.concatenate(cand_docs)

@@ -219,6 +219,100 @@ class LMDirichletScorer:
         return np.maximum(s, 0.0).astype(F32)
 
 
+_LN2 = math.log(2.0)
+
+
+@dataclass(frozen=True)
+class DFRSimilarity:
+    """Divergence-from-randomness GB2: BasicModelG + AfterEffectB +
+    NormalizationH2(c=1) (``core/search/similarities/DFRSimilarity.java:104-108``):
+
+    - tfn = tf · log2(1 + c·avgdl/dl) (``NormalizationH2.java:57-59``)
+    - λ = F/(N+F) with F = ttf+1; A = log2(λ+1); B = log2((1+λ)/λ)
+      (``BasicModelG.java:36-51``)
+    - aeTimes1pTfn = (F+1)/(df+1) (``AfterEffectB.java:32-36``)
+    - score = float(boost · (B − (B−A)/(1+tfn)) · ae / (1+tfn)-combined)
+      — all double math, single float cast (``SimilarityBase.java:223-224``).
+    avgdl = sumTTF/docCount in DOUBLE (``SimilarityBase.java:109-111`` —
+    unlike BM25's float cast)."""
+
+    c: float = 1.0
+    name = "dfr_gb2"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(dfs) != 1:
+            raise NotImplementedError(
+                "DFRSimilarity scores single-term clauses (ttf required)")
+        F = float(ttfs[0]) + 1.0
+        N = float(doc_count)
+        lam = F / (N + F)
+        A = math.log(lam + 1.0) / _LN2
+        Bv = math.log((1.0 + lam) / lam) / _LN2
+        ae = (F + 1.0) / (float(dfs[0]) + 1.0)
+        avgdl = float(sum_ttf) / float(doc_count)
+        return DFRScorer(weight=F32(boost), boost=float(boost), A=A, B=Bv,
+                         ae=ae, avgdl=avgdl, c=float(self.c))
+
+
+@dataclass(frozen=True)
+class DFRScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    A: float
+    B: float
+    ae: float
+    avgdl: float
+    c: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        tfn = tf64 * (np.log(1.0 + self.c * self.avgdl / dl) / _LN2)
+        s = self.boost * (self.B - (self.B - self.A) / (1.0 + tfn)) * self.ae
+        return s.astype(F32)
+
+
+@dataclass(frozen=True)
+class IBSimilarity:
+    """Information-based LL·DF·H2(c=1)
+    (``core/search/similarities/IBSimilarity.java:92-96``):
+    λ = float((df+1)/(N+1)) (``LambdaDF.java:33-39``),
+    tfn = tf · log2(1 + avgdl/dl) (``NormalizationH2.java:57-59``),
+    score = float(boost · (−ln(λ/(tfn+λ)))) (``DistributionLL.java:33-35``)."""
+
+    c: float = 1.0
+    name = "ib_ll"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if len(dfs) != 1:
+            raise NotImplementedError(
+                "IBSimilarity scores single-term clauses")
+        lam = F32((float(dfs[0]) + 1.0) / (float(doc_count) + 1.0))
+        if float(lam) == 1.0:
+            lam = np.nextafter(lam, F32(0.0), dtype=F32)
+        avgdl = float(sum_ttf) / float(doc_count)
+        return IBScorer(weight=F32(boost), boost=float(boost),
+                        lam=float(lam), avgdl=avgdl, c=float(self.c))
+
+
+@dataclass(frozen=True)
+class IBScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    lam: float
+    avgdl: float
+    c: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        tfn = tf64 * (np.log(1.0 + self.c * self.avgdl / dl) / _LN2)
+        s = self.boost * (-np.log(self.lam / (tfn + self.lam)))
+        return s.astype(F32)
+
+
 def get_similarity(name: str, **kw):
     """Similarity registry — the plug-in lookup used by jobs and gates."""
     if name == "bm25":
@@ -231,6 +325,10 @@ def get_similarity(name: str, **kw):
         return LMDirichletSimilarity(**kw)
     if name == "lm_jelinek_mercer":
         return LMJelinekMercerSimilarity(**kw)
+    if name == "dfr_gb2":
+        return DFRSimilarity(**kw)
+    if name == "ib_ll":
+        return IBSimilarity(**kw)
     raise ValueError(f"unknown similarity: {name}")
 
 

@@ -51,3 +51,57 @@ def test_simple_analyzer_sql_equivalence_shape():
     a = SimpleAnalyzer()
     assert a.tokenize_text("Hello, World-3.14!") == ["hello", "world", "3", "14"]
     assert a.tokenize_series(pd.Series(["A b", None])).tolist() == [["a", "b"], []]
+
+
+def test_unicode_tokenizer_parity():
+    """Byte-level tokenizer ≡ regex chain on Latin-1 letters (word-joining,
+    lowercase À→à, ß, ÿ, × ÷ excluded) and CJK ideographs (one token per
+    character, U+4E00–U+9FFF inclusive); SimpleAnalyzer stays ASCII-only."""
+    import pandas as pd
+
+    from lucene_spark.analysis import SimpleAnalyzer, StandardAnalyzer
+
+    an = StandardAnalyzer()
+    cases = [
+        "Café au lait, naïve RÉSUMÉ",
+        "值得一提的是 spark 引擎",
+        "tàblé 值 mixed ascii123",
+        "×÷ odd À Þ ß ÿ",
+        "día niño über Straße",
+        "日本語テキスト",  # kana are out of declared scope → separators
+        "can't stop won't O.K. 3,000",
+        "中文mixed字母abc",
+        "",
+        "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖ×ØÙÚÛÜÝÞß"
+        "àáâãäåæçèéêëìíîïðñòóôõö÷øùúûüýþÿ",
+        "一丁 鿿 龥",  # U+4E00 start / U+9FFF end / U+9FA5 inside
+    ]
+    for s in cases:
+        uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))
+        assert [uniq[c] for c in codes] == an.tokenize_text(s), repr(s)
+    uniq, codes, per_row = an.tokenize_ids(pd.Series(cases))
+    assert [uniq[c] for c in codes] == [
+        t for s in cases for t in an.tokenize_text(s)]
+    # each ideograph is its own token and bumps the position counter
+    u, c, _pr, pos = an.tokenize_ids(pd.Series(["值 x 值值"]),
+                                     with_positions=True)
+    assert [u[i] for i in c] == ["值", "x", "值", "值"]
+    assert list(pos) == [0, 1, 2, 3]
+    # SimpleAnalyzer (the oracle contract) remains strictly [a-z0-9]
+    sa = SimpleAnalyzer()
+    u2, c2, _p2 = sa.tokenize_ids(pd.Series(["Café 值 abc123"]))
+    assert [u2[i] for i in c2] == ["caf", "abc123"]
+
+
+def test_english_curly_apostrophe():
+    """EnglishPossessiveFilter accepts ’ and ＇ apostrophe variants
+    (normalized before the byte tokenizer)."""
+    import pandas as pd
+
+    from lucene_spark.analysis_en import EnglishAnalyzer
+
+    an = EnglishAnalyzer()
+    for s in ["the dog’s bone", "the dog's bone", "the dog＇s bone"]:
+        assert an.tokenize_text(s) == ["dog", "bone"], repr(s)
+        uniq, codes, _ = an.tokenize_ids(pd.Series([s]))
+        assert [uniq[c] for c in codes] == ["dog", "bone"], repr(s)

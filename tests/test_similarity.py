@@ -82,7 +82,8 @@ def test_alternative_similarities_engine_vs_golden(spark, index_dir, corpus_pdf)
         f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}",
         f"{VOCAB[4]}^2.5 {VOCAB[9]}",
     ]
-    for name in ["classic", "boolean", "lm_dirichlet"]:
+    for name in ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer",
+                 "dfr_gb2", "ib_ll"]:
         sim = get_similarity(name)
         s = IndexSearcher(spark, index_dir, similarity=sim)
         golden = BruteForceIndex(corpus_pdf, similarity=sim)
