@@ -94,7 +94,7 @@ Input: deterministic synthetic transcript corpus (input_hint shape),
 keyed RNG makes generation partitioning-independent). Job: full index build
 (byte-level tokenize → invert → 128-block postings + impacts → stats) at a
 data-size-fixed segment count (identical output layout at every level), then
-the 5-query top-k set (k=10, block-max WAND). Per driver instruction, N vs 4N
+the 7-query top-k set (k=10, block-max WAND). Per driver instruction, N vs 4N
 **executors** is evidenced as local[N] vs local[4N] on one 32-core machine
 (no real cluster in the sandbox); each level runs in a fresh JVM, best of 2.
 
