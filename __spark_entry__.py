@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jelinek_mercer_topk": _mk_sim_topk("lm_jelinek_mercer", 40),
         "dfr_gb2_topk": _mk_sim_topk("dfr_gb2", 40),
         "ib_ll_topk": _mk_sim_topk("ib_ll", 40),
+        "dfi_chi2_topk": _mk_sim_topk("dfi_chi2", 40),
+        "axiomatic_f2exp_topk": _mk_sim_topk("axiomatic_f2exp", 40),
         "synonym_topk": _q_synonym,
         "dismax_topk": _q_dismax,
         "group_top1_source": _q_group_top1,
@@ -705,6 +707,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": oracle.lm_dirichlet_topk_sql(_parse(Q_OR), 40),
         "dfr_gb2_topk": oracle.dfr_gb2_topk_sql(_parse(Q_OR), 40),
         "ib_ll_topk": oracle.ib_ll_topk_sql(_parse(Q_OR), 40),
+        "dfi_chi2_topk": oracle.dfi_chi2_topk_sql(_parse(Q_OR), 40),
+        "axiomatic_f2exp_topk": oracle.axiomatic_f2exp_topk_sql(
+            _parse(Q_OR), 40),
         "lm_jelinek_mercer_topk": oracle.lm_jelinek_mercer_topk_sql(
             _parse(Q_OR), 40
         ),

@@ -167,25 +167,46 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     # ---- Unicode step-up (joiners/StandardAnalyzer mode only):
     # Latin-1 Supplement letters (UTF-8 C3 page) lowercase + letter-class;
     # CJK unified ideographs (U+4E00–U+9FFF) one-token-per-character.
+    # ASCII-only batches detect in one cheap pass and allocate nothing; the
+    # non-ASCII masks route through the _Scratch pool like the rest of the
+    # hot path (this VM refaults freed pages at ~67µs/page).
     lat_lead = lat_cont = cjk_starts = None
-    if joiners and B > 1:
-        c3 = buf == 0xC3
+    has_non_ascii = bool((buf >= 0x80).any())
+    if joiners and B > 2 and has_non_ascii:
+        c3 = _SCR.get("u_c3", B, bool)
+        np.equal(buf, 0xC3, out=c3)
         if c3.any():
             # lowercase: C3 80–9E minus 97 (À–Þ minus ×) → +0x20
-            up = (buf >= 0x80) & (buf <= 0x9E) & (buf != 0x97)
-            up[:1] = False
-            up[1:] &= c3[:-1]
+            up = _SCR.get("u_up", B, bool)
+            np.greater_equal(buf, 0x80, out=up)
+            np.less_equal(buf, 0x9E, out=t1)
+            np.logical_and(up, t1, out=up)
+            np.not_equal(buf, 0x97, out=t1)
+            np.logical_and(up, t1, out=up)
+            up[0] = False
+            np.logical_and(up[1:], c3[:-1], out=up[1:])
             np.add(buf, 0x20, out=buf, where=up)
             # letter continuations post-lowercase: 9F (ß) + A0–BF minus B7
             # (à–ÿ minus ÷)
-            cont = ((buf >= 0xA0) & (buf <= 0xBF) & (buf != 0xB7)) \
-                | (buf == 0x9F)
-            lat_cont = np.zeros(B, dtype=bool)
-            lat_cont[1:] = c3[:-1] & cont[1:]
-            lat_lead = np.zeros(B, dtype=bool)
+            cont = up  # reuse
+            np.greater_equal(buf, 0xA0, out=cont)
+            np.less_equal(buf, 0xBF, out=t1)
+            np.logical_and(cont, t1, out=cont)
+            np.not_equal(buf, 0xB7, out=t1)
+            np.logical_and(cont, t1, out=cont)
+            np.equal(buf, 0x9F, out=t1)
+            np.logical_or(cont, t1, out=cont)
+            lat_cont = _SCR.get("u_lc", B, bool)
+            lat_cont[:] = False
+            np.logical_and(c3[:-1], cont[1:], out=lat_cont[1:])
+            lat_lead = _SCR.get("u_ll", B, bool)
+            lat_lead[:] = False
             lat_lead[:-1] = lat_cont[1:]
-        e_lead = (buf >= 0xE4) & (buf <= 0xE9)
-        if e_lead.any() and B > 2:
+        e_lead = _SCR.get("u_el", B, bool)
+        np.greater_equal(buf, 0xE4, out=e_lead)
+        np.less_equal(buf, 0xE9, out=t1)
+        np.logical_and(e_lead, t1, out=e_lead)
+        if e_lead.any():
             li = np.flatnonzero(e_lead[:-2])
             cp = ((buf[li].astype(np.int32) & 0x0F) << 12) \
                 | ((buf[li + 1].astype(np.int32) & 0x3F) << 6) \
@@ -249,7 +270,15 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
         np.logical_or(strict, lat_lead, out=strict)
     has_alnum = (np.add.reduceat(strict, starts) if starts.size
                  else np.zeros(0, dtype=np.int64))
-    keep = (lens <= max_token_length) & (has_alnum > 0)
+    # maxTokenLength counts CHARACTERS (the reference contract), not UTF-8
+    # bytes: subtract continuation bytes (0x80–0xBF) per token span
+    if has_non_ascii and starts.size:
+        cont_b = (buf & 0xC0) == 0x80
+        cs = np.concatenate([[0], np.cumsum(cont_b)])
+        char_lens = lens - (cs[ends] - cs[starts])
+    else:
+        char_lens = lens
+    keep = (char_lens <= max_token_length) & (has_alnum > 0)
 
     if cjk_starts is not None:
         # each ideograph is its own 3-byte token, always kept; merge the two

@@ -1124,9 +1124,16 @@ avg_d AS (
 ),
 qterms(cid, term, boost) AS (VALUES {qvals}),
 parts AS (
+  -- LambdaDF.java:36-38: λ = f32((df+1)/(N+1)), nextDown'ed when exactly 1
+  -- (a term present in EVERY doc); nextDown(1f) = 1 - 2^-24
   SELECT q.cid, q.term, q.boost,
-         CAST(CAST((ts.df + 1.0) / ((SELECT nn FROM avg_d) + 1.0) AS FLOAT)
-              AS DOUBLE) AS lam
+         CASE WHEN CAST((ts.df + 1.0) / ((SELECT nn FROM avg_d) + 1.0)
+                        AS FLOAT) = CAST(1.0 AS FLOAT)
+              THEN CAST(CAST(0.99999994 AS FLOAT) AS DOUBLE)
+              ELSE CAST(CAST((ts.df + 1.0)
+                             / ((SELECT nn FROM avg_d) + 1.0) AS FLOAT)
+                        AS DOUBLE)
+         END AS lam
   FROM qterms q JOIN tstats2 ts ON ts.term = q.term
 ),
 clause_scores AS (
@@ -1136,6 +1143,103 @@ clause_scores AS (
                  * (ln(1 + (SELECT avgdl FROM avg_d)
                            / CAST(d.dlen AS DOUBLE)) / ln(2))
                  + p.lam))) AS FLOAT) AS s
+  FROM tf
+  JOIN parts p ON p.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def dfi_chi2_topk_sql(query, k: int) -> str:
+    """DFI chi-squared top-k: expected = (ttf+1)·dlen/(T+1), T = sum_ttf;
+    s = 0 when tf ≤ expected else f32(boost·log2((tf−expected)²/expected+1))."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+parts AS (
+  SELECT q.cid, q.term, q.boost, ts.ttf + 1.0 AS f1
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CASE WHEN CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                   <= p.f1 * CAST(d.dlen AS DOUBLE)
+                      / ((SELECT sum_ttf FROM fstats) + 1.0)
+              THEN CAST(0.0 AS FLOAT)
+              ELSE CAST(p.boost * (ln(
+                     (CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                      - p.f1 * CAST(d.dlen AS DOUBLE)
+                        / ((SELECT sum_ttf FROM fstats) + 1.0))
+                     * (CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                        - p.f1 * CAST(d.dlen AS DOUBLE)
+                          / ((SELECT sum_ttf FROM fstats) + 1.0))
+                     / (p.f1 * CAST(d.dlen AS DOUBLE)
+                        / ((SELECT sum_ttf FROM fstats) + 1.0))
+                     + 1) / ln(2)) AS FLOAT)
+         END AS s
+  FROM tf
+  JOIN parts p ON p.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def axiomatic_f2exp_topk_sql(query, k: int, s: float = 0.25,
+                             kpar: float = 0.35) -> str:
+    """Axiomatic F2EXP top-k: s = f32(boost · tf/(tf + s + s·dlen/avgdl)
+    · ((N+1)/df)^k), avgdl = sum_ttf/N in DOUBLE; s/k float32-rounded
+    hyperparams (the reference stores them as float)."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    import numpy as _np
+
+    sf = float(_np.float32(s))
+    kf = float(_np.float32(kpar))
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))" for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+avg_d AS (
+  SELECT CAST(sum_ttf AS DOUBLE) / n AS avgdl, CAST(n AS DOUBLE) AS nn
+  FROM fstats
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+parts AS (
+  SELECT q.cid, q.term, q.boost,
+         pow(((SELECT nn FROM avg_d) + 1.0) / ts.df, {kf!r}) AS idf
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(GREATEST(p.boost
+              * (CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)
+                 / (CAST(CAST(tf.tf AS FLOAT) AS DOUBLE) + {sf!r}
+                    + {sf!r} * CAST(d.dlen AS DOUBLE)
+                      / (SELECT avgdl FROM avg_d)))
+              * p.idf, 0.0) AS FLOAT) AS s
   FROM tf
   JOIN parts p ON p.term = tf.term
   JOIN dlen d ON d.did = tf.did

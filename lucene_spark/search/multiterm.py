@@ -207,15 +207,30 @@ def expand_terms_cached(reader, q: ast.MultiTermQuery, max_terms: int):
         i = min((q.value.find(c) % (len(q.value) + 1) for c in "*?"),
                 default=len(q.value))
         lit = q.value[:i]
-        if not lit and len(terms) > LINEAR_SCAN_MAX:
-            return None
         import fnmatch
         import re
 
         rx = re.compile(fnmatch.translate(
             q.value.replace("[", "[[]")))  # Lucene wildcards have no [sets]
-        cand = prefix_slice(lit) if lit else terms
-        return bounded(t for t in cand if rx.match(t))
+        # cap on ACTUAL matches, not on terms sharing the literal prefix
+        # (a*9 over a 100k-term a-prefix matches few terms); a huge prefix
+        # range defers to the distributed scan instead of raising
+        lo = bisect.bisect_left(terms, lit) if lit else 0
+        out, scanned = [], 0
+        for j in range(lo, len(terms)):
+            t = terms[j]
+            if lit and not t.startswith(lit):
+                break
+            scanned += 1
+            if scanned > LINEAR_SCAN_MAX:
+                return None  # fall back to the pushdown scan / semi-join
+            if rx.match(t):
+                out.append(t)
+                if len(out) > max_terms:
+                    raise TooManyClauses(
+                        f"wildcard query expanded past max_terms={max_terms}"
+                    )
+        return out
     if q.kind == "fuzzy":
         if len(terms) > LINEAR_SCAN_MAX:
             return None

@@ -25,7 +25,7 @@ class LRUQueryCache:
     def __init__(self, max_entries: int = 64, min_uses: int = 2):
         self.max_entries = max_entries
         self.min_uses = min_uses
-        self._uses: dict = {}
+        self._uses: OrderedDict = OrderedDict()  # LRU-trimmed usage tracker
         self._cache: OrderedDict = OrderedDict()
         self.hits = 0
         self.misses = 0
@@ -39,6 +39,12 @@ class LRUQueryCache:
             return self._cache[key]
         self.misses += 1
         self._uses[key] = self._uses.get(key, 0) + 1
+        self._uses.move_to_end(key)
+        # bound the tracker itself: a stream of one-shot unique filters must
+        # not accumulate AST keys on the driver (UsageTracking history is
+        # bounded in the reference too)
+        while len(self._uses) > 16 * self.max_entries:
+            self._uses.popitem(last=False)
         df = build()
         if self._uses[key] >= self.min_uses:
             from pyspark import StorageLevel

@@ -75,8 +75,14 @@ class IndexReader:
                 pairs.append(F.lit(int(s)))
                 pairs.append(F.lit(int(o)))
             self._offsets_map_expr = F.create_map(*pairs)
-        return df.withColumn(
-            "doc_offset", F.element_at(self._offsets_map_expr, F.col("seg"))
+        # the manifest-membership filter preserves point-in-time snapshot
+        # isolation (the old inner join's side effect): orphan segment files
+        # from a crashed pre-commit append/compaction are ignored, and the
+        # In(seg, …) predicate partition-prunes the seg=N dirs
+        return (
+            df.filter(F.col("seg").isin(sorted(self.offsets)))
+            .withColumn("doc_offset",
+                        F.element_at(self._offsets_map_expr, F.col("seg")))
         )
 
     # dictionaries up to this size are pinned in driver memory (a ~2M-term

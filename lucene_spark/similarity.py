@@ -313,6 +313,84 @@ class IBScorer:
         return s.astype(F32)
 
 
+@dataclass(frozen=True)
+class DFISimilarity:
+    """Divergence-from-independence, chi-squared measure
+    (``core/search/similarities/DFISimilarity.java:57-67`` +
+    ``IndependenceChiSquared.java:33-35``): expected = (ttf+1)·dl/(T+1)
+    with T = sumTotalTermFreq; freq ≤ expected → 0; else score =
+    float(boost · log2((freq−expected)²/expected + 1))."""
+
+    name = "dfi_chi2"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(dfs) != 1:
+            raise NotImplementedError(
+                "DFISimilarity scores single-term clauses (ttf required)")
+        return DFIScorer(weight=F32(boost), boost=float(boost),
+                         ttf1=float(ttfs[0]) + 1.0,
+                         T1=float(sum_ttf) + 1.0)
+
+
+@dataclass(frozen=True)
+class DFIScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    ttf1: float
+    T1: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        expected = self.ttf1 * dl / self.T1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            measure = (tf64 - expected) ** 2 / expected
+            s = self.boost * (np.log(measure + 1.0) / _LN2)
+        s = np.where(tf64 <= expected, 0.0, s)
+        return s.astype(F32)
+
+
+@dataclass(frozen=True)
+class AxiomaticF2EXP:
+    """Axiomatic F2EXP (``core/search/similarities/AxiomaticF2EXP.java:59-84``
+    via ``Axiomatic.java:96-106``): score = float(max(0, boost ·
+    freq/(freq + s + s·dl/avgdl) · ((N+1)/df)^k)); defaults s=0.25, k=0.35;
+    avgdl = sumTTF/N in DOUBLE."""
+
+    s: float = 0.25
+    k: float = 0.35
+    name = "axiomatic_f2exp"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if len(dfs) != 1:
+            raise NotImplementedError(
+                "AxiomaticF2EXP scores single-term clauses")
+        idf = math.pow((float(doc_count) + 1.0) / float(dfs[0]),
+                       float(F32(self.k)))
+        avgdl = float(sum_ttf) / float(doc_count)
+        return AxiomaticF2EXPScorer(weight=F32(boost), boost=float(boost),
+                                    s=float(F32(self.s)), idf=idf,
+                                    avgdl=avgdl)
+
+
+@dataclass(frozen=True)
+class AxiomaticF2EXPScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    s: float
+    idf: float
+    avgdl: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        tfln = tf64 / (tf64 + self.s + self.s * dl / self.avgdl)
+        s = np.maximum(self.boost * tfln * self.idf, 0.0)
+        return s.astype(F32)
+
+
 def get_similarity(name: str, **kw):
     """Similarity registry — the plug-in lookup used by jobs and gates."""
     if name == "bm25":
@@ -329,6 +407,10 @@ def get_similarity(name: str, **kw):
         return DFRSimilarity(**kw)
     if name == "ib_ll":
         return IBSimilarity(**kw)
+    if name == "dfi_chi2":
+        return DFISimilarity()
+    if name == "axiomatic_f2exp":
+        return AxiomaticF2EXP(**kw)
     raise ValueError(f"unknown similarity: {name}")
 
 

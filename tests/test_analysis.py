@@ -105,3 +105,37 @@ def test_english_curly_apostrophe():
         assert an.tokenize_text(s) == ["dog", "bone"], repr(s)
         uniq, codes, _ = an.tokenize_ids(pd.Series([s]))
         assert [uniq[c] for c in codes] == ["dog", "bone"], repr(s)
+
+
+def test_max_token_length_counts_characters():
+    """maxTokenLength is a CHARACTER cap (reference contract), not UTF-8
+    bytes: a 255-char accented token survives both analyzer paths, a
+    256-char one is dropped by both."""
+    import pandas as pd
+
+    from lucene_spark.analysis import StandardAnalyzer
+
+    an = StandardAnalyzer()
+    keep = "é" + "x" * 254   # 255 chars, 256 bytes
+    drop = "é" + "x" * 255   # 256 chars
+    uniq, codes, _ = an.tokenize_ids(pd.Series([keep]))
+    assert [uniq[c] for c in codes] == an.tokenize_text(keep) == [keep]
+    uniq, codes, _ = an.tokenize_ids(pd.Series([drop]))
+    assert list(codes) == [] and an.tokenize_text(drop) == []
+
+
+def test_wildcard_cached_expansion_caps_matches_not_prefix_range():
+    """The driver-dict wildcard expansion bounds ACTUAL matches; many terms
+    merely sharing the literal prefix must not raise TooManyClauses."""
+    from lucene_spark.search import ast
+    from lucene_spark.search.multiterm import expand_terms_cached
+
+    class FakeReader:
+        def sorted_terms(self, f):
+            return [f"a{i:03d}" for i in range(10)]
+
+        def has_term(self, f, t):
+            return True
+
+    q = ast.MultiTermQuery("wildcard", "a*9")
+    assert expand_terms_cached(FakeReader(), q, 5) == ["a009"]

@@ -83,7 +83,7 @@ def test_alternative_similarities_engine_vs_golden(spark, index_dir, corpus_pdf)
         f"{VOCAB[4]}^2.5 {VOCAB[9]}",
     ]
     for name in ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer",
-                 "dfr_gb2", "ib_ll"]:
+                 "dfr_gb2", "ib_ll", "dfi_chi2", "axiomatic_f2exp"]:
         sim = get_similarity(name)
         s = IndexSearcher(spark, index_dir, similarity=sim)
         golden = BruteForceIndex(corpus_pdf, similarity=sim)
