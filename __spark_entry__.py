@@ -428,6 +428,17 @@ def _q_unicode_topk(spark, sf_dir):
     return _hits_df(spark, s.search("tàblé 值", k=50, mode="wand"))
 
 
+def _q_sort_conv_early(spark, sf_dir):
+    """Early-terminating sort-by-index-order (setIndexSort +
+    TopFieldCollector.canEarlyTerminate analogue): sort matches of a flat
+    OR query by conv_id ASC — a prefix of the index sort, so per-segment
+    kernels decode leading blocks only."""
+    s = _searcher(spark, sf_dir)
+    rows = s.search_sorted(_parse(Q_OR), [("conv_id", False)], k=50)
+    return spark.createDataFrame(
+        [(int(d), c) for d, c in rows], "doc_id long, conv_id string")
+
+
 def _q_doc_range(spark, sf_dir):
     from lucene_spark.search.reader import IndexReader
 
@@ -598,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_counts": _q_facet_lang,
         "search_after_page2": _q_search_after,
         "sort_by_dl_topk": _q_sort_by_dl,
+        "sort_conv_early": _q_sort_conv_early,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
         "delete_compact_topk": _q_delete_compact,
@@ -718,6 +730,8 @@ def oracle_sql() -> dict[str, str]:
         "group_top1_source": oracle.group_top1_sql(_parse(Q_OR), "source"),
         "facet_lang_counts": oracle.facet_counts_sql(_parse(Q_OR), "lang"),
         "search_after_page2": oracle.search_after_sql(_parse(Q_OR), 1, 20),
+        "sort_conv_early": oracle.sort_conv_early_sql(
+            Q_OR.split(), 50),
         "sort_by_dl_topk": oracle.sort_by_dl_sql(
             ["table", "value", "query"], 50
         ),

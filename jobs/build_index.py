@@ -17,6 +17,12 @@ wall seconds).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# local runs (python jobs/x.py) resolve the package from the repo root;
+# spark-submit --py-files ships dist/lucene_spark.zip instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 
@@ -29,7 +35,7 @@ def main():
     ap.add_argument("--segments", type=int, default=None,
                     help="segment count (default: ~31k rows per segment)")
     ap.add_argument("--analyzer", default="standard",
-                    choices=["standard", "simple"])
+                    choices=["standard", "simple", "english"])
     ap.add_argument("--resume", action="store_true",
                     help="resume from checkpoint (re-invert changed segments only)")
     ap.add_argument("--no-positions", action="store_true")

@@ -13,6 +13,12 @@ Prints one JSON line per action, e.g.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# local runs (python jobs/x.py) resolve the package from the repo root;
+# spark-submit --py-files ships dist/lucene_spark.zip instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 
 

@@ -11,6 +11,12 @@ Prints one JSON line per query: {"query": ..., "hits": [[doc_id, score], ...],
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# local runs (python jobs/x.py) resolve the package from the repo root;
+# spark-submit --py-files ships dist/lucene_spark.zip instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 
@@ -24,7 +30,8 @@ def main():
     ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
     ap.add_argument("--similarity", default="bm25",
                     choices=["bm25", "classic", "boolean", "lm_dirichlet",
-                             "lm_jelinek_mercer"])
+                             "lm_jelinek_mercer", "dfr_gb2", "ib_ll",
+                             "dfi_chi2", "axiomatic_f2exp"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -913,6 +913,25 @@ SELECT count(*)::BIGINT AS hits FROM dls d WHERE {where}
 """
 
 
+def sort_conv_early_sql(terms, k: int) -> str:
+    """Index-order sorted top-k: docs matching ANY of ``terms``, ordered by
+    (conv_id ASC, docID ASC) — the early-termination path's contract (the
+    requested sort is a prefix of the index sort, so the k smallest
+    matching docIDs are the answer)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {BASE_CTES},
+matched AS (SELECT DISTINCT did FROM tf WHERE term IN ({inlist}))
+SELECT m.did AS doc_id, printf('c%010d', dd.doc_id) AS conv_id
+FROM matched m
+JOIN (SELECT doc_id,
+             row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did
+      FROM documents) dd ON dd.did = m.did
+ORDER BY conv_id ASC, m.did ASC
+LIMIT {k}
+"""
+
+
 def sort_by_dl_sql(terms, k: int) -> str:
     """Sort-by-field (dl DESC, docID ASC) top-k over docs matching ANY of
     ``terms`` — the TopFieldCollector gate's oracle."""

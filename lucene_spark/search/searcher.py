@@ -808,6 +808,58 @@ class IndexSearcher:
         )
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    # ascending sort-key prefixes of the INDEX sort (docID order is
+    # row_number over (conv_id, turn_idx)) — eligible for early termination
+    _INDEX_SORT_PREFIXES = (
+        (("conv_id", False),),
+        (("conv_id", False), ("turn_idx", False)),
+    )
+
+    def _search_sorted_early(self, query, fields, k: int):
+        """Early-terminating sort-by-index-order — the
+        ``IndexWriterConfig.setIndexSort`` + ``TopFieldCollector``
+        early-exit analogue (``core/search/TopFieldCollector.java``
+        ``canEarlyTerminate``): when the requested sort is an ascending
+        prefix of the index sort, the k first matching docIDs ARE the
+        top-k, so per-segment execution decodes leading posting blocks only
+        until the k smallest docIDs are provably complete (the
+        ``constant_score_topk`` early exit) instead of materializing the
+        full match set. Returns None when the query shape has no union
+        postings form (callers fall back to the exhaustive path)."""
+        from pyspark.sql import functions as F
+
+        from lucene_spark.search.multiterm import constant_score_topk
+
+        q = ast.normalize(query)
+        if isinstance(q, ast.TermQuery):
+            postings = self.reader.postings([q.term], field=q.field)
+        elif isinstance(q, ast.MultiTermQuery):
+            postings = self._multiterm_postings(q)
+        elif (isinstance(q, ast.BooleanQuery)
+              and all(occ == ast.SHOULD and isinstance(sub, ast.TermQuery)
+                      for occ, sub in q.clauses)
+              and q.min_should_match <= 1):
+            ft: dict[str, list] = {}
+            for _occ, sub in q.clauses:
+                ft.setdefault(sub.field, []).append(sub.term)
+            postings = self.reader.postings_multi(ft)
+        else:
+            return None  # no union-postings form → exhaustive path
+        hits = constant_score_topk(
+            self.reader, postings, k, 1.0,
+            deleted_loader=self.reader.deleted_loader())
+        ids = [h.doc_id for h in hits]
+        if not ids:
+            return []
+        rows = self._collect(
+            self.reader.docs()
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", *fields)
+        )
+        by_id = {int(r["doc_id"]): r for r in rows}
+        return [tuple([i] + [by_id[i][f] for f in fields])
+                for i in sorted(by_id)]
+
     def search_sorted(self, query, sort_field, k: int = 10,
                       reverse: bool = True) -> list[tuple]:
         """Sort-by-field top-k — the ``TopFieldCollector`` analogue
@@ -828,6 +880,12 @@ class IndexSearcher:
         keys = ([(sort_field, reverse)] if isinstance(sort_field, str)
                 else [(f, bool(r)) for f, r in sort_field])
         fields = [f for f, _ in keys]
+        if tuple(keys) in self._INDEX_SORT_PREFIXES:
+            if isinstance(query, str):
+                query = self.parse(query)
+            early = self._search_sorted_early(query, fields, k)
+            if early is not None:
+                return early
         # match_df supports every query shape (scores are discarded anyway)
         matches = self.match_df(query)
         docs = self.reader.docs().select("doc_id", *fields)

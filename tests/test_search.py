@@ -684,3 +684,26 @@ def test_sloppy_repeat_matcher():
         assert g == brute_exists(raw, list(range(len(terms))), slop)
         checked += 1
     assert checked > 400
+
+
+def test_search_sorted_index_order_early_termination(spark, searcher):
+    """Sorting by an ascending prefix of the index sort routes through the
+    early-terminating path (k smallest matching docIDs via block-decode
+    early exit) and returns exactly what the exhaustive path returns."""
+    from pyspark.sql import functions as F
+    from lucene_spark.corpus import VOCAB
+
+    q = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    early = searcher._search_sorted_early(q, ["conv_id"], 25)
+    assert early is not None  # flat SHOULD boolean has a union form
+    rows = (
+        searcher.match_df(q)
+        .join(searcher.reader.docs().select("doc_id", "conv_id"), "doc_id")
+        .orderBy(F.asc("conv_id"), F.asc("doc_id")).limit(25).collect()
+    )
+    generic = [(int(r["doc_id"]), r["conv_id"]) for r in rows]
+    assert searcher.search_sorted(q, [("conv_id", False)], k=25) == generic
+    assert early == generic
+    # descending / non-prefix sorts fall back (still correct)
+    d1 = searcher.search_sorted(q, [("conv_id", True)], k=5)
+    assert len(d1) == 5
