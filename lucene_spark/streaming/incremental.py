@@ -33,21 +33,52 @@ from lucene_spark.indexing.partitioning import (
 
 
 class IncrementalIndexer:
-    """Append micro-batches of transcripts to an on-disk index."""
+    """Append micro-batches of transcripts to an on-disk index.
+
+    ``auto_compact_segments`` (the ConcurrentMergeScheduler analogue,
+    ``core/index/ConcurrentMergeScheduler.java`` — merge work triggered by
+    writer activity, not an operator): when an append leaves more than this
+    many segments, the tiered merge policy runs inline after the commit,
+    compacting consecutive small runs up to ``auto_compact_rows`` live rows
+    per merged segment. 0 disables (the default — batch jobs drive
+    ``jobs/maintain.py`` instead). The compaction is itself a single atomic
+    manifest commit, so a crash between append and auto-compact just leaves
+    an uncompacted (valid) index."""
 
     # stats generations surviving GC beyond the current one — readers opened
     # within the last N appends keep valid file pointers (ADVICE r2 #4)
     GC_KEEP_GENERATIONS = 4
 
     def __init__(self, spark, index_dir: str, analyzer: str = "standard",
-                 rows_per_segment: int = 31_250, positions: bool = True):
+                 rows_per_segment: int = 31_250, positions: bool = True,
+                 auto_compact_segments: int = 0,
+                 auto_compact_rows: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.rows_per_segment = rows_per_segment
         self.positions = positions
+        self.auto_compact_segments = int(auto_compact_segments)
+        self.auto_compact_rows = auto_compact_rows or rows_per_segment * 8
         self._builder = IndexBuilder(spark, index_dir, analyzer=analyzer,
                                      positions=positions)
+
+    def _maybe_compact(self, result: dict) -> dict:
+        """Post-commit merge-scheduler hook (see class docstring)."""
+        if not self.auto_compact_segments:
+            return result
+        m = self._builder._load_manifest()
+        if m is None or m.get("num_segments", 0) <= self.auto_compact_segments:
+            return result
+        from lucene_spark.indexing.maintenance import IndexMaintenance
+
+        out = IndexMaintenance(self.spark, self.index_dir).compact(
+            target_rows=self.auto_compact_rows)
+        result["auto_compacted"] = {
+            "merged_runs": out.get("merged_runs", 0),
+            "num_segments": out.get("num_segments"),
+        }
+        return result
 
     def append(self, batch_df, epoch_id: int | None = None,
                extra_manifest: dict | None = None) -> dict:
@@ -69,7 +100,7 @@ class IncrementalIndexer:
             m = b._load_manifest()
             m["applied_epochs"] = [] if epoch_id is None else [int(epoch_id)]
             b._save_manifest(m)
-            return res
+            return self._maybe_compact(res)
         applied = manifest.get("applied_epochs", [])
         if epoch_id is not None and int(epoch_id) in applied:
             return {"doc_count": manifest["doc_count"], "built": 0,
@@ -157,7 +188,8 @@ class IncrementalIndexer:
         if gen - self.GC_KEEP_GENERATIONS <= 0:
             keep |= {"term_stats", "field_stats"}
         b._gc_stats_generations(keep=keep)
-        return {"doc_count": acc, "built": len(rows), "reused": 0}
+        return self._maybe_compact(
+            {"doc_count": acc, "built": len(rows), "reused": 0})
 
     def update(self, batch_df, delete_term: str, delete_field: str = "text",
                epoch_id: int | None = None) -> dict:

@@ -186,3 +186,48 @@ def test_append_crash_replay_exactly_once(spark, tmp_path):
                 (fs['doc_count'], fs['sum_ttf'], fs['sum_df']))
 
     assert stats(d) == stats(d_full)
+
+
+def test_auto_compact_merge_scheduler(spark, tmp_path):
+    """ConcurrentMergeScheduler analogue: appends past the segment
+    threshold trigger an inline tiered compaction; results stay identical
+    to a fresh batch build of the full corpus and the segment count stays
+    bounded."""
+    import shutil
+
+    from lucene_spark.corpus import synthetic_transcripts
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "auto_idx")
+    full = synthetic_transcripts(spark, 60).cache()
+    inc = IncrementalIndexer(spark, d, rows_per_segment=20,
+                             auto_compact_segments=4,
+                             auto_compact_rows=10_000)
+    convs = sorted(r["conv_id"] for r in full.select("conv_id").distinct().collect())
+    step = len(convs) // 5
+    compacted = 0
+    for i in range(5):
+        lo = convs[i * step]
+        hi = convs[(i + 1) * step - 1] if i < 4 else convs[-1]
+        batch = full.filter((F.col("conv_id") >= lo) & (F.col("conv_id") <= hi))
+        out = inc.append(batch, epoch_id=i)
+        if "auto_compacted" in out:
+            compacted += 1
+            assert out["auto_compacted"]["num_segments"] <= 4
+    assert compacted >= 1, "threshold never triggered"
+
+    d2 = str(tmp_path / "batch_idx")
+    shutil.rmtree(d2, ignore_errors=True)
+    IndexBuilder(spark, d2, num_segments=3).build(full)
+    s1 = IndexSearcher(spark, d)
+    s2 = IndexSearcher(spark, d2)
+    from lucene_spark.corpus import VOCAB
+
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+    h1 = [(h.doc_id, h.score) for h in s1.search(q, 30)]
+    h2 = [(h.doc_id, h.score) for h in s2.search(q, 30)]
+    assert h1 == h2
+    full.unpersist()
