@@ -428,6 +428,30 @@ def _q_unicode_topk(spark, sf_dir):
     return _hits_df(spark, s.search("tàblé 值", k=50, mode="wand"))
 
 
+def _q_suggest_terms(spark, sf_dir):
+    """Suggest-lite: prefix completions from the term dictionary ranked by
+    docFreq (the Lookup (key, weight) contract)."""
+    from lucene_spark.search.suggest import suggest_terms
+
+    s = _searcher(spark, sf_dir)
+    out = suggest_terms(s.reader, "s", k=10)
+    return spark.createDataFrame(
+        [(t, int(df)) for t, df in out], "term string, df long")
+
+
+def _q_percolate(spark, sf_dir):
+    """Monitor-lite / percolator: which of three registered queries (term,
+    conjunction, exact phrase) match each document."""
+    from lucene_spark.search.suggest import percolate_df
+
+    s = _searcher(spark, sf_dir)
+    return percolate_df(s, {
+        "q_term": _parse("spark"),
+        "q_and": _parse(Q_AND),
+        "q_phrase": ast.PhraseQuery(PHRASE_TERMS),
+    })
+
+
 def _q_sort_conv_early(spark, sf_dir):
     """Early-terminating sort-by-index-order (setIndexSort +
     TopFieldCollector.canEarlyTerminate analogue): sort matches of a flat
@@ -610,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "sort_by_dl_topk": _q_sort_by_dl,
         "sort_conv_early": _q_sort_conv_early,
+        "suggest_terms": _q_suggest_terms,
+        "percolate_queries": _q_percolate,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
         "delete_compact_topk": _q_delete_compact,
@@ -732,6 +758,9 @@ def oracle_sql() -> dict[str, str]:
         "search_after_page2": oracle.search_after_sql(_parse(Q_OR), 1, 20),
         "sort_conv_early": oracle.sort_conv_early_sql(
             Q_OR.split(), 50),
+        "suggest_terms": oracle.suggest_terms_sql("s", 10),
+        "percolate_queries": oracle.percolate_sql(
+            "spark", ["table", "value"], list(PHRASE_TERMS)),
         "sort_by_dl_topk": oracle.sort_by_dl_sql(
             ["table", "value", "query"], 50
         ),

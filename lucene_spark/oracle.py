@@ -913,6 +913,44 @@ SELECT count(*)::BIGINT AS hits FROM dls d WHERE {where}
 """
 
 
+def suggest_terms_sql(prefix: str, k: int) -> str:
+    """Prefix suggester oracle: completions ranked (df DESC, term ASC)."""
+    return f"""
+WITH {BASE_CTES}
+SELECT term, df FROM tstats
+WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def percolate_sql(term_q: str, and_terms, phrase_terms) -> str:
+    """Monitor/percolator oracle: (query_id, doc_id) for three registered
+    query shapes — a term query, a conjunction, and an exact phrase."""
+    a0, a1 = and_terms
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(phrase_terms))
+    )
+    conds = " AND ".join(
+        f"t{i}.term = '{t}'" for i, t in enumerate(phrase_terms)
+    )
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT 'q_term' AS query_id, did AS doc_id
+FROM (SELECT DISTINCT did FROM tf WHERE term = '{term_q}')
+UNION ALL
+SELECT 'q_and', a.did
+FROM (SELECT DISTINCT did FROM tf WHERE term = '{a0}') a
+JOIN (SELECT DISTINCT did FROM tf WHERE term = '{a1}') b ON b.did = a.did
+UNION ALL
+SELECT 'q_phrase', did FROM (
+  SELECT DISTINCT t0.did FROM toksp t0{joins}
+  WHERE {conds}
+)
+"""
+
+
 def sort_conv_early_sql(terms, k: int) -> str:
     """Index-order sorted top-k: docs matching ANY of ``terms``, ordered by
     (conv_id ASC, docID ASC) — the early-termination path's contract (the

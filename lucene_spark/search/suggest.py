@@ -1,0 +1,74 @@
+"""Suggest-lite + Monitor-lite — the ``lucene/suggest`` and
+``lucene/monitor`` modules re-expressed on existing substrates.
+
+- :func:`suggest_terms` — prefix completion over the term dictionary
+  ranked by document frequency (the weight), the
+  ``suggest/.../TermFreqIterator``-style suggester
+  (``lucene/suggest/src/java/org/apache/lucene/search/suggest/Lookup.java``:
+  lookups return (key, weight) pairs ranked by weight). Spark-first: one
+  pushdown scan of the sorted term-dict parquet (StringStartsWith hits
+  row-group min/max), TakeOrdered reduce — or zero jobs when the driver
+  dictionary is resident.
+
+- :func:`percolate_df` — the Monitor / percolator inverse search
+  (``lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java``:
+  match(doc) returns which REGISTERED QUERIES match a document).
+  Spark-first inversion: each stored query's distributed match set is
+  labeled and unioned — (query_id, doc_id) rows for every registered query
+  that matches each doc, reusing ``IndexSearcher.match_df`` (and its LRU
+  cache) for every query shape the engine supports. Scale note: this is
+  O(registered queries) plans per run, right for O(10^2-10^3) alert
+  queries; the reference Monitor's Presearcher (indexing the queries
+  themselves to prefilter candidates) would be the next step for 10^5+
+  registered queries and is documented out of scope.
+"""
+
+from __future__ import annotations
+
+
+def suggest_terms(reader, prefix: str, k: int = 10, field: str = "text"):
+    """Top-k completions of ``prefix`` ranked by (df DESC, term ASC).
+
+    Returns [(term, df), ...]. Driver-resident dictionaries answer with no
+    Spark job; larger dictionaries run a StringStartsWith-pushdown scan
+    with a TakeOrdered reduce.
+    """
+    cache = reader._term_cache()
+    if cache is not None:
+        cands = [(t, v["df"]) for (f, t), v in cache.items()
+                 if f == field and t.startswith(prefix)]
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        return cands[:k]
+    from pyspark.sql import functions as F
+
+    rows = (
+        reader._term_stats_df
+        .filter((F.col("field") == field)
+                & F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+def percolate_df(searcher, queries: dict):
+    """(query_id, doc_id) DataFrame: every registered query × the docs it
+    matches. ``queries``: {query_id: AST node or classic-syntax string}.
+    Each match set stays distributed; the union is one plan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for qid, q in sorted(queries.items()):
+        if isinstance(q, str):
+            q = searcher.parse(q)
+        parts.append(
+            searcher.match_df(q).select(
+                F.lit(qid).alias("query_id"), "doc_id")
+        )
+    if not parts:
+        return searcher.spark.createDataFrame(
+            [], "query_id string, doc_id long")
+    return reduce(lambda a, b: a.unionByName(b), parts)

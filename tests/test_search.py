@@ -707,3 +707,24 @@ def test_search_sorted_index_order_early_termination(spark, searcher):
     # descending / non-prefix sorts fall back (still correct)
     d1 = searcher.search_sorted(q, [("conv_id", True)], k=5)
     assert len(d1) == 5
+
+
+def test_suggest_and_percolate(spark, searcher, corpus_pdf):
+    """Suggest-lite ranks prefix completions by df; percolate-lite returns
+    (query_id, doc_id) for every registered query matching each doc."""
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.search.suggest import percolate_df, suggest_terms
+
+    pre = VOCAB[0][:2]
+    got = suggest_terms(searcher.reader, pre, k=5)
+    assert got and all(t.startswith(pre) for t, _ in got)
+    assert [d for _, d in got] == sorted((d for _, d in got), reverse=True)
+
+    qs = {"a": VOCAB[0], "b": f"+{VOCAB[0]} +{VOCAB[3]}"}
+    rows = percolate_df(searcher, qs).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    a = {h.doc_id for h in searcher.search(VOCAB[0], 10**6, mode="exhaustive")}
+    assert by_q.get("a", set()) == a
+    assert by_q.get("b", set()) <= a
