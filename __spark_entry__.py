@@ -399,6 +399,8 @@ def _q_kw_should(spark, sf_dir):
 
 
 UNI_REPL = ((r"\btable\b", "tàblé"), (r"\bvalue\b", "值"))
+KANA_REPL = ((r"\btable\b", "테이블"), (r"\bvalue\b", "バリュー"),
+             (r"\brow\b", "ぎょう"))
 
 
 def _q_unicode_topk(spark, sf_dir):
@@ -426,6 +428,33 @@ def _q_unicode_topk(spark, sf_dir):
         t, resume=resume)
     s = IndexSearcher(spark, d)
     return _hits_df(spark, s.search("tàblé 值", k=50, mode="wand"))
+
+
+def _q_unicode_kana_topk(spark, sf_dir):
+    """Kana/Hangul tokenizer gate: inject Hangul-run ('table'→'테이블'),
+    Katakana-run ('value'→'バリュー') and Hiragana-per-char ('row'→'ぎょう')
+    vocabulary, index with the byte-level StandardAnalyzer (Hangul/Katakana
+    form run tokens, each Hiragana char is its own token — jflex
+    {HangulEx}+/{KatakanaEx}+/{HiraganaEx} typing), query across all three
+    scripts. Oracle: same derivation with the kana-aware Unicode regex."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_kana/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in KANA_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search("테이블 バリュー ぎ", k=50, mode="wand"))
 
 
 def _q_suggest_terms(spark, sf_dir):
@@ -627,6 +656,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_ll_topk": _mk_sim_topk("ib_ll", 40),
         "dfi_chi2_topk": _mk_sim_topk("dfi_chi2", 40),
         "axiomatic_f2exp_topk": _mk_sim_topk("axiomatic_f2exp", 40),
+        "indri_dirichlet_topk": _mk_sim_topk("indri_dirichlet", 40),
+        "dfr_inl2_topk": _mk_sim_topk("dfr_inl2", 40),
+        "dfr_ineb2_topk": _mk_sim_topk("dfr_ineb2", 40),
+        "ib_spl_topk": _mk_sim_topk("ib_spl", 40),
+        "dfi_sat_topk": _mk_sim_topk("dfi_sat", 40),
+        "dfi_std_topk": _mk_sim_topk("dfi_std", 40),
+        "axiomatic_f1exp_topk": _mk_sim_topk("axiomatic_f1exp", 40),
+        "axiomatic_f1log_topk": _mk_sim_topk("axiomatic_f1log", 40),
+        "axiomatic_f2log_topk": _mk_sim_topk("axiomatic_f2log", 40),
+        "axiomatic_f3exp_topk": _mk_sim_topk("axiomatic_f3exp", 40),
+        "axiomatic_f3log_topk": _mk_sim_topk("axiomatic_f3log", 40),
+        "multi_sim_topk": _mk_sim_topk("multi_bm25_classic", 40),
         "synonym_topk": _q_synonym,
         "dismax_topk": _q_dismax,
         "group_top1_source": _q_group_top1,
@@ -641,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_compact_topk": _q_delete_compact,
         "english_stem_topk": _q_english_stem,
         "unicode_topk": _q_unicode_topk,
+        "unicode_kana_topk": _q_unicode_kana_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -690,6 +732,10 @@ def oracle_sql() -> dict[str, str]:
         "unicode_topk": oracle.unicode_topk_sql(
             ["tàblé", "值"], 50,
             [(r"\btable\b", "tàblé"), (r"\bvalue\b", "值")]
+        ),
+        "unicode_kana_topk": oracle.unicode_topk_sql(
+            ["테이블", "バリュー", "ぎ"], 50, list(KANA_REPL),
+            token_re=oracle.UNICODE_KANA_TOKEN_RE,
         ),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
@@ -747,6 +793,25 @@ def oracle_sql() -> dict[str, str]:
         "ib_ll_topk": oracle.ib_ll_topk_sql(_parse(Q_OR), 40),
         "dfi_chi2_topk": oracle.dfi_chi2_topk_sql(_parse(Q_OR), 40),
         "axiomatic_f2exp_topk": oracle.axiomatic_f2exp_topk_sql(
+            _parse(Q_OR), 40),
+        "indri_dirichlet_topk": oracle.indri_dirichlet_topk_sql(
+            _parse(Q_OR), 40),
+        "dfr_inl2_topk": oracle.dfr_inl2_topk_sql(_parse(Q_OR), 40),
+        "dfr_ineb2_topk": oracle.dfr_ineb2_topk_sql(_parse(Q_OR), 40),
+        "ib_spl_topk": oracle.ib_spl_topk_sql(_parse(Q_OR), 40),
+        "dfi_sat_topk": oracle.dfi_measure_topk_sql(_parse(Q_OR), 40, "sat"),
+        "dfi_std_topk": oracle.dfi_measure_topk_sql(_parse(Q_OR), 40, "std"),
+        "axiomatic_f1exp_topk": oracle.axiomatic_variant_topk_sql(
+            _parse(Q_OR), 40, "f1exp"),
+        "axiomatic_f1log_topk": oracle.axiomatic_variant_topk_sql(
+            _parse(Q_OR), 40, "f1log"),
+        "axiomatic_f2log_topk": oracle.axiomatic_variant_topk_sql(
+            _parse(Q_OR), 40, "f2log"),
+        "axiomatic_f3exp_topk": oracle.axiomatic_variant_topk_sql(
+            _parse(Q_OR), 40, "f3exp"),
+        "axiomatic_f3log_topk": oracle.axiomatic_variant_topk_sql(
+            _parse(Q_OR), 40, "f3log"),
+        "multi_sim_topk": oracle.multi_bm25_classic_topk_sql(
             _parse(Q_OR), 40),
         "lm_jelinek_mercer_topk": oracle.lm_jelinek_mercer_topk_sql(
             _parse(Q_OR), 40

@@ -30,8 +30,14 @@ def main():
     ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
     ap.add_argument("--similarity", default="bm25",
                     choices=["bm25", "classic", "boolean", "lm_dirichlet",
-                             "lm_jelinek_mercer", "dfr_gb2", "ib_ll",
-                             "dfi_chi2", "axiomatic_f2exp"])
+                             "lm_jelinek_mercer", "indri_dirichlet",
+                             "dfr_gb2", "dfr_inl2", "dfr_ineb2",
+                             "ib_ll", "ib_spl",
+                             "dfi_chi2", "dfi_sat", "dfi_std",
+                             "axiomatic_f1exp", "axiomatic_f1log",
+                             "axiomatic_f2exp", "axiomatic_f2log",
+                             "axiomatic_f3exp", "axiomatic_f3log",
+                             "multi_bm25_classic"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -41,6 +41,12 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
 #   the reference StandardTokenizer's IDEOGRAPHIC emission
 #   (``StandardTokenizerImpl.jflex:161-200`` — Han has no word breaks, each
 #   ideograph is its own token).
+# - Hangul syllables U+AC00–U+D7A3 form RUN tokens ({HangulEx}+ →
+#   HANGUL_TYPE, ``StandardTokenizerImpl.jflex:220-221``);
+# - Katakana U+30A1–U+30FA, U+30FC–U+30FE form RUN tokens ({KatakanaEx}+ →
+#   KATAKANA_TYPE, ``:223-224``);
+# - Hiragana U+3041–U+3096, U+309D–U+309F tokenize ONE CHARACTER PER TOKEN
+#   ({HiraganaEx} → HIRAGANA_TYPE, ``:279``), like Han ideographs.
 # Base run: [A-Za-z0-9_ + latin-1 letters]+ ; joiners between base runs:
 #   '  and .  : both-sided alnum (Single_Quote / MidNumLet, WB6-7 + WB11-12)
 #   :         : letters both sides (MidLetter, WB6-7)
@@ -52,10 +58,13 @@ _STANDARD_RE = re.compile(
     f"[{_WORD_CLS}]+"
     f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
     f"|(?<=[0-9]),(?=[0-9]))[{_WORD_CLS}]+)*"
-    "|[一-鿿]"
+    "|[가-힣]+"          # Hangul syllable runs
+    "|[ァ-ヺー-ヾ]+"      # Katakana runs (incl. prolonged-sound/iteration)
+    "|[一-鿿]"           # Han: one ideograph per token
+    "|[ぁ-ゖゝ-ゟ]"       # Hiragana: one character per token
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
-_HAS_ALNUM_RE = re.compile(f"[A-Za-z0-9{_LAT1}一-鿿]")
+_HAS_ALNUM_RE = re.compile(f"[A-Za-z0-9{_LAT1}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
@@ -166,11 +175,13 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
 
     # ---- Unicode step-up (joiners/StandardAnalyzer mode only):
     # Latin-1 Supplement letters (UTF-8 C3 page) lowercase + letter-class;
-    # CJK unified ideographs (U+4E00–U+9FFF) one-token-per-character.
+    # CJK ideographs + Hiragana one-token-per-character; Katakana + Hangul
+    # syllables as run tokens (jflex rule refs at the _STANDARD_RE comment).
     # ASCII-only batches detect in one cheap pass and allocate nothing; the
     # non-ASCII masks route through the _Scratch pool like the rest of the
     # hot path (this VM refaults freed pages at ~67µs/page).
-    lat_lead = lat_cont = cjk_starts = None
+    lat_lead = lat_cont = None
+    extra_s = extra_e = None  # non-base 3-byte-script token spans
     has_non_ascii = bool((buf >= 0x80).any())
     if joiners and B > 2 and has_non_ascii:
         c3 = _SCR.get("u_c3", B, bool)
@@ -203,20 +214,38 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             lat_lead[:] = False
             lat_lead[:-1] = lat_cont[1:]
         e_lead = _SCR.get("u_el", B, bool)
-        np.greater_equal(buf, 0xE4, out=e_lead)
-        np.less_equal(buf, 0xE9, out=t1)
+        np.greater_equal(buf, 0xE3, out=e_lead)
+        np.less_equal(buf, 0xED, out=t1)
         np.logical_and(e_lead, t1, out=e_lead)
         if e_lead.any():
             li = np.flatnonzero(e_lead[:-2])
             cp = ((buf[li].astype(np.int32) & 0x0F) << 12) \
                 | ((buf[li + 1].astype(np.int32) & 0x3F) << 6) \
                 | (buf[li + 2].astype(np.int32) & 0x3F)
-            ok = ((cp >= 0x4E00) & (cp <= 0x9FFF)
-                  & (buf[li + 1] >= 0x80) & (buf[li + 1] <= 0xBF)
-                  & (buf[li + 2] >= 0x80) & (buf[li + 2] <= 0xBF))
-            cjk_starts = li[ok]
-            if cjk_starts.size == 0:
-                cjk_starts = None
+            valid = ((buf[li + 1] >= 0x80) & (buf[li + 1] <= 0xBF)
+                     & (buf[li + 2] >= 0x80) & (buf[li + 2] <= 0xBF))
+            # one char per token: Han ideographs + Hiragana
+            singles = valid & (((cp >= 0x4E00) & (cp <= 0x9FFF))
+                               | ((cp >= 0x3041) & (cp <= 0x3096))
+                               | ((cp >= 0x309D) & (cp <= 0x309F)))
+            # run tokens, per script (a Katakana run never joins a Hangul run)
+            kata = valid & (((cp >= 0x30A1) & (cp <= 0x30FA))
+                            | ((cp >= 0x30FC) & (cp <= 0x30FE)))
+            hang = valid & (cp >= 0xAC00) & (cp <= 0xD7A3)
+            parts_s, parts_e = [], []
+            if singles.any():
+                ss = li[singles]
+                parts_s.append(ss)
+                parts_e.append(ss + 3)
+            for m in (kata, hang):
+                if m.any():
+                    cs_ = li[m]
+                    brk = np.flatnonzero(np.diff(cs_) != 3)
+                    parts_s.append(cs_[np.concatenate([[0], brk + 1])])
+                    parts_e.append(np.concatenate([cs_[brk], cs_[-1:]]) + 3)
+            if parts_s:
+                extra_s = np.concatenate(parts_s)
+                extra_e = np.concatenate(parts_e)
 
     is_base = _SCR.get("is_base", B, bool)
     np.take(_BASE, buf, out=is_base)
@@ -252,7 +281,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     np.copyto(t1, tok)
     np.greater(tok[1:], tok[:-1], out=t1[1:])
     starts = np.flatnonzero(t1)
-    if starts.size == 0 and cjk_starts is None:
+    if starts.size == 0 and extra_s is None:
         return empty
     np.copyto(t1, tok)
     np.greater(tok[:-1], tok[1:], out=t1[:-1])
@@ -280,17 +309,18 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
         char_lens = lens
     keep = (char_lens <= max_token_length) & (has_alnum > 0)
 
-    if cjk_starts is not None:
-        # each ideograph is its own 3-byte token, always kept; merge the two
-        # token streams in text order (CJK bytes are never base-class, so
-        # the streams are disjoint)
-        all_starts = np.concatenate([starts, cjk_starts])
+    if extra_s is not None:
+        # merge the script-token stream (Han/Hiragana singles, Katakana/
+        # Hangul runs) into the base-run stream in text order; the streams
+        # are byte-disjoint (these scripts are never base-class). Run tokens
+        # obey the same maxTokenLength-in-CHARS drop rule (span/3 chars).
+        all_starts = np.concatenate([starts, extra_s])
         order = np.argsort(all_starts, kind="stable")
         starts = all_starts[order]
-        ends = np.concatenate([ends, cjk_starts + 3])[order]
+        ends = np.concatenate([ends, extra_e])[order]
         lens = ends - starts
-        keep = np.concatenate(
-            [keep, np.ones(cjk_starts.size, dtype=bool)])[order]
+        xkeep = (extra_e - extra_s) // 3 <= max_token_length
+        keep = np.concatenate([keep, xkeep])[order]
         if starts.size == 0:
             return empty
     positions = None

@@ -567,7 +567,8 @@ class IndexBuilder:
         )
         # field_stats: additive deltas from the new docs / new dictionary rows
         old_fs = spark.read.parquet(
-            f"{self.index_dir}/{cur['field_stats']}").collect()[0]
+            f"{self.index_dir}/{cur['field_stats']}").filter(
+            F.col("field") == FIELD).collect()[0]
         nd = (
             spark.read.parquet(f"{self.index_dir}/docs")
             .filter(F.col("seg").isin(segs))
@@ -578,15 +579,27 @@ class IndexBuilder:
         ddf = delta.filter(F.col("field") == FIELD).agg(
             F.sum("df").cast("long").alias("sum_df")
         ).collect()[0]
-        spark.createDataFrame(
+        main_row = spark.createDataFrame(
             [(FIELD,
               int(old_fs["doc_count"]) + int(nd["n"] or 0),
               int(old_fs["sum_ttf"]) + int(nd["ttf"] or 0),
               int(old_fs["sum_df"]) + int(ddf["sum_df"] or 0))],
             "field string, doc_count long, sum_ttf long, sum_df long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{self.index_dir}/{out['field_stats']}"
         )
+        # keyword-field rows: recompute exactly from the just-merged term
+        # stats (same derivation as _write_stats — single-valued DOCS-only
+        # fields have doc_count = Σdf); the merged dictionary is already
+        # persisted, so this adds no extra scan of the postings
+        kw_rows = (
+            merged.filter(F.col("field") != FIELD)
+            .groupBy("field")
+            .agg(F.sum("df").cast("long").alias("doc_count"),
+                 F.sum("ttf").cast("long").alias("sum_ttf"),
+                 F.sum("df").cast("long").alias("sum_df"))
+            .select("field", "doc_count", "sum_ttf", "sum_df")
+        )
+        main_row.unionByName(kw_rows).coalesce(1).write.mode(
+            "overwrite").parquet(f"{self.index_dir}/{out['field_stats']}")
         merged.unpersist()
         delta.unpersist()
         return out
@@ -650,4 +663,18 @@ class IndexBuilder:
             )
             .select("field", "doc_count", "sum_ttf", "sum_df")
         )
+        # keyword (StringField) fields: single-valued, tf=1 per doc, so
+        # docCount(field) = Σdf and sumTotalTermFreq(field) = Σttf — the
+        # per-field CollectionStatistics Lucene resolves for DOCS-only
+        # fields (IndexSearcher.java:943-958); enables true BM25 scoring
+        # of keyword clauses instead of a constant approximation
+        kw_stats = (
+            ts.filter(F.col("field") != FIELD)
+            .groupBy("field")
+            .agg(F.sum("df").cast("long").alias("doc_count"),
+                 F.sum("ttf").cast("long").alias("sum_ttf"),
+                 F.sum("df").cast("long").alias("sum_df"))
+            .select("field", "doc_count", "sum_ttf", "sum_df")
+        )
+        field_stats = field_stats.unionByName(kw_stats)
         field_stats.coalesce(1).write.mode("overwrite").parquet(fs_path)

@@ -191,9 +191,14 @@ LIMIT {k}
 
 
 UNICODE_TOKEN_RE = "[a-z0-9à-öø-ÿ]+|[一-鿿]"
+# kana/Hangul step-up: Hangul + Katakana RUNS, Han + Hiragana single chars
+# (StandardTokenizerImpl.jflex:220-224,278-279 typing rules)
+UNICODE_KANA_TOKEN_RE = (
+    "[a-z0-9à-öø-ÿ]+|[가-힣]+|[ァ-ヺー-ヾ]+|[一-鿿]|[ぁ-ゖゝ-ゟ]")
 
 
-def unicode_topk_sql(terms, k: int, replacements) -> str:
+def unicode_topk_sql(terms, k: int, replacements,
+                     token_re: str = UNICODE_TOKEN_RE) -> str:
     """Float32-bit-exact BM25 top-k over a corpus derived by injecting
     non-ASCII vocabulary (VERDICT r2 next-#6 gate): ``replacements`` is a
     list of (token_regex, replacement) applied to the raw text, then the
@@ -214,14 +219,14 @@ WITH docs0 AS (
   FROM documents
 ),
 toks AS (
-  SELECT did, unnest(regexp_extract_all(t, '{UNICODE_TOKEN_RE}')) AS term
+  SELECT did, unnest(regexp_extract_all(t, '{token_re}')) AS term
   FROM docs0
 ),
 tf AS (
   SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
 ),
 dls AS (
-  SELECT did, len(regexp_extract_all(t, '{UNICODE_TOKEN_RE}'))::BIGINT AS dl
+  SELECT did, len(regexp_extract_all(t, '{token_re}'))::BIGINT AS dl
   FROM docs0
 ),
 normmap(lo, hi) AS (VALUES {norm_map_values()}),
@@ -1474,3 +1479,213 @@ FROM snip
 ORDER BY doc_id
 LIMIT {limit}
 """
+
+
+# --------------------------------------------------------------------------
+# Round-3 similarity sweep: generic scaffold + 12 model oracles. Each mirrors
+# its engine scorer's DOUBLE math with a single FLOAT cast per clause score
+# (SimilarityBase.java:223-225 contract); per-doc clause sum in DOUBLE → f32.
+# --------------------------------------------------------------------------
+
+
+def _subst_stats(expr: str) -> str:
+    return (expr
+            .replace("TFD", "CAST(CAST(tf.tf AS FLOAT) AS DOUBLE)")
+            .replace("DLD", "CAST(d.dlen AS DOUBLE)")
+            .replace("AVGDL", "(SELECT avgdl FROM avg_d)")
+            .replace("NN", "(SELECT nn FROM avg_d)")
+            .replace("STTF", "(SELECT sum_ttf FROM fstats)"))
+
+
+def _sim_topk_sql(query, k: int, parts_cols: str, score_expr: str) -> str:
+    """Shared CTE scaffold for single-term-clause similarity models:
+    ``parts_cols`` computes per-term constants (may use ts.df / ts.ttf /
+    NN / AVGDL / STTF); ``score_expr`` the per-posting DOUBLE score (may use
+    TFD / DLD / p.<col> / the same stats macros)."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS DOUBLE))"
+        for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+tstats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+),
+avg_d AS (
+  SELECT CAST(sum_ttf AS DOUBLE) / n AS avgdl, CAST(n AS DOUBLE) AS nn
+  FROM fstats
+),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+parts AS (
+  SELECT q.cid, q.term, q.boost, {_subst_stats(parts_cols)}
+  FROM qterms q JOIN tstats2 ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did, CAST({_subst_stats(score_expr)} AS FLOAT) AS s
+  FROM tf
+  JOIN parts p ON p.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def indri_dirichlet_topk_sql(query, k: int, mu: float = 2000.0) -> str:
+    """IndriDirichlet: ln((tf + μ·P)/(dl + μ)), P = ttf/sumTTF; the boost is
+    deliberately absent (IndriDirichletSimilarity.java:62-66 ignores it)."""
+    import numpy as _np
+
+    muf = float(_np.float32(mu))
+    return _sim_topk_sql(
+        query, k,
+        parts_cols="CAST(ts.ttf AS DOUBLE) / STTF AS p",
+        score_expr=f"ln((TFD + {muf!r} * p.p) / (DLD + {muf!r}))",
+    )
+
+
+def dfr_inl2_topk_sql(query, k: int) -> str:
+    """DFR I(n)L2: boost · log2((N+1)/(df+0.5)) · (1 − 1/(1+tfn)),
+    tfn = tf·log2(1 + avgdl/dl)."""
+    return _sim_topk_sql(
+        query, k,
+        parts_cols="ln((NN + 1.0) / (ts.df + 0.5)) / ln(2) AS a",
+        score_expr=("p.boost * p.a * (1 - 1 / (1 + TFD"
+                    " * (ln(1 + AVGDL / DLD) / ln(2))))"),
+    )
+
+
+def dfr_ineb2_topk_sql(query, k: int) -> str:
+    """DFR I(ne)B2: ne = N·(1−((N−1)/N)^ttf); A = log2((N+1)/(ne+0.5));
+    ae = (ttf+2)/(df+1); boost · A · ae · (1 − 1/(1+tfn))."""
+    return _sim_topk_sql(
+        query, k,
+        parts_cols=(
+            "ln((NN + 1.0) / (NN * (1 - pow((NN - 1.0) / NN, "
+            "CAST(ts.ttf AS DOUBLE))) + 0.5)) / ln(2) AS a, "
+            "(ts.ttf + 2.0) / (ts.df + 1.0) AS ae"),
+        score_expr=("p.boost * p.a * p.ae * (1 - 1 / (1 + TFD"
+                    " * (ln(1 + AVGDL / DLD) / ln(2))))"),
+    )
+
+
+def ib_spl_topk_sql(query, k: int) -> str:
+    """IB SPL·TTF·H2: λ = f32((ttf+1)/(N+1)) (nextUp'ed at exactly 1 —
+    LambdaTTF.java:35-38; nextUp(1f) = 1+2^-23); q = 1−1/(tfn+1);
+    boost · (−ln((λ^q − λ)/(1 − λ)))."""
+    return _sim_topk_sql(
+        query, k,
+        parts_cols=(
+            "CASE WHEN CAST((ts.ttf + 1.0) / (NN + 1.0) AS FLOAT)"
+            " = CAST(1.0 AS FLOAT)"
+            " THEN CAST(CAST(1.0000001192092896 AS FLOAT) AS DOUBLE)"
+            " ELSE CAST(CAST((ts.ttf + 1.0) / (NN + 1.0) AS FLOAT) AS DOUBLE)"
+            " END AS lam"),
+        score_expr=(
+            "p.boost * (-ln((pow(p.lam, 1 - 1 / (TFD"
+            " * (ln(1 + AVGDL / DLD) / ln(2)) + 1)) - p.lam) / (1 - p.lam)))"),
+    )
+
+
+def dfi_measure_topk_sql(query, k: int, measure: str) -> str:
+    """DFI saturated ((tf−e)/e) / standardized ((tf−e)/√e): same expected
+    value e = (ttf+1)·dl/(T+1) and log2(measure+1) envelope as chi²;
+    tf ≤ e → 0."""
+    e = "(p.f1 * DLD / (STTF + 1.0))"
+    den = f"sqrt{e}" if measure == "std" else e
+    return _sim_topk_sql(
+        query, k,
+        parts_cols="ts.ttf + 1.0 AS f1",
+        score_expr=(
+            f"CASE WHEN TFD <= {e} THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE p.boost * (ln((TFD - {e}) / {den} + 1) / ln(2)) END"),
+    )
+
+
+def axiomatic_variant_topk_sql(query, k: int, variant: str,
+                               s: float = 0.25, kpar: float = 0.35,
+                               query_len: int = 1) -> str:
+    """Axiomatic F1/F3 × EXP/LOG + F2LOG (F2EXP has its own oracle above):
+    score = max(0, boost · (tf · ln · tfln · idf − gamma)) with the component
+    table from Axiomatic*.java; gamma's coefficient is precomputed in Python
+    double to mirror the engine's op order exactly."""
+    import numpy as _np
+
+    sf = float(_np.float32(s))
+    kf = float(_np.float32(kpar))
+    fam, kind = variant[:2], variant[2:]
+    idf = (f"pow((NN + 1.0) / ts.df, {kf!r})" if kind == "exp"
+           else "ln((NN + 1.0) / ts.df)")
+    comp = "p.idf"
+    if fam in ("f1", "f3"):
+        comp = f"(1 + ln(1 + ln(TFD + 1.0))) * {comp}"
+    if fam == "f1":
+        comp = f"{comp} * ((AVGDL + {sf!r}) / (AVGDL + DLD * {sf!r}))"
+    if fam == "f2":
+        comp = f"(TFD / (TFD + {sf!r} + {sf!r} * DLD / AVGDL)) * {comp}"
+    gamma = ""
+    if fam == "f3":
+        # engine precomputes gamma_coeff = f32(s)·queryLen/avgdl in double;
+        # avgdl is per-index so fold it symbolically, same op order
+        gamma = (f" - (DLD - {float(query_len)!r})"
+                 f" * ({sf!r} * {float(query_len)!r} / AVGDL)")
+    return _sim_topk_sql(
+        query, k,
+        parts_cols=f"{idf} AS idf",
+        score_expr=f"GREATEST(p.boost * ({comp}{gamma}), 0.0)",
+    )
+
+
+def multi_bm25_classic_topk_sql(query, k: int) -> str:
+    """MultiSimilarity(BM25, Classic) (MultiSimilarity.java:64-70): per-clause
+    score is the float32 sum of the two sub-scores, each computed with its
+    own proven float32 op sequence (bm25_topk_sql / classic_topk_sql)."""
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))"
+        for i, (t, b) in enumerate(scoring)
+    )
+    body = f"""
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS wb,
+         CAST(q.boost * CAST(ln(((SELECT n FROM fstats) + 1) / (ts.df + 1.0))
+                             + 1.0 AS FLOAT) AS FLOAT) AS wc
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(
+           (w.wb - w.wb / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))))
+           + CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT) * w.wc
+                       AS FLOAT)
+                  * CAST(1.0 / sqrt(CAST(d.dlen AS DOUBLE)) AS FLOAT)
+                  AS FLOAT)
+         AS FLOAT) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"

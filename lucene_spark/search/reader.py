@@ -36,10 +36,22 @@ class IndexReader:
         sdirs = self.manifest.get("stats_dirs", {})
         ts_dir = sdirs.get("term_stats", "term_stats")
         fs_dir = sdirs.get("field_stats", "field_stats")
-        fs = spark.read.parquet(f"{index_dir}/{fs_dir}").collect()[0]
+        # field_stats is one row per field (main text field + one per
+        # keyword/StringField since the kw_stats union) — key by field name,
+        # never rely on row order
+        fs_rows = spark.read.parquet(f"{index_dir}/{fs_dir}").collect()
+        self.field_stats = {
+            r["field"]: {"doc_count": int(r["doc_count"]),
+                         "sum_ttf": int(r["sum_ttf"]),
+                         "sum_df": int(r["sum_df"])}
+            for r in fs_rows
+        }
+        main = self.manifest.get("field", "text")
+        fs = self.field_stats.get(main) or self.field_stats[
+            next(iter(self.field_stats))]
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
-        self.field = fs["field"]
+        self.field = main
         # point-in-time DataFrames: the parquet file listing (InMemoryFileIndex)
         # is resolved once per reader open, not once per query — the
         # DirectoryReader-open analogy; per-query work is then only the

@@ -158,6 +158,15 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
             acc += c.scorer.score(b_maxtf[sel_t],
                                   b_minnm[sel_t]).astype(np.float64)
         b_max[sel_t] += acc
+    # a negative-scoring model (e.g. IndriDirichlet log-probabilities) breaks
+    # the Σ-of-block-maxima bound: a doc matching a SUBSET of clauses can
+    # outscore the full sum. Clamping each block bound at 0 restores a valid
+    # (loose — effectively no pruning) bound, mirroring that impacts cannot
+    # prune negative scores in the reference either.
+    nonneg = all(getattr(c.scorer, "nonnegative", True)
+                 for c in clauses if c.scorer is not None)
+    if not nonneg:
+        np.maximum(b_max, 0.0, out=b_max)
 
     def exact_bounds_for(block_mask):
         """Level-0 exact float32 Pareto bounds for the masked kept-blocks —
@@ -182,6 +191,8 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
             for c in scoring:
                 s = c.scorer.score(ft, fn).astype(np.float64)
                 acc += np.maximum.reduceat(s, st)
+            if not nonneg:
+                np.maximum(acc, 0.0, out=acc)  # same subset-sum guard
             out[sel_t] = np.minimum(out[sel_t], acc)
         return out
 

@@ -391,8 +391,254 @@ class AxiomaticF2EXPScorer:
         return s.astype(F32)
 
 
+@dataclass(frozen=True)
+class AxiomaticSimilarity:
+    """Axiomatic family F1/F2/F3 × EXP/LOG
+    (``core/search/similarities/Axiomatic.java:96-106`` composition:
+    score = max(0, boost · (tf · ln · tfln · idf − gamma))):
+
+    - F1*: tf = 1 + ln(1 + ln(freq+1)) (``AxiomaticF1EXP.java:59-62``),
+      ln = (avgdl+s)/(avgdl + dl·s) (:66-68), tfln = 1.
+    - F2*: tf = ln = 1, tfln = freq/(freq + s + s·dl/avgdl)
+      (``AxiomaticF2LOG.java:61-63``).
+    - F3*: tf as F1, ln = tfln = 1,
+      gamma = (dl − queryLen)·s·queryLen/avgdl (``AxiomaticF3EXP.java:84-86``).
+    - *EXP: idf = ((N+1)/df)^k (``AxiomaticF1EXP.java:78-80``);
+      *LOG: idf = ln((N+1)/df) (``AxiomaticF1LOG.java:69-71``).
+
+    Defaults s=0.25, k=0.35, queryLen=1 (``Axiomatic.java`` ctor defaults);
+    s/k stored float32 like the reference fields; formula math is double
+    with a single float cast (``SimilarityBase.java:223-225``)."""
+
+    variant: str = "f1exp"  # f1exp|f1log|f2log|f3exp|f3log (f2exp: class above)
+    s: float = 0.25
+    k: float = 0.35
+    query_len: int = 1
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if len(dfs) != 1:
+            raise NotImplementedError(
+                "AxiomaticSimilarity scores single-term clauses")
+        fam, kind = self.variant[:2], self.variant[2:]
+        if kind == "exp":
+            idf_v = math.pow((float(doc_count) + 1.0) / float(dfs[0]),
+                             float(F32(self.k)))
+        else:
+            idf_v = math.log((float(doc_count) + 1.0) / float(dfs[0]))
+        avgdl = float(sum_ttf) / float(doc_count)
+        gamma_coeff = 0.0
+        if fam == "f3":
+            gamma_coeff = float(F32(self.s)) * float(self.query_len) / avgdl
+        return AxiomaticScorer(
+            weight=F32(boost), boost=float(boost), s=float(F32(self.s)),
+            idf=idf_v, avgdl=avgdl, use_tf=(fam in ("f1", "f3")),
+            use_ln=(fam == "f1"), use_tfln=(fam == "f2"),
+            gamma_coeff=gamma_coeff, query_len=float(self.query_len))
+
+
+@dataclass(frozen=True)
+class AxiomaticScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    s: float
+    idf: float
+    avgdl: float
+    use_tf: bool
+    use_ln: bool
+    use_tfln: bool
+    gamma_coeff: float
+    query_len: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        comp = np.full_like(tf64, self.idf)
+        if self.use_tf:
+            comp *= 1.0 + np.log(1.0 + np.log(tf64 + 1.0))
+        if self.use_ln:
+            comp *= (self.avgdl + self.s) / (self.avgdl + dl * self.s)
+        if self.use_tfln:
+            comp *= tf64 / (tf64 + self.s + self.s * dl / self.avgdl)
+        if self.gamma_coeff:
+            comp = comp - (dl - self.query_len) * self.gamma_coeff
+        return np.maximum(comp * self.boost, 0.0).astype(F32)
+
+
+@dataclass(frozen=True)
+class IndriDirichletSimilarity:
+    """Indri's Dirichlet-smoothed query likelihood
+    (``core/search/similarities/IndriDirichletSimilarity.java:62-66``):
+    score = float(ln((tf + μ·P)/(dl + μ))) with
+    P = ttf/sumTTF (``IndriCollectionModel``, :104-106 — no +1 smoothing).
+    Faithful quirks: the boost is NOT applied (the reference's ``score()``
+    ignores ``stats.getBoost()``) and scores are log-probabilities, i.e.
+    NEGATIVE — the scorer flags ``nonnegative=False`` so the WAND kernel
+    clamps block bounds at 0 (valid, no pruning), mirroring how impacts
+    cannot prune a negative-scoring model."""
+
+    mu: float = 2000.0
+    name = "indri_dirichlet"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(ttfs) != 1:
+            raise NotImplementedError(
+                "IndriDirichletSimilarity scores single-term clauses")
+        p = float(ttfs[0]) / float(sum_ttf)
+        return IndriDirichletScorer(weight=F32(1.0), mu=float(F32(self.mu)),
+                                    p=p)
+
+
+@dataclass(frozen=True)
+class IndriDirichletScorer:
+    weight: np.float32  # spec metadata only
+    mu: float
+    p: float
+    nonnegative = False
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        s = np.log((tf64 + self.mu * self.p) / (dl + self.mu))
+        return s.astype(F32)
+
+
+@dataclass(frozen=True)
+class DFRInL2Similarity:
+    """DFR I(n)L2: BasicModelIn + AfterEffectL + NormalizationH2(c=1).
+    A = log2((N+1)/(df+0.5)) (``BasicModelIn.java:34-44``);
+    AfterEffectL ⇒ aeTimes1pTfn = 1 (``AfterEffectL.java:32-34``);
+    score = boost · A · (1 − 1/(1+tfn)), tfn = tf·log2(1 + c·avgdl/dl)
+    (``NormalizationH2.java:57-59``); avgdl double
+    (``SimilarityBase.java:109-111``)."""
+
+    c: float = 1.0
+    name = "dfr_inl2"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if len(dfs) != 1:
+            raise NotImplementedError(
+                "DFRInL2Similarity scores single-term clauses")
+        A = math.log((float(doc_count) + 1.0) / (float(dfs[0]) + 0.5)) / _LN2
+        avgdl = float(sum_ttf) / float(doc_count)
+        return DFRInL2Scorer(weight=F32(boost), boost=float(boost), A=A,
+                             avgdl=avgdl, c=float(self.c))
+
+
+@dataclass(frozen=True)
+class DFRInL2Scorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    A: float
+    avgdl: float
+    c: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        tfn = tf64 * (np.log(1.0 + self.c * self.avgdl / dl) / _LN2)
+        s = self.boost * self.A * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(F32)
+
+
+@dataclass(frozen=True)
+class DFRIneB2Similarity:
+    """DFR I(ne)B2: BasicModelIne + AfterEffectB + NormalizationH2(c=1).
+    ne = N·(1 − ((N−1)/N)^F) with F = ttf (``BasicModelIne.java:34-44``);
+    A = log2((N+1)/(ne+0.5)); AfterEffectB ⇒ ae = (ttf+2)/(df+1)
+    (``AfterEffectB.java:32-36``: F=ttf+1, n=df+1, (F+1)/n);
+    score = boost · A · ae · (1 − 1/(1+tfn))."""
+
+    c: float = 1.0
+    name = "dfr_ineb2"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(dfs) != 1:
+            raise NotImplementedError(
+                "DFRIneB2Similarity scores single-term clauses (ttf required)")
+        N = float(doc_count)
+        Fv = float(ttfs[0])
+        ne = N * (1.0 - math.pow((N - 1.0) / N, Fv))
+        A = math.log((N + 1.0) / (ne + 0.5)) / _LN2
+        ae = (Fv + 2.0) / (float(dfs[0]) + 1.0)
+        avgdl = float(sum_ttf) / float(doc_count)
+        return DFRIneB2Scorer(weight=F32(boost), boost=float(boost), A=A,
+                              ae=ae, avgdl=avgdl, c=float(self.c))
+
+
+@dataclass(frozen=True)
+class DFRIneB2Scorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    A: float
+    ae: float
+    avgdl: float
+    c: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        tfn = tf64 * (np.log(1.0 + self.c * self.avgdl / dl) / _LN2)
+        s = self.boost * self.A * self.ae * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(F32)
+
+
+@dataclass(frozen=True)
+class IBSPLSimilarity:
+    """IB SPL·TTF·H2(c=1) (``IBSimilarity.java:92-96`` with
+    ``DistributionSPL`` + ``LambdaTTF``):
+    λ = f32((ttf+1)/(N+1)), nextUp'ed when exactly 1 (``LambdaTTF.java:32-39``);
+    q = 1 − 1/(tfn+1), nextDown(1.0) when 1; pow = λ^q nudged off λ on
+    rounding collision (``DistributionSPL.java:34-58``);
+    score = boost · (−ln((pow−λ)/(1−λ)))."""
+
+    c: float = 1.0
+    name = "ib_spl"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(dfs) != 1:
+            raise NotImplementedError(
+                "IBSPLSimilarity scores single-term clauses (ttf required)")
+        lam = F32((float(ttfs[0]) + 1.0) / (float(doc_count) + 1.0))
+        if float(lam) == 1.0:
+            lam = np.nextafter(lam, F32(2.0), dtype=F32)
+        avgdl = float(sum_ttf) / float(doc_count)
+        return IBSPLScorer(weight=F32(boost), boost=float(boost),
+                           lam=float(lam), avgdl=avgdl, c=float(self.c))
+
+
+@dataclass(frozen=True)
+class IBSPLScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    lam: float
+    avgdl: float
+    c: float
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        tfn = tf64 * (np.log(1.0 + self.c * self.avgdl / dl) / _LN2)
+        q = 1.0 - 1.0 / (tfn + 1.0)
+        q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+        pw = np.power(self.lam, q)
+        # rounding collision: force pow ≠ lam the way DistributionSPL does
+        if self.lam < 1.0:
+            fix = np.nextafter(self.lam, 2.0)
+        else:
+            fix = np.nextafter(self.lam, 0.0)
+        pw = np.where(pw == self.lam, fix, pw)
+        s = self.boost * (-np.log((pw - self.lam) / (1.0 - self.lam)))
+        return s.astype(F32)
+
+
 def get_similarity(name: str, **kw):
-    """Similarity registry — the plug-in lookup used by jobs and gates."""
+    """Similarity registry — the plug-in lookup used by jobs and gates.
+    21 models, mirroring the full ``core/search/similarities/`` package."""
     if name == "bm25":
         return BM25Similarity(**kw)
     if name == "classic":
@@ -403,15 +649,106 @@ def get_similarity(name: str, **kw):
         return LMDirichletSimilarity(**kw)
     if name == "lm_jelinek_mercer":
         return LMJelinekMercerSimilarity(**kw)
+    if name == "indri_dirichlet":
+        return IndriDirichletSimilarity(**kw)
     if name == "dfr_gb2":
         return DFRSimilarity(**kw)
+    if name == "dfr_inl2":
+        return DFRInL2Similarity(**kw)
+    if name == "dfr_ineb2":
+        return DFRIneB2Similarity(**kw)
     if name == "ib_ll":
         return IBSimilarity(**kw)
+    if name == "ib_spl":
+        return IBSPLSimilarity(**kw)
     if name == "dfi_chi2":
         return DFISimilarity()
+    if name in ("dfi_sat", "dfi_std"):
+        return DFIIndependenceSimilarity(measure=name[4:], **kw)
     if name == "axiomatic_f2exp":
         return AxiomaticF2EXP(**kw)
+    if name in ("axiomatic_f1exp", "axiomatic_f1log", "axiomatic_f2log",
+                "axiomatic_f3exp", "axiomatic_f3log"):
+        return AxiomaticSimilarity(variant=name.split("_")[1], **kw)
+    if name == "multi_bm25_classic":
+        return MultiSimilarity((BM25Similarity(), ClassicSimilarity()))
     raise ValueError(f"unknown similarity: {name}")
+
+
+@dataclass(frozen=True)
+class DFIIndependenceSimilarity:
+    """DFI with the saturated / standardized independence measures
+    (``DFISimilarity.java:57-67`` + ``IndependenceSaturated.java:32-34``
+    (freq−e)/e, ``IndependenceStandardized.java:33-35`` (freq−e)/√e);
+    same gating (freq ≤ expected → 0) and log2(measure+1) envelope as chi²."""
+
+    measure: str = "sat"  # sat | std
+
+    @property
+    def name(self):
+        return f"dfi_{self.measure}"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        if ttfs is None or len(dfs) != 1:
+            raise NotImplementedError(
+                "DFIIndependenceSimilarity scores single-term clauses")
+        return DFIIndependenceScorer(weight=F32(boost), boost=float(boost),
+                                     ttf1=float(ttfs[0]) + 1.0,
+                                     T1=float(sum_ttf) + 1.0,
+                                     sqrt_e=(self.measure == "std"))
+
+
+@dataclass(frozen=True)
+class DFIIndependenceScorer:
+    weight: np.float32  # spec metadata only
+    boost: float
+    ttf1: float
+    T1: float
+    sqrt_e: bool
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        dl = LENGTH_TABLE[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        dl = dl.astype(np.float64)
+        tf64 = np.asarray(tf, dtype=F32).astype(np.float64)
+        expected = self.ttf1 * dl / self.T1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = np.sqrt(expected) if self.sqrt_e else expected
+            measure = (tf64 - expected) / denom
+            s = self.boost * (np.log(measure + 1.0) / _LN2)
+        s = np.where(tf64 <= expected, 0.0, s)
+        return s.astype(F32)
+
+
+@dataclass(frozen=True)
+class MultiSimilarity:
+    """``core/search/similarities/MultiSimilarity.java:64-70``: per-doc score
+    is the float32 running sum of the sub-scorers' float32 scores (sequential
+    ``float sum += sub.score(...)`` — order matters for bit-parity, preserved
+    here). Each sub-similarity binds its own stats-derived scorer."""
+
+    sims: tuple
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        subs = tuple(s.scorer(boost, doc_count, sum_ttf, dfs, ttfs=ttfs)
+                     for s in self.sims)
+        return MultiScorer(weight=subs[0].weight, subs=subs)
+
+
+@dataclass(frozen=True)
+class MultiScorer:
+    weight: np.float32  # spec metadata only (first sub's weight)
+    subs: tuple
+
+    @property
+    def nonnegative(self):
+        return all(getattr(s, "nonnegative", True) for s in self.subs)
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        acc = None
+        for s in self.subs:
+            v = s.score(tf, norm_code)
+            acc = v if acc is None else (acc + v).astype(F32)
+        return acc
 
 
 @dataclass(frozen=True)

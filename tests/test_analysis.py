@@ -55,8 +55,9 @@ def test_simple_analyzer_sql_equivalence_shape():
 
 def test_unicode_tokenizer_parity():
     """Byte-level tokenizer ≡ regex chain on Latin-1 letters (word-joining,
-    lowercase À→à, ß, ÿ, × ÷ excluded) and CJK ideographs (one token per
-    character, U+4E00–U+9FFF inclusive); SimpleAnalyzer stays ASCII-only."""
+    lowercase À→à, ß, ÿ, × ÷ excluded), CJK ideographs + Hiragana (one token
+    per character), Katakana + Hangul (run tokens — jflex {KatakanaEx}+ /
+    {HangulEx}+); SimpleAnalyzer stays ASCII-only."""
     import pandas as pd
 
     from lucene_spark.analysis import SimpleAnalyzer, StandardAnalyzer
@@ -68,13 +69,18 @@ def test_unicode_tokenizer_parity():
         "tàblé 值 mixed ascii123",
         "×÷ odd À Þ ß ÿ",
         "día niño über Straße",
-        "日本語テキスト",  # kana are out of declared scope → separators
+        "日本語テキスト",  # 3 Han singles + Katakana run "テキスト"
         "can't stop won't O.K. 3,000",
         "中文mixed字母abc",
         "",
         "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖ×ØÙÚÛÜÝÞß"
         "àáâãäåæçèéêëìíîïðñòóôõö÷øùúûüýþÿ",
         "一丁 鿿 龥",  # U+4E00 start / U+9FFF end / U+9FA5 inside
+        "테이블 조회 value",      # Hangul runs (AC00–D7A3)
+        "ぎょう row ぎ",          # Hiragana singles (3041–3096, 309D–309F)
+        "バリューチェーン ー",     # Katakana runs incl. 30FC prolonged mark
+        "한글テストabc値ひら",     # script adjacency breaks runs
+        "カタカナ、ひらがな。漢字",  # CJK punctuation separates
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))

@@ -83,7 +83,11 @@ def test_alternative_similarities_engine_vs_golden(spark, index_dir, corpus_pdf)
         f"{VOCAB[4]}^2.5 {VOCAB[9]}",
     ]
     for name in ["classic", "boolean", "lm_dirichlet", "lm_jelinek_mercer",
-                 "dfr_gb2", "ib_ll", "dfi_chi2", "axiomatic_f2exp"]:
+                 "dfr_gb2", "ib_ll", "dfi_chi2", "axiomatic_f2exp",
+                 "indri_dirichlet", "dfr_inl2", "dfr_ineb2", "ib_spl",
+                 "dfi_sat", "dfi_std", "axiomatic_f1exp", "axiomatic_f1log",
+                 "axiomatic_f2log", "axiomatic_f3exp", "axiomatic_f3log",
+                 "multi_bm25_classic"]:
         sim = get_similarity(name)
         s = IndexSearcher(spark, index_dir, similarity=sim)
         golden = BruteForceIndex(corpus_pdf, similarity=sim)
@@ -132,3 +136,87 @@ def test_similarity_formula_spot_checks():
     exp2 = np.float32(max(0.0, math.log(1 + 3.0 / (2000.0 * p))
                           + math.log(2000.0 / (dl + 2000.0))))
     assert lm2.score(np.array([3]), np.array([norm]))[0] == exp2
+
+
+def test_new_similarity_formula_spot_checks():
+    """Hand-computed double-math values for the round-3 model additions
+    (reference file:line cited in similarity.py docstrings)."""
+    import math
+
+    import numpy as np
+
+    from lucene_spark.similarity import get_similarity
+    from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    norm = int(int_to_byte4(np.array([16]))[0])
+    dl = float(LENGTH_TABLE[norm])
+    N, ttf, df, sttf, tf = 99, 40, 9, 10_000, 4
+    avgdl = sttf / N
+
+    # IndriDirichlet: boost IGNORED, score negative
+    sc = get_similarity("indri_dirichlet").scorer(3.0, N, sttf, [df],
+                                                  ttfs=[ttf])
+    p = ttf / sttf
+    exp = np.float32(math.log((4.0 + 2000.0 * p) / (dl + 2000.0)))
+    got = sc.score(np.array([tf]), np.array([norm]))[0]
+    assert got == exp and got < 0
+
+    # DFR I(n)L2
+    sc = get_similarity("dfr_inl2").scorer(1.0, N, sttf, [df])
+    A = math.log((N + 1.0) / (df + 0.5)) / math.log(2)
+    tfn = 4.0 * math.log(1 + avgdl / dl) / math.log(2)
+    assert sc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
+        A * (1 - 1 / (1 + tfn)))
+
+    # DFR I(ne)B2
+    sc = get_similarity("dfr_ineb2").scorer(1.0, N, sttf, [df], ttfs=[ttf])
+    ne = N * (1 - ((N - 1) / N) ** ttf)
+    A = math.log((N + 1.0) / (ne + 0.5)) / math.log(2)
+    ae = (ttf + 2.0) / (df + 1.0)
+    assert sc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
+        A * ae * (1 - 1 / (1 + tfn)))
+
+    # IB SPL
+    sc = get_similarity("ib_spl").scorer(1.0, N, sttf, [df], ttfs=[ttf])
+    lam = float(np.float32((ttf + 1.0) / (N + 1.0)))
+    q = 1 - 1 / (tfn + 1)
+    assert sc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
+        -math.log((lam ** q - lam) / (1 - lam)))
+
+    # DFI saturated / standardized gate at expected
+    for meas, den in (("dfi_sat", None), ("dfi_std", "sqrt")):
+        sc = get_similarity(meas).scorer(1.0, N, sttf, [df], ttfs=[ttf])
+        e = (ttf + 1.0) * dl / (sttf + 1.0)
+        d = math.sqrt(e) if den else e
+        assert sc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
+            math.log((4.0 - e) / d + 1.0) / math.log(2))
+        assert sc.score(np.array([0]), np.array([norm]))[0] == np.float32(0.0)
+
+    # Axiomatic variants compose tf/ln/tfln/idf/gamma per Axiomatic.java
+    s_, k_ = 0.25, 0.35
+    tfc = 1 + math.log(1 + math.log(tf + 1.0))
+    lnc = (avgdl + s_) / (avgdl + dl * s_)
+    tflnc = tf / (tf + s_ + s_ * dl / avgdl)
+    idf_exp = ((N + 1.0) / df) ** k_
+    idf_log = math.log((N + 1.0) / df)
+    gamma = (dl - 1.0) * s_ * 1.0 / avgdl
+    cases = {
+        "axiomatic_f1exp": tfc * lnc * idf_exp,
+        "axiomatic_f1log": tfc * lnc * idf_log,
+        "axiomatic_f2log": tflnc * idf_log,
+        "axiomatic_f3exp": tfc * idf_exp - gamma,
+        "axiomatic_f3log": tfc * idf_log - gamma,
+    }
+    for name, want in cases.items():
+        sc = get_similarity(name).scorer(1.0, N, sttf, [df])
+        assert sc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
+            max(0.0, want)), name
+
+    # MultiSimilarity: float32 running sum of sub-scores
+    from lucene_spark.similarity import BM25Similarity, ClassicSimilarity
+    msc = get_similarity("multi_bm25_classic").scorer(1.0, N, sttf, [df])
+    b = BM25Similarity().scorer(1.0, N, sttf, [df])
+    c = ClassicSimilarity().scorer(1.0, N, sttf, [df])
+    assert msc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
+        b.score(np.array([tf]), np.array([norm]))[0]
+        + c.score(np.array([tf]), np.array([norm]))[0])
