@@ -765,10 +765,11 @@ def oracle_sql() -> dict[str, str]:
             "x.term IN ('table','vector','window')", 50
         ),
         # the documents→transcripts mapping sets role='user' on every turn, so
-        # the role filter is all-pass / none-pass by construction — the oracle
-        # reflects exactly that while the engine resolves it via real keyword-
-        # field postings
-        "kw_role_filter": oracle.bm25_topk_sql(_parse("+table"), 20),
+        # the role clause matches every doc by construction — the oracle adds
+        # its constant BM25-on-StringField contribution (kw_const) while the
+        # engine resolves it via real keyword-field postings + stats
+        "kw_role_filter": oracle.bm25_topk_sql(_parse("+table"), 20,
+                                               kw_const=1.0),
         "kw_should_topk": oracle.kw_should_topk_sql(
             _parse("table"), 30, const_boost=1.0
         ),

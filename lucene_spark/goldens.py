@@ -44,6 +44,13 @@ class BruteForceIndex:
                     m.setdefault(str(v), []).append(doc_id)
             self.keyword[kf] = {v: np.array(d, dtype=np.int64)
                                 for v, d in m.items()}
+        # per-keyword-field collection stats (single-valued, tf=1 per doc:
+        # docCount = sumTTF = number of docs carrying the field)
+        self.kw_field_stats = {
+            kf: {"doc_count": (nd := sum(len(d) for d in vals.values())),
+                 "sum_ttf": nd}
+            for kf, vals in self.keyword.items()
+        }
         tokens = self.analyzer.tokenize_series(pdf["text"])
         self.n = len(pdf)
         self.dl = tokens.map(len).to_numpy(dtype=np.int64)
@@ -249,16 +256,33 @@ class BruteForceIndex:
         any_scoring = False
         for occur, tq in q.clauses:
             if isinstance(tq, ast.TermQuery) and tq.field != "text":
-                # keyword field: filter-only (MUST coerced to FILTER, no score)
+                # keyword field: constant similarity score (freq=1, dl=1,
+                # keyword-field collection stats), occur preserved
                 docs = self.keyword.get(tq.field, {}).get(tq.term)
                 if occur == ast.MUST_NOT:
                     if docs is not None:
                         excluded[docs] = True
                     continue
-                n_req += 1
-                if docs is None:
-                    return []
-                must_cnt[docs] += 1
+                if occur in (ast.MUST, ast.FILTER):
+                    n_req += 1
+                    if docs is None:
+                        return []
+                    must_cnt[docs] += 1
+                if occur in (ast.MUST, ast.SHOULD):
+                    if docs is None:
+                        continue
+                    from lucene_spark.search.searcher import (
+                        keyword_const_score,
+                    )
+
+                    st = {"df": int(docs.size), "ttf": int(docs.size)}
+                    const = keyword_const_score(
+                        self.similarity, tq.boost,
+                        self.kw_field_stats.get(tq.field), st)
+                    any_scoring = True
+                    score[docs] += float(const)
+                    if occur == ast.SHOULD:
+                        should_cnt[docs] += 1
                 continue
             if isinstance(tq, ast.MultiTermQuery):
                 # CONSTANT_SCORE rewrite: union doc set, contributes boost

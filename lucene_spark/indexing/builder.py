@@ -62,6 +62,11 @@ from lucene_spark.smallfloat import int_to_byte4
 
 FIELD = "text"
 
+# bump when the stats tables' derivation changes (a resumed build whose
+# manifest carries an older version recomputes stats even with zero segment
+# changes — self-heals cached indexes); v2 = per-keyword-field field_stats
+STATS_VERSION = 2
+
 DOCS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),  # segment-LOCAL; global = manifest offset + local
@@ -436,6 +441,7 @@ class IndexBuilder:
         if (built_any
                 or prev_sdirs != {"term_stats": "term_stats",
                                   "field_stats": "field_stats"}
+                or (manifest or {}).get("stats_version", 0) != STATS_VERSION
                 or not os.path.isdir(f"{self.index_dir}/term_stats")):
             # no-op resumes on a default-generation index leave every file
             # untouched (open readers keep their point-in-time view); any
@@ -456,6 +462,7 @@ class IndexBuilder:
                 "offsets": {str(k): v for k, v in offsets.items()},
                 "stats_dirs": {"term_stats": "term_stats",
                                "field_stats": "field_stats"},
+                "stats_version": STATS_VERSION,
                 "stats_gen": 0,
                 "segments_built": sum(1 for r in metrics_rows if r["status"] == "ok"),
                 "segments_reused": len(done),

@@ -280,11 +280,39 @@ def _clause_rows(q) -> list[tuple[str, str, float]]:
     return [(tq.term, occ, tq.boost) for occ, tq in q.clauses]
 
 
-def bm25_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
+def kw_const_cte(boost: float = 1.0) -> str:
+    """CTE computing the float32 constant a keyword-field term clause adds
+    per matching doc in the GATE corpus, where the keyword value sits on
+    EVERY doc (documents→transcripts sets role='user' on each turn): the
+    keyword field's collection stats are docCount = sumTTF = N (single-
+    valued, tf = 1), so df = N, avgdl = 1, dl = 1, freq = 1. Mirrors
+    ``searcher.keyword_const_score``'s float32 op order under BM25."""
+    return f"""
+kwc AS (
+  SELECT CAST(w - w / (CAST(1 AS FLOAT)
+                       + CAST(CAST(1 AS FLOAT) * inv AS FLOAT)) AS FLOAT) AS c
+  FROM (
+    SELECT CAST(CAST({boost!r} AS FLOAT)
+                * CAST(ln(1 + 0.5 / ((SELECT n FROM fstats) + 0.5)) AS FLOAT)
+                AS FLOAT) AS w,
+           CAST(CAST(1 AS FLOAT)
+                / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                           + CAST({B} * CAST(1 AS FLOAT) AS FLOAT)
+                             / CAST(1 AS FLOAT))) AS FLOAT) AS inv
+  )
+)"""
+
+
+def bm25_topk_sql(query, k: int, doc_where: str = "TRUE",
+                  kw_const: float | None = None) -> str:
     """Float32-bit-exact BM25 top-k SQL for a (flat boolean) query AST.
 
     Emits (doc_id, score DOUBLE) — score is the exact float32 widened to
     double. Order: score DESC, doc_id ASC, LIMIT k.
+
+    ``kw_const``: when set, every matching doc additionally receives the
+    :func:`kw_const_cte` keyword-clause constant (boost = the given value)
+    inside the double sum — the `+role:user` clause of the keyword gates.
     """
     clauses = _clause_rows(query)
     scoring = [(t, b) for t, o, b in clauses if o in (ast.MUST, ast.SHOULD)]
@@ -323,10 +351,16 @@ clause_scores AS (
   JOIN dlen d ON d.did = tf.did
 ),
 summed AS (
-  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)){{kw_add}} AS FLOAT) AS score
   FROM clause_scores GROUP BY did
 )
 """
+    if kw_const is not None:
+        clause_cte = kw_const_cte(kw_const) + "," + clause_cte
+        clause_cte = clause_cte.replace(
+            "{kw_add}", " + CAST((SELECT c FROM kwc) AS DOUBLE)")
+    else:
+        clause_cte = clause_cte.replace("{kw_add}", "")
     conds = []
     for t in must:
         conds.append(
@@ -436,15 +470,16 @@ def kw_should_topk_sql(query, k: int, const_boost: float = 1.0) -> str:
     """Top-k for a boolean of text SHOULD terms + ONE keyword-field SHOULD
     clause that every doc satisfies (the documents→transcripts mapping sets
     role='user' on every turn): match set = all docs, score = float32 of
-    (Σ_double per-term float32 BM25 + double(float32 const_boost)).
-    Mirrors the engine's constant-score keyword SHOULD contribution."""
+    (Σ_double per-term float32 BM25 + double(:func:`kw_const_cte` constant))
+    — the keyword clause's true BM25 weight at freq=1, dl=1 under the
+    keyword field's own collection stats."""
     clauses = _clause_rows(query)
     scoring = [(t, b) for t, o, b in clauses if o == ast.SHOULD]
     qvals = ",".join(
         f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
     )
     return f"""
-WITH {BASE_CTES},
+WITH {BASE_CTES},{kw_const_cte(const_boost)},
 qterms(cid, term, boost) AS (VALUES {qvals}),
 weights AS (
   SELECT q.cid, q.term,
@@ -467,7 +502,7 @@ clause_scores AS (
 summed AS (
   SELECT d0.did,
          CAST(coalesce(cs.ss, 0)
-              + CAST(CAST({const_boost!r} AS FLOAT) AS DOUBLE) AS FLOAT)
+              + CAST((SELECT c FROM kwc) AS DOUBLE) AS FLOAT)
            AS score
   FROM docs0 d0
   LEFT JOIN (SELECT did, SUM(CAST(s AS DOUBLE)) AS ss

@@ -33,18 +33,38 @@ class ScoreDoc:
 
 
 class ConstScorer:
-    """Constant-score per-doc contribution (float32 == boost) for keyword
-    (StringField) clauses inside scoring booleans: omitNorms/DOCS-only
-    fields have no tf/norm signal, so an optional keyword clause scores as
-    if wrapped in ConstantScoreQuery — `text:foo OR role:assistant` adds
-    ``boost`` for docs with the role. (Deliberate, documented departure from
-    BM25-on-StringField, which would need per-keyword-field avgdl stats.)"""
+    """Constant per-doc score contribution for keyword (StringField) clauses
+    inside scoring booleans. The constant is the ACTIVE similarity evaluated
+    the way the reference scores an omitNorms / DOCS-only field
+    (``LeafSimScorer.getNormValue``: missing norms ⇒ encoded norm 1L, i.e.
+    dl = 1; ``PostingsEnum.freq()`` on DOCS-only ⇒ 1) against the keyword
+    field's OWN collection statistics (``IndexSearcher.java:943-958``) — so
+    `text:foo OR role:assistant` adds the true BM25 weight of the role term,
+    not a bare boost. Indexes whose field_stats predate the per-keyword-field
+    rows fall back to the constant == boost approximation."""
 
-    def __init__(self, boost: float):
-        self.weight = F32(boost)
+    def __init__(self, const: float):
+        self.weight = F32(const)
 
     def score(self, tfs, norms):
         return np.full(np.asarray(tfs).shape[0], self.weight, dtype=F32)
+
+
+# missing norms read as encoded norm 1 (dl = 1) and DOCS-only freq reads as 1
+KW_NORM_CODE = 1
+KW_TF = 1
+
+
+def keyword_const_score(similarity, boost: float, field_stats: dict | None,
+                        st: dict) -> np.float32:
+    """Float32 constant a keyword-field term clause contributes per matching
+    doc under the given similarity (see :class:`ConstScorer`)."""
+    if not field_stats or not field_stats.get("doc_count"):
+        return F32(boost)  # legacy index: no per-keyword-field stats row
+    scorer = similarity.scorer(boost, field_stats["doc_count"],
+                               field_stats["sum_ttf"], [st["df"]],
+                               ttfs=[st["ttf"]])
+    return F32(scorer.score(np.array([KW_TF]), np.array([KW_NORM_CODE]))[0])
 
 
 class IndexSearcher:
@@ -75,10 +95,12 @@ class IndexSearcher:
         """Resolve stats → ClauseSpecs (each carrying its similarity scorer).
         None → no match.
 
-        Multi-field: clauses on keyword fields (any field != "text") act as
-        constant/filter clauses — MUST is coerced to FILTER (KeywordField /
-        StringField omitNorms semantics: no BM25 contribution), SHOULD
-        contributes a constant score == boost (:class:`ConstScorer`).
+        Multi-field: clauses on keyword fields (any field != "text") score a
+        per-term CONSTANT under the active similarity (freq=1, dl=1, the
+        keyword field's own collection stats — :func:`keyword_const_score`),
+        exactly like the reference scores TermQuery on an omitNorms field;
+        MUST keeps its required-AND-scoring semantics (BooleanQuery.java —
+        MUST is not FILTER), explicit FILTER stays scoreless.
         """
         q = ast.normalize(query)
         if isinstance(q, ast.MatchNoDocsQuery):
@@ -102,19 +124,17 @@ class IndexSearcher:
             return None
         specs: list[ClauseSpec] = []
         for occur, tq in occ_clauses:
-            const_score = False
-            if tq.field != "text":
-                if occur == ast.MUST:
-                    occur = ast.FILTER  # required keyword = pure filter
-                elif occur == ast.SHOULD:
-                    const_score = True  # optional keyword = constant boost
+            const_score = (tq.field != "text"
+                           and occur in (ast.MUST, ast.SHOULD))
             st = stats.get((tq.field, tq.term))
             if st is None or st["df"] == 0:
                 if occur in (ast.MUST, ast.FILTER):
                     return None  # required term absent from corpus
                 continue  # absent SHOULD / MUST_NOT clauses never match
             if const_score:
-                scorer = ConstScorer(tq.boost)
+                scorer = ConstScorer(keyword_const_score(
+                    self.similarity, tq.boost,
+                    self.reader.field_stats.get(tq.field), st))
                 w = scorer.weight
             elif occur in (ast.MUST, ast.SHOULD):
                 scorer = self.reader.similarity_scorer(
@@ -249,10 +269,10 @@ class IndexSearcher:
         into field-aware kernel clause dicts. Returns None when the query can
         never match, else (clauses, cache, msm, field_terms, need_positions).
 
-        Field handling mirrors ``_weighted_clauses``: clauses on keyword
-        fields are constant/filter clauses — MUST is coerced to FILTER
-        (StringField omitNorms semantics), SHOULD becomes a constant-score
-        clause. MultiTermQuery clauses take the CONSTANT_SCORE rewrite:
+        Field handling mirrors ``_weighted_clauses``: term clauses on keyword
+        fields score a per-term constant under the similarity (freq=1, dl=1,
+        keyword-field collection stats — :func:`keyword_const_score`) and
+        keep their occur. MultiTermQuery clauses take the CONSTANT_SCORE rewrite:
         the clause matches the union of its expanded terms' doc sets and
         contributes ``boost`` (``ConstantScoreQuery`` semantics).
         """
@@ -306,17 +326,20 @@ class IndexSearcher:
 
         clauses = []
         for occur, kind, f, terms, boost, slop in flat:
-            if f != "text" and kind != "const":
-                if occur == ast.MUST:
-                    occur = ast.FILTER  # required keyword = pure filter
-                elif occur == ast.SHOULD:
-                    kind = "const"  # optional keyword = constant boost
+            kw_term = f != "text" and kind == "term"
+            if f != "text" and kind == "phrase" and occur == ast.MUST:
+                occur = ast.FILTER  # keyword phrase = pure filter
             if kind != "const":
                 if not all(df_of(f, t) > 0 for t in terms):
                     if occur in (ast.MUST, ast.FILTER):
                         return None  # required clause can never match
                     continue  # absent SHOULD / MUST_NOT never matches
-            if kind == "const":
+            if kw_term and occur in (ast.MUST, ast.SHOULD):
+                kind = "const"  # constant similarity score, occur preserved
+                w = float(keyword_const_score(
+                    scoring_sim, boost, self.reader.field_stats.get(f),
+                    stats[(f, terms[0])]))
+            elif kind == "const":
                 w = float(boost)
             elif occur in (ast.MUST, ast.SHOULD):
                 scorer = self.reader.similarity_scorer(

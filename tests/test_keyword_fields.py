@@ -83,3 +83,41 @@ def test_keyword_with_phrase_and_multiterm_clauses(spark, kw_index, kw_golden,
         exp = kw_golden.search(q, 50)
         got = [(h.doc_id, h.score) for h in s.search(q, 50)]
         assert got == exp, f"keyword mixed mismatch for {q!r}"
+
+def test_keyword_scoring_clauses(spark, kw_index, kw_golden, corpus_pdf):
+    """Keyword MUST/SHOULD term clauses contribute the ACTIVE similarity
+    evaluated at freq=1, dl=1 under the keyword field's own collection
+    stats (BM25-on-StringField; BooleanQuery semantics — MUST scores, it is
+    not FILTER)."""
+    s = IndexSearcher(spark, kw_index)
+    queries = [
+        f"{VOCAB[0]} role:assistant",        # SHOULD keyword scores
+        f"+role:assistant +{VOCAB[0]}",      # MUST keyword scores too
+        f"{VOCAB[0]} role:assistant^2.5",    # boosted keyword clause
+        "role:assistant role:user",          # keyword-only scoring boolean
+    ]
+    for q in queries:
+        exp = kw_golden.search(q, 50)
+        got = [(h.doc_id, h.score) for h in s.search(q, 50)]
+        assert got == exp, f"keyword scoring mismatch for {q!r}"
+    # the constant is a true BM25 weight: rarer role values score higher
+    counts = corpus_pdf["role"].value_counts()
+    rare, common = counts.index[-1], counts.index[0]
+    sc_rare = {h.doc_id: h.score for h in s.search(f"role:{rare}", 100_000)}
+    sc_common = {h.doc_id: h.score
+                 for h in s.search(f"role:{common}", 100_000)}
+    assert max(sc_rare.values()) > max(sc_common.values())
+
+
+def test_keyword_scoring_other_similarities(spark, kw_index, corpus_pdf):
+    """The keyword constant follows the plugged similarity, not just BM25."""
+    from lucene_spark.similarity import get_similarity
+
+    q = f"{VOCAB[0]} role:assistant"
+    for name in ("classic", "lm_dirichlet"):
+        sim = get_similarity(name)
+        s = IndexSearcher(spark, kw_index, similarity=sim)
+        g = BruteForceIndex(corpus_pdf, similarity=sim,
+                            keyword_fields=("role",))
+        got = [(h.doc_id, h.score) for h in s.search(q, 30)]
+        assert got == g.search(q, 30), name
