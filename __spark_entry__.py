@@ -457,6 +457,34 @@ def _q_unicode_kana_topk(spark, sf_dir):
     return _hits_df(spark, s.search("테이블 バリュー ぎ", k=50, mode="wand"))
 
 
+GC_REPL = ((r"\btable\b", "таблица"), (r"\bvalue\b", "τιμή"),
+           (r"\brow\b", "σειρά"))
+
+
+def _q_unicode_gc_topk(spark, sf_dir):
+    """Greek/Cyrillic tokenizer gate: inject Cyrillic ('table'→'таблица')
+    and Greek ('value'→'τιμή', 'row'→'σειρά') vocabulary — both are UAX#29
+    ALetter classes forming run tokens (joining Latin runs cross-script),
+    lowercased per code point. Oracle: same derivation with the
+    Greek/Cyrillic-aware Unicode regex."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_gc/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in GC_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search("таблица τιμή σειρά", k=50, mode="wand"))
+
+
 def _q_suggest_terms(spark, sf_dir):
     """Suggest-lite: prefix completions from the term dictionary ranked by
     docFreq (the Lookup (key, weight) contract)."""
@@ -683,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_stem_topk": _q_english_stem,
         "unicode_topk": _q_unicode_topk,
         "unicode_kana_topk": _q_unicode_kana_topk,
+        "unicode_gc_topk": _q_unicode_gc_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -736,6 +765,10 @@ def oracle_sql() -> dict[str, str]:
         "unicode_kana_topk": oracle.unicode_topk_sql(
             ["테이블", "バリュー", "ぎ"], 50, list(KANA_REPL),
             token_re=oracle.UNICODE_KANA_TOKEN_RE,
+        ),
+        "unicode_gc_topk": oracle.unicode_topk_sql(
+            ["таблица", "τιμή", "σειρά"], 50, list(GC_REPL),
+            token_re=oracle.UNICODE_GC_TOKEN_RE,
         ),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),

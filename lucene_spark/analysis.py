@@ -47,13 +47,38 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
 #   KATAKANA_TYPE, ``:223-224``);
 # - Hiragana U+3041–U+3096, U+309D–U+309F tokenize ONE CHARACTER PER TOKEN
 #   ({HiraganaEx} → HIRAGANA_TYPE, ``:279``), like Han ideographs.
-# Base run: [A-Za-z0-9_ + latin-1 letters]+ ; joiners between base runs:
+# - Greek (U+0386–U+03CE letters) and Cyrillic (U+0400–U+045F — all Slavic
+#   alphabets) are UAX#29 ALetter: they join word runs exactly like Latin
+#   letters (cross-script runs form ONE token, per WB5 ALetter×ALetter);
+#   lowercase is per-CODE-POINT Character.toLowerCase (LowerCaseFilter.java)
+#   — NO final-sigma contextual mapping (Σ→σ always, unlike str.lower()).
+#   Extended/historic Cyrillic U+0460+ and Greek archaic letters stay out of
+#   scope (separators), documented in SURVEY §7.3.
+# Base run: [A-Za-z0-9_ + latin-1/greek/cyrillic letters]+ ; joiners:
 #   '  and .  : both-sided alnum (Single_Quote / MidNumLet, WB6-7 + WB11-12)
 #   :         : letters both sides (MidLetter, WB6-7)
 #   ,         : digits both sides (MidNum, WB11-12)
 _LAT1 = "À-ÖØ-öø-ÿ"
-_WORD_CLS = f"A-Za-z0-9_{_LAT1}"
-_LETTER_CLS = f"A-Za-z{_LAT1}"
+_GREEK = "ΆΈ-ΊΌΎ-ΡΣ-ώ"
+_CYR = "Ѐ-џ"
+_WORD_CLS = f"A-Za-z0-9_{_LAT1}{_GREEK}{_CYR}"
+_LETTER_CLS = f"A-Za-z{_LAT1}{_GREEK}{_CYR}"
+
+# per-code-point lowercase for Greek/Cyrillic capitals (Character.toLowerCase
+# semantics); applied via str.translate BEFORE str.lower() so Python's
+# contextual final-sigma rule never fires
+_GC_LOWER = {}
+for _cp in range(0x391, 0x3AC):
+    if _cp != 0x3A2:
+        _GC_LOWER[_cp] = _cp + 0x20
+for _u, _l in ((0x386, 0x3AC), (0x388, 0x3AD), (0x389, 0x3AE),
+               (0x38A, 0x3AF), (0x38C, 0x3CC), (0x38E, 0x3CD),
+               (0x38F, 0x3CE)):
+    _GC_LOWER[_u] = _l
+for _cp in range(0x400, 0x410):
+    _GC_LOWER[_cp] = _cp + 0x50
+for _cp in range(0x410, 0x430):
+    _GC_LOWER[_cp] = _cp + 0x20
 _STANDARD_RE = re.compile(
     f"[{_WORD_CLS}]+"
     f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
@@ -64,7 +89,8 @@ _STANDARD_RE = re.compile(
     "|[ぁ-ゖゝ-ゟ]"       # Hiragana: one character per token
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
-_HAS_ALNUM_RE = re.compile(f"[A-Za-z0-9{_LAT1}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ]")
+_HAS_ALNUM_RE = re.compile(
+    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
@@ -213,6 +239,49 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             lat_lead = _SCR.get("u_ll", B, bool)
             lat_lead[:] = False
             lat_lead[:-1] = lat_cont[1:]
+        # Greek (UTF-8 CE/CF pages) + Cyrillic (D0/D1): 2-byte letters.
+        # Per-code-point lowercase REWRITES the pair in place (the lead byte
+        # can change: Ω CE A9 → ω CF 89, Я D0 AF → я D1 8F), then both bytes
+        # join the letter class like Latin-1.
+        gl = _SCR.get("u_gc", B, bool)
+        np.greater_equal(buf, 0xCE, out=gl)
+        np.less_equal(buf, 0xD1, out=t1)
+        np.logical_and(gl, t1, out=gl)
+        gl[-1] = False
+        if gl.any():
+            li = np.flatnonzero(gl)
+            cont = buf[li + 1]
+            ok = (cont & 0xC0) == 0x80
+            cp = (((buf[li].astype(np.int32) & 0x1F) << 6)
+                  | (cont.astype(np.int32) & 0x3F))
+            greek = ((cp >= 0x386) & (cp <= 0x3CE)
+                     & (cp != 0x387) & (cp != 0x38B)
+                     & (cp != 0x38D) & (cp != 0x3A2))
+            cyr = (cp >= 0x400) & (cp <= 0x45F)
+            letter = ok & (greek | cyr)
+            if letter.any():
+                lo = cp.copy()
+                lo[(cp >= 0x391) & (cp <= 0x3AB) & (cp != 0x3A2)] += 0x20
+                for u_, l_ in ((0x386, 0x3AC), (0x388, 0x3AD),
+                               (0x389, 0x3AE), (0x38A, 0x3AF),
+                               (0x38C, 0x3CC), (0x38E, 0x3CD),
+                               (0x38F, 0x3CE)):
+                    lo[cp == u_] = l_
+                lo[(cp >= 0x400) & (cp <= 0x40F)] += 0x50
+                lo[(cp >= 0x410) & (cp <= 0x42F)] += 0x20
+                chg = letter & (lo != cp)
+                if chg.any():
+                    ci = li[chg]
+                    buf[ci] = (0xC0 | (lo[chg] >> 6)).astype(np.uint8)
+                    buf[ci + 1] = (0x80 | (lo[chg] & 0x3F)).astype(np.uint8)
+                if lat_lead is None:
+                    lat_lead = _SCR.get("u_ll", B, bool)
+                    lat_lead[:] = False
+                    lat_cont = _SCR.get("u_lc", B, bool)
+                    lat_cont[:] = False
+                gli = li[letter]
+                lat_lead[gli] = True
+                lat_cont[gli + 1] = True
         e_lead = _SCR.get("u_el", B, bool)
         np.greater_equal(buf, 0xE3, out=e_lead)
         np.less_equal(buf, 0xED, out=t1)
@@ -382,7 +451,7 @@ class StandardAnalyzer:
         if not text:
             return []
         toks = [
-            t.lower()
+            t.translate(_GC_LOWER).lower()
             for t in _STANDARD_RE.findall(text)
             if len(t) <= self.max_token_length and _HAS_ALNUM_RE.search(t)
         ]
@@ -398,7 +467,8 @@ class StandardAnalyzer:
             ml = self.max_token_length
             out = out.map(
                 lambda ts: [
-                    t.lower() for t in ts if len(t) <= ml and _HAS_ALNUM_RE.search(t)
+                    t.translate(_GC_LOWER).lower() for t in ts
+                    if len(t) <= ml and _HAS_ALNUM_RE.search(t)
                 ]
             )
         if self.stopwords:

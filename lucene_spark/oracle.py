@@ -195,6 +195,11 @@ UNICODE_TOKEN_RE = "[a-z0-9à-öø-ÿ]+|[一-鿿]"
 # (StandardTokenizerImpl.jflex:220-224,278-279 typing rules)
 UNICODE_KANA_TOKEN_RE = (
     "[a-z0-9à-öø-ÿ]+|[가-힣]+|[ァ-ヺー-ヾ]+|[一-鿿]|[ぁ-ゖゝ-ゟ]")
+# Greek/Cyrillic step-up: ALetter classes join the latin run (cross-script
+# single tokens); lowercase-only classes suffice — the gate corpus is
+# lower()ed before vocabulary injection
+UNICODE_GC_TOKEN_RE = (
+    "[a-z0-9à-öø-ÿά-ώа-џ]+|[가-힣]+|[ァ-ヺー-ヾ]+|[一-鿿]|[ぁ-ゖゝ-ゟ]")
 
 
 def unicode_topk_sql(terms, k: int, replacements,

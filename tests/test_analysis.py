@@ -81,6 +81,11 @@ def test_unicode_tokenizer_parity():
         "バリューチェーン ー",     # Katakana runs incl. 30FC prolonged mark
         "한글テストabc値ひら",     # script adjacency breaks runs
         "カタカナ、ひらがな。漢字",  # CJK punctuation separates
+        "ΣΟΦΟΣ σοφός ΤΙΜΉ",      # Greek; per-char Σ→σ (NO final-sigma ς)
+        "Я МЫ Привет котёнок",    # Cyrillic incl. cross-lead Я→я, ё
+        "tableтест τιμήvalue",    # ALetter×ALetter: cross-script single runs
+        "Ο'ΝΕΙΛ д.т знач·τιμή",  # joiners apply; U+0387 · separates
+        "ЀЍѐџ ѣѢ",               # 0400–045F in scope; 0463 Ѣ out (separator)
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))
