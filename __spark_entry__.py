@@ -457,6 +457,20 @@ def _q_unicode_kana_topk(spark, sf_dir):
     return _hits_df(spark, s.search("테이블 バリュー ぎ", k=50, mode="wand"))
 
 
+MSEARCH_QS = (Q_HOT, Q_OR, Q_BOOL, Q_BOOST)
+
+
+def _q_msearch(spark, sf_dir):
+    """Batched multi-query execution: 4 queries, ONE postings scan + ONE
+    Spark job (searcher.msearch). Result slots must equal per-query
+    search(); oracle = UNION ALL of the per-query BM25 SQL with qid tags."""
+    s = _searcher(spark, sf_dir)
+    res = s.msearch([_parse(q) for q in MSEARCH_QS], k=20)
+    rows = [(qi, int(h.doc_id), float(h.score))
+            for qi, hits in enumerate(res) for h in hits]
+    return spark.createDataFrame(rows, "qid long, doc_id long, score double")
+
+
 GC_REPL = ((r"\btable\b", "таблица"), (r"\bvalue\b", "τιμή"),
            (r"\brow\b", "σειρά"))
 
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_topk": _q_unicode_topk,
         "unicode_kana_topk": _q_unicode_kana_topk,
         "unicode_gc_topk": _q_unicode_gc_topk,
+        "msearch_topk": _q_msearch,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -769,6 +784,11 @@ def oracle_sql() -> dict[str, str]:
         "unicode_gc_topk": oracle.unicode_topk_sql(
             ["таблица", "τιμή", "σειρά"], 50, list(GC_REPL),
             token_re=oracle.UNICODE_GC_TOKEN_RE,
+        ),
+        "msearch_topk": "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT) AS qid, doc_id, score"
+            f" FROM ({oracle.bm25_topk_sql(_parse(q), 20)}) ms{i}"
+            for i, q in enumerate(MSEARCH_QS)
         ),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),

@@ -120,6 +120,18 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     t = time.time()
     searcher.count(_ast.ConstantScoreQuery(fq))
     extra["filter_cached"] = time.time() - t
+    # batched execution: the 5 flat headline queries in ONE scan + ONE job
+    # (vs the sum of their individual latencies above) — the serving-path
+    # amortization of the per-job scheduling floor
+    flat5 = [qset[n] for n in
+             ("topk_hot", "topk_or3", "topk_bool", "topk_boost", "topk_rare")]
+    searcher.msearch(flat5, 10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.msearch(flat5, 10)
+        reps.append(time.time() - t)
+    extra["msearch5"] = sorted(reps)[1]
 
     total = sum(timings.values())
     result = {

@@ -229,6 +229,89 @@ class IndexSearcher:
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
 
+    def msearch(self, queries, k: int = 10, mode: str = "wand"):
+        """Batched multi-query top-k: N queries, ONE postings scan, ONE
+        Spark job (the ``MultiSearcher`` / msearch serving pattern,
+        re-expressed Spark-first: at serving scale per-query latency is
+        dominated by the per-job scheduling floor, which a batch pays once).
+
+        The scan pushes the UNION of every query's ``In(field, term)`` set
+        into parquet; the per-segment kernel then runs each query's WAND
+        top-k over the shared decoded rows. Term and flat-boolean queries
+        batch; any other shape (phrase, multiterm, constant-score, …) falls
+        back to its regular ``search()`` path and still fills its slot.
+        Returns ``[[ScoreDoc, ...], ...]`` aligned with ``queries``.
+        """
+        parsed = []
+        for q in queries:
+            q = self.parse(q) if isinstance(q, str) else q
+            parsed.append(ast.normalize(q))
+        results: list = [None] * len(parsed)
+        batched: dict[int, tuple] = {}
+        for i, q in enumerate(parsed):
+            flat = (isinstance(q, ast.TermQuery)
+                    or (isinstance(q, ast.BooleanQuery)
+                        and all(isinstance(s, ast.TermQuery)
+                                for _, s in q.clauses)))
+            if not flat:
+                results[i] = self.search(q, k, mode=mode)
+                continue
+            wc = self._weighted_clauses(q)
+            if wc is None:
+                results[i] = []
+            else:
+                batched[i] = wc
+        if not batched:
+            return results
+        items = sorted(batched.items())
+        all_specs = [c for _qid, (specs, _m) in items for c in specs]
+        postings = self._postings_for_specs(all_specs)
+        cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
+                "tfs", "norms", "max_tf", "impact_tfs", "impact_norms",
+                "doc_offset"]
+        sep = self.FIELD_SEP
+        dload = self.reader.deleted_loader()
+        prune = mode == "wand"
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            rows["term"] = (pdf["field"] + sep + pdf["term"]).to_numpy(
+                dtype=object)
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            dele = dload(pdf["seg"].iloc[0]) + off if dload else None
+            qi, dd, ss = [], [], []
+            for qid, (specs, msm) in items:
+                d, s = segment_topk(rows, specs, k, msm, prune=prune,
+                                    deleted=dele)
+                qi.append(np.full(d.size, qid, np.int64))
+                dd.append(d)
+                ss.append(s)
+            return pd.DataFrame({
+                "qid": np.concatenate(qi),
+                "doc_id": np.concatenate(dd),
+                "score": np.concatenate(ss).astype(np.float32),
+            })
+
+        out = self._collect(
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "qid long, doc_id long, score float")
+        )
+        per_q: dict[int, list] = {qid: [] for qid, _ in items}
+        for r in out:
+            per_q[int(r["qid"])].append((int(r["doc_id"]), float(r["score"])))
+        for qid, pairs in per_q.items():
+            if not pairs:
+                results[qid] = []
+                continue
+            d = np.array([p[0] for p in pairs], dtype=np.int64)
+            s = np.array([p[1] for p in pairs], dtype=np.float32)
+            order = np.lexsort((d, -s.astype(np.float64)))[:k]
+            results[qid] = [ScoreDoc(int(d[i]), float(s[i])) for i in order]
+        return results
+
     # hybrid multiterm execution (restores the round-1 term pushdown): small
     # expansions resolve on the driver (zero jobs against the resident dict)
     # and push In(term, …) into the postings scan — row-group min/max pruning

@@ -728,3 +728,24 @@ def test_suggest_and_percolate(spark, searcher, corpus_pdf):
     a = {h.doc_id for h in searcher.search(VOCAB[0], 10**6, mode="exhaustive")}
     assert by_q.get("a", set()) == a
     assert by_q.get("b", set()) <= a
+
+
+def test_msearch_equals_individual_search(searcher):
+    """Batched multi-query execution (one scan, one job) returns exactly
+    what per-query search() returns — including fallback slots for
+    non-flat shapes (phrase) and empty slots (absent MUST)."""
+    queries = [
+        VOCAB[0],
+        f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}",
+        f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}",
+        f"{VOCAB[4]}^2.5 {VOCAB[9]}",
+        f'"{VOCAB[0]} {VOCAB[3]}"',          # phrase → fallback slot
+        f"+zzznotaterm {VOCAB[0]}",          # never matches → []
+    ]
+    batched = searcher.msearch(queries, k=25)
+    assert len(batched) == len(queries)
+    for q, got in zip(queries, batched):
+        exp = searcher.search(q, 25)
+        assert [(h.doc_id, h.score) for h in got] == \
+            [(h.doc_id, h.score) for h in exp], q
+    assert batched[-1] == []
