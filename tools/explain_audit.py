@@ -91,6 +91,17 @@ def main(sf_dir: str):
                      "BroadcastExchange on the tiny query side + window)",
                      capture(brute_topk(emb))))
 
+    # batched multi-query execution (msearch): ONE postings scan whose
+    # In(term, …) pushdown carries the UNION of every batched query's terms
+    mspecs = []
+    for q in getattr(e, "MSEARCH_QS", ()):
+        wc = srch._weighted_clauses(_ast.normalize(e._parse(q)))
+        if wc:
+            mspecs.extend(wc[0])
+    sections.append(("msearch batched postings scan (expect ONE scan with "
+                     "In(term,...) = union of all batched queries' terms)",
+                     capture(srch._postings_for_specs(mspecs))))
+
     import re
 
     checks = []
@@ -117,6 +128,9 @@ def main(sf_dir: str):
                    and "ArrowEval" not in sections[4][1]))
     checks.append(("ANN broadcasts query side",
                    "Broadcast" in sections[5][1]))
+    checks.append(("msearch single scan pushes the term UNION",
+                   bool(re.search(r"In\(`?term`?,[^\]]*spark", sections[6][1]))
+                   and "customer" in sections[6][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
