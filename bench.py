@@ -65,19 +65,25 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     # enough, while small corpora still use every core.
     nseg = max(2 * cpus, n_turns // 31_250)
 
-    # un-timed warm-up (JMH practice): a small throwaway build JIT-compiles
-    # the codegen/Arrow/python-worker machinery so the timed build measures
-    # indexing throughput, not first-query JVM warm-up (measured: the first
-    # build in a fresh JVM costs ~2x the steady state)
+    # un-timed warm-up (JMH practice): one throwaway FULL build JIT-compiles
+    # the codegen/Arrow/python-worker machinery AND lets the sandbox VM ramp
+    # out of its post-idle CPU/IO throttle (measured on this box: matmul
+    # 828 ms cold → 85 ms under sustained load, a cold first build costs
+    # 3-8x steady state). Then median-of-N timed builds = steady-state
+    # throughput, the number that predicts a busy production cluster.
     warm_dir = f"{idx}_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    IndexBuilder(spark, warm_dir, num_segments=cpus).build(
-        corpus.limit(min(n_turns, 50_000)))
+    IndexBuilder(spark, warm_dir, num_segments=nseg).build(corpus)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    t0 = time.time()
-    IndexBuilder(spark, idx, num_segments=nseg).build(corpus)
-    timings["index_build"] = time.time() - t0
+    build_reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
+    reps = []
+    for r in range(build_reps):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(spark, idx, num_segments=nseg).build(corpus)
+        reps.append(time.time() - t0)
+    timings["index_build"] = sorted(reps)[len(reps) // 2]
 
     searcher = IndexSearcher(spark, idx)
     qset = {
@@ -92,11 +98,11 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     for name, q in qset.items():
         searcher.search(q, 10)  # warm (plans, parquet footers)
         reps = []
-        for _ in range(3):
+        for _ in range(5):
             t = time.time()
             searcher.search(q, 10)
             reps.append(time.time() - t)
-        timings[name] = sorted(reps)[1]  # median
+        timings[name] = sorted(reps)[2]  # median of 5
 
     # extra (non-headline) queries — kept OUT of the summed value so the
     # headline metric stays comparable across rounds; reported alongside
@@ -104,11 +110,11 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
     sloppy_q = f'"{VOCAB[0]} {VOCAB[3]}"~3'
     searcher.search(sloppy_q, 10)
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t = time.time()
         searcher.search(sloppy_q, 10)
         reps.append(time.time() - t)
-    extra["topk_sloppy"] = sorted(reps)[1]
+    extra["topk_sloppy"] = sorted(reps)[2]
     # repeated-filter query: second-hit latency through the LRU query cache
     from lucene_spark.search import ast as _ast
 
@@ -127,11 +133,11 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
              ("topk_hot", "topk_or3", "topk_bool", "topk_boost", "topk_rare")]
     searcher.msearch(flat5, 10)  # warm
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t = time.time()
         searcher.msearch(flat5, 10)
         reps.append(time.time() - t)
-    extra["msearch5"] = sorted(reps)[1]
+    extra["msearch5"] = sorted(reps)[2]
 
     total = sum(timings.values())
     result = {
