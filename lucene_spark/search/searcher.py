@@ -1044,3 +1044,66 @@ class IndexSearcher:
         """Keyset pagination (``TopScoreDocCollector.java:163-184`` analogy):
         hits ranked after the first ``after_count``."""
         return self.search(query, k=after_count + k, mode=mode)[after_count:]
+
+    def mlt_query(self, text: str, *, field: str = "text",
+                  max_query_terms: int = 25, min_term_freq: int = 2,
+                  min_doc_freq: int = 5, max_doc_freq: int | None = None,
+                  max_num_tokens: int = 5000, boost: bool = False,
+                  boost_factor: float = 1.0):
+        """MoreLikeThis term selection — the ``like(Reader)`` form
+        (``lucene/queries/src/java/org/apache/lucene/queries/mlt/
+        MoreLikeThis.java:878-881,625-683``): analyze ``text``, keep terms
+        with tf ≥ min_term_freq and min_doc_freq ≤ df (≤ max_doc_freq),
+        score each float32 ``tf × idf`` with the Classic idf
+        ``(float)(ln((docCount+1)/(df+1)) + 1.0)``
+        (``ClassicSimilarity.java:62-64``), and build a SHOULD-only
+        BooleanQuery over the best ``max_query_terms`` terms
+        (``createQuery``, MoreLikeThis.java:592-611; default unboosted per
+        DEFAULT_BOOST=false). The reference's PQ leaves equal-score order
+        unspecified; this engine pins the tie-break to term ASC so results
+        are deterministic and SQL-oracle-able.
+
+        All driver-side work is O(|text| + selected terms): tokenize one
+        string, df lookups through the resident term dictionary — no
+        cluster job runs until the returned query executes.
+        """
+        import numpy as np
+
+        toks = self.analyzer.tokenize_text(text)[:max_num_tokens]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cands = sorted(t for t, f in tf.items() if f >= min_term_freq)
+        stats = self.reader.term_stats(cands, field=field)
+        n_docs = self.reader.field_stats.get(field, {}).get(
+            "doc_count", self.reader.doc_count) or self.reader.doc_count
+        scored = []
+        for t in cands:
+            st = stats.get(t)
+            if st is None:
+                continue
+            df = st["df"]
+            if df < min_doc_freq or (max_doc_freq is not None
+                                     and df > max_doc_freq):
+                continue
+            idf = np.float32(np.log((n_docs + 1) / np.float64(df + 1))
+                             + 1.0)
+            scored.append((np.float32(np.float32(tf[t]) * idf), t))
+        scored.sort(key=lambda x: (-float(x[0]), x[1]))
+        top = scored[:max_query_terms]
+        if not top:
+            return ast.BooleanQuery(())
+        best = float(top[0][0])
+        clauses = []
+        for s, t in top:
+            tq = ast.TermQuery(t, field=field)
+            if boost:
+                tq = tq.boosted(float(np.float32(boost_factor)
+                                      * np.float32(float(s) / best)))
+            clauses.append((ast.SHOULD, tq))
+        return ast.BooleanQuery(tuple(clauses))
+
+    def more_like_this(self, text: str, k: int = 10, **mlt_opts):
+        """Top-k docs most similar to ``text``: :meth:`mlt_query` term
+        selection, then the standard scored search (WAND-pruned)."""
+        return self.search(self.mlt_query(text, **mlt_opts), k=k)

@@ -749,3 +749,88 @@ def test_msearch_equals_individual_search(searcher):
         assert [(h.doc_id, h.score) for h in got] == \
             [(h.doc_id, h.score) for h in exp], q
     assert batched[-1] == []
+
+
+def test_sloppy_lockstep_vectorized_parity():
+    """The lockstep-batched ≥3-slot sloppy kernel is bit-identical to the
+    faithful per-doc heap walk (SloppyPhraseMatcher port) across randomized
+    position lists — 3..5 slots, ties, early exhaustion, slop 0..7."""
+    from lucene_spark.search.phrase import (
+        _sloppy_freq_doc,
+        _sloppy_freqs_lockstep,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        n_slots = int(rng.integers(3, 6))
+        n_docs = int(rng.integers(1, 10))
+        doc_ids = np.arange(n_docs, dtype=np.int64)
+        structs = []
+        per_doc = [[None] * n_slots for _ in range(n_docs)]
+        for slot in range(n_slots):
+            tfs = rng.integers(1, 7, size=n_docs).astype(np.int64)
+            flat_parts = []
+            for j in range(n_docs):
+                pos = np.sort(rng.choice(np.arange(0, 25), size=tfs[j],
+                                         replace=False)).astype(np.int64)
+                flat_parts.append(pos)
+                per_doc[j][slot] = pos - slot
+            offs = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            structs.append((doc_ids, tfs, np.ones(n_docs, np.int64),
+                            np.concatenate(flat_parts), offs))
+        locs = [doc_ids] * n_slots
+        slop = int(rng.integers(0, 8))
+        res = _sloppy_freqs_lockstep(structs, doc_ids, locs, slop)
+        got = np.zeros(n_docs, dtype=np.float32)
+        if res is not None:
+            mask, fr = res
+            got[mask] = fr
+        want = np.array([_sloppy_freq_doc(per_doc[j], slop)
+                         for j in range(n_docs)], dtype=np.float32)
+        assert np.array_equal(got, want)
+
+
+def test_more_like_this(spark, searcher, corpus_pdf):
+    """MLT term selection (MoreLikeThis.java:625-683): tf/df filters, the
+    float32 tf×idf ranking with term-ASC tie-break, the max_query_terms
+    cap, boost mode's score/bestScore weights, and that the top hit for a
+    doc's own text is that doc (self-similarity sanity)."""
+    import numpy as np
+
+    from lucene_spark.search import ast as A
+
+    text = corpus_pdf.iloc[0]["text"]
+    q = searcher.mlt_query(text, min_term_freq=2, min_doc_freq=2,
+                           max_query_terms=3)
+    assert isinstance(q, A.BooleanQuery) and 0 < len(q.clauses) <= 3
+    assert all(occ == A.SHOULD and c.boost == 1.0 for occ, c in q.clauses)
+    # recompute selection independently
+    toks = searcher.analyzer.tokenize_text(text)
+    tf = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    cands = [t for t, f in tf.items() if f >= 2]
+    stats = searcher.reader.term_stats(cands)
+    n = searcher.reader.doc_count
+    scored = sorted(
+        ((-float(np.float32(np.float32(tf[t])
+                            * np.float32(np.log((n + 1) / np.float64(st["df"] + 1))
+                                         + 1.0))), t)
+         for t, st in stats.items() if st["df"] >= 2),
+    )
+    want = [t for _, t in scored[:3]]
+    assert [c.term for _, c in q.clauses] == want
+    # boost mode: first term gets boost 1.0 (best/best), all in (0, 1]
+    qb = searcher.mlt_query(text, min_term_freq=2, min_doc_freq=2,
+                            max_query_terms=3, boost=True)
+    boosts = [c.boost for _, c in qb.clauses]
+    assert boosts[0] == 1.0 and all(0.0 < b <= 1.0 for b in boosts)
+    # no qualifying terms → MatchNo-equivalent empty boolean
+    q0 = searcher.mlt_query("zzzqx", min_term_freq=2, min_doc_freq=2)
+    assert isinstance(q0, A.BooleanQuery) and not q0.clauses
+    # self-similarity: doc 0's text retrieves doc 0 among the top hits
+    # (not necessarily first — BM25 can prefer a doc with more of the
+    # selected terms)
+    hits = searcher.more_like_this(text, k=10, min_term_freq=2,
+                                   min_doc_freq=2)
+    assert hits and 0 in [h.doc_id for h in hits]
