@@ -174,6 +174,38 @@ def _q_count_sloppy3(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_ws_topk(spark, sf_dir):
+    """WhitespaceAnalyzer end-to-end (core/analysis/core/
+    WhitespaceAnalyzer.java: split on whitespace, case PRESERVED): build a
+    whitespace index over upper(text) — so matching is case-sensitive and
+    provably distinct from the lowercasing chains — and run an
+    uppercase-term OR query."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_ws/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    src = transcripts_from_documents(spark, sf_dir).withColumn(
+        "text", F.upper(F.col("text")))
+    try:
+        IndexBuilder(spark, d, analyzer="whitespace",
+                     num_segments=6).build(src, resume=resume)
+    except Exception:
+        shutil.rmtree(d, ignore_errors=True)
+        IndexBuilder(spark, d, analyzer="whitespace",
+                     num_segments=6).build(src)
+    s = IndexSearcher(spark, d)
+    q = ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("TABLE")),
+                          (ast.SHOULD, ast.TermQuery("VALUE"))))
+    return _hits_df(spark, s.search(q, k=40))
+
+
 MLT_SRC_DID = 32  # 33rd-smallest documents.doc_id (did == doc_id rank)
 
 
@@ -692,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_sloppy_repeat": _q_count_sloppy_repeat,
         "count_sloppy3": _q_count_sloppy3,
         "mlt_topk": _q_mlt_topk,
+        "ws_analyzer_topk": _q_ws_topk,
         "bm25_multiphrase": _q_multiphrase,
         "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
         "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
@@ -837,6 +870,13 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value", "query"], 3
         ),
         "mlt_topk": oracle.mlt_topk_sql(MLT_SRC_DID, 30),
+        "ws_analyzer_topk": oracle.bm25_topk_sql(
+            ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("TABLE")),
+                              (ast.SHOULD, ast.TermQuery("VALUE")))),
+            40,
+            base_cte=oracle.tokenizer_ctes(
+                txt="upper(coalesce(text, ''))", tok_re=r"\S+"),
+        ),
         "bm25_multiphrase": oracle.multiphrase_topk_sql(
             [("table", "row"), ("value",)], 40
         ),

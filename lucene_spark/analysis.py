@@ -537,4 +537,174 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_en import EnglishAnalyzer
 
         return EnglishAnalyzer()
+    if name == "whitespace":
+        return WhitespaceAnalyzer()
+    if name == "letter":
+        return LetterAnalyzer()
+    if name == "stop":
+        return stop_analyzer()
+    if name == "keyword":
+        return KeywordAnalyzer()
     raise ValueError(f"unknown analyzer: {name}")
+
+
+def _ids_from_token_lists(tok_lists, n_rows: int, with_positions: bool,
+                          stopwords=None):
+    """Generic (uniq_terms, codes, per_row_counts[, positions]) encoder for
+    analyzers whose tokenizers are regex/split-based rather than
+    byte-vectorized (whitespace/letter/stop/keyword — secondary build
+    paths; the headline standard/simple chains stay on
+    ``_tokenize_ids_bytes``). Positions are ordinals over ALL tokens of the
+    row, so stop-filtering leaves position holes
+    (``core/analysis/StopFilter.java``). uniq_terms sorts in code-point
+    order == unsigned UTF-8 byte order (UTF-8 preserves ordering)."""
+    lens_all = np.fromiter((len(l) for l in tok_lists), dtype=np.int64,
+                           count=n_rows)
+    total = int(lens_all.sum())
+    if total == 0:
+        out = (np.array([], dtype=object), np.zeros(0, np.int64),
+               np.zeros(n_rows, np.int64))
+        return (*out, np.zeros(0, np.int64)) if with_positions else out
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for l in tok_lists:
+        for t in l:
+            flat[i] = t
+            i += 1
+    starts = np.concatenate([[0], np.cumsum(lens_all)[:-1]]).astype(np.int64)
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lens_all)
+    pos = np.arange(total, dtype=np.int64) - starts[row_ids]
+    per_row = lens_all
+    if stopwords:
+        keep = np.fromiter((t not in stopwords for t in flat), dtype=bool,
+                           count=total)
+        flat, pos, row_ids = flat[keep], pos[keep], row_ids[keep]
+        per_row = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+    uniq, codes = np.unique(flat, return_inverse=True)
+    if with_positions:
+        return uniq, codes.astype(np.int64), per_row, pos
+    return uniq, codes.astype(np.int64), per_row
+
+
+def _chunk255(tokens: list) -> list:
+    """CharTokenizer splits runs longer than 255 chars into 255-char tokens
+    (``core/analysis/util/CharTokenizer.java`` maxTokenLen behavior —
+    unlike StandardTokenizer, which DROPS over-length tokens)."""
+    if all(len(t) <= MAX_TOKEN_LENGTH for t in tokens):
+        return tokens
+    out = []
+    for t in tokens:
+        if len(t) <= MAX_TOKEN_LENGTH:
+            out.append(t)
+        else:
+            out.extend(t[i:i + MAX_TOKEN_LENGTH]
+                       for i in range(0, len(t), MAX_TOKEN_LENGTH))
+    return out
+
+
+@dataclass(frozen=True)
+class WhitespaceAnalyzer:
+    """``core/analysis/core/WhitespaceAnalyzer.java``: split on Unicode
+    whitespace, NO lowercase, 255-char run chunking. DuckDB equivalent:
+    ``unnest(regexp_extract_all(text, '\\S+'))``."""
+
+    name = "whitespace"
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return _chunk255(text.split()) if text else []
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(self.tokenize_text)
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
+_LETTER_RE = re.compile(f"[{_LETTER_CLS}]+")
+
+
+@dataclass(frozen=True)
+class LetterAnalyzer:
+    """The reference's ``SimpleAnalyzer`` (LetterTokenizer + lowercase,
+    ``core/analysis/core/SimpleAnalyzer.java``) — named ``letter`` here
+    because this engine's ``simple`` is the [a-z0-9]+ oracle contract.
+    Letter class = the declared tokenizer alphabet (ASCII + Latin-1 +
+    Greek + Cyrillic letters); digits are separators."""
+
+    stopwords: frozenset = field(default_factory=frozenset)
+
+    name = "letter"
+
+    def tokenize_text(self, text: str) -> list[str]:
+        if not text:
+            return []
+        toks = _chunk255([t.translate(_GC_LOWER).lower()
+                          for t in _LETTER_RE.findall(text)])
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        return toks
+
+    def _raw_lists(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda s: _chunk255([t.translate(_GC_LOWER).lower()
+                                 for t in _LETTER_RE.findall(s)]))
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        out = self._raw_lists(texts)
+        if self.stopwords:
+            sw = self.stopwords
+            out = out.map(lambda ts: [t for t in ts if t not in sw])
+        return out
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self._raw_lists(texts), len(texts), with_positions,
+            stopwords=self.stopwords or None)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
+def stop_analyzer(stopwords=None) -> LetterAnalyzer:
+    """``core/analysis/core/StopAnalyzer.java``: LetterTokenizer +
+    lowercase + stop filter (position holes). Defaults to the English stop
+    set (``EnglishAnalyzer.ENGLISH_STOP_WORDS_SET``)."""
+    if stopwords is None:
+        from lucene_spark.analysis_en import ENGLISH_STOP_WORDS
+
+        stopwords = ENGLISH_STOP_WORDS
+    a = LetterAnalyzer(stopwords=frozenset(stopwords))
+    object.__setattr__(a, "name", "stop")
+    return a
+
+
+@dataclass(frozen=True)
+class KeywordAnalyzer:
+    """``core/analysis/core/KeywordAnalyzer.java``: the entire input is ONE
+    token, untouched (no lowercase, no length cap) — the analysis-chain
+    twin of StringField."""
+
+    name = "keyword"
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return [text] if text else []
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda s: [s] if s else [])
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)

@@ -40,22 +40,32 @@ def base_ctes(doc_where: str = "TRUE") -> str:
     """The shared CTE block; ``doc_where`` filters the source docs BEFORE
     docID assignment (row_number) — used by the delete+compact gate, whose
     surviving docs are renumbered densely exactly like a fresh build."""
+    return tokenizer_ctes(doc_where)
+
+
+def tokenizer_ctes(doc_where: str = "TRUE",
+                   txt: str = "lower(coalesce(text, ''))",
+                   tok_re: str = "[a-z0-9]+") -> str:
+    """Base CTEs with a pluggable tokenization contract: ``txt`` is the
+    normalized-text expression, ``tok_re`` the token regex — e.g. the
+    WhitespaceAnalyzer contract is ``coalesce(text, '')`` + ``\\S+``
+    (case-preserving, split on whitespace)."""
     return f"""
 docs0 AS (
   SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
          lang, source,
-         lower(coalesce(text, '')) AS t
+         {txt} AS t
   FROM documents
   WHERE {doc_where}
 ),
 toks AS (
-  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term FROM docs0
+  SELECT did, unnest(regexp_extract_all(t, '{tok_re}')) AS term FROM docs0
 ),
 tf AS (
   SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
 ),
 dls AS (
-  SELECT did, len(regexp_extract_all(t, '[a-z0-9]+'))::BIGINT AS dl FROM docs0
+  SELECT did, len(regexp_extract_all(t, '{tok_re}'))::BIGINT AS dl FROM docs0
 ),
 normmap(lo, hi) AS (VALUES {norm_map_values()}),
 dlen AS (
@@ -309,7 +319,8 @@ kwc AS (
 
 
 def bm25_topk_sql(query, k: int, doc_where: str = "TRUE",
-                  kw_const: float | None = None) -> str:
+                  kw_const: float | None = None,
+                  base_cte: str | None = None) -> str:
     """Float32-bit-exact BM25 top-k SQL for a (flat boolean) query AST.
 
     Emits (doc_id, score DOUBLE) — score is the exact float32 widened to
@@ -379,7 +390,7 @@ summed AS (
         pass  # every row in `summed` already matched ≥1 scoring clause
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
-WITH {base_ctes(doc_where)},{clause_cte}
+WITH {base_cte or base_ctes(doc_where)},{clause_cte}
 SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
 FROM summed{where}
 ORDER BY score DESC, did ASC

@@ -150,3 +150,49 @@ def test_wildcard_cached_expansion_caps_matches_not_prefix_range():
 
     q = ast.MultiTermQuery("wildcard", "a*9")
     assert expand_terms_cached(FakeReader(), q, 5) == ["a009"]
+
+
+def test_core_analyzers():
+    """WhitespaceAnalyzer (case-preserving, \\S+ split, 255-char run
+    chunking per CharTokenizer), LetterAnalyzer (the reference
+    SimpleAnalyzer: letter runs + lowercase, digits separate),
+    stop_analyzer (letter + English stop set, position holes), and
+    KeywordAnalyzer (whole input = one untouched token)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.analysis import (
+        KeywordAnalyzer,
+        LetterAnalyzer,
+        WhitespaceAnalyzer,
+        get_analyzer,
+        stop_analyzer,
+    )
+
+    ws = WhitespaceAnalyzer()
+    assert ws.tokenize_text("Hello  WORLD\tfoo-bar") == [
+        "Hello", "WORLD", "foo-bar"]
+    long = "a" * 600
+    assert ws.tokenize_text(long) == ["a" * 255, "a" * 255, "a" * 90]
+
+    le = LetterAnalyzer()
+    assert le.tokenize_text("Hello42 WORLD über") == ["hello", "world", "über"]
+
+    st = stop_analyzer()
+    u, c, l, p = st.tokenize_ids(
+        pd.Series(["The quick brown fox and the dog"]), with_positions=True)
+    assert [u[i] for i in c] == ["quick", "brown", "fox", "dog"]
+    assert list(p) == [1, 2, 3, 6]  # holes where the/and were dropped
+
+    kw = KeywordAnalyzer()
+    assert kw.tokenize_text("One Whole  String") == ["One Whole  String"]
+    u2, c2, l2 = kw.tokenize_ids(pd.Series(["A b", None, ""]))
+    assert list(l2) == [1, 0, 0] and u2[c2[0]] == "A b"
+
+    for name in ("whitespace", "letter", "stop", "keyword"):
+        a = get_analyzer(name)
+        assert a.name == name
+        # uniq pool sorts in code-point (== UTF-8 byte) order
+        uu, cc, ll = a.tokenize_ids(pd.Series(["b a c", "a zz"]))
+        assert list(uu) == sorted(uu)
+        assert int(ll.sum()) == len(cc)
