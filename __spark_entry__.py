@@ -206,6 +206,38 @@ def _q_ws_topk(spark, sf_dir):
     return _hits_df(spark, s.search(q, k=40))
 
 
+def _q_fold_topk(spark, sf_dir):
+    """ASCIIFolding end-to-end: accent the corpus (a→á, e→é) in Spark,
+    index with the standard_folding analyzer, query with plain ASCII
+    terms. Folding must exactly invert the accenting, so accented and
+    plain text index identically — the oracle is plain BM25 over the
+    ORIGINAL text."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_fold/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    src = transcripts_from_documents(spark, sf_dir).withColumn(
+        "text", F.translate(F.col("text"), "ae", "áé"))
+    try:
+        IndexBuilder(spark, d, analyzer="standard_folding",
+                     num_segments=6).build(src, resume=resume)
+    except Exception:
+        shutil.rmtree(d, ignore_errors=True)
+        IndexBuilder(spark, d, analyzer="standard_folding",
+                     num_segments=6).build(src)
+    s = IndexSearcher(spark, d)
+    q = ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("table")),
+                          (ast.SHOULD, ast.TermQuery("value"))))
+    return _hits_df(spark, s.search(q, k=40))
+
+
 MLT_SRC_DID = 32  # 33rd-smallest documents.doc_id (did == doc_id rank)
 
 
@@ -725,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_sloppy3": _q_count_sloppy3,
         "mlt_topk": _q_mlt_topk,
         "ws_analyzer_topk": _q_ws_topk,
+        "fold_analyzer_topk": _q_fold_topk,
         "bm25_multiphrase": _q_multiphrase,
         "mt_prefix": _mk_multiterm(ast.MultiTermQuery("prefix", "ta"), 50),
         "mt_wildcard": _mk_multiterm(ast.MultiTermQuery("wildcard", "v?lue*"), 50),
@@ -870,6 +903,11 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value", "query"], 3
         ),
         "mlt_topk": oracle.mlt_topk_sql(MLT_SRC_DID, 30),
+        "fold_analyzer_topk": oracle.bm25_topk_sql(
+            ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("table")),
+                              (ast.SHOULD, ast.TermQuery("value")))),
+            40,
+        ),
         "ws_analyzer_topk": oracle.bm25_topk_sql(
             ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("TABLE")),
                               (ast.SHOULD, ast.TermQuery("VALUE")))),

@@ -545,6 +545,8 @@ def get_analyzer(name: str):
         return stop_analyzer()
     if name == "keyword":
         return KeywordAnalyzer()
+    if name == "standard_folding":
+        return FoldingAnalyzer()
     raise ValueError(f"unknown analyzer: {name}")
 
 
@@ -703,6 +705,73 @@ class KeywordAnalyzer:
     def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
         return _ids_from_token_lists(
             self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
+# ---- ASCII folding (``analysis/common/.../ASCIIFoldingFilter.java``) ------
+# Scope: Latin-1 Supplement + Latin Extended-A letters (U+00C0–U+017F), the
+# blocks real-world European text hits; every letter in range folds (NFKD
+# strip-combining for the decomposables + the reference's explicit specials
+# for Æ/Ø/Þ/Đ/ß/ı/Ł/... which have no ASCII decomposition). ×/÷ are not
+# letters and stay separators. Folding runs BEFORE tokenization — identical
+# to the reference's post-tokenizer filter on this range, because every
+# mapping is letters → letters (token boundaries cannot move).
+_FOLD_SPECIALS = {
+    0xDF: "ss", 0xC6: "AE", 0xE6: "ae", 0x152: "OE", 0x153: "oe",
+    0xD8: "O", 0xF8: "o", 0x110: "D", 0x111: "d", 0xDE: "TH", 0xFE: "th",
+    0xD0: "D", 0xF0: "d", 0x131: "i", 0x141: "L", 0x142: "l",
+    0x126: "H", 0x127: "h", 0x138: "k", 0x166: "T", 0x167: "t",
+    0x14A: "N", 0x14B: "n", 0x149: "'n",
+}
+
+
+def _build_fold_table() -> dict:
+    import unicodedata
+
+    tbl = dict(_FOLD_SPECIALS)
+    for cp in range(0xC0, 0x180):
+        if cp in tbl or cp in (0xD7, 0xF7):
+            continue
+        folded = "".join(c for c in unicodedata.normalize("NFKD", chr(cp))
+                         if ord(c) < 128)
+        if folded:
+            tbl[cp] = folded
+    return tbl
+
+
+_FOLD_TABLE = _build_fold_table()
+
+
+@dataclass(frozen=True)
+class FoldingAnalyzer:
+    """StandardAnalyzer chain with ASCIIFoldingFilter semantics
+    (``analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/
+    ASCIIFoldingFilter.java``, Latin-1 + Latin Extended-A scope): accents
+    fold to their ASCII base letters, so 'Café' and 'cafe' index and query
+    identically."""
+
+    name = "standard_folding"
+
+    @property
+    def _base(self) -> StandardAnalyzer:
+        return StandardAnalyzer()
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self._base.tokenize_text(
+            text.translate(_FOLD_TABLE) if text else text)
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return self._base.tokenize_series(
+            texts.fillna("").str.translate(_FOLD_TABLE))
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return self._base.tokenize_ids(
+            texts.fillna("").str.translate(_FOLD_TABLE),
+            with_positions=with_positions)
 
     def tokenize_flat(self, texts: pd.Series):
         uniq, codes, lens = self.tokenize_ids(texts)

@@ -196,3 +196,26 @@ def test_core_analyzers():
         uu, cc, ll = a.tokenize_ids(pd.Series(["b a c", "a zz"]))
         assert list(uu) == sorted(uu)
         assert int(ll.sum()) == len(cc)
+
+
+def test_ascii_folding_analyzer():
+    """FoldingAnalyzer (ASCIIFoldingFilter.java, Latin-1 + Extended-A
+    scope): accents fold to base letters, specials (ß Æ Ø Þ Đ ı Ł) use the
+    reference's explicit mappings, non-letters ×/÷ stay separators, and the
+    batch ids path agrees with the text path."""
+    import pandas as pd
+
+    from lucene_spark.analysis import FoldingAnalyzer, get_analyzer
+
+    f = get_analyzer("standard_folding")
+    assert isinstance(f, FoldingAnalyzer)
+    assert f.tokenize_text("Café straße Œuvre Łódź") == [
+        "cafe", "strasse", "oeuvre", "lodz"]
+    assert f.tokenize_text("Æon Øre Þing Đen ıce") == [
+        "aeon", "ore", "thing", "den", "ice"]
+    assert f.tokenize_text("3×4 naïve") == ["3", "4", "naive"]
+    texts = ["Café straße Œuvre Łódź", "Æon Øre", None]
+    u, c, l = f.tokenize_ids(pd.Series(texts))
+    got = [u[i] for i in c]
+    want = [t for s in texts for t in f.tokenize_text(s or "")]
+    assert got == want
