@@ -2,7 +2,7 @@
 
     spark-submit --py-files dist/lucene_spark.zip jobs/build_index.py \
         --input <parquet path or iceberg table> --index <output dir> \
-        [--segments N] [--analyzer standard|simple] [--resume] [--no-positions]
+        [--segments N] [--analyzer standard|simple|english|whitespace|letter|stop|keyword|standard_folding] [--resume] [--no-positions]
 
 The session comes from spark-submit (master/executors configured there); on a
 cluster set the worker env the sandbox tuning uses locally:
@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--segments", type=int, default=None,
                     help="segment count (default: ~31k rows per segment)")
     ap.add_argument("--analyzer", default="standard",
-                    choices=["standard", "simple", "english"])
+                    choices=["standard", "simple", "english", "whitespace",
+                             "letter", "stop", "keyword",
+                             "standard_folding"])
     ap.add_argument("--resume", action="store_true",
                     help="resume from checkpoint (re-invert changed segments only)")
     ap.add_argument("--no-positions", action="store_true")
