@@ -764,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_range": _mk_multiterm(
             ast.MultiTermQuery("range", lower="query", upper="table"), 50
         ),
+        # classic-syntax exclusive range {query TO table} via the parser
+        "mt_range_excl": _mk_multiterm(_parse("{query TO table}"), 50),
         "mt_set": _mk_multiterm(
             ast.MultiTermQuery("set", terms=("table", "vector", "window")), 50
         ),
@@ -922,6 +924,9 @@ def oracle_sql() -> dict[str, str]:
         "mt_wildcard": oracle.multiterm_sql("x.term LIKE 'v_lue%'", 50),
         "mt_range": oracle.multiterm_sql(
             "x.term >= 'query' AND x.term <= 'table'", 50
+        ),
+        "mt_range_excl": oracle.multiterm_sql(
+            "x.term > 'query' AND x.term < 'table'", 50
         ),
         "mt_set": oracle.multiterm_sql(
             "x.term IN ('table','vector','window')", 50

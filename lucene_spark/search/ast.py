@@ -82,8 +82,10 @@ class MultiTermQuery:
 
     kind: str
     value: str = ""            # prefix / wildcard pattern / regexp / fuzzy term
-    lower: str | None = None   # range bounds (inclusive)
+    lower: str | None = None   # range bounds
     upper: str | None = None
+    include_lower: bool = True  # TermRangeQuery.java includeLower/-Upper;
+    include_upper: bool = True  # classic syntax [a TO b] vs {a TO b}
     max_edits: int = 2         # fuzzy (FuzzyQuery.java:54 caps at 2)
     terms: tuple = ()          # for kind == "set" (TermInSetQuery)
     field: str = "text"
@@ -219,8 +221,10 @@ import re as _re
 # one clause token: optional +/-, then a quoted phrase (with optional ~slop)
 # or bare word, then an optional ^boost — the classic QueryParser subset
 _CLAUSE_RE = _re.compile(
-    r'([+-]?)("(?:[^"]*)"(?:~(\d+))?|[^\s"^]+)(?:\^([\d.]+))?'
+    r'([+-]?)("(?:[^"]*)"(?:~(\d+))?|(?:\w+:)?[\[{][^\]}]*[\]}]|[^\s"^]+)'
+    r"(?:\^([\d.]+))?"
 )
+_RANGE_TO_RE = _re.compile(r"\s+TO\s+", _re.I)
 
 
 def parse(query_str: str, analyzer, default_field: str = "text",
@@ -247,10 +251,27 @@ def parse(query_str: str, analyzer, default_field: str = "text",
             # only treat as field prefix for known fields; else it's MidLetter text
             if maybe_field in fields:
                 fieldname, raw = maybe_field, rest
-                if maybe_field != default_field:
+                if maybe_field != default_field and raw[:1] not in "[{":
                     # keyword field: exact, unanalyzed term
                     clauses.append((occur, TermQuery(raw, fieldname, boost)))
                     continue
+        if (not is_phrase and raw[:1] in "[{" and raw[-1:] in "]}"):
+            # classic range syntax [lo TO hi] / {lo TO hi} (mixed brackets
+            # allowed, * = open bound) → TermRangeQuery
+            # (``QueryParserBase.java`` getRangeQuery; bounds lowercased like
+            # the other expanded-term syntaxes)
+            parts = _RANGE_TO_RE.split(raw[1:-1].strip())
+            if len(parts) == 2:
+                lo = None if parts[0].strip() in ("*", "") \
+                    else parts[0].strip().lower()
+                hi = None if parts[1].strip() in ("*", "") \
+                    else parts[1].strip().lower()
+                clauses.append((occur, MultiTermQuery(
+                    "range", lower=lo, upper=hi,
+                    include_lower=raw[0] == "[",
+                    include_upper=raw[-1] == "]",
+                    field=fieldname, boost=boost)))
+                continue
         if not is_phrase:
             # wildcard / prefix / fuzzy syntax (QueryParserBase.java:690,793)
             fz = _re.fullmatch(r"(.+?)~([012])?", raw)

@@ -124,9 +124,13 @@ def expansion_condition(q: ast.MultiTermQuery):
     elif q.kind == "range":
         cond = F.lit(True)
         if q.lower is not None:
-            cond = cond & (c >= q.lower)
+            cond = cond & ((c >= q.lower)
+                           if getattr(q, "include_lower", True)
+                           else (c > q.lower))
         if q.upper is not None:
-            cond = cond & (c <= q.upper)
+            cond = cond & ((c <= q.upper)
+                           if getattr(q, "include_upper", True)
+                           else (c < q.upper))
     elif q.kind == "set":
         cond = c.isin(list(q.terms))
     else:
@@ -197,9 +201,15 @@ def expand_terms_cached(reader, q: ast.MultiTermQuery, max_terms: int):
     if q.kind == "prefix":
         return bounded(prefix_slice(q.value))
     if q.kind == "range":
-        lo = 0 if q.lower is None else bisect.bisect_left(terms, q.lower)
-        hi = len(terms) if q.upper is None else bisect.bisect_right(terms, q.upper)
-        return bounded(terms[lo:hi])
+        inc_lo = getattr(q, "include_lower", True)
+        inc_hi = getattr(q, "include_upper", True)
+        lo = 0 if q.lower is None else (
+            bisect.bisect_left(terms, q.lower) if inc_lo
+            else bisect.bisect_right(terms, q.lower))
+        hi = len(terms) if q.upper is None else (
+            bisect.bisect_right(terms, q.upper) if inc_hi
+            else bisect.bisect_left(terms, q.upper))
+        return bounded(terms[lo:max(lo, hi)])
     if q.kind == "set":
         want = set(q.terms)
         return bounded(sorted(t for t in want if reader.has_term(q.field, t)))

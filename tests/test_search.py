@@ -834,3 +834,35 @@ def test_more_like_this(spark, searcher, corpus_pdf):
     hits = searcher.more_like_this(text, k=10, min_term_freq=2,
                                    min_doc_freq=2)
     assert hits and 0 in [h.doc_id for h in hits]
+
+
+def test_range_syntax_and_exclusive_bounds(searcher):
+    """Classic range syntax [a TO b] / {a TO b} (QueryParserBase
+    getRangeQuery): mixed brackets, * open bounds, field prefixes; the
+    exclusive expansion drops exactly the boundary terms."""
+    from lucene_spark.search import ast as A
+    from lucene_spark.search.multiterm import expand_terms
+
+    p = searcher.parse("[alpha TO beta]")
+    assert (p.kind, p.lower, p.upper, p.include_lower, p.include_upper) == (
+        "range", "alpha", "beta", True, True)
+    p2 = searcher.parse("{alpha TO beta]")
+    assert (p2.include_lower, p2.include_upper) == (False, True)
+    p3 = searcher.parse("[* TO beta}")
+    assert (p3.lower, p3.upper, p3.include_upper) == (None, "beta", False)
+    # expansion: exclusive bounds drop exactly the existing boundary terms
+    inc = A.MultiTermQuery("range", lower="a", upper="zzzz")
+    exc = A.MultiTermQuery("range", lower="a", upper="zzzz",
+                           include_lower=False, include_upper=False)
+    ti = expand_terms(searcher.reader, inc)
+    te = expand_terms(searcher.reader, exc)
+    drop = {t for t in ("a", "zzzz") if searcher.reader.has_term("text", t)}
+    assert set(ti) - set(te) == drop
+    # count parity with an explicit boundary term present
+    terms = searcher.reader.sorted_terms("text")
+    lo, hi = terms[1], terms[-2]
+    n_inc = searcher.count(A.MultiTermQuery("range", lower=lo, upper=hi))
+    n_exc = searcher.count(A.MultiTermQuery(
+        "range", lower=lo, upper=hi,
+        include_lower=False, include_upper=False))
+    assert n_inc >= n_exc
