@@ -1107,3 +1107,114 @@ class IndexSearcher:
         """Top-k docs most similar to ``text``: :meth:`mlt_query` term
         selection, then the standard scored search (WAND-pruned)."""
         return self.search(self.mlt_query(text, **mlt_opts), k=k)
+
+    def explain(self, query, doc_id: int) -> dict:
+        """Score explanation for one document — the
+        ``IndexSearcher.explain(Query, int)`` analogue
+        (``core/search/IndexSearcher.java`` / ``Weight.explain``): a dict
+        with ``match``, float32 ``total``, and one entry per clause holding
+        the stats that produced its contribution (occur, df, ttf, weight,
+        tf, norm code, decoded length, float32 score).
+
+        Flat term/boolean queries only (the shapes the clause kernel
+        scores); the work is one pushed-down postings fetch for the query's
+        terms in the doc's segment plus one docs-row lookup.
+        """
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lucene_spark.indexing.blocks import decode_block
+        from lucene_spark.smallfloat import byte4_to_int
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        wc = self._weighted_clauses(query)
+        base = {"doc_id": int(doc_id), "match": False,
+                "total": 0.0, "clauses": []}
+        if wc is None:
+            return base
+        specs, msm = wc
+        # global docID → (segment, local docID)
+        seg, docbase = None, 0
+        for s, off in sorted(self.reader.offsets.items(),
+                             key=lambda kv: kv[1]):
+            if off <= doc_id:
+                seg, docbase = s, off
+        if seg is None:
+            return base
+        local = int(doc_id) - int(docbase)
+        drow = (self.reader.docs(live_only=True)
+                .filter(F.col("doc_id") == int(doc_id))
+                .select("dl", "norm").collect())
+        if not drow:
+            return base  # deleted or out of range
+        norm_code = int(drow[0]["norm"])
+        dlen = int(byte4_to_int(np.array([norm_code]))[0])
+
+        sep = self.FIELD_SEP
+        by_field: dict[str, list[str]] = {}
+        for c in specs:
+            f, t = c.term.split(sep, 1)
+            by_field.setdefault(f, []).append(t)
+        tf_of: dict[tuple, int] = {}
+        for f, ts in by_field.items():
+            rows = (self.reader.postings(ts, field=f)
+                    .filter((F.col("seg") == int(seg))
+                            & (F.col("first_doc") <= local)
+                            & (F.col("last_doc") >= local))
+                    .select("term", "first_doc", "count",
+                            "doc_gaps", "tfs")
+                    .collect())
+            for r in rows:
+                docs, tfs = decode_block(
+                    r["first_doc"], r["count"], r["doc_gaps"], r["tfs"])
+                j = np.searchsorted(docs, local)
+                if j < docs.size and docs[j] == local:
+                    tf_of[(f, r["term"])] = int(tfs[j])
+
+        total = np.float64(0.0)  # f64 sum -> one f32 cast, the kernel's order
+        n_must = n_must_hit = n_should = n_should_hit = 0
+        prohibited_hit = False
+        any_scoring_hit = False
+        stats_of = {}
+        for f, ts in by_field.items():
+            stats_of.update({(f, t): v for t, v in
+                             self.reader.term_stats(ts, field=f).items()})
+        for c in specs:
+            f, t = c.term.split(sep, 1)
+            tf = tf_of.get((f, t), 0)
+            st = stats_of.get((f, t), {})
+            entry = {"field": f, "term": t, "occur": c.occur,
+                     "df": st.get("df"), "ttf": st.get("ttf"),
+                     "weight": float(c.weight), "tf": tf,
+                     "norm": norm_code, "dlen": dlen, "score": 0.0}
+            if c.occur == ast.MUST_NOT:
+                if tf > 0:
+                    prohibited_hit = True
+                    entry["score"] = None
+                base["clauses"].append(entry)
+                continue
+            if c.occur == ast.MUST:
+                n_must += 1
+                n_must_hit += tf > 0
+            elif c.occur == ast.SHOULD:
+                n_should += 1
+                n_should_hit += tf > 0
+            if tf > 0 and c.scorer is not None:
+                s = np.float32(c.scorer.score(
+                    np.array([tf], dtype=np.int64),
+                    np.array([norm_code], dtype=np.int64))[0])
+                entry["score"] = float(s)
+                total = total + np.float64(s)
+                any_scoring_hit = True
+            elif tf > 0:
+                any_scoring_hit = True  # FILTER clause matched
+            base["clauses"].append(entry)
+        matched = (not prohibited_hit and n_must_hit == n_must
+                   and n_should_hit >= (msm or 0)
+                   and (any_scoring_hit or n_must > 0))
+        if n_must == 0 and n_should > 0 and n_should_hit == 0:
+            matched = False
+        base["match"] = bool(matched)
+        base["total"] = float(np.float32(total)) if matched else 0.0
+        return base

@@ -866,3 +866,25 @@ def test_range_syntax_and_exclusive_bounds(searcher):
         "range", lower=lo, upper=hi,
         include_lower=False, include_upper=False))
     assert n_inc >= n_exc
+
+
+def test_explain(searcher, golden):
+    """explain(query, doc) (IndexSearcher.explain / Weight.explain): the
+    per-clause breakdown sums bit-exactly to the search score for every
+    top hit; prohibited-term docs and msm-failing docs report match=False
+    with total 0."""
+    queries = [VOCAB[0],
+               f"+{VOCAB[1]} {VOCAB[5]} -{VOCAB[0]}",
+               f"{VOCAB[4]}^2.5 {VOCAB[9]}"]
+    for q in queries:
+        for h in searcher.search(q, 8):
+            ex = searcher.explain(q, h.doc_id)
+            assert ex["match"] is True
+            assert ex["total"] == h.score, (q, h.doc_id)
+            assert all(c["df"] is not None for c in ex["clauses"])
+    # doc containing the prohibited term → no match
+    bad = searcher.search(VOCAB[0], 1)[0].doc_id
+    ex = searcher.explain(f"+{VOCAB[1]} -{VOCAB[0]}", bad)
+    assert ex["match"] is False and ex["total"] == 0.0
+    # out-of-range docID → no match
+    assert searcher.explain(VOCAB[0], 10**9)["match"] is False
