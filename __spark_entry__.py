@@ -241,6 +241,18 @@ def _q_fold_topk(spark, sf_dir):
 MLT_SRC_DID = 32  # 33rd-smallest documents.doc_id (did == doc_id rank)
 
 
+Q_OPS = "(table OR value) AND query"
+
+
+def _q_bool_ops_topk(spark, sf_dir):
+    """Classic operator syntax end-to-end: '(table OR value) AND query'
+    parses to the exact flat form [SHOULD table, SHOULD value, MUST query,
+    min_should_match=1] (QueryParserBase addClause + group flattening) and
+    runs the WAND kernel with the msm constraint."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.search(_parse(Q_OPS), k=40))
+
+
 def _q_mlt_topk(spark, sf_dir):
     """MoreLikeThis: select tf×idf-best terms from source doc did=32, run
     the unboosted SHOULD query (queries/mlt/MoreLikeThis.java:625-683;
@@ -756,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_sloppy_repeat": _q_count_sloppy_repeat,
         "count_sloppy3": _q_count_sloppy3,
         "mlt_topk": _q_mlt_topk,
+        "bool_ops_topk": _q_bool_ops_topk,
         "ws_analyzer_topk": _q_ws_topk,
         "fold_analyzer_topk": _q_fold_topk,
         "bm25_multiphrase": _q_multiphrase,
@@ -905,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value", "query"], 3
         ),
         "mlt_topk": oracle.mlt_topk_sql(MLT_SRC_DID, 30),
+        "bool_ops_topk": oracle.bm25_topk_sql(_parse(Q_OPS), 40),
         "fold_analyzer_topk": oracle.bm25_topk_sql(
             ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("table")),
                               (ast.SHOULD, ast.TermQuery("value")))),

@@ -388,6 +388,16 @@ summed AS (
         )
     if n_req == 0 and has_should:
         pass  # every row in `summed` already matched ≥1 scoring clause
+    msm = getattr(query, "min_should_match", 0)
+    if msm == 1 and n_req:
+        # required (a OR b) group: at least one SHOULD term must be present
+        shoulds = sorted({t for t, o, _ in clauses if o == ast.SHOULD})
+        anyof = " OR ".join(
+            f"EXISTS (SELECT 1 FROM tf s WHERE s.did = summed.did "
+            f"AND s.term = '{t}')" for t in shoulds)
+        conds.append(f"({anyof})")
+    elif msm > 1:
+        raise NotImplementedError("oracle supports min_should_match <= 1")
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH {base_cte or base_ctes(doc_where)},{clause_cte}

@@ -227,81 +227,275 @@ _CLAUSE_RE = _re.compile(
 _RANGE_TO_RE = _re.compile(r"\s+TO\s+", _re.I)
 
 
+def _leaf_clauses(occur, raw, slop_s, boost_s, analyzer, default_field,
+                  fields):
+    """One non-paren clause token → list of (occur, query). The single
+    shared leaf grammar of both parse paths (phrase / field:term / range /
+    wildcard / fuzzy / analyzed terms)."""
+    clauses = []
+    boost = float(boost_s) if boost_s else 1.0
+    slop = int(slop_s) if slop_s else 0
+    is_phrase = raw.startswith('"')
+    if is_phrase:
+        raw = raw[1: raw.rindex('"')]  # strip quotes (and trailing ~N)
+    fieldname = default_field
+    if not is_phrase and ":" in raw:
+        maybe_field, _, rest = raw.partition(":")
+        # only treat as field prefix for known fields; else it's MidLetter text
+        if maybe_field in fields:
+            fieldname, raw = maybe_field, rest
+            if maybe_field != default_field and raw[:1] not in "[{":
+                # keyword field: exact, unanalyzed term
+                clauses.append((occur, TermQuery(raw, fieldname, boost)))
+                return clauses
+    if (not is_phrase and raw[:1] in "[{" and raw[-1:] in "]}"):
+        # classic range syntax [lo TO hi] / {lo TO hi} (mixed brackets
+        # allowed, * = open bound) → TermRangeQuery
+        # (``QueryParserBase.java`` getRangeQuery; bounds lowercased like
+        # the other expanded-term syntaxes)
+        parts = _RANGE_TO_RE.split(raw[1:-1].strip())
+        if len(parts) == 2:
+            lo = None if parts[0].strip() in ("*", "") \
+                else parts[0].strip().lower()
+            hi = None if parts[1].strip() in ("*", "") \
+                else parts[1].strip().lower()
+            clauses.append((occur, MultiTermQuery(
+                "range", lower=lo, upper=hi,
+                include_lower=raw[0] == "[",
+                include_upper=raw[-1] == "]",
+                field=fieldname, boost=boost)))
+            return clauses
+    if not is_phrase:
+        # wildcard / prefix / fuzzy syntax (QueryParserBase.java:690,793)
+        fz = _re.fullmatch(r"(.+?)~([012])?", raw)
+        if "*" in raw or "?" in raw:
+            low = raw.lower()
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                clauses.append((occur, MultiTermQuery(
+                    "prefix", low[:-1], field=fieldname, boost=boost)))
+            else:
+                clauses.append((occur, MultiTermQuery(
+                    "wildcard", low, field=fieldname, boost=boost)))
+            return clauses
+        if fz:
+            edits = int(fz.group(2)) if fz.group(2) else 2
+            clauses.append((occur, MultiTermQuery(
+                "fuzzy", fz.group(1).lower(), max_edits=edits,
+                field=fieldname, boost=boost)))
+            return clauses
+    # analyze the term text like the index side (QueryParserBase.java:455)
+    toks = analyzer.tokenize_text(raw)
+    if not toks:
+        return clauses  # analyzed to nothing (e.g. stopword / too long)
+    if is_phrase:
+        clauses.append(
+            (occur,
+             normalize(PhraseQuery(tuple(toks), fieldname, boost, slop)))
+        )
+    else:
+        for t in toks:  # multi-token expansion: each token its own clause
+            clauses.append((occur, TermQuery(t, fieldname, boost)))
+    return clauses
+
+
+# standalone uppercase operators / grouping chars trigger the operator path;
+# lowercase and/or/not stay ordinary search terms (QueryParser.jj: operator
+# tokens are case-sensitive)
+_OPERATOR_DETECT_RE = _re.compile(
+    r"[()]|(?<![\w\"])(?:AND|OR|NOT)(?![\w\"])|&&|\|\||(?<!\S)!(?=\S)")
+
+_OP_TOK_RE = _re.compile(
+    r'"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'                 # quoted phrase
+    r"|(?:\w+:)?[\[{][^\]}]*[\]}](?:\^[\d.]+)?"   # range (opt. field)
+    r"|[()]"
+    r'|[^\s()"]+'                                    # word / operator / mod
+)
+
+
+def _combined_boost(q, b: float):
+    """Multiply a leaf query's boost by a group boost — exact, because boost
+    multiplies each leaf weight in the reference too (BoostQuery rewrite)."""
+    if b == 1.0:
+        return q
+    from dataclasses import replace
+
+    return replace(q, boost=q.boost * b)
+
+
+def _occur_of(mod, conj, clauses, last_span, state):
+    """``QueryParserBase.addClause`` occur resolution for default-OR: AND
+    promotes the PRECEDING default entity to required and makes the current
+    clause MUST; +/-/NOT set the current clause explicitly. A preceding
+    inlined GROUP promotes as a unit — its SHOULD members become the
+    min_should_match=1 required group, exactly ``+(a b)``."""
+    if conj == "AND" and last_span is not None:
+        lo, hi = last_span
+        span = clauses[lo:hi]
+        if len(span) == 1 and span[0][0] == SHOULD:
+            span[0][0] = MUST
+        elif len(span) > 1 and all(o == SHOULD for o, _ in span):
+            if state.get("msm_group"):
+                raise NotImplementedError(
+                    "at most one (a OR b)-style required group per query "
+                    "(min_should_match is global)")
+            state["msm_group"] = True
+            state["msm_added"] = len(span)
+    if mod == "-":
+        return MUST_NOT
+    if mod == "+":
+        return MUST
+    if conj == "AND":
+        return MUST
+    return SHOULD
+
+
+def _attach_group(clauses, occur, sub, boost, state):
+    """Inline a parenthesized group where flattening is EXACT (one-level
+    boolean semantics); raise otherwise. Exact cases:
+
+    - SHOULD group of pure SHOULD clauses → inline (sum of sums);
+    - MUST group with ONE clause → that clause as MUST;
+    - MUST group of pure SHOULD clauses → inline as SHOULD + global
+      min_should_match=1 (at most one such group per query — msm is global);
+    - MUST_NOT group of pure SHOULD clauses → de-Morgan to one MUST_NOT per
+      sub-clause.
+    """
+    occs = {o for o, _ in sub}
+    if occur == MUST and len(sub) == 1:
+        clauses.append([MUST, _combined_boost(sub[0][1], boost)])
+        return
+    if occs and occs != {SHOULD}:
+        raise NotImplementedError(
+            "nested boolean groups with +/-/AND inside parentheses are not "
+            "flattenable to one-level semantics")
+    if occur == SHOULD:
+        for o, q in sub:
+            clauses.append([o, _combined_boost(q, boost)])
+    elif occur == MUST:
+        if state.get("msm_group"):
+            raise NotImplementedError(
+                "at most one (a OR b)-style required group per query "
+                "(min_should_match is global)")
+        state["msm_group"] = True
+        state["msm_added"] = len(sub)
+        for o, q in sub:
+            clauses.append([SHOULD, _combined_boost(q, boost)])
+    else:  # MUST_NOT: ¬(a ∨ b) = ¬a ∧ ¬b, prohibited clauses score nothing
+        for o, q in sub:
+            clauses.append([MUST_NOT, _combined_boost(q, boost)])
+
+
+def _parse_boolean(tokens, i, analyzer, default_field, fields, depth, state):
+    clauses: list = []
+    conj = mod = None
+    last_span = None  # (lo, hi) slice of the last attached entity
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t == ")":
+            i += 1
+            if depth:
+                break
+            continue  # stray ) at top level: ignore
+        if t in ("AND", "&&"):
+            conj = "AND"
+            i += 1
+            continue
+        if t in ("OR", "||"):
+            conj = "OR"
+            i += 1
+            continue
+        if t in ("NOT", "!"):
+            mod = "-"
+            i += 1
+            continue
+        if t in ("+", "-"):
+            mod = t
+            i += 1
+            continue
+        if t == "(":
+            sub, i = _parse_boolean(tokens, i + 1, analyzer, default_field,
+                                    fields, depth + 1, state)
+            boost = 1.0
+            if i < n and _re.fullmatch(r"\^[\d.]+", tokens[i]):
+                boost = float(tokens[i][1:])
+                i += 1
+            occur = _occur_of(mod, conj, clauses, last_span, state)
+            lo = len(clauses)
+            if sub:
+                _attach_group(clauses, occur, sub, boost, state)
+            last_span = (lo, len(clauses))
+            conj = mod = None
+            continue
+        leaf = t
+        if leaf and leaf[0] in "+-!" and len(leaf) > 1:
+            mod = "-" if leaf[0] == "!" else leaf[0]
+            leaf = leaf[1:]
+        occur = _occur_of(mod, conj, clauses, last_span, state)
+        m = _CLAUSE_RE.fullmatch(leaf)
+        lo = len(clauses)
+        if m:
+            _, raw, slop_s, boost_s = m.groups()
+            for oc, q in _leaf_clauses(occur, raw, slop_s, boost_s,
+                                       analyzer, default_field, fields):
+                clauses.append([oc, q])
+        if len(clauses) > lo:
+            last_span = (lo, len(clauses))
+        conj = mod = None
+        i += 1
+    return clauses, i
+
+
+def _parse_operators(query_str: str, analyzer, default_field, fields):
+    """Classic boolean-operator syntax (``QueryParserBase.java:660``
+    addClause semantics, default operator OR): ``AND/&&`` requires both
+    neighbors, ``OR/||`` keeps defaults, ``NOT/!`` prohibits, parentheses
+    group one exactly-flattenable level (see :func:`_attach_group`)."""
+    tokens = _OP_TOK_RE.findall(query_str)
+    state: dict = {}
+    clauses, _ = _parse_boolean(tokens, 0, analyzer, default_field, fields,
+                                0, state)
+    if not clauses:
+        return MatchNoDocsQuery()
+    msm = 1 if state.get("msm_group") else 0
+    if msm:
+        # exactness: min_should_match is GLOBAL over SHOULD clauses, so the
+        # required group's members must be the ONLY SHOULD clauses at this
+        # level — a stray default term would dilute the group requirement
+        n_should = sum(1 for o, _ in clauses if o == SHOULD)
+        if n_should != state.get("msm_added", 0):
+            raise NotImplementedError(
+                "a required (a OR b) group cannot be mixed with other "
+                "optional clauses at the same level (min_should_match is "
+                "global) — make the other clauses required with AND/+")
+    cl = tuple((o, q) for o, q in clauses)
+    if len(cl) == 1 and cl[0][0] == SHOULD \
+            and not isinstance(cl[0][1], TermQuery):
+        return cl[0][1]
+    return normalize(BooleanQuery(cl, min_should_match=msm))
+
+
 def parse(query_str: str, analyzer, default_field: str = "text",
           fields: tuple = ("text",)):
     """Classic-syntax subset → normalized AST. See module docstring.
 
     Supports ``"exact phrase"`` clauses (``QueryParserBase.getFieldQuery`` →
-    PhraseQuery when the analyzed text has >1 token) and ``field:term`` for
-    any field in ``fields`` — non-default fields are keyword fields whose
-    values are NOT analyzed (StringField semantics).
+    PhraseQuery when the analyzed text has >1 token), ``field:term`` for
+    any field in ``fields`` (non-default fields are keyword fields whose
+    values are NOT analyzed — StringField semantics), ranges, wildcards,
+    fuzzy — and the classic boolean operators ``AND OR NOT && || !`` with
+    one level of exactly-flattenable parenthesis grouping
+    (:func:`_parse_operators`; operator words are case-sensitive, so
+    lowercase ``and``/``or``/``not`` remain search terms).
     """
+    if _OPERATOR_DETECT_RE.search(query_str):
+        return _parse_operators(query_str, analyzer, default_field, fields)
     clauses = []
     for m in _CLAUSE_RE.finditer(query_str):
         sign, raw, slop_s, boost_s = m.groups()
         occur = MUST if sign == "+" else MUST_NOT if sign == "-" else SHOULD
-        boost = float(boost_s) if boost_s else 1.0
-        slop = int(slop_s) if slop_s else 0
-        is_phrase = raw.startswith('"')
-        if is_phrase:
-            raw = raw[1: raw.rindex('"')]  # strip quotes (and trailing ~N)
-        fieldname = default_field
-        if not is_phrase and ":" in raw:
-            maybe_field, _, rest = raw.partition(":")
-            # only treat as field prefix for known fields; else it's MidLetter text
-            if maybe_field in fields:
-                fieldname, raw = maybe_field, rest
-                if maybe_field != default_field and raw[:1] not in "[{":
-                    # keyword field: exact, unanalyzed term
-                    clauses.append((occur, TermQuery(raw, fieldname, boost)))
-                    continue
-        if (not is_phrase and raw[:1] in "[{" and raw[-1:] in "]}"):
-            # classic range syntax [lo TO hi] / {lo TO hi} (mixed brackets
-            # allowed, * = open bound) → TermRangeQuery
-            # (``QueryParserBase.java`` getRangeQuery; bounds lowercased like
-            # the other expanded-term syntaxes)
-            parts = _RANGE_TO_RE.split(raw[1:-1].strip())
-            if len(parts) == 2:
-                lo = None if parts[0].strip() in ("*", "") \
-                    else parts[0].strip().lower()
-                hi = None if parts[1].strip() in ("*", "") \
-                    else parts[1].strip().lower()
-                clauses.append((occur, MultiTermQuery(
-                    "range", lower=lo, upper=hi,
-                    include_lower=raw[0] == "[",
-                    include_upper=raw[-1] == "]",
-                    field=fieldname, boost=boost)))
-                continue
-        if not is_phrase:
-            # wildcard / prefix / fuzzy syntax (QueryParserBase.java:690,793)
-            fz = _re.fullmatch(r"(.+?)~([012])?", raw)
-            if "*" in raw or "?" in raw:
-                low = raw.lower()
-                if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
-                    clauses.append((occur, MultiTermQuery(
-                        "prefix", low[:-1], field=fieldname, boost=boost)))
-                else:
-                    clauses.append((occur, MultiTermQuery(
-                        "wildcard", low, field=fieldname, boost=boost)))
-                continue
-            if fz:
-                edits = int(fz.group(2)) if fz.group(2) else 2
-                clauses.append((occur, MultiTermQuery(
-                    "fuzzy", fz.group(1).lower(), max_edits=edits,
-                    field=fieldname, boost=boost)))
-                continue
-        # analyze the term text like the index side (QueryParserBase.java:455)
-        toks = analyzer.tokenize_text(raw)
-        if not toks:
-            continue  # analyzed to nothing (e.g. stopword / too long)
-        if is_phrase:
-            clauses.append(
-                (occur,
-                 normalize(PhraseQuery(tuple(toks), fieldname, boost, slop)))
-            )
-        else:
-            for t in toks:  # multi-token expansion: each token its own clause
-                clauses.append((occur, TermQuery(t, fieldname, boost)))
+        clauses.extend(_leaf_clauses(occur, raw, slop_s, boost_s, analyzer,
+                                     default_field, fields))
     if not clauses:
         return MatchNoDocsQuery()
     if len(clauses) == 1 and clauses[0][0] == SHOULD \

@@ -888,3 +888,72 @@ def test_explain(searcher, golden):
     assert ex["match"] is False and ex["total"] == 0.0
     # out-of-range docID → no match
     assert searcher.explain(VOCAB[0], 10**9)["match"] is False
+
+
+def test_boolean_operator_syntax():
+    """Classic operators (QueryParserBase.addClause, default OR): AND
+    promotes the preceding default entity, NOT/! prohibit, parentheses
+    flatten exactly — a required (a OR b) group becomes SHOULDs +
+    min_should_match=1; inexact nestings raise."""
+    from lucene_spark.analysis import SimpleAnalyzer
+    from lucene_spark.search import ast as A
+
+    an = SimpleAnalyzer()
+
+    def occs(q):
+        return [(o, c.term) for o, c in q.clauses]
+
+    q = A.parse("a AND b", an)
+    assert sorted(occs(q)) == [(A.MUST, "a"), (A.MUST, "b")]
+    q = A.parse("a OR b AND c", an)  # AND binds b and c; a stays optional
+    assert sorted(occs(q)) == [
+        (A.MUST, "b"), (A.MUST, "c"), (A.SHOULD, "a")]
+    q = A.parse("a AND NOT b", an)
+    assert sorted(occs(q)) == [(A.MUST, "a"), (A.MUST_NOT, "b")]
+    q = A.parse("!a b", an)
+    assert sorted(occs(q)) == [(A.MUST_NOT, "a"), (A.SHOULD, "b")]
+    # required group → msm=1, other clause MUST
+    for s in ("(a b) AND c", "(a OR b) AND c", "+(a b) +c"):
+        q = A.parse(s, an)
+        assert q.min_should_match == 1, s
+        assert sorted(occs(q)) == [
+            (A.MUST, "c"), (A.SHOULD, "a"), (A.SHOULD, "b")], s
+    # group boost distributes to members
+    q = A.parse("(a b)^2 AND c", an)
+    assert {c.boost for o, c in q.clauses if o == A.SHOULD} == {2.0}
+    # prohibited group: de-Morgan
+    q = A.parse("-(a b) c", an)
+    assert sorted(occs(q)) == [
+        (A.MUST_NOT, "a"), (A.MUST_NOT, "b"), (A.SHOULD, "c")]
+    # redundant parens flatten silently
+    q = A.parse("(a b) c", an)
+    assert sorted(occs(q)) == [
+        (A.SHOULD, "a"), (A.SHOULD, "b"), (A.SHOULD, "c")]
+    # lowercase operators are plain terms
+    q = A.parse("and or not", an)
+    assert sorted(occs(q)) == [
+        (A.SHOULD, "and"), (A.SHOULD, "not"), (A.SHOULD, "or")]
+    # inexact shapes refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        A.parse("(a b) AND (c d)", an)
+    with _pytest.raises(NotImplementedError):
+        A.parse("(+a b) AND c", an)
+
+
+def test_operator_search_end_to_end(searcher, golden):
+    """'(x OR y) AND z' through the kernel == brute-force filtered by the
+    msm constraint."""
+    import numpy as np
+
+    x, y, z = VOCAB[3], VOCAB[17], VOCAB[0]
+    q = searcher.parse(f"({x} OR {y}) AND {z}")
+    got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+    # golden: score SHOULD x,y + MUST z, keep docs matching z and (x or y)
+    exp_all = golden.search(f"+{z} {x} {y}", 10**6)
+    xy_docs = set()
+    for t in (x, y):
+        if t in golden.postings:
+            xy_docs.update(int(d) for d in golden.postings[t][0].tolist())
+    exp = [(d, s) for d, s in exp_all if d in xy_docs][:50]
+    assert got == exp
