@@ -445,6 +445,31 @@ def _q_delete_compact(spark, sf_dir):
     return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
 
 
+def _q_delete_by_query(spark, sf_dir):
+    """deleteDocuments(Query) lifecycle gate: build → delete every doc
+    matching '+table +value' (a BOOLEAN match set, not a single term) →
+    compact → BM25 top-k. Equal to a fresh build over the surviving docs
+    (the oracle filters docs whose token list contains BOTH terms before
+    docID assignment)."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.indexing.maintenance import IndexMaintenance
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_delq/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="simple", num_segments=6).build(t)
+    mnt = IndexMaintenance(spark, d)
+    mnt.delete_by_query(_parse(Q_AND))
+    mnt.compact(target_rows=10 ** 9)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
+
+
 def _q_english_stem(spark, sf_dir):
     """EnglishAnalyzer (possessive + stop + Porter) end-to-end: build a
     stemmed index and query with morphological variants ('tables' stems to
@@ -830,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
         "delete_compact_topk": _q_delete_compact,
+        "delete_by_query_topk": _q_delete_by_query,
         "english_stem_topk": _q_english_stem,
         "unicode_topk": _q_unicode_topk,
         "unicode_kana_topk": _q_unicode_kana_topk,
@@ -1018,6 +1044,15 @@ def oracle_sql() -> dict[str, str]:
             doc_where=(
                 "NOT list_contains(regexp_extract_all("
                 "lower(coalesce(text, '')), '[a-z0-9]+'), 'spark')"
+            ),
+        ),
+        "delete_by_query_topk": oracle.bm25_topk_sql(
+            _parse(Q_OR), 50,
+            doc_where=(
+                "NOT (list_contains(regexp_extract_all("
+                "lower(coalesce(text, '')), '[a-z0-9]+'), 'table')"
+                " AND list_contains(regexp_extract_all("
+                "lower(coalesce(text, '')), '[a-z0-9]+'), 'value'))"
             ),
         ),
         "dedup_exact": po.dedup_exact_sql(),

@@ -184,6 +184,18 @@ class IndexMaintenance:
         self._gc_live_generations(keep={staged["live_dir"], old_live})
         return staged["newly_deleted"]
 
+    def delete_by_query(self, query, searcher=None) -> int:
+        """``IndexWriter.deleteDocuments(Query...)``: mark every doc
+        matching ``query`` (ANY supported shape — boolean, phrase,
+        multiterm, …) deleted and commit atomically. The match set stays
+        distributed end-to-end (searcher.match_df → broadcast range join →
+        per-segment live-docs write)."""
+        from lucene_spark.search.searcher import IndexSearcher
+
+        s = searcher or IndexSearcher(self.spark, self.index_dir)
+        staged = stage_deletes_matchset(self, s.match_df(query))
+        return _commit_staged_deletes(self, staged)
+
     # -- compaction ---------------------------------------------------------
     def plan_merges(self, target_rows: int) -> list[list[int]]:
         """Greedy tiered plan: consecutive runs in GLOBAL DOC ORDER (the
@@ -456,3 +468,74 @@ class IndexMaintenance:
             keep=set(sdirs.values()) | set(old_sdirs.values()))
         return {"merged_runs": len(runs), "doc_count": acc,
                 "num_segments": len(offsets)}
+
+
+def stage_deletes_matchset(mnt: "IndexMaintenance", match_df) -> dict:
+    """Copy-on-write delete staging from an arbitrary DISTRIBUTED match set
+    (global doc_id rows) — the ``deleteDocuments(Query)`` substrate
+    (``core/index/IndexWriter.java`` deleteDocuments(Query...)). Same
+    commit contract as :meth:`IndexMaintenance.stage_deletes`: a new inert
+    live-docs generation, published only by the manifest flip."""
+    from pyspark.sql import functions as F
+
+    index_dir = mnt.index_dir
+    m = mnt._manifest()
+    old_live = live_dir_of(m)
+    gen = int(m.get("live_gen", 0)) + 1
+    out_live = f"live_docs.g{gen}"
+    offs = sorted(((int(s), int(o)) for s, o in m["offsets"].items()),
+                  key=lambda kv: kv[1])
+    # (seg, lo, hi) global docID ranges — a broadcast range join maps the
+    # match set back to (seg, local) without any driver-side doc list
+    bounds = []
+    for i, (s, o) in enumerate(offs):
+        hi = offs[i + 1][1] if i + 1 < len(offs) else (1 << 62)
+        bounds.append((s, o, hi))
+    bdf = mnt.spark.createDataFrame(bounds, "seg int, lo long, hi long")
+    matched = (
+        match_df.join(
+            F.broadcast(bdf),
+            (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") < F.col("hi")))
+        .select("seg", (F.col("doc_id") - F.col("lo")).alias("local"))
+    )
+
+    def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        hit = np.unique(pdf["local"].to_numpy(dtype=np.int64))
+        old = deleted_for_segment(index_dir, seg, old_live)
+        new = np.union1d(old, hit)
+        write_deleted(index_dir, seg, new, out_live)
+        return pd.DataFrame({"seg": [seg], "n_new": [int(new.size - old.size)],
+                             "n_total": [int(new.size)]})
+
+    out = (
+        matched.groupBy("seg")
+        .applyInPandas(run_segment, "seg int, n_new long, n_total long")
+        .collect()
+    )
+    written = {int(r["seg"]): (int(r["n_new"]), int(r["n_total"]))
+               for r in out}
+    total = sum(t for _n, t in written.values())
+    n_new = sum(n for n, _t in written.values())
+    for seg, _o in offs:
+        if seg in written:
+            continue
+        old = deleted_for_segment(index_dir, seg, old_live)
+        if old.size:
+            write_deleted(index_dir, seg, old, out_live)
+            total += int(old.size)
+    return {"live_dir": out_live, "live_gen": gen,
+            "has_deletes": total > 0, "deleted_count": total,
+            "newly_deleted": n_new}
+
+
+def _commit_staged_deletes(mnt: "IndexMaintenance", staged: dict) -> int:
+    m = mnt._manifest()
+    old_live = live_dir_of(m)
+    m["live_dir"] = staged["live_dir"]
+    m["live_gen"] = staged["live_gen"]
+    m["has_deletes"] = staged["has_deletes"]
+    m["deleted_count"] = staged["deleted_count"]
+    mnt._save_manifest(m)
+    mnt._gc_live_generations(keep={staged["live_dir"], old_live})
+    return staged["newly_deleted"]

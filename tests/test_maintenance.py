@@ -233,3 +233,38 @@ def test_second_compaction_id_order_vs_doc_order(spark, tmp_path):
         b = [(h.doc_id, h.score) for h in s_f.search(q, 200)]
         assert a == b, f"double-compaction mismatch for {q!r}"
         assert a == golden.search(q, 200), f"golden mismatch for {q!r}"
+
+
+def test_index_writer_facade_and_delete_by_query(spark, tmp_path):
+    """IndexWriter (writer.py): addDocuments → deleteDocuments(query=...)
+    → forceMerge, with exact count bookkeeping at each step and the
+    post-merge index equal in hit counts to the pre-merge live view."""
+    from lucene_spark.corpus import VOCAB, synthetic_transcripts
+    from lucene_spark.search import ast
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.writer import IndexWriter
+
+    d = str(tmp_path / "wfacade")
+    w = IndexWriter(spark, d, rows_per_segment=100)
+    df = synthetic_transcripts(spark, 60)
+    n_docs = df.count()
+    w.add_documents(df)
+    assert w.num_docs() == n_docs and not w.has_deletions()
+    s = IndexSearcher(spark, d)
+    q = ast.parse(f"+{VOCAB[0]} +{VOCAB[3]}", s.analyzer)
+    n_match = s.count(q)
+    n_hot = s.count(VOCAB[0])
+    nd = w.delete_documents(query=q)
+    assert nd == n_match and w.has_deletions()
+    s2 = IndexSearcher(spark, d)
+    assert s2.count(q) == 0
+    assert s2.count(VOCAB[0]) == n_hot - nd
+    w.force_merge()
+    s3 = IndexSearcher(spark, d)
+    assert s3.count(q) == 0
+    assert s3.count(VOCAB[0]) == n_hot - nd
+    assert w.num_docs() == n_docs - nd and not w.has_deletions()
+    # term-form delete still works through the facade
+    nd2 = w.delete_documents(term=VOCAB[1])
+    assert nd2 > 0 and w.has_deletions()
+    assert IndexSearcher(spark, d).count(ast.TermQuery(VOCAB[1])) == 0
