@@ -957,3 +957,18 @@ def test_operator_search_end_to_end(searcher, golden):
             xy_docs.update(int(d) for d in golden.postings[t][0].tolist())
     exp = [(d, s) for d, s in exp_all if d in xy_docs][:50]
     assert got == exp
+
+
+def test_shared_term_cache(spark, index_dir):
+    """The driver-resident term dictionary is shared across reader
+    instances of the same stats generation (one collect job, one copy) and
+    evicted LRU past the keep bound."""
+    from lucene_spark.search.reader import IndexReader
+
+    IndexReader._SHARED_TERM_CACHE.clear()
+    r1 = IndexReader(spark, index_dir)
+    c1 = r1._term_cache()
+    r2 = IndexReader(spark, index_dir)
+    c2 = r2._term_cache()
+    assert c1 is c2  # same dict object — no second collect
+    assert len(IndexReader._SHARED_TERM_CACHE) == 1
