@@ -174,6 +174,15 @@ def _q_count_sloppy3(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_count_sloppy_multiphrase(spark, sf_dir):
+    """Sloppy MultiPhraseQuery '(table|row) ... value'~2 hit count — union
+    postings per slot + the vectorized sloppy matcher (the §7.3 gap is only
+    repeated terms ACROSS slots; disjoint slots are fully supported)."""
+    s = _searcher(spark, sf_dir)
+    q = ast.MultiPhraseQuery((("table", "row"), ("value",)), slop=2)
+    return spark.createDataFrame([(s.count(q),)], "hits long")
+
+
 def _q_ws_topk(spark, sf_dir):
     """WhitespaceAnalyzer end-to-end (core/analysis/core/
     WhitespaceAnalyzer.java: split on whitespace, case PRESERVED): build a
@@ -792,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_sloppy_phrase": _q_count_sloppy_phrase,
         "count_sloppy_repeat": _q_count_sloppy_repeat,
         "count_sloppy3": _q_count_sloppy3,
+        "count_sloppy_multiphrase": _q_count_sloppy_multiphrase,
         "mlt_topk": _q_mlt_topk,
         "bool_ops_topk": _q_bool_ops_topk,
         "ws_analyzer_topk": _q_ws_topk,
@@ -942,6 +952,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "count_sloppy3": oracle.sloppy_repeat_count_sql(
             ["table", "value", "query"], 3
+        ),
+        "count_sloppy_multiphrase": oracle.sloppy_multiphrase_count_sql(
+            [("table", "row"), ("value",)], 2
         ),
         "mlt_topk": oracle.mlt_topk_sql(MLT_SRC_DID, 30),
         "bool_ops_topk": oracle.bm25_topk_sql(_parse(Q_OPS), 40),

@@ -1801,3 +1801,31 @@ FROM summed
 ORDER BY score DESC, did ASC
 LIMIT {k}
 """
+
+
+def sloppy_multiphrase_count_sql(slots, slop: int) -> str:
+    """Sloppy MultiPhrase hit count: slot i matches ANY of its terms
+    (union postings, ``MultiPhraseQuery.java:303``), and a doc hits when
+    some per-slot pick has adjusted-window width ≤ slop. For disjoint slot
+    term sets the slot position lists are repeat-free, so the greedy
+    matcher finds a match iff one exists (same pytest-verified property as
+    the repeat-free sloppy phrase) — brute-force existence is an exact
+    count oracle."""
+    n = len(slots)
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
+    )
+    conds = []
+    for i, slot in enumerate(slots):
+        inlist = ", ".join(f"'{t}'" for t in slot)
+        conds.append(f"t{i}.term IN ({inlist})")
+    adj = ", ".join(f"t{i}.pos - {i}" for i in range(n))
+    conds.append(f"greatest({adj}) - least({adj}) <= {slop}")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT t0.did FROM toksp t0{joins}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
+)
+"""
