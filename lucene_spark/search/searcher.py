@@ -1128,28 +1128,19 @@ class IndexSearcher:
 
         if isinstance(query, str):
             query = self.parse(query)
+        query = ast.normalize(query)
+        if isinstance(query, ast.PhraseQuery):
+            return self._explain_phrase(query, doc_id)
         wc = self._weighted_clauses(query)
         base = {"doc_id": int(doc_id), "match": False,
                 "total": 0.0, "clauses": []}
         if wc is None:
             return base
         specs, msm = wc
-        # global docID → (segment, local docID)
-        seg, docbase = None, 0
-        for s, off in sorted(self.reader.offsets.items(),
-                             key=lambda kv: kv[1]):
-            if off <= doc_id:
-                seg, docbase = s, off
-        if seg is None:
-            return base
-        local = int(doc_id) - int(docbase)
-        drow = (self.reader.docs(live_only=True)
-                .filter(F.col("doc_id") == int(doc_id))
-                .select("dl", "norm").collect())
-        if not drow:
+        loc = self._doc_location(doc_id)
+        if loc is None:
             return base  # deleted or out of range
-        norm_code = int(drow[0]["norm"])
-        dlen = int(byte4_to_int(np.array([norm_code]))[0])
+        seg, local, norm_code, dlen = loc
 
         sep = self.FIELD_SEP
         by_field: dict[str, list[str]] = {}
@@ -1217,4 +1208,73 @@ class IndexSearcher:
             matched = False
         base["match"] = bool(matched)
         base["total"] = float(np.float32(total)) if matched else 0.0
+        return base
+
+    def _doc_location(self, doc_id: int):
+        """(seg, local docID, norm_code, decoded length) for a live global
+        docID, or None."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lucene_spark.smallfloat import byte4_to_int
+
+        seg, docbase = None, 0
+        for s, off in sorted(self.reader.offsets.items(),
+                             key=lambda kv: kv[1]):
+            if off <= doc_id:
+                seg, docbase = s, off
+        if seg is None:
+            return None
+        drow = (self.reader.docs(live_only=True)
+                .filter(F.col("doc_id") == int(doc_id))
+                .select("dl", "norm").collect())
+        if not drow:
+            return None
+        norm_code = int(drow[0]["norm"])
+        return (int(seg), int(doc_id) - int(docbase), norm_code,
+                int(byte4_to_int(np.array([norm_code]))[0]))
+
+    def _explain_phrase(self, q, doc_id: int) -> dict:
+        """Phrase-query explain: the phrase scores as ONE pseudo-term with
+        summed idf (PhraseWeight semantics); the breakdown reports each
+        term's df plus the matched phrase freq (float32 Σ 1/(1+matchLength)
+        when sloppy)."""
+        import numpy as np
+
+        from lucene_spark.search.phrase import segment_phrase_postings
+
+        base = {"doc_id": int(doc_id), "match": False, "total": 0.0,
+                "clauses": []}
+        terms = list(q.terms)
+        stats = self.reader.term_stats(terms, field=q.field)
+        if any(t not in stats or stats[t]["df"] == 0 for t in terms):
+            return base
+        loc = self._doc_location(doc_id)
+        if loc is None:
+            return base
+        seg, local, norm_code, dlen = loc
+        from pyspark.sql import functions as F
+
+        rows = (self.reader.postings(terms, field=q.field)
+                .filter(F.col("seg") == seg).drop("doc_offset").toPandas())
+        docs, freqs, _norms = segment_phrase_postings(rows, terms,
+                                                      slop=int(q.slop))
+        j = np.searchsorted(docs, local)
+        freq = float(freqs[j]) if (j < docs.size and docs[j] == local) else 0.0
+        scorer = self.reader.similarity_scorer(
+            self.similarity, q.boost, [stats[t]["df"] for t in terms])
+        for t in terms:
+            base["clauses"].append({
+                "field": q.field, "term": t, "occur": ast.MUST,
+                "df": stats[t]["df"], "ttf": stats[t]["ttf"],
+                "weight": float(scorer.weight), "tf": None,
+                "norm": norm_code, "dlen": dlen, "score": None})
+        base["phrase_freq"] = freq
+        if freq > 0.0:
+            dt = np.float32 if q.slop else np.int64
+            s = np.float32(scorer.score(
+                np.array([freq], dtype=dt),
+                np.array([norm_code], dtype=np.int64))[0])
+            base["match"] = True
+            base["total"] = float(s)
         return base

@@ -972,3 +972,19 @@ def test_shared_term_cache(spark, index_dir):
     c2 = r2._term_cache()
     assert c1 is c2  # same dict object — no second collect
     assert len(IndexReader._SHARED_TERM_CACHE) == 1
+
+
+def test_explain_phrase(searcher):
+    """Phrase explain: summed-idf pseudo-term scoring, exact and sloppy
+    freqs, f32 total bit-equal to the search score."""
+    from lucene_spark.search.ast import PhraseQuery
+
+    for q in (PhraseQuery((VOCAB[0], VOCAB[3])),
+              PhraseQuery((VOCAB[0], VOCAB[3]), slop=2)):
+        hits = searcher.search(q, 5)
+        assert hits
+        for h in hits:
+            ex = searcher.explain(q, h.doc_id)
+            assert ex["match"] is True and ex["total"] == h.score
+            assert ex["phrase_freq"] > 0
+        assert searcher.explain(q, 10 ** 9)["match"] is False
