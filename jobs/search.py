@@ -2,7 +2,7 @@
 
     spark-submit --py-files dist/lucene_spark.zip jobs/search.py \
         --index <index dir> --query 'hello "exact phrase" +must -not pre*' \
-        [--k 10] [--mode wand|exhaustive]
+        [--k 10] [--mode wand|exhaustive] [--explain]
 
 Prints one JSON line per query: {"query": ..., "hits": [[doc_id, score], ...],
 "sec": ...}.
@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--query", action="append", required=True,
                     help="classic-syntax query (repeatable)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--explain", action="store_true",
+                    help="attach the per-clause score explanation per hit")
     ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
     ap.add_argument("--similarity", default="bm25",
                     choices=["bm25", "classic", "boolean", "lm_dirichlet",
@@ -51,11 +53,14 @@ def main():
     for q in args.query:
         t0 = time.time()
         hits = s.search(q, k=args.k, mode=args.mode)
-        print(json.dumps({
+        out = {
             "query": q,
             "hits": [[h.doc_id, h.score] for h in hits],
             "sec": round(time.time() - t0, 3),
-        }))
+        }
+        if args.explain:
+            out["explanations"] = [s.explain(q, h.doc_id) for h in hits]
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
