@@ -1131,6 +1131,18 @@ class IndexSearcher:
         query = ast.normalize(query)
         if isinstance(query, ast.PhraseQuery):
             return self._explain_phrase(query, doc_id)
+        if isinstance(query, (ast.MultiTermQuery, ast.ConstantScoreQuery)):
+            # CONSTANT_SCORE rewrite shapes: matched → score == boost
+            from pyspark.sql import functions as F
+
+            b = float(np.float32(getattr(query, "boost", 1.0)))
+            hit = bool(self.match_df(query)
+                       .filter(F.col("doc_id") == int(doc_id)).take(1))
+            return {"doc_id": int(doc_id), "match": hit,
+                    "total": b if hit else 0.0,
+                    "clauses": [{"kind": type(query).__name__,
+                                 "occur": ast.MUST,
+                                 "score": b if hit else None}]}
         wc = self._weighted_clauses(query)
         base = {"doc_id": int(doc_id), "match": False,
                 "total": 0.0, "clauses": []}

@@ -988,3 +988,21 @@ def test_explain_phrase(searcher):
             assert ex["match"] is True and ex["total"] == h.score
             assert ex["phrase_freq"] > 0
         assert searcher.explain(q, 10 ** 9)["match"] is False
+
+
+def test_explain_constant_score(searcher):
+    """Constant-score shapes (multiterm / ConstantScoreQuery) explain as
+    matched -> score == boost."""
+    from lucene_spark.search import ast as A
+
+    q = A.MultiTermQuery("prefix", "ba", boost=1.5)
+    hits = searcher.search(q, 3)
+    assert hits
+    for h in hits:
+        ex = searcher.explain(q, h.doc_id)
+        assert ex["match"] is True and ex["total"] == h.score
+    assert searcher.explain(q, 10 ** 9)["match"] is False
+    cq = A.ConstantScoreQuery(A.TermQuery(VOCAB[0]), boost=2.0)
+    h0 = searcher.search(cq, 1)[0]
+    ex = searcher.explain(cq, h0.doc_id)
+    assert ex["match"] and ex["total"] == h0.score
