@@ -260,3 +260,15 @@ class IndexReader:
             return deleted_for_segment(index_dir, int(seg), live_dir)
 
         return load
+
+    def document(self, doc_id: int) -> dict | None:
+        """Stored-fields lookup by global docID
+        (``IndexSearcher.storedFields().document(int)`` /
+        ``StoredFields.java``): the doc's stored columns (conv_id,
+        turn_idx, dl, …) as a dict, or None for a deleted / out-of-range
+        docID. One filtered scan (docID pushdown prunes row groups)."""
+        from pyspark.sql import functions as F
+
+        rows = (self.docs(live_only=True)
+                .filter(F.col("doc_id") == int(doc_id)).limit(1).collect())
+        return rows[0].asDict() if rows else None

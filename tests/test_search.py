@@ -1006,3 +1006,11 @@ def test_explain_constant_score(searcher):
     h0 = searcher.search(cq, 1)[0]
     ex = searcher.explain(cq, h0.doc_id)
     assert ex["match"] and ex["total"] == h0.score
+
+
+def test_document_lookup(searcher):
+    """reader.document(docID) (StoredFields.document analogue): stored
+    columns for a live doc, None past the end."""
+    d = searcher.reader.document(3)
+    assert d is not None and d["doc_id"] == 3 and "conv_id" in d
+    assert searcher.reader.document(10 ** 9) is None
