@@ -380,7 +380,8 @@ def _sloppy_pair_freqs(per_term, common, slop: int, locs):
     return (mask, freqs[mask]) if mask.any() else None
 
 
-def _sloppy_freq_doc_repeats(raw_pls, offsets, groups, slop: int) -> float:
+def _sloppy_freq_doc_repeats(raw_pls, offsets, groups, slop: int,
+                             multi_term: bool = False) -> float:
     """Sloppy phrase freq of ONE doc for a phrase with REPEATED terms — a
     faithful port of the repeat-group machinery (single-term slots, the
     non-multi-term case):
@@ -445,16 +446,42 @@ def _sloppy_freq_doc_repeats(raw_pls, offsets, groups, slop: int) -> float:
             return p
         return q
 
-    # placeFirstPositions + advanceRepeatGroups (each group pre-sorted by
-    # offset; member j advances j extra times so the start has no collisions)
+    # placeFirstPositions + advanceRepeatGroups. Same-term groups
+    # (identical position lists): member j advances j extra times, which is
+    # collision-free by construction (:455-463). Multi-term groups
+    # (PARTIALLY overlapping lists — the hasMultiTermRpts branch,
+    # :465-479): the blind stagger would skip legal positions, so instead
+    # resolve initial collisions by advancing the LESSER of each colliding
+    # pair until the start state is clean.
     for p in range(n):
         if not next_position(p):
             return 0.0
-    for mem in groups:
-        for j in range(1, len(mem)):
-            for _ in range(j):
-                if not next_position(mem[j]):
-                    return 0.0
+    if not multi_term:
+        for mem in groups:
+            for j in range(1, len(mem)):
+                for _ in range(j):
+                    if not next_position(mem[j]):
+                        return 0.0
+    else:
+        # exact port of the hasMultiTermRpts branch (:437-455): resolve
+        # member i's collisions by advancing the lesser; when that advanced
+        # an EARLIER member, re-check from the same i (incr = 0)
+        for mem in groups:
+            i = 0
+            while i < len(mem):
+                incr = 1
+                p = mem[i]
+                while True:
+                    k = collide(p)
+                    if k < 0:
+                        break
+                    a = lesser(p, mem[k])
+                    if not next_position(a):
+                        return 0.0
+                    if rpt_ind[a] < i:
+                        incr = 0
+                        break
+                i += incr
     end = max(pos)  # fillQueue
     heap = [(pos[p], offsets[p], p) for p in range(n)]
     heapq.heapify(heap)
@@ -543,8 +570,20 @@ def repeat_groups_of(terms) -> list[list[int]]:
 def _sloppy_phrase_freqs_repeats(per_term, common, locs, slop: int, terms):
     """(mask, float32 freqs[mask]) for sloppy phrases WITH repeated terms:
     per-candidate-doc faithful walk (intersection-bounded fallback path)."""
-    groups = repeat_groups_of(terms)
-    offsets = list(range(len(terms)))
+    return _sloppy_freqs_with_groups(per_term, common, locs, slop,
+                                     repeat_groups_of(terms))
+
+
+def _sloppy_freqs_with_groups(per_term, common, locs, slop: int, groups,
+                              multi_term: bool = False):
+    """Repeat-group sloppy freqs with EXPLICIT slot groups — the shared
+    engine of repeated-term plain phrases (groups = slots of one repeated
+    term) and repeated-term MULTI-phrases (groups = connected components of
+    slots with intersecting term sets; two such slots matching the same
+    position would both have consumed the same token, so the matcher's
+    distinct-position rule applies unchanged — positions hold ONE token
+    each, as this engine indexes no posIncr==0 overlaps)."""
+    offsets = list(range(len(per_term)))
     n = common.size
     freqs = np.zeros(n, dtype=np.float32)
     for j in range(n):
@@ -552,9 +591,35 @@ def _sloppy_phrase_freqs_repeats(per_term, common, locs, slop: int, terms):
         for i, (_docs, tfs, _nm, flat, offs) in enumerate(per_term):
             kk = locs[i][j]
             raw.append(flat[offs[kk]: offs[kk] + tfs[kk]].astype(np.int64))
-        freqs[j] = _sloppy_freq_doc_repeats(raw, offsets, groups, slop)
+        freqs[j] = _sloppy_freq_doc_repeats(raw, offsets, groups, slop,
+                                            multi_term=multi_term)
     mask = freqs > 0.0
     return (mask, freqs[mask]) if mask.any() else None
+
+
+def slot_repeat_groups(slots) -> list:
+    """Connected components (size > 1) of slot indices whose term sets
+    intersect — the multi-term analogue of ``repeatingTerms``
+    (``SloppyPhraseMatcher.java``: PhrasePositions sharing any term form a
+    repeat group)."""
+    n = len(slots)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    sets = [set(s) for s in slots]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sets[i] & sets[j]:
+                parent[find(i)] = find(j)
+    comps: dict = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    return [sorted(v) for v in comps.values() if len(v) > 1]
 
 
 def _sloppy_freqs_lockstep(per_term, common, locs, slop: int):
@@ -780,8 +845,14 @@ def segment_multiphrase_postings(rows, slots, slop: int = 0):
     if cl is None:
         return empty
     common, locs = cl
-    res = (_sloppy_phrase_freqs(per_slot, common, locs, slop) if slop
-           else _exact_phrase_freqs(per_slot, common, locs))
+    groups = slot_repeat_groups(slots) if slop else []
+    if slop and groups:
+        res = _sloppy_freqs_with_groups(per_slot, common, locs, slop, groups,
+                                        multi_term=True)
+    elif slop:
+        res = _sloppy_phrase_freqs(per_slot, common, locs, slop)
+    else:
+        res = _exact_phrase_freqs(per_slot, common, locs)
     if res is None:
         return empty
     mask, freqs = res

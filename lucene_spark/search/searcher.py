@@ -530,10 +530,6 @@ class IndexSearcher:
         from lucene_spark.search.phrase import segment_multiphrase_postings
 
         all_terms = [t for slot in q.slots for t in slot]
-        if q.slop and len(set(all_terms)) != len(all_terms):
-            raise NotImplementedError(
-                "sloppy multi-phrases with repeated terms are not supported"
-            )
         stats = self.reader.term_stats(all_terms, field=q.field)
 
         def df_of(t):
@@ -832,14 +828,6 @@ class IndexSearcher:
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
         slop = int(q.slop)
-        if (slop and isinstance(q, ast.MultiPhraseQuery)
-                and len({t for s_ in q.slots for t in s_})
-                != sum(len(s_) for s_ in q.slots)):
-            raise NotImplementedError(
-                "sloppy MULTI-phrases with repeated terms (multi-term repeat "
-                "groups) are not supported; plain sloppy phrases with "
-                "repeats are"
-            )
         if isinstance(q, ast.MultiPhraseQuery):
             all_terms = sorted({t for slot in q.slots for t in slot})
             stats = self.reader.term_stats(all_terms, field=q.field)

@@ -1014,3 +1014,73 @@ def test_document_lookup(searcher):
     d = searcher.reader.document(3)
     assert d is not None and d["doc_id"] == 3 and "conv_id" in d
     assert searcher.reader.document(10 ** 9) is None
+
+
+def test_sloppy_multiphrase_repeats():
+    """Multi-term repeat groups (SloppyPhraseMatcher.java hasMultiTermRpts,
+    :437-455 init + :286-323 advanceRpts): slots with intersecting term
+    sets. The port is algorithm-faithful — including the greedy matcher's
+    documented under-matching — so the contract tested is (a) hand goldens
+    through the multi-term branch, (b) NO false positives vs brute-force
+    distinct-assignment existence, (c) exact equality with the repeat-free
+    walk when position lists never collide."""
+    from itertools import product
+
+    from lucene_spark.search.phrase import (
+        _sloppy_freq_doc,
+        _sloppy_freq_doc_repeats,
+        slot_repeat_groups,
+    )
+
+    # (a) hand goldens
+    # no collision possible, window = (11-1) - (7-0) = 3 → one match
+    f = _sloppy_freq_doc_repeats(
+        [np.array([7], np.int64), np.array([11], np.int64)],
+        [0, 1], [[0, 1]], 3, multi_term=True)
+    assert f == np.float32(1.0 / 4.0)
+    # collision at init: both lists start at 2; lesser (slot1, adj 1)
+    # advances and exhausts → greedy finds nothing even though slot0→3,
+    # slot1→2 exists. This IS the reference behavior (advanceRepeatGroups
+    # advances the lesser; exhaustion ends the doc).
+    f = _sloppy_freq_doc_repeats(
+        [np.array([2, 3, 5, 7], np.int64), np.array([2], np.int64)],
+        [0, 1], [[0, 1]], 3, multi_term=True)
+    assert f == 0.0
+    # slot_repeat_groups: connected components by term-set intersection
+    assert slot_repeat_groups([("a", "b"), ("b", "c"), ("d",)]) == [[0, 1]]
+    assert slot_repeat_groups([("a",), ("b",)]) == []
+
+    rng = np.random.default_rng(17)
+    n_checked_eq = 0
+    for _ in range(400):
+        n_slots = int(rng.integers(2, 5))
+        slop = int(rng.integers(0, 5))
+        pls = [np.sort(rng.choice(np.arange(12),
+                                  size=int(rng.integers(1, 5)),
+                                  replace=False)).astype(np.int64)
+               for _ in range(n_slots)]
+        groups = [list(range(n_slots))]
+        offsets = list(range(n_slots))
+        got = _sloppy_freq_doc_repeats([p.copy() for p in pls], offsets,
+                                       groups, slop, multi_term=True)
+
+        def brute_exists():
+            for combo in product(*[list(map(int, p)) for p in pls]):
+                if len(set(combo)) != len(combo):
+                    continue
+                adj = [combo[i] - offsets[i] for i in range(n_slots)]
+                if max(adj) - min(adj) <= slop:
+                    return True
+            return False
+
+        # (b) no false positives
+        if got > 0:
+            assert brute_exists()
+        # (c) collision-free inputs == the repeat-free walk exactly
+        all_pos = [p for pl in pls for p in pl.tolist()]
+        if len(set(all_pos)) == len(all_pos):
+            want = _sloppy_freq_doc(
+                [pls[i] - offsets[i] for i in range(n_slots)], slop)
+            assert got == want
+            n_checked_eq += 1
+    assert n_checked_eq > 20  # the (c) branch actually exercised
