@@ -153,9 +153,34 @@ class IndexSearcher:
             return None  # only prohibited clauses survived
         return specs, q.min_should_match
 
+    # a block-max bound pass only pays for itself when the candidate set
+    # is much larger than the heap — below this candidates/k ratio the
+    # exhaustive kernel wins (it skips the impact screen entirely)
+    AUTO_PRUNE_RATIO = 32
+
+    def _pick_mode(self, specs, k: int) -> str:
+        """Cost-based scorer selection (the ``TopScoreDocCollector``
+        hitsThresholdChecker / cost() trade in
+        ``core/search/scorers``): estimate the candidate count as the sum
+        of the scoring/required clauses' dfs (each df = that term's
+        posting-list cost(), ``TermScorer.cost``) and prune only when it
+        dwarfs k — for tiny candidate sets the impact-screen bookkeeping
+        costs more than scoring everything (WAND ≡ exhaustive results
+        either way, pytest-pinned; only the plan changes)."""
+        est = 0
+        for c in specs:
+            if c.occur in (ast.MUST, ast.SHOULD):
+                f, t = c.term.split(self.FIELD_SEP, 1)
+                st = self.reader.term_stats([t], field=f).get(t)
+                if st:
+                    est += st["df"]
+        return "wand" if est > self.AUTO_PRUNE_RATIO * k else "exhaustive"
+
     # -- search -------------------------------------------------------------
     def search(self, query, k: int = 10, mode: str = "wand") -> list[ScoreDoc]:
-        """Top-k hits. ``query``: AST node or classic-syntax string."""
+        """Top-k hits. ``query``: AST node or classic-syntax string;
+        ``mode``: "wand" (block-max pruned), "exhaustive", or "auto"
+        (cost-based pick — see :meth:`_pick_mode`)."""
         if isinstance(query, str):
             query = self.parse(query)
         query = ast.normalize(query)
@@ -195,6 +220,8 @@ class IndexSearcher:
         if wc is None:
             return []
         specs, msm = wc
+        if mode == "auto":
+            mode = self._pick_mode(specs, k)
         prune = mode == "wand"
 
         postings = self._postings_for_specs(specs)

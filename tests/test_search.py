@@ -1084,3 +1084,22 @@ def test_sloppy_multiphrase_repeats():
             assert got == want
             n_checked_eq += 1
     assert n_checked_eq > 20  # the (c) branch actually exercised
+
+
+def test_auto_mode_cost_based(searcher, golden):
+    """mode='auto' (cost-based scorer selection): picks exhaustive for
+    rare-term/huge-k shapes and wand for hot-term/small-k, and returns
+    results identical to both fixed modes either way."""
+    cache = searcher.reader._term_cache()
+    by_df = sorted(((v["df"], t) for (f, t), v in cache.items()
+                    if f == "text"))
+    hot, rare = by_df[-1][1], by_df[0][1]
+    wc_hot, _ = searcher._weighted_clauses(searcher.parse(hot))
+    wc_rare, _ = searcher._weighted_clauses(searcher.parse(rare))
+    assert searcher._pick_mode(wc_hot, 1) == "wand"
+    assert searcher._pick_mode(wc_rare, 100) == "exhaustive"
+    for q in (hot, rare, f"+{VOCAB[1]} {VOCAB[5]}"):
+        for k in (5, 100):
+            a = searcher.search(q, k, mode="auto")
+            b = searcher.search(q, k, mode="wand")
+            assert a == b, (q, k)
