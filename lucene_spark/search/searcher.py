@@ -1158,6 +1158,10 @@ class IndexSearcher:
                     "clauses": [{"kind": type(query).__name__,
                                  "occur": ast.MUST,
                                  "score": b if hit else None}]}
+        if isinstance(query, ast.BooleanQuery) and any(
+            not isinstance(sub, ast.TermQuery) for _, sub in query.clauses
+        ):
+            return self._explain_mixed(query, doc_id)
         wc = self._weighted_clauses(query)
         base = {"doc_id": int(doc_id), "match": False,
                 "total": 0.0, "clauses": []}
@@ -1304,4 +1308,108 @@ class IndexSearcher:
                 np.array([norm_code], dtype=np.int64))[0])
             base["match"] = True
             base["total"] = float(s)
+        return base
+
+    def _explain_mixed(self, q, doc_id: int) -> dict:
+        """Mixed-boolean explain (phrase / multiterm / keyword clauses
+        inside a boolean): per-clause contributions computed for ONE doc
+        with the same float32 formula as the mixed kernel
+        (:func:`segment_boolean_mixed`)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lucene_spark.search.phrase import segment_phrase_postings
+
+        base = {"doc_id": int(doc_id), "match": False, "total": 0.0,
+                "clauses": []}
+        mc = self._mixed_clauses(q)
+        if mc is None:
+            return base
+        clauses, cache, msm, _field_terms, need_positions = mc
+        loc = self._doc_location(doc_id)
+        if loc is None:
+            return base
+        seg, local, norm_code, dlen = loc
+        sep = self.FIELD_SEP
+        inv = np.float32(cache[norm_code & 0xFF])
+
+        # one pushed-down postings fetch per field for this segment
+        by_field: dict[str, set] = {}
+        for c in clauses:
+            f, ts = c["field"], [t.split(sep, 1)[1] for t in c["terms"]]
+            by_field.setdefault(f, set()).update(ts)
+        rows_of = {}
+        for f, ts in by_field.items():
+            df = (self.reader.postings(sorted(ts), field=f)
+                  .filter(F.col("seg") == seg).drop("doc_offset"))
+            if not need_positions and "positions" in df.columns:
+                pass  # keep positions: phrase clauses may need them
+            rows_of[f] = df.toPandas()
+
+        def tf_of(f, t):
+            from lucene_spark.indexing.blocks import decode_block
+
+            pdf = rows_of[f]
+            m = pdf[(pdf["term"] == t) & (pdf["first_doc"] <= local)
+                    & (pdf["last_doc"] >= local)]
+            for _, r in m.iterrows():
+                docs, tfs = decode_block(r["first_doc"], r["count"],
+                                         r["doc_gaps"], r["tfs"])
+                j = np.searchsorted(docs, local)
+                if j < docs.size and docs[j] == local:
+                    return int(tfs[j])
+            return 0
+
+        total = np.float64(0.0)
+        n_req = n_req_hit = n_should = n_should_hit = 0
+        prohibited = False
+        any_hit = False
+        for c in clauses:
+            f = c["field"]
+            raw_terms = [t.split(sep, 1)[1] for t in c["terms"]]
+            w = np.float32(c["weight"])
+            if c["kind"] == "phrase":
+                docs, freqs, _nm = segment_phrase_postings(
+                    rows_of[f], raw_terms, c.get("slop", 0))
+                j = np.searchsorted(docs, local)
+                freq = float(freqs[j]) if (j < docs.size
+                                           and docs[j] == local) else 0.0
+            elif c["kind"] == "const":
+                freq = 1.0 if any(tf_of(f, t) for t in raw_terms) else 0.0
+            else:
+                freq = float(tf_of(f, raw_terms[0]))
+            entry = {"field": f, "kind": c["kind"], "occur": c["occur"],
+                     "terms": raw_terms if len(raw_terms) > 1
+                     else raw_terms[0],
+                     "weight": float(w), "freq": freq, "norm": norm_code,
+                     "dlen": dlen, "score": None}
+            if c["occur"] == ast.MUST_NOT:
+                if freq > 0:
+                    prohibited = True
+                base["clauses"].append(entry)
+                continue
+            if c["occur"] in (ast.MUST, ast.FILTER):
+                n_req += 1
+                n_req_hit += freq > 0
+            elif c["occur"] == ast.SHOULD:
+                n_should += 1
+                n_should_hit += freq > 0
+            if freq > 0:
+                any_hit = True
+                if c["occur"] in (ast.MUST, ast.SHOULD):
+                    if c["kind"] == "const":
+                        s = w
+                    else:
+                        tf32 = np.float32(freq)
+                        denom = np.float32(np.float32(1.0)
+                                           + np.float32(tf32 * inv))
+                        s = np.float32(w - np.float32(w / denom))
+                    entry["score"] = float(s)
+                    total = total + np.float64(s)
+            base["clauses"].append(entry)
+        matched = (not prohibited and n_req_hit == n_req
+                   and n_should_hit >= (msm or 0) and any_hit
+                   and (n_req > 0 or n_should_hit >= max(1, msm or 0)))
+        base["match"] = bool(matched)
+        base["total"] = float(np.float32(total)) if matched else 0.0
         return base

@@ -1103,3 +1103,25 @@ def test_auto_mode_cost_based(searcher, golden):
             a = searcher.search(q, k, mode="auto")
             b = searcher.search(q, k, mode="wand")
             assert a == b, (q, k)
+
+
+def test_explain_mixed_boolean(spark, index_dir):
+    """Mixed-boolean explain (phrase + multiterm + term clauses): per-hit
+    totals bit-equal to the kernel's scores; prohibited docs match=False."""
+    s = IndexSearcher(spark, index_dir)
+    hot, b, c = VOCAB[0], VOCAB[3], VOCAB[5]
+    q = s.parse(f'+"{hot} {b}" {c} -{VOCAB[9]}')
+    hits = s.search(q, 6)
+    assert hits
+    for h in hits:
+        ex = s.explain(q, h.doc_id)
+        assert ex["match"] is True and ex["total"] == h.score
+        kinds = {cl["kind"] for cl in ex["clauses"]}
+        assert "phrase" in kinds
+    q2 = s.parse(f"+{hot} {b[:2]}*")
+    for h in s.search(q2, 4):
+        ex = s.explain(q2, h.doc_id)
+        assert ex["match"] and ex["total"] == h.score
+    # doc with the prohibited term
+    bad = s.search(VOCAB[9], 1)[0].doc_id
+    assert s.explain(q, bad)["match"] is False
