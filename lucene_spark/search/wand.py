@@ -140,6 +140,13 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
     b_minnm = np.array(
         [imp_norms[i][0] if len(imp_norms[i]) else 1 for i in kb],
         dtype=np.int64)
+    # factorize terms to int codes ONCE: all per-term block selection below
+    # is then pure C-level integer compares, never an O(terms × blocks)
+    # Python comprehension (hot terms reach thousands of blocks per segment)
+    has_imp = ilens > 0
+    term_mask: dict[str, np.ndarray] = {
+        t: (b_term == t) & has_imp for t in by_term
+    }
     b_max = np.zeros(kb.size, dtype=np.float64)  # level-1 (loose) bound
     term_scoring: dict[str, list] = {}
     for t, cs in by_term.items():
@@ -148,9 +155,7 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
         term_scoring[t] = scoring
         if not scoring:
             continue
-        sel_t = np.flatnonzero(
-            np.array([b_term[j] == t and ilens[j] > 0
-                      for j in range(kb.size)]))
+        sel_t = np.flatnonzero(term_mask[t])
         if sel_t.size == 0:
             continue
         acc = np.zeros(sel_t.size, dtype=np.float64)
@@ -176,9 +181,7 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
         for t, scoring in term_scoring.items():
             if not scoring:
                 continue
-            sel_t = np.flatnonzero(
-                np.array([block_mask[j] and b_term[j] == t and ilens[j] > 0
-                          for j in range(kb.size)]))
+            sel_t = np.flatnonzero(block_mask & term_mask[t])
             if sel_t.size == 0:
                 continue
             ft = np.concatenate(
@@ -263,11 +266,14 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
         pos += BATCH
         sel = np.zeros(n_iv, dtype=bool)
         sel[batch] = True
+        # blocks overlapping any selected chunk, via prefix sums — the
+        # remaining Python loop touches only blocks that must be decoded
+        csel = np.concatenate([[0], np.cumsum(sel)])
+        active = np.flatnonzero(csel[e_idx] - csel[s_idx] > 0)
 
         docs_parts, score_parts, must_parts, should_parts = [], [], [], []
-        for j, i in enumerate(kb):
-            if not sel[s_idx[j] : e_idx[j]].any():
-                continue
+        for j in active:
+            i = kb[j]
             if j not in decoded:
                 decoded[j] = decode_block(
                     block_rows["first_doc"][i], block_rows["count"][i],
