@@ -28,6 +28,10 @@ Q_BOOST = "table^2.5 customer"
 Q_AND = "+table +value"
 Q_MIXED = '+"table value" query -spark'
 PHRASE_TERMS = ("table", "value")
+# round-4 nested-boolean gates (VERDICT r3 next-#3/#4)
+Q_NESTED = "(table AND value) OR (query AND customer)"
+Q_NESTED2 = "+spark (value OR (table AND query))"
+Q_MSM2 = "(table value query customer)~2"
 
 _AN = SimpleAnalyzer()
 
@@ -780,6 +784,21 @@ def _q_highlight(spark, sf_dir):
     )
 
 
+def _q_knn(spark, sf_dir):
+    """KNN vector query (KnnFloatVectorQuery analogue) at the recall=1
+    exact config: top-10 by quantized integer dot with vec 0's embedding,
+    over the embeddings table attached as the searcher's vector doc-values.
+    One pushdown-pruned scan, JVM-side dot (aggregate∘zip_with), no shuffle;
+    hash-exact vs the DuckDB brute oracle."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = _searcher(spark, sf_dir)
+    s.set_vectors(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return s.knn_df(qvec, k=10).select("doc_id", "dot")
+
+
 def _q_mm_binary_stats(spark, sf_dir):
     from lucene_spark.pipeline.multimodal import attach_payload, binary_stats
 
@@ -808,7 +827,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "ann_lsh_topk", "text_langid", "text_quality", "text_token_counts",
     "text_fingerprint", "highlight_snippets", "mm_binary_stats",
     # -- new round-4 gates
-    "bool_nested_topk", "bool_msm2_topk", "knn_topk", "span_near_topk",
+    "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
+    "knn_topk", "span_near_topk",
     "facet_dl_ranges", "dedup_clusters", "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
@@ -827,6 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder({
         "index_term_stats": _q_term_stats,
         "index_doc_norms": _q_doc_norms,
+        "knn_topk": _q_knn,
+        "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
+        "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
+        "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -971,6 +995,10 @@ def oracle_sql() -> dict[str, str]:
             f" FROM ({oracle.bm25_topk_sql(_parse(q), 20)}) ms{i}"
             for i, q in enumerate(MSEARCH_QS)
         ),
+        "knn_topk": po.knn_brute_sql(0, 10),
+        "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
+        "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
+        "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

@@ -248,6 +248,23 @@ class BruteForceIndex:
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
 
+        res = self._bool_eval(q)
+        if res is None:
+            return []
+        ok, sc_all = res
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            return []
+        sc = sc_all[idx]
+        order = np.lexsort((idx, -sc.astype(np.float64)))[:k]
+        return [(int(idx[i]), float(sc[i])) for i in order]
+
+    def _bool_eval(self, q):
+        """Recursive boolean evaluation: (match mask, float32 scores over all
+        docs) or None when the node can never match. Nested BooleanQuery
+        clauses evaluate bottom-up — each inner node contributes its float32
+        node score as ONE virtual clause (the ``Boolean2ScorerSupplier``
+        composition the engine's mixed kernel mirrors)."""
         score = np.zeros(self.n, dtype=np.float64)
         must_cnt = np.zeros(self.n, dtype=np.int64)
         should_cnt = np.zeros(self.n, dtype=np.int64)
@@ -255,6 +272,26 @@ class BruteForceIndex:
         n_req = 0
         any_scoring = False
         for occur, tq in q.clauses:
+            if isinstance(tq, ast.BooleanQuery):
+                sub = self._bool_eval(tq)
+                sub_docs = (np.flatnonzero(sub[0])
+                            if sub is not None else np.zeros(0, np.int64))
+                if sub_docs.size == 0:
+                    if occur in (ast.MUST, ast.FILTER):
+                        return None
+                    continue
+                if occur == ast.MUST_NOT:
+                    excluded[sub_docs] = True
+                    continue
+                if occur in (ast.MUST, ast.FILTER):
+                    n_req += 1
+                    must_cnt[sub_docs] += 1
+                if occur in (ast.MUST, ast.SHOULD):
+                    any_scoring = True
+                    score[sub_docs] += sub[1][sub_docs].astype(np.float64)
+                    if occur == ast.SHOULD:
+                        should_cnt[sub_docs] += 1
+                continue
             if isinstance(tq, ast.TermQuery) and tq.field != "text":
                 # keyword field: constant similarity score (freq=1, dl=1,
                 # keyword-field collection stats), occur preserved
@@ -266,7 +303,7 @@ class BruteForceIndex:
                 if occur in (ast.MUST, ast.FILTER):
                     n_req += 1
                     if docs is None:
-                        return []
+                        return None
                     must_cnt[docs] += 1
                 if occur in (ast.MUST, ast.SHOULD):
                     if docs is None:
@@ -297,7 +334,7 @@ class BruteForceIndex:
                 if occur in (ast.MUST, ast.FILTER):
                     n_req += 1
                     if docs is None:
-                        return []
+                        return None
                     must_cnt[docs] += 1
                 if occur in (ast.MUST, ast.SHOULD):
                     if docs is None:
@@ -331,7 +368,7 @@ class BruteForceIndex:
             if occur in (ast.MUST, ast.FILTER):
                 n_req += 1
                 if hit is None:
-                    return []  # required clause absent / never matches
+                    return None  # required clause absent / never matches
                 must_cnt[hit[0]] += 1
             if occur in (ast.MUST, ast.SHOULD):
                 if hit is None:
@@ -352,10 +389,5 @@ class BruteForceIndex:
         if msm:
             ok &= should_cnt >= msm
         if not any_scoring and n_req == 0:
-            return []
-        idx = np.flatnonzero(ok)
-        if idx.size == 0:
-            return []
-        sc = score[idx].astype(F32)
-        order = np.lexsort((idx, -sc.astype(np.float64)))[:k]
-        return [(int(idx[i]), float(sc[i])) for i in order]
+            return None
+        return ok, score.astype(F32)

@@ -397,12 +397,142 @@ summed AS (
             f"AND s.term = '{t}')" for t in shoulds)
         conds.append(f"({anyof})")
     elif msm > 1:
-        raise NotImplementedError("oracle supports min_should_match <= 1")
+        # minShouldMatch > 1 (WANDScorer.java:37-38): a doc needs ≥ msm
+        # matching SHOULD CLAUSES — duplicate clauses on one term each
+        # count (the kernel's scnt sums per-clause), hence a clause-list
+        # VALUES join, not a distinct-term count
+        svals = ",".join(f"('{t}')" for t, o, _ in clauses if o == ast.SHOULD)
+        conds.append(
+            f"(SELECT count(*) FROM (VALUES {svals}) sq(term) "
+            f"JOIN tf s ON s.term = sq.term AND s.did = summed.did) >= {msm}"
+        )
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH {base_cte or base_ctes(doc_where)},{clause_cte}
 SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
 FROM summed{where}
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
+def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
+    """Float32-bit-exact BM25 top-k SQL for an ARBITRARILY NESTED boolean
+    tree of term clauses (``Boolean2ScorerSupplier`` composition — the
+    engine's recursive mixed kernel).
+
+    Per-node semantics (matching ``phrase._eval_boolean``): a doc matches a
+    node iff every MUST/FILTER clause matches ∧ no MUST_NOT clause matches ∧
+    (required clauses present ? SHOULD-count ≥ msm (when msm>0)
+    : SHOULD-count ≥ max(1, msm)); node score = float32(Σ_double float32
+    matching scoring-clause scores) — an inner node's float32 result is one
+    float input to the outer double sum, like each Lucene Scorer returning
+    float.
+    """
+    q = ast.normalize(query)
+    if isinstance(q, (ast.MatchNoDocsQuery,)):
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    if isinstance(q, ast.TermQuery):
+        q = ast.BooleanQuery(((ast.SHOULD, q),))
+
+    leaves: list[tuple[str, float]] = []  # (term, boost) per scoring leaf
+
+    def collect(bq):
+        for occ, sub in bq.clauses:
+            if isinstance(sub, ast.BooleanQuery):
+                collect(sub)
+            elif isinstance(sub, ast.TermQuery):
+                if occ in (ast.MUST, ast.SHOULD):
+                    leaves.append((sub.term, sub.boost))
+            else:
+                raise NotImplementedError(
+                    "nested oracle supports term leaves only")
+
+    collect(q)
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))"
+        for i, (t, b) in enumerate(leaves)
+    )
+
+    counter = iter(range(len(leaves))) if leaves else iter(())
+
+    def node_sql(bq) -> str:
+        """SQL relation (did, s FLOAT) of docs matching this node."""
+        sel_parts, neg_parts = [], []
+        n_req = 0
+        n_should = 0
+        for ci, (occ, sub) in enumerate(bq.clauses):
+            if isinstance(sub, ast.TermQuery):
+                if occ in (ast.MUST, ast.SHOULD):
+                    cid = next(counter)
+                    rel = f"SELECT did, s FROM cs WHERE cid = {cid}"
+                else:
+                    rel = (f"SELECT did, CAST(0 AS FLOAT) AS s FROM tf "
+                           f"WHERE term = '{sub.term}'")
+            else:  # nested BooleanQuery
+                rel = f"SELECT did, s FROM ({node_sql(sub)}) AS x{ci}"
+            if occ == ast.MUST_NOT:
+                neg_parts.append(f"SELECT did FROM ({rel}) AS nn{ci}")
+                continue
+            if occ in (ast.MUST, ast.FILTER):
+                n_req += 1
+            else:
+                n_should += 1
+            scoring = "TRUE" if occ in (ast.MUST, ast.SHOULD) else "FALSE"
+            required = "TRUE" if occ in (ast.MUST, ast.FILTER) else "FALSE"
+            sel_parts.append(
+                f"SELECT did, s, {ci} AS cl, {scoring} AS scoring, "
+                f"{required} AS required FROM ({rel}) AS c{ci}"
+            )
+        union = "\nUNION ALL\n".join(sel_parts)
+        not_in = ""
+        if neg_parts:
+            negs = "\nUNION ALL\n".join(neg_parts)
+            not_in = f"\nWHERE did NOT IN (SELECT did FROM ({negs}) AS neg)"
+        msm = bq.min_should_match
+        havings = [
+            f"count(DISTINCT CASE WHEN required THEN cl END) = {n_req}"
+        ]
+        if n_req == 0 or msm > 0:
+            need = max(1, msm) if n_req == 0 else msm
+            havings.append(
+                f"count(DISTINCT CASE WHEN NOT required THEN cl END) "
+                f">= {need}"
+            )
+        having = " AND ".join(havings)
+        return f"""
+SELECT did,
+       CAST(SUM(CASE WHEN scoring THEN CAST(s AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END) AS FLOAT) AS s
+FROM ({union}) AS u{not_in}
+GROUP BY did
+HAVING {having}"""
+
+    root = node_sql(q)
+    return f"""
+WITH {base_ctes(doc_where)},
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+cs AS (
+  SELECT tf.did, w.cid,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+)
+SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
+FROM ({root}) AS rootq
 ORDER BY score DESC, did ASC
 LIMIT {k}
 """

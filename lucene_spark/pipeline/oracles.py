@@ -443,3 +443,21 @@ SELECT doc_id,
        sum(CASE WHEN (i - 1) % 8 = 0 THEN bv ELSE 0 END)::BIGINT AS frame_sum
 FROM bytes GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def knn_brute_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Exact-KNN oracle (recall = 1): top-k corpus vectors by quantized
+    integer dot with vector ``query_vec_id``'s embedding — the brute-force
+    config of ``search/knn.knn_topk_df`` (KnnFloatVectorQuery semantics,
+    the query vector taken from the corpus so both engines quantize the
+    identical float32 input)."""
+    qemb_comps = QEMB.split(",\nnorms2")[0]
+    return f"""
+WITH {qemb_comps},
+qv AS (SELECT v, j FROM comps WHERE vec_id = {query_vec_id})
+SELECT c.vec_id AS doc_id, sum(c.v * qv.v)::BIGINT AS dot
+FROM comps c JOIN qv ON qv.j = c.j
+GROUP BY c.vec_id
+ORDER BY dot DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -114,6 +114,24 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class KnnQuery:
+    """K-nearest-neighbor vector query
+    (``core/search/KnnFloatVectorQuery.java:44``): finds the k docs whose
+    vectors are nearest the query vector (optionally among a pre-filter match
+    set), then matches exactly those docs with their similarity scores
+    (the ``AbstractKnnVectorQuery.rewrite`` → DocAndScoreQuery contract) —
+    standalone or as a clause inside a BooleanQuery. Executed against the
+    searcher's attached (doc_id, embedding) doc-values DataFrame
+    (``search/knn.py``)."""
+
+    vector: tuple          # query vector components (floats)
+    k: int = 10
+    filter: object = None  # optional pre-filter query AST
+    strategy: str = "exact"  # "exact" (recall=1) | "lsh" (banded candidates)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Generic constant-score wrapper (``core/search/ConstantScoreQuery.java``):
     every doc matched by ``query`` scores exactly ``boost``; top-k ties break
@@ -183,9 +201,34 @@ def normalize(q):
             return inner
         return ConstantScoreQuery(inner, q.boost)
     if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery,
-                      MultiTermQuery)):
+                      MultiTermQuery, KnnQuery)):
         return q
     if isinstance(q, BooleanQuery):
+        # recursive normalization (BooleanQuery.java:249-310 rewrite loop):
+        # sub-queries normalize first; MatchNoDocs propagates (required →
+        # whole query matches nothing; optional/prohibited → clause drops);
+        # a SHOULD clause that is itself a pure-SHOULD boolean with
+        # msm<=1 inlines (the nested-disjunction flatten,
+        # BooleanQuery.java:519-545) when the OUTER msm<=1 (inlining under
+        # msm>=2 would change the clause count the constraint applies to)
+        norm: list = []
+        for occur, sub in q.clauses:
+            ns = normalize(sub)
+            if isinstance(ns, MatchNoDocsQuery):
+                if occur in (MUST, FILTER):
+                    return MatchNoDocsQuery()
+                continue
+            if (occur == SHOULD and isinstance(ns, BooleanQuery)
+                    and q.min_should_match <= 1
+                    and ns.min_should_match <= 1
+                    and all(o == SHOULD for o, _ in ns.clauses)):
+                norm.extend(ns.clauses)
+                continue
+            norm.append((occur, ns))
+        if len(norm) != len(q.clauses) or any(
+            ns is not sub for (_, ns), (_, sub) in zip(norm, q.clauses)
+        ):
+            q = BooleanQuery(tuple(norm), q.min_should_match)
         occ = q.by_occur
         # FILTER / MUST_NOT have set semantics (BooleanQuery.java:142-155)
         def dedup(qs):
@@ -322,24 +365,28 @@ def _combined_boost(q, b: float):
     return replace(q, boost=q.boost * b)
 
 
-def _occur_of(mod, conj, clauses, last_span, state):
+def _occur_of(mod, conj, clauses, last_span, state, depth=0):
     """``QueryParserBase.addClause`` occur resolution for default-OR: AND
     promotes the PRECEDING default entity to required and makes the current
     clause MUST; +/-/NOT set the current clause explicitly. A preceding
     inlined GROUP promotes as a unit — its SHOULD members become the
-    min_should_match=1 required group, exactly ``+(a b)``."""
+    min_should_match=1 required group, exactly ``+(a b)``: at top level via
+    the flat global-msm form (WAND-prunable one-level kernel), inside parens
+    or when a second group appears as a nested required BooleanQuery clause
+    (``Boolean2ScorerSupplier`` composition)."""
     if conj == "AND" and last_span is not None:
         lo, hi = last_span
         span = clauses[lo:hi]
         if len(span) == 1 and span[0][0] == SHOULD:
             span[0][0] = MUST
         elif len(span) > 1 and all(o == SHOULD for o, _ in span):
-            if state.get("msm_group"):
-                raise NotImplementedError(
-                    "at most one (a OR b)-style required group per query "
-                    "(min_should_match is global)")
-            state["msm_group"] = True
-            state["msm_added"] = len(span)
+            if depth or state.get("msm_group"):
+                clauses[lo:hi] = [[MUST, BooleanQuery(
+                    tuple((o, q) for o, q in span), min_should_match=1)]]
+            else:
+                state["msm_group"] = True
+                state["msm_added"] = len(span)
+                state["msm_span"] = (lo, hi)
     if mod == "-":
         return MUST_NOT
     if mod == "+":
@@ -349,37 +396,57 @@ def _occur_of(mod, conj, clauses, last_span, state):
     return SHOULD
 
 
-def _attach_group(clauses, occur, sub, boost, state):
-    """Inline a parenthesized group where flattening is EXACT (one-level
-    boolean semantics); raise otherwise. Exact cases:
+def _attach_group(clauses, occur, sub, boost, state, depth=0, msm=0):
+    """Attach a parenthesized group. Where flattening is EXACT (one-level
+    boolean semantics) the group inlines — those shapes keep the flat,
+    WAND-prunable plan; every other shape attaches as a NESTED BooleanQuery
+    clause, composed recursively by the mixed kernel
+    (``Boolean2ScorerSupplier`` semantics, BooleanQuery.java:519-545 keeps
+    non-flattenable sub-booleans as scorer children too). Exact inline cases
+    (all require no explicit group msm):
 
     - SHOULD group of pure SHOULD clauses → inline (sum of sums);
     - MUST group with ONE clause → that clause as MUST;
-    - MUST group of pure SHOULD clauses → inline as SHOULD + global
-      min_should_match=1 (at most one such group per query — msm is global);
+    - MUST group of pure SHOULD clauses at TOP level → inline as SHOULD +
+      global min_should_match=1 (first such group only — msm is global);
     - MUST_NOT group of pure SHOULD clauses → de-Morgan to one MUST_NOT per
       sub-clause.
     """
     occs = {o for o, _ in sub}
-    if occur == MUST and len(sub) == 1:
+
+    def nested():
+        lo = len(clauses)
+        clauses.append([occur, BooleanQuery(
+            tuple((o, _combined_boost(q, boost)) for o, q in sub),
+            min_should_match=msm,
+        )])
+        return lo
+
+    if msm > 1:  # explicit (a b c)~n group: always a nested unit
+        nested()
+        return
+    if occur == MUST and len(sub) == 1 and not msm:
         clauses.append([MUST, _combined_boost(sub[0][1], boost)])
         return
     if occs and occs != {SHOULD}:
-        raise NotImplementedError(
-            "nested boolean groups with +/-/AND inside parentheses are not "
-            "flattenable to one-level semantics")
+        nested()
+        return
     if occur == SHOULD:
         for o, q in sub:
             clauses.append([o, _combined_boost(q, boost)])
     elif occur == MUST:
-        if state.get("msm_group"):
-            raise NotImplementedError(
-                "at most one (a OR b)-style required group per query "
-                "(min_should_match is global)")
+        if depth or state.get("msm_group"):
+            clauses.append([MUST, BooleanQuery(
+                tuple((o, _combined_boost(q, boost)) for o, q in sub),
+                min_should_match=1,
+            )])
+            return
         state["msm_group"] = True
         state["msm_added"] = len(sub)
+        lo = len(clauses)
         for o, q in sub:
             clauses.append([SHOULD, _combined_boost(q, boost)])
+        state["msm_span"] = (lo, len(clauses))
     else:  # MUST_NOT: ¬(a ∨ b) = ¬a ∧ ¬b, prohibited clauses score nothing
         for o, q in sub:
             clauses.append([MUST_NOT, _combined_boost(q, boost)])
@@ -416,14 +483,19 @@ def _parse_boolean(tokens, i, analyzer, default_field, fields, depth, state):
         if t == "(":
             sub, i = _parse_boolean(tokens, i + 1, analyzer, default_field,
                                     fields, depth + 1, state)
-            boost = 1.0
+            boost, msm = 1.0, 0
+            if i < n and _re.fullmatch(r"~\d+", tokens[i]):
+                # (a b c)~n — the group's min_should_match (the classic
+                # QueryParser's BooleanQuery msm suffix)
+                msm = int(tokens[i][1:])
+                i += 1
             if i < n and _re.fullmatch(r"\^[\d.]+", tokens[i]):
                 boost = float(tokens[i][1:])
                 i += 1
-            occur = _occur_of(mod, conj, clauses, last_span, state)
+            occur = _occur_of(mod, conj, clauses, last_span, state, depth)
             lo = len(clauses)
             if sub:
-                _attach_group(clauses, occur, sub, boost, state)
+                _attach_group(clauses, occur, sub, boost, state, depth, msm)
             last_span = (lo, len(clauses))
             conj = mod = None
             continue
@@ -431,7 +503,7 @@ def _parse_boolean(tokens, i, analyzer, default_field, fields, depth, state):
         if leaf and leaf[0] in "+-!" and len(leaf) > 1:
             mod = "-" if leaf[0] == "!" else leaf[0]
             leaf = leaf[1:]
-        occur = _occur_of(mod, conj, clauses, last_span, state)
+        occur = _occur_of(mod, conj, clauses, last_span, state, depth)
         m = _CLAUSE_RE.fullmatch(leaf)
         lo = len(clauses)
         if m:
@@ -460,14 +532,17 @@ def _parse_operators(query_str: str, analyzer, default_field, fields):
     msm = 1 if state.get("msm_group") else 0
     if msm:
         # exactness: min_should_match is GLOBAL over SHOULD clauses, so the
-        # required group's members must be the ONLY SHOULD clauses at this
-        # level — a stray default term would dilute the group requirement
+        # flat form is only kept when the required group's members are the
+        # ONLY SHOULD clauses at this level; otherwise the group demotes to
+        # a nested required BooleanQuery clause (exact — composed by the
+        # recursive mixed kernel) and the global msm clears
         n_should = sum(1 for o, _ in clauses if o == SHOULD)
         if n_should != state.get("msm_added", 0):
-            raise NotImplementedError(
-                "a required (a OR b) group cannot be mixed with other "
-                "optional clauses at the same level (min_should_match is "
-                "global) — make the other clauses required with AND/+")
+            lo, hi = state["msm_span"]
+            group = clauses[lo:hi]
+            clauses[lo:hi] = [[MUST, BooleanQuery(
+                tuple((o, q) for o, q in group), min_should_match=1)]]
+            msm = 0
     cl = tuple((o, q) for o, q in clauses)
     if len(cl) == 1 and cl[0][0] == SHOULD \
             and not isinstance(cl[0][1], TermQuery):

@@ -57,28 +57,43 @@ def term_postings(rows, idxs):
             np.concatenate([p[2] for p in parts]))
 
 
-def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 0,
-                          deleted=None):
-    """Exhaustive boolean evaluation where clauses are terms, phrases, or
-    constant-score term sets (rewritten MultiTermQuery clauses).
+def _eval_boolean(rows, by_term, clauses, cache, min_should_match: int = 0):
+    """Recursive boolean evaluation over one segment's decoded postings:
+    clauses are terms, phrases, constant-score term sets, or NESTED boolean
+    clause lists. Returns (docs, scores_f32) of ALL matching docs (unsorted).
 
-    ``clauses``: list of dicts {occur, kind: 'term'|'phrase'|'const',
-    terms: tuple, weight: float32 (0 for FILTER/MUST_NOT)}. ``kind='const'``
-    matches the union of the terms' doc sets and contributes the constant
-    ``weight`` (ConstantScoreQuery semantics — the CONSTANT_SCORE rewrite of
-    prefix/wildcard/fuzzy/range/set clauses inside booleans). Otherwise
-    identical to the term-only kernel: score = float32(Σ_double float32
-    clause scores), hit iff all MUST ∧ no MUST_NOT ∧ (MUST present ∨
-    ≥ minShouldMatch SHOULD).
+    A ``kind='nested'`` clause evaluates its inner clause list to a
+    per-segment (doc, float32 score) array and participates as ONE virtual
+    clause — the ``Boolean2ScorerSupplier`` composition
+    (``core/search/BooleanQuery.java:519-545`` keeps non-flattenable
+    sub-booleans as scorer children; ``coretest/search/TestBoolean2.java:
+    433-451`` builds exactly these recursive trees). Float32 contract per
+    level: node score = float32(Σ_double float32 clause scores) — an inner
+    node's float32 result feeds the outer double sum, like each Lucene
+    Scorer returning float.
     """
     from lucene_spark.search.ast import FILTER, MUST, MUST_NOT, SHOULD
 
-    by_term: dict[str, list[int]] = {}
-    for i, t in enumerate(rows["term"]):
-        by_term.setdefault(t, []).append(i)
-
     def clause_postings(c):
         """(docs, contrib_f32 or None) for one clause; None docs → no match."""
+        if c["kind"] == "nested":
+            d, s = _eval_boolean(rows, by_term, c["clauses"], cache,
+                                 c.get("msm", 0))
+            if d.size == 0:
+                return None, None
+            if c["occur"] in (MUST, SHOULD):
+                return d, s
+            return d, None
+        if c["kind"] == "docset":
+            # pre-resolved (doc, score) set — the DocAndScoreQuery rewrite of
+            # a KnnQuery clause (AbstractKnnVectorQuery.rewrite), already
+            # sliced to this segment's doc range by the driver
+            d = c["docs"]
+            if d.size == 0:
+                return None, None
+            if c["occur"] in (MUST, SHOULD):
+                return d, c["scores"]
+            return d, None
         if c["kind"] == "const":
             idxs = [i for t in c["terms"] if t in by_term for i in by_term[t]]
             if not idxs:
@@ -113,8 +128,6 @@ def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 
     n_req = sum(1 for c in clauses if c["occur"] in (MUST, FILTER))
     docs_parts, score_parts, must_parts, should_parts = [], [], [], []
     excl_parts = []
-    if deleted is not None and len(deleted):
-        excl_parts.append(np.asarray(deleted, dtype=np.int64))
     for c in clauses:
         d, sc = clause_postings(c)
         if d is None:
@@ -154,8 +167,34 @@ def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 
         ok &= ~np.isin(uniq, excl)
     if not ok.any():
         return np.zeros(0, np.int64), np.zeros(0, F32)
-    d = uniq[ok]
-    s = acc[ok].astype(F32)
+    return uniq[ok], acc[ok].astype(F32)
+
+
+def segment_boolean_mixed(rows, clauses, cache, k: int, min_should_match: int = 0,
+                          deleted=None):
+    """Exhaustive boolean evaluation where clauses are terms, phrases,
+    constant-score term sets (rewritten MultiTermQuery clauses), or nested
+    boolean clause lists (see :func:`_eval_boolean`).
+
+    ``clauses``: list of dicts {occur, kind: 'term'|'phrase'|'const'|'nested',
+    terms: tuple, weight: float32 (0 for FILTER/MUST_NOT), clauses+msm for
+    nested}. ``kind='const'`` matches the union of the terms' doc sets and
+    contributes the constant ``weight`` (ConstantScoreQuery semantics — the
+    CONSTANT_SCORE rewrite of prefix/wildcard/fuzzy/range/set clauses inside
+    booleans). Otherwise identical to the term-only kernel: score =
+    float32(Σ_double float32 clause scores), hit iff all MUST ∧ no MUST_NOT ∧
+    (MUST present ∨ ≥ minShouldMatch SHOULD).
+    """
+    by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(rows["term"]):
+        by_term.setdefault(t, []).append(i)
+
+    d, s = _eval_boolean(rows, by_term, clauses, cache, min_should_match)
+    if d.size and deleted is not None and len(deleted):
+        m = ~np.isin(d, np.asarray(deleted, dtype=np.int64))
+        d, s = d[m], s[m]
+    if d.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, F32)
     if k is None:  # count-only callers: skip the top-k sort
         return d, s
     order = np.lexsort((d, -s.astype(np.float64)))[:k]

@@ -55,6 +55,30 @@ KW_NORM_CODE = 1
 KW_TF = 1
 
 
+def _has_docset(clauses) -> bool:
+    return any(
+        c["kind"] == "docset"
+        or (c["kind"] == "nested" and _has_docset(c["clauses"]))
+        for c in clauses
+    )
+
+
+def _slice_docsets(clauses, lo: int, hi: int):
+    """Mask every docset clause (recursively) to the segment doc range
+    [lo, hi) — docset docIDs are global, each segment task keeps its own."""
+    out = []
+    for c in clauses:
+        if c["kind"] == "docset":
+            m = (c["docs"] >= lo) & (c["docs"] < hi)
+            out.append({**c, "docs": c["docs"][m],
+                        "scores": c["scores"][m]})
+        elif c["kind"] == "nested":
+            out.append({**c, "clauses": _slice_docsets(c["clauses"], lo, hi)})
+        else:
+            out.append(c)
+    return out
+
+
 def keyword_const_score(similarity, boost: float, field_stats: dict | None,
                         st: dict) -> np.float32:
     """Float32 constant a keyword-field term clause contributes per matching
@@ -76,6 +100,46 @@ class IndexSearcher:
         self.similarity = similarity or BM25Similarity()
         self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
         self.query_cache = LRUQueryCache()
+        self.vectors = None  # (doc_id, embedding) doc-values DF (set_vectors)
+
+    def _segment_doc_bounds(self) -> dict:
+        """seg → (lo, hi) global docID range, from the manifest offsets."""
+        offs = sorted(self.reader.offsets.items(), key=lambda kv: kv[1])
+        out = {}
+        for i, (seg, lo) in enumerate(offs):
+            hi = offs[i + 1][1] if i + 1 < len(offs) else np.iinfo(np.int64).max
+            out[int(seg)] = (int(lo), int(hi))
+        return out
+
+    def set_vectors(self, vectors_df):
+        """Attach a (doc_id, embedding array<float>) doc-values DataFrame —
+        the per-field vector storage of ``Lucene95HnswVectorsFormat``
+        re-expressed as a columnar side table. Required for KnnQuery."""
+        self.vectors = vectors_df
+        return self
+
+    def knn_search(self, query_vec, k: int = 10, filter=None,
+                   strategy: str = "exact"):
+        """K nearest docs to ``query_vec`` as [(doc_id, dot)], pre-filtered
+        by the optional ``filter`` query AST (KnnFloatVectorQuery:44
+        semantics: k nearest AMONG the filter's matches)."""
+        rows = self._collect(self.knn_df(query_vec, k, filter, strategy))
+        return [(int(r["doc_id"]), int(r["dot"])) for r in rows]
+
+    def knn_df(self, query_vec, k: int = 10, filter=None,
+               strategy: str = "exact"):
+        """DataFrame (doc_id, dot) form of :meth:`knn_search` — stays
+        distributed until the caller collects/limits."""
+        from lucene_spark.search.knn import knn_topk_df
+
+        if self.vectors is None:
+            raise ValueError("no vectors attached — call set_vectors() first")
+        filter_df = None
+        if filter is not None:
+            if isinstance(filter, str):
+                filter = self.parse(filter)
+            filter_df = self.match_df(filter)
+        return knn_topk_df(self.vectors, query_vec, k, filter_df, strategy)
 
     def _collect(self, df):
         """Execute a serving-path plan without AQE (see session.no_aqe)."""
@@ -193,6 +257,17 @@ class IndexSearcher:
             )
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
+        if isinstance(query, ast.KnnQuery):
+            # standalone KNN: k nearest docs, scored with the DOT_PRODUCT
+            # similarity scaling (KnnFloatVectorQuery top-level semantics)
+            from lucene_spark.search.knn import knn_similarity_f32
+
+            pairs = self.knn_search(query.vector, query.k, query.filter,
+                                    query.strategy)
+            hits = [ScoreDoc(d, float(knn_similarity_f32(dot, query.boost)))
+                    for d, dot in pairs]
+            hits.sort(key=lambda h: (-h.score, h.doc_id))
+            return hits[:k]
         if isinstance(query, ast.PhraseQuery):
             return self._search_phrase(query, k)
         if isinstance(query, ast.MultiPhraseQuery):
@@ -375,9 +450,10 @@ class IndexSearcher:
         return self.reader.postings_multi(field_terms)
 
     def _mixed_clauses(self, q: ast.BooleanQuery, match_only: bool = False):
-        """Resolve a mixed boolean (terms + phrases + multiterm expansions)
-        into field-aware kernel clause dicts. Returns None when the query can
-        never match, else (clauses, cache, msm, field_terms, need_positions).
+        """Resolve a mixed boolean (terms + phrases + multiterm expansions +
+        NESTED booleans) into field-aware kernel clause dicts. Returns None
+        when the query can never match, else
+        (clauses, cache, msm, field_terms, need_positions).
 
         Field handling mirrors ``_weighted_clauses``: term clauses on keyword
         fields score a per-term constant under the similarity (freq=1, dl=1,
@@ -385,6 +461,15 @@ class IndexSearcher:
         keep their occur. MultiTermQuery clauses take the CONSTANT_SCORE rewrite:
         the clause matches the union of its expanded terms' doc sets and
         contributes ``boost`` (``ConstantScoreQuery`` semantics).
+
+        Nested BooleanQuery clauses resolve recursively into
+        ``{"kind": "nested", "clauses": [...], "msm": n}`` dicts — the kernel
+        evaluates the inner boolean to a per-segment (doc, float32-score)
+        array and treats it as one virtual clause, mirroring
+        ``Boolean2ScorerSupplier`` composing sub-scorers
+        (``core/search/BooleanQuery.java:519-545`` keeps non-flattenable
+        sub-booleans as scorer children). A nested node that can never match
+        (required term absent) prunes like an absent term clause.
         """
         from lucene_spark.search.multiterm import expand_terms_hybrid
 
@@ -398,34 +483,69 @@ class IndexSearcher:
                     "BM25 only; term-only booleans accept any similarity"
                 )
         sep = self.FIELD_SEP
-        flat = []  # (occur, kind, field, terms, boost, slop)
-        need_positions = False
-        for occur, sub in q.clauses:
-            if isinstance(sub, ast.PhraseQuery):
-                need_positions = True
-                flat.append((occur, "phrase", sub.field, tuple(sub.terms),
-                             sub.boost, int(sub.slop)))
-            elif isinstance(sub, ast.TermQuery):
-                flat.append((occur, "term", sub.field, (sub.term,), sub.boost, 0))
-            elif isinstance(sub, ast.MultiTermQuery):
-                terms = tuple(expand_terms_hybrid(self.reader, sub,
-                                                  max_terms=100_000))
-                if not terms:
-                    if occur in (ast.MUST, ast.FILTER):
-                        return None
-                    continue
-                flat.append((occur, "const", sub.field, terms, sub.boost, 0))
-            else:
-                raise NotImplementedError(
-                    f"unsupported clause type in boolean query: {type(sub).__name__}"
-                )
-        if self.reader.doc_count == 0 or not flat:
-            return None
-
+        state = {"need_positions": False}
         by_field: dict[str, set] = {}
-        for _occ, kind, f, terms, _b, _sl in flat:
-            if kind in ("term", "phrase"):
-                by_field.setdefault(f, set()).update(terms)
+
+        def flatten(bq: ast.BooleanQuery):
+            """AST boolean → recursive (occur, kind, field, terms, boost,
+            slop, sub) spec list; collects stats terms / positions flag."""
+            out = []
+            for occur, sub in bq.clauses:
+                if isinstance(sub, ast.PhraseQuery):
+                    state["need_positions"] = True
+                    by_field.setdefault(sub.field, set()).update(sub.terms)
+                    out.append((occur, "phrase", sub.field, tuple(sub.terms),
+                                sub.boost, int(sub.slop), None))
+                elif isinstance(sub, ast.TermQuery):
+                    by_field.setdefault(sub.field, set()).add(sub.term)
+                    out.append((occur, "term", sub.field, (sub.term,),
+                                sub.boost, 0, None))
+                elif isinstance(sub, ast.MultiTermQuery):
+                    terms = tuple(expand_terms_hybrid(self.reader, sub,
+                                                      max_terms=100_000))
+                    if not terms:
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None
+                        continue
+                    out.append((occur, "const", sub.field, terms,
+                                sub.boost, 0, None))
+                elif isinstance(sub, ast.BooleanQuery):
+                    inner = flatten(sub)
+                    if inner is None or not inner:
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None  # required sub-boolean never matches
+                        continue
+                    out.append((occur, "nested", None, (),
+                                1.0, sub.min_should_match, inner))
+                elif isinstance(sub, ast.KnnQuery):
+                    # KnnQuery clause: pre-resolve to its k (doc, score)
+                    # pairs (the DocAndScoreQuery rewrite) and inject as a
+                    # docset clause — sliced per segment at execution
+                    from lucene_spark.search.knn import knn_similarity_f32
+
+                    pairs = self.knn_search(sub.vector, sub.k, sub.filter,
+                                            sub.strategy)
+                    if not pairs:
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None
+                        continue
+                    docs = np.array([p[0] for p in pairs], dtype=np.int64)
+                    srt = np.argsort(docs)
+                    scs = np.array(
+                        [float(knn_similarity_f32(p[1], sub.boost))
+                         for p in pairs], dtype=np.float32)[srt]
+                    out.append((occur, "docset", None, (),
+                                1.0, 0, (docs[srt], scs)))
+                else:
+                    raise NotImplementedError(
+                        "unsupported clause type in boolean query: "
+                        f"{type(sub).__name__}"
+                    )
+            return out
+
+        flat = flatten(q)
+        if flat is None or self.reader.doc_count == 0 or not flat:
+            return None
         stats = {}
         for f, ts in by_field.items():
             stats.update({(f, t): v for t, v
@@ -434,34 +554,61 @@ class IndexSearcher:
         def df_of(f, t):
             return stats.get((f, t), {}).get("df", 0)
 
-        clauses = []
-        for occur, kind, f, terms, boost, slop in flat:
-            kw_term = f != "text" and kind == "term"
-            if f != "text" and kind == "phrase" and occur == ast.MUST:
-                occur = ast.FILTER  # keyword phrase = pure filter
-            if kind != "const":
-                if not all(df_of(f, t) > 0 for t in terms):
-                    if occur in (ast.MUST, ast.FILTER):
-                        return None  # required clause can never match
-                    continue  # absent SHOULD / MUST_NOT never matches
-            if kw_term and occur in (ast.MUST, ast.SHOULD):
-                kind = "const"  # constant similarity score, occur preserved
-                w = float(keyword_const_score(
-                    scoring_sim, boost, self.reader.field_stats.get(f),
-                    stats[(f, terms[0])]))
-            elif kind == "const":
-                w = float(boost)
-            elif occur in (ast.MUST, ast.SHOULD):
-                scorer = self.reader.similarity_scorer(
-                    scoring_sim, boost, [df_of(f, t) for t in terms]
-                )
-                w = float(scorer.weight)
-            else:
-                w = 0.0
-            clauses.append({"occur": occur, "kind": kind, "field": f,
-                            "terms": tuple(f + sep + t for t in terms),
-                            "weight": w, "slop": slop})
-        if not clauses or not any(
+        field_terms: dict[str, list] = {}
+
+        def build(specs):
+            """Spec list → kernel clause dicts; None = can never match."""
+            clauses = []
+            for occur, kind, f, terms, boost, slop, sub in specs:
+                if kind == "docset":
+                    clauses.append({"occur": occur, "kind": "docset",
+                                    "docs": sub[0], "scores": sub[1],
+                                    "weight": 0.0})
+                    continue
+                if kind == "nested":
+                    inner = build(sub)
+                    if inner is None or not any(
+                        c["occur"] in (ast.MUST, ast.SHOULD, ast.FILTER)
+                        for c in (inner or ())
+                    ):
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None
+                        continue
+                    clauses.append({"occur": occur, "kind": "nested",
+                                    "clauses": inner, "msm": slop,
+                                    "weight": 0.0})
+                    continue
+                kw_term = f != "text" and kind == "term"
+                if f != "text" and kind == "phrase" and occur == ast.MUST:
+                    occur = ast.FILTER  # keyword phrase = pure filter
+                if kind != "const":
+                    if not all(df_of(f, t) > 0 for t in terms):
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None  # required clause can never match
+                        continue  # absent SHOULD / MUST_NOT never matches
+                if kw_term and occur in (ast.MUST, ast.SHOULD):
+                    kind = "const"  # constant similarity score, occur kept
+                    w = float(keyword_const_score(
+                        scoring_sim, boost, self.reader.field_stats.get(f),
+                        stats[(f, terms[0])]))
+                elif kind == "const":
+                    w = float(boost)
+                elif occur in (ast.MUST, ast.SHOULD):
+                    scorer = self.reader.similarity_scorer(
+                        scoring_sim, boost, [df_of(f, t) for t in terms]
+                    )
+                    w = float(scorer.weight)
+                else:
+                    w = 0.0
+                field_terms.setdefault(f, []).extend(terms)
+                clauses.append({"occur": occur, "kind": kind, "field": f,
+                                "terms": tuple(f + sep + t for t in terms),
+                                "weight": w, "slop": slop})
+            return clauses
+
+        clauses = build(flat)
+        need_positions = state["need_positions"]
+        if clauses is None or not clauses or not any(
             c["occur"] in (ast.MUST, ast.SHOULD, ast.FILTER) for c in clauses
         ):
             return None
@@ -469,9 +616,6 @@ class IndexSearcher:
             np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
             F32(scoring_sim.k1), F32(scoring_sim.b),
         )
-        field_terms: dict[str, list] = {}
-        for _occ, kind, f, terms, _b, _sl in flat:
-            field_terms.setdefault(f, []).extend(terms)
         return clauses, cache, q.min_should_match, field_terms, need_positions
 
     def _mixed_segment_df(self, q: ast.BooleanQuery, k,
@@ -494,6 +638,10 @@ class IndexSearcher:
                 "tfs", "norms", "positions", "doc_offset"]
         sep = self.FIELD_SEP
         dload = self.reader.deleted_loader()
+        # docset clauses (pre-resolved KNN) hold GLOBAL docIDs across all
+        # segments — each task keeps only its own range so the driver merge
+        # never sees the same doc from two segments
+        seg_hi = self._segment_doc_bounds() if _has_docset(clauses) else None
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -501,9 +649,12 @@ class IndexSearcher:
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            dele = dload(pdf["seg"].iloc[0]) + off if dload else None
+            seg = pdf["seg"].iloc[0]
+            dele = dload(seg) + off if dload else None
+            cl = (_slice_docsets(clauses, *seg_hi[int(seg)])
+                  if seg_hi is not None else clauses)
             d, s = segment_boolean_mixed(
-                rows, clauses, cache, None if count_only else k, msm,
+                rows, cl, cache, None if count_only else k, msm,
                 deleted=dele,
             )
             if count_only:

