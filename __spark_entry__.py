@@ -784,6 +784,23 @@ def _q_highlight(spark, sf_dir):
     )
 
 
+def _q_span_near(spark, sf_dir):
+    """span_near([table, value], slop=3, in_order): ordered proximity
+    beyond one phrase (spans/SpanNearQuery.java:41) — constant-score top-50
+    by docID over the distributed per-segment match kernel."""
+    s = _searcher(spark, sf_dir)
+    hits = s.search(ast.SpanNearQuery(("table", "value"), slop=3), k=50)
+    return _hits_df(spark, hits)
+
+
+def _q_span_unordered_count(spark, sf_dir):
+    """Unordered span_near hit count (NearSpansUnordered semantics)."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.SpanNearQuery(("value", "table"), slop=2,
+                                  in_order=False))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_knn(spark, sf_dir):
     """KNN vector query (KnnFloatVectorQuery analogue) at the recall=1
     exact config: top-10 by quantized integer dot with vec 0's embedding,
@@ -828,7 +845,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "text_fingerprint", "highlight_snippets", "mm_binary_stats",
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
-    "knn_topk", "span_near_topk",
+    "knn_topk", "span_near_topk", "span_unordered_count",
     "facet_dl_ranges", "dedup_clusters", "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
@@ -848,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_term_stats": _q_term_stats,
         "index_doc_norms": _q_doc_norms,
         "knn_topk": _q_knn,
+        "span_near_topk": _q_span_near,
+        "span_unordered_count": _q_span_unordered_count,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
@@ -996,6 +1015,10 @@ def oracle_sql() -> dict[str, str]:
             for i, q in enumerate(MSEARCH_QS)
         ),
         "knn_topk": po.knn_brute_sql(0, 10),
+        "span_near_topk": oracle.span_near_topk_sql(
+            ["table", "value"], 3, 50, in_order=True),
+        "span_unordered_count": oracle.span_near_count_sql(
+            ["value", "table"], 2, in_order=False),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
         "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
         "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),

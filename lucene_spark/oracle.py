@@ -1959,3 +1959,45 @@ SELECT count(*)::BIGINT AS hits FROM (
   GROUP BY t0.did
 )
 """
+
+
+def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
+                       boost: float = 1.0) -> str:
+    """Span-near oracle (``spans/SpanNearQuery.java:41`` match semantics,
+    constant-score v1): k smallest matching docIDs. Ordered: a strictly
+    increasing position per term with intervening width ≤ slop; unordered:
+    all-distinct positions with window max−min−(n−1) ≤ slop."""
+    n = len(terms)
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
+    )
+    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(terms)]
+    if in_order:
+        conds += [f"t{i}.pos > t{i - 1}.pos" for i in range(1, n)]
+        conds.append(f"t{n - 1}.pos - t0.pos - {n - 1} <= {slop}")
+    else:
+        for i in range(n):
+            for j in range(i + 1, n):
+                conds.append(f"t{i}.pos <> t{j}.pos")
+        allp = ", ".join(f"t{i}.pos" for i in range(n))
+        conds.append(f"greatest({allp}) - least({allp}) - {n - 1} <= {slop}")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT did AS doc_id, CAST({boost!r} AS DOUBLE) AS score FROM (
+  SELECT t0.did FROM toksp t0{joins}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
+)
+ORDER BY did ASC
+LIMIT {k}
+"""
+
+
+def span_near_count_sql(terms, slop: int, in_order: bool = True) -> str:
+    """Hit-count variant of :func:`span_near_topk_sql`."""
+    inner = span_near_topk_sql(terms, slop, 10, in_order)
+    head, _, _tail = inner.rpartition("ORDER BY did ASC")
+    head = head.replace(
+        "SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM (",
+        "SELECT count(*)::BIGINT AS hits FROM (", 1)
+    return head

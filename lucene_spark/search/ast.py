@@ -114,6 +114,23 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class SpanNearQuery:
+    """Proximity query over single-term sub-spans
+    (``queries/spans/SpanNearQuery.java:41``,
+    ``queries/intervals/IntervalQuery.java:59``): matches docs where the
+    terms occur within ``slop`` intervening positions, in order or any order.
+    v1 scoring: constant-score (boost per matching doc; the reference's
+    SpanScorer sloppyFreq scoring is a documented cut — match sets are
+    identical)."""
+
+    terms: tuple
+    slop: int = 0
+    in_order: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class KnnQuery:
     """K-nearest-neighbor vector query
     (``core/search/KnnFloatVectorQuery.java:44``): finds the k docs whose
@@ -200,6 +217,10 @@ def normalize(q):
         if isinstance(inner, MatchNoDocsQuery):
             return inner
         return ConstantScoreQuery(inner, q.boost)
+    if isinstance(q, SpanNearQuery):
+        if not q.terms:
+            return MatchNoDocsQuery()
+        return q
     if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery,
                       MultiTermQuery, KnnQuery)):
         return q

@@ -897,3 +897,60 @@ def segment_multiphrase_postings(rows, slots, slop: int = 0):
     mask, freqs = res
     norms0 = per_slot[0][2]
     return common[mask], freqs, norms0[locs[0][mask]]
+
+
+def segment_span_near(rows, terms, slop: int, in_order: bool = True):
+    """Matching docs for a span-near query over single-term sub-spans
+    (``queries/spans/SpanNearQuery.java:41`` /
+    ``queries/intervals/IntervalQuery.java:59`` match semantics).
+
+    Ordered: positions p_1 < p_2 < … < p_n (one per term, doc-local) with
+    intervening width p_n − p_1 − (n−1) ≤ slop (single-term sub-spans have
+    width 1, so NearSpansOrdered's matchWidth reduces to this). Vectorized
+    chain-DP, no per-doc loop: for every position of term i, the best
+    (largest) feasible chain START among term i−1 positions strictly before
+    it is a per-doc running max — computed with ONE searchsorted over
+    doc-keyed position keys plus a prefix max (doc keys ascend with docID,
+    so cross-doc carry is detected by the start key's doc component).
+
+    Unordered: any arrangement with all-distinct positions and window
+    max−min−(n−1) ≤ slop (NearSpansUnordered) — existence equals the union
+    of the ordered kernel over all term permutations (positions are distinct
+    by tokenization), supported for n ≤ 4.
+
+    Returns the sorted array of matching docIDs (same id space as ``rows``).
+    """
+    n = len(terms)
+    if not in_order:
+        if n > 4:
+            raise NotImplementedError(
+                "unordered span_near supports up to 4 sub-spans")
+        from itertools import permutations
+
+        parts = [segment_span_near(rows, list(p), slop, in_order=True)
+                 for p in permutations(terms)]
+        return np.unique(np.concatenate(parts)) if parts else np.zeros(
+            0, np.int64)
+
+    per_term = _structs_for_terms(rows, terms)
+    if per_term is None:
+        return np.zeros(0, np.int64)
+    keys = []
+    for docs, tfs, _nm, flat, _offs in per_term:
+        doc_rep = np.repeat(docs, tfs.astype(np.int64))
+        keys.append(doc_rep * _POS_M + flat.astype(np.int64))
+    G = keys[0].copy()  # best chain-start key per term-0 position: itself
+    for i in range(1, n):
+        prev = keys[i - 1]
+        H = np.maximum.accumulate(G) if G.size else G
+        idx = np.searchsorted(prev, keys[i], side="left") - 1
+        g = np.where(idx >= 0, H[np.maximum(idx, 0)], np.int64(-1))
+        same_doc = (g // _POS_M) == (keys[i] // _POS_M)
+        G = np.where(same_doc & (g >= 0), g, np.int64(-1))
+    ends = keys[-1]
+    ok = G >= 0
+    if not ok.any():
+        return np.zeros(0, np.int64)
+    width = (ends % _POS_M) - (G % _POS_M) - (n - 1)
+    ok &= width <= slop
+    return np.unique(ends[ok] // _POS_M)

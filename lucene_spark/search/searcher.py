@@ -257,6 +257,15 @@ class IndexSearcher:
             )
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
+        if isinstance(query, ast.SpanNearQuery):
+            # constant-score span-near: k smallest matching docIDs (ties →
+            # docID asc), match set distributed per segment
+            df = self._span_match_df(query)
+            if df is None:
+                return []
+            rows = self._collect(df.orderBy("doc_id").limit(k))
+            b = float(F32(query.boost))
+            return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
         if isinstance(query, ast.KnnQuery):
             # standalone KNN: k nearest docs, scored with the DOT_PRODUCT
             # similarity scaling (KnnFloatVectorQuery top-level semantics)
@@ -765,6 +774,40 @@ class IndexSearcher:
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
 
+    def _span_match_df(self, q: ast.SpanNearQuery):
+        """(doc_id) DataFrame of span-near matches — per-segment kernel
+        fan-out (``phrase.segment_span_near``), None when a term is absent
+        from the corpus (a required sub-span can never match)."""
+        from lucene_spark.search.phrase import segment_span_near
+
+        terms = list(q.terms)
+        stats = self.reader.term_stats(terms, field=q.field)
+        if any(stats.get(t, {}).get("df", 0) == 0 for t in terms):
+            return None
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        postings = self.reader.postings(sorted(set(terms)), field=q.field)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions", "doc_offset"]
+        dload = self.reader.deleted_loader()
+        slop, in_order = int(q.slop), bool(q.in_order)
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
+            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            d = segment_span_near(rows, terms, slop, in_order)
+            if d.size and dload:
+                d = d[~np.isin(d, dload(pdf["seg"].iloc[0]) + off)]
+            return pd.DataFrame({"doc_id": d})
+
+        return (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long")
+        )
+
     def _phrase_count(self, q: ast.PhraseQuery) -> int:
         """Distributed phrase-hit count: one count row per segment (a hot
         phrase at 10^12 scale matches billions of docs — never collected)."""
@@ -825,6 +868,9 @@ class IndexSearcher:
             )
         if isinstance(query, ast.ConstantScoreQuery):
             return int(self.match_df(query.query).count())
+        if isinstance(query, ast.SpanNearQuery):
+            df = self._span_match_df(query)
+            return 0 if df is None else int(df.count())
         if isinstance(query, ast.PhraseQuery):
             return self._phrase_count(query)
         if isinstance(query, ast.MultiPhraseQuery):
