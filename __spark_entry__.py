@@ -784,6 +784,19 @@ def _q_highlight(spark, sf_dir):
     )
 
 
+DL_RANGES = (("a_short", 0, 8), ("b_mid", 9, 20), ("c_long", 21, 10**9),
+             ("d_overlap", 5, 15), ("e_empty", 10**8, 10**9))
+
+
+def _q_facet_dl_ranges(spark, sf_dir):
+    """Range facets (facet/range/LongRangeFacetCounts.java:41): per-range
+    (incl. overlapping + empty) hit counts of the OR query's match set over
+    the dl doc value — broadcast theta-join + one groupBy, fully
+    distributed."""
+    s = _searcher(spark, sf_dir)
+    return s.facet_ranges(_parse(Q_OR), "dl", DL_RANGES)
+
+
 def _q_span_near(spark, sf_dir):
     """span_near([table, value], slop=3, in_order): ordered proximity
     beyond one phrase (spans/SpanNearQuery.java:41) — constant-score top-50
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_doc_norms": _q_doc_norms,
         "knn_topk": _q_knn,
         "span_near_topk": _q_span_near,
+        "facet_dl_ranges": _q_facet_dl_ranges,
         "span_unordered_count": _q_span_unordered_count,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
@@ -1017,6 +1031,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": po.knn_brute_sql(0, 10),
         "span_near_topk": oracle.span_near_topk_sql(
             ["table", "value"], 3, 50, in_order=True),
+        "facet_dl_ranges": oracle.facet_ranges_sql(
+            _parse(Q_OR), DL_RANGES),
         "span_unordered_count": oracle.span_near_count_sql(
             ["value", "table"], 2, in_order=False),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),

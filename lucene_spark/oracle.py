@@ -2001,3 +2001,25 @@ def span_near_count_sql(terms, slop: int, in_order: bool = True) -> str:
         "SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM (",
         "SELECT count(*)::BIGINT AS hits FROM (", 1)
     return head
+
+
+def facet_ranges_sql(query, bounds) -> str:
+    """Numeric-range facet oracle (LongRangeFacetCounts.java:41): per-range
+    counts of the query's match set over dl (raw token count), inclusive
+    bounds, 0 for empty ranges."""
+    inner = bm25_topk_sql(query, 10**9)
+    vals = ",".join(f"('{lb}', {lo}, {hi})" for lb, lo, hi in bounds)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+dmap AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS dl
+  FROM documents
+),
+ranges(rng, lo, hi) AS (VALUES {vals})
+SELECT r.rng AS range, count(m.doc_id)::BIGINT AS n
+FROM ranges r
+LEFT JOIN (SELECT m.doc_id, d.dl FROM matched m JOIN dmap d ON d.did = m.doc_id) m
+  ON m.dl BETWEEN r.lo AND r.hi
+GROUP BY r.rng ORDER BY r.rng
+"""

@@ -946,6 +946,38 @@ class IndexSearcher:
         )
         return sum(int(r["n"]) for r in out)
 
+    def facet_ranges(self, query, col: str, bounds):
+        """Numeric-range facet counts
+        (``facet/range/LongRangeFacetCounts.java:41``): per-range hit counts
+        of the query's match set over a numeric doc-values column.
+
+        ``bounds``: [(label, lo, hi)] inclusive ranges (may overlap, like
+        LongRange). Plan shape: distributed match set → broadcast theta-join
+        against the tiny ranges table → groupBy(label) count; empty ranges
+        report 0 (LEFT join from the ranges side). One aggregation, no
+        driver-side doc list.
+        """
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        match = self.match_df(ast.normalize(query))
+        docs = self.reader.docs().select(
+            "doc_id", F.col(col).cast("long").alias("_fv"))
+        j = match.join(docs, "doc_id")
+        rdf = self.spark.createDataFrame(
+            [(str(lb), int(lo), int(hi)) for lb, lo, hi in bounds],
+            "range string, lo long, hi long",
+        )
+        joined = F.broadcast(rdf).join(
+            j, (j["_fv"] >= rdf["lo"]) & (j["_fv"] <= rdf["hi"]), "left"
+        )
+        return (
+            joined.groupBy("range")
+            .agg(F.count(j["doc_id"]).alias("n"))
+            .orderBy("range")
+        )
+
     def score_df(self, query):
         """Exhaustive (doc_id, score) DataFrame of ALL matching docs.
 
