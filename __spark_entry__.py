@@ -696,6 +696,30 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER canonicalization (connected components over the
+    MinHash pair graph, min-label propagation): a real pipeline dedupes
+    clusters, not pairs — a~b, b~c canonicalize together."""
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.dedup import neardup_clusters
+
+    return neardup_clusters(
+        augmented_docs(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: new batch (the +1000000 augmented twins) probed
+    against the existing corpus — banded LSH join crossing only
+    batch×corpus, per-batch-doc canonical dup + exact jaccard."""
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.dedup import incremental_dedup
+
+    all_docs = augmented_docs(_docs(spark, sf_dir))
+    corpus = all_docs.filter(F.col("doc_id") < 1000000)
+    batch = all_docs.filter(F.col("doc_id") >= 1000000)
+    return incremental_dedup(corpus, batch).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from lucene_spark.pipeline.dedup import exact_dedup
 
@@ -863,7 +887,6 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
     "bm25_or_top100", "bm25_bool_mix", "bm25_phrase", "count_and",
-    "mt_prefix", "join_conv_top10",
 )
 
 
@@ -965,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_kana_topk": _q_unicode_kana_topk,
         "unicode_gc_topk": _q_unicode_gc_topk,
         "msearch_topk": _q_msearch,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1172,6 +1197,8 @@ def oracle_sql() -> dict[str, str]:
                 "lower(coalesce(text, '')), '[a-z0-9]+'), 'value'))"
             ),
         ),
+        "dedup_clusters": po.dedup_clusters_sql(),
+        "dedup_incremental": po.dedup_incremental_sql(),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
         "dedup_simhash": po.dedup_simhash_sql(),

@@ -335,3 +335,94 @@ def embedding_neardup_pairs(qemb: DataFrame, t_num: int = 361,
         & (F.lit(t_den) * F.col("dot") * F.col("dot")
            >= F.lit(t_num) * F.col("na") * F.col("nb"))
     ).select("a", "b", "dot")
+
+
+# ------------------------------------------------------------- clusters -----
+
+def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
+                     max_rounds: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the near-dup pair
+    graph, cluster_id = min doc_id in the component (the canonical doc).
+
+    A real pipeline dedupes CLUSTERS, not pairs: `a~b` and `b~c` must
+    canonicalize a, b, c together even when `a~c` was never a candidate
+    pair. Algorithm: iterative min-label propagation — each round every
+    node takes the min label among itself and its neighbors (one join + one
+    groupBy), converging in ≤ diameter rounds with an early-exit fixpoint
+    check. Near-dup components are small and shallow (boilerplate clusters
+    are star-shaped), so rounds stay in the low single digits at any corpus
+    size; each round is shuffle-bounded by |edges|. ``localCheckpoint``
+    truncates the iterative lineage. (The O(log n)-round large-star/
+    small-star variant is the drop-in upgrade if ever needed.)
+    """
+    pairs = minhash_dedup_pairs(docs, threshold).select("a", "b")
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("a"), "cluster_id"), "a")
+            .select(F.col("b").alias("doc_id"), "cluster_id")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+# ----------------------------------------------------------- incremental ----
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame,
+                      threshold: float = 0.5,
+                      max_bucket: int = 64) -> DataFrame:
+    """(doc_id, dup_of, jaccard) — for each NEW-batch doc, its canonical
+    near-dup in the EXISTING corpus (min corpus doc_id among verified
+    matches), if any.
+
+    Probe-shaped (the steady-state ingestion pattern): both sides are
+    banded, but the candidate join only crosses batch rows with corpus rows
+    — no batch×batch or corpus×corpus pairs are generated, so incremental
+    cost is O(|batch| × bucket hit rate), not a corpus rebuild. Bucket-size
+    pruning counts over the UNION (identical guard semantics to the full
+    ``candidate_pairs`` pipeline, so results match re-running from scratch).
+    """
+    all_docs = corpus.unionByName(batch)
+    bands = lsh_bands(minhash_signatures(corpus)).withColumn(
+        "side", F.lit(0)
+    ).unionByName(
+        lsh_bands(minhash_signatures(batch)).withColumn("side", F.lit(1))
+    )
+    sized = bands.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bsz") <= max_bucket)
+    probe = sized.filter(F.col("side") == 1).select(
+        "band", "key", F.col("doc_id").alias("a"))
+    base = sized.filter(F.col("side") == 0).select(
+        "band", "key", F.col("doc_id").alias("b"))
+    pairs = (
+        probe.join(base, ["band", "key"])
+        .select("a", "b")
+        .distinct()
+    )
+    hits = verified_jaccard(all_docs, pairs).filter(
+        F.col("jaccard") >= threshold)
+    best = hits.groupBy("a").agg(F.min("b").alias("dup_of"))
+    h = hits.select(F.col("a").alias("ha"), F.col("b").alias("hb"), "jaccard")
+    return (
+        best.join(h, (best["a"] == h["ha"]) & (best["dup_of"] == h["hb"]))
+        .select(F.col("a").alias("doc_id"), "dup_of", "jaccard")
+    )

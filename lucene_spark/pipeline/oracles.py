@@ -461,3 +461,50 @@ GROUP BY c.vec_id
 ORDER BY dot DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components over the near-dup pair graph via a recursive
+    min-reachability CTE: cluster_id(n) = min doc_id reachable from n
+    (undirected edges = verified MinHash pairs with jaccard ≥ threshold,
+    over the augmented corpus — singletons keep their own id)."""
+    return f"""
+WITH RECURSIVE {PDOCS},{ADOCS},{MINHASH},
+edges AS (
+  SELECT a AS s, b AS d FROM vj
+  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {threshold}
+  UNION ALL
+  SELECT b AS s, a AS d FROM vj
+  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {threshold}
+),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM adocs
+  UNION
+  SELECT e.d, rr.r FROM reach rr JOIN edges e ON e.s = rr.n
+)
+SELECT n AS doc_id, min(r)::BIGINT AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
+def dedup_incremental_sql(threshold: float = 0.5,
+                          batch_lo: int = 1000000) -> str:
+    """Incremental-dedup oracle: batch = augmented twins (doc_id ≥
+    ``batch_lo``), corpus = base docs; for each batch doc the min corpus
+    near-dup partner and that pair's exact jaccard."""
+    return f"""
+WITH {PDOCS},{ADOCS},{MINHASH},
+cross_pairs AS (
+  SELECT CASE WHEN a >= {batch_lo} THEN a ELSE b END AS doc_id,
+         CASE WHEN a >= {batch_lo} THEN b ELSE a END AS dup_of,
+         CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+  FROM vj
+  WHERE ((a >= {batch_lo}) <> (b >= {batch_lo}))
+    AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {threshold}
+),
+best AS (SELECT doc_id, min(dup_of) AS dup_of FROM cross_pairs GROUP BY doc_id)
+SELECT b.doc_id, b.dup_of, c.jaccard
+FROM best b
+JOIN cross_pairs c ON c.doc_id = b.doc_id AND c.dup_of = b.dup_of
+ORDER BY b.doc_id
+"""

@@ -134,3 +134,50 @@ def test_dedup_bucket_guards_degenerate_corpus(spark):
     )
     got = {(r["a"], r["b"]) for r in embedding_neardup_pairs(qemb2).collect()}
     assert got == {(0, 1)}
+
+
+def test_neardup_clusters_transitive(spark):
+    """a~b and b~c canonicalize into ONE cluster even when (a, c) is not
+    itself a near-dup pair — the pair-graph connected-components contract."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.dedup import minhash_dedup_pairs, neardup_clusters
+
+    # chain: near-identical neighbors (shingle jaccard ≈ 0.95 per step)
+    base = [f"w{i:02d}" for i in range(40)]
+    texts = [
+        " ".join(base[0:20]),    # doc 0
+        " ".join(base[0:21]),    # doc 1 = doc 0 + one word
+        " ".join(base[1:21]),    # doc 2 = doc 1 minus the first word
+        "totally different content here entirely unrelated words",  # doc 3
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts}))
+    pairs = minhash_dedup_pairs(docs, threshold=0.3).toPandas()
+    got = {(int(r["a"]), int(r["b"])) for _, r in pairs.iterrows()}
+    assert (0, 1) in got and (1, 2) in got
+    labels = neardup_clusters(docs, threshold=0.3).toPandas()
+    lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    assert lab[0] == lab[1] == lab[2] == 0  # one component, canonical = min
+    assert lab[3] == 3                      # singleton keeps its own id
+
+
+def test_incremental_dedup_probe(spark, docs):
+    """Batch (augmented twins) vs corpus (base docs): every matched batch
+    doc maps to its base twin or an earlier corpus near-dup; pure corpus
+    docs never appear on the batch side."""
+    from lucene_spark.pipeline.contracts import AUG_OFFSET, augmented_docs
+    from lucene_spark.pipeline.dedup import incremental_dedup
+
+    all_docs = augmented_docs(docs)
+    corpus = all_docs.filter(F.col("doc_id") < AUG_OFFSET)
+    batch = all_docs.filter(F.col("doc_id") >= AUG_OFFSET)
+    out = incremental_dedup(corpus, batch).toPandas()
+    n_docs = docs.count()
+    assert len(out) >= 0.8 * n_docs            # twins found
+    assert (out["doc_id"] >= AUG_OFFSET).all()  # batch side only
+    assert (out["dup_of"] < AUG_OFFSET).all()   # corpus side only
+    assert (out["jaccard"] >= 0.5).all()
+    # a twin's canonical dup is its base doc unless an earlier exact-ish
+    # corpus dup exists — so dup_of <= doc_id - AUG_OFFSET always
+    assert (out["dup_of"] <= out["doc_id"] - AUG_OFFSET).all()
