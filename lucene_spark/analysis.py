@@ -725,8 +725,18 @@ _FOLD_SPECIALS = {
     0xD8: "O", 0xF8: "o", 0x110: "D", 0x111: "d", 0xDE: "TH", 0xFE: "th",
     0xD0: "D", 0xF0: "d", 0x131: "i", 0x141: "L", 0x142: "l",
     0x126: "H", 0x127: "h", 0x138: "k", 0x166: "T", 0x167: "t",
-    0x14A: "N", 0x14B: "n", 0x149: "'n",
+    0x14A: "N", 0x14B: "n",
 }
+
+# mappings excluded because they are NOT boundary-safe pre-tokenization
+# (ADVICE r3): U+0149 ŉ folds to "'n" in the reference filter — a leading
+# apostrophe is a separator here, so pre-fold would MOVE a token boundary;
+# the char stays unfolded (it is already outside this tokenizer's letter
+# coverage, a documented Unicode approximation). Remaining caveat: ß → "ss"
+# expansion can push a >127ß-char token over the 255 limit that the
+# reference (which folds after its length check) would keep — measured zero
+# such tokens in the corpus alphabet.
+_FOLD_UNSAFE = {0x149}
 
 
 def _build_fold_table() -> dict:
@@ -734,7 +744,7 @@ def _build_fold_table() -> dict:
 
     tbl = dict(_FOLD_SPECIALS)
     for cp in range(0xC0, 0x180):
-        if cp in tbl or cp in (0xD7, 0xF7):
+        if cp in tbl or cp in (0xD7, 0xF7) or cp in _FOLD_UNSAFE:
             continue
         folded = "".join(c for c in unicodedata.normalize("NFKD", chr(cp))
                          if ord(c) < 128)
@@ -759,6 +769,12 @@ class FoldingAnalyzer:
     @property
     def _base(self) -> StandardAnalyzer:
         return StandardAnalyzer()
+
+    # Folding runs before tokenization so folded chars the byte tokenizer
+    # does not cover as letters (Œ, Ł, …) still join their tokens; every
+    # table mapping is letters → letters, so token boundaries cannot move
+    # (the one boundary-unsafe reference mapping is excluded — see
+    # _FOLD_UNSAFE).
 
     def tokenize_text(self, text: str) -> list[str]:
         return self._base.tokenize_text(

@@ -438,20 +438,32 @@ class IndexBuilder:
         self._drop_stale_segments(set(offsets))
         built_any = any(r["status"] == "ok" for r in metrics_rows)
         prev_sdirs = self._stats_dirs(manifest or {})
-        if (built_any
-                or prev_sdirs != {"term_stats": "term_stats",
-                                  "field_stats": "field_stats"}
-                or (manifest or {}).get("stats_version", 0) != STATS_VERSION
-                or not os.path.isdir(f"{self.index_dir}/term_stats")):
+        stats_rewritten = (
+            built_any
+            or prev_sdirs != {"term_stats": "term_stats",
+                              "field_stats": "field_stats"}
+            or (manifest or {}).get("stats_version", 0) != STATS_VERSION
+            or not os.path.isdir(f"{self.index_dir}/term_stats")
+        )
+        if stats_rewritten:
             # no-op resumes on a default-generation index leave every file
             # untouched (open readers keep their point-in-time view); any
             # other state (new segments, or stats living in an append/compact
             # generation dir) gets a full recompute into the default dirs
             self._write_stats()
         phase_t["stats"] = time.time() - t0
+        # build identity: a gen-0 stats rewrite reuses the 'term_stats' dir
+        # name, so the reader's shared dictionary cache needs a fresh key
+        # after every in-place rebuild (stale df/ttf otherwise — ADVICE r3);
+        # no-op resumes keep the old id so open readers' cache stays warm
+        import uuid
+
+        build_id = ((manifest or {}).get("build_id")
+                    if not stats_rewritten else None) or uuid.uuid4().hex
         self._save_manifest(
             {
                 "version": 2,
+                "build_id": build_id,
                 "field": FIELD,
                 "analyzer": self.analyzer,
                 "positions": self.positions,

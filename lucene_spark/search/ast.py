@@ -319,10 +319,17 @@ def _leaf_clauses(occur, raw, slop_s, boost_s, analyzer, default_field,
         # the other expanded-term syntaxes)
         parts = _RANGE_TO_RE.split(raw[1:-1].strip())
         if len(parts) == 2:
-            lo = None if parts[0].strip() in ("*", "") \
-                else parts[0].strip().lower()
-            hi = None if parts[1].strip() in ("*", "") \
-                else parts[1].strip().lower()
+            # keyword fields (field != default) pass terms through
+            # unanalyzed (StringField semantics) — range bounds must match:
+            # lang:[EN TO FR] compares against the stored uppercase values,
+            # only default-field bounds lowercase like other expanded terms
+            def _bound(s):
+                s = s.strip()
+                if s in ("*", ""):
+                    return None
+                return s if fieldname != default_field else s.lower()
+
+            lo, hi = _bound(parts[0]), _bound(parts[1])
             clauses.append((occur, MultiTermQuery(
                 "range", lower=lo, upper=hi,
                 include_lower=raw[0] == "[",

@@ -113,7 +113,11 @@ class IndexReader:
     def _term_cache(self):
         if not hasattr(self, "_term_cache_map"):
             sdirs = self.manifest.get("stats_dirs", {})
-            key = (self.index_dir, sdirs.get("term_stats", "term_stats"))
+            # build_id invalidates across in-place rebuilds: a gen-0 stats
+            # rewrite reuses the default dir name, so (dir, gen) alone is
+            # only immutable WITHIN one build lineage (ADVICE r3 medium)
+            key = (self.index_dir, self.manifest.get("build_id", ""),
+                   sdirs.get("term_stats", "term_stats"))
             shared = IndexReader._SHARED_TERM_CACHE
             if key in shared:
                 shared[key] = shared.pop(key)  # LRU touch

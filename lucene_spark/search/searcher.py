@@ -1445,7 +1445,9 @@ class IndexSearcher:
                     entry["score"] = None
                 base["clauses"].append(entry)
                 continue
-            if c.occur == ast.MUST:
+            if c.occur in (ast.MUST, ast.FILTER):
+                # FILTER is required-but-scoreless — the kernel counts it in
+                # req_per_term (wand.py:76-81), so explain must too (ADVICE r3)
                 n_must += 1
                 n_must_hit += tf > 0
             elif c.occur == ast.SHOULD:

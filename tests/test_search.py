@@ -1209,3 +1209,71 @@ def test_msm_wand_equals_exhaustive(searcher, golden):
         qs = f"({' '.join(base)})~{msm}"
         c = searcher.search(qs, 200)
         assert c == a
+
+
+def test_term_cache_invalidated_on_inplace_rebuild(spark, tmp_path):
+    """A full rebuild over CHANGED data in the same driver process must not
+    reuse the previous index's shared term dictionary (stale df/ttf —
+    ADVICE r3 medium): the manifest build_id keys the cache."""
+    import shutil
+
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.reader import IndexReader
+
+    d = str(tmp_path / "rebuild_idx")
+
+    def build(texts):
+        shutil.rmtree(d, ignore_errors=True)
+        pdf = pd.DataFrame({
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts), "role": ["user"] * len(texts),
+            "text": texts, "tool": [None] * len(texts),
+            "ts": [None] * len(texts),
+        })
+        IndexBuilder(spark, d, num_segments=2).build(
+            spark.createDataFrame(pdf))
+
+    build(["apple pie", "apple tart", "banana"])
+    r1 = IndexReader(spark, d)
+    assert r1.term_stats(["apple"])["apple"]["df"] == 2
+    build(["apple only"])  # rebuild in place, different stats
+    r2 = IndexReader(spark, d)
+    assert r2.term_stats(["apple"])["apple"]["df"] == 1
+    assert "banana" not in r2.term_stats(["banana"])  # stale dict would hit
+
+
+def test_keyword_range_bounds_not_lowercased():
+    """lang:[EN TO FR] on a keyword field keeps uppercase bounds
+    (StringField pass-through — ADVICE r3), default-field ranges still
+    lowercase."""
+    from lucene_spark.analysis import SimpleAnalyzer
+    from lucene_spark.search import ast as A
+
+    an = SimpleAnalyzer()
+    q = A.parse("lang:[EN TO FR]", an, fields=("text", "lang"))
+    assert (q.lower, q.upper, q.field) == ("EN", "FR", "lang")
+    q2 = A.parse("[QUERY TO TABLE]", an, fields=("text", "lang"))
+    assert (q2.lower, q2.upper, q2.field) == ("query", "table", "text")
+
+
+def test_explain_filter_clause_required(searcher, golden):
+    """FILTER clauses are required-but-scoreless: explain() must report
+    match=False for docs missing the FILTER term (kernel parity —
+    ADVICE r3)."""
+    hot, rare = VOCAB[0], VOCAB[800]
+    q = ast.BooleanQuery((
+        (ast.SHOULD, ast.TermQuery(hot)),
+        (ast.FILTER, ast.TermQuery(rare)),
+    ))
+    hits = searcher.search(q, 5)
+    hit_docs = {h.doc_id for h in hits}
+    assert hits
+    for h in hits:
+        ex = searcher.explain(q, h.doc_id)
+        assert ex["match"] is True and ex["total"] == h.score
+    # a doc with the hot term but NOT the rare FILTER term
+    others = [h.doc_id for h in searcher.search(hot, 50)
+              if h.doc_id not in hit_docs]
+    assert others
+    ex = searcher.explain(q, others[0])
+    assert ex["match"] is False
