@@ -821,6 +821,17 @@ def _q_facet_dl_ranges(spark, sf_dir):
     return s.facet_ranges(_parse(Q_OR), "dl", DL_RANGES)
 
 
+def _q_facet_taxonomy(spark, sf_dir):
+    """Hierarchical taxonomy facets (facet/taxonomy ordinal rollup): counts
+    per lang/source path prefix of the OR query's match set."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir)
+    path_df = meta.select(
+        F.col("did").alias("doc_id"),
+        F.concat_ws("/", "lang", "source").alias("path"))
+    return s.facet_paths(_parse(Q_OR), path_df)
+
+
 def _q_span_near(spark, sf_dir):
     """span_near([table, value], slop=3, in_order): ordered proximity
     beyond one phrase (spans/SpanNearQuery.java:41) — constant-score top-50
@@ -883,10 +894,11 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
-    "facet_dl_ranges", "dedup_clusters", "dedup_incremental",
+    "facet_dl_ranges", "facet_taxonomy", "dedup_clusters",
+    "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
-    "bm25_or_top100", "bm25_bool_mix", "bm25_phrase", "count_and",
+    "bm25_or_top100", "bm25_bool_mix", "bm25_phrase",
 )
 
 
@@ -903,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": _q_knn,
         "span_near_topk": _q_span_near,
         "facet_dl_ranges": _q_facet_dl_ranges,
+        "facet_taxonomy": _q_facet_taxonomy,
         "span_unordered_count": _q_span_unordered_count,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
@@ -1058,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value"], 3, 50, in_order=True),
         "facet_dl_ranges": oracle.facet_ranges_sql(
             _parse(Q_OR), DL_RANGES),
+        "facet_taxonomy": oracle.facet_paths_sql(_parse(Q_OR)),
         "span_unordered_count": oracle.span_near_count_sql(
             ["value", "table"], 2, in_order=False),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),

@@ -2023,3 +2023,31 @@ LEFT JOIN (SELECT m.doc_id, d.dl FROM matched m JOIN dmap d ON d.did = m.doc_id)
   ON m.dl BETWEEN r.lo AND r.hi
 GROUP BY r.rng ORDER BY r.rng
 """
+
+
+def facet_paths_sql(query) -> str:
+    """Taxonomy-facet oracle: per-path-prefix counts of the query's match
+    set over the synthesized lang/source taxonomy (matching a doc under
+    a/b increments both a and a/b — the ordinal rollup)."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+pmap AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lang || '/' || source AS path
+  FROM documents
+),
+prefixes AS (
+  SELECT p.path AS full_path, u.i,
+         array_to_string(list_slice(string_split(p.path, '/'), 1, u.i),
+                         '/') AS path
+  FROM (SELECT m.doc_id, g.path
+        FROM matched m JOIN pmap g ON g.did = m.doc_id) p,
+       unnest(range(1, len(string_split(p.path, '/')) + 1)) AS u(i)
+)
+SELECT path, len(string_split(path, '/'))::INT AS depth,
+       count(*)::BIGINT AS n
+FROM prefixes
+GROUP BY path
+ORDER BY depth, n DESC, path
+"""

@@ -978,6 +978,47 @@ class IndexSearcher:
             .orderBy("range")
         )
 
+    def facet_paths(self, query, path_df, topn: int | None = None):
+        """Hierarchical (taxonomy) facet counts
+        (``facet/taxonomy/TaxonomyFacetCounts`` + ``FacetsCollector.java:49``):
+        counts of the query's match set per taxonomy path PREFIX — matching
+        a doc under ``a/b/c`` increments ``a``, ``a/b``, and ``a/b/c``, like
+        the taxonomy ordinal rollup.
+
+        ``path_df``: (doc_id, path) with '/'-separated paths. Plan: match
+        set join → JVM-side prefix explode (transform∘sequence∘slice, no
+        Python) → one groupBy. Returns (path, depth, n) ordered by
+        (depth, n DESC, path) — ``topn`` caps each depth (getTopChildren).
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        match = self.match_df(ast.normalize(query))
+        j = match.join(path_df, "doc_id").withColumn(
+            "_parts", F.split(F.col("path"), "/"))
+        prefixes = j.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_parts")),
+                    lambda i: F.array_join(F.slice("_parts", 1, i), "/"),
+                )
+            ).alias("path")
+        )
+        counts = (
+            prefixes.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("depth", F.size(F.split(F.col("path"), "/")))
+        )
+        if topn is not None:
+            w = Window.partitionBy("depth").orderBy(
+                F.desc("n"), F.asc("path"))
+            counts = (counts.withColumn("_r", F.row_number().over(w))
+                      .filter(F.col("_r") <= topn).drop("_r"))
+        return counts.select("path", "depth", "n").orderBy(
+            "depth", F.desc("n"), "path")
+
     def score_df(self, query):
         """Exhaustive (doc_id, score) DataFrame of ALL matching docs.
 
