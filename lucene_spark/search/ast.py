@@ -578,6 +578,29 @@ def _parse_operators(query_str: str, analyzer, default_field, fields):
     return normalize(BooleanQuery(cl, min_should_match=msm))
 
 
+def count_leaf_clauses(q) -> int:
+    """Number of leaf clauses in a (normalized) query tree — the quantity
+    Lucene's ``IndexSearcher.TooManyNestedClauses`` visitor tallies against
+    ``maxClauseCount`` (``core/search/IndexSearcher.java:81,120-140``): each
+    leaf query visited counts once, booleans recurse, and a multi-term query
+    under the constant-score rewrite counts as ONE clause (it never
+    materializes per-term scorers). SynonymQuery / DisjunctionMaxQuery /
+    MultiPhraseQuery count their alternatives, mirroring the visitor walking
+    their sub-queries."""
+    if isinstance(q, BooleanQuery):
+        return sum(count_leaf_clauses(sub) for _, sub in q.clauses)
+    if isinstance(q, ConstantScoreQuery):
+        return count_leaf_clauses(q.query)
+    if isinstance(q, (SynonymQuery, DisjunctionMaxQuery)):
+        inner = getattr(q, "terms", None) or getattr(q, "queries", ())
+        return max(1, len(inner))
+    if isinstance(q, MultiPhraseQuery):
+        return sum(len(s) for s in q.slots)
+    if isinstance(q, SpanNearQuery):
+        return len(q.terms)
+    return 1
+
+
 def parse(query_str: str, analyzer, default_field: str = "text",
           fields: tuple = ("text",)):
     """Classic-syntax subset → normalized AST. See module docstring.

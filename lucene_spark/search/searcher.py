@@ -92,6 +92,14 @@ def keyword_const_score(similarity, boost: float, field_stats: dict | None,
 
 
 class IndexSearcher:
+    #: total leaf clauses allowed per query tree — Lucene's
+    #: ``IndexSearcher.maxClauseCount`` (``core/search/IndexSearcher.java:81``,
+    #: default 1024; settable like ``setMaxClauseCount``). Enforced on every
+    #: search()/count() entry AFTER normalization, counting constant-score
+    #: multi-term clauses as 1 (they never materialize per-term scorers) —
+    #: see :func:`ast.count_leaf_clauses`.
+    max_clause_count = 1024
+
     def __init__(self, spark, index_dir: str, similarity: BM25Similarity | None = None):
         from lucene_spark.search.querycache import LRUQueryCache
 
@@ -240,6 +248,19 @@ class IndexSearcher:
                     est += st["df"]
         return "wand" if est > self.AUTO_PRUNE_RATIO * k else "exhaustive"
 
+    def _check_clause_limit(self, query) -> None:
+        """Raise ``TooManyClauses`` when the normalized tree exceeds
+        :attr:`max_clause_count` (``IndexSearcher.java`` rewrite-time check
+        via the TooManyNestedClauses visitor)."""
+        from lucene_spark.search.multiterm import TooManyClauses
+
+        n = ast.count_leaf_clauses(query)
+        if n > self.max_clause_count:
+            raise TooManyClauses(
+                f"query has {n} leaf clauses, over max_clause_count="
+                f"{self.max_clause_count} (IndexSearcher.setMaxClauseCount "
+                f"analogue: set IndexSearcher.max_clause_count to raise)")
+
     # -- search -------------------------------------------------------------
     def search(self, query, k: int = 10, mode: str = "wand") -> list[ScoreDoc]:
         """Top-k hits. ``query``: AST node or classic-syntax string;
@@ -248,6 +269,7 @@ class IndexSearcher:
         if isinstance(query, str):
             query = self.parse(query)
         query = ast.normalize(query)
+        self._check_clause_limit(query)
         if isinstance(query, ast.ConstantScoreQuery):
             # k smallest matching docIDs, score == boost (ties → docID asc);
             # match set stays distributed for ANY inner query shape,
@@ -845,6 +867,7 @@ class IndexSearcher:
         if isinstance(query, str):
             query = self.parse(query)
         query = ast.normalize(query)
+        self._check_clause_limit(query)
         big = self.reader.doc_count + 1
         if isinstance(query, ast.MultiTermQuery):
             from lucene_spark.search.multiterm import constant_score_count

@@ -1277,3 +1277,34 @@ def test_explain_filter_clause_required(searcher, golden):
     assert others
     ex = searcher.explain(q, others[0])
     assert ex["match"] is False
+
+
+def test_max_clause_count_parity(searcher):
+    """IndexSearcher.maxClauseCount analogue (IndexSearcher.java:81):
+    a boolean with more leaf clauses than the cap raises TooManyClauses;
+    raising the cap (setMaxClauseCount) admits it. Constant-score
+    multi-term clauses count as ONE clause (never per-term scorers)."""
+    from lucene_spark.search.multiterm import TooManyClauses
+
+    big = ast.BooleanQuery(tuple(
+        (ast.SHOULD, ast.TermQuery(VOCAB[i % len(VOCAB)], boost=1 + i))
+        for i in range(1025)))
+    assert ast.count_leaf_clauses(big) == 1025
+    with pytest.raises(TooManyClauses):
+        searcher.search(big, 5)
+    with pytest.raises(TooManyClauses):
+        searcher.count(big)
+    old = type(searcher).max_clause_count
+    try:
+        type(searcher).max_clause_count = 2048
+        assert searcher.search(big, 5)  # runs under the raised cap
+    finally:
+        type(searcher).max_clause_count = old
+    # multiterm = 1 clause; nested booleans recurse
+    nested = ast.BooleanQuery((
+        (ast.SHOULD, ast.BooleanQuery((
+            (ast.MUST, ast.TermQuery(VOCAB[0])),
+            (ast.MUST, ast.TermQuery(VOCAB[1]))))),
+        (ast.SHOULD, ast.MultiTermQuery("prefix", VOCAB[2][:3])),
+    ))
+    assert ast.count_leaf_clauses(nested) == 3
