@@ -762,6 +762,14 @@ def _q_ann_brute(spark, sf_dir):
     return brute_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from lucene_spark.pipeline.simsearch import ivf_topk
+
+    # IVF coarse-quantizer scale path: 16 cells (seeds = first 16 vectors +
+    # one Lloyd step), nprobe=4 — deterministic, oracle-exact, recall<1
+    return ivf_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
 def _q_ann_lsh(spark, sf_dir):
     from lucene_spark.pipeline.simsearch import lsh_topk
 
@@ -889,7 +897,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "streaming_incremental", "delete_compact_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
-    "ann_lsh_topk", "text_langid", "text_quality", "text_token_counts",
+    "ann_lsh_topk", "ann_ivf_topk", "text_langid", "text_quality", "text_token_counts",
     "text_fingerprint", "highlight_snippets", "mm_binary_stats",
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
@@ -898,7 +906,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
-    "bm25_or_top100", "bm25_bool_mix", "bm25_phrase",
+    "bm25_or_top100", "bm25_bool_mix",
 )
 
 
@@ -1010,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
@@ -1220,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": po.dedup_embedding_sql(),
         "ann_brute_topk": po.ann_brute_sql(),
         "ann_lsh_topk": po.ann_lsh_sql(),
+        "ann_ivf_topk": po.ann_ivf_sql(),
         "text_langid": po.lang_id_sql(),
         "text_quality": po.quality_sql(),
         "text_token_counts": po.token_counts_sql(),

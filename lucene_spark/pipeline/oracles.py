@@ -336,6 +336,81 @@ ORDER BY query_id, rank
 """
 
 
+
+def ann_ivf_sql(n_queries: int = 5, k: int = 10, n_centroids: int = 16,
+                nprobe: int = 4) -> str:
+    """Mirrors ``simsearch.ivf_topk`` with lloyd_iters=1: seed centroids =
+    quantized vectors of vec_ids [0, C), one floor-mean Lloyd step (empty
+    cells keep their seed), squared-L2 assignment (tie -> min cid), nprobe
+    nearest cells per query, exact integer-dot re-rank."""
+    return f"""
+WITH {QEMB},
+scomps AS (SELECT vec_id AS cid, v, j FROM comps WHERE vec_id < {n_centroids}),
+d0 AS (
+  SELECT c.vec_id, s.cid,
+         sum(s.v * s.v)::BIGINT - 2 * sum(c.v * s.v)::BIGINT AS dist
+  FROM comps c JOIN scomps s ON s.j = c.j
+  GROUP BY c.vec_id, s.cid
+),
+a0 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+cellmean AS (
+  SELECT a.cell, c.j, CAST(floor(sum(c.v)::DOUBLE / count(*)) AS BIGINT) AS v
+  FROM a0 a JOIN comps c ON c.vec_id = a.vec_id
+  GROUP BY a.cell, c.j
+),
+cents AS (
+  SELECT s.cid, s.j, coalesce(m.v, s.v) AS v
+  FROM scomps s LEFT JOIN cellmean m ON m.cell = s.cid AND m.j = s.j
+),
+cn2 AS (SELECT cid, sum(v * v)::BIGINT AS n2 FROM cents GROUP BY cid),
+d1 AS (
+  SELECT c.vec_id, t.cid, any_value(n.n2) - 2 * sum(c.v * t.v)::BIGINT AS dist
+  FROM comps c JOIN cents t ON t.j = c.j JOIN cn2 n ON n.cid = t.cid
+  GROUP BY c.vec_id, t.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1 WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(qc.v * nc.v)::BIGINT AS dot
+  FROM cands cd
+  JOIN comps qc ON qc.vec_id = cd.query_id
+  JOIN comps nc ON nc.vec_id = cd.neighbor_id AND nc.j = qc.j
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rnk
+  FROM dots
+)
+SELECT query_id, rnk::INT AS rank, neighbor_id, dot
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------------------------ textqc --
 
 def _markers_values() -> str:

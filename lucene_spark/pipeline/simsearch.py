@@ -16,6 +16,7 @@ both engines derive identical buckets.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from lucene_spark.pipeline.contracts import quantized_embeddings
@@ -108,6 +109,106 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+# --------------------------------------------------------------------- IVF --
+# The coarse-quantizer scale path (IVF a la Faiss IndexIVFFlat): partition the
+# corpus into C Voronoi cells once, at query time scan only the nprobe nearest
+# cells. Everything is integer/IEEE-deterministic so the DuckDB oracle
+# reproduces the EXACT candidate sets (recall < 1 by design, like ann_lsh).
+
+
+def _assign_cells(q: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, q, cell): nearest centroid by squared-L2 over the quantized
+    ints, tie -> smallest centroid id. One Arrow-batched BLAS matmul per
+    batch (dist = |c|^2 - 2 v.c; |v|^2 is constant per row) - a pure
+    projection, NO shuffle: at 100 TB this is the only full-corpus pass and
+    it pipelines with the scan. ``cents`` ships inside the task closure
+    (C x D ints, a few KB)."""
+    c = np.ascontiguousarray(cents, dtype=np.int64)
+    cn2 = (c * c).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["q"].tolist(), dtype=np.int64)
+            dist = cn2[None, :] - 2 * (v @ c.T)
+            pdf = pdf.copy()
+            # np.argmin takes the FIRST minimum -> min-cid tie-break
+            pdf["cell"] = np.argmin(dist, axis=1).astype(np.int32)
+            yield pdf
+
+    return q.mapInPandas(fn, "vec_id long, q array<long>, cell int")
+
+
+def train_ivf(q: DataFrame, n_centroids: int = 16,
+              lloyd_iters: int = 1) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seeds = the quantized vectors of
+    vec_ids [0, C) (a fixed-seed sample stand-in), refined by ``lloyd_iters``
+    k-means steps. The Lloyd mean is ``floor(sum / count)`` computed in
+    float64 (bit-identical to the oracle's ``floor(sum(v)::DOUBLE /
+    count(*))``); a cell that loses all members keeps its previous centroid.
+    Each iteration is one assignment pass + one (cell, dim) aggregation -
+    bounded C x D rows to the driver."""
+    seeds = (q.filter(F.col("vec_id") < n_centroids)
+             .orderBy("vec_id").collect())
+    cents = np.array([r["q"] for r in seeds], dtype=np.int64)
+    for _ in range(lloyd_iters):
+        sums = (
+            _assign_cells(q, cents)
+            .select("cell", F.posexplode("q").alias("j", "v"))
+            .groupBy("cell", "j")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in sums:
+            nxt[r["cell"], r["j"]] = np.floor(float(r["s"]) / float(r["n"]))
+        cents = nxt
+    return cents
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             lloyd_iters: int = 1) -> DataFrame:
+    """Approximate top-k via IVF: assign the corpus to C cells (one
+    shuffle-free pass), probe each query's ``nprobe`` nearest cells, exact
+    integer-dot re-rank inside the union of probed cells. Cells are disjoint
+    so candidates need no dedup (unlike the LSH band union). Queries resolve
+    their probe lists on the driver (n_queries x C distances, trivial) and
+    broadcast into the candidate join."""
+    spark = emb.sparkSession
+    q = quantized_embeddings(emb)
+    cents = train_ivf(q, n_centroids, lloyd_iters)
+    cn2 = (cents * cents).sum(axis=1)
+
+    qrows = q.filter(F.col("vec_id") < n_queries).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.array(r["q"], dtype=np.int64)
+        dist = cn2 - 2 * (cents @ v)
+        order = np.lexsort((np.arange(n_centroids), dist))[:nprobe]
+        probe_rows.extend(
+            (int(r["vec_id"]), [int(x) for x in r["q"]], int(cell))
+            for cell in order
+        )
+    probes = spark.createDataFrame(probe_rows, "query_id long, qq array<long>, cell int")
+
+    cands = (
+        _assign_cells(q, cents)
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )

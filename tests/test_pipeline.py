@@ -181,3 +181,35 @@ def test_incremental_dedup_probe(spark, docs):
     # a twin's canonical dup is its base doc unless an earlier exact-ish
     # corpus dup exists — so dup_of <= doc_id - AUG_OFFSET always
     assert (out["dup_of"] <= out["doc_id"] - AUG_OFFSET).all()
+
+
+def test_ann_ivf_cells_and_recall(spark, emb):
+    """IVF invariants: cells partition the corpus (disjoint, exhaustive),
+    probe join returns <= nprobe/C of the corpus per query at uniform data,
+    and recall@k vs brute force is high on the synthetic vectors."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.contracts import quantized_embeddings
+    from lucene_spark.pipeline.simsearch import (
+        _assign_cells, brute_topk, ivf_topk, train_ivf,
+    )
+
+    q = quantized_embeddings(emb)
+    cents = train_ivf(q, n_centroids=8, lloyd_iters=1)
+    assert cents.shape == (8, 64)
+    assigned = _assign_cells(q, cents).toPandas()
+    n = emb.count()
+    assert len(assigned) == n                       # exhaustive
+    assert assigned["vec_id"].is_unique             # disjoint
+    assert assigned["cell"].between(0, 7).all()
+
+    out = ivf_topk(emb, n_queries=3, k=5, n_centroids=8, nprobe=3).toPandas()
+    brute = brute_topk(emb, n_queries=3, k=5).toPandas()
+    hits = pd.merge(out, brute, on=["query_id", "neighbor_id"])
+    assert len(hits) >= 0.6 * len(brute)            # recall under 3/8 probes
+    for _, grp in out.groupby("query_id"):
+        assert (grp.sort_values("rank")["dot"].diff().dropna() <= 0).all()
+
+    # nprobe = C degenerates to exact brute-force results
+    full = ivf_topk(emb, n_queries=3, k=5, n_centroids=8, nprobe=8).toPandas()
+    assert full.reset_index(drop=True).equals(brute.reset_index(drop=True))
