@@ -840,6 +840,19 @@ def _q_facet_taxonomy(spark, sf_dir):
     return s.facet_paths(_parse(Q_OR), path_df)
 
 
+def _q_drill_sideways(spark, sf_dir):
+    """DrillSideways over the OR query: lang counts with only the source
+    selection applied, source counts with only the lang selection applied
+    (each dim's own filter dropped — facet/DrillSideways.java:63)."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir)
+    dims = {
+        "lang": (meta.select(F.col("did"), F.col("lang")), "en"),
+        "source": (meta.select(F.col("did"), F.col("source")), "src0"),
+    }
+    return s.drill_sideways(_parse(Q_OR), dims)
+
+
 def _q_span_near(spark, sf_dir):
     """span_near([table, value], slop=3, in_order): ordered proximity
     beyond one phrase (spans/SpanNearQuery.java:41) — constant-score top-50
@@ -902,11 +915,11 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
-    "facet_dl_ranges", "facet_taxonomy", "dedup_clusters",
+    "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
-    "bm25_or_top100", "bm25_bool_mix",
+    "bm25_or_top100",
 )
 
 
@@ -924,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_topk": _q_span_near,
         "facet_dl_ranges": _q_facet_dl_ranges,
         "facet_taxonomy": _q_facet_taxonomy,
+        "drill_sideways": _q_drill_sideways,
         "span_unordered_count": _q_span_unordered_count,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
@@ -1081,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_dl_ranges": oracle.facet_ranges_sql(
             _parse(Q_OR), DL_RANGES),
         "facet_taxonomy": oracle.facet_paths_sql(_parse(Q_OR)),
+        "drill_sideways": oracle.drill_sideways_sql(
+            _parse(Q_OR), {"lang": "en", "source": "src0"}),
         "span_unordered_count": oracle.span_near_count_sql(
             ["value", "table"], 2, in_order=False),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),

@@ -2025,6 +2025,41 @@ GROUP BY r.rng ORDER BY r.rng
 """
 
 
+def drill_sideways_sql(query, selections) -> str:
+    """DrillSideways oracle (facet/DrillSideways.java:63): per-dim value
+    counts of the base query's matches that satisfy every OTHER dim's
+    selection; ``selections`` = {dim_column: selected_value} over the
+    documents columns (lang/source)."""
+    inner = bm25_topk_sql(query, 10**9)
+    names = list(selections)
+    sat = " + ".join(
+        f"(CASE WHEN g.{c} = '{v}' THEN 1 ELSE 0 END)"
+        for c, v in selections.items())
+    branches = []
+    for n in names:
+        sat_n = f"(CASE WHEN j.{n} = '{selections[n]}' THEN 1 ELSE 0 END)"
+        branches.append(f"""
+SELECT '{n}' AS dim, j.{n} AS value, count(*)::BIGINT AS n
+FROM j WHERE j.nsat - {sat_n} = {len(names) - 1} AND j.{n} IS NOT NULL
+GROUP BY j.{n}""")
+    body = "\nUNION ALL\n".join(branches)
+    cols = ", ".join(names)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+gmap AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         {cols}
+  FROM documents
+),
+j AS (
+  SELECT m.doc_id, {cols}, {sat} AS nsat
+  FROM matched m JOIN gmap g ON g.did = m.doc_id
+)
+{body}
+ORDER BY dim, value
+"""
+
+
 def facet_paths_sql(query) -> str:
     """Taxonomy-facet oracle: per-path-prefix counts of the query's match
     set over the synthesized lang/source taxonomy (matching a doc under

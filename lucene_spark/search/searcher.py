@@ -1042,6 +1042,57 @@ class IndexSearcher:
         return counts.select("path", "depth", "n").orderBy(
             "depth", F.desc("n"), "path")
 
+    def drill_sideways(self, base_query, dims):
+        """DrillSideways facet counts (``facet/DrillSideways.java:63``):
+        given a base query and ONE selected value per dimension, count each
+        dimension's values over the docs matching the base query AND every
+        OTHER dimension's selection — its own filter dropped, so a faceted
+        UI can show sibling counts next to the current drill-down.
+
+        ``dims``: {dim_name: (dim_df, selected_value)} with ``dim_df`` =
+        (doc_id, value) single-valued per doc. Returns (dim, value, n)
+        ordered by (dim, value).
+
+        Plan shape (DrillSidewaysScorer's near-miss trick, one pass): the
+        base match set left-joins each dim's value map once, a per-doc
+        satisfied-selections counter ``n_sat`` is a pure projection, and dim
+        d's sideways set is the rows where the OTHER dims' selections all
+        hold (``n_sat - sat_d == |D| - 1``). The per-dim groupBys union into
+        one plan — the base match set and the joins are computed once, never
+        per-dim.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if isinstance(base_query, str):
+            base_query = self.parse(base_query)
+        names = list(dims)
+        j = self.match_df(ast.normalize(base_query))
+        for name, (ddf, _sel) in dims.items():
+            cols = ddf.columns
+            j = j.join(
+                ddf.select(F.col(cols[0]).alias("doc_id"),
+                           F.col(cols[1]).alias(f"_v_{name}")),
+                "doc_id", "left")
+        nsat = reduce(
+            lambda a, b: a + b,
+            [F.when(F.col(f"_v_{n}") == F.lit(dims[n][1]), 1).otherwise(0)
+             for n in names])
+        j = j.withColumn("_nsat", nsat)
+        full = len(names) - 1
+        parts = []
+        for n in names:
+            sat_n = F.when(
+                F.col(f"_v_{n}") == F.lit(dims[n][1]), 1).otherwise(0)
+            parts.append(
+                j.filter((F.col("_nsat") - sat_n) == full)
+                .filter(F.col(f"_v_{n}").isNotNull())
+                .groupBy(F.col(f"_v_{n}").alias("value"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(n).alias("dim"), "value", "n"))
+        return reduce(lambda a, b: a.unionAll(b), parts).orderBy("dim", "value")
+
     def score_df(self, query):
         """Exhaustive (doc_id, score) DataFrame of ALL matching docs.
 

@@ -1308,3 +1308,34 @@ def test_max_clause_count_parity(searcher):
         (ast.SHOULD, ast.MultiTermQuery("prefix", VOCAB[2][:3])),
     ))
     assert ast.count_leaf_clauses(nested) == 3
+
+
+def test_drill_sideways_semantics(searcher, spark):
+    """Each dim's counts = base matches filtered by every OTHER dim's
+    selection, own filter dropped; the drill-down set counts toward every
+    dim (facet/DrillSideways.java:63). Verified against a brute-force
+    recomputation from score_df."""
+    from pyspark.sql import functions as F
+
+    base = f"{VOCAB[0]} {VOCAB[3]}"
+    match = {r["doc_id"] for r in searcher.score_df(base).collect()}
+    n_docs = searcher.reader.doc_count
+    # two synthetic single-valued dims over docIDs
+    parity = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("value"))
+    tri = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("value"))
+    out = searcher.drill_sideways(
+        base, {"parity": (parity, "even"), "tri": (tri, "t1")}).toPandas()
+
+    import collections
+    exp = collections.Counter()
+    for d in match:
+        if d % 3 == 1:                       # tri selection holds → count parity
+            exp[("parity", "even" if d % 2 == 0 else "odd")] += 1
+        if d % 2 == 0:                       # parity selection holds → count tri
+            exp[("tri", f"t{d % 3}")] += 1
+    got = {(r.dim, r.value): r.n for r in out.itertuples()}
+    assert got == dict(exp)
