@@ -649,6 +649,19 @@ def _q_suggest_terms(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_spellcheck(spark, sf_dir):
+    """DirectSpellChecker-lite: top-5 corrections for the misspelling
+    'sart' within Damerau-Levenshtein distance 2, ranked
+    (dist ASC, df DESC, term ASC)."""
+    from lucene_spark.search.suggest import spell_suggest
+
+    s = _searcher(spark, sf_dir)
+    out = spell_suggest(s.reader, "sart", k=5)
+    return spark.createDataFrame(
+        [(t, int(df), int(d)) for t, df, d in out],
+        "term string, df long, dist int")
+
+
 def _q_percolate(spark, sf_dir):
     """Monitor-lite / percolator: which of three registered queries (term,
     conjunction, exact phrase) match each document."""
@@ -902,7 +915,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- never driver-verified (11)
     "unicode_topk", "unicode_kana_topk", "unicode_gc_topk",
     "msearch_topk", "english_stem_topk", "delete_by_query_topk",
-    "suggest_terms", "percolate_queries", "sort_conv_early",
+    "suggest_terms", "spellcheck_terms", "percolate_queries", "sort_conv_early",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk", "multi_sim_topk",
     # -- last verified r1/r2, pushed out of the r3 window (22 more)
     "synonym_topk", "dismax_topk", "group_top1_source", "facet_lang_counts",
@@ -919,7 +932,6 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     "index_term_stats", "index_doc_norms", "bm25_hot_term",
-    "bm25_or_top100",
 )
 
 
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_dl_topk": _q_sort_by_dl,
         "sort_conv_early": _q_sort_conv_early,
         "suggest_terms": _q_suggest_terms,
+        "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
@@ -1213,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_conv_early": oracle.sort_conv_early_sql(
             Q_OR.split(), 50),
         "suggest_terms": oracle.suggest_terms_sql("s", 10),
+        "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),
         "percolate_queries": oracle.percolate_sql(
             "spark", ["table", "value"], list(PHRASE_TERMS)),
         "sort_by_dl_topk": oracle.sort_by_dl_sql(

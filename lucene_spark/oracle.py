@@ -1120,6 +1120,20 @@ LIMIT {k}
 """
 
 
+def spell_suggest_sql(term: str, k: int, max_edits: int = 2) -> str:
+    """DirectSpellChecker oracle: corrections within DL <= max_edits ranked
+    (dist ASC, df DESC, term ASC), input term excluded."""
+    return f"""
+WITH {BASE_CTES}
+SELECT term, df, damerau_levenshtein(term, '{term}')::INT AS dist
+FROM tstats
+WHERE damerau_levenshtein(term, '{term}') <= {max_edits}
+  AND term != '{term}'
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT {k}
+"""
+
+
 def percolate_sql(term_q: str, and_terms, phrase_terms) -> str:
     """Monitor/percolator oracle: (query_id, doc_id) for three registered
     query shapes — a term query, a conjunction, and an exact phrase."""

@@ -72,3 +72,46 @@ def percolate_df(searcher, queries: dict):
         return searcher.spark.createDataFrame(
             [], "query_id string, doc_id long")
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def spell_suggest(reader, term: str, k: int = 5, field: str = "text",
+                  max_edits: int = 2, min_df: int = 1):
+    """DirectSpellChecker analogue (``suggest/spell/DirectSpellChecker.java:44``
+    suggestSimilar): top-k dictionary terms within Damerau-Levenshtein
+    distance <= ``max_edits`` of ``term``, ranked by (distance ASC, df DESC,
+    term ASC); the input term itself is excluded. Returns
+    [(term, df, dist)].
+
+    Driver-resident dictionaries answer with no Spark job; larger
+    dictionaries run a length-window + levenshtein pushdown scan (Spark's
+    builtin is plain Levenshtein, a LOWER bound on DL only up to a factor -
+    the scan over-collects with a 2x edit budget, then the exact DL filter
+    runs on the bounded candidate list driver-side)."""
+    from lucene_spark.search.multiterm import damerau_levenshtein
+
+    n = len(term)
+
+    def rank(cands):
+        out = [(t, df, damerau_levenshtein(t, term)) for t, df in cands]
+        out = [c for c in out if c[2] <= max_edits and c[0] != term
+               and c[1] >= min_df]
+        out.sort(key=lambda x: (x[2], -x[1], x[0]))
+        return out[:k]
+
+    cache = reader._term_cache()
+    if cache is not None:
+        return rank((t, v["df"]) for (f, t), v in cache.items()
+                    if f == field and abs(len(t) - n) <= max_edits)
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        reader._term_stats_df
+        .filter((F.col("field") == field)
+                & (F.length("term") >= n - max_edits)
+                & (F.length("term") <= n + max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(term)) <= 2 * max_edits))
+        .select("term", "df")
+        .collect()
+    )
+    return rank((r["term"], int(r["df"])) for r in rows)

@@ -1339,3 +1339,26 @@ def test_drill_sideways_semantics(searcher, spark):
             exp[("tri", f"t{d % 3}")] += 1
     got = {(r.dim, r.value): r.n for r in out.itertuples()}
     assert got == dict(exp)
+
+
+def test_spell_suggest_cache_and_scan_paths_agree(searcher):
+    """DirectSpellChecker-lite: both the driver-dictionary path and the
+    pushdown-scan fallback return the same ranked corrections; input term
+    excluded; ranking = (dist ASC, df DESC, term ASC)."""
+    from lucene_spark.search.suggest import spell_suggest
+
+    r = searcher.reader
+    miss = VOCAB[0][:-1] + "x"              # one substitution off VOCAB[0]
+    via_cache = spell_suggest(r, miss, k=5)
+    assert via_cache and via_cache[0][0] == VOCAB[0]
+    assert all(d1 <= d2 for (_, _, d1), (_, _, d2)
+               in zip(via_cache, via_cache[1:]))
+    cached = r._term_cache
+    try:
+        r._term_cache = lambda: None        # force the scan fallback
+        via_scan = spell_suggest(r, miss, k=5)
+    finally:
+        r._term_cache = cached
+    assert via_scan == via_cache
+    # the exact term never suggests itself
+    assert VOCAB[0] not in [t for t, _, _ in spell_suggest(r, VOCAB[0], k=5)]
