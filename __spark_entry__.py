@@ -675,6 +675,46 @@ def _q_percolate(spark, sf_dir):
     })
 
 
+def _q_monitor_batch(spark, sf_dir):
+    """Index-free monitor matcher (monitor/Monitor.java:60 match()): the
+    same three registered shapes as percolate_queries, matched DIRECTLY
+    against the raw documents batch (no index) by the StreamingMonitor's
+    per-micro-batch path."""
+    from pyspark.sql import Window
+
+    from lucene_spark.streaming.monitor import StreamingMonitor
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy(F.format_string("c%010d", F.col("doc_id")))
+    batch = docs.select(
+        (F.row_number().over(w) - 1).cast("long").alias("doc_id"), "text")
+    mon = StreamingMonitor(spark)
+    mon.register("q_term", "spark")
+    mon.register("q_and", Q_AND)
+    mon.register("q_phrase", ast.PhraseQuery(PHRASE_TERMS))
+    return mon.match_batch(batch)
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling-window event aggregation (unified batch/stream plan —
+    F.window groupBy; on streams the same plan runs stateful with a
+    watermark): per (1-hour window, event_type) counts + integer-cent
+    sums over the events table."""
+    from lucene_spark.streaming.events import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based session windows per user (F.session_window, 30-minute
+    gap): (user_id, session_start, n, sum_cents)."""
+    from lucene_spark.streaming.events import session_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_event_stats(ev).orderBy("user_id", "session_start")
+
+
 def _q_sort_conv_early(spark, sf_dir):
     """Early-terminating sort-by-index-order (setIndexSort +
     TopFieldCollector.canEarlyTerminate analogue): sort matches of a flat
@@ -915,7 +955,9 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- never driver-verified (11)
     "unicode_topk", "unicode_kana_topk", "unicode_gc_topk",
     "msearch_topk", "english_stem_topk", "delete_by_query_topk",
-    "suggest_terms", "spellcheck_terms", "percolate_queries", "sort_conv_early",
+    "suggest_terms", "spellcheck_terms", "percolate_queries",
+    "monitor_batch", "events_windowed", "events_sessions",
+    "sort_conv_early",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk", "multi_sim_topk",
     # -- last verified r1/r2, pushed out of the r3 window (22 more)
     "synonym_topk", "dismax_topk", "group_top1_source", "facet_lang_counts",
@@ -931,7 +973,6 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
-    "index_term_stats", "index_doc_norms", "bm25_hot_term",
 )
 
 
@@ -1027,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
+        "monitor_batch": _q_monitor_batch,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
         "delete_compact_topk": _q_delete_compact,
@@ -1229,6 +1273,10 @@ def oracle_sql() -> dict[str, str]:
         "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),
         "percolate_queries": oracle.percolate_sql(
             "spark", ["table", "value"], list(PHRASE_TERMS)),
+        "monitor_batch": oracle.percolate_sql(
+            "spark", ["table", "value"], list(PHRASE_TERMS)),
+        "events_windowed": oracle.events_windowed_sql(),
+        "events_sessions": oracle.events_sessions_sql(),
         "sort_by_dl_topk": oracle.sort_by_dl_sql(
             ["table", "value", "query"], 50
         ),

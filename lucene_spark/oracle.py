@@ -2100,3 +2100,46 @@ FROM prefixes
 GROUP BY path
 ORDER BY depth, n DESC, path
 """
+
+
+def events_windowed_sql(hours: int = 1) -> str:
+    """Tumbling-window event aggregation oracle: 1-hour windows via
+    date_trunc, counts + integer-cent sums (engine-neutral), window start
+    as epoch seconds."""
+    return f"""
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_sessions_sql(gap_minutes: int = 30) -> str:
+    """Session-window oracle (session_window semantics: a gap >= the
+    threshold starts a new session; session_start = first event ts)."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {gap_minutes} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

@@ -231,3 +231,67 @@ def test_auto_compact_merge_scheduler(spark, tmp_path):
     h2 = [(h.doc_id, h.score) for h in s2.search(q, 30)]
     assert h1 == h2
     full.unpersist()
+
+
+def test_streaming_monitor_percolates_stream(spark, corpus, tmp_path):
+    """Monitor semantics over a real Structured Streaming source: registered
+    term / conjunction / phrase queries match each arriving doc; matches
+    agree with a brute-force recomputation; epoch replay is idempotent."""
+    from pyspark.sql import Window
+
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.streaming.monitor import StreamingMonitor
+
+    src = str(tmp_path / "msrc")
+    out = str(tmp_path / "mout")
+    ckpt = str(tmp_path / "mckpt")
+
+    docs = corpus.select(
+        F.row_number().over(
+            Window.orderBy("conv_id", "turn_idx")
+        ).cast("long").alias("doc_id"),
+        "text",
+    ).cache()
+    lo = docs.filter(F.col("doc_id") <= 100)
+    hi = docs.filter(F.col("doc_id") > 100)
+    lo.write.mode("overwrite").parquet(src)
+
+    mon = StreamingMonitor(spark)
+    mon.register("q_term", VOCAB[0])
+    mon.register("q_and", f"+{VOCAB[1]} +{VOCAB[3]}")
+    mon.register("q_phrase", '"casige baca"')
+    with pytest.raises(NotImplementedError):
+        mon.register("q_bad", f"{VOCAB[0]} {VOCAB[1]}")  # pure SHOULD
+
+    mon.open_stream(
+        spark.readStream.schema(docs.schema).parquet(src), out, ckpt
+    ).awaitTermination(120)
+    hi.write.mode("append").parquet(src)
+    mon.open_stream(
+        spark.readStream.schema(docs.schema).parquet(src), out, ckpt
+    ).awaitTermination(120)
+
+    got = {(r["query_id"], r["doc_id"])
+           for r in mon.matches(out).collect()}
+
+    an = mon.analyzer
+    exp = set()
+    for r in docs.collect():
+        toks = an.tokenize_text(r["text"] or "")
+        if VOCAB[0] in toks:
+            exp.add(("q_term", r["doc_id"]))
+        if VOCAB[1] in toks and VOCAB[3] in toks:
+            exp.add(("q_and", r["doc_id"]))
+        if any(a == "casige" and b == "baca"
+               for a, b in zip(toks, toks[1:])):
+            exp.add(("q_phrase", r["doc_id"]))
+    assert got == exp
+    assert any(q == "q_phrase" for q, _ in exp)  # phrase actually exercised
+
+    # epoch replay (same source, fresh checkpoint) rewrites, not duplicates
+    mon.open_stream(
+        spark.readStream.schema(docs.schema).parquet(src), out,
+        str(tmp_path / "mckpt2"),
+    ).awaitTermination(120)
+    assert {(r["query_id"], r["doc_id"])
+            for r in mon.matches(out).collect()} == exp
