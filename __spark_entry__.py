@@ -338,6 +338,19 @@ def _q_function_score(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+def _q_expression_score(spark, sf_dir):
+    """Compiled score expression (lucene/expressions JavascriptCompiler):
+    ternary + comparison + sqrt over (_score, dl) bindings, one Catalyst
+    Column tree, f32 final cast."""
+    s = _searcher(spark, sf_dir)
+    hits = s.expression_score(
+        _parse(Q_OR),
+        "dl > 40 ? _score * 1.5 : _score + sqrt(dl) * 0.25",
+        k=40,
+    )
+    return _hits_df(spark, hits)
+
+
 def _q_synonym(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return _hits_df(spark, s.search(ast.SynonymQuery(("table", "row")), k=40))
@@ -960,7 +973,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "sort_conv_early",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk", "multi_sim_topk",
     # -- last verified r1/r2, pushed out of the r3 window (22 more)
-    "synonym_topk", "dismax_topk", "group_top1_source", "facet_lang_counts",
+    "expression_score_topk",
+    "dismax_topk", "group_top1_source", "facet_lang_counts",
     "search_after_page2", "sort_by_dl_topk", "doc_range_dl",
     "streaming_incremental", "delete_compact_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -1038,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "const_score_bool_topk": _q_const_score_bool,
         "function_score_topk": _q_function_score,
+        "expression_score_topk": _q_expression_score,
         "classic_tfidf_topk": _mk_sim_topk("classic", 40),
         "boolean_sim_topk": _mk_sim_topk("boolean", 40),
         "lm_dirichlet_topk": _mk_sim_topk("lm_dirichlet", 40),
@@ -1232,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             _parse(Q_BOOL), 50, boost=1.5
         ),
         "function_score_topk": oracle.function_score_sql(_parse(Q_OR), 40),
+        "expression_score_topk": oracle.expression_score_sql(_parse(Q_OR), 40),
         "classic_tfidf_topk": oracle.classic_topk_sql(_parse(Q_OR), 40),
         "boolean_sim_topk": oracle.boolean_sim_topk_sql(_parse(Q_OR), 40),
         "lm_dirichlet_topk": oracle.lm_dirichlet_topk_sql(_parse(Q_OR), 40),

@@ -1552,10 +1552,12 @@ LIMIT {k}
 """
 
 
-def function_score_sql(query, k: int) -> str:
+def function_score_sql(query, k: int, rescore_expr: str | None = None) -> str:
     """FunctionScoreQuery boostByValue gate: BM25 score × ln(1+dl) in
     DOUBLE, cast once to f32 — mirrors searcher.function_score with
-    value_col = ln(1 + dl)."""
+    value_col = ln(1 + dl). ``rescore_expr`` overrides the rescoring
+    formula (DOUBLE-typed SQL over ``s.score`` = BM25 f32 score and
+    ``dd.dl`` = doc length) for the compiled-expression gate."""
     clauses = _clause_rows(query)
     scoring = [(t, b) for t, o, b in clauses if o in (ast.MUST, ast.SHOULD)]
     must = sorted({t for t, o, _ in clauses if o in (ast.MUST, ast.FILTER)})
@@ -1589,8 +1591,9 @@ summed AS (
 ),
 rescored AS (
   SELECT s.did,
-         CAST(CAST(s.score AS DOUBLE)
-              * ln(1 + CAST(dd.dl AS DOUBLE)) AS FLOAT) AS score
+         CAST({rescore_expr or
+               "CAST(s.score AS DOUBLE) * ln(1 + CAST(dd.dl AS DOUBLE))"}
+              AS FLOAT) AS score
   FROM summed s JOIN dls dd ON dd.did = s.did
 )
 """
@@ -1611,6 +1614,20 @@ FROM rescored{where}
 ORDER BY score DESC, did ASC
 LIMIT {k}
 """
+
+
+def expression_score_sql(query, k: int) -> str:
+    """Compiled-expression gate (``lucene/expressions`` JavascriptCompiler
+    analogue): rescore = ``dl > 40 ? _score * 1.5 : _score + sqrt(dl) *
+    0.25`` — ternary/comparison/arithmetic/function nodes, all DOUBLE math,
+    one final f32 cast, mirroring searcher.expression_score with the same
+    source string."""
+    return function_score_sql(query, k, rescore_expr=(
+        "CASE WHEN CAST(dd.dl AS DOUBLE) > CAST(40 AS DOUBLE) "
+        "THEN CAST(s.score AS DOUBLE) * CAST(1.5 AS DOUBLE) "
+        "ELSE CAST(s.score AS DOUBLE) "
+        "+ sqrt(CAST(dd.dl AS DOUBLE)) * CAST(0.25 AS DOUBLE) END"
+    ))
 
 
 def lm_jelinek_mercer_topk_sql(query, k: int, lam: float = 0.1) -> str:

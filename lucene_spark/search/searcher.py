@@ -1273,6 +1273,45 @@ class IndexSearcher:
         )
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    def expression_score_df(self, query, expression: str):
+        """Compiled score expression (``lucene/expressions``
+        ``JavascriptCompiler.java:138`` + ``SimpleBindings``): parse a
+        JS-subset source string, bind ``_score`` to the query's BM25 score
+        and every other variable to the same-named docs-table column, and
+        rescore the match set — new score = f32(expr evaluated in double).
+        The whole expression is ONE Catalyst Column tree (JVM-side,
+        whole-stage codegen); unbound variables raise at compile time."""
+        from pyspark.sql import functions as F
+
+        from lucene_spark.search.expressions import (
+            ExpressionError,
+            compile_expression,
+        )
+
+        compiled = compile_expression(expression)
+        joined = self.score_df(query).join(self.reader.docs(), "doc_id")
+        cols = set(joined.columns)
+        bindings = {}
+        for name in compiled.variables():
+            col = "score" if name == "_score" else name
+            if col not in cols:
+                raise ExpressionError(f"unbound variable: {name!r}")
+            bindings[name] = F.col(col)
+        ns = compiled.to_column(bindings).cast("float")
+        return joined.select("doc_id", ns.alias("score"))
+
+    def expression_score(self, query, expression: str,
+                         k: int = 10) -> list[ScoreDoc]:
+        """Top-k of :meth:`expression_score_df` with the standard
+        (score DESC, docID ASC) tie-break."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.expression_score_df(query, expression)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        )
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     # ascending sort-key prefixes of the INDEX sort (docID order is
     # row_number over (conv_id, turn_idx)) — eligible for early termination
     _INDEX_SORT_PREFIXES = (
