@@ -882,6 +882,19 @@ def _q_highlight(spark, sf_dir):
     )
 
 
+def _q_passage_highlight(spark, sf_dir):
+    """UnifiedHighlighter analogue: best PassageScorer-scored fixed-window
+    passage per matching doc (top-1 by score DESC, start ASC)."""
+    from lucene_spark.search.highlight import passage_highlight_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        passage_highlight_df(docs, ["table", "value"], passage_len=30)
+        .withColumn("score", F.col("score").cast("double"))
+        .orderBy("doc_id").limit(100)
+    )
+
+
 DL_RANGES = (("a_short", 0, 8), ("b_mid", 9, 20), ("c_long", 21, 10**9),
              ("d_overlap", 5, 15), ("e_empty", 10**8, 10**9))
 
@@ -973,8 +986,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "sort_conv_early",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk", "multi_sim_topk",
     # -- last verified r1/r2, pushed out of the r3 window (22 more)
-    "expression_score_topk",
-    "dismax_topk", "group_top1_source", "facet_lang_counts",
+    "expression_score_topk", "passage_highlight",
+    "group_top1_source", "facet_lang_counts",
     "search_after_page2", "sort_by_dl_topk", "doc_range_dl",
     "streaming_incremental", "delete_compact_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -1110,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "highlight_snippets": _q_highlight,
+        "passage_highlight": _q_passage_highlight,
         "mm_binary_stats": _q_mm_binary_stats,
     })
 
@@ -1329,5 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": po.token_counts_sql(),
         "text_fingerprint": po.fingerprints_sql(),
         "highlight_snippets": oracle.highlight_sql(["table", "value"], 4, 100),
+        "passage_highlight": oracle.passage_highlight_sql(
+            ["table", "value"], 30, 100),
         "mm_binary_stats": po.binary_stats_sql(),
     }

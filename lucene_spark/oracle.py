@@ -1703,6 +1703,74 @@ LIMIT {limit}
 """
 
 
+def passage_highlight_sql(terms, passage_len: int = 30, limit: int = 100,
+                          k1: float = 1.2, b: float = 0.75,
+                          pivot: float = 87.0) -> str:
+    """Best-passage mirror of ``highlight.passage_highlight_df``
+    (PassageScorer.java:78-136 formulas over fixed token windows): per
+    unique matching term, tf(freqInPassage, plen) × weight(dl, ttf); score
+    = norm(start) × Σ in DOUBLE, one f32 cast; top-1 passage per doc by
+    (score DESC, start ASC)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    p = float(passage_len)
+    return f"""
+WITH arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS arr
+  FROM documents
+),
+toksp AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos,
+         len(arr) AS dl
+  FROM arrs
+),
+m AS (SELECT * FROM toksp WHERE term IN ({inlist})),
+ttf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS ttf, any_value(dl) AS dl
+  FROM m GROUP BY 1, 2
+),
+freqs AS (
+  SELECT doc_id, pos // {passage_len} AS pid, term, count(*)::BIGINT AS freq
+  FROM m GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT f.doc_id, f.pid,
+         CAST(SUM(
+           (CAST(f.freq AS DOUBLE)
+            / (CAST(f.freq AS DOUBLE)
+               + {k1} * ((1 - {b})
+                         + {b} * least({p}, CAST(t.dl AS DOUBLE)
+                                            - f.pid * {p}) / {pivot})))
+           * ({k1 + 1.0} * ln(1 + (1 + CAST(t.dl AS DOUBLE) / {pivot} + 0.5)
+                                  / (CAST(t.ttf AS DOUBLE) + 0.5)))
+         ) * (1 + 1 / ln({pivot} + f.pid * {p})) AS FLOAT) AS score
+  FROM freqs f JOIN ttf t ON t.doc_id = f.doc_id AND t.term = f.term
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, pid, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, pid ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id,
+       (b.pid * {passage_len})::BIGINT AS passage_start,
+       CAST(b.score AS DOUBLE) AS score,
+       array_to_string(
+         list_transform(
+           list_slice(a.arr, b.pid * {passage_len} + 1,
+                      b.pid * {passage_len} + {passage_len}),
+           x -> CASE WHEN x IN ({inlist})
+                     THEN '<b>' || x || '</b>' ELSE x END),
+         ' ') AS snippet
+FROM best b JOIN arrs a ON a.doc_id = b.doc_id
+WHERE b.rn = 1
+ORDER BY b.doc_id
+LIMIT {limit}
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-3 similarity sweep: generic scaffold + 12 model oracles. Each mirrors
 # its engine scorer's DOUBLE math with a single FLOAT cast per clause score

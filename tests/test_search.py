@@ -580,6 +580,65 @@ def test_highlight_snippets(spark):
     assert out[3] == "i j <b>target</b> k"
 
 
+def test_passage_highlight_best_passage(spark):
+    """Passage highlighter: PassageScorer formulas over fixed token windows,
+    top-1 passage per doc by (score DESC, start ASC) — brute-force parity,
+    including a doc whose best passage is NOT the first window."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.search.highlight import passage_highlight_df
+
+    P, K1, B, PIVOT = 4, 1.2, 0.75, 87.0
+    texts = [
+        # window 1 (q q x y) should outscore window 0 (one q)
+        "q a b c q q x y",
+        "no match in this one",
+        "q r q r",          # both terms, single window
+        "z z z z z z z q",  # match in a short tail window (plen < P)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    terms = ["q", "r"]
+
+    def brute(text):
+        toks = [t for t in text.lower().split()]
+        dl = len(toks)
+        ttf = {t: toks.count(t) for t in terms}
+        best = None
+        for pid in range((dl + P - 1) // P):
+            start = pid * P
+            window = toks[start:start + P]
+            plen = len(window)
+            s = 0.0
+            for t in terms:
+                freq = window.count(t)
+                if freq == 0:
+                    continue
+                w = (K1 + 1) * math.log(
+                    1 + (1 + dl / PIVOT + 0.5) / (ttf[t] + 0.5))
+                tf = freq / (freq + K1 * ((1 - B) + B * plen / PIVOT))
+                s += tf * w
+            if s == 0.0:
+                continue
+            s = float(np.float32(s * (1 + 1 / math.log(PIVOT + start))))
+            if best is None or s > best[1]:
+                best = (start, s,
+                        " ".join(f"<b>{x}</b>" if x in terms else x
+                                 for x in window))
+        return best
+
+    got = {r["doc_id"]: (r["passage_start"], r["score"], r["snippet"])
+           for r in passage_highlight_df(docs, terms,
+                                         passage_len=P).collect()}
+    exp = {i: brute(t) for i, t in enumerate(texts) if brute(t) is not None}
+    assert got == exp
+    assert got[0][0] == 4  # second window won
+    assert 1 not in got
+
+
 def test_sloppy_pair_vectorized_parity():
     """The vectorized 2-slot sloppy kernel is bit-identical to the faithful
     per-doc heap walk (SloppyPhraseMatcher port) across randomized position
