@@ -949,6 +949,25 @@ def _q_span_unordered_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_span_first_count(spark, sf_dir):
+    """SpanFirstQuery hit count (spans/SpanFirstQuery.java:35): ordered
+    span_near(table, value, slop=3) spans ending within the first 12
+    positions."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.SpanFirstQuery(("table", "value"), end=12, slop=3))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_span_not_count(spark, sf_dir):
+    """SpanNotQuery hit count (spans/SpanNotQuery.java:38): ordered
+    span_near(table, value, slop=3) spans with no 'key' occurrence within
+    [start-1, end+1]."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.SpanNotQuery(("table", "value"), exclude="key",
+                                 pre=1, post=1, slop=3))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_knn(spark, sf_dir):
     """KNN vector query (KnnFloatVectorQuery analogue) at the recall=1
     exact config: top-10 by quantized integer dot with vec 0's embedding,
@@ -985,10 +1004,13 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "monitor_batch", "events_windowed", "events_sessions",
     "sort_conv_early",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk", "multi_sim_topk",
-    # -- last verified r1/r2, pushed out of the r3 window (22 more)
+    # -- never driver-verified round-4 additions + r1/r2-stale gates
+    # (rotation note: synonym/dismax/facet_lang_counts/doc_range_dl — all
+    # r2-green, machinery covered by stronger in-window gates — rotated out
+    # to make room; they remain in queries() past the window)
     "expression_score_topk", "passage_highlight",
-    "group_top1_source", "facet_lang_counts",
-    "search_after_page2", "sort_by_dl_topk", "doc_range_dl",
+    "group_top1_source",
+    "search_after_page2", "sort_by_dl_topk",
     "streaming_incremental", "delete_compact_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
@@ -997,6 +1019,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
+    "span_first_count", "span_not_count",
     "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
@@ -1019,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_taxonomy": _q_facet_taxonomy,
         "drill_sideways": _q_drill_sideways,
         "span_unordered_count": _q_span_unordered_count,
+        "span_first_count": _q_span_first_count,
+        "span_not_count": _q_span_not_count,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
@@ -1185,6 +1210,10 @@ def oracle_sql() -> dict[str, str]:
             _parse(Q_OR), {"lang": "en", "source": "src0"}),
         "span_unordered_count": oracle.span_near_count_sql(
             ["value", "table"], 2, in_order=False),
+        "span_first_count": oracle.span_near_count_sql(
+            ["table", "value"], 3, max_end=12),
+        "span_not_count": oracle.span_near_count_sql(
+            ["table", "value"], 3, exclude="key", pre=1, post=1),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
         "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
         "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),

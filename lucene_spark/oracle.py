@@ -2061,11 +2061,16 @@ SELECT count(*)::BIGINT AS hits FROM (
 
 
 def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
-                       boost: float = 1.0) -> str:
+                       boost: float = 1.0, max_end: int | None = None,
+                       exclude: str | None = None, pre: int = 0,
+                       post: int = 0) -> str:
     """Span-near oracle (``spans/SpanNearQuery.java:41`` match semantics,
     constant-score v1): k smallest matching docIDs. Ordered: a strictly
     increasing position per term with intervening width ≤ slop; unordered:
-    all-distinct positions with window max−min−(n−1) ≤ slop."""
+    all-distinct positions with window max−min−(n−1) ≤ slop. ``max_end``
+    adds the SpanFirstQuery end bound (span end ≤ max_end); ``exclude``
+    adds the SpanNotQuery rejection (no exclude-term position within
+    [start − pre, end + post])."""
     n = len(terms)
     joins = "".join(
         f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
@@ -2074,12 +2079,24 @@ def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
     if in_order:
         conds += [f"t{i}.pos > t{i - 1}.pos" for i in range(1, n)]
         conds.append(f"t{n - 1}.pos - t0.pos - {n - 1} <= {slop}")
+        lo_pos, hi_pos = "t0.pos", f"t{n - 1}.pos"
     else:
         for i in range(n):
             for j in range(i + 1, n):
                 conds.append(f"t{i}.pos <> t{j}.pos")
         allp = ", ".join(f"t{i}.pos" for i in range(n))
         conds.append(f"greatest({allp}) - least({allp}) - {n - 1} <= {slop}")
+        lo_pos, hi_pos = f"least({allp})", f"greatest({allp})"
+    if max_end is not None:
+        # toksp positions are 1-based, so span end() (0-based last pos + 1)
+        # equals the 1-based position itself
+        conds.append(f"{hi_pos} <= {max_end}")
+    if exclude is not None:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM toksp x WHERE x.did = t0.did"
+            f" AND x.term = '{exclude}'"
+            f" AND x.pos BETWEEN {lo_pos} - {pre} AND {hi_pos} + {post})"
+        )
     return f"""
 WITH {BASE_CTES},{_TOKSP_CTE}
 SELECT did AS doc_id, CAST({boost!r} AS DOUBLE) AS score FROM (
@@ -2092,9 +2109,14 @@ LIMIT {k}
 """
 
 
-def span_near_count_sql(terms, slop: int, in_order: bool = True) -> str:
-    """Hit-count variant of :func:`span_near_topk_sql`."""
-    inner = span_near_topk_sql(terms, slop, 10, in_order)
+def span_near_count_sql(terms, slop: int, in_order: bool = True,
+                        max_end: int | None = None,
+                        exclude: str | None = None, pre: int = 0,
+                        post: int = 0) -> str:
+    """Hit-count variant of :func:`span_near_topk_sql` (also serves the
+    SpanFirst / SpanNot count gates via the pass-through params)."""
+    inner = span_near_topk_sql(terms, slop, 10, in_order, max_end=max_end,
+                               exclude=exclude, pre=pre, post=post)
     head, _, _tail = inner.rpartition("ORDER BY did ASC")
     head = head.replace(
         "SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM (",

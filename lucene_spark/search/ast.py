@@ -131,6 +131,38 @@ class SpanNearQuery:
 
 
 @dataclass(frozen=True)
+class SpanFirstQuery:
+    """Spans ending within the first ``end`` positions
+    (``queries/spans/SpanFirstQuery.java:35``: matches sub-spans with
+    endPosition() ≤ end). The inner span is a span-near over single-term
+    sub-spans, like SpanNearQuery; constant-score like the other spans."""
+
+    terms: tuple
+    end: int
+    slop: int = 0
+    in_order: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """Include spans with no ``exclude``-term occurrence within
+    [start − pre, end + post] (``queries/spans/SpanNotQuery.java:38``).
+    The include span is a span-near over ``terms``; ``exclude`` is a single
+    term."""
+
+    terms: tuple
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    slop: int = 0
+    in_order: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class KnnQuery:
     """K-nearest-neighbor vector query
     (``core/search/KnnFloatVectorQuery.java:44``): finds the k docs whose
@@ -217,7 +249,7 @@ def normalize(q):
         if isinstance(inner, MatchNoDocsQuery):
             return inner
         return ConstantScoreQuery(inner, q.boost)
-    if isinstance(q, SpanNearQuery):
+    if isinstance(q, (SpanNearQuery, SpanFirstQuery, SpanNotQuery)):
         if not q.terms:
             return MatchNoDocsQuery()
         return q
@@ -596,8 +628,10 @@ def count_leaf_clauses(q) -> int:
         return max(1, len(inner))
     if isinstance(q, MultiPhraseQuery):
         return sum(len(s) for s in q.slots)
-    if isinstance(q, SpanNearQuery):
+    if isinstance(q, (SpanNearQuery, SpanFirstQuery)):
         return len(q.terms)
+    if isinstance(q, SpanNotQuery):
+        return len(q.terms) + 1
     return 1
 
 

@@ -899,7 +899,9 @@ def segment_multiphrase_postings(rows, slots, slop: int = 0):
     return common[mask], freqs, norms0[locs[0][mask]]
 
 
-def segment_span_near(rows, terms, slop: int, in_order: bool = True):
+def segment_span_near(rows, terms, slop: int, in_order: bool = True,
+                      max_end: int | None = None, exclude: str | None = None,
+                      pre: int = 0, post: int = 0):
     """Matching docs for a span-near query over single-term sub-spans
     (``queries/spans/SpanNearQuery.java:41`` /
     ``queries/intervals/IntervalQuery.java:59`` match semantics).
@@ -918,6 +920,17 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True):
     of the ordered kernel over all term permutations (positions are distinct
     by tokenization), supported for n ≤ 4.
 
+    ``max_end`` restricts matches to spans whose END position (exclusive,
+    last-term position + 1) is ≤ max_end — SpanFirstQuery
+    (``queries/spans/SpanFirstQuery.java:35`` matches spans ending within
+    the first ``end`` positions). ``exclude``/``pre``/``post`` implement
+    SpanNotQuery (``queries/spans/SpanNotQuery.java:38``): a match is
+    rejected when any ``exclude``-term position falls inside
+    [start − pre, last + post]. Checking only the max-start chain per end
+    is sound: a smaller start only widens the exclusion window, so if the
+    max-start span is excluded every same-end span is too, and SpanFirst's
+    end bound is start-independent.
+
     Returns the sorted array of matching docIDs (same id space as ``rows``).
     """
     n = len(terms)
@@ -927,7 +940,9 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True):
                 "unordered span_near supports up to 4 sub-spans")
         from itertools import permutations
 
-        parts = [segment_span_near(rows, list(p), slop, in_order=True)
+        parts = [segment_span_near(rows, list(p), slop, in_order=True,
+                                   max_end=max_end, exclude=exclude,
+                                   pre=pre, post=post)
                  for p in permutations(terms)]
         return np.unique(np.concatenate(parts)) if parts else np.zeros(
             0, np.int64)
@@ -953,4 +968,20 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True):
         return np.zeros(0, np.int64)
     width = (ends % _POS_M) - (G % _POS_M) - (n - 1)
     ok &= width <= slop
+    if max_end is not None:
+        ok &= (ends % _POS_M) + 1 <= max_end
+    if exclude is not None and ok.any():
+        ex = _structs_for_terms(rows, [exclude])
+        if ex is not None:
+            docs_e, tfs_e, _nm, flat_e, _offs = ex[0]
+            ex_keys = (np.repeat(docs_e, tfs_e.astype(np.int64)) * _POS_M
+                       + flat_e.astype(np.int64))
+            d = ends // _POS_M
+            lo = d * _POS_M + np.maximum(
+                (G % _POS_M) - pre, np.int64(0))
+            hi = d * _POS_M + np.minimum(
+                (ends % _POS_M) + post, _POS_M - 1)
+            cnt = (np.searchsorted(ex_keys, hi, side="right")
+                   - np.searchsorted(ex_keys, lo, side="left"))
+            ok &= cnt == 0
     return np.unique(ends[ok] // _POS_M)

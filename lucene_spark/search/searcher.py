@@ -279,9 +279,10 @@ class IndexSearcher:
             )
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
-        if isinstance(query, ast.SpanNearQuery):
-            # constant-score span-near: k smallest matching docIDs (ties →
-            # docID asc), match set distributed per segment
+        if isinstance(query, (ast.SpanNearQuery, ast.SpanFirstQuery,
+                              ast.SpanNotQuery)):
+            # constant-score span queries: k smallest matching docIDs (ties
+            # → docID asc), match set distributed per segment
             df = self._span_match_df(query)
             if df is None:
                 return []
@@ -796,19 +797,25 @@ class IndexSearcher:
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
 
-    def _span_match_df(self, q: ast.SpanNearQuery):
-        """(doc_id) DataFrame of span-near matches — per-segment kernel
-        fan-out (``phrase.segment_span_near``), None when a term is absent
+    def _span_match_df(self, q):
+        """(doc_id) DataFrame of span matches (SpanNear / SpanFirst /
+        SpanNot) — per-segment kernel fan-out
+        (``phrase.segment_span_near``), None when a required term is absent
         from the corpus (a required sub-span can never match)."""
         from lucene_spark.search.phrase import segment_span_near
 
         terms = list(q.terms)
+        max_end = int(q.end) if isinstance(q, ast.SpanFirstQuery) else None
+        exclude = q.exclude if isinstance(q, ast.SpanNotQuery) else None
+        pre = int(q.pre) if exclude is not None else 0
+        post = int(q.post) if exclude is not None else 0
         stats = self.reader.term_stats(terms, field=q.field)
         if any(stats.get(t, {}).get("df", 0) == 0 for t in terms):
             return None
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
-        postings = self.reader.postings(sorted(set(terms)), field=q.field)
+        fetch = sorted(set(terms) | ({exclude} if exclude else set()))
+        postings = self.reader.postings(fetch, field=q.field)
         cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
                 "norms", "positions", "doc_offset"]
         dload = self.reader.deleted_loader()
@@ -819,7 +826,9 @@ class IndexSearcher:
             off = np.int64(rows["doc_offset"][0])
             rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
             rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
-            d = segment_span_near(rows, terms, slop, in_order)
+            d = segment_span_near(rows, terms, slop, in_order,
+                                  max_end=max_end, exclude=exclude,
+                                  pre=pre, post=post)
             if d.size and dload:
                 d = d[~np.isin(d, dload(pdf["seg"].iloc[0]) + off)]
             return pd.DataFrame({"doc_id": d})
@@ -891,7 +900,8 @@ class IndexSearcher:
             )
         if isinstance(query, ast.ConstantScoreQuery):
             return int(self.match_df(query.query).count())
-        if isinstance(query, ast.SpanNearQuery):
+        if isinstance(query, (ast.SpanNearQuery, ast.SpanFirstQuery,
+                              ast.SpanNotQuery)):
             df = self._span_match_df(query)
             return 0 if df is None else int(df.count())
         if isinstance(query, ast.PhraseQuery):

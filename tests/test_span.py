@@ -102,6 +102,67 @@ def test_span_near_absent_term(searcher):
     assert searcher.count(q) == 0
 
 
+def brute_span_spans(golden, terms, slop, d):
+    """All (start, end_pos) of ordered chains in doc d with width ≤ slop."""
+    from itertools import product
+
+    n = len(terms)
+    maps = [golden.positions.get(t, {}) for t in terms]
+    if any(d not in m for m in maps):
+        return []
+    out = []
+    for combo in product(*[sorted(m[d]) for m in maps]):
+        if all(combo[j] > combo[j - 1] for j in range(1, n)) and \
+                combo[-1] - combo[0] - (n - 1) <= slop:
+            out.append((combo[0], combo[-1]))
+    return out
+
+
+@pytest.mark.parametrize("end", [3, 8, 15, 40])
+def test_span_first(searcher, golden, end):
+    """SpanFirstQuery: docs with an ordered chain whose end position + 1
+    ≤ end — brute enumeration of every chain."""
+    terms = (VOCAB[0], VOCAB[3])
+    q = ast.SpanFirstQuery(terms, end=end, slop=4)
+    exp = [
+        d for d in brute_span_docs(golden, terms, 4, True)
+        if any(e + 1 <= end for _s, e in
+               brute_span_spans(golden, terms, 4, d))
+    ]
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp, end
+    assert searcher.count(q) == len(exp)
+
+
+@pytest.mark.parametrize("pre,post", [(0, 0), (1, 1), (3, 0), (0, 5)])
+def test_span_not(searcher, golden, pre, post):
+    """SpanNotQuery: docs with an ordered chain no exclude-term position
+    inside [start − pre, end + post] — brute enumeration."""
+    terms = (VOCAB[0], VOCAB[3])
+    exc = VOCAB[5]
+    q = ast.SpanNotQuery(terms, exclude=exc, pre=pre, post=post, slop=4)
+    exc_pos = golden.positions.get(exc, {})
+    exp = []
+    for d in brute_span_docs(golden, terms, 4, True):
+        eps = set(exc_pos.get(d, []))
+        if any(not any(s - pre <= qp <= e + post for qp in eps)
+               for s, e in brute_span_spans(golden, terms, 4, d)):
+            exp.append(d)
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp, (pre, post)
+    assert searcher.count(q) == len(exp)
+
+
+def test_span_not_absent_exclude(searcher, golden):
+    """Exclude term absent from the corpus → behaves as plain span_near."""
+    terms = (VOCAB[0], VOCAB[3])
+    a = [h.doc_id for h in searcher.search(
+        ast.SpanNotQuery(terms, exclude="zzznotaterm", slop=4), k=10_000)]
+    b = [h.doc_id for h in searcher.search(
+        ast.SpanNearQuery(terms, slop=4), k=10_000)]
+    assert a == b
+
+
 def test_span_near_constant_score(searcher):
     q = ast.SpanNearQuery((VOCAB[0], VOCAB[3]), slop=4, boost=2.5)
     hits = searcher.search(q, 5)
