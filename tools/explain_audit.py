@@ -102,6 +102,31 @@ def main(sf_dir: str):
                      "In(term,...) = union of all batched queries' terms)",
                      capture(srch._postings_for_specs(mspecs))))
 
+    # round-4 operators: all three must stay pure-JVM codegen plans
+    from lucene_spark.search.expressions import compile_expression
+    from lucene_spark.search.highlight import passage_highlight_df
+    from lucene_spark.streaming.events import windowed_event_counts
+
+    sections.append(("passage highlighter (expect early term Filter before "
+                     "the aggs, two-stage HashAggregate, window top-1, "
+                     "NO Python)",
+                     capture(passage_highlight_df(
+                         docs, ["table", "value"], passage_len=30))))
+
+    expr_col = compile_expression(
+        "dl > 40 ? ln(1 + dl) * 1.5 : sqrt(dl) + 0.25"
+    ).to_column({"dl": F.length("text")})
+    sections.append(("compiled score expression over a docs scan (expect "
+                     "the whole CASE/ln/sqrt tree inside one "
+                     "WholeStageCodegen Project, NO Python)",
+                     capture(docs.select(expr_col.alias("v")))))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sections.append(("events tumbling-window agg (expect two-stage "
+                     "HashAggregate keyed on window — the same plan runs "
+                     "stateful on a stream)",
+                     capture(windowed_event_counts(ev))))
+
     import re
 
     checks = []
@@ -131,6 +156,16 @@ def main(sf_dir: str):
     checks.append(("msearch single scan pushes the term UNION",
                    bool(re.search(r"In\(`?term`?,[^\]]*spark", sections[6][1]))
                    and "customer" in sections[6][1]))
+    checks.append(("passage highlighter stays JVM (no Python eval)",
+                   "Python" not in sections[7][1]
+                   and "partial_" in sections[7][1]))
+    checks.append(("compiled expression is one codegen Project (no Python)",
+                   "Python" not in sections[8][1]
+                   and "codegen id" in sections[8][1]
+                   and "CASE WHEN" in sections[8][1]))
+    checks.append(("events window agg is two-stage JVM HashAggregate",
+                   "Python" not in sections[9][1]
+                   and "partial_" in sections[9][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
