@@ -701,7 +701,9 @@ def _q_monitor_batch(spark, sf_dir):
     w = Window.orderBy(F.format_string("c%010d", F.col("doc_id")))
     batch = docs.select(
         (F.row_number().over(w) - 1).cast("long").alias("doc_id"), "text")
-    mon = StreamingMonitor(spark)
+    # analyzer='simple' for oracle parity: percolate_sql tokenizes with the
+    # [a-z0-9]+ SimpleAnalyzer contract, same as the percolate gate's index
+    mon = StreamingMonitor(spark, analyzer="simple")
     mon.register("q_term", "spark")
     mon.register("q_and", Q_AND)
     mon.register("q_phrase", ast.PhraseQuery(PHRASE_TERMS))

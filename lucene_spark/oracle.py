@@ -402,10 +402,17 @@ summed AS (
         # count (the kernel's scnt sums per-clause), hence a clause-list
         # VALUES join, not a distinct-term count
         svals = ",".join(f"('{t}')" for t, o, _ in clauses if o == ast.SHOULD)
-        conds.append(
-            f"(SELECT count(*) FROM (VALUES {svals}) sq(term) "
-            f"JOIN tf s ON s.term = sq.term AND s.did = summed.did) >= {msm}"
-        )
+        if svals:
+            conds.append(
+                f"(SELECT count(*) FROM (VALUES {svals}) sq(term) "
+                f"JOIN tf s ON s.term = sq.term AND s.did = summed.did) "
+                f">= {msm}"
+            )
+        else:
+            # msm > 1 with zero SHOULD clauses can never be satisfied
+            # (matches the kernel returning empty); empty VALUES would be a
+            # syntax error
+            conds.append("FALSE")
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH {base_cte or base_ctes(doc_where)},{clause_cte}

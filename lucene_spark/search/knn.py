@@ -74,7 +74,10 @@ def knn_topk_df(vectors: DataFrame, query_vec, k: int,
     qq = quantize_query(query_vec)
     if strategy == "lsh":
         # clamp to the query's dimensionality (ANSI element_at past the
-        # array end throws; partial trailing bands add no selectivity)
+        # array end throws; partial trailing bands add no selectivity) —
+        # for dims below band_bits shrink the band itself, so band 1 never
+        # indexes past the array end
+        band_bits = min(band_bits, len(qq))
         bands = max(1, min(bands, len(qq) // band_bits))
         keys = query_band_keys(qq, bands, band_bits)
         cond = None

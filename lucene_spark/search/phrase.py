@@ -952,6 +952,12 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
         return np.zeros(0, np.int64)
     keys = []
     for docs, tfs, _nm, flat, _offs in per_term:
+        # keys are docID * 2^34 + pos: callers must pass SEGMENT-LOCAL
+        # docIDs (searcher offsets the result) — global IDs past 2^29
+        # would overflow int64
+        if docs.size and int(docs[-1]) >= (1 << 29):
+            raise ValueError(
+                "segment_span_near requires segment-local docIDs < 2^29")
         doc_rep = np.repeat(docs, tfs.astype(np.int64))
         keys.append(doc_rep * _POS_M + flat.astype(np.int64))
     G = keys[0].copy()  # best chain-start key per term-0 position: itself

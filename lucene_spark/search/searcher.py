@@ -665,7 +665,9 @@ class IndexSearcher:
         clauses, cache, msm, field_terms, need_positions = mc
         if need_positions and not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
-        postings = self.reader.postings_multi(field_terms)
+        have_terms = any(ts for ts in field_terms.values())
+        postings = (self.reader.postings_multi(field_terms)
+                    if have_terms else None)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "positions", "doc_offset"]
         sep = self.FIELD_SEP
@@ -674,6 +676,44 @@ class IndexSearcher:
         # segments — each task keeps only its own range so the driver merge
         # never sees the same doc from two segments
         seg_hi = self._segment_doc_bounds() if _has_docset(clauses) else None
+
+        # Segments holding docset docs but NONE of the query's terms get no
+        # postings task — their docset-only matches (the KNN hit in a
+        # segment where no other clause occurs) are evaluated right here on
+        # the driver with the SAME kernel over empty postings, then unioned
+        # in. Docset clauses are driver-resident and k-bounded, and the
+        # coverage probe is one seg-column scan behind the In(term, …)
+        # pushdown, so this stays O(k + segments) on the driver.
+        complement = None
+        if seg_hi is not None:
+            from lucene_spark.search.phrase import segment_boolean_mixed
+
+            covered = (
+                {int(r["seg"]) for r in
+                 postings.select("seg").distinct().collect()}
+                if postings is not None else set()
+            )
+            empty_rows = {c: np.zeros(0, dtype=object) for c in cols}
+            comp_d, comp_s = [], []
+            for s0 in sorted(set(seg_hi) - covered):
+                lo, hi = seg_hi[s0]
+                cl = _slice_docsets(clauses, lo, hi)
+                dele = dload(s0) + lo if dload else None
+                d, s = segment_boolean_mixed(
+                    empty_rows, cl, cache, None if count_only else k, msm,
+                    deleted=dele,
+                )
+                comp_d.append(d), comp_s.append(s)
+            if comp_d:
+                d = np.concatenate(comp_d)
+                s = np.concatenate(comp_s)
+                if count_only:
+                    complement = [(int(d.size),)] if d.size else None
+                elif d.size:
+                    complement = [(int(x), float(y)) for x, y in zip(d, s)]
+        if postings is None:
+            schema = "n long" if count_only else "doc_id long, score float"
+            return self.spark.createDataFrame(complement or [], schema)
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -694,11 +734,14 @@ class IndexSearcher:
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
         schema = "n long" if count_only else "doc_id long, score float"
-        return (
+        df = (
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, schema)
         )
+        if complement:
+            df = df.unionByName(self.spark.createDataFrame(complement, schema))
+        return df
 
     def _search_boolean_mixed(self, q: ast.BooleanQuery, k: int) -> list[ScoreDoc]:
         """Boolean queries whose clauses mix terms with phrases and/or
@@ -824,11 +867,14 @@ class IndexSearcher:
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
             off = np.int64(rows["doc_offset"][0])
-            rows["first_doc"] = rows["first_doc"].astype(np.int64) + off
-            rows["last_doc"] = rows["last_doc"].astype(np.int64) + off
+            # the kernel keys by docID * 2^34 — feed SEGMENT-LOCAL docIDs
+            # (bounded by segment size, never 2^29+) and offset the result,
+            # so global docIDs past 537M can't overflow the int64 keys
+            rows["first_doc"] = rows["first_doc"].astype(np.int64)
+            rows["last_doc"] = rows["last_doc"].astype(np.int64)
             d = segment_span_near(rows, terms, slop, in_order,
                                   max_end=max_end, exclude=exclude,
-                                  pre=pre, post=post)
+                                  pre=pre, post=post) + off
             if d.size and dload:
                 d = d[~np.isin(d, dload(pdf["seg"].iloc[0]) + off)]
             return pd.DataFrame({"doc_id": d})
@@ -904,6 +950,11 @@ class IndexSearcher:
                               ast.SpanNotQuery)):
             df = self._span_match_df(query)
             return 0 if df is None else int(df.count())
+        if isinstance(query, ast.KnnQuery):
+            # standalone KNN (also: a single-MUST boolean normalize
+            # collapses to): hit count = size of the k-bounded rewrite set
+            return len(self.knn_search(query.vector, query.k, query.filter,
+                                       query.strategy))
         if isinstance(query, ast.PhraseQuery):
             return self._phrase_count(query)
         if isinstance(query, ast.MultiPhraseQuery):
@@ -985,10 +1036,14 @@ class IndexSearcher:
         of the query's match set over a numeric doc-values column.
 
         ``bounds``: [(label, lo, hi)] inclusive ranges (may overlap, like
-        LongRange). Plan shape: distributed match set → broadcast theta-join
-        against the tiny ranges table → groupBy(label) count; empty ranges
-        report 0 (LEFT join from the ranges side). One aggregation, no
-        driver-side doc list.
+        LongRange). Plan shape: distributed match set → INNER theta-join
+        with the tiny ranges table BROADCAST on the build (right) side →
+        groupBy(label) count; empty ranges are then restored by an
+        equi-left-join FROM the ranges table onto the (≤ len(bounds)-row)
+        count table. A left-outer theta-join with the ranges table on the
+        preserved side would force Spark to broadcast the unbounded match
+        side instead — the inner+backfill shape keeps the broadcast on the
+        small table at any match-set size.
         """
         from pyspark.sql import functions as F
 
@@ -1002,12 +1057,16 @@ class IndexSearcher:
             [(str(lb), int(lo), int(hi)) for lb, lo, hi in bounds],
             "range string, lo long, hi long",
         )
-        joined = F.broadcast(rdf).join(
-            j, (j["_fv"] >= rdf["lo"]) & (j["_fv"] <= rdf["hi"]), "left"
+        counts = (
+            j.join(F.broadcast(rdf),
+                   (j["_fv"] >= rdf["lo"]) & (j["_fv"] <= rdf["hi"]))
+            .groupBy("range")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
         return (
-            joined.groupBy("range")
-            .agg(F.count(j["doc_id"]).alias("n"))
+            rdf.select("range")
+            .join(F.broadcast(counts), "range", "left")
+            .select("range", F.coalesce("n", F.lit(0)).alias("n"))
             .orderBy("range")
         )
 

@@ -92,8 +92,10 @@ class StreamingMonitor:
         toks = self._tokens_df(docs_df, id_col, text_col)
 
         # flat term/AND specs resolve in ONE join + distinct-count
+        # need counts DISTINCT terms (a duplicated MUST term like
+        # "+foo +foo" still needs only one distinct match)
         flat_rows = [
-            (qid, t, len(terms))
+            (qid, t, len(set(terms)))
             for qid, (kind, terms) in sorted(self._specs.items())
             if kind in ("term", "and") for t in set(terms)
         ]

@@ -140,3 +140,73 @@ def test_knn_standalone_query_node(knn_searcher, vectors_np):
            for d, dot in brute_topk(vectors_np, qvec, 9)]
     exp.sort(key=lambda p: (-np.float64(p[1]), p[0]))
     assert [(h.doc_id, h.score) for h in hits] == exp
+
+
+def test_knn_boolean_hits_in_termless_segments(spark, tmp_path, vectors_np):
+    """A KNN SHOULD/MUST clause must surface hits living in segments that
+    contain NONE of the boolean's terms (those segments get no postings
+    task — the docset complement path must cover them), and a boolean whose
+    clauses are ALL KnnQuery must run at all."""
+    import pandas as pd
+
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.knn import knn_similarity_f32
+
+    # 40 conversations of 1 turn each; the term 'zzrare' occurs ONLY in the
+    # first 4 docs, which land in segment 0 of 4 — segments 1-3 are
+    # termless for this query
+    n = 40
+    pdf = pd.DataFrame({
+        "conv_id": [f"conv{i:08d}" for i in range(n)],
+        "turn_idx": [0] * n,
+        "role": ["user"] * n,
+        "text": [("zzrare filler words here" if i < 4
+                  else "filler words here") for i in range(n)],
+        "tool": [""] * n,
+        "ts": pd.Timestamp("2024-01-01"),
+    })
+    d = str(tmp_path / "knn_seg_idx")
+    IndexBuilder(spark, d, num_segments=4).build(spark.createDataFrame(pdf))
+    s = IndexSearcher(spark, d)
+    rows = [(i, [float(x) for x in vectors_np[i]]) for i in range(n)]
+    s.set_vectors(spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>"))
+
+    qvec = vectors_np[30].tolist()  # nearest doc (itself) is in segment 3
+    kq = ast.KnnQuery(tuple(qvec), k=10)
+    knn_pairs = brute_topk(vectors_np[:n], qvec, 10)
+    assert any(dd >= 10 for dd, _ in knn_pairs)  # hits beyond segment 0
+
+    q = ast.BooleanQuery(((ast.SHOULD, ast.TermQuery("zzrare")),
+                          (ast.SHOULD, kq)))
+    got = {h.doc_id: h.score for h in s.search(q, k=n)}
+    for dd, dot in knn_pairs:
+        assert dd in got, f"knn hit {dd} dropped (termless segment)"
+    # docs 0-3 match via the term; knn-only docs score exactly the knn sim
+    for dd, dot in knn_pairs:
+        if dd >= 4:
+            assert got[dd] == float(knn_similarity_f32(dot))
+    assert s.count(q) == len(set(range(4)) | {dd for dd, _ in knn_pairs})
+
+    # all-docset boolean: no terms at all
+    q2 = ast.BooleanQuery(((ast.MUST, kq),))
+    got2 = [(h.doc_id, h.score) for h in s.search(q2, k=n)]
+    exp2 = sorted(
+        ((dd, float(F32(knn_similarity_f32(dot)))) for dd, dot in knn_pairs),
+        key=lambda p: (-np.float64(p[1]), p[0]),
+    )
+    assert got2 == exp2
+    assert s.count(q2) == len(knn_pairs)
+
+
+def test_knn_lsh_small_dim(spark):
+    """LSH strategy with vector dim < band_bits must not index past the
+    array end (ANSI element_at throws) — the band shrinks to the dim."""
+    from lucene_spark.search.knn import knn_topk_df
+
+    rng = np.random.RandomState(3)
+    v = rng.uniform(-0.5, 0.5, size=(30, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    out = knn_topk_df(df, v[4].tolist(), 5, strategy="lsh").collect()
+    assert out and out[0]["doc_id"] == 4  # self is its own nearest bucket

@@ -168,3 +168,42 @@ def test_span_near_constant_score(searcher):
     hits = searcher.search(q, 5)
     assert hits and all(h.score == float(np.float32(2.5)) for h in hits)
     assert [h.doc_id for h in hits] == sorted(h.doc_id for h in hits)
+
+
+def test_span_kernel_rejects_global_docids():
+    """The chain-DP kernel keys by docID * 2^34 — global docIDs past 2^29
+    would overflow int64, so callers must pass segment-local IDs and the
+    kernel enforces the bound."""
+    from lucene_spark.search.phrase import (
+        _term_postings_with_positions,
+        segment_span_near,
+    )
+
+    # craft a single-term segment whose first_doc is already past 2^29
+    import numpy as np
+
+    def varint(vals):
+        out = bytearray()
+        for v in vals:
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+
+    rows = {
+        "term": np.array(["t"], dtype=object),
+        "first_doc": np.array([1 << 29], dtype=np.int64),
+        "last_doc": np.array([1 << 29], dtype=np.int64),
+        "count": np.array([1], dtype=np.int64),
+        "doc_gaps": np.array([varint([0])], dtype=object),
+        "tfs": np.array([varint([1])], dtype=object),
+        "norms": np.array([bytes([24])], dtype=object),
+        "positions": np.array([varint([0])], dtype=object),
+    }
+    with pytest.raises(ValueError, match="segment-local"):
+        segment_span_near(rows, ["t"], slop=0)

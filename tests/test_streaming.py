@@ -259,6 +259,7 @@ def test_streaming_monitor_percolates_stream(spark, corpus, tmp_path):
     mon = StreamingMonitor(spark)
     mon.register("q_term", VOCAB[0])
     mon.register("q_and", f"+{VOCAB[1]} +{VOCAB[3]}")
+    mon.register("q_dup", f"+{VOCAB[1]} +{VOCAB[1]}")  # duplicated MUST term
     mon.register("q_phrase", '"casige baca"')
     with pytest.raises(NotImplementedError):
         mon.register("q_bad", f"{VOCAB[0]} {VOCAB[1]}")  # pure SHOULD
@@ -282,6 +283,8 @@ def test_streaming_monitor_percolates_stream(spark, corpus, tmp_path):
             exp.add(("q_term", r["doc_id"]))
         if VOCAB[1] in toks and VOCAB[3] in toks:
             exp.add(("q_and", r["doc_id"]))
+        if VOCAB[1] in toks:  # "+t +t" needs one distinct match, not two
+            exp.add(("q_dup", r["doc_id"]))
         if any(a == "casige" and b == "baca"
                for a, b in zip(toks, toks[1:])):
             exp.add(("q_phrase", r["doc_id"]))
