@@ -976,8 +976,6 @@ def _q_knn(spark, sf_dir):
     over the embeddings table attached as the searcher's vector doc-values.
     One pushdown-pruned scan, JVM-side dot (aggregate∘zip_with), no shuffle;
     hash-exact vs the DuckDB brute oracle."""
-    from lucene_spark.search.searcher import IndexSearcher
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     s = _searcher(spark, sf_dir)
     s.set_vectors(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))

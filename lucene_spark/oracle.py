@@ -457,10 +457,13 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
                     "nested oracle supports term leaves only")
 
     collect(q)
+    # no scoring leaves (FILTER/MUST_NOT-only trees): an empty VALUES list
+    # is a syntax error — emit one never-matching dummy row instead (cid -1
+    # is never referenced by any node)
     qvals = ",".join(
         f"({i}, '{t}', CAST({b!r} AS FLOAT))"
         for i, (t, b) in enumerate(leaves)
-    )
+    ) or "(-1, '', CAST(0.0 AS FLOAT))"
 
     counter = iter(range(len(leaves))) if leaves else iter(())
 

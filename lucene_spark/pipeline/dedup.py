@@ -360,6 +360,7 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    changed = -1
     for _ in range(max_rounds):
         nbr = (
             edges.join(
@@ -381,6 +382,14 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning a split component would KEEP duplicates
+        # downstream — a component whose diameter exceeds max_rounds must
+        # be surfaced, not papered over
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — raise max_rounds (a "
+            f"component's diameter exceeds it)")
     return labels
 
 

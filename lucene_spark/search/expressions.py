@@ -22,7 +22,14 @@ Semantics parity with the reference compiler:
 - the full DEFAULT_FUNCTIONS table is supported (abs … tanh, atan2, pow,
   min, max, logn(base, x) = ln(x)/ln(base), haversin/haversinMeters); the
   reference's haversin uses SloppyMath's table-driven trig — we use exact
-  trig, a documented sub-ulp-level deviation.
+  trig, a documented sub-ulp-level deviation;
+- Java's IEEE edge semantics are reproduced with CASE shims where Spark
+  differs (ANSI mode throws on /0 and %0; ln/log10 of non-positive return
+  NULL; least() drops NaN; comparisons treat NaN as largest/equal): x/0 →
+  ±Infinity/NaN, x%0 → NaN, ln(0) → -Infinity, ln(neg) → NaN, min(NaN, x)
+  → NaN, NaN comparisons → false (!= → true). Known deviation: a
+  negative-zero divisor yields +Infinity (Java: -Infinity) — SQL equality
+  can't see the sign of -0.0.
 """
 
 from __future__ import annotations
@@ -211,13 +218,64 @@ class _Parser:
 
 _D = "double"
 
+# ---- Java double-semantics shims -----------------------------------------
+# Spark diverges from java.lang.Math in ways that matter under ANSI mode
+# (the session default here): double division/remainder by zero THROWS
+# (Java: ±Infinity / NaN), ln/log10 of non-positive returns NULL (Java:
+# -Infinity at 0, NaN below), least() returns the non-NaN operand (Java
+# Math.min propagates NaN), and comparisons treat NaN as largest-and-equal
+# (Java: every NaN comparison is false, != is true). Each shim emits a CASE
+# tree so the whole expression still compiles to one codegen Project.
+# Known remaining deviation: a NEGATIVE-ZERO divisor yields +Infinity here
+# (Java: -Infinity) — SQL comparison can't see the sign of -0.0.
+
+
+def _nan():
+    return F.lit(float("nan"))
+
+
+def _java_div(a, b):
+    inf = F.lit(float("inf"))
+    zero_case = (
+        F.when(a.isNull(), F.lit(None).cast(_D))
+        .when(F.isnan(a) | (a == 0.0), _nan())
+        .when(a > 0.0, inf)
+        .otherwise(-inf)
+    )
+    return F.when(b == 0.0, zero_case).otherwise(a / b)
+
+
+def _java_mod(a, b):
+    zero_case = F.when(a.isNull(), F.lit(None).cast(_D)).otherwise(_nan())
+    return F.when(b == 0.0, zero_case).otherwise(a % b)
+
 
 def _ln(c):
-    return F.log(c)
+    # Math.log: 0 → -Inf, negative → NaN (Spark log returns NULL for both)
+    return (
+        F.when(c.isNull(), F.lit(None).cast(_D))
+        .when(c == 0.0, F.lit(float("-inf")))
+        .when(c < 0.0, _nan())
+        .otherwise(F.log(c))
+    )
+
+
+def _log10(c):
+    return (
+        F.when(c.isNull(), F.lit(None).cast(_D))
+        .when(c == 0.0, F.lit(float("-inf")))
+        .when(c < 0.0, _nan())
+        .otherwise(F.log10(c))
+    )
 
 
 def _logn(base, x):
-    return F.log(x) / F.log(base)  # MathUtil.log(base, x)
+    return _java_div(_ln(x), _ln(base))  # MathUtil.log(base, x)
+
+
+def _java_min(a, b):
+    # Math.min propagates NaN; Spark least() drops it (NaN sorts largest)
+    return F.when(F.isnan(a) | F.isnan(b), _nan()).otherwise(F.least(a, b))
 
 
 _EARTH_MEAN_RADIUS_M = 6_371_008.7714  # SloppyMath.TO_METERS basis
@@ -255,10 +313,10 @@ _FUNCTIONS = {
     "haversin": (4, lambda *a: _haversin_m(*a) / F.lit(1000.0)),
     "haversinMeters": (4, _haversin_m),
     "ln": (1, _ln),
-    "log10": (1, F.log10),
+    "log10": (1, _log10),
     "logn": (2, _logn),
-    "max": (2, F.greatest),
-    "min": (2, F.least),
+    "max": (2, F.greatest),  # Spark greatest: NaN sorts largest, like Math.max
+    "min": (2, _java_min),
     "pow": (2, F.pow),
     "sin": (1, F.sin),
     "sinh": (1, F.sinh),
@@ -321,14 +379,18 @@ def _emit(node, bindings) -> Column:
     if op == "*":
         return a * b
     if op == "/":
-        return a / b
+        return _java_div(a, b)
     if op == "%":
-        return a % b
+        return _java_mod(a, b)
     if op in ("<", "<=", ">", ">=", "==", "!="):
-        return _num({
+        raw = {
             "<": a < b, "<=": a <= b, ">": a > b,
             ">=": a >= b, "==": a == b, "!=": a != b,
-        }[op])
+        }[op]
+        # Java: every comparison with a NaN operand is false, except !=
+        # which is true (Spark: NaN compares largest and NaN == NaN)
+        either_nan = F.isnan(a) | F.isnan(b)
+        return _num(F.when(either_nan, F.lit(op == "!=")).otherwise(raw))
     if op == "&&":
         return _num(_bool(a) & _bool(b))
     if op == "||":

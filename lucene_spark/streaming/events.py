@@ -69,12 +69,15 @@ def session_event_stats(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def running_max_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+def running_max_stream(events: DataFrame) -> DataFrame:
     """Per-user running maximum of ``value`` — the ``applyInPandasWithState``
     custom-stateful-operator surface (for semantics the built-in windowed
     aggregations can't express): each micro-batch emits one row per updated
     user with the new running max carried in GroupState across batches.
-    Batch equivalent: ``groupBy(user_id).agg(max(value))``."""
+    Batch equivalent: ``groupBy(user_id).agg(max(value))``. State is kept
+    forever (NoTimeout) — a running max is well-defined for the stream's
+    whole lifetime; wire ProcessingTimeTimeout here if per-user state must
+    expire on bounded-memory deployments."""
     from pyspark.sql.streaming.state import (
         GroupState,
         GroupStateTimeout,

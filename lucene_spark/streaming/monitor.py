@@ -130,26 +130,39 @@ class StreamingMonitor:
 
     # -- streaming attachment -------------------------------------------------
     def open_stream(self, stream_df, out_dir: str, checkpoint_dir: str,
-                    id_col: str = "doc_id", text_col: str = "text"):
+                    id_col: str = "doc_id", text_col: str = "text",
+                    available_now: bool = True,
+                    processing_time: str | None = None):
         """Attach to a streaming DataFrame: every micro-batch's matches are
         written to ``out_dir/epoch=N`` (atomic per-epoch overwrite → replays
-        after failure are idempotent). Returns the StreamingQuery."""
+        after failure are idempotent). The staging directory lives BESIDE
+        ``out_dir`` (same filesystem, so os.replace stays atomic) — a crash
+        mid-write can never leave a half-written ``epoch=N.tmp`` partition
+        where ``matches()`` would discover it. Default trigger drains the
+        currently-available data and stops (availableNow); pass
+        ``processing_time='5 seconds'`` (or ``available_now=False`` for
+        continuous micro-batches) to keep monitoring a live stream.
+        Returns the StreamingQuery."""
         def sink(batch_df, epoch_id: int):
             out = self.match_batch(batch_df, id_col, text_col)
             tgt = os.path.join(out_dir, f"epoch={int(epoch_id)}")
-            tmp = tgt + ".tmp"
+            tmp = out_dir.rstrip("/") + f".tmp-epoch-{int(epoch_id)}"
             shutil.rmtree(tmp, ignore_errors=True)
             out.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(tgt, ignore_errors=True)
+            os.makedirs(out_dir, exist_ok=True)
             os.replace(tmp, tgt)
 
-        return (
+        w = (
             stream_df.writeStream
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if processing_time is not None:
+            w = w.trigger(processingTime=processing_time)
+        elif available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
 
     def matches(self, out_dir: str):
         """Read back all epochs' matches as one DataFrame."""

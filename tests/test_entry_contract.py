@@ -4,9 +4,10 @@ The driver verifies only ``queries()[:GATE_WINDOW]``; these tests pin the
 window ordering so no gate silently falls out of verification again.
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
 

@@ -80,6 +80,49 @@ def test_expression_semantics(spark):
             src, row[f"e{i}"], exp)
 
 
+INF = float("inf")
+NAN = float("nan")
+
+JAVA_EDGE_CASES = [
+    # Java IEEE semantics the shims must reproduce under Spark ANSI mode
+    ("1 / 0", INF),
+    ("-1 / 0", -INF),
+    ("0 / 0", NAN),
+    ("x / (x - x)", INF),          # 7.25 / 0.0
+    ("5 % 0", NAN),
+    ("ln(0)", -INF),
+    ("ln(-1)", NAN),
+    ("log10(0)", -INF),
+    ("logn(1, 2)", INF),           # ln(2)/ln(1) = ln2/0
+    ("min(sqrt(-1), 5)", NAN),     # Math.min propagates NaN
+    ("max(sqrt(-1), 5)", NAN),     # Math.max propagates NaN
+    ("sqrt(-4) > 0 ? 10 : 20", 20.0),   # Java: NaN > 0 is false
+    ("sqrt(-4) == sqrt(-4)", 0.0),      # Java: NaN == NaN is false
+    ("sqrt(-4) != 1", 1.0),             # Java: NaN != x is true
+    ("sqrt(-4) <= 1", 0.0),
+]
+
+
+def test_java_edge_semantics(spark):
+    """ANSI-mode Spark throws on /0, NULLs ln(0), drops NaN in least() and
+    compares NaN as largest — the compiled expressions must reproduce
+    java.lang.Math instead."""
+    df = spark.createDataFrame([(X, Y)], "x double, y double")
+    cols = [
+        compile_expression(src).to_column(
+            {"x": F.col("x"), "y": F.col("y")}
+        ).alias(f"e{i}")
+        for i, (src, _) in enumerate(JAVA_EDGE_CASES)
+    ]
+    row = df.select(*cols).collect()[0]
+    for i, (src, exp) in enumerate(JAVA_EDGE_CASES):
+        got = row[f"e{i}"]
+        if math.isnan(exp):
+            assert math.isnan(got), (src, got)
+        else:
+            assert got == exp, (src, got, exp)
+
+
 def test_haversin(spark):
     # Paris → London great-circle ≈ 344 km (mean-radius formula)
     df = spark.createDataFrame([(1.0,)], "one double")
