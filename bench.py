@@ -138,6 +138,25 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
         searcher.msearch(flat5, 10)
         reps.append(time.time() - t)
     extra["msearch5"] = sorted(reps)[2]
+    # round-4 operators: compiled score expression rescoring and span-near
+    # proximity (both on the serving path, kept out of the headline sum)
+    expr_q = f"{VOCAB[0]} {VOCAB[3]}"
+    expr = "dl > 40 ? _score * 1.5 : _score + sqrt(dl) * 0.25"
+    searcher.expression_score(expr_q, expr, k=10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.expression_score(expr_q, expr, k=10)
+        reps.append(time.time() - t)
+    extra["expr_score"] = sorted(reps)[1]
+    span_q = _ast.SpanNearQuery((VOCAB[0], VOCAB[3]), slop=3)
+    searcher.search(span_q, 10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.search(span_q, 10)
+        reps.append(time.time() - t)
+    extra["span_near"] = sorted(reps)[1]
 
     total = sum(timings.values())
     result = {
