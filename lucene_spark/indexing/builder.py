@@ -362,7 +362,8 @@ class IndexBuilder:
 
         # resume: light fingerprint pass decides which segments to re-invert
         done: dict[int, dict] = {}
-        if resume and os.path.isdir(f"{self.index_dir}/build_manifest"):
+        if resume and os.path.isdir(
+                self.recover_build_manifest(self.index_dir)):
             fp_rows = (
                 with_seg.select("segment", "conv_id", "turn_idx", "text",
                                 *self.keyword_fields)
@@ -435,11 +436,12 @@ class IndexBuilder:
         )
 
         t0 = time.time()
-        self._drop_stale_segments(set(offsets))
+        dropped = self._drop_stale_segments(set(offsets))
         built_any = any(r["status"] == "ok" for r in metrics_rows)
         prev_sdirs = self._stats_dirs(manifest or {})
         stats_rewritten = (
             built_any
+            or dropped > 0  # a vanished segment changes df/ttf/doc_count
             or prev_sdirs != {"term_stats": "term_stats",
                               "field_stats": "field_stats"}
             or (manifest or {}).get("stats_version", 0) != STATS_VERSION
@@ -506,12 +508,43 @@ class IndexBuilder:
             if os.path.basename(p) not in keep:
                 shutil.rmtree(p, ignore_errors=True)
 
-    def _drop_stale_segments(self, live: set):
+    @staticmethod
+    def swap_build_manifest(index_dir: str, tmp: str):
+        """Publish a fully-written build_manifest directory ``tmp`` over the
+        live one with NO window where neither exists un-recoverably: the
+        live dir is atomically renamed to ``.prev`` (never rmtree'd while
+        still live), the new one atomically renamed in, then ``.prev`` is
+        dropped. A crash between the two renames leaves ``.prev`` intact —
+        :meth:`recover_build_manifest` promotes it back on next open."""
+        import shutil
+
+        live = f"{index_dir}/build_manifest"
+        prev = live + ".prev"
+        shutil.rmtree(prev, ignore_errors=True)
+        if os.path.isdir(live):
+            os.replace(live, prev)
+        os.replace(tmp, live)
+        shutil.rmtree(prev, ignore_errors=True)
+
+    @staticmethod
+    def recover_build_manifest(index_dir: str) -> str:
+        """Path of the live build_manifest, promoting a crash-orphaned
+        ``.prev`` back into place first (see :meth:`swap_build_manifest`)."""
+        live = f"{index_dir}/build_manifest"
+        prev = live + ".prev"
+        if not os.path.isdir(live) and os.path.isdir(prev):
+            os.replace(prev, live)
+        return live
+
+    def _drop_stale_segments(self, live: set) -> int:
         """Remove segment dirs from earlier builds that no longer exist
-        (shrunk corpus / changed segment count) so readers never see them."""
+        (shrunk corpus / changed segment count) so readers never see them.
+        Returns the number of dropped segment dirs — a nonzero drop forces a
+        stats rewrite even when every surviving segment was byte-reused."""
         import glob
         import shutil
 
+        dropped = 0
         for sub in ("docs", "postings"):
             for p in glob.glob(f"{self.index_dir}/{sub}/seg=*"):
                 try:
@@ -520,6 +553,8 @@ class IndexBuilder:
                     continue
                 if s not in live:
                     shutil.rmtree(p, ignore_errors=True)
+                    dropped += 1
+        return dropped
 
     def _replace_dir(self, tmp: str, dst: str):
         import shutil

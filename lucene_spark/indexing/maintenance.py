@@ -209,11 +209,14 @@ class IndexMaintenance:
         rows = {
             int(r["segment"]): int(r["rows_in"])
             for r in self.spark.read.parquet(
-                f"{self.index_dir}/build_manifest").collect()
+                IndexBuilder.recover_build_manifest(self.index_dir)
+            ).collect()
         }
         ld = live_dir_of(m)
-        live = {s: rows[s] - deleted_for_segment(self.index_dir, s, ld).size
-                for s in segs}
+        # one deleted-docs read per segment, reused by the singleton filter
+        n_del = {s: deleted_for_segment(self.index_dir, s, ld).size
+                 for s in segs}
+        live = {s: rows[s] - n_del[s] for s in segs}
         runs, cur, cur_rows = [], [], 0
         for s in segs:
             if cur and cur_rows + live[s] > target_rows:
@@ -223,11 +226,7 @@ class IndexMaintenance:
             cur_rows += live[s]
         if cur:
             runs.append(cur)
-        return [
-            r for r in runs
-            if len(r) > 1
-            or any(deleted_for_segment(self.index_dir, s, ld).size for s in r)
-        ]
+        return [r for r in runs if len(r) > 1 or any(n_del[s] for s in r)]
 
     def compact(self, target_rows: int = 1_000_000) -> dict:
         """Merge small/deleted segments (one distributed task per run),
@@ -252,8 +251,8 @@ class IndexMaintenance:
         spark = self.spark
         manifest = self._manifest()
         live_dir = live_dir_of(manifest)
-        bm_rows = [r.asDict() for r in
-                   spark.read.parquet(f"{index_dir}/build_manifest").collect()]
+        bm_rows = [r.asDict() for r in spark.read.parquet(
+            IndexBuilder.recover_build_manifest(index_dir)).collect()]
         rows_in = {int(r["segment"]): int(r["rows_in"]) for r in bm_rows}
         old_order = [int(x) for x, _ in
                      sorted(manifest["offsets"].items(),
@@ -441,8 +440,10 @@ class IndexMaintenance:
         mdf = spark.createDataFrame(pd.DataFrame(old_rows + mrows)[cols_bm])
         tmp = f"{index_dir}/build_manifest.tmp"
         mdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(f"{index_dir}/build_manifest", ignore_errors=True)
-        os.replace(tmp, f"{index_dir}/build_manifest")
+        # crash-safe swap (rename-aside, never rmtree-the-live-dir): a crash
+        # anywhere before the manifest commit below leaves the old index
+        # fully readable — the .prev dir is promoted back on next open
+        IndexBuilder.swap_build_manifest(index_dir, tmp)
 
         manifest["offsets"] = {str(s): o for s, o in sorted(offsets.items())}
         manifest["doc_count"] = acc

@@ -299,8 +299,9 @@ def constant_score_topk(reader, postings, k: int, boost: float,
 
     if postings is None:
         return []
-    cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-            "doc_offset"]
+    # NOTE: no "term"/"tfs" — constant-score kernels decode docIDs only,
+    # so the tf byte buffers and term strings never enter the shuffle
+    cols = ["first_doc", "last_doc", "count", "doc_gaps", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
@@ -360,8 +361,9 @@ def matching_docs_df(reader, postings, deleted_loader=None):
     — the CONSTANT_SCORE match set with GLOBAL docIDs, never collected."""
     if postings is None:
         return reader.spark.createDataFrame([], "doc_id long")
-    cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-            "doc_offset"]
+    # NOTE: no "term"/"tfs" — constant-score kernels decode docIDs only,
+    # so the tf byte buffers and term strings never enter the shuffle
+    cols = ["first_doc", "last_doc", "count", "doc_gaps", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
@@ -389,8 +391,9 @@ def constant_score_count(reader, postings, deleted_loader=None) -> int:
     one count per segment returns to the driver."""
     if postings is None:
         return 0
-    cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
-            "doc_offset"]
+    # NOTE: no "term"/"tfs" — constant-score kernels decode docIDs only,
+    # so the tf byte buffers and term strings never enter the shuffle
+    cols = ["first_doc", "last_doc", "count", "doc_gaps", "doc_offset"]
 
     def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {c: pdf[c].to_numpy() for c in cols}
@@ -417,19 +420,29 @@ def constant_score_count(reader, postings, deleted_loader=None) -> int:
     return sum(int(r["n"]) for r in out)
 
 
+def _field_scorer(reader, similarity, boost, dfs, field):
+    """Similarity scorer with the queried FIELD's collection stats —
+    keyword fields carry their own (doc_count, sum_ttf) row, like Lucene's
+    per-field CollectionStatistics; 'text' uses the main stats."""
+    fs = reader.field_stats.get(field) if field != "text" else None
+    if fs and fs.get("doc_count"):
+        return similarity.scorer(boost, fs["doc_count"], fs["sum_ttf"], dfs)
+    return reader.similarity_scorer(similarity, boost, dfs)
+
+
 def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
     """SynonymQuery: per-doc tf summed across terms, one BM25 score with
     blended df = max over the terms' docFreqs."""
     from lucene_spark.search.searcher import ScoreDoc
 
     terms = [t for t in dict.fromkeys(q.terms)]
-    stats = reader.term_stats(terms)
+    stats = reader.term_stats(terms, field=q.field)
     present = [t for t in terms if t in stats and stats[t]["df"] > 0]
     if not present:
         return []
     df_blend = max(stats[t]["df"] for t in present)
-    scorer = reader.similarity_scorer(similarity, q.boost, [df_blend])
-    postings = reader.postings(present)
+    scorer = _field_scorer(reader, similarity, q.boost, [df_blend], q.field)
+    postings = reader.postings(present, field=q.field)
     dload = reader.deleted_loader()
     cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "norms", "doc_offset"]
 
@@ -466,16 +479,17 @@ def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
     """DisjunctionMaxQuery over term subqueries:
     score = max(sub) + tie_breaker × Σ(others)."""
     terms = [t for t in dict.fromkeys(q.terms)]
-    stats = reader.term_stats(terms)
+    stats = reader.term_stats(terms, field=q.field)
     present = [t for t in terms if t in stats and stats[t]["df"] > 0]
     if not present:
         return []
     scorers = {
-        t: reader.similarity_scorer(similarity, q.boost, [stats[t]["df"]])
+        t: _field_scorer(reader, similarity, q.boost, [stats[t]["df"]],
+                         q.field)
         for t in present
     }
     tie = F32(q.tie_breaker)
-    postings = reader.postings(present)
+    postings = reader.postings(present, field=q.field)
     dload = reader.deleted_loader()
     cols = ["term", "first_doc", "count", "doc_gaps", "tfs", "norms", "doc_offset"]
 
@@ -494,7 +508,10 @@ def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
         alld = np.concatenate(d_parts)
         alls = np.concatenate(s_parts)
         uniq, inv = np.unique(alld, return_inverse=True)
-        smax = np.zeros(uniq.size, dtype=F32)
+        # init to -inf, NOT 0: similarities may score negative (e.g.
+        # IndriDirichlet) and every uniq doc has >=1 subscore, so -inf
+        # never survives the maximum.at
+        smax = np.full(uniq.size, -np.inf, dtype=F32)
         np.maximum.at(smax, inv, alls)
         ssum = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(ssum, inv, alls.astype(np.float64))

@@ -270,9 +270,29 @@ class IndexReader:
         (``IndexSearcher.storedFields().document(int)`` /
         ``StoredFields.java``): the doc's stored columns (conv_id,
         turn_idx, dl, …) as a dict, or None for a deleted / out-of-range
-        docID. One filtered scan (docID pushdown prunes row groups)."""
+        docID. The (segment, local id) resolves on the DRIVER from the
+        manifest offsets, so the scan filter is on the raw seg/doc_id
+        columns — partition pruning + row-group pushdown — not on the
+        offset-derived global column (which nothing can push down)."""
         from pyspark.sql import functions as F
 
-        rows = (self.docs(live_only=True)
-                .filter(F.col("doc_id") == int(doc_id)).limit(1).collect())
-        return rows[0].asDict() if rows else None
+        did = int(doc_id)
+        if did < 0 or did >= self.doc_count:
+            return None
+        seg, off = max(
+            ((s, o) for s, o in self.offsets.items() if o <= did),
+            key=lambda so: so[1],
+        )
+        local = did - off
+        dload = self.deleted_loader()
+        if dload is not None and local in dload(seg):
+            return None
+        rows = (self._docs_df
+                .filter((F.col("seg") == int(seg))
+                        & (F.col("doc_id") == local))
+                .limit(1).collect())
+        if not rows:
+            return None
+        d = rows[0].asDict()
+        d["doc_id"] = did
+        return d

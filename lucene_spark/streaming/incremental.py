@@ -140,8 +140,10 @@ class IncrementalIndexer:
         # under epoch replay: rows for re-appended segment ids replace any
         # half-committed rows from a crashed attempt instead of duplicating
         new_ids = [int(r["segment"]) for r in rows]
-        prev = self.spark.read.parquet(f"{self.index_dir}/build_manifest") \
-            if os.path.isdir(f"{self.index_dir}/build_manifest") else None
+        from lucene_spark.indexing.builder import IndexBuilder as _IB
+        _bm = _IB.recover_build_manifest(self.index_dir)
+        prev = (self.spark.read.parquet(_bm)
+                if os.path.isdir(_bm) else None)
         mpdf = pd.DataFrame(rows)[
             ["segment", "fingerprint", "rows_in", "doc_offset", "terms",
              "blocks", "wall_ms", "status"]
@@ -155,10 +157,9 @@ class IncrementalIndexer:
         all_mdf.coalesce(1).write.mode("overwrite").parquet(
             f"{self.index_dir}/build_manifest.tmp"
         )
-        import shutil
-        shutil.rmtree(f"{self.index_dir}/build_manifest", ignore_errors=True)
-        os.replace(f"{self.index_dir}/build_manifest.tmp",
-                   f"{self.index_dir}/build_manifest")
+        from lucene_spark.indexing.builder import IndexBuilder as _IB
+        _IB.swap_build_manifest(self.index_dir,
+                                f"{self.index_dir}/build_manifest.tmp")
 
         # incremental stats merge: new segments only (stats are sums), not
         # an O(index-size) full rewrite per micro-batch. Written to a NEW

@@ -121,3 +121,42 @@ def test_keyword_scoring_other_similarities(spark, kw_index, corpus_pdf):
                             keyword_fields=("role",))
         got = [(h.doc_id, h.score) for h in s.search(q, 30)]
         assert got == g.search(q, 30), name
+
+
+def test_synonym_dismax_on_keyword_field(spark, kw_index, corpus_pdf):
+    """SynonymQuery / DisjunctionMaxQuery carry a field attribute: the match
+    set and stats must resolve against THAT field, not text (regression:
+    both kernels ignored q.field)."""
+    import numpy as np
+
+    from lucene_spark.search.ast import DisjunctionMaxQuery, SynonymQuery
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, kw_index)
+    roles = corpus_pdf["role"].tolist()
+    exp_docs = sorted(i for i, r in enumerate(roles)
+                      if r in ("user", "assistant"))
+    assert exp_docs  # the corpus actually has these roles
+
+    q = SynonymQuery(("user", "assistant"), field="role")
+    got = sorted(h.doc_id for h in s.search(q, 100_000))
+    assert got == exp_docs
+
+    q2 = DisjunctionMaxQuery(("user", "assistant"), field="role")
+    got2 = sorted(h.doc_id for h in s.search(q2, 100_000))
+    assert got2 == exp_docs
+
+    # the scorer must use the ROLE field's collection stats, not text's:
+    # recompute one synonym score from reader.field_stats
+    from lucene_spark.search.reader import IndexReader
+
+    rd = IndexReader(spark, kw_index)
+    fs = rd.field_stats["role"]
+    st = rd.term_stats(["user", "assistant"], field="role")
+    df_blend = max(st["user"]["df"], st["assistant"]["df"])
+    scorer = s.similarity.scorer(1.0, fs["doc_count"], fs["sum_ttf"],
+                                 [df_blend])
+    hits = s.search(q, 5)
+    # keyword postings: tf=1, norm = the role field's single-token length
+    exp_score = float(scorer.score(np.array([1]), np.array([1]))[0])
+    assert hits[0].score == exp_score, (hits[0].score, exp_score)

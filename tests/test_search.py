@@ -255,6 +255,84 @@ def test_dismax_max_scoring(spark, searcher, golden):
     assert got == exp
 
 
+def test_dismax_negative_scores(spark, index_dir, golden):
+    """DisMax under a similarity that scores NEGATIVE (log-probability
+    models like IndriDirichlet): per-doc max must be the true max of the
+    sub-scores, not floored at 0."""
+    from lucene_spark.search.ast import DisjunctionMaxQuery
+    from lucene_spark.search.multiterm import dismax_topk
+    from lucene_spark.search.reader import IndexReader
+
+    # defined in-function so cloudpickle ships them by VALUE to executors
+    def neg_score(tf, norm_code):
+        return (-1.0 / (np.asarray(tf, dtype=np.float64) + 1.0)).astype(
+            np.float32)
+
+    class _NegScorer:
+        nonnegative = False
+        score = staticmethod(neg_score)
+
+    class _NegSim:
+        name = "neg_test"
+
+        def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+            return _NegScorer()
+
+    reader = IndexReader(spark, index_dir)
+    terms = (VOCAB[0], VOCAB[5])
+    hits = dismax_topk(reader, _NegSim(), DisjunctionMaxQuery(terms), 60)
+    got = [(h.doc_id, h.score) for h in hits]
+    best = {}
+    for t in terms:
+        docs, tfs = golden.postings[t]
+        sc = neg_score(tfs, golden.norms[docs])
+        for d, v in zip(docs.tolist(), sc.tolist()):
+            best[d] = v if d not in best else max(best[d], v)
+    assert all(v < 0 for v in best.values())  # every sub-score is negative
+    docs = np.array(sorted(best), dtype=np.int64)
+    sc = np.array([best[d] for d in docs.tolist()], dtype=np.float32)
+    order = np.lexsort((docs, -sc.astype(np.float64)))[:60]
+    exp = [(int(docs[i]), float(sc[i])) for i in order]
+    assert got == exp
+
+
+def test_build_manifest_swap_crash_recovery(tmp_path):
+    """swap_build_manifest / recover_build_manifest: a crash between the
+    two renames (only .prev left) is promoted back on next open; a crash
+    after publish leaves the new dir winning."""
+    import os
+
+    from lucene_spark.indexing.builder import IndexBuilder
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+
+    def mkdir_with(name, marker):
+        d = idx / name
+        d.mkdir()
+        (d / marker).write_text("x")
+        return d
+
+    # normal swap: old live + fully-written tmp → tmp wins, no leftovers
+    mkdir_with("build_manifest", "old")
+    mkdir_with("build_manifest.tmp", "new")
+    IndexBuilder.swap_build_manifest(str(idx), str(idx / "build_manifest.tmp"))
+    assert os.path.exists(idx / "build_manifest" / "new")
+    assert not os.path.exists(idx / "build_manifest.prev")
+    assert not os.path.exists(idx / "build_manifest.tmp")
+
+    # simulated crash between the renames: only .prev (the old live) exists
+    os.rename(idx / "build_manifest", idx / "build_manifest.prev")
+    p = IndexBuilder.recover_build_manifest(str(idx))
+    assert os.path.exists(idx / "build_manifest" / "new")
+    assert p == str(idx / "build_manifest")
+
+    # recovery is a no-op when live exists (stale .prev ignored)
+    mkdir_with("build_manifest.prev", "stale")
+    IndexBuilder.recover_build_manifest(str(idx))
+    assert os.path.exists(idx / "build_manifest" / "new")
+
+
 def test_search_after_pagination(searcher):
     q = f"{VOCAB[0]} {VOCAB[3]} {VOCAB[17]}"
     full = searcher.search(q, 30)
