@@ -377,6 +377,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     else:
         char_lens = lens
     keep = (char_lens <= max_token_length) & (has_alnum > 0)
+    is_word = has_alnum > 0  # pure-'_' runs are NOT words (UAX#29)
 
     if extra_s is not None:
         # merge the script-token stream (Han/Hiragana singles, Katakana/
@@ -390,14 +391,22 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
         lens = ends - starts
         xkeep = (extra_e - extra_s) // 3 <= max_token_length
         keep = np.concatenate([keep, xkeep])[order]
+        # script tokens are always real words
+        is_word = np.concatenate(
+            [is_word, np.ones(extra_s.size, dtype=bool)])[order]
         if starts.size == 0:
             return empty
     positions = None
     if with_positions:
-        # ordinal over ALL tokens of the row (pre-filter) = Lucene position
+        # ordinal over WORD tokens of the row (pre-length-filter): the
+        # reference tokenizer never EMITS a pure-'_' run (not a word under
+        # UAX#29), so dropping one must not leave a position hole — unlike
+        # over-length drops and stopwords, which do (Lucene holes)
         row_ids_all = np.searchsorted(row_starts, starts, side="right") - 1
+        words_before = np.cumsum(is_word) - is_word
         firsts = np.searchsorted(row_ids_all, np.arange(n_rows))
-        positions = np.arange(starts.size, dtype=np.int64) - firsts[row_ids_all]
+        base = words_before[np.minimum(firsts, starts.size - 1)]
+        positions = words_before - base[row_ids_all]
         positions = positions[keep]
     starts, ends, lens = starts[keep], ends[keep], lens[keep]
     if starts.size == 0:
@@ -463,14 +472,15 @@ class StandardAnalyzer:
         """Batch tokenize a pandas string Series → Series of list[str]."""
         s = texts.fillna("")
         out = s.str.findall(_STANDARD_RE)
-        if self.max_token_length < 10**9:
-            ml = self.max_token_length
-            out = out.map(
-                lambda ts: [
-                    t.translate(_GC_LOWER).lower() for t in ts
-                    if len(t) <= ml and _HAS_ALNUM_RE.search(t)
-                ]
-            )
+        # lowercase + word filter run UNCONDITIONALLY — only the length cap
+        # is config-dependent (a huge cap must not skip normalization)
+        ml = self.max_token_length
+        out = out.map(
+            lambda ts: [
+                t.translate(_GC_LOWER).lower() for t in ts
+                if len(t) <= ml and _HAS_ALNUM_RE.search(t)
+            ]
+        )
         if self.stopwords:
             sw = self.stopwords
             out = out.map(lambda ts: [t for t in ts if t not in sw])

@@ -331,7 +331,10 @@ def embedding_neardup_pairs(qemb: DataFrame, t_num: int = 361,
         ),
     )
     return dotted.filter(
-        (F.col("dot") >= 0)
+        # zero vectors have undefined cosine and would trivially satisfy
+        # the cross-multiplied inequality (0 >= 0) — require both norms > 0
+        (F.col("na") > 0) & (F.col("nb") > 0)
+        & (F.col("dot") >= 0)
         & (F.lit(t_den) * F.col("dot") * F.col("dot")
            >= F.lit(t_num) * F.col("na") * F.col("nb"))
     ).select("a", "b", "dot")

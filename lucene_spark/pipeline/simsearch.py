@@ -190,7 +190,9 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     for r in qrows:
         v = np.array(r["q"], dtype=np.int64)
         dist = cn2 - 2 * (cents @ v)
-        order = np.lexsort((np.arange(n_centroids), dist))[:nprobe]
+        # train_ivf returns fewer centroids than requested on tiny corpora
+        # — lexsort keys must share len(cents), not n_centroids
+        order = np.lexsort((np.arange(len(cents)), dist))[:nprobe]
         probe_rows.extend(
             (int(r["vec_id"]), [int(x) for x in r["q"]], int(cell))
             for cell in order

@@ -95,9 +95,13 @@ class IndexSearcher:
     #: total leaf clauses allowed per query tree — Lucene's
     #: ``IndexSearcher.maxClauseCount`` (``core/search/IndexSearcher.java:81``,
     #: default 1024; settable like ``setMaxClauseCount``). Enforced on every
-    #: search()/count() entry AFTER normalization, counting constant-score
-    #: multi-term clauses as 1 (they never materialize per-term scorers) —
-    #: see :func:`ast.count_leaf_clauses`.
+    #: search()/count()/msearch() entry AFTER normalization, counting
+    #: constant-score multi-term clauses as 1 (they never materialize
+    #: per-term scorers) — see :func:`ast.count_leaf_clauses`. Separate
+    #: EXPANSION cap: a standalone MultiTermQuery past 100k matched terms
+    #: falls back to the driver-free semi-join plan, but a multi-term
+    #: clause INSIDE a boolean raises TooManyClauses there (the mixed
+    #: kernel needs the term list; documented limit).
     max_clause_count = 1024
 
     def __init__(self, spark, index_dir: str, similarity: BM25Similarity | None = None):
@@ -217,7 +221,7 @@ class IndexSearcher:
                 scorer, w = None, F32(0.0)
             specs.append(
                 ClauseSpec(tq.field + self.FIELD_SEP + tq.term, occur, w,
-                           scorer)
+                           scorer, df=int(st["df"]))
             )
         if not specs:
             return None
@@ -239,13 +243,8 @@ class IndexSearcher:
         dwarfs k — for tiny candidate sets the impact-screen bookkeeping
         costs more than scoring everything (WAND ≡ exhaustive results
         either way, pytest-pinned; only the plan changes)."""
-        est = 0
-        for c in specs:
-            if c.occur in (ast.MUST, ast.SHOULD):
-                f, t = c.term.split(self.FIELD_SEP, 1)
-                st = self.reader.term_stats([t], field=f).get(t)
-                if st:
-                    est += st["df"]
+        est = sum(c.df for c in specs
+                  if c.occur in (ast.MUST, ast.SHOULD))
         return "wand" if est > self.AUTO_PRUNE_RATIO * k else "exhaustive"
 
     def _check_clause_limit(self, query) -> None:
@@ -379,7 +378,9 @@ class IndexSearcher:
         parsed = []
         for q in queries:
             q = self.parse(q) if isinstance(q, str) else q
-            parsed.append(ast.normalize(q))
+            q = ast.normalize(q)
+            self._check_clause_limit(q)  # same cap as search()/count()
+            parsed.append(q)
         results: list = [None] * len(parsed)
         batched: dict[int, tuple] = {}
         for i, q in enumerate(parsed):
@@ -1591,7 +1592,6 @@ class IndexSearcher:
         from pyspark.sql import functions as F
 
         from lucene_spark.indexing.blocks import decode_block
-        from lucene_spark.smallfloat import byte4_to_int
 
         if isinstance(query, str):
             query = self.parse(query)
@@ -1779,7 +1779,7 @@ class IndexSearcher:
         mc = self._mixed_clauses(q)
         if mc is None:
             return base
-        clauses, cache, msm, _field_terms, need_positions = mc
+        clauses, cache, msm, _field_terms, _need_positions = mc
         loc = self._doc_location(doc_id)
         if loc is None:
             return base
@@ -1788,16 +1788,24 @@ class IndexSearcher:
         inv = np.float32(cache[norm_code & 0xFF])
 
         # one pushed-down postings fetch per field for this segment
+        # (recursing into nested boolean clauses; docset clauses carry
+        # pre-resolved docs, no postings needed)
         by_field: dict[str, set] = {}
-        for c in clauses:
-            f, ts = c["field"], [t.split(sep, 1)[1] for t in c["terms"]]
-            by_field.setdefault(f, set()).update(ts)
+
+        def _collect_fields(cls):
+            for c in cls:
+                if c["kind"] == "nested":
+                    _collect_fields(c["clauses"])
+                elif c["kind"] != "docset":
+                    f = c["field"]
+                    ts = [t.split(sep, 1)[1] for t in c["terms"]]
+                    by_field.setdefault(f, set()).update(ts)
+
+        _collect_fields(clauses)
         rows_of = {}
         for f, ts in by_field.items():
             df = (self.reader.postings(sorted(ts), field=f)
                   .filter(F.col("seg") == seg).drop("doc_offset"))
-            if not need_positions and "positions" in df.columns:
-                pass  # keep positions: phrase clauses may need them
             rows_of[f] = df.toPandas()
 
         def tf_of(f, t):
@@ -1814,43 +1822,47 @@ class IndexSearcher:
                     return int(tfs[j])
             return 0
 
-        total = np.float64(0.0)
-        n_req = n_req_hit = n_should = n_should_hit = 0
-        prohibited = False
-        any_hit = False
-        for c in clauses:
-            f = c["field"]
-            raw_terms = [t.split(sep, 1)[1] for t in c["terms"]]
-            w = np.float32(c["weight"])
-            if c["kind"] == "phrase":
-                docs, freqs, _nm = segment_phrase_postings(
-                    rows_of[f], raw_terms, c.get("slop", 0))
-                j = np.searchsorted(docs, local)
-                freq = float(freqs[j]) if (j < docs.size
-                                           and docs[j] == local) else 0.0
-            elif c["kind"] == "const":
-                freq = 1.0 if any(tf_of(f, t) for t in raw_terms) else 0.0
-            else:
-                freq = float(tf_of(f, raw_terms[0]))
-            entry = {"field": f, "kind": c["kind"], "occur": c["occur"],
-                     "terms": raw_terms if len(raw_terms) > 1
-                     else raw_terms[0],
-                     "weight": float(w), "freq": freq, "norm": norm_code,
-                     "dlen": dlen, "score": None}
-            if c["occur"] == ast.MUST_NOT:
-                if freq > 0:
-                    prohibited = True
-                base["clauses"].append(entry)
-                continue
-            if c["occur"] in (ast.MUST, ast.FILTER):
-                n_req += 1
-                n_req_hit += freq > 0
-            elif c["occur"] == ast.SHOULD:
-                n_should += 1
-                n_should_hit += freq > 0
-            if freq > 0:
-                any_hit = True
-                if c["occur"] in (ast.MUST, ast.SHOULD):
+        def _eval_list(cls, node_msm):
+            """(entries, matched, f32 total) for one clause list — the
+            recursive mirror of phrase._eval_boolean, so nested boolean and
+            docset (KNN) clauses explain exactly like they score."""
+            total = np.float64(0.0)
+            n_req = n_req_hit = n_should = n_should_hit = 0
+            prohibited = False
+            any_hit = False
+            entries = []
+            for c in cls:
+                occ = c["occur"]
+                if c["kind"] == "nested":
+                    sub, sub_match, sub_total = _eval_list(
+                        c["clauses"], c.get("msm", 0))
+                    freq = 1.0 if sub_match else 0.0
+                    s = np.float32(sub_total)
+                    entry = {"kind": "nested", "occur": occ, "freq": freq,
+                             "clauses": sub, "score": None}
+                elif c["kind"] == "docset":
+                    docs = np.asarray(c["docs"], dtype=np.int64)
+                    j = int(np.searchsorted(docs, int(doc_id)))
+                    hit = j < docs.size and int(docs[j]) == int(doc_id)
+                    freq = 1.0 if hit else 0.0
+                    s = np.float32(c["scores"][j]) if hit else np.float32(0)
+                    entry = {"kind": "docset", "occur": occ, "freq": freq,
+                             "score": None}
+                else:
+                    f = c["field"]
+                    raw_terms = [t.split(sep, 1)[1] for t in c["terms"]]
+                    w = np.float32(c["weight"])
+                    if c["kind"] == "phrase":
+                        docs, freqs, _nm = segment_phrase_postings(
+                            rows_of[f], raw_terms, c.get("slop", 0))
+                        j = np.searchsorted(docs, local)
+                        freq = float(freqs[j]) if (
+                            j < docs.size and docs[j] == local) else 0.0
+                    elif c["kind"] == "const":
+                        freq = (1.0 if any(tf_of(f, t) for t in raw_terms)
+                                else 0.0)
+                    else:
+                        freq = float(tf_of(f, raw_terms[0]))
                     if c["kind"] == "const":
                         s = w
                     else:
@@ -1858,12 +1870,36 @@ class IndexSearcher:
                         denom = np.float32(np.float32(1.0)
                                            + np.float32(tf32 * inv))
                         s = np.float32(w - np.float32(w / denom))
-                    entry["score"] = float(s)
-                    total = total + np.float64(s)
-            base["clauses"].append(entry)
-        matched = (not prohibited and n_req_hit == n_req
-                   and n_should_hit >= (msm or 0) and any_hit
-                   and (n_req > 0 or n_should_hit >= max(1, msm or 0)))
-        base["match"] = bool(matched)
-        base["total"] = float(np.float32(total)) if matched else 0.0
+                    entry = {"field": f, "kind": c["kind"], "occur": occ,
+                             "terms": raw_terms if len(raw_terms) > 1
+                             else raw_terms[0],
+                             "weight": float(w), "freq": freq,
+                             "norm": norm_code, "dlen": dlen, "score": None}
+                if occ == ast.MUST_NOT:
+                    if freq > 0:
+                        prohibited = True
+                    entries.append(entry)
+                    continue
+                if occ in (ast.MUST, ast.FILTER):
+                    n_req += 1
+                    n_req_hit += freq > 0
+                elif occ == ast.SHOULD:
+                    n_should += 1
+                    n_should_hit += freq > 0
+                if freq > 0:
+                    any_hit = True
+                    if occ in (ast.MUST, ast.SHOULD):
+                        entry["score"] = float(s)
+                        total = total + np.float64(s)
+                entries.append(entry)
+            matched = (not prohibited and n_req_hit == n_req
+                       and n_should_hit >= (node_msm or 0) and any_hit
+                       and (n_req > 0
+                            or n_should_hit >= max(1, node_msm or 0)))
+            return entries, bool(matched), float(np.float32(total))
+
+        entries, matched, total32 = _eval_list(clauses, msm)
+        base["clauses"] = entries
+        base["match"] = matched
+        base["total"] = total32 if matched else 0.0
         return base

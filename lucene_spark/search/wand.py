@@ -51,6 +51,7 @@ class ClauseSpec:
     occur: str
     weight: np.float32  # 0 for MUST_NOT / FILTER
     scorer: object = None
+    df: int = 0  # posting-list cost (TermScorer.cost), for mode selection
 
 
 def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,

@@ -219,3 +219,40 @@ def test_ascii_folding_analyzer():
     got = [u[i] for i in c]
     want = [t for s in texts for t in f.tokenize_text(s or "")]
     assert got == want
+
+
+def test_underscore_run_leaves_no_position_hole():
+    """A pure-'_' run is not a word under UAX#29 — the reference tokenizer
+    never emits it, so it must not consume a position (unlike stopwords and
+    over-length drops, which leave Lucene-style holes)."""
+    import pandas as pd
+
+    from lucene_spark.analysis import StandardAnalyzer
+
+    an = StandardAnalyzer()
+    u, c, _pr, pos = an.tokenize_ids(pd.Series(["foo _ bar", "_ x __ y"]),
+                                     with_positions=True)
+    toks = [u[i] for i in c]
+    assert toks == ["foo", "bar", "x", "y"]
+    assert pos.tolist() == [0, 1, 0, 1]  # adjacent — no holes
+
+    # stopword holes stay (positions keep counting through stop terms)
+    an2 = StandardAnalyzer(stopwords=frozenset({"the"}))
+    u2, c2, _p2, pos2 = an2.tokenize_ids(pd.Series(["foo the bar"]),
+                                         with_positions=True)
+    assert [u2[i] for i in c2] == ["foo", "bar"]
+    assert pos2.tolist() == [0, 2]  # hole at 1
+
+
+def test_tokenize_series_normalizes_with_huge_length_cap():
+    """tokenize_series must lowercase + word-filter even when
+    max_token_length is effectively unlimited (regression: the whole map
+    was gated on the cap)."""
+    import pandas as pd
+
+    from lucene_spark.analysis import StandardAnalyzer
+
+    an = StandardAnalyzer(max_token_length=10**9)
+    out = an.tokenize_series(pd.Series(["Foo _ BAR"])).iloc[0]
+    assert out == ["foo", "bar"]
+    assert out == an.tokenize_text("Foo _ BAR")

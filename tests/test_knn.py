@@ -210,3 +210,55 @@ def test_knn_lsh_small_dim(spark):
     df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
     out = knn_topk_df(df, v[4].tolist(), 5, strategy="lsh").collect()
     assert out and out[0]["doc_id"] == 4  # self is its own nearest bucket
+
+
+def test_explain_nested_and_knn_clauses(spark, tmp_path, vectors_np):
+    """explain() must handle nested-boolean and KNN (docset) clauses — the
+    clause breakdown recurses and the f32 total equals the search score."""
+    from lucene_spark.corpus import VOCAB, synthetic_transcripts
+    from lucene_spark.indexing.builder import IndexBuilder
+
+    d = str(tmp_path / "exp_idx")
+    IndexBuilder(spark, d, num_segments=2).build(
+        synthetic_transcripts(spark, 30))
+    s = IndexSearcher(spark, d)
+    n = s.reader.doc_count
+    rows = [(i, [float(x) for x in vectors_np[i % len(vectors_np)]])
+            for i in range(n)]
+    s.set_vectors(spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>"))
+
+    nested = ast.BooleanQuery((
+        (ast.MUST, ast.TermQuery(VOCAB[0])),
+        (ast.SHOULD, ast.BooleanQuery((  # MUST-conj inside SHOULD: no flatten
+            (ast.MUST, ast.TermQuery(VOCAB[3])),
+            (ast.MUST, ast.TermQuery(VOCAB[5])),
+        ))),
+        (ast.SHOULD, ast.KnnQuery(tuple(vectors_np[2].tolist()), k=8)),
+    ))
+    hits = s.search(nested, 10)
+    assert hits
+    ex = s.explain(nested, hits[0].doc_id)
+    assert ex["match"] is True
+    assert ex["total"] == hits[0].score
+    kinds = {c["kind"] for c in ex["clauses"]}
+    assert "nested" in kinds and "docset" in kinds
+    nested_entry = next(c for c in ex["clauses"] if c["kind"] == "nested")
+    assert nested_entry["clauses"]  # recursive breakdown present
+    # non-matching doc explains as no-match
+    miss = next(i for i in range(n)
+                if i not in {h.doc_id for h in s.search(nested, n)})
+    assert s.explain(nested, miss)["match"] is False
+
+
+def test_ivf_topk_tiny_corpus(spark):
+    """ivf_topk with fewer vectors than n_centroids must not crash
+    (train_ivf returns fewer centroids than requested)."""
+    from lucene_spark.pipeline.simsearch import ivf_topk
+
+    rng = np.random.RandomState(5)
+    v = rng.uniform(-0.5, 0.5, size=(10, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in v[i]]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(emb, n_queries=2, k=3, n_centroids=16, nprobe=4).collect()
+    assert out  # produced candidates without shape errors

@@ -213,3 +213,18 @@ def test_ann_ivf_cells_and_recall(spark, emb):
     # nprobe = C degenerates to exact brute-force results
     full = ivf_topk(emb, n_queries=3, k=5, n_centroids=8, nprobe=8).toPandas()
     assert full.reset_index(drop=True).equals(brute.reset_index(drop=True))
+
+
+def test_embedding_neardup_ignores_zero_vectors(spark):
+    """Zero vectors (undefined cosine) must never pair: without the norm
+    guard the cross-multiplied inequality degenerates to 0 >= 0."""
+    from lucene_spark.pipeline.dedup import embedding_neardup_pairs
+
+    rows = [
+        (0, [0] * 64),            # zero vector
+        (1, [5] * 64),            # all-positive: same sign bucket as zeros
+        (2, [5] * 64),            # true duplicate of 1
+    ]
+    q = spark.createDataFrame(rows, "vec_id long, q array<long>")
+    got = {(r["a"], r["b"]) for r in embedding_neardup_pairs(q).collect()}
+    assert got == {(1, 2)}

@@ -1499,3 +1499,12 @@ def test_spell_suggest_cache_and_scan_paths_agree(searcher):
     assert via_scan == via_cache
     # the exact term never suggests itself
     assert VOCAB[0] not in [t for t, _, _ in spell_suggest(r, VOCAB[0], k=5)]
+
+
+def test_msearch_enforces_clause_limit(searcher):
+    """msearch applies the same maxClauseCount cap as search()/count()."""
+    from lucene_spark.search.multiterm import TooManyClauses
+
+    big = " ".join(f"t{i}" for i in range(searcher.max_clause_count + 1))
+    with pytest.raises(TooManyClauses):
+        searcher.msearch([big], 5)
