@@ -124,7 +124,9 @@ class BruteForceIndex:
         return out
 
     def _mt_matches(self, q) -> list:
-        """Terms of the text field matching a MultiTermQuery (brute force)."""
+        """Terms of q.field's vocabulary matching a MultiTermQuery (brute
+        force) — keyword-field expansions run over that field's raw values
+        (unanalyzed, case-preserved), not text tokens."""
         import re
 
         from lucene_spark.search.multiterm import damerau_levenshtein
@@ -149,7 +151,19 @@ class BruteForceIndex:
                 return t in q.terms
             raise ValueError(q.kind)
 
-        return [t for t in self.postings if pred(t)]
+        vocab = (self.postings if q.field == "text"
+                 else self.keyword.get(q.field, {}))
+        return [t for t in vocab if pred(t)]
+
+    def _mt_docs(self, q, matched):
+        """Union doc array of the matched terms in q.field, or None."""
+        if not matched:
+            return None
+        if q.field == "text":
+            arrs = [self.postings[t][0] for t in matched]
+        else:
+            arrs = [self.keyword[q.field][t] for t in matched]
+        return np.unique(np.concatenate(arrs))
 
     def sloppy_phrase_postings(self, per_slot_positions, slop):
         """{doc: float32 freq} under sloppy matching. ``per_slot_positions``:
@@ -239,14 +253,16 @@ class BruteForceIndex:
             return self._phrase_topk(matches, dfs, q.boost, k)
         if isinstance(q, ast.MultiTermQuery):
             # CONSTANT_SCORE: k smallest matching docIDs, score == boost
-            matched = self._mt_matches(q)
-            if not matched:
+            docs = self._mt_docs(q, self._mt_matches(q))
+            if docs is None:
                 return []
-            docs = np.unique(np.concatenate(
-                [self.postings[t][0] for t in matched]))
             return [(int(d), float(F32(q.boost))) for d in docs[:k]]
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
+        if not isinstance(q, ast.BooleanQuery):
+            raise NotImplementedError(
+                f"BruteForceIndex.search does not model "
+                f"{type(q).__name__} (engine-only query shape)")
 
         res = self._bool_eval(q)
         if res is None:
@@ -323,10 +339,7 @@ class BruteForceIndex:
                 continue
             if isinstance(tq, ast.MultiTermQuery):
                 # CONSTANT_SCORE rewrite: union doc set, contributes boost
-                matched = self._mt_matches(tq)
-                docs = (np.unique(np.concatenate(
-                    [self.postings[t][0] for t in matched]))
-                    if matched else None)
+                docs = self._mt_docs(tq, self._mt_matches(tq))
                 if occur == ast.MUST_NOT:
                     if docs is not None:
                         excluded[docs] = True
@@ -345,22 +358,34 @@ class BruteForceIndex:
                         should_cnt[docs] += 1
                 continue
             if isinstance(tq, ast.PhraseQuery):
-                matches = self.phrase_postings(list(tq.terms))
+                if tq.slop:
+                    slots = [dict(self.positions.get(t, {}))
+                             for t in tq.terms]
+                    matches = self.sloppy_phrase_postings(slots, tq.slop)
+                else:
+                    matches = self.phrase_postings(list(tq.terms))
                 present = bool(matches) and all(
                     t in self.postings for t in tq.terms
                 )
                 hit = None
                 if present:
                     pd_ = np.array(sorted(matches), dtype=np.int64)
-                    hit = (pd_, np.array([matches[d] for d in pd_.tolist()],
-                                         dtype=np.int64))
+                    # sloppy freqs are float32 (Σ 1/(1+matchLength)),
+                    # exact freqs integer counts — same as the engine
+                    hit = (pd_, np.array(
+                        [matches[d] for d in pd_.tolist()],
+                        dtype=F32 if tq.slop else np.int64))
                 dfs = [self.postings[t][0].size for t in tq.terms
                        if t in self.postings]
                 if len(dfs) != len(tq.terms):
                     hit = None
-            else:
+            elif isinstance(tq, ast.TermQuery):
                 hit = self.postings.get(tq.term)
                 dfs = [hit[0].size] if hit is not None else []
+            else:
+                raise NotImplementedError(
+                    f"BruteForceIndex._bool_eval does not model "
+                    f"{type(tq).__name__} clauses")
             if occur == ast.MUST_NOT:
                 if hit is not None:
                     excluded[hit[0]] = True

@@ -336,13 +336,18 @@ class IndexBuilder:
         os.replace(tmp, self._manifest_path)
 
     # -- build --------------------------------------------------------------
-    def build(self, transcripts, resume: bool = False) -> dict:
+    def build(self, transcripts, resume: bool = False,
+              extra_manifest: dict | None = None) -> dict:
         """Build (or resume) the index so it reflects ``transcripts``.
 
         A build is AUTHORITATIVE: the result equals a fresh index of the
         source corpus, so any live-docs state from earlier deletes/updates
         is cleared (stale per-segment deleted ids would be meaningless
         against re-inverted segments) and streaming epoch history resets.
+        ``extra_manifest`` fields publish in the SAME atomic manifest save
+        as the build itself (the streaming bootstrap's applied_epochs must
+        not need a second commit — a crash between two saves would let an
+        epoch replay double-index the first batch).
         """
         from pyspark.sql import functions as F
 
@@ -480,6 +485,7 @@ class IndexBuilder:
                 "stats_gen": 0,
                 "segments_built": sum(1 for r in metrics_rows if r["status"] == "ok"),
                 "segments_reused": len(done),
+                **(extra_manifest or {}),
             }
         )
         self._gc_stats_generations(keep={"term_stats", "field_stats"})

@@ -337,8 +337,26 @@ def bm25_topk_sql(query, k: int, doc_where: str = "TRUE",
     n_req = sum(1 for t, o, _ in clauses if o in (ast.MUST, ast.FILTER))
     has_should = any(o == ast.SHOULD for _, o, _ in clauses)
 
-    if not clauses or not scoring:
+    if not clauses or (not scoring and not must):
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+    if not scoring:
+        # FILTER-only boolean: matches with score 0 (BooleanWeight on a
+        # filter-only query — the engine and golden both return the match
+        # set at 0.0), k smallest docIDs by the standard tie-break
+        conds = [
+            f"EXISTS (SELECT 1 FROM tf m WHERE m.did = d.did AND m.term = '{t}')"
+            for t in must
+        ] + [
+            f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = d.did AND x.term = '{t}')"
+            for t in must_not
+        ]
+        return f"""
+WITH {base_cte or base_ctes(doc_where)}
+SELECT did AS doc_id, CAST(0.0 AS DOUBLE) AS score
+FROM dls d WHERE {" AND ".join(conds)}
+ORDER BY did ASC
+LIMIT {k}
+"""
 
     qvals = ",".join(
         f"({i}, '{t}', CAST({b!r} AS FLOAT))" for i, (t, b) in enumerate(scoring)
@@ -1096,20 +1114,34 @@ LIMIT {k}
 
 
 def count_sql(query) -> str:
-    """Exact hit count for a flat boolean query (integer result)."""
+    """Exact hit count for a flat boolean query (integer result), with the
+    kernel's full minShouldMatch semantics: MUST present → ≥ msm matching
+    SHOULD CLAUSES (duplicates count, clause-list join) when msm > 0;
+    no MUST → ≥ max(1, msm); prohibited-only queries match nothing."""
     clauses = _clause_rows(query)
     must = sorted({t for t, o, _ in clauses if o in (ast.MUST, ast.FILTER)})
-    should = sorted({t for t, o, _ in clauses if o == ast.SHOULD})
+    should_clauses = [t for t, o, _ in clauses if o == ast.SHOULD]
     must_not = sorted({t for t, o, _ in clauses if o == ast.MUST_NOT})
+    msm = int(getattr(query, "min_should_match", 0) or 0)
     conds = []
     for t in must:
         conds.append(f"EXISTS (SELECT 1 FROM tf m WHERE m.did = d.did AND m.term = '{t}')")
-    if not must and should:
-        ors = " OR ".join(
-            f"EXISTS (SELECT 1 FROM tf s WHERE s.did = d.did AND s.term = '{t}')"
-            for t in should
-        )
-        conds.append(f"({ors})")
+    need = msm if must else max(1, msm)
+    if need > 0:
+        if not should_clauses:
+            conds.append("FALSE")  # msm unsatisfiable / prohibited-only
+        elif need == 1:
+            ors = " OR ".join(
+                f"EXISTS (SELECT 1 FROM tf s WHERE s.did = d.did AND s.term = '{t}')"
+                for t in sorted(set(should_clauses))
+            )
+            conds.append(f"({ors})")
+        else:
+            svals = ",".join(f"('{t}')" for t in should_clauses)
+            conds.append(
+                f"(SELECT count(*) FROM (VALUES {svals}) sq(term) "
+                f"JOIN tf s ON s.term = sq.term AND s.did = d.did) >= {need}"
+            )
     for t in must_not:
         conds.append(f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.did = d.did AND x.term = '{t}')")
     where = " AND ".join(conds) if conds else "FALSE"
@@ -1293,7 +1325,10 @@ summed AS (
 def lm_dirichlet_topk_sql(query, k: int, mu: float = 2000.0) -> str:
     """LMDirichletSimilarity top-k: clause score =
     f32(max(0, boost·(ln(1 + tf/(μ·P)) + ln(μ/(dlen+μ))))) with
-    P = (ttf+1)/(sum_ttf+1) in DOUBLE; per-doc clause sum in DOUBLE → f32."""
+    P = (ttf+1)/(sum_ttf+1) in DOUBLE; per-doc clause sum in DOUBLE → f32.
+    μ rounds through float32 first, mirroring the engine scorer's
+    ``mu=float(F32(self.mu))`` (bit-parity for non-f32-representable μ)."""
+    mu = float(np.float32(mu))
     clauses, scoring, must, must_not = _boolean_filtered(query)
     if not scoring:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"

@@ -93,13 +93,16 @@ class IncrementalIndexer:
         b = self._builder
         manifest = b._load_manifest()
         if manifest is None:
-            # first batch bootstraps a normal build
+            # first batch bootstraps a normal build; applied_epochs rides
+            # the build's OWN manifest save (one commit — a second save
+            # would open a crash window where an epoch-0 replay re-appends
+            # the already-built batch)
             n = batch_df.count()
             b.num_segments = max(1, n // self.rows_per_segment)
-            res = b.build(batch_df)
-            m = b._load_manifest()
-            m["applied_epochs"] = [] if epoch_id is None else [int(epoch_id)]
-            b._save_manifest(m)
+            res = b.build(batch_df, extra_manifest={
+                "applied_epochs":
+                    [] if epoch_id is None else [int(epoch_id)],
+            })
             return self._maybe_compact(res)
         applied = manifest.get("applied_epochs", [])
         if epoch_id is not None and int(epoch_id) in applied:
@@ -230,7 +233,18 @@ class IncrementalIndexer:
         else:
             out = self.append(batch_df, epoch_id=epoch_id,
                               extra_manifest=staged)
-        mnt._gc_live_generations(keep={staged["live_dir"], old_live})
+        # keep the same GC_KEEP_GENERATIONS window the stats GC honors:
+        # a reader opened up to K appends ago still holds its pinned
+        # live-docs generation (keeping only {new, previous} deleted a
+        # 2-generation-old reader's point-in-time view mid-query)
+        gen = int(staged.get("live_gen", 0))
+        keep = {staged["live_dir"], old_live} | {
+            f"live_docs.g{g}"
+            for g in range(max(1, gen - self.GC_KEEP_GENERATIONS + 1), gen)
+        }
+        if gen - self.GC_KEEP_GENERATIONS + 1 <= 0:
+            keep.add("live_docs")  # the unsuffixed gen-0 dir
+        mnt._gc_live_generations(keep=keep)
         out["deleted"] = n_del
         return out
 

@@ -65,15 +65,10 @@ class IndexWriter:
         return self._mnt._manifest()
 
     def num_docs(self) -> int:
+        # doc_count is published by every commit (build/append/compact) —
+        # no reader construction needed for a manifest accessor
         m = self.manifest
-        total = sum(int(r) for r in m.get("seg_rows", {}).values()) \
-            if m.get("seg_rows") else None
-        if total is None:
-            from lucene_spark.search.reader import IndexReader
-
-            return IndexReader(self.spark, self.index_dir).doc_count \
-                - int(m.get("deleted_count", 0))
-        return total - int(m.get("deleted_count", 0))
+        return int(m["doc_count"]) - int(m.get("deleted_count", 0))
 
     def has_deletions(self) -> bool:
         return bool(self.manifest.get("has_deletes", False))

@@ -1508,3 +1508,28 @@ def test_msearch_enforces_clause_limit(searcher):
     big = " ".join(f"t{i}" for i in range(searcher.max_clause_count + 1))
     with pytest.raises(TooManyClauses):
         searcher.msearch([big], 5)
+
+
+def test_filter_only_query_matches_score_zero(searcher, golden):
+    """A FILTER-only boolean matches its docs with score 0 (BooleanWeight
+    semantics) — engine ≡ golden; count agrees."""
+    q = ast.BooleanQuery(((ast.FILTER, ast.TermQuery(VOCAB[0])),))
+    got = [(h.doc_id, h.score) for h in searcher.search(q, 50)]
+    exp = golden.search(q, 50)
+    assert got == exp and got and all(s == 0.0 for _, s in got)
+    assert searcher.count(q) == len(golden.search(q, 10**9))
+
+
+def test_count_minshouldmatch(searcher, golden):
+    """count() respects minShouldMatch with and without MUST clauses."""
+    for q in (
+        ast.BooleanQuery(((ast.SHOULD, ast.TermQuery(VOCAB[0])),
+                          (ast.SHOULD, ast.TermQuery(VOCAB[3])),
+                          (ast.SHOULD, ast.TermQuery(VOCAB[5]))),
+                         min_should_match=2),
+        ast.BooleanQuery(((ast.MUST, ast.TermQuery(VOCAB[1])),
+                          (ast.SHOULD, ast.TermQuery(VOCAB[0])),
+                          (ast.SHOULD, ast.TermQuery(VOCAB[3]))),
+                         min_should_match=1),
+    ):
+        assert searcher.count(q) == len(golden.search(q, 10**9)), q
