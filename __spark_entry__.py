@@ -32,6 +32,7 @@ PHRASE_TERMS = ("table", "value")
 Q_NESTED = "(table AND value) OR (query AND customer)"
 Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
+Q_RESCORE = "key query"  # QueryRescorer second-pass query
 
 _AN = SimpleAnalyzer()
 
@@ -970,6 +971,27 @@ def _q_span_not_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_span_or_count(spark, sf_dir):
+    """SpanOr sub-span clause inside span_near
+    (spans/SpanOrQuery.java:38 union of sub-spans): ordered
+    span_near([(table|key), value], slop=3) hit count — the first sub-span
+    matches at the union of 'table' and 'key' positions."""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.SpanNearQuery((("table", "key"), "value"), slop=3))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def _q_rescore(spark, sf_dir):
+    """QueryRescorer (core/search/QueryRescorer.java:38-104): BM25 top-100
+    of the 3-term disjunction, re-scored by the second query at weight 2.0
+    (combined = f32(first + 2·second) where the second query matches),
+    re-sorted, top-40."""
+    s = _searcher(spark, sf_dir)
+    hits = s.rescore(_parse(Q_OR), _parse(Q_RESCORE), k=40, top_n=100,
+                     weight=2.0)
+    return _hits_df(spark, hits)
+
+
 def _q_knn(spark, sf_dir):
     """KNN vector query (KnnFloatVectorQuery analogue) at the recall=1
     exact config: top-10 by quantized integer dot with vec 0's embedding,
@@ -1009,8 +1031,12 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # r2-green, machinery covered by stronger in-window gates — rotated out
     # to make room; they remain in queries() past the window)
     "expression_score_topk", "passage_highlight",
-    "group_top1_source",
-    "search_after_page2", "sort_by_dl_topk",
+    "rescore_topk", "span_or_count",
+    # (rotation note 2: group_top1_source + sort_by_dl_topk — both r2-green;
+    # grouping runs over the same score_df substrate as in-window facet /
+    # drill gates, and sort_conv_early re-verifies the search_sorted path —
+    # rotated out for the two new never-verified round-4 gates)
+    "search_after_page2",
     "streaming_incremental", "delete_compact_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
@@ -1044,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_unordered_count": _q_span_unordered_count,
         "span_first_count": _q_span_first_count,
         "span_not_count": _q_span_not_count,
+        "span_or_count": _q_span_or_count,
+        "rescore_topk": _q_rescore,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
@@ -1214,6 +1242,10 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value"], 3, max_end=12),
         "span_not_count": oracle.span_near_count_sql(
             ["table", "value"], 3, exclude="key", pre=1, post=1),
+        "span_or_count": oracle.span_near_count_sql(
+            [("table", "key"), "value"], 3, in_order=True),
+        "rescore_topk": oracle.rescore_topk_sql(
+            _parse(Q_OR), _parse(Q_RESCORE), 40, 100, 2.0),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
         "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
         "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),

@@ -2115,12 +2115,18 @@ def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
     all-distinct positions with window max−min−(n−1) ≤ slop. ``max_end``
     adds the SpanFirstQuery end bound (span end ≤ max_end); ``exclude``
     adds the SpanNotQuery rejection (no exclude-term position within
-    [start − pre, end + post])."""
+    [start − pre, end + post]). A tuple element of ``terms`` is a SpanOr
+    clause (``spans/SpanOrQuery.java:38``) — that sub-span matches any of
+    its alternatives' positions (term IN (…))."""
     n = len(terms)
     joins = "".join(
         f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
     )
-    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(terms)]
+    conds = [
+        (f"t{i}.term IN ({', '.join(repr(a) for a in t)})"
+         if isinstance(t, tuple) else f"t{i}.term = '{t}'")
+        for i, t in enumerate(terms)
+    ]
     if in_order:
         conds += [f"t{i}.pos > t{i - 1}.pos" for i in range(1, n)]
         conds.append(f"t{n - 1}.pos - t0.pos - {n - 1} <= {slop}")
@@ -2167,6 +2173,34 @@ def span_near_count_sql(terms, slop: int, in_order: bool = True,
         "SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM (",
         "SELECT count(*)::BIGINT AS hits FROM (", 1)
     return head
+
+
+def rescore_topk_sql(first_query, second_query, k: int, top_n: int,
+                     weight: float) -> str:
+    """QueryRescorer oracle (``core/search/QueryRescorer.java:38-104``):
+    first-pass BM25 top-N, second-pass BM25 scores left-joined onto those N
+    docs, combined = f32(first + weight·second) when the second query
+    matches (double product narrowed to float, the ``combine`` contract),
+    else the first-pass score unchanged; re-sorted (score DESC, docID ASC),
+    top-k."""
+    first = bm25_topk_sql(first_query, top_n)
+    second = bm25_topk_sql(second_query, 10**9)
+    return f"""
+WITH firstp AS (SELECT * FROM ({first})),
+     secondp AS (SELECT * FROM ({second})),
+     combined AS (
+       SELECT f.doc_id AS doc_id,
+              CAST(CASE WHEN s.doc_id IS NULL THEN f.score
+                   ELSE CAST(f.score
+                             + CAST({float(weight)!r} AS DOUBLE) * s.score
+                             AS FLOAT)
+                   END AS DOUBLE) AS score
+       FROM firstp f LEFT JOIN secondp s ON s.doc_id = f.doc_id
+     )
+SELECT doc_id, score FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def facet_ranges_sql(query, bounds) -> str:

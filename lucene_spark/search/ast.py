@@ -119,6 +119,9 @@ class SpanNearQuery:
     (``queries/spans/SpanNearQuery.java:41``,
     ``queries/intervals/IntervalQuery.java:59``): matches docs where the
     terms occur within ``slop`` intervening positions, in order or any order.
+    An element of ``terms`` may itself be a tuple of term names — a
+    SpanOrQuery clause (``queries/spans/SpanOrQuery.java:38``): that
+    sub-span matches at the union of the alternatives' positions.
     v1 scoring: constant-score (boost per matching doc; the reference's
     SpanScorer sloppyFreq scoring is a documented cut — match sets are
     identical)."""
@@ -629,9 +632,10 @@ def count_leaf_clauses(q) -> int:
     if isinstance(q, MultiPhraseQuery):
         return sum(len(s) for s in q.slots)
     if isinstance(q, (SpanNearQuery, SpanFirstQuery)):
-        return len(q.terms)
+        return sum(len(t) if isinstance(t, tuple) else 1 for t in q.terms)
     if isinstance(q, SpanNotQuery):
-        return len(q.terms) + 1
+        return sum(len(t) if isinstance(t, tuple) else 1
+                   for t in q.terms) + 1
     return 1
 
 

@@ -807,6 +807,28 @@ def _structs_for_terms(rows, terms):
     return [_term_postings_with_positions(rows, by_term[t]) for t in terms]
 
 
+def _structs_for_slots(rows, slots):
+    """Per-slot structs where a slot is a term name or a TUPLE of
+    alternatives (a SpanOrQuery clause, ``queries/spans/SpanOrQuery.java:38``
+    — the union of its sub-spans' matches; single-term sub-spans have width
+    1, so SpanOr of term spans reduces to a de-duplicated position union,
+    same as MultiPhraseQuery's UnionPostingsEnum). A tuple slot drops absent
+    alternatives; None when some slot has NO present alternative (that
+    required sub-span can never match in this segment)."""
+    by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(rows["term"]):
+        by_term.setdefault(t, []).append(i)
+    per = []
+    for slot in slots:
+        names = slot if isinstance(slot, tuple) else (slot,)
+        structs = [_term_postings_with_positions(rows, by_term[t])
+                   for t in names if t in by_term]
+        if not structs:
+            return None
+        per.append(_union_structs(structs))
+    return per
+
+
 def _union_structs(structs):
     """Merge term structs into one pseudo-term struct (MultiPhraseQuery's
     ``UnionPostingsEnum`` analogue): per doc, positions are the de-duplicated
@@ -904,7 +926,10 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
                       pre: int = 0, post: int = 0):
     """Matching docs for a span-near query over single-term sub-spans
     (``queries/spans/SpanNearQuery.java:41`` /
-    ``queries/intervals/IntervalQuery.java:59`` match semantics).
+    ``queries/intervals/IntervalQuery.java:59`` match semantics). An element
+    of ``terms`` may itself be a TUPLE of term names — a SpanOrQuery clause
+    (``queries/spans/SpanOrQuery.java:38``): that sub-span matches at the
+    union of the alternatives' positions.
 
     Ordered: positions p_1 < p_2 < … < p_n (one per term, doc-local) with
     intervening width p_n − p_1 − (n−1) ≤ slop (single-term sub-spans have
@@ -947,7 +972,7 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
         return np.unique(np.concatenate(parts)) if parts else np.zeros(
             0, np.int64)
 
-    per_term = _structs_for_terms(rows, terms)
+    per_term = _structs_for_slots(rows, terms)
     if per_term is None:
         return np.zeros(0, np.int64)
     keys = []

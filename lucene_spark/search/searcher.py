@@ -848,17 +848,24 @@ class IndexSearcher:
         from the corpus (a required sub-span can never match)."""
         from lucene_spark.search.phrase import segment_span_near
 
-        terms = list(q.terms)
+        terms = [tuple(t) if isinstance(t, (tuple, list)) else t
+                 for t in q.terms]
         max_end = int(q.end) if isinstance(q, ast.SpanFirstQuery) else None
         exclude = q.exclude if isinstance(q, ast.SpanNotQuery) else None
         pre = int(q.pre) if exclude is not None else 0
         post = int(q.post) if exclude is not None else 0
-        stats = self.reader.term_stats(terms, field=q.field)
-        if any(stats.get(t, {}).get("df", 0) == 0 for t in terms):
-            return None
+        # a slot is a term or a tuple of SpanOr alternatives — a required
+        # sub-span is dead only when EVERY alternative is corpus-absent
+        flat = [t for slot in terms
+                for t in (slot if isinstance(slot, tuple) else (slot,))]
+        stats = self.reader.term_stats(sorted(set(flat)), field=q.field)
+        for slot in terms:
+            names = slot if isinstance(slot, tuple) else (slot,)
+            if all(stats.get(t, {}).get("df", 0) == 0 for t in names):
+                return None
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
-        fetch = sorted(set(terms) | ({exclude} if exclude else set()))
+        fetch = sorted(set(flat) | ({exclude} if exclude else set()))
         postings = self.reader.postings(fetch, field=q.field)
         cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
                 "norms", "positions", "doc_offset"]
@@ -1380,6 +1387,58 @@ class IndexSearcher:
             self.expression_score_df(query, expression)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         )
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def rescore_df(self, first_query, second_query, top_n: int = 100,
+                   weight: float = 1.0):
+        """QueryRescorer (``core/search/QueryRescorer.java:38-104``): take
+        the top-``top_n`` hits of ``first_query``, score ``second_query``
+        over just those docs, and combine — new score =
+        f32(first + weight·second) when the second query matches the doc,
+        else the first-pass score unchanged (the ``combine`` contract:
+        ``score += weight * secondPassScore``, double product narrowed to
+        float). Returns the (doc_id, score) DataFrame, un-sorted.
+
+        Scale shape: the first pass is k-bounded (a TopDocs array, ≤ top_n
+        rows on the driver — same bound as every top-k merge); the second
+        pass stays ONE distributed score_df plan restricted to those docs,
+        and the ≤ top_n combined rows join broadcast."""
+        from pyspark.sql import functions as F
+
+        if isinstance(first_query, str):
+            first_query = self.parse(first_query)
+        if isinstance(second_query, str):
+            second_query = self.parse(second_query)
+        hits = self.search(first_query, k=top_n)
+        spark = self.spark
+        if not hits:
+            return spark.createDataFrame([], "doc_id long, score double")
+        fdf = spark.createDataFrame(
+            [(int(h.doc_id), float(h.score)) for h in hits],
+            "doc_id long, first double")
+        ids = [int(h.doc_id) for h in hits]
+        second = (self.score_df(second_query)
+                  .where(F.col("doc_id").isin(ids))
+                  .withColumnRenamed("score", "second"))
+        return (fdf.join(F.broadcast(second), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("second").isNull(), F.col("first"))
+                    .otherwise((F.col("first")
+                                + F.lit(float(weight))
+                                * F.col("second").cast("double"))
+                               .cast("float").cast("double"))
+                    .alias("score")))
+
+    def rescore(self, first_query, second_query, k: int = 10,
+                top_n: int = 100, weight: float = 1.0) -> list[ScoreDoc]:
+        """Top-k of :meth:`rescore_df` re-sorted by (score DESC, docID ASC)
+        — ``QueryRescorer.rescore``'s final sort comparator."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.rescore_df(first_query, second_query, top_n, weight)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     # ascending sort-key prefixes of the INDEX sort (docID order is

@@ -1533,3 +1533,41 @@ def test_count_minshouldmatch(searcher, golden):
                          min_should_match=1),
     ):
         assert searcher.count(q) == len(golden.search(q, 10**9)), q
+
+
+def test_rescore_brute_combine(searcher):
+    """QueryRescorer: engine rescore ≡ brute combine of two verified search
+    passes — first-pass top-N scores plus weight×second where the second
+    query matches, f32-narrowed, re-sorted by (score DESC, docID ASC)."""
+    first = searcher.parse(f"{VOCAB[0]} {VOCAB[3]} {VOCAB[5]}")
+    second = searcher.parse(f"{VOCAB[1]} {VOCAB[7]}")
+    top_n, k, w = 30, 10, 2.0
+    fhits = searcher.search(first, k=top_n)
+    smap = {h.doc_id: h.score for h in searcher.search(second, k=10**6)}
+    comb = []
+    for h in fhits:
+        if h.doc_id in smap:
+            s = float(np.float32(h.score + w * smap[h.doc_id]))
+        else:
+            s = h.score
+        comb.append((h.doc_id, s))
+    comb.sort(key=lambda t: (-t[1], t[0]))
+    exp = comb[:k]
+    got = [(h.doc_id, h.score) for h in
+           searcher.rescore(first, second, k=k, top_n=top_n, weight=w)]
+    assert got == exp
+
+
+def test_rescore_weight_zero_keeps_first_pass(searcher):
+    """weight=0 → combined score equals the first-pass score for every
+    doc (still f32-narrowed through the combine for matched docs)."""
+    first = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    second = searcher.parse(VOCAB[5])
+    fhits = searcher.search(first, k=20)
+    got = searcher.rescore(first, second, k=20, top_n=20, weight=0.0)
+    assert {h.doc_id: h.score for h in got} == \
+        {h.doc_id: h.score for h in fhits}
+
+
+def test_rescore_no_first_pass_hits(searcher):
+    assert searcher.rescore("zzznotaterm", VOCAB[0], k=5) == []

@@ -22,11 +22,23 @@ def searcher(spark, index_dir):
     return IndexSearcher(spark, index_dir)
 
 
+def _slot_positions(golden, slot):
+    """Positions map of a slot: a term name, or a tuple of SpanOr
+    alternatives (union of the alternatives' positions per doc)."""
+    if isinstance(slot, tuple):
+        merged: dict = {}
+        for t in slot:
+            for d, ps in golden.positions.get(t, {}).items():
+                merged.setdefault(d, set()).update(ps)
+        return {d: sorted(ps) for d, ps in merged.items()}
+    return golden.positions.get(slot, {})
+
+
 def brute_span_docs(golden, terms, slop, in_order):
     """Docs with an ordered (or any-order) all-distinct position assignment
     whose window max−min−(n−1) ≤ slop."""
     n = len(terms)
-    maps = [golden.positions.get(t, {}) for t in terms]
+    maps = [_slot_positions(golden, t) for t in terms]
     if any(not m for m in maps):
         return []
     docs = set(maps[0])
@@ -100,6 +112,53 @@ def test_span_near_absent_term(searcher):
     q = ast.SpanNearQuery((VOCAB[0], "zzznotaterm"), slop=5)
     assert searcher.search(q, 10) == []
     assert searcher.count(q) == 0
+
+
+@pytest.mark.parametrize("in_order", [True, False])
+@pytest.mark.parametrize("slop", [0, 3])
+def test_span_or_clause(searcher, golden, slop, in_order):
+    """SpanOr sub-span (tuple slot): matches at the union of the
+    alternatives' positions — brute enumeration over the merged maps."""
+    terms = ((VOCAB[0], VOCAB[5]), VOCAB[3])
+    q = ast.SpanNearQuery(terms, slop=slop, in_order=in_order)
+    exp = brute_span_docs(golden, terms, slop, in_order)
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp, (slop, in_order)
+    assert searcher.count(q) == len(exp)
+
+
+def test_span_or_three_slots(searcher, golden):
+    terms = (VOCAB[1], (VOCAB[0], VOCAB[3], VOCAB[7]), VOCAB[5])
+    q = ast.SpanNearQuery(terms, slop=8)
+    exp = brute_span_docs(golden, terms, 8, True)
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp
+
+
+def test_span_or_superset_of_single(searcher, golden):
+    """A SpanOr slot's match set contains each single-alternative set."""
+    a = set(h.doc_id for h in searcher.search(
+        ast.SpanNearQuery(((VOCAB[0], VOCAB[5]), VOCAB[3]), slop=4),
+        k=10_000))
+    for alt in (VOCAB[0], VOCAB[5]):
+        single = set(h.doc_id for h in searcher.search(
+            ast.SpanNearQuery((alt, VOCAB[3]), slop=4), k=10_000))
+        assert single <= a
+
+
+def test_span_or_absent_alternative_ignored(searcher, golden):
+    """Corpus-absent alternatives drop out; the slot dies only when ALL
+    alternatives are absent."""
+    base = [h.doc_id for h in searcher.search(
+        ast.SpanNearQuery((VOCAB[0], VOCAB[3]), slop=4), k=10_000)]
+    mixed = [h.doc_id for h in searcher.search(
+        ast.SpanNearQuery(((VOCAB[0], "zzznotaterm"), VOCAB[3]), slop=4),
+        k=10_000)]
+    assert mixed == base
+    q_dead = ast.SpanNearQuery((("zzznotaterm", "zzzalsonot"), VOCAB[3]),
+                               slop=4)
+    assert searcher.search(q_dead, 10) == []
+    assert searcher.count(q_dead) == 0
 
 
 def brute_span_spans(golden, terms, slop, d):
