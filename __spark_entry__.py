@@ -992,6 +992,58 @@ def _q_rescore(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+def _q_phrase_prefix(spark, sf_dir):
+    """Phrase-prefix (MultiPhraseQuery.java javadoc prefix use-case):
+    "table s*" with max_expansions=4 — the last slot expands to the first
+    4 dictionary terms with prefix 's' in term order, union postings,
+    idf summed over all expanded terms."""
+    s = _searcher(spark, sf_dir)
+    hits = s.phrase_prefix(("table", "s"), k=40, max_expansions=4)
+    return _hits_df(spark, hits)
+
+
+def _q_boost_by_query(spark, sf_dir):
+    """FunctionScoreQuery.boostByQuery
+    (queries/function/FunctionScoreQuery.java:83-101): the 3-term
+    disjunction's BM25 score ×1.7 on docs matching 'key', top-40."""
+    s = _searcher(spark, sf_dir)
+    hits = s.boost_by_query(_parse(Q_OR), _parse("key"), 1.7, k=40)
+    return _hits_df(spark, hits)
+
+
+def _q_feature_satu(spark, sf_dir):
+    """FeatureField SaturationFunction (core/document/FeatureField.java):
+    MUST(3-term disjunction) SHOULD(saturation feature on dl, weight 0.8,
+    pivot 30) — combined = f32(main + f32(0.8·dl/(dl+30))), top-40."""
+    s = _searcher(spark, sf_dir)
+    hits = s.feature_score(_parse(Q_OR), "dl", "saturation", k=40,
+                           weight=0.8, pivot=30.0)
+    return _hits_df(spark, hits)
+
+
+def _q_group_top3(spark, sf_dir):
+    """GroupingSearch with maxDocsPerGroup=3 (TopGroups analogy): top-3
+    docs per source group by BM25 score, with per-group rank."""
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    scores = s.score_df(_parse(Q_OR))
+    meta = _docs_meta(spark, sf_dir)
+    joined = scores.join(meta, scores["doc_id"] == meta["did"])
+    w = Window.partitionBy("source").orderBy(F.desc("score"),
+                                             F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("source").alias("grp"), "doc_id",
+            F.col("score").cast("double").alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("grp", "rn")
+    )
+
+
 def _q_knn(spark, sf_dir):
     """KNN vector query (KnnFloatVectorQuery analogue) at the recall=1
     exact config: top-10 by quantized integer dot with vec 0's embedding,
@@ -1036,12 +1088,19 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # grouping runs over the same score_df substrate as in-window facet /
     # drill gates, and sort_conv_early re-verifies the search_sorted path —
     # rotated out for the two new never-verified round-4 gates)
-    "search_after_page2",
-    "streaming_incremental", "delete_compact_topk",
+    # (rotation note 3: search_after_page2 / streaming_incremental /
+    # delete_compact_topk / highlight_snippets — all r2-green; pagination
+    # and sorted paths re-verify via sort_conv_early, streaming commit
+    # machinery via monitor_batch + events gates, delete machinery via
+    # delete_by_query_topk, highlighting via the stronger passage_highlight
+    # — rotated out for the four new never-verified gates below; they
+    # remain in queries() past the window)
+    "phrase_prefix_topk", "boost_by_query_topk",
+    "feature_satu_topk", "group_top3_source",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_langid", "text_quality", "text_token_counts",
-    "text_fingerprint", "highlight_snippets", "mm_binary_stats",
+    "text_fingerprint", "mm_binary_stats",
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
@@ -1072,6 +1131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_count": _q_span_not_count,
         "span_or_count": _q_span_or_count,
         "rescore_topk": _q_rescore,
+        "phrase_prefix_topk": _q_phrase_prefix,
+        "boost_by_query_topk": _q_boost_by_query,
+        "feature_satu_topk": _q_feature_satu,
+        "group_top3_source": _q_group_top3,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
@@ -1246,6 +1309,14 @@ def oracle_sql() -> dict[str, str]:
             [("table", "key"), "value"], 3, in_order=True),
         "rescore_topk": oracle.rescore_topk_sql(
             _parse(Q_OR), _parse(Q_RESCORE), 40, 100, 2.0),
+        "phrase_prefix_topk": oracle.phrase_prefix_topk_sql(
+            ["table"], "s", 4, 40),
+        "boost_by_query_topk": oracle.boost_by_query_topk_sql(
+            _parse(Q_OR), _parse("key"), 1.7, 40),
+        "feature_satu_topk": oracle.feature_saturation_topk_sql(
+            _parse(Q_OR), 0.8, 30.0, 40),
+        "group_top3_source": oracle.group_topn_sql(
+            _parse(Q_OR), "source", 3),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
         "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
         "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),

@@ -2203,6 +2203,144 @@ LIMIT {k}
 """
 
 
+def phrase_prefix_topk_sql(fixed_terms, prefix: str, max_expansions: int,
+                           k: int, boost: float = 1.0) -> str:
+    """Phrase-prefix oracle (``MultiPhraseQuery.java`` javadoc prefix
+    use-case): the last slot = the first ``max_expansions`` dictionary
+    terms with ``prefix`` in term order (binary collation == the engine's
+    unsigned-UTF-8 enumeration for this ASCII corpus), derived
+    INDEPENDENTLY from the token CTEs; freq/idf follow the MultiPhrase
+    contract (union slot, idf summed over fixed + expanded terms, each
+    f32-narrowed then double-summed — exact for ≤2^29 f32 addends)."""
+    n_slots = len(fixed_terms) + 1
+    joins = []
+    conds = ["t0.term = '%s'" % fixed_terms[0] if fixed_terms else
+             "t0.term IN (SELECT term FROM exp)"]
+    for i in range(1, n_slots):
+        joins.append(
+            f"\n  JOIN toksp t{i} ON t{i}.did = t0.did "
+            f"AND t{i}.pos = t0.pos + {i}"
+        )
+        if i < len(fixed_terms):
+            conds.append(f"t{i}.term = '{fixed_terms[i]}'")
+        else:
+            conds.append(f"t{i}.term IN (SELECT term FROM exp)")
+    f32_idf = ("CAST(ln(1 + ((SELECT n FROM fstats) - {df} + 0.5)"
+               " / ({df} + 0.5)) AS FLOAT)")
+    fixed_idf = " + ".join(
+        "CAST(" + f32_idf.format(
+            df=f"(SELECT df FROM tstats WHERE term = '{t}')") + " AS DOUBLE)"
+        for t in fixed_terms
+    ) or "CAST(0 AS DOUBLE)"
+    exp_idf = ("(SELECT coalesce(sum(CAST("
+               + f32_idf.format(df="ts.df")
+               + " AS DOUBLE)), 0) FROM tstats ts"
+               " JOIN exp e ON ts.term = e.term)")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE},
+exp AS (
+  SELECT term FROM tstats WHERE term LIKE '{prefix}%'
+  ORDER BY term LIMIT {int(max_expansions)}
+),
+ph AS (
+  SELECT t0.did, count(DISTINCT t0.pos)::BIGINT AS freq
+  FROM toksp t0{"".join(joins)}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
+),
+pw AS (SELECT CAST({boost!r} AS FLOAT)
+              * CAST(({fixed_idf} + {exp_idf}) AS FLOAT) AS w),
+scored AS (
+  SELECT ph.did,
+         pw.w - pw.w / (CAST(1 AS FLOAT)
+                        + CAST(ph.freq AS FLOAT)
+                          * (CAST(1 AS FLOAT)
+                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                        + ({B} * CAST(d.dlen AS FLOAT))
+                                          / (SELECT avgdl FROM fstats))))) AS s
+  FROM ph CROSS JOIN pw
+  JOIN dlen d ON d.did = ph.did
+)
+SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
+FROM scored
+ORDER BY s DESC, did ASC
+LIMIT {k}
+"""
+
+
+def boost_by_query_topk_sql(query, boost_query, boost: float,
+                            k: int) -> str:
+    """``FunctionScoreQuery.boostByQuery`` oracle
+    (``queries/function/FunctionScoreQuery.java:83-101``): main-query BM25
+    scores multiplied by ``boost`` on docs in the boost query's match set
+    (double product, f32-narrowed), unchanged elsewhere."""
+    main = bm25_topk_sql(query, 10**9)
+    bq = bm25_topk_sql(boost_query, 10**9)
+    return f"""
+WITH mainp AS (SELECT * FROM ({main})),
+     bq AS (SELECT doc_id FROM ({bq})),
+     combined AS (
+       SELECT m.doc_id AS doc_id,
+              CAST(CASE WHEN b.doc_id IS NULL THEN m.score
+                   ELSE CAST(m.score * CAST({float(boost)!r} AS DOUBLE)
+                             AS FLOAT)
+                   END AS DOUBLE) AS score
+       FROM mainp m LEFT JOIN bq b ON b.doc_id = m.doc_id
+     )
+SELECT doc_id, score FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def feature_saturation_topk_sql(query, weight: float, pivot: float,
+                                k: int) -> str:
+    """FeatureField SaturationFunction oracle
+    (``core/document/FeatureField.java``): feature S = raw token count dl;
+    feature score = f32(weight × S/(S + pivot)) (exact IEEE ops only — no
+    libm); combined = f32(main + feature), the BooleanScorer
+    double-sum-then-narrow contract on a MUST(text) SHOULD(feature)
+    boolean."""
+    main = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH mainp AS (SELECT * FROM ({main})),
+     {BASE_CTES},
+     combined AS (
+       SELECT m.doc_id AS doc_id,
+              CAST(CAST(m.score
+                        + CAST(CAST(CAST({float(weight)!r} AS DOUBLE)
+                                    * (CAST(d.dl AS DOUBLE)
+                                       / (CAST(d.dl AS DOUBLE)
+                                          + CAST({float(pivot)!r} AS DOUBLE)))
+                               AS FLOAT) AS DOUBLE)
+                   AS FLOAT) AS DOUBLE) AS score
+       FROM mainp m JOIN dls d ON d.did = m.doc_id
+     )
+SELECT doc_id, score FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def group_topn_sql(query, group_col: str = "source", n: int = 1) -> str:
+    """Top-n docs per group by BM25 score (GroupingSearch / TopGroups
+    ``maxDocsPerGroup`` analogy)."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH ranked AS (
+  SELECT g.{group_col} AS grp, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY g.{group_col}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM ({inner}) s
+  JOIN (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+               {group_col} FROM documents) g
+    ON g.did = s.doc_id
+)
+SELECT grp, doc_id, score, rn FROM ranked WHERE rn <= {int(n)}
+ORDER BY grp, rn
+"""
+
+
 def facet_ranges_sql(query, bounds) -> str:
     """Numeric-range facet oracle (LongRangeFacetCounts.java:41): per-range
     counts of the query's match set over dl (raw token count), inclusive

@@ -1441,6 +1441,152 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+    def _expand_prefix_sorted(self, field: str, prefix: str,
+                              n: int) -> list[str]:
+        """First ``n`` dictionary terms with ``prefix``, in unsigned-UTF-8
+        term order (the term-dict enumeration order,
+        ``MultiPhraseQuery.java`` javadoc's ``IndexReader.terms(Term)``
+        walk). TRUNCATES at ``n`` — the ``max_expansions`` contract of
+        phrase-prefix matching, unlike multi-term expansion which raises.
+
+        Driver path: binary search over the resident sorted dictionary
+        (zero Spark jobs). Fallback: term-ordered pushdown scan with
+        ``LIMIT n`` (Spark string order is UTF-16 code-unit order — equal
+        to code-point order for BMP text; supplementary-plane prefixes are
+        a documented approximation)."""
+        import bisect
+
+        terms = self.reader.sorted_terms(field)
+        if terms is not None:
+            lo = bisect.bisect_left(terms, prefix)
+            out = []
+            for i in range(lo, min(len(terms), lo + n)):
+                if not terms[i].startswith(prefix):
+                    break
+                out.append(terms[i])
+            return out
+        from lucene_spark.search.multiterm import matched_terms_df
+        from lucene_spark.session import no_aqe
+
+        q = ast.MultiTermQuery("prefix", value=prefix, field=field)
+        with no_aqe(self.spark):
+            rows = (matched_terms_df(self.reader, q)
+                    .orderBy("term").limit(n).collect())
+        return [r["term"] for r in rows]
+
+    def phrase_prefix(self, terms, k: int = 10, max_expansions: int = 50,
+                      field: str = "text", boost: float = 1.0,
+                      slop: int = 0) -> list[ScoreDoc]:
+        """Phrase-prefix search (``core/search/MultiPhraseQuery.java``
+        javadoc's prefix use-case — "phrases like ``app*`` matching
+        ``Microsoft app*``"): the LAST element of ``terms`` is a prefix,
+        expanded to its first ``max_expansions`` dictionary terms in term
+        order, and the result runs as a MultiPhraseQuery (union postings at
+        the last slot, idf summed over all expanded terms). An expansion
+        that matches nothing → no hits."""
+        exp = tuple(self._expand_prefix_sorted(field, terms[-1],
+                                               int(max_expansions)))
+        if not exp:
+            return []
+        slots = tuple((t,) for t in terms[:-1]) + (exp,)
+        return self.search(
+            ast.MultiPhraseQuery(slots, field=field, boost=boost,
+                                 slop=slop), k)
+
+    def boost_by_query_df(self, query, boost_query, boost: float):
+        """``FunctionScoreQuery.boostByQuery``
+        (``queries/function/FunctionScoreQuery.java:83-101``): the main
+        query's score is multiplied by ``boost`` on docs that match
+        ``boost_query``, left unchanged elsewhere (the
+        MultiplicativeBoostValuesSource contract: value = matched ? boost
+        : 1, product computed in double, narrowed to float). Returns the
+        distributed (doc_id, score) DataFrame.
+
+        Scale shape: one score plan joined to one match plan on doc_id —
+        both stay distributed; no driver materialization."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        if isinstance(boost_query, str):
+            boost_query = self.parse(boost_query)
+        main = self.score_df(query)
+        bm = (self.match_df(boost_query).select("doc_id")
+              .withColumn("_bq_hit", F.lit(1)))
+        return (main.join(bm, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(F.col("_bq_hit").isNull(), F.col("score"))
+                    .otherwise((F.col("score").cast("double")
+                                * F.lit(float(boost)))
+                               .cast("float").cast("double"))
+                    .alias("score")))
+
+    def boost_by_query(self, query, boost_query, boost: float,
+                       k: int = 10) -> list[ScoreDoc]:
+        """Top-k of :meth:`boost_by_query_df`, (score DESC, docID ASC)."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.boost_by_query_df(query, boost_query, boost)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    # FeatureField score functions (core/document/FeatureField.java):
+    # value computed in double, narrowed to float per the SimScorer
+    # contract. The feature S is a numeric docs-table column (doc values)
+    # — the parquet analogue of FeatureField's term-frequency-encoded
+    # static feature.
+    _FEATURE_FNS = ("log", "saturation", "sigmoid")
+
+    def feature_score_df(self, query, feature_col: str = "dl",
+                         fn: str = "saturation", weight: float = 1.0,
+                         pivot: float = 1.0, exp_a: float = 1.0,
+                         scaling: float = 1.0):
+        """FeatureField blending (``core/document/FeatureField.java``): the
+        canonical ``MUST(text) SHOULD(feature)`` boolean — match set = the
+        main query's matches; new score = f32(f32(main) + f32(feature)),
+        the BooleanScorer double-sum-then-narrow contract. Feature score:
+
+        - ``log``:        weight × ln(scaling + S)   (LogFunction)
+        - ``saturation``: weight × S/(S + pivot)     (SaturationFunction)
+        - ``sigmoid``:    weight × S^a/(S^a + pivot^a) (SigmoidFunction)
+        """
+        from pyspark.sql import functions as F
+
+        if fn not in self._FEATURE_FNS:
+            raise ValueError(f"unknown feature function: {fn}")
+        if isinstance(query, str):
+            query = self.parse(query)
+        s = F.col(feature_col).cast("double")
+        w = F.lit(float(weight))
+        if fn == "log":
+            feat = w * F.log(F.lit(float(scaling)) + s)
+        elif fn == "saturation":
+            feat = w * s / (s + F.lit(float(pivot)))
+        else:
+            sa = F.pow(s, F.lit(float(exp_a)))
+            feat = w * sa / (sa + F.pow(F.lit(float(pivot)),
+                                        F.lit(float(exp_a))))
+        joined = self.score_df(query).join(self.reader.docs(), "doc_id")
+        ns = (F.col("score").cast("double")
+              + feat.cast("float").cast("double")).cast("float")
+        return joined.select("doc_id", ns.cast("double").alias("score"))
+
+    def feature_score(self, query, feature_col: str = "dl",
+                      fn: str = "saturation", k: int = 10,
+                      weight: float = 1.0, pivot: float = 1.0,
+                      exp_a: float = 1.0,
+                      scaling: float = 1.0) -> list[ScoreDoc]:
+        """Top-k of :meth:`feature_score_df`, (score DESC, docID ASC)."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.feature_score_df(query, feature_col, fn, weight, pivot,
+                                  exp_a, scaling)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     # ascending sort-key prefixes of the INDEX sort (docID order is
     # row_number over (conv_id, turn_idx)) — eligible for early termination
     _INDEX_SORT_PREFIXES = (

@@ -1571,3 +1571,121 @@ def test_rescore_weight_zero_keeps_first_pass(searcher):
 
 def test_rescore_no_first_pass_hits(searcher):
     assert searcher.rescore("zzznotaterm", VOCAB[0], k=5) == []
+
+
+def test_phrase_prefix_matches_manual_multiphrase(searcher, golden):
+    """phrase_prefix ≡ MultiPhraseQuery with the prefix manually expanded
+    to the first max_expansions vocabulary terms in term order."""
+    prefix = VOCAB[0][:2]
+    vocab_sorted = sorted(golden.positions)
+    exp = tuple(t for t in vocab_sorted if t.startswith(prefix))[:3]
+    assert len(exp) >= 1
+    got = searcher.phrase_prefix((VOCAB[3], prefix), k=50, max_expansions=3)
+    want = searcher.search(
+        ast.MultiPhraseQuery(((VOCAB[3],), exp)), k=50)
+    assert [(h.doc_id, h.score) for h in got] == \
+        [(h.doc_id, h.score) for h in want]
+
+
+def test_phrase_prefix_truncates_at_max_expansions(searcher, golden):
+    """max_expansions TRUNCATES in term order (the match_phrase_prefix
+    contract) — a cap of 1 uses only the first matching term."""
+    prefix = VOCAB[0][:1]
+    vocab_sorted = sorted(golden.positions)
+    matching = [t for t in vocab_sorted if t.startswith(prefix)]
+    assert len(matching) >= 2  # the cap must actually bite
+    got = searcher.phrase_prefix((VOCAB[3], prefix), k=50, max_expansions=1)
+    want = searcher.search(
+        ast.MultiPhraseQuery(((VOCAB[3],), (matching[0],))), k=50)
+    assert [(h.doc_id, h.score) for h in got] == \
+        [(h.doc_id, h.score) for h in want]
+
+
+def test_phrase_prefix_no_expansion(searcher):
+    assert searcher.phrase_prefix((VOCAB[0], "zzzz"), k=10) == []
+
+
+def test_expand_prefix_sorted_paths_agree(searcher):
+    """Driver-dict binary search ≡ distributed term-ordered pushdown scan."""
+    prefix = VOCAB[0][:1]
+    a = searcher._expand_prefix_sorted("text", prefix, 4)
+    orig = searcher.reader.sorted_terms  # force the distributed path
+    try:
+        searcher.reader.sorted_terms = lambda field: None
+        b = searcher._expand_prefix_sorted("text", prefix, 4)
+    finally:
+        searcher.reader.sorted_terms = orig
+    assert a == b and 1 <= len(a) <= 4
+
+
+def test_boost_by_query_brute(searcher):
+    """boostByQuery ≡ brute combine: score ×boost where the doc is in the
+    boost query's match set, unchanged elsewhere, f32-narrowed."""
+    main = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    bq = searcher.parse(VOCAB[5])
+    boost = 1.7
+    base = searcher.search(main, k=10**6)
+    bset = {h.doc_id for h in searcher.search(bq, k=10**6)}
+    comb = [(h.doc_id,
+             float(np.float32(h.score * boost)) if h.doc_id in bset
+             else h.score)
+            for h in base]
+    comb.sort(key=lambda t: (-t[1], t[0]))
+    got = [(h.doc_id, h.score) for h in
+           searcher.boost_by_query(main, bq, boost, k=15)]
+    assert got == comb[:15]
+    assert any(d in bset for d, _ in got)  # the boost actually fired
+
+
+def test_feature_score_saturation_brute(searcher, spark):
+    """Saturation feature ≡ brute: f32(score + f32(w·dl/(dl+pivot))) —
+    exact IEEE ops, bit-identical."""
+    main = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    w, pivot = 0.8, 30.0
+    dls = {int(r["doc_id"]): int(r["dl"])
+           for r in searcher.reader.docs().select("doc_id", "dl").collect()}
+    base = searcher.search(main, k=10**6)
+    comb = []
+    for h in base:
+        dl = dls[h.doc_id]
+        feat = np.float32(w * (dl / (dl + pivot)))
+        comb.append((h.doc_id, float(np.float32(h.score + float(feat)))))
+    comb.sort(key=lambda t: (-t[1], t[0]))
+    got = [(h.doc_id, h.score) for h in
+           searcher.feature_score(main, "dl", "saturation", k=15,
+                                  weight=w, pivot=pivot)]
+    assert got == comb[:15]
+
+
+@pytest.mark.parametrize("fn,kw", [
+    ("log", dict(weight=0.5, scaling=1.0)),
+    ("sigmoid", dict(weight=0.6, pivot=25.0, exp_a=2.0)),
+])
+def test_feature_score_log_sigmoid_brute(searcher, fn, kw):
+    """Log/sigmoid features ≡ brute within 1-ulp tolerance (libm ln/pow may
+    differ across JVM vs numpy); ordering must still agree."""
+    main = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    dls = {int(r["doc_id"]): int(r["dl"])
+           for r in searcher.reader.docs().select("doc_id", "dl").collect()}
+    base = searcher.search(main, k=10**6)
+    comb = []
+    for h in base:
+        dl = float(dls[h.doc_id])
+        if fn == "log":
+            feat = kw["weight"] * np.log(kw["scaling"] + dl)
+        else:
+            sa = dl ** kw["exp_a"]
+            feat = kw["weight"] * sa / (sa + kw["pivot"] ** kw["exp_a"])
+        comb.append((h.doc_id,
+                     float(np.float32(h.score + float(np.float32(feat))))))
+    comb.sort(key=lambda t: (-t[1], t[0]))
+    got = [(h.doc_id, h.score) for h in
+           searcher.feature_score(main, "dl", fn, k=15, **kw)]
+    assert [d for d, _ in got] == [d for d, _ in comb[:15]]
+    for (_, a), (_, b) in zip(got, comb[:15]):
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_feature_score_unknown_fn(searcher):
+    with pytest.raises(ValueError, match="feature function"):
+        searcher.feature_score(VOCAB[0], "dl", "cube")

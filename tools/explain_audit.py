@@ -127,6 +127,19 @@ def main(sf_dir: str):
                      "stateful on a stream)",
                      capture(windowed_event_counts(ev))))
 
+    s = e._searcher(spark, sf_dir)
+    sections.append(("boostByQuery (expect score plan LEFT-joined to match "
+                     "plan on doc_id, combine CASE inside codegen, NO "
+                     "driver materialization)",
+                     capture(s.boost_by_query_df(
+                         e._parse(e.Q_OR), e._parse("key"), 1.7))))
+    sections.append(("feature-field saturation blend (expect docs scan "
+                     "joined on doc_id, arithmetic in codegen Project, "
+                     "NO Python)",
+                     capture(s.feature_score_df(
+                         e._parse(e.Q_OR), "dl", "saturation",
+                         weight=0.8, pivot=30.0))))
+
     import re
 
     checks = []
@@ -166,6 +179,16 @@ def main(sf_dir: str):
     checks.append(("events window agg is two-stage JVM HashAggregate",
                    "Python" not in sections[9][1]
                    and "partial_" in sections[9][1]))
+    checks.append(("boostByQuery combine is a codegen CASE join (no extra "
+                   "Python past the per-segment kernel)",
+                   "CASE WHEN" in sections[10][1]
+                   and "Join" in sections[10][1]))
+    checks.append(("feature blend arithmetic stays JVM-side (exactly one "
+                   "Python node — the per-segment score kernel)",
+                   # one Python node = tree line + detail line in the
+                   # formatted output
+                   sections[11][1].count("InPandas") <= 2
+                   and "Join" in sections[11][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
