@@ -157,6 +157,24 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
         searcher.search(span_q, 10)
         reps.append(time.time() - t)
     extra["span_near"] = sorted(reps)[1]
+    # two-pass rescorer (bag-of-words first pass, phrase second pass) and
+    # phrase-prefix expansion — the round-4 second-pass serving operators
+    rq1, rq2 = f"{VOCAB[0]} {VOCAB[3]} {VOCAB[5]}", \
+        _ast.PhraseQuery((VOCAB[0], VOCAB[3]), slop=1)
+    searcher.rescore(rq1, rq2, k=10, top_n=100, weight=2.0)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.rescore(rq1, rq2, k=10, top_n=100, weight=2.0)
+        reps.append(time.time() - t)
+    extra["rescore_phrase"] = sorted(reps)[1]
+    searcher.phrase_prefix((VOCAB[3], VOCAB[0][:2]), k=10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.phrase_prefix((VOCAB[3], VOCAB[0][:2]), k=10)
+        reps.append(time.time() - t)
+    extra["phrase_prefix"] = sorted(reps)[1]
 
     total = sum(timings.values())
     result = {

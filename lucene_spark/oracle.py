@@ -826,12 +826,46 @@ SELECT count(*)::BIGINT AS hits FROM (
 """
 
 
+def _multiphrase_body_sql(joins, conds, sum_idf_expr: str, extra_ctes: str,
+                          k: int, boost: float) -> str:
+    """Shared MultiPhrase scoring skeleton (freq = count of matching start
+    positions; weight = boost × f32(Σ f32 per-term idf),
+    MultiPhraseQuery.java:234; BM25 tf saturation over the SmallFloat
+    norm) — parameterized on the per-slot join/match conditions and the
+    summed-idf expression so the literal-slots and derived-slot (prefix)
+    oracles share ONE copy of the formula."""
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}{extra_ctes},
+ph AS (
+  SELECT t0.did, count(DISTINCT t0.pos)::BIGINT AS freq
+  FROM toksp t0{"".join(joins)}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
+),
+pw AS (SELECT CAST({boost!r} AS FLOAT) * CAST(({sum_idf_expr}) AS FLOAT) AS w),
+scored AS (
+  SELECT ph.did,
+         pw.w - pw.w / (CAST(1 AS FLOAT)
+                        + CAST(ph.freq AS FLOAT)
+                          * (CAST(1 AS FLOAT)
+                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                        + ({B} * CAST(d.dlen AS FLOAT))
+                                          / (SELECT avgdl FROM fstats))))) AS s
+  FROM ph CROSS JOIN pw
+  JOIN dlen d ON d.did = ph.did
+)
+SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
+FROM scored
+ORDER BY s DESC, did ASC
+LIMIT {k}
+"""
+
+
 def multiphrase_topk_sql(slots, k: int, boost: float = 1.0) -> str:
     """Exact MultiPhrase top-k: slot i matches when ANY of its terms is at
-    start+i; freq = count of matching start positions; weight = boost ×
-    float32(Σ over ALL slot terms of float32 idf) (MultiPhraseQuery.java:234).
-    Assumes every listed term occurs in the corpus (gate queries use
-    corpus-vocabulary terms)."""
+    start+i (MultiPhraseQuery.java:303 union postings). Assumes every
+    listed term occurs in the corpus (gate queries use corpus-vocabulary
+    terms)."""
     all_terms = [t for slot in slots for t in slot]
     joins = []
     conds = []
@@ -851,31 +885,7 @@ def multiphrase_topk_sql(slots, k: int, boost: float = 1.0) -> str:
         for t in all_terms
     ]
     sum_idf = " + ".join(f"CAST({x} AS DOUBLE)" for x in idf_f32)
-    return f"""
-WITH {BASE_CTES},{_TOKSP_CTE},
-ph AS (
-  SELECT t0.did, count(DISTINCT t0.pos)::BIGINT AS freq
-  FROM toksp t0{"".join(joins)}
-  WHERE {" AND ".join(conds)}
-  GROUP BY t0.did
-),
-pw AS (SELECT CAST({boost!r} AS FLOAT) * CAST(({sum_idf}) AS FLOAT) AS w),
-scored AS (
-  SELECT ph.did,
-         pw.w - pw.w / (CAST(1 AS FLOAT)
-                        + CAST(ph.freq AS FLOAT)
-                          * (CAST(1 AS FLOAT)
-                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
-                                        + ({B} * CAST(d.dlen AS FLOAT))
-                                          / (SELECT avgdl FROM fstats))))) AS s
-  FROM ph CROSS JOIN pw
-  JOIN dlen d ON d.did = ph.did
-)
-SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
-FROM scored
-ORDER BY s DESC, did ASC
-LIMIT {k}
-"""
+    return _multiphrase_body_sql(joins, conds, sum_idf, "", k, boost)
 
 
 def multiterm_sql(match_cond: str, k: int, boost: float = 1.0) -> str:
@@ -961,20 +971,12 @@ FROM agg ORDER BY sc DESC, did ASC LIMIT {k}
 
 
 def group_top1_sql(query, group_col: str = "source") -> str:
-    """Top-1 doc per group by BM25 score (GroupingSearch analogy)."""
-    inner = bm25_topk_sql(query, 10**9)
-    # reuse the scored CTE body: wrap the full top-k SQL as a subquery
+    """Top-1 doc per group by BM25 score (GroupingSearch analogy) — the
+    n=1 projection of :func:`group_topn_sql` (no rn column, the original
+    gate schema)."""
     return f"""
-WITH ranked AS (
-  SELECT g.{group_col} AS grp, s.doc_id, s.score,
-         row_number() OVER (PARTITION BY g.{group_col}
-                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
-  FROM ({inner}) s
-  JOIN (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
-               {group_col} FROM documents) g
-    ON g.did = s.doc_id
-)
-SELECT grp, doc_id, score FROM ranked WHERE rn = 1 ORDER BY grp
+SELECT grp, doc_id, score FROM ({group_topn_sql(query, group_col, 1)})
+ORDER BY grp
 """
 
 
@@ -2210,12 +2212,26 @@ def phrase_prefix_topk_sql(fixed_terms, prefix: str, max_expansions: int,
     terms with ``prefix`` in term order (binary collation == the engine's
     unsigned-UTF-8 enumeration for this ASCII corpus), derived
     INDEPENDENTLY from the token CTEs; freq/idf follow the MultiPhrase
-    contract (union slot, idf summed over fixed + expanded terms, each
-    f32-narrowed then double-summed — exact for ≤2^29 f32 addends)."""
+    contract via the shared body (idf per term f32-narrowed then
+    double-summed — exact for ≤2^29 f32 addends).
+
+    Requires ≥1 fixed term: the engine normalizes a 1-slot
+    MultiPhraseQuery to a SHOULD boolean (the MultiPhraseQuery.rewrite
+    single-position contract), which this phrase-shaped SQL does not
+    model."""
+    if not fixed_terms:
+        raise ValueError(
+            "phrase_prefix_topk_sql needs >=1 fixed term — a single-slot "
+            "MultiPhraseQuery rewrites to a SHOULD boolean in the engine "
+            "(MultiPhraseQuery.rewrite); gate that shape with bm25_topk_sql"
+        )
+    # the engine (_expand_prefix_sorted) matches the prefix literally —
+    # escape SQL-LIKE metacharacters so '_'/'%' in a prefix stay literal
+    esc = (prefix.replace("\\", "\\\\").replace("%", "\\%")
+           .replace("_", "\\_").replace("'", "''"))
     n_slots = len(fixed_terms) + 1
     joins = []
-    conds = ["t0.term = '%s'" % fixed_terms[0] if fixed_terms else
-             "t0.term IN (SELECT term FROM exp)"]
+    conds = [f"t0.term = '{fixed_terms[0]}'"]
     for i in range(1, n_slots):
         joins.append(
             f"\n  JOIN toksp t{i} ON t{i}.did = t0.did "
@@ -2231,41 +2247,19 @@ def phrase_prefix_topk_sql(fixed_terms, prefix: str, max_expansions: int,
         "CAST(" + f32_idf.format(
             df=f"(SELECT df FROM tstats WHERE term = '{t}')") + " AS DOUBLE)"
         for t in fixed_terms
-    ) or "CAST(0 AS DOUBLE)"
+    )
     exp_idf = ("(SELECT coalesce(sum(CAST("
                + f32_idf.format(df="ts.df")
                + " AS DOUBLE)), 0) FROM tstats ts"
                " JOIN exp e ON ts.term = e.term)")
-    return f"""
-WITH {BASE_CTES},{_TOKSP_CTE},
+    exp_cte = f""",
 exp AS (
-  SELECT term FROM tstats WHERE term LIKE '{prefix}%'
+  SELECT term FROM tstats WHERE term LIKE '{esc}%' ESCAPE '\\'
   ORDER BY term LIMIT {int(max_expansions)}
-),
-ph AS (
-  SELECT t0.did, count(DISTINCT t0.pos)::BIGINT AS freq
-  FROM toksp t0{"".join(joins)}
-  WHERE {" AND ".join(conds)}
-  GROUP BY t0.did
-),
-pw AS (SELECT CAST({boost!r} AS FLOAT)
-              * CAST(({fixed_idf} + {exp_idf}) AS FLOAT) AS w),
-scored AS (
-  SELECT ph.did,
-         pw.w - pw.w / (CAST(1 AS FLOAT)
-                        + CAST(ph.freq AS FLOAT)
-                          * (CAST(1 AS FLOAT)
-                             / ({K1} * ((CAST(1 AS FLOAT) - {B})
-                                        + ({B} * CAST(d.dlen AS FLOAT))
-                                          / (SELECT avgdl FROM fstats))))) AS s
-  FROM ph CROSS JOIN pw
-  JOIN dlen d ON d.did = ph.did
-)
-SELECT did AS doc_id, CAST(s AS DOUBLE) AS score
-FROM scored
-ORDER BY s DESC, did ASC
-LIMIT {k}
-"""
+)"""
+    return _multiphrase_body_sql(joins, conds,
+                                 f"{fixed_idf} + {exp_idf}", exp_cte,
+                                 k, boost)
 
 
 def boost_by_query_topk_sql(query, boost_query, boost: float,

@@ -632,9 +632,11 @@ def count_leaf_clauses(q) -> int:
     if isinstance(q, MultiPhraseQuery):
         return sum(len(s) for s in q.slots)
     if isinstance(q, (SpanNearQuery, SpanFirstQuery)):
-        return sum(len(t) if isinstance(t, tuple) else 1 for t in q.terms)
+        # tuple OR list slots — _span_match_df accepts both spellings
+        return sum(len(t) if isinstance(t, (tuple, list)) else 1
+                   for t in q.terms)
     if isinstance(q, SpanNotQuery):
-        return sum(len(t) if isinstance(t, tuple) else 1
+        return sum(len(t) if isinstance(t, (tuple, list)) else 1
                    for t in q.terms) + 1
     return 1
 

@@ -892,16 +892,9 @@ def segment_multiphrase_postings(rows, slots, slop: int = 0):
     no present term → no match."""
     fdtype = np.float32 if slop else np.int64
     empty = (np.zeros(0, np.int64), np.zeros(0, fdtype), np.zeros(0, np.int64))
-    by_term: dict[str, list[int]] = {}
-    for i, t in enumerate(rows["term"]):
-        by_term.setdefault(t, []).append(i)
-    per_slot = []
-    for slot in slots:
-        structs = [_term_postings_with_positions(rows, by_term[t])
-                   for t in slot if t in by_term]
-        if not structs:
-            return empty
-        per_slot.append(_union_structs(structs))
+    per_slot = _structs_for_slots(rows, slots)
+    if per_slot is None:
+        return empty
     cl = _intersect_structs(per_slot)
     if cl is None:
         return empty

@@ -183,6 +183,14 @@ class IndexSearcher:
             return None
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
+        if not isinstance(q, ast.BooleanQuery):
+            raise NotImplementedError(
+                f"exhaustive scoring of {type(q).__name__} is not supported "
+                "here — supported: flat term booleans (WAND kernel), "
+                "phrase/multiphrase (positions kernel), constant-score "
+                "shapes (multiterm/span/const-wrapped); use search() for "
+                "top-k on every shape"
+            )
         occ_clauses = list(q.clauses)
         if any(not isinstance(tq, ast.TermQuery) for _, tq in occ_clauses):
             raise NotImplementedError(
@@ -759,28 +767,27 @@ class IndexSearcher:
         order = np.lexsort((d, -s.astype(np.float64)))[:k]
         return [ScoreDoc(int(d[i]), float(s[i])) for i in order]
 
-    def _search_phrase(self, q: ast.PhraseQuery, k: int) -> list[ScoreDoc]:
-        """Phrase top-k (exact or sloppy): docID leapfrog + positions verify
-        per segment, scored as one pseudo-term with summed idf (PhraseWeight
-        semantics). Sloppy freq = float32 Σ 1/(1+matchLength)."""
-        from lucene_spark.search.phrase import segment_phrase_postings
+    def _phrase_plan(self, q):
+        """Shared setup for phrase-shaped queries: stats-check the terms and
+        return (postings, scorer, kernel) — None when a required term (or an
+        entire slot) is corpus-absent. PhraseQuery scores as one pseudo-term
+        with summed idf (PhraseWeight); MultiPhraseQuery sums idf over ALL
+        present terms of all slots (MultiPhraseQuery.java:226-245)."""
+        if isinstance(q, ast.PhraseQuery):
+            from lucene_spark.search.phrase import segment_phrase_postings
 
-        terms = list(q.terms)
-        stats = self.reader.term_stats(terms, field=q.field)
-        if any(t not in stats or stats[t]["df"] == 0 for t in terms):
-            return []
-        scorer = self.reader.similarity_scorer(
-            self.similarity, q.boost, [stats[t]["df"] for t in terms]
-        )
-        slop = int(q.slop)
-        return self._run_phrase_kernel(
-            self.reader.postings(terms, field=q.field), k, scorer,
-            lambda rows: segment_phrase_postings(rows, terms, slop),
-        )
-
-    def _search_multiphrase(self, q: ast.MultiPhraseQuery, k: int):
-        """MultiPhraseQuery top-k: union postings per slot, idf summed over
-        ALL present terms of all slots (MultiPhraseQuery.java:226-245)."""
+            terms = list(q.terms)
+            stats = self.reader.term_stats(terms, field=q.field)
+            if any(t not in stats or stats[t]["df"] == 0 for t in terms):
+                return None
+            scorer = self.reader.similarity_scorer(
+                self.similarity, q.boost, [stats[t]["df"] for t in terms]
+            )
+            slop = int(q.slop)
+            return (
+                self.reader.postings(terms, field=q.field), scorer,
+                lambda rows: segment_phrase_postings(rows, terms, slop),
+            )
         from lucene_spark.search.phrase import segment_multiphrase_postings
 
         all_terms = [t for slot in q.slots for t in slot]
@@ -793,19 +800,38 @@ class IndexSearcher:
             tuple(t for t in slot if df_of(t) > 0) for slot in q.slots
         )
         if any(not s for s in present_slots):
-            return []
+            return None
         dfs = [df_of(t) for slot in present_slots for t in slot]
         scorer = self.reader.similarity_scorer(self.similarity, q.boost, dfs)
         fetch = sorted({t for slot in present_slots for t in slot})
         slop = int(q.slop)
-        return self._run_phrase_kernel(
-            self.reader.postings(fetch, field=q.field), k, scorer,
-            lambda rows: segment_multiphrase_postings(rows, present_slots, slop),
+        return (
+            self.reader.postings(fetch, field=q.field), scorer,
+            lambda rows: segment_multiphrase_postings(
+                rows, present_slots, slop),
         )
 
-    def _run_phrase_kernel(self, postings, k: int, scorer, kernel):
-        """Shared per-segment fan-out for phrase-shaped queries: ``kernel``
-        maps block rows → (docs, freqs, norms)."""
+    def _search_phrase(self, q: ast.PhraseQuery, k: int) -> list[ScoreDoc]:
+        """Phrase top-k (exact or sloppy): docID leapfrog + positions verify
+        per segment. Sloppy freq = float32 Σ 1/(1+matchLength)."""
+        plan = self._phrase_plan(q)
+        if plan is None:
+            return []
+        return self._run_phrase_kernel(*plan, k=k)
+
+    def _search_multiphrase(self, q: ast.MultiPhraseQuery, k: int):
+        """MultiPhraseQuery top-k: union postings per slot."""
+        plan = self._phrase_plan(q)
+        if plan is None:
+            return []
+        return self._run_phrase_kernel(*plan, k=k)
+
+    def _phrase_scored_df(self, postings, scorer, kernel, k=None):
+        """Distributed (doc_id, score float) DataFrame for a phrase-shaped
+        query: per-segment positions kernel + similarity scoring. ``k``
+        truncates per segment (the top-k path); ``None`` keeps every
+        matching doc (the exhaustive score_df substrate — stays
+        distributed, nothing collected here)."""
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions; "
                              "rebuild with IndexBuilder(..., positions=True)")
@@ -826,14 +852,22 @@ class IndexSearcher:
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": np.int64, "score": np.float32})
             s = scorer.score(f, nm)
+            if k is None:
+                return pd.DataFrame({"doc_id": d, "score": s})
             order = np.lexsort((d, -s.astype(np.float64)))[:k]
             return pd.DataFrame({"doc_id": d[order], "score": s[order]})
 
-        out = self._collect(
+        return (
             postings.select("seg", *cols)
             .groupBy("seg")
             .applyInPandas(run_segment, "doc_id long, score float")
         )
+
+    def _run_phrase_kernel(self, postings, scorer, kernel, k: int):
+        """Top-k driver merge over :meth:`_phrase_scored_df` (k rows per
+        segment collected, never the full match set)."""
+        out = self._collect(
+            self._phrase_scored_df(postings, scorer, kernel, k=k))
         if not out:
             return []
         d = np.array([r["doc_id"] for r in out], dtype=np.int64)
@@ -1176,10 +1210,41 @@ class IndexSearcher:
         The FacetsCollector / grouping substrate: stays distributed (no
         driver collect) so downstream groupBy / window / join run as plain
         Spark plans.
+
+        Shape dispatch: flat term booleans score through the WAND kernel
+        (exhaustive mode); phrase / multiphrase through the positions
+        kernel; constant-score shapes (multiterm / const-wrapped / span)
+        through their match set at score = f32(boost). Shapes whose
+        exhaustive scoring would need the mixed top-k path (nested mixed
+        booleans, KNN) raise NotImplementedError with the supported list.
         """
+        from pyspark.sql import functions as F
+
         if isinstance(query, str):
             query = self.parse(query)
-        wc = self._weighted_clauses(ast.normalize(query))
+        nq = ast.normalize(query)
+        if isinstance(nq, (ast.PhraseQuery, ast.MultiPhraseQuery)):
+            plan = self._phrase_plan(nq)
+            if plan is None:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score float")
+            return self._phrase_scored_df(*plan)
+        if isinstance(nq, (ast.MultiTermQuery, ast.ConstantScoreQuery,
+                           ast.SpanNearQuery, ast.SpanFirstQuery,
+                           ast.SpanNotQuery, ast.MatchAllDocsQuery)):
+            # CONSTANT_SCORE shapes: match set at score = f32(boost)
+            boost = float(F32(getattr(nq, "boost", 1.0)))
+            if isinstance(nq, (ast.SpanNearQuery, ast.SpanFirstQuery,
+                               ast.SpanNotQuery)):
+                m = self._span_match_df(nq)
+                if m is None:
+                    return self.spark.createDataFrame(
+                        [], "doc_id long, score float")
+            else:
+                m = self.match_df(nq)
+            return m.select("doc_id",
+                            F.lit(boost).cast("float").alias("score"))
+        wc = self._weighted_clauses(nq)
         spark = self.spark
         if wc is None:
             return spark.createDataFrame([], "doc_id long, score float")

@@ -1689,3 +1689,60 @@ def test_feature_score_log_sigmoid_brute(searcher, fn, kw):
 def test_feature_score_unknown_fn(searcher):
     with pytest.raises(ValueError, match="feature function"):
         searcher.feature_score(VOCAB[0], "dl", "cube")
+
+
+def test_score_df_phrase_matches_search(searcher, spark):
+    """score_df on a phrase query ≡ the exhaustive phrase search path —
+    the substrate rescore/boost/feature/grouping build on."""
+    q = ast.PhraseQuery((VOCAB[0], VOCAB[3]), slop=2)
+    want = {(h.doc_id, h.score) for h in searcher.search(q, k=10**6)}
+    got = {(int(r["doc_id"]), float(np.float32(r["score"])))
+           for r in searcher.score_df(q).collect()}
+    assert got == want and got
+
+
+def test_score_df_constant_shapes(searcher):
+    """Multiterm / span / const-wrapped queries score as f32(boost) over
+    their match set."""
+    mt = ast.MultiTermQuery("prefix", value=VOCAB[0][:2], boost=2.5)
+    rows = searcher.score_df(mt).collect()
+    assert rows and all(
+        r["score"] == float(np.float32(2.5)) for r in rows)
+    sp = ast.SpanNearQuery((VOCAB[0], VOCAB[3]), slop=4, boost=1.5)
+    rows = searcher.score_df(sp).collect()
+    assert rows and all(
+        r["score"] == float(np.float32(1.5)) for r in rows)
+    assert {r["doc_id"] for r in rows} == \
+        {h.doc_id for h in searcher.search(sp, k=10**6)}
+
+
+def test_score_df_unsupported_shape_raises(searcher):
+    with pytest.raises(NotImplementedError, match="exhaustive scoring"):
+        searcher.score_df(ast.SynonymQuery((VOCAB[0], VOCAB[3]))).collect()
+
+
+def test_rescore_by_phrase_second_pass(searcher):
+    """The canonical QueryRescorer use: cheap bag-of-words first pass,
+    phrase-proximity second pass — engine ≡ brute combine."""
+    first = searcher.parse(f"{VOCAB[0]} {VOCAB[3]} {VOCAB[5]}")
+    second = ast.PhraseQuery((VOCAB[0], VOCAB[3]), slop=1)
+    top_n, k, w = 25, 10, 3.0
+    fhits = searcher.search(first, k=top_n)
+    smap = {h.doc_id: h.score for h in searcher.search(second, k=10**6)}
+    comb = [(h.doc_id,
+             float(np.float32(h.score + w * smap[h.doc_id]))
+             if h.doc_id in smap else h.score)
+            for h in fhits]
+    comb.sort(key=lambda t: (-t[1], t[0]))
+    got = [(h.doc_id, h.score) for h in
+           searcher.rescore(first, second, k=k, top_n=top_n, weight=w)]
+    assert got == comb[:k]
+    assert any(d in smap for d, _ in got)  # the phrase boost actually fired
+
+
+def test_count_leaf_clauses_list_slot_counted():
+    """List-form SpanOr slots count every alternative (the tuple/list
+    spellings are interchangeable in _span_match_df)."""
+    q_t = ast.SpanNearQuery((("a", "b", "c"), "d"), slop=1)
+    q_l = ast.SpanNearQuery((["a", "b", "c"], "d"), slop=1)
+    assert ast.count_leaf_clauses(q_t) == ast.count_leaf_clauses(q_l) == 4
