@@ -981,6 +981,17 @@ def _q_span_or_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_span_containing_count(spark, sf_dir):
+    """SpanContainingQuery (spans/SpanContainingQuery.java:36): ordered
+    span_near([table, value], slop=4) spans that CONTAIN a 'key' position
+    — hit count. (SpanWithinQuery shares the doc match set under the
+    constant-score v1 cut; pytest pins the equivalence.)"""
+    s = _searcher(spark, sf_dir)
+    n = s.count(ast.SpanContainingQuery(("table", "value"), little="key",
+                                        slop=4))
+    return spark.createDataFrame([(n,)], "hits long")
+
+
 def _q_rescore(spark, sf_dir):
     """QueryRescorer (core/search/QueryRescorer.java:38-104): BM25 top-100
     of the 3-term disjunction, re-scored by the second query at weight 2.0
@@ -1097,9 +1108,13 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # remain in queries() past the window)
     "phrase_prefix_topk", "boost_by_query_topk",
     "feature_satu_topk", "group_top3_source",
+    # (rotation note 4: text_token_counts — r2-green; its split/length
+    # projections are a subset of the in-window text_quality plan — rotated
+    # out for the never-verified span_containing_count)
+    "span_containing_count",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "text_langid", "text_quality", "text_token_counts",
+    "ann_lsh_topk", "ann_ivf_topk", "text_langid", "text_quality",
     "text_fingerprint", "mm_binary_stats",
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
@@ -1130,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_count": _q_span_first_count,
         "span_not_count": _q_span_not_count,
         "span_or_count": _q_span_or_count,
+        "span_containing_count": _q_span_containing_count,
         "rescore_topk": _q_rescore,
         "phrase_prefix_topk": _q_phrase_prefix,
         "boost_by_query_topk": _q_boost_by_query,
@@ -1307,6 +1323,8 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value"], 3, exclude="key", pre=1, post=1),
         "span_or_count": oracle.span_near_count_sql(
             [("table", "key"), "value"], 3, in_order=True),
+        "span_containing_count": oracle.span_near_count_sql(
+            ["table", "value"], 4, in_order=True, contain="key"),
         "rescore_topk": oracle.rescore_topk_sql(
             _parse(Q_OR), _parse(Q_RESCORE), 40, 100, 2.0),
         "phrase_prefix_topk": oracle.phrase_prefix_topk_sql(

@@ -2110,16 +2110,19 @@ SELECT count(*)::BIGINT AS hits FROM (
 def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
                        boost: float = 1.0, max_end: int | None = None,
                        exclude: str | None = None, pre: int = 0,
-                       post: int = 0) -> str:
+                       post: int = 0, contain: str | None = None) -> str:
     """Span-near oracle (``spans/SpanNearQuery.java:41`` match semantics,
     constant-score v1): k smallest matching docIDs. Ordered: a strictly
     increasing position per term with intervening width ≤ slop; unordered:
     all-distinct positions with window max−min−(n−1) ≤ slop. ``max_end``
     adds the SpanFirstQuery end bound (span end ≤ max_end); ``exclude``
     adds the SpanNotQuery rejection (no exclude-term position within
-    [start − pre, end + post]). A tuple element of ``terms`` is a SpanOr
-    clause (``spans/SpanOrQuery.java:38``) — that sub-span matches any of
-    its alternatives' positions (term IN (…))."""
+    [start − pre, end + post]). ``contain`` adds the SpanContaining /
+    SpanWithin requirement (``spans/SpanContainingQuery.java:36``,
+    single-term little: some contain-term position inside [start, end]).
+    A tuple element of ``terms`` is a SpanOr clause
+    (``spans/SpanOrQuery.java:38``) — that sub-span matches any of its
+    alternatives' positions (term IN (…))."""
     n = len(terms)
     joins = "".join(
         f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
@@ -2150,6 +2153,12 @@ def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
             f" AND x.term = '{exclude}'"
             f" AND x.pos BETWEEN {lo_pos} - {pre} AND {hi_pos} + {post})"
         )
+    if contain is not None:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM toksp x WHERE x.did = t0.did"
+            f" AND x.term = '{contain}'"
+            f" AND x.pos BETWEEN {lo_pos} AND {hi_pos})"
+        )
     return f"""
 WITH {BASE_CTES},{_TOKSP_CTE}
 SELECT did AS doc_id, CAST({boost!r} AS DOUBLE) AS score FROM (
@@ -2165,11 +2174,13 @@ LIMIT {k}
 def span_near_count_sql(terms, slop: int, in_order: bool = True,
                         max_end: int | None = None,
                         exclude: str | None = None, pre: int = 0,
-                        post: int = 0) -> str:
+                        post: int = 0, contain: str | None = None) -> str:
     """Hit-count variant of :func:`span_near_topk_sql` (also serves the
-    SpanFirst / SpanNot count gates via the pass-through params)."""
+    SpanFirst / SpanNot / SpanContaining count gates via the pass-through
+    params)."""
     inner = span_near_topk_sql(terms, slop, 10, in_order, max_end=max_end,
-                               exclude=exclude, pre=pre, post=post)
+                               exclude=exclude, pre=pre, post=post,
+                               contain=contain)
     head, _, _tail = inner.rpartition("ORDER BY did ASC")
     head = head.replace(
         "SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM (",

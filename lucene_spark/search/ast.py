@@ -166,6 +166,38 @@ class SpanNotQuery:
 
 
 @dataclass(frozen=True)
+class SpanContainingQuery:
+    """Big spans that contain a match of the little span
+    (``queries/spans/SpanContainingQuery.java:36``). The big span is a
+    span-near over ``terms``; ``little`` is a single term (position p is
+    contained when start ≤ p ≤ end). Constant-score like the other spans —
+    under that v1 cut the doc match set equals SpanWithinQuery's (the two
+    differ only in which spans feed sloppyFreq scoring)."""
+
+    terms: tuple
+    little: str
+    slop: int = 0
+    in_order: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery:
+    """Little spans that occur within a big span
+    (``queries/spans/SpanWithinQuery.java:35``) — the role-swapped view of
+    SpanContainingQuery; identical doc match set under constant scoring
+    (documented v1 cut), kept as a distinct type for API parity."""
+
+    terms: tuple
+    little: str
+    slop: int = 0
+    in_order: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class KnnQuery:
     """K-nearest-neighbor vector query
     (``core/search/KnnFloatVectorQuery.java:44``): finds the k docs whose
@@ -181,6 +213,10 @@ class KnnQuery:
     filter: object = None  # optional pre-filter query AST
     strategy: str = "exact"  # "exact" (recall=1) | "lsh" (banded candidates)
     boost: float = 1.0
+
+
+SPAN_QUERY_TYPES = (SpanNearQuery, SpanFirstQuery, SpanNotQuery,
+                    SpanContainingQuery, SpanWithinQuery)
 
 
 @dataclass(frozen=True)
@@ -252,7 +288,7 @@ def normalize(q):
         if isinstance(inner, MatchNoDocsQuery):
             return inner
         return ConstantScoreQuery(inner, q.boost)
-    if isinstance(q, (SpanNearQuery, SpanFirstQuery, SpanNotQuery)):
+    if isinstance(q, SPAN_QUERY_TYPES):
         if not q.terms:
             return MatchNoDocsQuery()
         return q
@@ -635,7 +671,8 @@ def count_leaf_clauses(q) -> int:
         # tuple OR list slots — _span_match_df accepts both spellings
         return sum(len(t) if isinstance(t, (tuple, list)) else 1
                    for t in q.terms)
-    if isinstance(q, SpanNotQuery):
+    if isinstance(q, (SpanNotQuery, SpanContainingQuery, SpanWithinQuery)):
+        # +1 for the exclude / little term
         return sum(len(t) if isinstance(t, (tuple, list)) else 1
                    for t in q.terms) + 1
     return 1

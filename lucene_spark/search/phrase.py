@@ -916,7 +916,8 @@ def segment_multiphrase_postings(rows, slots, slop: int = 0):
 
 def segment_span_near(rows, terms, slop: int, in_order: bool = True,
                       max_end: int | None = None, exclude: str | None = None,
-                      pre: int = 0, post: int = 0):
+                      pre: int = 0, post: int = 0,
+                      contain: str | None = None):
     """Matching docs for a span-near query over single-term sub-spans
     (``queries/spans/SpanNearQuery.java:41`` /
     ``queries/intervals/IntervalQuery.java:59`` match semantics). An element
@@ -949,6 +950,17 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
     max-start span is excluded every same-end span is too, and SpanFirst's
     end bound is start-independent.
 
+    ``contain`` implements SpanContainingQuery / SpanWithinQuery
+    (``queries/spans/SpanContainingQuery.java:36`` /
+    ``SpanWithinQuery.java:35`` with a single-term little span): a match
+    additionally requires some ``contain``-term position inside a feasible
+    span [s, e]. Exactness of the min-start check: for a fixed end e, ANY
+    term-0 position below a feasible start is also a feasible start (the
+    same intermediate chain stays strictly increasing), so the feasible
+    starts form the full term-0 range [e − slop − (n−1), s_max(e)] and the
+    widest window [s_min(e), e] contains a little position iff some
+    feasible span does.
+
     Returns the sorted array of matching docIDs (same id space as ``rows``).
     """
     n = len(terms)
@@ -960,7 +972,7 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
 
         parts = [segment_span_near(rows, list(p), slop, in_order=True,
                                    max_end=max_end, exclude=exclude,
-                                   pre=pre, post=post)
+                                   pre=pre, post=post, contain=contain)
                  for p in permutations(terms)]
         return np.unique(np.concatenate(parts)) if parts else np.zeros(
             0, np.int64)
@@ -1008,4 +1020,24 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
             cnt = (np.searchsorted(ex_keys, hi, side="right")
                    - np.searchsorted(ex_keys, lo, side="left"))
             ok &= cnt == 0
+    if contain is not None and ok.any():
+        li = _structs_for_terms(rows, [contain])
+        if li is None:
+            return np.zeros(0, np.int64)  # little span can never match
+        docs_l, tfs_l, _nm, flat_l, _offs = li[0]
+        li_keys = (np.repeat(docs_l, tfs_l.astype(np.int64)) * _POS_M
+                   + flat_l.astype(np.int64))
+        d = ends // _POS_M
+        # min feasible start per end: the first term-0 position ≥
+        # e − slop − (n−1) in the same doc (guaranteed ≤ s_max for a
+        # feasible end — s_max itself satisfies the width bound)
+        lo_bound = d * _POS_M + np.maximum(
+            (ends % _POS_M) - slop - (n - 1), np.int64(0))
+        s_idx = np.searchsorted(keys[0], lo_bound, side="left")
+        s_idx = np.minimum(s_idx, max(keys[0].size - 1, 0))
+        s_min = keys[0][s_idx] if keys[0].size else lo_bound
+        # containing: ≥1 little position in [s_min, e]
+        cnt = (np.searchsorted(li_keys, ends, side="right")
+               - np.searchsorted(li_keys, s_min, side="left"))
+        ok &= cnt >= 1
     return np.unique(ends[ok] // _POS_M)

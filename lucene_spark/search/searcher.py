@@ -286,8 +286,7 @@ class IndexSearcher:
             )
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
-        if isinstance(query, (ast.SpanNearQuery, ast.SpanFirstQuery,
-                              ast.SpanNotQuery)):
+        if isinstance(query, ast.SPAN_QUERY_TYPES):
             # constant-score span queries: k smallest matching docIDs (ties
             # → docID asc), match set distributed per segment
             df = self._span_match_df(query)
@@ -877,7 +876,7 @@ class IndexSearcher:
 
     def _span_match_df(self, q):
         """(doc_id) DataFrame of span matches (SpanNear / SpanFirst /
-        SpanNot) — per-segment kernel fan-out
+        SpanNot / SpanContaining / SpanWithin) — per-segment kernel fan-out
         (``phrase.segment_span_near``), None when a required term is absent
         from the corpus (a required sub-span can never match)."""
         from lucene_spark.search.phrase import segment_span_near
@@ -888,18 +887,25 @@ class IndexSearcher:
         exclude = q.exclude if isinstance(q, ast.SpanNotQuery) else None
         pre = int(q.pre) if exclude is not None else 0
         post = int(q.post) if exclude is not None else 0
+        contain = (q.little if isinstance(q, (ast.SpanContainingQuery,
+                                              ast.SpanWithinQuery))
+                   else None)
         # a slot is a term or a tuple of SpanOr alternatives — a required
         # sub-span is dead only when EVERY alternative is corpus-absent
         flat = [t for slot in terms
                 for t in (slot if isinstance(slot, tuple) else (slot,))]
-        stats = self.reader.term_stats(sorted(set(flat)), field=q.field)
+        check = sorted(set(flat) | ({contain} if contain else set()))
+        stats = self.reader.term_stats(check, field=q.field)
         for slot in terms:
             names = slot if isinstance(slot, tuple) else (slot,)
             if all(stats.get(t, {}).get("df", 0) == 0 for t in names):
                 return None
+        if contain and stats.get(contain, {}).get("df", 0) == 0:
+            return None  # the required little span can never match
         if not self.reader.manifest.get("positions", False):
             raise ValueError("index was built without positions")
-        fetch = sorted(set(flat) | ({exclude} if exclude else set()))
+        fetch = sorted(set(flat) | ({exclude} if exclude else set())
+                       | ({contain} if contain else set()))
         postings = self.reader.postings(fetch, field=q.field)
         cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
                 "norms", "positions", "doc_offset"]
@@ -916,7 +922,7 @@ class IndexSearcher:
             rows["last_doc"] = rows["last_doc"].astype(np.int64)
             d = segment_span_near(rows, terms, slop, in_order,
                                   max_end=max_end, exclude=exclude,
-                                  pre=pre, post=post) + off
+                                  pre=pre, post=post, contain=contain) + off
             if d.size and dload:
                 d = d[~np.isin(d, dload(pdf["seg"].iloc[0]) + off)]
             return pd.DataFrame({"doc_id": d})
@@ -988,8 +994,7 @@ class IndexSearcher:
             )
         if isinstance(query, ast.ConstantScoreQuery):
             return int(self.match_df(query.query).count())
-        if isinstance(query, (ast.SpanNearQuery, ast.SpanFirstQuery,
-                              ast.SpanNotQuery)):
+        if isinstance(query, ast.SPAN_QUERY_TYPES):
             df = self._span_match_df(query)
             return 0 if df is None else int(df.count())
         if isinstance(query, ast.KnnQuery):
@@ -1230,12 +1235,10 @@ class IndexSearcher:
                     [], "doc_id long, score float")
             return self._phrase_scored_df(*plan)
         if isinstance(nq, (ast.MultiTermQuery, ast.ConstantScoreQuery,
-                           ast.SpanNearQuery, ast.SpanFirstQuery,
-                           ast.SpanNotQuery, ast.MatchAllDocsQuery)):
+                           ast.MatchAllDocsQuery) + ast.SPAN_QUERY_TYPES):
             # CONSTANT_SCORE shapes: match set at score = f32(boost)
             boost = float(F32(getattr(nq, "boost", 1.0)))
-            if isinstance(nq, (ast.SpanNearQuery, ast.SpanFirstQuery,
-                               ast.SpanNotQuery)):
+            if isinstance(nq, ast.SPAN_QUERY_TYPES):
                 m = self._span_match_df(nq)
                 if m is None:
                     return self.spark.createDataFrame(

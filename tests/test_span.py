@@ -266,3 +266,71 @@ def test_span_kernel_rejects_global_docids():
     }
     with pytest.raises(ValueError, match="segment-local"):
         segment_span_near(rows, ["t"], slop=0)
+
+
+def brute_containing_docs(golden, terms, slop, little, in_order=True):
+    """Docs with a feasible span [s, e] containing a little-term position
+    — full enumeration over all chains."""
+    lmap = golden.positions.get(little, {})
+    out = []
+    for d in brute_span_docs(golden, terms, slop, in_order):
+        spans = brute_span_spans(golden, terms, slop, d) if in_order else []
+        if not in_order:
+            from itertools import permutations as _perms
+
+            seen = set()
+            for p in _perms(terms):
+                for sp in brute_span_spans(golden, list(p), slop, d):
+                    seen.add(sp)
+            spans = sorted(seen)
+        lps = set(lmap.get(d, []))
+        if any(any(s <= p <= e for p in lps) for s, e in spans):
+            out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("slop", [1, 4, 8])
+def test_span_containing(searcher, golden, slop):
+    """SpanContainingQuery ≡ brute chain enumeration + containment."""
+    terms, little = (VOCAB[0], VOCAB[3]), VOCAB[5]
+    q = ast.SpanContainingQuery(terms, little=little, slop=slop)
+    exp = brute_containing_docs(golden, terms, slop, little)
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp, slop
+    assert searcher.count(q) == len(exp)
+
+
+def test_span_containing_unordered(searcher, golden):
+    terms, little = (VOCAB[3], VOCAB[0]), VOCAB[5]
+    q = ast.SpanContainingQuery(terms, little=little, slop=6,
+                                in_order=False)
+    exp = brute_containing_docs(golden, terms, 6, little, in_order=False)
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp
+
+
+def test_span_within_equals_containing_docset(searcher):
+    """Under constant scoring the two role views match the same docs
+    (documented v1 cut — they differ only in which spans feed scoring)."""
+    kw = dict(terms=(VOCAB[0], VOCAB[3]), little=VOCAB[5], slop=4)
+    a = [h.doc_id for h in searcher.search(
+        ast.SpanContainingQuery(**kw), k=10_000)]
+    b = [h.doc_id for h in searcher.search(
+        ast.SpanWithinQuery(**kw), k=10_000)]
+    assert a == b and a
+
+
+def test_span_containing_subset_of_base(searcher, golden):
+    base = set(h.doc_id for h in searcher.search(
+        ast.SpanNearQuery((VOCAB[0], VOCAB[3]), slop=4), k=10_000))
+    cont = set(h.doc_id for h in searcher.search(
+        ast.SpanContainingQuery((VOCAB[0], VOCAB[3]), little=VOCAB[5],
+                                slop=4), k=10_000))
+    assert cont <= base and cont != base  # the containment check bites
+
+
+def test_span_containing_absent_little(searcher):
+    q = ast.SpanContainingQuery((VOCAB[0], VOCAB[3]), little="zzznotaterm",
+                                slop=4)
+    assert searcher.search(q, 10) == []
+    assert searcher.count(q) == 0
