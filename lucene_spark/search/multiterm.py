@@ -430,16 +430,17 @@ def _field_scorer(reader, similarity, boost, dfs, field):
     return reader.similarity_scorer(similarity, boost, dfs)
 
 
-def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
-    """SynonymQuery: per-doc tf summed across terms, one BM25 score with
-    blended df = max over the terms' docFreqs."""
-    from lucene_spark.search.searcher import ScoreDoc
-
+def synonym_scored_df(reader, similarity, q: ast.SynonymQuery, k=None):
+    """SynonymQuery scored DataFrame: per-doc tf summed across terms, one
+    BM25 score with blended df = max over the terms' docFreqs
+    (``core/search/SynonymQuery.java:205-222``). ``k`` truncates per
+    segment (top-k path); ``None`` keeps every matching doc — the
+    exhaustive score_df substrate. Returns None when no term is present."""
     terms = [t for t in dict.fromkeys(q.terms)]
     stats = reader.term_stats(terms, field=q.field)
     present = [t for t in terms if t in stats and stats[t]["df"] > 0]
     if not present:
-        return []
+        return None
     df_blend = max(stats[t]["df"] for t in present)
     scorer = _field_scorer(reader, similarity, q.boost, [df_blend], q.field)
     postings = reader.postings(present, field=q.field)
@@ -469,20 +470,35 @@ def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
             live = ~np.isin(uniq, dele)
             uniq, tfsum, norm = uniq[live], tfsum[live], norm[live]
         s = scorer.score(tfsum, norm)
+        if k is None:
+            return pd.DataFrame({"doc_id": uniq, "score": s})
         order = np.lexsort((uniq, -s.astype(np.float64)))[:k]
         return pd.DataFrame({"doc_id": uniq[order], "score": s[order]})
 
-    return _merge_topk(postings, cols, run_segment, k, spark=reader.spark)
+    return (postings.select("seg", *cols).groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float"))
 
 
-def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
-    """DisjunctionMaxQuery over term subqueries:
-    score = max(sub) + tie_breaker × Σ(others)."""
+def synonym_topk(reader, similarity, q: ast.SynonymQuery, k: int):
+    """SynonymQuery top-k via :func:`synonym_scored_df` (k rows per
+    segment, driver merges k only)."""
+    df = synonym_scored_df(reader, similarity, q, k)
+    if df is None:
+        return []
+    return _topk_from_scored_df(df, k, spark=reader.spark)
+
+
+def dismax_scored_df(reader, similarity, q: ast.DisjunctionMaxQuery,
+                     k=None):
+    """DisjunctionMaxQuery scored DataFrame: score = max(sub) +
+    tie_breaker × Σ(others) (``core/search/DisjunctionMaxQuery.java``).
+    ``k`` truncates per segment; ``None`` keeps every matching doc.
+    Returns None when no term is present."""
     terms = [t for t in dict.fromkeys(q.terms)]
     stats = reader.term_stats(terms, field=q.field)
     present = [t for t in terms if t in stats and stats[t]["df"] > 0]
     if not present:
-        return []
+        return None
     scorers = {
         t: _field_scorer(reader, similarity, q.boost, [stats[t]["df"]],
                          q.field)
@@ -519,21 +535,29 @@ def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
         if dele is not None and dele.size:
             live = ~np.isin(uniq, dele)
             uniq, score = uniq[live], score[live]
+        if k is None:
+            return pd.DataFrame({"doc_id": uniq, "score": score})
         order = np.lexsort((uniq, -score.astype(np.float64)))[:k]
         return pd.DataFrame({"doc_id": uniq[order], "score": score[order]})
 
-    return _merge_topk(postings, cols, run_segment, k, spark=reader.spark)
+    return (postings.select("seg", *cols).groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float"))
 
 
-def _merge_topk(postings, cols, run_segment, k: int, spark=None):
+def dismax_topk(reader, similarity, q: ast.DisjunctionMaxQuery, k: int):
+    """DisjunctionMax top-k via :func:`dismax_scored_df`."""
+    df = dismax_scored_df(reader, similarity, q, k)
+    if df is None:
+        return []
+    return _topk_from_scored_df(df, k, spark=reader.spark)
+
+
+def _topk_from_scored_df(df, k: int, spark=None):
+    """Driver top-k merge over a per-segment (doc_id, score) DataFrame —
+    ≤ k rows per segment arrive when the builder truncated with ``k``."""
     from lucene_spark.search.searcher import ScoreDoc
     from lucene_spark.session import no_aqe
 
-    df = (
-        postings.select("seg", *cols)
-        .groupBy("seg")
-        .applyInPandas(run_segment, "doc_id long, score float")
-    )
     if spark is not None:
         with no_aqe(spark):
             out = df.collect()

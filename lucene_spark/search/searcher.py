@@ -1234,6 +1234,19 @@ class IndexSearcher:
                 return self.spark.createDataFrame(
                     [], "doc_id long, score float")
             return self._phrase_scored_df(*plan)
+        if isinstance(nq, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
+            from lucene_spark.search.multiterm import (
+                dismax_scored_df,
+                synonym_scored_df,
+            )
+
+            build = (synonym_scored_df if isinstance(nq, ast.SynonymQuery)
+                     else dismax_scored_df)
+            df = build(self.reader, self.similarity, nq)
+            if df is None:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score float")
+            return df
         if isinstance(nq, (ast.MultiTermQuery, ast.ConstantScoreQuery,
                            ast.MatchAllDocsQuery) + ast.SPAN_QUERY_TYPES):
             # CONSTANT_SCORE shapes: match set at score = f32(boost)

@@ -1718,7 +1718,19 @@ def test_score_df_constant_shapes(searcher):
 
 def test_score_df_unsupported_shape_raises(searcher):
     with pytest.raises(NotImplementedError, match="exhaustive scoring"):
-        searcher.score_df(ast.SynonymQuery((VOCAB[0], VOCAB[3]))).collect()
+        searcher.score_df(
+            ast.KnnQuery(vector=(0.0,) * 8, k=5)).collect()
+
+
+def test_score_df_synonym_dismax_match_search(searcher):
+    """Synonym / DisMax exhaustive score_df ≡ the top-k path at huge k."""
+    for q in (ast.SynonymQuery((VOCAB[0], VOCAB[3])),
+              ast.DisjunctionMaxQuery((VOCAB[0], VOCAB[3]),
+                                      tie_breaker=0.3)):
+        want = {(h.doc_id, h.score) for h in searcher.search(q, k=10**6)}
+        got = {(int(r["doc_id"]), float(np.float32(r["score"])))
+               for r in searcher.score_df(q).collect()}
+        assert got == want and got, type(q).__name__
 
 
 def test_rescore_by_phrase_second_pass(searcher):
