@@ -2154,6 +2154,11 @@ def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
             f" AND x.pos BETWEEN {lo_pos} - {pre} AND {hi_pos} + {post})"
         )
     if contain is not None:
+        if exclude is not None:
+            # mirrors the kernel's boundary: the engine refuses the
+            # combination, so an oracle for it would gate nothing
+            raise NotImplementedError(
+                "exclude and contain cannot be combined in one span query")
         conds.append(
             f"EXISTS (SELECT 1 FROM toksp x WHERE x.did = t0.did"
             f" AND x.term = '{contain}'"

@@ -1021,6 +1021,13 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
                    - np.searchsorted(ex_keys, lo, side="left"))
             ok &= cnt == 0
     if contain is not None and ok.any():
+        if exclude is not None:
+            # exclusion is validated against the NARROWEST (max-start) span,
+            # containment against the WIDEST — no single span need satisfy
+            # both, so the composition is unsound with these bounds; no AST
+            # shape produces it
+            raise NotImplementedError(
+                "exclude and contain cannot be combined in one span query")
         li = _structs_for_terms(rows, [contain])
         if li is None:
             return np.zeros(0, np.int64)  # little span can never match
@@ -1028,14 +1035,18 @@ def segment_span_near(rows, terms, slop: int, in_order: bool = True,
         li_keys = (np.repeat(docs_l, tfs_l.astype(np.int64)) * _POS_M
                    + flat_l.astype(np.int64))
         d = ends // _POS_M
-        # min feasible start per end: the first term-0 position ≥
-        # e − slop − (n−1) in the same doc (guaranteed ≤ s_max for a
-        # feasible end — s_max itself satisfies the width bound)
-        lo_bound = d * _POS_M + np.maximum(
-            (ends % _POS_M) - slop - (n - 1), np.int64(0))
-        s_idx = np.searchsorted(keys[0], lo_bound, side="left")
-        s_idx = np.minimum(s_idx, max(keys[0].size - 1, 0))
-        s_min = keys[0][s_idx] if keys[0].size else lo_bound
+        if n == 1:
+            # a 1-term span is [e, e]: the only feasible start is e itself
+            s_min = ends
+        else:
+            # min feasible start per end: the first term-0 position ≥
+            # e − slop − (n−1) in the same doc (guaranteed ≤ s_max for a
+            # feasible end — s_max itself satisfies the width bound)
+            lo_bound = d * _POS_M + np.maximum(
+                (ends % _POS_M) - slop - (n - 1), np.int64(0))
+            s_idx = np.searchsorted(keys[0], lo_bound, side="left")
+            s_idx = np.minimum(s_idx, max(keys[0].size - 1, 0))
+            s_min = keys[0][s_idx] if keys[0].size else lo_bound
         # containing: ≥1 little position in [s_min, e]
         cnt = (np.searchsorted(li_keys, ends, side="right")
                - np.searchsorted(li_keys, s_min, side="left"))

@@ -277,14 +277,18 @@ class IndexSearcher:
             query = self.parse(query)
         query = ast.normalize(query)
         self._check_clause_limit(query)
-        if isinstance(query, ast.ConstantScoreQuery):
+        if isinstance(query, (ast.ConstantScoreQuery,
+                              ast.MatchAllDocsQuery)):
             # k smallest matching docIDs, score == boost (ties → docID asc);
             # match set stays distributed for ANY inner query shape,
-            # TakeOrdered reduces to k
+            # TakeOrdered reduces to k. MatchAllDocsQuery scores every live
+            # doc at f32(boost) (MatchAllDocsQuery.java constant weight).
+            inner = (query.query if isinstance(query, ast.ConstantScoreQuery)
+                     else query)
             rows = self._collect(
-                self.match_df(query.query).orderBy("doc_id").limit(k)
+                self.match_df(inner).orderBy("doc_id").limit(k)
             )
-            b = float(F32(query.boost))
+            b = float(F32(getattr(query, "boost", 1.0)))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
         if isinstance(query, ast.SPAN_QUERY_TYPES):
             # constant-score span queries: k smallest matching docIDs (ties

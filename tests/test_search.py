@@ -1758,3 +1758,12 @@ def test_count_leaf_clauses_list_slot_counted():
     q_t = ast.SpanNearQuery((("a", "b", "c"), "d"), slop=1)
     q_l = ast.SpanNearQuery((["a", "b", "c"], "d"), slop=1)
     assert ast.count_leaf_clauses(q_t) == ast.count_leaf_clauses(q_l) == 4
+
+
+def test_search_match_all_docs(searcher):
+    """search(MatchAllDocsQuery) returns the k smallest live docIDs at
+    score f32(1.0) — same constant-score path as score_df/count."""
+    hits = searcher.search(ast.MatchAllDocsQuery(), k=7)
+    assert [h.doc_id for h in hits] == sorted(h.doc_id for h in hits)
+    assert len(hits) == 7 and all(h.score == 1.0 for h in hits)
+    assert hits[0].doc_id == 0

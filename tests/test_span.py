@@ -334,3 +334,62 @@ def test_span_containing_absent_little(searcher):
                                 slop=4)
     assert searcher.search(q, 10) == []
     assert searcher.count(q) == 0
+
+
+def test_span_containing_single_term_big(searcher, golden):
+    """n=1 big span is [p, p]: containment requires the little position AT
+    the big position — the slop window must not widen feasible starts
+    (review finding: lo_bound over-matched for n=1)."""
+    big, little = VOCAB[0], VOCAB[3]
+    bmap = golden.positions.get(big, {})
+    lmap = golden.positions.get(little, {})
+    exp = sorted(d for d, ps in bmap.items()
+                 if set(ps) & set(lmap.get(d, [])))
+    # tokens are distinct positions → a width-1 span can never contain a
+    # DIFFERENT term's position; engine must agree with brute (empty here)
+    q = ast.SpanContainingQuery((big,), little=little, slop=3)
+    got = [h.doc_id for h in searcher.search(q, k=10_000)]
+    assert got == exp == []
+    # same term as little: [p, p] contains p → every doc with the term
+    q_self = ast.SpanContainingQuery((big,), little=big, slop=3)
+    got_self = [h.doc_id for h in searcher.search(q_self, k=10_000)]
+    assert got_self == sorted(bmap)
+
+
+def test_span_exclude_contain_combination_refused():
+    """The kernel refuses exclude+contain in one query (narrowest- vs
+    widest-window checks are mutually unsound)."""
+    from lucene_spark.search.phrase import (
+        _term_postings_with_positions,  # noqa: F401 (import check)
+        segment_span_near,
+    )
+    import numpy as np
+
+    def varint(vals):
+        out = bytearray()
+        for v in vals:
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+
+    rows = {
+        "term": np.array(["a", "b", "e", "y"], dtype=object),
+        "first_doc": np.array([0, 0, 0, 0], dtype=np.int64),
+        "last_doc": np.array([0, 0, 0, 0], dtype=np.int64),
+        "count": np.array([1, 1, 1, 1], dtype=np.int64),
+        "doc_gaps": np.array([varint([0])] * 4, dtype=object),
+        "tfs": np.array([varint([2]), varint([1]), varint([1]),
+                         varint([1])], dtype=object),
+        "norms": np.array([bytes([24])] * 4, dtype=object),
+        "positions": np.array([varint([0, 2]), varint([3]), varint([1]),
+                               varint([1])], dtype=object),
+    }
+    with pytest.raises(NotImplementedError, match="exclude and contain"):
+        segment_span_near(rows, ["a", "b"], slop=2, exclude="e",
+                          contain="y")
