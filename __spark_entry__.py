@@ -1055,6 +1055,18 @@ def _q_group_top3(spark, sf_dir):
     )
 
 
+def _q_sort_expr(spark, sf_dir):
+    """Expression sort (lucene/expressions Expression.getSortField): the
+    3-term disjunction's match set ordered ASC by the double expression
+    dl·3 − dl²/64 (exact IEEE ops), ties docID asc, top-40."""
+    s = _searcher(spark, sf_dir)
+    pairs = s.search_sorted_by_expression(
+        _parse(Q_OR), "dl * 3 - (dl * dl) / 64", k=40, ascending=True)
+    return spark.createDataFrame(
+        [(int(d), float(v)) for d, v in pairs],
+        "doc_id long, sortkey double")
+
+
 def _q_knn(spark, sf_dir):
     """KNN vector query (KnnFloatVectorQuery analogue) at the recall=1
     exact config: top-10 by quantized integer dot with vec 0's embedding,
@@ -1151,6 +1163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_by_query_topk": _q_boost_by_query,
         "feature_satu_topk": _q_feature_satu,
         "group_top3_source": _q_group_top3,
+        # past the 50-slot driver window this round (every in-window slot is
+        # either never-verified or VERDICT-r3-demanded re-confirmation);
+        # round-5 rotation: swap in for the then-confirmed r4 gates
+        "sort_expr_topk": _q_sort_expr,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
@@ -1335,6 +1351,11 @@ def oracle_sql() -> dict[str, str]:
             _parse(Q_OR), 0.8, 30.0, 40),
         "group_top3_source": oracle.group_topn_sql(
             _parse(Q_OR), "source", 3),
+        "sort_expr_topk": oracle.sort_by_expression_sql(
+            _parse(Q_OR),
+            "CAST(d.dl AS DOUBLE) * 3"
+            " - (CAST(d.dl AS DOUBLE) * CAST(d.dl AS DOUBLE)) / 64",
+            40),
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
         "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
         "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),

@@ -2332,6 +2332,26 @@ LIMIT {k}
 """
 
 
+def sort_by_expression_sql(query, expr_sql: str, k: int,
+                           ascending: bool = True) -> str:
+    """Expression-sort oracle (``lucene/expressions``
+    ``Expression.getSortField``): the query's match set ordered by a
+    DOUBLE sort key computed from the raw token count ``dl`` —
+    ``expr_sql`` references column ``dl`` (exact IEEE ops only; no libm).
+    Ties → docID asc."""
+    inner = bm25_topk_sql(query, 10**9)
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+     {BASE_CTES}
+SELECT m.doc_id AS doc_id,
+       CAST({expr_sql} AS DOUBLE) AS sortkey
+FROM matched m JOIN dls d ON d.did = m.doc_id
+ORDER BY sortkey {direction}, m.doc_id ASC
+LIMIT {k}
+"""
+
+
 def group_topn_sql(query, group_col: str = "source", n: int = 1) -> str:
     """Top-n docs per group by BM25 score (GroupingSearch / TopGroups
     ``maxDocsPerGroup`` analogy)."""

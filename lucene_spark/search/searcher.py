@@ -1435,14 +1435,12 @@ class IndexSearcher:
         )
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
-    def expression_score_df(self, query, expression: str):
-        """Compiled score expression (``lucene/expressions``
-        ``JavascriptCompiler.java:138`` + ``SimpleBindings``): parse a
-        JS-subset source string, bind ``_score`` to the query's BM25 score
-        and every other variable to the same-named docs-table column, and
-        rescore the match set — new score = f32(expr evaluated in double).
-        The whole expression is ONE Catalyst Column tree (JVM-side,
-        whole-stage codegen); unbound variables raise at compile time."""
+    def _bound_expression(self, query, expression: str):
+        """Shared compile-and-bind step for expression scoring/sorting:
+        returns (match-set joined to docs columns, the expression as ONE
+        Catalyst Column). ``_score`` binds the query's score; every other
+        variable binds the same-named docs-table column; unbound variables
+        raise at compile time (SimpleBindings contract)."""
         from pyspark.sql import functions as F
 
         from lucene_spark.search.expressions import (
@@ -1459,8 +1457,39 @@ class IndexSearcher:
             if col not in cols:
                 raise ExpressionError(f"unbound variable: {name!r}")
             bindings[name] = F.col(col)
-        ns = compiled.to_column(bindings).cast("float")
-        return joined.select("doc_id", ns.alias("score"))
+        return joined, compiled.to_column(bindings)
+
+    def expression_score_df(self, query, expression: str):
+        """Compiled score expression (``lucene/expressions``
+        ``JavascriptCompiler.java:138`` + ``SimpleBindings``): parse a
+        JS-subset source string, bind ``_score`` to the query's BM25 score
+        and every other variable to the same-named docs-table column, and
+        rescore the match set — new score = f32(expr evaluated in double).
+        The whole expression is ONE Catalyst Column tree (JVM-side,
+        whole-stage codegen); unbound variables raise at compile time."""
+        joined, col = self._bound_expression(query, expression)
+        return joined.select("doc_id", col.cast("float").alias("score"))
+
+    def sort_by_expression_df(self, query, expression: str):
+        """Expression SORT (``lucene/expressions``
+        ``Expression.getSortField`` / ``ExpressionComparator``): the match
+        set with the expression as a DOUBLE sort key (SortField.DOUBLE
+        comparator semantics — no f32 narrowing, unlike the rescore
+        path). Distributed (doc_id, sortkey) DataFrame."""
+        joined, col = self._bound_expression(query, expression)
+        return joined.select("doc_id", col.cast("double").alias("sortkey"))
+
+    def search_sorted_by_expression(self, query, expression: str,
+                                    k: int = 10, ascending: bool = True):
+        """Top-k of the match set ordered by a compiled expression
+        (ties → docID asc) — the expression analogue of sort-by-field.
+        Returns (doc_id, sortkey) tuples."""
+        from pyspark.sql import functions as F
+
+        df = self.sort_by_expression_df(query, expression)
+        key = F.asc("sortkey") if ascending else F.desc("sortkey")
+        rows = self._collect(df.orderBy(key, F.asc("doc_id")).limit(k))
+        return [(int(r["doc_id"]), float(r["sortkey"])) for r in rows]
 
     def expression_score(self, query, expression: str,
                          k: int = 10) -> list[ScoreDoc]:
@@ -1888,8 +1917,10 @@ class IndexSearcher:
         query = ast.normalize(query)
         if isinstance(query, ast.PhraseQuery):
             return self._explain_phrase(query, doc_id)
-        if isinstance(query, (ast.MultiTermQuery, ast.ConstantScoreQuery)):
-            # CONSTANT_SCORE rewrite shapes: matched → score == boost
+        if isinstance(query, (ast.MultiTermQuery, ast.ConstantScoreQuery,
+                              ast.MatchAllDocsQuery) + ast.SPAN_QUERY_TYPES):
+            # CONSTANT_SCORE shapes (multiterm rewrite, const wrapper,
+            # match-all, span family): matched → score == boost
             from pyspark.sql import functions as F
 
             b = float(np.float32(getattr(query, "boost", 1.0)))

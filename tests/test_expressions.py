@@ -185,3 +185,55 @@ def test_expression_score_matches_function_score(spark, tmp_path):
 
     with pytest.raises(ExpressionError):
         s.expression_score(q, "no_such_column + 1", k=5)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    from lucene_spark.search.searcher import IndexSearcher
+
+    return IndexSearcher(spark, index_dir)
+
+
+def test_sort_by_expression_matches_brute(searcher):
+    """Expression sort ≡ brute: match set ordered by the double expression
+    over dl (exact IEEE ops), ties docID asc, both directions."""
+    import numpy as np
+
+    from lucene_spark.corpus import VOCAB
+
+    q = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    dls = {int(r["doc_id"]): int(r["dl"])
+           for r in searcher.reader.docs().select("doc_id", "dl").collect()}
+    match = sorted(h.doc_id for h in searcher.search(q, k=10**6))
+    expr = "dl * 3 - (dl * dl) / 64"
+
+    def key(d):
+        dl = float(dls[d])
+        return dl * 3 - (dl * dl) / 64
+
+    for asc in (True, False):
+        got = searcher.search_sorted_by_expression(q, expr, k=12,
+                                                   ascending=asc)
+        exp = sorted(((d, key(d)) for d in match),
+                     key=lambda t: (t[1] if asc else -t[1], t[0]))[:12]
+        assert got == exp, asc
+
+
+def test_sort_by_expression_binds_score(searcher):
+    """`_score` binds in sort expressions too — sorting DESC by _score
+    reproduces the BM25 top-k doc order (unique scores assumed ties
+    handled by docID)."""
+    from lucene_spark.corpus import VOCAB
+
+    q = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    got = searcher.search_sorted_by_expression(q, "_score", k=10,
+                                               ascending=False)
+    want = searcher.search(q, k=10)
+    assert [d for d, _ in got] == [h.doc_id for h in want]
+
+
+def test_sort_by_expression_unbound_raises(searcher):
+    from lucene_spark.search.expressions import ExpressionError
+
+    with pytest.raises(ExpressionError, match="unbound"):
+        searcher.sort_by_expression_df("x", "nosuchcol + 1")

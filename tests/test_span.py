@@ -393,3 +393,19 @@ def test_span_exclude_contain_combination_refused():
     with pytest.raises(NotImplementedError, match="exclude and contain"):
         segment_span_near(rows, ["a", "b"], slop=2, exclude="e",
                           contain="y")
+
+
+def test_explain_span_query(searcher, golden):
+    """explain() on span queries: constant-score breakdown with the span
+    match decided by the kernel."""
+    q = ast.SpanNearQuery((VOCAB[0], VOCAB[3]), slop=4, boost=2.0)
+    hits = searcher.search(q, 3)
+    assert hits
+    ex = searcher.explain(q, hits[0].doc_id)
+    assert ex["match"] and ex["total"] == float(np.float32(2.0))
+    assert ex["clauses"][0]["kind"] == "SpanNearQuery"
+    # a non-matching doc
+    non = next(d for d in range(golden.pdf.shape[0])
+               if d not in {h.doc_id for h in searcher.search(q, 10**6)})
+    ex2 = searcher.explain(q, non)
+    assert not ex2["match"] and ex2["total"] == 0.0
