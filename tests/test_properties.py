@@ -152,3 +152,122 @@ def test_sloppy_matcher_invariants(pos_lists, slop):
 
     # 3. monotone in slop
     assert _sloppy_freq_doc(pls, slop + 1) >= f - 1e-6
+
+
+def _segment_from_docs(docs_tokens):
+    """Encode a list of per-doc token streams as one-segment postings rows
+    (one block per term), independent of the builder."""
+    from lucene_spark.indexing.blocks import encode_varints
+
+    by_term: dict = {}
+    for d, toks in enumerate(docs_tokens):
+        for p, t in enumerate(toks):
+            by_term.setdefault(t, {}).setdefault(d, []).append(p)
+    terms, fds, lds, cnts, gaps, tfs, nms, poss = [], [], [], [], [], [], [], []
+    for t in sorted(by_term):
+        dmap = by_term[t]
+        ds = sorted(dmap)
+        terms.append(t)
+        fds.append(ds[0])
+        lds.append(ds[-1])
+        cnts.append(len(ds))
+        gaps.append(encode_varints(
+            np.diff(np.array(ds, dtype=np.int64))))
+        tfs.append(encode_varints(
+            np.array([len(dmap[d]) for d in ds], dtype=np.int64)))
+        nms.append(bytes([24]) * len(ds))
+        deltas = []
+        for d in ds:
+            ps = dmap[d]
+            deltas.extend([ps[0]] + list(np.diff(ps)))
+        poss.append(encode_varints(np.array(deltas, dtype=np.int64)))
+    return {
+        "term": np.array(terms, dtype=object),
+        "first_doc": np.array(fds, dtype=np.int64),
+        "last_doc": np.array(lds, dtype=np.int64),
+        "count": np.array(cnts, dtype=np.int64),
+        "doc_gaps": np.array(gaps, dtype=object),
+        "tfs": np.array(tfs, dtype=object),
+        "norms": np.array(nms, dtype=object),
+        "positions": np.array(poss, dtype=object),
+    }
+
+
+def _brute_span(docs_tokens, terms, slop, in_order, max_end=None,
+                exclude=None, pre=0, post=0, contain=None):
+    import itertools
+
+    out = []
+    for d, toks in enumerate(docs_tokens):
+        pls = [[p for p, t in enumerate(toks) if t == q] for q in terms]
+        if any(not p for p in pls):
+            continue
+        orders = ([list(range(len(terms)))] if in_order
+                  else [list(o) for o in
+                        itertools.permutations(range(len(terms)))])
+        hit = False
+        for od in orders:
+            for combo in itertools.product(*[pls[i] for i in od]):
+                if len(terms) > 1 and not all(
+                        combo[j] > combo[j - 1]
+                        for j in range(1, len(terms))):
+                    continue
+                if len(set(combo)) != len(combo):
+                    continue
+                s, e = combo[0], combo[-1]
+                if e - s - (len(terms) - 1) > slop:
+                    continue
+                if max_end is not None and e + 1 > max_end:
+                    continue
+                if exclude is not None and any(
+                        toks[p] == exclude for p in
+                        range(max(0, s - pre),
+                              min(len(toks), e + post + 1))):
+                    continue
+                if contain is not None and not any(
+                        toks[p] == contain for p in range(s, e + 1)):
+                    continue
+                hit = True
+                break
+            if hit:
+                break
+        if hit:
+            out.append(d)
+    return out
+
+
+_SPAN_DOC = st.lists(st.sampled_from("abcy"), min_size=1, max_size=14)
+
+
+@given(
+    docs=st.lists(_SPAN_DOC, min_size=1, max_size=4),
+    terms=st.lists(st.sampled_from("abc"), min_size=1, max_size=3),
+    slop=st.integers(0, 5),
+    in_order=st.booleans(),
+    variant=st.sampled_from(["plain", "first", "not", "contain"]),
+)
+@settings(max_examples=400, deadline=None)
+def test_span_kernel_randomized_vs_brute(docs, terms, slop, in_order,
+                                         variant):
+    """The span kernel (ordered/unordered, SpanFirst/SpanNot/
+    SpanContaining variants) equals full brute enumeration on random
+    token streams."""
+    from lucene_spark.search.phrase import segment_span_near
+
+    rows = _segment_from_docs(docs)
+    kw, bw = {}, {}
+    if variant == "first":
+        kw = bw = {"max_end": 4}
+    elif variant == "not":
+        kw = bw = {"exclude": "y", "pre": 1, "post": 1}
+    elif variant == "contain":
+        kw = bw = {"contain": "y"}
+    present = {t for d in docs for t in d}
+    if any(t not in present for t in terms):
+        got = []  # dead required slot
+        exp = []
+    else:
+        got = segment_span_near(rows, list(terms), slop,
+                                in_order=in_order, **kw).tolist()
+        exp = _brute_span(docs, list(terms), slop, in_order, **bw)
+    assert got == exp, (docs, terms, slop, in_order, variant)
