@@ -1754,13 +1754,21 @@ class IndexSearcher:
                 for i in sorted(by_id)]
 
     def search_sorted(self, query, sort_field, k: int = 10,
-                      reverse: bool = True) -> list[tuple]:
+                      reverse: bool = True, after: tuple | None = None
+                      ) -> list[tuple]:
         """Sort-by-field top-k — the ``TopFieldCollector`` analogue
         (``core/search/TopFieldCollector.java``), supporting an arbitrary
         Sort: ``sort_field`` is one doc-values column name (``dl``,
         ``turn_idx``, ``conv_id``, …; ``reverse`` flips it) or a list of
         ``(field, reverse)`` pairs evaluated in order; the final tie-break
         is always docID ascending (the Lucene rule).
+
+        ``after`` is the LAST row tuple of the previous page
+        ``(doc_id, field_value_1[, …])`` — keyset pagination
+        (``TopFieldCollector.searchAfter`` / ``FieldDoc`` semantics): only
+        rows strictly after it in the sort order are returned, so pages
+        never repeat or skip under concurrent-ish reads and page N costs
+        the same one TakeOrdered pass as page 0.
 
         Plan shape: the match set stays distributed (``score_df``), joins
         the doc-values columns, and reduces via Spark's
@@ -1770,23 +1778,42 @@ class IndexSearcher:
         """
         from pyspark.sql import functions as F
 
+        if isinstance(query, str):
+            query = self.parse(query)
         keys = ([(sort_field, reverse)] if isinstance(sort_field, str)
                 else [(f, bool(r)) for f, r in sort_field])
         fields = [f for f, _ in keys]
-        if tuple(keys) in self._INDEX_SORT_PREFIXES:
-            if isinstance(query, str):
-                query = self.parse(query)
+        if after is None and tuple(keys) in self._INDEX_SORT_PREFIXES:
             early = self._search_sorted_early(query, fields, k)
             if early is not None:
                 return early
         # match_df supports every query shape (scores are discarded anyway)
         matches = self.match_df(query)
         docs = self.reader.docs().select("doc_id", *fields)
+        joined = matches.join(docs, "doc_id")
+        if after is not None:
+            if len(after) != len(fields) + 1:
+                raise ValueError(
+                    f"after must be (doc_id, {', '.join(fields)})")
+            # lexicographic strictly-after predicate over
+            # (field_1, …, field_n, doc_id) honoring per-field direction
+            avals = list(after[1:]) + [int(after[0])]
+            parts = [(F.col(f), F.lit(v), rev)
+                     for (f, rev), v in zip(keys, avals[:-1])]
+            parts.append((F.col("doc_id"), F.lit(avals[-1]), False))
+            pred = None
+            eq_prefix = None
+            for col, lit, rev in parts:
+                gt = col < lit if rev else col > lit
+                term = gt if eq_prefix is None else eq_prefix & gt
+                pred = term if pred is None else pred | term
+                eq = col == lit
+                eq_prefix = eq if eq_prefix is None else eq_prefix & eq
+            joined = joined.where(pred)
         order = [
             (F.col(f).desc() if rev else F.col(f).asc()) for f, rev in keys
         ] + [F.col("doc_id").asc()]
-        rows = self._collect(
-            matches.join(docs, "doc_id").orderBy(*order).limit(k))
+        rows = self._collect(joined.orderBy(*order).limit(k))
         return [tuple([int(r["doc_id"])] + [r[f] for f in fields])
                 for r in rows]
 

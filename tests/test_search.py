@@ -1767,3 +1767,25 @@ def test_search_match_all_docs(searcher):
     assert [h.doc_id for h in hits] == sorted(h.doc_id for h in hits)
     assert len(hits) == 7 and all(h.score == 1.0 for h in hits)
     assert hits[0].doc_id == 0
+
+
+def test_search_sorted_after_keyset_pagination(searcher):
+    """TopFieldCollector.searchAfter: paging with the previous page's last
+    row reproduces the contiguous slices of the full sorted run — single
+    and multi-field sorts, both directions."""
+    q = searcher.parse(f"{VOCAB[0]} {VOCAB[3]}")
+    for sort, rev in (("dl", True), ("dl", False),
+                      ([("dl", False), ("turn_idx", True)], False)):
+        full = searcher.search_sorted(q, sort, k=30, reverse=rev)
+        assert len(full) >= 15
+        p1 = searcher.search_sorted(q, sort, k=5, reverse=rev)
+        p2 = searcher.search_sorted(q, sort, k=5, reverse=rev,
+                                    after=p1[-1])
+        p3 = searcher.search_sorted(q, sort, k=5, reverse=rev,
+                                    after=p2[-1])
+        assert p1 + p2 + p3 == full[:15], (sort, rev)
+
+
+def test_search_sorted_after_bad_tuple_raises(searcher):
+    with pytest.raises(ValueError, match="after must be"):
+        searcher.search_sorted(VOCAB[0], "dl", k=5, after=(1,))
