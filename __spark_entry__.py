@@ -1120,13 +1120,14 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # remain in queries() past the window)
     "phrase_prefix_topk", "boost_by_query_topk",
     "feature_satu_topk", "group_top3_source",
-    # (rotation note 4: text_token_counts — r2-green; its split/length
-    # projections are a subset of the in-window text_quality plan — rotated
-    # out for the never-verified span_containing_count)
-    "span_containing_count",
+    # (rotation note 4: text_token_counts + text_quality — both r2-green
+    # pure-codegen projection plans (token_counts is a subset of quality) —
+    # rotated out for the never-verified span_containing_count and
+    # sort_expr_topk)
+    "span_containing_count", "sort_expr_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "text_langid", "text_quality",
+    "ann_lsh_topk", "ann_ivf_topk", "text_langid",
     "text_fingerprint", "mm_binary_stats",
     # -- new round-4 gates
     "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
@@ -1163,9 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_by_query_topk": _q_boost_by_query,
         "feature_satu_topk": _q_feature_satu,
         "group_top3_source": _q_group_top3,
-        # past the 50-slot driver window this round (every in-window slot is
-        # either never-verified or VERDICT-r3-demanded re-confirmation);
-        # round-5 rotation: swap in for the then-confirmed r4 gates
+        # in-window (rotated in over the r2-green pure-projection
+        # text_quality so no gate ships never-driver-verified)
         "sort_expr_topk": _q_sort_expr,
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
