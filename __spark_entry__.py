@@ -32,6 +32,8 @@ PHRASE_TERMS = ("table", "value")
 Q_NESTED = "(table AND value) OR (query AND customer)"
 Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
+CT_TEXT = "dup table value query"  # CommonTermsQuery input (dup is rare)
+CT_MTF = 0.5  # fraction threshold: df > round(0.5·maxDoc) → high-freq
 Q_RESCORE = "key query"  # QueryRescorer second-pass query
 
 _AN = SimpleAnalyzer()
@@ -992,6 +994,18 @@ def _q_span_containing_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_common_terms(spark, sf_dir):
+    """CommonTermsQuery (queries/CommonTermsQuery.java:46-60): analyze
+    'dup table value query', split terms at df > round(0.5·maxDoc) into
+    low-freq ('dup', df≈25/500) and high-freq ('table value query',
+    df≈385+), rewrite to MUST(lowGroup) + SHOULD(high terms), BM25 top-20.
+    The oracle recomputes the df split itself in SQL — nothing about the
+    threshold outcome is baked in by the engine."""
+    s = _searcher(spark, sf_dir)
+    q = s.common_terms_query(CT_TEXT, max_term_frequency=CT_MTF)
+    return _hits_df(spark, s.search(q, k=20))
+
+
 def _q_rescore(spark, sf_dir):
     """QueryRescorer (core/search/QueryRescorer.java:38-104): BM25 top-100
     of the 3-term disjunction, re-scored by the second query at weight 2.0
@@ -1124,7 +1138,11 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # pure-codegen projection plans (token_counts is a subset of quality) —
     # rotated out for the never-verified span_containing_count and
     # sort_expr_topk)
-    "span_containing_count", "sort_expr_topk",
+    # (rotation note 5: span_containing_count → common_terms_topk — the
+    # containment kernel is already confirmed in-window by span_near /
+    # span_unordered / span_first / span_not plus the randomized
+    # containment pytest; CommonTermsQuery is brand-new operator coverage)
+    "common_terms_topk", "sort_expr_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_langid",
@@ -1159,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_count": _q_span_not_count,
         "span_or_count": _q_span_or_count,
         "span_containing_count": _q_span_containing_count,
+        "common_terms_topk": _q_common_terms,
         "rescore_topk": _q_rescore,
         "phrase_prefix_topk": _q_phrase_prefix,
         "boost_by_query_topk": _q_boost_by_query,
@@ -1341,6 +1360,8 @@ def oracle_sql() -> dict[str, str]:
             [("table", "key"), "value"], 3, in_order=True),
         "span_containing_count": oracle.span_near_count_sql(
             ["table", "value"], 4, in_order=True, contain="key"),
+        "common_terms_topk": oracle.common_terms_topk_sql(
+            CT_TEXT.split(), 20, CT_MTF),
         "rescore_topk": oracle.rescore_topk_sql(
             _parse(Q_OR), _parse(Q_RESCORE), 40, 100, 2.0),
         "phrase_prefix_topk": oracle.phrase_prefix_topk_sql(

@@ -566,6 +566,82 @@ LIMIT {k}
 """
 
 
+def common_terms_topk_sql(terms, k: int, max_term_frequency: float,
+                          low_msm: int = 0, high_msm: int = 0) -> str:
+    """Independent CommonTermsQuery oracle (SHOULD/SHOULD form): the SQL
+    recomputes the high/low df split ITSELF from the corpus (same threshold
+    rule as ``CommonTermsQuery.buildQuery``, ``queries/.../
+    CommonTermsQuery.java:211-219``) — nothing about the split is baked in
+    by the engine under test.
+
+    Float32 contract mirrors the engine's normalized tree: the rewritten
+    ``MUST(lowGroup) + SHOULD(highGroup)`` flattens the pure-SHOULD high
+    group into the outer boolean (``BooleanQuery.java:519-545``), so each
+    matched high term is its own float32 input to the outer double sum,
+    while the low group stays one nested node whose double sum rounds to
+    float32 before joining the outer sum. A single-term low group collapses
+    to a bare clause — float32 of one float32 is itself, so the uniform
+    expression below covers the collapse too.
+
+    Match rule: if any low-freq terms exist (including terms absent from
+    the index — null TermStates land low, :206-209), a doc must match
+    ≥ max(1, low_msm) of them; otherwise ≥ max(1, high_msm) high terms.
+    """
+    qvals = ",".join(f"('{t}')" for t in dict.fromkeys(terms))
+    if max_term_frequency >= 1.0:
+        cut = f"CAST({float(max_term_frequency)!r} AS DOUBLE)"
+    else:
+        cut = (f"round({float(max_term_frequency)!r} * "
+               f"(SELECT n FROM fstats))")
+    return f"""
+WITH {BASE_CTES},
+qterms(term) AS (VALUES {qvals}),
+tclass AS (
+  SELECT q.term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                     / (ts.df + 0.5)) AS FLOAT) AS w,
+         CASE WHEN ts.df > {cut} THEN 1 ELSE 0 END AS hi
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+nlo AS (
+  SELECT count(*) FILTER (WHERE t.hi = 0)
+         + (SELECT count(*) FROM qterms q
+            WHERE q.term NOT IN (SELECT term FROM tclass)) AS n
+  FROM tclass t
+),
+cs AS (
+  SELECT tf.did, c.hi,
+         c.w - c.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN tclass c ON c.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+agg AS (
+  SELECT did,
+         count(*) FILTER (WHERE hi = 0) AS lo_m,
+         count(*) FILTER (WHERE hi = 1) AS hi_m,
+         CAST(SUM(CASE WHEN hi = 0 THEN CAST(s AS DOUBLE) END)
+              AS FLOAT) AS lo_s,
+         SUM(CASE WHEN hi = 1 THEN CAST(s AS DOUBLE) END) AS hi_s
+  FROM cs GROUP BY did
+)
+SELECT did AS doc_id,
+       CAST(CAST(CAST(COALESCE(lo_s, 0) AS FLOAT) AS DOUBLE)
+            + COALESCE(hi_s, 0) AS FLOAT)::DOUBLE AS score
+FROM agg
+WHERE CASE WHEN (SELECT n FROM nlo) > 0
+           THEN lo_m >= GREATEST(1, {int(low_msm)})
+           ELSE hi_m >= GREATEST(1, {int(high_msm)}) END
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
 def join_conv_topk_sql(terms, k: int, words_per_turn: int = 40) -> str:
     """Block-join oracle: derive the multi-turn corpus exactly like
     ``corpus.multiturn_from_documents`` (word-chunking, verified

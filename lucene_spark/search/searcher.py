@@ -1922,6 +1922,72 @@ class IndexSearcher:
         selection, then the standard scored search (WAND-pruned)."""
         return self.search(self.mlt_query(text, **mlt_opts), k=k)
 
+    def common_terms_query(self, text: str, *, field: str = "text",
+                           max_term_frequency: float = 0.01,
+                           low_freq_occur=ast.SHOULD,
+                           high_freq_occur=ast.SHOULD,
+                           low_freq_msm: float = 0.0,
+                           high_freq_msm: float = 0.0):
+        """CommonTermsQuery rewrite — the df-adaptive stopword-free query
+        (``lucene/queries/src/java/org/apache/lucene/queries/
+        CommonTermsQuery.java:46-60,173-258``): analyze ``text``, look up
+        each distinct term's df through the resident term dictionary, split
+        at the threshold (``buildQuery``, :211-219: high iff
+        ``maxTermFrequency >= 1 ? df > maxTermFrequency
+        : df > round(maxTermFrequency * maxDoc)``; terms absent from the
+        index land in the low group like a null TermStates, :206-209), and
+        compose:
+
+        * both groups non-empty → ``MUST(lowGroup) + SHOULD(highGroup)``
+          (:246-252) — rare terms gate the match, common terms only add
+          score;
+        * one group empty → that group's BooleanQuery alone (:233-244).
+
+        Group msm follows ``calcLowFreqMinimumNumberShouldMatch``
+        (:260-276): applied only when the group occur is SHOULD, fractional
+        values resolve to ``round(msm * n_group_terms)``.
+
+        Divergence (documented): duplicate query terms collapse to one
+        clause (the reference's Multiset keeps duplicates and scores them
+        twice); ``maxDoc`` is the field's doc_count (identical here — every
+        transcript turn has text). All work is driver-side: one tokenize +
+        one term-dict lookup; no cluster job until the returned query runs.
+        """
+        seen: set[str] = set()
+        terms = [t for t in self.analyzer.tokenize_text(text)
+                 if not (t in seen or seen.add(t))]
+        if not terms:
+            return ast.BooleanQuery(())
+        stats = self.reader.term_stats(terms, field=field)
+        n_docs = self.reader.field_stats.get(field, {}).get(
+            "doc_count", self.reader.doc_count) or self.reader.doc_count
+        if max_term_frequency >= 1.0:
+            cut = float(max_term_frequency)
+        else:  # Java Math.round = floor(x + 0.5) — positive args only here
+            cut = float(int(max_term_frequency * n_docs + 0.5))
+        low, high = [], []
+        for t in terms:
+            st = stats.get(t)
+            (high if st is not None and st["df"] > cut else low).append(t)
+
+        def _msm(msm: float, n: int, occur) -> int:
+            if occur != ast.SHOULD or msm <= 0:
+                return 0
+            return int(msm) if msm >= 1.0 else int(msm * n + 0.5)
+
+        def _group(ts, occur, msm):
+            return ast.BooleanQuery(
+                tuple((occur, ast.TermQuery(t, field)) for t in ts),
+                min_should_match=_msm(msm, len(ts), occur))
+
+        low_q = _group(low, low_freq_occur, low_freq_msm)
+        high_q = _group(high, high_freq_occur, high_freq_msm)
+        if not low:
+            return high_q
+        if not high:
+            return low_q
+        return ast.BooleanQuery(((ast.MUST, low_q), (ast.SHOULD, high_q)))
+
     def explain(self, query, doc_id: int) -> dict:
         """Score explanation for one document — the
         ``IndexSearcher.explain(Query, int)`` analogue

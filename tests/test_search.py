@@ -973,6 +973,76 @@ def test_more_like_this(spark, searcher, corpus_pdf):
     assert hits and 0 in [h.doc_id for h in hits]
 
 
+def test_common_terms_query(spark, searcher):
+    """CommonTermsQuery rewrite (queries/CommonTermsQuery.java:173-258):
+    df-threshold split into MUST(lowGroup) + SHOULD(highGroup), absent
+    terms land low (null TermStates, :206-209), one-group edge cases
+    return that group alone, fractional/absolute thresholds and group msm
+    follow buildQuery/calcLowFreqMinimumNumberShouldMatch, and every hit
+    matches the required low group (WAND ≡ exhaustive)."""
+    from lucene_spark.search import ast as A
+
+    stats = searcher.reader.term_stats(searcher.reader.sorted_terms("text"))
+    n = searcher.reader.field_stats["text"]["doc_count"]
+    by_df = sorted(stats.items(), key=lambda kv: (kv[1]["df"], kv[0]))
+    rare, rare_df = by_df[0][0], by_df[0][1]["df"]
+    hot, hot_df = by_df[-1][0], by_df[-1][1]["df"]
+    assert rare_df < hot_df
+    mtf = (rare_df + hot_df) / 2.0 / n  # fraction strictly between the dfs
+
+    q = searcher.common_terms_query(f"{rare} {hot} zzqxmissing",
+                                    max_term_frequency=mtf)
+    assert isinstance(q, A.BooleanQuery) and len(q.clauses) == 2
+    (o1, g1), (o2, g2) = q.clauses
+    assert o1 == A.MUST and isinstance(g1, A.BooleanQuery)
+    assert {c.term for _, c in g1.clauses} == {rare, "zzqxmissing"}
+    assert all(o == A.SHOULD for o, _ in g1.clauses)
+    assert o2 == A.SHOULD and isinstance(g2, A.BooleanQuery)
+    assert {c.term for _, c in g2.clauses} == {hot}
+
+    hits = searcher.search(q, k=15, mode="wand")
+    assert hits
+    hits_ex = searcher.search(q, k=15, mode="exhaustive")
+    assert ([(h.doc_id, h.score) for h in hits]
+            == [(h.doc_id, h.score) for h in hits_ex])
+    # the low group is required: every hit contains the rare term
+    low_docs = {int(r["doc_id"])
+                for r in searcher.match_df(A.TermQuery(rare)).collect()}
+    assert all(h.doc_id in low_docs for h in hits)
+
+    # absolute threshold: cut == rare_df keeps rare low (df > cut strict)
+    qa = searcher.common_terms_query(f"{rare} {hot}",
+                                     max_term_frequency=float(rare_df))
+    assert isinstance(qa.clauses[0][1], A.BooleanQuery)
+    assert {c.term for _, c in qa.clauses[0][1].clauses} == {rare}
+    # all-high (cut rounds to 0): pure SHOULD disjunction, no nesting
+    qh = searcher.common_terms_query(f"{rare} {hot}",
+                                     max_term_frequency=1e-9)
+    assert {c.term for _, c in qh.clauses} == {rare, hot}
+    assert all(o == A.SHOULD for o, _ in qh.clauses)
+    assert all(isinstance(c, A.TermQuery) for _, c in qh.clauses)
+    # all-low (absolute cut ≥ every df): the low group alone
+    ql = searcher.common_terms_query(f"{rare} {hot}",
+                                     max_term_frequency=float(n + 1))
+    assert {c.term for _, c in ql.clauses} == {rare, hot}
+    assert ql.min_should_match == 0
+    # fractional group msm: round(0.5 · 2 terms) = 1; integer msm passes
+    qm = searcher.common_terms_query(f"{rare} {hot}",
+                                     max_term_frequency=float(n + 1),
+                                     low_freq_msm=0.5)
+    assert qm.min_should_match == 1
+    qm2 = searcher.common_terms_query(f"{rare} {hot}",
+                                      max_term_frequency=float(n + 1),
+                                      low_freq_msm=2)
+    assert qm2.min_should_match == 2
+    # duplicates collapse; empty text → empty boolean (MatchNo-equivalent)
+    qd = searcher.common_terms_query(f"{hot} {hot}",
+                                     max_term_frequency=1e-9)
+    assert isinstance(qd, A.TermQuery) or len(qd.clauses) == 1
+    q0 = searcher.common_terms_query("")
+    assert isinstance(q0, A.BooleanQuery) and not q0.clauses
+
+
 def test_range_syntax_and_exclusive_bounds(searcher):
     """Classic range syntax [a TO b] / {a TO b} (QueryParserBase
     getRangeQuery): mixed brackets, * open bounds, field prefixes; the
