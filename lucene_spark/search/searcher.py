@@ -1213,7 +1213,20 @@ class IndexSearcher:
                 .select(F.lit(n).alias("dim"), "value", "n"))
         return reduce(lambda a, b: a.unionAll(b), parts).orderBy("dim", "value")
 
-    def score_df(self, query):
+    def _prune_segs(self, postings, doc_ids):
+        """Restrict a postings scan to the segments whose docID range
+        intersects ``doc_ids`` — the rescore second pass touches ≤ top_n
+        docs, so on a many-segment index this turns a full postings scan
+        into a handful of partition reads (partition pruning on the
+        ``seg=N`` directory key)."""
+        from pyspark.sql import functions as F
+
+        ids = np.asarray(sorted(int(x) for x in doc_ids), dtype=np.int64)
+        segs = [s for s, (lo, hi) in self._segment_doc_bounds().items()
+                if ((ids >= lo) & (ids < hi)).any()]
+        return postings.where(F.col("seg").isin(segs))
+
+    def score_df(self, query, doc_ids=None):
         """Exhaustive (doc_id, score) DataFrame of ALL matching docs.
 
         The FacetsCollector / grouping substrate: stays distributed (no
@@ -1226,17 +1239,31 @@ class IndexSearcher:
         through their match set at score = f32(boost). Shapes whose
         exhaustive scoring would need the mixed top-k path (nested mixed
         booleans, KNN) raise NotImplementedError with the supported list.
+
+        ``doc_ids`` (optional, bounded — the rescore second pass): restrict
+        scoring to those docs; the postings scan prunes to the segments
+        covering them and the output filters to the exact set.
         """
         from pyspark.sql import functions as F
 
         if isinstance(query, str):
             query = self.parse(query)
         nq = ast.normalize(query)
+        df = self._score_df_impl(nq, doc_ids)
+        if doc_ids is not None:
+            df = df.where(F.col("doc_id").isin([int(x) for x in doc_ids]))
+        return df
+
+    def _score_df_impl(self, nq, doc_ids=None):
+        from pyspark.sql import functions as F
+
         if isinstance(nq, (ast.PhraseQuery, ast.MultiPhraseQuery)):
             plan = self._phrase_plan(nq)
             if plan is None:
                 return self.spark.createDataFrame(
                     [], "doc_id long, score float")
+            if doc_ids is not None:
+                plan = (self._prune_segs(plan[0], doc_ids),) + plan[1:]
             return self._phrase_scored_df(*plan)
         if isinstance(nq, (ast.SynonymQuery, ast.DisjunctionMaxQuery)):
             from lucene_spark.search.multiterm import (
@@ -1270,6 +1297,8 @@ class IndexSearcher:
             return spark.createDataFrame([], "doc_id long, score float")
         specs, msm = wc
         postings = self._postings_for_specs(specs)
+        if doc_ids is not None:
+            postings = self._prune_segs(postings, doc_ids)
         cols = ["field", "term", "first_doc", "last_doc", "count", "doc_gaps",
                 "tfs", "norms", "max_tf", "impact_tfs", "impact_norms",
                 "doc_offset"]
@@ -1515,45 +1544,53 @@ class IndexSearcher:
 
         Scale shape: the first pass is k-bounded (a TopDocs array, ≤ top_n
         rows on the driver — same bound as every top-k merge); the second
-        pass stays ONE distributed score_df plan restricted to those docs,
-        and the ≤ top_n combined rows join broadcast."""
-        from pyspark.sql import functions as F
-
+        pass is ONE distributed score_df plan segment-pruned and filtered
+        to those docs (≤ top_n rows collected); the combine is driver-side
+        over ≤ top_n rows."""
         if isinstance(first_query, str):
             first_query = self.parse(first_query)
         if isinstance(second_query, str):
             second_query = self.parse(second_query)
+        combined = self._rescore_rows(first_query, second_query, top_n,
+                                      weight)
+        return self.spark.createDataFrame(
+            [(d, s) for d, s in combined], "doc_id long, score double")
+
+    def _rescore_rows(self, first_query, second_query, top_n, weight):
+        """Two jobs, both k-bounded: (1) first-pass top-``top_n`` search;
+        (2) second query scored ONLY over those docs (segment-pruned scan +
+        exact doc filter, ≤ top_n rows collected). The combine itself is
+        driver-side numpy over ≤ top_n rows — no join or distributed sort
+        job for a result that is by construction tiny."""
         hits = self.search(first_query, k=top_n)
-        spark = self.spark
         if not hits:
-            return spark.createDataFrame([], "doc_id long, score double")
-        fdf = spark.createDataFrame(
-            [(int(h.doc_id), float(h.score)) for h in hits],
-            "doc_id long, first double")
+            return []
         ids = [int(h.doc_id) for h in hits]
-        second = (self.score_df(second_query)
-                  .where(F.col("doc_id").isin(ids))
-                  .withColumnRenamed("score", "second"))
-        return (fdf.join(F.broadcast(second), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.when(F.col("second").isNull(), F.col("first"))
-                    .otherwise((F.col("first")
-                                + F.lit(float(weight))
-                                * F.col("second").cast("double"))
-                               .cast("float").cast("double"))
-                    .alias("score")))
+        second = {int(r["doc_id"]): np.float32(r["score"])
+                  for r in self._collect(
+                      self.score_df(second_query, doc_ids=ids))}
+        out = []
+        for h in hits:
+            s2 = second.get(int(h.doc_id))
+            if s2 is None:
+                out.append((int(h.doc_id), float(h.score)))
+            else:
+                out.append((int(h.doc_id),
+                            float(np.float32(h.score
+                                             + float(weight) * float(s2)))))
+        return out
 
     def rescore(self, first_query, second_query, k: int = 10,
                 top_n: int = 100, weight: float = 1.0) -> list[ScoreDoc]:
-        """Top-k of :meth:`rescore_df` re-sorted by (score DESC, docID ASC)
+        """Top-k rescored hits re-sorted by (score DESC, docID ASC)
         — ``QueryRescorer.rescore``'s final sort comparator."""
-        from pyspark.sql import functions as F
-
-        rows = self._collect(
-            self.rescore_df(first_query, second_query, top_n, weight)
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+        if isinstance(first_query, str):
+            first_query = self.parse(first_query)
+        if isinstance(second_query, str):
+            second_query = self.parse(second_query)
+        rows = self._rescore_rows(first_query, second_query, top_n, weight)
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return [ScoreDoc(d, s) for d, s in rows[:k]]
 
     def _expand_prefix_sorted(self, field: str, prefix: str,
                               n: int) -> list[str]:
