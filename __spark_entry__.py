@@ -34,6 +34,8 @@ Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
 CT_TEXT = "dup table value query"  # CommonTermsQuery input (dup is rare)
 CT_MTF = 0.5  # fraction threshold: df > round(0.5·maxDoc) → high-freq
+COV_TERMS = ("table", "value", "query")  # CoveringQuery sub-queries
+COV_MIN_MATCH = "CASE WHEN dl > 40 THEN 3 ELSE 2 END"  # per-doc minMatch
 Q_RESCORE = "key query"  # QueryRescorer second-pass query
 
 _AN = SimpleAnalyzer()
@@ -994,6 +996,14 @@ def _q_span_containing_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_covering(spark, sf_dir):
+    """CoveringQuery (sandbox/search/CoveringQuery.java): per-doc dynamic
+    minimum-match — long docs (dl > 40) must match all 3 term sub-queries,
+    short docs any 2; score = f32(Σ matched sub-query scores); top-30."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.covering(COV_TERMS, COV_MIN_MATCH, k=30))
+
+
 def _q_common_terms(spark, sf_dir):
     """CommonTermsQuery (queries/CommonTermsQuery.java:46-60): analyze
     'dup table value query', split terms at df > round(0.5·maxDoc) into
@@ -1148,7 +1158,11 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "ann_lsh_topk", "ann_ivf_topk", "text_langid",
     "text_fingerprint", "mm_binary_stats",
     # -- new round-4 gates
-    "bool_nested_topk", "bool_nested_mix_topk", "bool_msm2_topk",
+    # (rotation note 6: bool_nested_mix_topk → covering_topk — the
+    # recursive mixed kernel + nested oracle family is already in-window
+    # via bool_nested_topk and bool_msm2_topk; CoveringQuery is brand-new
+    # operator coverage with a per-doc-threshold oracle)
+    "bool_nested_topk", "covering_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
     "span_first_count", "span_not_count",
     "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
@@ -1178,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_count": _q_span_or_count,
         "span_containing_count": _q_span_containing_count,
         "common_terms_topk": _q_common_terms,
+        "covering_topk": _q_covering,
         "rescore_topk": _q_rescore,
         "phrase_prefix_topk": _q_phrase_prefix,
         "boost_by_query_topk": _q_boost_by_query,
@@ -1362,6 +1377,8 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value"], 4, in_order=True, contain="key"),
         "common_terms_topk": oracle.common_terms_topk_sql(
             CT_TEXT.split(), 20, CT_MTF),
+        "covering_topk": oracle.covering_topk_sql(
+            COV_TERMS, 30, COV_MIN_MATCH),
         "rescore_topk": oracle.rescore_topk_sql(
             _parse(Q_OR), _parse(Q_RESCORE), 40, 100, 2.0),
         "phrase_prefix_topk": oracle.phrase_prefix_topk_sql(

@@ -566,6 +566,47 @@ LIMIT {k}
 """
 
 
+def covering_topk_sql(terms, k: int, min_match_expr: str) -> str:
+    """CoveringQuery oracle (``sandbox/search/CoveringQuery.java`` +
+    ``CoveringScorer.java:136-141``): per-doc minMatch from a SQL
+    expression over the doc length (``dl``), clamped ≥ 1; docs matching
+    ≥ minMatch of the term sub-queries score f32(double Σ of the matched
+    terms' float32 BM25 scores)."""
+    qvals = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {BASE_CTES},
+qterms(term) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                     / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+cs AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+agg AS (
+  SELECT did, count(*) AS n_matched,
+         CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM cs GROUP BY did
+)
+SELECT a.did AS doc_id, CAST(a.score AS DOUBLE) AS score
+FROM agg a JOIN dls d ON d.did = a.did
+WHERE a.n_matched >= GREATEST(1, CAST(({min_match_expr}) AS BIGINT))
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def common_terms_topk_sql(terms, k: int, max_term_frequency: float,
                           low_msm: int = 0, high_msm: int = 0) -> str:
     """Independent CommonTermsQuery oracle (SHOULD/SHOULD form): the SQL

@@ -1428,6 +1428,56 @@ class IndexSearcher:
             .applyInPandas(run_segment, "doc_id long")
         )
 
+    def covering_df(self, queries, min_match: str):
+        """CoveringQuery (``lucene/sandbox/src/java/org/apache/lucene/
+        sandbox/search/CoveringQuery.java:47-60`` + ``CoveringScorer.java:
+        136-141``): match docs where at least ``minMatch`` of the
+        sub-queries match, with ``minMatch`` read PER DOC from a values
+        source — here ``min_match`` is a Spark SQL expression over the
+        docs-table columns (``dl``, ``turn_idx``, …), clamped to ≥ 1
+        exactly like ``CoveringScorer`` (``Math.max(1, value)``,
+        :138). Score = f32(double Σ of the matching sub-queries' float32
+        scores) (``CoveringScorer.score``).
+
+        Plan shape: one ``score_df`` segment-kernel scan per sub-query,
+        UNION ALL, a single groupBy(doc_id) shuffle for the (count, sum)
+        aggregate, then a doc_id join against the docs table for the
+        values source — every step a plain Catalyst plan; nothing
+        collected. Sub-queries may be any exhaustively-scorable shape
+        (terms, flat booleans, phrases, …).
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if not queries:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        dfs = []
+        for q in queries:
+            if isinstance(q, str):
+                q = self.parse(q)
+            dfs.append(self.score_df(q))
+        u = reduce(lambda a, b: a.unionByName(b), dfs)
+        agg = u.groupBy("doc_id").agg(
+            F.count("*").alias("n_matched"),
+            F.sum(F.col("score").cast("double")).alias("ssum"))
+        thresh = F.greatest(F.lit(1).cast("long"),
+                            F.expr(min_match).cast("long"))
+        return (agg.join(self.reader.docs(), "doc_id")
+                .where(F.col("n_matched") >= thresh)
+                .select("doc_id",
+                        F.col("ssum").cast("float").alias("score")))
+
+    def covering(self, queries, min_match: str, k: int = 10):
+        """Top-k of :meth:`covering_df` with the standard
+        (score DESC, docID ASC) tie-break."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.covering_df(queries, min_match)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def function_score_df(self, query, value_col, combine: str = "multiply"):
         """FunctionScoreQuery analogue (``lucene/queries`` FunctionScoreQuery
         + DoubleValuesSource expressions): rescore the match set by a

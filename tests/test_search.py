@@ -1043,6 +1043,47 @@ def test_common_terms_query(spark, searcher):
     assert isinstance(q0, A.BooleanQuery) and not q0.clauses
 
 
+def test_covering_query(spark, searcher):
+    """CoveringQuery (sandbox/search/CoveringQuery.java + CoveringScorer
+    Math.max(1, minMatch) clamp): per-doc dynamic minimum-match over mixed
+    sub-query shapes, brute-checked from the per-clause score_df outputs
+    and the docs table."""
+    import collections
+
+    from lucene_spark.search import ast as A
+
+    stats = searcher.reader.term_stats(searcher.reader.sorted_terms("text"))
+    hot = [t for t, _ in sorted(stats.items(),
+                                key=lambda kv: -kv[1]["df"])[:3]]
+    subs = [A.TermQuery(hot[0]), A.TermQuery(hot[1]),
+            A.PhraseQuery((hot[0], hot[1]), slop=2)]
+    expr = "CASE WHEN dl > 20 THEN 2 ELSE 1 END"
+    cnt: collections.Counter = collections.Counter()
+    ssum: dict = collections.defaultdict(float)
+    for q in subs:
+        p = searcher.score_df(q).toPandas()
+        for d, s in zip(p["doc_id"], p["score"]):
+            cnt[int(d)] += 1
+            ssum[int(d)] += float(np.float32(s))
+    dlm = {int(r["doc_id"]): int(r["dl"])
+           for r in searcher.reader.docs().select("doc_id", "dl").collect()}
+    want = sorted(
+        ((d, float(np.float32(s))) for d, s in ssum.items()
+         if cnt[d] >= max(1, 2 if dlm[d] > 20 else 1)),
+        key=lambda t: (-t[1], t[0]))[:10]
+    got = [(h.doc_id, h.score) for h in searcher.covering(subs, expr, k=10)]
+    assert got == want
+    # minMatch values < 1 clamp to 1 (CoveringScorer.java:138)
+    g0 = [(h.doc_id, h.score)
+          for h in searcher.covering([A.TermQuery(hot[0])], "0", k=5)]
+    g1 = [(h.doc_id, h.score)
+          for h in searcher.covering([A.TermQuery(hot[0])], "1", k=5)]
+    assert g0 == g1 and g0
+    # threshold above the clause count matches nothing; empty input too
+    assert searcher.covering(subs, "7", k=5) == []
+    assert searcher.covering([], "1", k=5) == []
+
+
 def test_range_syntax_and_exclusive_bounds(searcher):
     """Classic range syntax [a TO b] / {a TO b} (QueryParserBase
     getRangeQuery): mixed brackets, * open bounds, field prefixes; the
