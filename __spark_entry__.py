@@ -996,6 +996,25 @@ def _q_span_containing_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
+def _q_facet_sum(spark, sf_dir):
+    """TaxonomyFacetSumValueSource analogue (facet/taxonomy/
+    TaxonomyFacetSumValueSource.java:38): per-lang SUM of dl over the
+    3-term OR match set — value aggregation, not hit counts."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir).withColumnRenamed("did", "doc_id")
+    return s.facet_sum(_parse(Q_OR), meta.select("doc_id", "lang"), "lang")
+
+
+def _q_group_count(spark, sf_dir):
+    """AllGroupsCollector (grouping/AllGroupsCollector.java:30): number of
+    distinct source groups containing ≥1 match of the 3-term OR."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir).withColumnRenamed("did", "doc_id")
+    n = s.count_groups(_parse(Q_OR), meta.select("doc_id", "source"),
+                       "source")
+    return spark.createDataFrame([(n,)], "n long")
+
+
 def _q_covering(spark, sf_dir):
     """CoveringQuery (sandbox/search/CoveringQuery.java): per-doc dynamic
     minimum-match — long docs (dl > 40) must match all 3 term sub-queries,
@@ -1168,6 +1187,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
+    # (facet_sum_dl + group_count land past the window this round — oracle
+    # + pytest covered now; rotate into the r5 window)
 )
 
 
@@ -1193,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing_count": _q_span_containing_count,
         "common_terms_topk": _q_common_terms,
         "covering_topk": _q_covering,
+        "facet_sum_dl": _q_facet_sum,
+        "group_count": _q_group_count,
         "rescore_topk": _q_rescore,
         "phrase_prefix_topk": _q_phrase_prefix,
         "boost_by_query_topk": _q_boost_by_query,
@@ -1379,6 +1402,8 @@ def oracle_sql() -> dict[str, str]:
             CT_TEXT.split(), 20, CT_MTF),
         "covering_topk": oracle.covering_topk_sql(
             COV_TERMS, 30, COV_MIN_MATCH),
+        "facet_sum_dl": oracle.facet_sum_sql(_parse(Q_OR), "lang"),
+        "group_count": oracle.group_count_sql(_parse(Q_OR), "source"),
         "rescore_topk": oracle.rescore_topk_sql(
             _parse(Q_OR), _parse(Q_RESCORE), 40, 100, 2.0),
         "phrase_prefix_topk": oracle.phrase_prefix_topk_sql(

@@ -1110,6 +1110,39 @@ GROUP BY g.fv ORDER BY g.fv
 """
 
 
+def facet_sum_sql(query, facet_col: str = "lang") -> str:
+    """Per-facet SUM of the doc length over the query's match set
+    (TaxonomyFacetSumValueSource analogy)."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+gmap AS (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+                {facet_col} AS fv FROM documents),
+vals AS (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                                       '[a-z0-9]+'))::BIGINT AS dl
+         FROM documents)
+SELECT g.fv AS {facet_col}, sum(v.dl)::BIGINT AS s
+FROM matched m
+JOIN gmap g ON g.did = m.doc_id
+JOIN vals v ON v.did = m.doc_id
+GROUP BY g.fv ORDER BY g.fv
+"""
+
+
+def group_count_sql(query, group_col: str = "source") -> str:
+    """Distinct-group count over the match set (AllGroupsCollector
+    analogy) — one row, one BIGINT."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+gmap AS (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+                {group_col} AS fv FROM documents)
+SELECT count(DISTINCT g.fv)::BIGINT AS n
+FROM matched m JOIN gmap g ON g.did = m.doc_id
+"""
+
+
 def search_after_sql(query, page: int, k: int) -> str:
     """Keyset pagination oracle: page ``page`` (0-based) of size k."""
     inner = bm25_topk_sql(query, (page + 1) * k)

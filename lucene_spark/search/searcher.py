@@ -1121,6 +1121,47 @@ class IndexSearcher:
             .orderBy("range")
         )
 
+    def facet_sum(self, query, group_df, group_col: str,
+                  value_expr: str = "dl"):
+        """Facet value aggregation — the TaxonomyFacetSumValueSource /
+        association-facets analogue (``lucene/facet/src/java/org/apache/
+        lucene/facet/taxonomy/TaxonomyFacetSumValueSource.java:38``,
+        ``TaxonomyFacetSumIntAssociations.java``): per-label SUM of a
+        doc-values expression over the query's match set, instead of plain
+        hit counts.
+
+        ``group_df``: a (doc_id, <group_col>) label table (the ordinal→
+        label mapping); ``value_expr``: a Spark SQL expression over the
+        docs-table columns (``dl``, ``turn_idx``, …). Plan shape: match set
+        → docs join for the value → label join → groupBy(label) sum; all
+        Catalyst, nothing collected."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        m = self.match_df(ast.normalize(query))
+        j = (m.join(self.reader.docs(), "doc_id")
+             .select("doc_id", F.expr(value_expr).cast("long").alias("_v"))
+             .join(group_df, "doc_id"))
+        return (j.groupBy(group_col)
+                .agg(F.sum("_v").alias("s"))
+                .orderBy(group_col))
+
+    def count_groups(self, query, group_df, group_col: str) -> int:
+        """AllGroupsCollector (``lucene/grouping/src/java/org/apache/
+        lucene/search/grouping/AllGroupsCollector.java:30``): the number of
+        DISTINCT groups that contain at least one match — the group-count
+        companion to the top-docs-per-group collectors. One distributed
+        count-distinct over the match-set join; a single long returns."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        m = self.match_df(ast.normalize(query))
+        row = (m.join(group_df, "doc_id")
+               .agg(F.countDistinct(group_col).alias("n")).collect())
+        return int(row[0]["n"]) if row else 0
+
     def facet_paths(self, query, path_df, topn: int | None = None):
         """Hierarchical (taxonomy) facet counts
         (``facet/taxonomy/TaxonomyFacetCounts`` + ``FacetsCollector.java:49``):

@@ -1084,6 +1084,30 @@ def test_covering_query(spark, searcher):
     assert searcher.covering([], "1", k=5) == []
 
 
+def test_facet_sum_and_group_count(spark, searcher):
+    """Facet value aggregation (TaxonomyFacetSumValueSource.java:38) and
+    AllGroupsCollector.java:30 — brute-checked against a pandas recompute
+    over match_df + the docs table, grouped by conv_id."""
+    from lucene_spark.search import ast as A
+
+    stats = searcher.reader.term_stats(searcher.reader.sorted_terms("text"))
+    hot = max(stats.items(), key=lambda kv: kv[1]["df"])[0]
+    q = A.BooleanQuery(((A.SHOULD, A.TermQuery(hot)),))
+    docs = searcher.reader.docs().select("doc_id", "conv_id", "dl")
+    got = {r["conv_id"]: int(r["s"])
+           for r in searcher.facet_sum(
+               q, docs.select("doc_id", "conv_id"), "conv_id").collect()}
+    matched = {int(r["doc_id"]) for r in searcher.match_df(q).collect()}
+    want: dict = {}
+    for r in docs.collect():
+        if int(r["doc_id"]) in matched:
+            want[r["conv_id"]] = want.get(r["conv_id"], 0) + int(r["dl"])
+    assert got == want
+    n = searcher.count_groups(q, docs.select("doc_id", "conv_id"),
+                              "conv_id")
+    assert n == len(want) > 0
+
+
 def test_range_syntax_and_exclusive_bounds(searcher):
     """Classic range syntax [a TO b] / {a TO b} (QueryParserBase
     getRangeQuery): mixed brackets, * open bounds, field prefixes; the
