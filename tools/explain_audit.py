@@ -140,6 +140,17 @@ def main(sf_dir: str):
                          e._parse(e.Q_OR), "dl", "saturation",
                          weight=0.8, pivot=30.0))))
 
+    sections.append(("CoveringQuery (expect per-clause kernels → UNION → "
+                     "ONE partial_/final HashAggregate on doc_id, threshold "
+                     "CASE in codegen after the docs join)",
+                     capture(s.covering_df(
+                         [e._parse(t) for t in e.COV_TERMS],
+                         e.COV_MIN_MATCH))))
+    sections.append(("rescore second pass (expect PartitionFilters seg "
+                     "pruning + doc_id filter on a k-bounded doc set)",
+                     capture(s.score_df(e._parse("key"),
+                                        doc_ids=[1, 2, 3]))))
+
     import re
 
     checks = []
@@ -189,6 +200,15 @@ def main(sf_dir: str):
                    # formatted output
                    sections[11][1].count("InPandas") <= 2
                    and "Join" in sections[11][1]))
+
+    checks.append(("covering agg is one map-side-combined HashAggregate "
+                   "(partial count+sum before the doc_id shuffle)",
+                   "partial_count" in sections[12][1]
+                   and "partial_sum" in sections[12][1]))
+    checks.append(("rescore second pass prunes segments "
+                   "(seg partition filter reaches the postings scan)",
+                   bool(re.search(r"PartitionFilters: \[[^\]]*seg",
+                                  sections[13][1]))))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
