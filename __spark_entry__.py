@@ -877,6 +877,40 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_decontam(spark, sf_dir):
+    """Eval-set n-gram decontamination: deterministic eval split
+    (doc_id % 10 == 7) broadcast against the remaining corpus — per-doc
+    distinct-shingle overlap counts + contamination flag."""
+    from lucene_spark.pipeline.curation import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+    ).orderBy("doc_id")
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style n-gram repetition scores (duplicate and
+    top-n-gram fractions as exact integer counts) + integer-rule rep_ok."""
+    from lucene_spark.pipeline.curation import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 3 docs per (lang, source)
+    stratum ranked by the fixed md5(doc_id) permutation."""
+    from lucene_spark.pipeline.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        stratified_sample(docs, ["lang", "source"], 3)
+        .select("lang", "source", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "source", "rk")
+    )
+
+
 def _q_highlight(spark, sf_dir):
     """Highlighter-lite: first-match ±4-token snippets with <b> tags,
     computed in one codegen pass over the source table."""
@@ -1327,6 +1361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
+        # curation ops (added mid-round-4: past the 50-slot window by
+        # design — oracle + pytest covered now; rotate into the r5 window)
+        "decontam_overlap": _q_decontam,
+        "rep_ngram_scores": _q_repetition,
+        "sample_stratified": _q_sample_stratified,
         "highlight_snippets": _q_highlight,
         "passage_highlight": _q_passage_highlight,
         "mm_binary_stats": _q_mm_binary_stats,
@@ -1564,6 +1603,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": po.dedup_clusters_sql(),
         "dedup_incremental": po.dedup_incremental_sql(),
+        "decontam_overlap": po.contamination_sql(),
+        "rep_ngram_scores": po.repetition_sql(),
+        "sample_stratified": po.stratified_sample_sql(),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
         "dedup_simhash": po.dedup_simhash_sql(),

@@ -1,0 +1,142 @@
+"""Training-data curation operators: eval-set decontamination, repetition
+scoring, and deterministic stratified sampling.
+
+Like the rest of ``lucene_spark.pipeline`` these are pure JVM DataFrame plans
+(no Python UDFs) over the deterministic contracts in ``contracts.py`` so the
+DuckDB oracles in ``oracles.py`` hash-match bit-for-bit: md5-hex hashing,
+integer counting, and exact int-ratio doubles only.
+
+Scale notes (100 TB):
+
+- ``contamination_check`` broadcasts the DISTINCT eval-set shingles (eval
+  benchmarks are tiny next to a training corpus — the standard n-gram
+  decontamination setup, e.g. the 13-gram filtering described in public LLM
+  reports) and makes ONE pass over the corpus: shingle → broadcast semi-ish
+  join → two-stage count.  No corpus×corpus shuffle exists anywhere.
+- ``repetition_scores`` is explode → two-stage groupBy per n-gram order; all
+  aggregations have map-side partial combine and key on (doc_id) which is
+  unique by construction → no skew.
+- ``stratified_sample`` ranks by md5(doc_id) inside each stratum — a
+  deterministic uniform permutation, so rank ≤ n is an exact-size uniform
+  sample per group (reservoir-sampling equivalent, but reproducible and
+  engine-portable).  One shuffle on the stratum key; skewed strata are
+  bounded by the window's top-n early stop under AQE.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lucene_spark.pipeline.contracts import SHINGLE_K, doc_shingles, tokens_col
+
+
+def contamination_check(
+    corpus: DataFrame, evalset: DataFrame, k: int = SHINGLE_K, min_hits: int = 2
+) -> DataFrame:
+    """(doc_id, n_hit, n_shingles, contaminated) per corpus doc.
+
+    ``n_hit`` = number of DISTINCT k-token shingles of the doc that appear
+    anywhere in the eval set; ``contaminated`` = n_hit >= min_hits (integer
+    compare — cross-engine exact).  Docs with < k tokens have 0 shingles and
+    are never contaminated.
+    """
+    eval_sh = doc_shingles(evalset, k).select("sh").distinct()
+    corpus_sh = doc_shingles(corpus, k)  # distinct (doc_id, sh)
+    per_doc = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            (F.coalesce("n_hit", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def _ngram_rep(docs: DataFrame, n: int, prefix: str) -> DataFrame:
+    """(doc_id, {prefix}_total, {prefix}_dup, {prefix}_top) n-gram repetition
+    counts: total n-grams, duplicated occurrences (total - distinct), and the
+    occurrence count of the most frequent n-gram (0 when no n-grams)."""
+    toks = tokens_col()
+    size = F.size(toks)
+    grams = F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    g = docs.select("doc_id", F.explode_outer(grams).alias("g"))
+    per_gram = g.filter(F.col("g").isNotNull()).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias(f"{prefix}_total"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias(f"{prefix}_dup"),
+        F.max("c").cast("long").alias(f"{prefix}_top"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(f"{prefix}_{c}", F.lit(0)).cast("long").alias(f"{prefix}_{c}")
+                for c in ("total", "dup", "top")
+            ],
+        )
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, g2_total, g2_dup, g2_top, g3_total, g3_dup, g3_top,
+    rep_ok) — n-gram repetition signals in the spirit of the public
+    MassiveText/Gopher quality rules (duplicate-n-gram and top-n-gram
+    fractions), in pure integer arithmetic.
+
+    rep_ok (all integer comparisons): duplicated 2-grams ≤ 20% of 2-grams,
+    duplicated 3-grams ≤ 10% of 3-grams, and the most frequent 2-gram covers
+    ≤ 20% of 2-gram slots.  Docs too short to have n-grams pass trivially.
+    """
+    r2 = _ngram_rep(docs, 2, "g2")
+    r3 = _ngram_rep(docs, 3, "g3")
+    base = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    out = base.join(r2, "doc_id").join(r3, "doc_id")
+    ok = (
+        (F.col("g2_dup") * 5 <= F.col("g2_total"))
+        & (F.col("g3_dup") * 10 <= F.col("g3_total"))
+        & (F.col("g2_top") * 5 <= F.col("g2_total"))
+    )
+    return out.withColumn("rep_ok", ok)
+
+
+def stratified_sample(
+    docs: DataFrame, strata: Sequence[str], n_per_stratum: int
+) -> DataFrame:
+    """Deterministic exact-n-per-stratum sample: within each stratum, rank
+    docs by (md5(doc_id), doc_id) — a fixed uniform permutation — and keep
+    rank ≤ n.  Returns (strata…, doc_id, rk).
+
+    Reproducible across engines/runs (no RNG state), unlike
+    ``df.sampleBy``, and exact-size per group, unlike Bernoulli sampling.
+    """
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(*strata, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_stratum)
+    )

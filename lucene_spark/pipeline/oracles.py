@@ -583,3 +583,94 @@ FROM best b
 JOIN cross_pairs c ON c.doc_id = b.doc_id AND c.dup_of = b.dup_of
 ORDER BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------- curation --
+
+def contamination_sql(min_hits: int = 2) -> str:
+    """Eval-set n-gram decontamination: eval split = doc_id % 10 == 7,
+    corpus = the rest (mirrors the gate's deterministic split)."""
+    return f"""
+WITH {PDOCS},
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+    FROM ptoks WHERE len(toks) >= 3
+  )
+),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 7),
+corpus AS (SELECT doc_id FROM pdocs WHERE doc_id % 10 <> 7),
+tot AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh
+  WHERE doc_id % 10 <> 7 GROUP BY doc_id
+),
+hit AS (
+  SELECT s.doc_id, count(*) AS n_hit FROM sh s JOIN ev USING (sh)
+  WHERE s.doc_id % 10 <> 7 GROUP BY s.doc_id
+)
+SELECT c.doc_id,
+       coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(t.n_shingles, 0) AS n_shingles,
+       coalesce(h.n_hit, 0) >= {min_hits} AS contaminated
+FROM corpus c
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hit h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _rep_ctes(n: int, p: str) -> str:
+    return f"""
+g{n} AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {n - 2}),
+                                 i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS g
+    FROM ptoks WHERE len(toks) >= {n}
+  ) GROUP BY doc_id, g
+),
+a{n} AS (
+  SELECT doc_id, sum(c)::BIGINT AS {p}_total,
+         (sum(c) - count(*))::BIGINT AS {p}_dup,
+         max(c) AS {p}_top
+  FROM g{n} GROUP BY doc_id
+)"""
+
+
+def repetition_sql() -> str:
+    return f"""
+WITH {PDOCS},
+{_rep_ctes(2, 'g2')},
+{_rep_ctes(3, 'g3')}
+SELECT t.doc_id, len(t.toks) AS n_tokens,
+       coalesce(a2.g2_total, 0) AS g2_total,
+       coalesce(a2.g2_dup, 0) AS g2_dup,
+       coalesce(a2.g2_top, 0) AS g2_top,
+       coalesce(a3.g3_total, 0) AS g3_total,
+       coalesce(a3.g3_dup, 0) AS g3_dup,
+       coalesce(a3.g3_top, 0) AS g3_top,
+       (coalesce(a2.g2_dup, 0) * 5 <= coalesce(a2.g2_total, 0)
+        AND coalesce(a3.g3_dup, 0) * 10 <= coalesce(a3.g3_total, 0)
+        AND coalesce(a2.g2_top, 0) * 5 <= coalesce(a2.g2_total, 0)) AS rep_ok
+FROM ptoks t
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def stratified_sample_sql(n_per_stratum: int = 3) -> str:
+    """Deterministic stratified sample over (lang, source): rank by
+    (md5(doc_id), doc_id) inside each stratum, keep rank <= n."""
+    return f"""
+SELECT lang, source, doc_id, rk FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {n_per_stratum}
+ORDER BY lang, source, rk
+"""

@@ -228,3 +228,58 @@ def test_embedding_neardup_ignores_zero_vectors(spark):
     q = spark.createDataFrame(rows, "vec_id long, q array<long>")
     got = {(r["a"], r["b"]) for r in embedding_neardup_pairs(q).collect()}
     assert got == {(1, 2)}
+
+
+def test_contamination_planted(spark):
+    from lucene_spark.pipeline.curation import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "xy")],  # < 3 tokens -> zero shingles, never contaminated
+        "doc_id long, text string")
+    evalset = spark.createDataFrame(
+        [(9, "noise alpha beta gamma delta noise2")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_check(corpus, evalset).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hit"] == 2  # 2 shared 3-grams
+    assert not out[2]["contaminated"] and out[2]["n_hit"] == 0
+    assert out[3]["n_shingles"] == 0 and not out[3]["contaminated"]
+    assert all(r["n_hit"] <= r["n_shingles"] for r in out.values())
+
+
+def test_repetition_scores_rules(spark):
+    from lucene_spark.pipeline.curation import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham"),  # max repetition
+         (2, "one two three four five six seven eight"),  # all distinct
+         (3, "x")],  # no n-grams at all
+        "doc_id long, text string")
+    r = {row["doc_id"]: row for row in repetition_scores(docs).collect()}
+    # doc1: 7 2-grams, "spam ham" x4 + "ham spam" x3 -> 5 duplicated slots
+    assert r[1]["g2_total"] == 7 and r[1]["g2_dup"] == 5 and r[1]["g2_top"] == 4
+    assert not r[1]["rep_ok"]
+    assert r[2]["g2_dup"] == 0 and r[2]["g3_dup"] == 0 and r[2]["rep_ok"]
+    assert r[3]["g2_total"] == 0 and r[3]["rep_ok"]  # trivially passes
+
+
+def test_stratified_sample_deterministic(spark, docs):
+    from lucene_spark.pipeline.curation import stratified_sample
+
+    full = spark.read.parquet(f"{SF}/documents.parquet")
+    a = stratified_sample(full, ["lang", "source"], 3).toPandas()
+    b = stratified_sample(full, ["lang", "source"], 3).toPandas()
+    key = ["lang", "source", "rk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))  # no RNG state
+    sizes = a.groupby(["lang", "source"]).size()
+    assert (sizes <= 3).all()
+    # strata with >=3 docs must yield exactly 3
+    pop = full.toPandas().groupby(["lang", "source"]).size()
+    assert (sizes[pop[pop >= 3].index] == 3).all()
+    # sample members come from the right stratum
+    merged = a.merge(full.toPandas()[["doc_id", "lang", "source"]],
+                     on="doc_id", suffixes=("", "_src"))
+    assert (merged["lang"] == merged["lang_src"]).all()
+    assert (merged["source"] == merged["source_src"]).all()
