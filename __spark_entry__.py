@@ -877,6 +877,15 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_term_vectors(spark, sf_dir):
+    """Term vectors (TermVectorsFormat analogue): (doc_id, term, freq,
+    positions) of the first 25 docs, derived from the index postings —
+    segment-pruned scan + block screen + batch decode; the oracle recounts
+    from the raw text, so this also gates postings/positions integrity."""
+    s = _searcher(spark, sf_dir)
+    return s.term_vectors(list(range(25))).orderBy("doc_id", "term")
+
+
 def _q_decontam(spark, sf_dir):
     """Eval-set n-gram decontamination: deterministic eval split
     (doc_id % 10 == 7) broadcast against the remaining corpus — per-doc
@@ -1363,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         # curation ops (added mid-round-4: past the 50-slot window by
         # design — oracle + pytest covered now; rotate into the r5 window)
+        "term_vectors_doc": _q_term_vectors,
         "decontam_overlap": _q_decontam,
         "rep_ngram_scores": _q_repetition,
         "sample_stratified": _q_sample_stratified,
@@ -1603,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": po.dedup_clusters_sql(),
         "dedup_incremental": po.dedup_incremental_sql(),
+        "term_vectors_doc": oracle.term_vectors_sql(25),
         "decontam_overlap": po.contamination_sql(),
         "rep_ngram_scores": po.repetition_sql(),
         "sample_stratified": po.stratified_sample_sql(),

@@ -2647,3 +2647,25 @@ FROM sess
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def term_vectors_sql(n_docs: int = 25) -> str:
+    """Term-vector recount from the raw text: per (doc, term) freq + the
+    0-based token positions, mirroring the engine's StandardAnalyzer
+    contract on this corpus alphabet."""
+    return f"""
+WITH docs0 AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lower(coalesce(text, '')) AS t
+  FROM documents
+),
+ptoks AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(t, '[a-z0-9]+'), 1) - 1 AS pos
+  FROM docs0 WHERE did < {n_docs}
+)
+SELECT did AS doc_id, term, count(*)::INT AS freq,
+       string_agg(pos::VARCHAR, ' ' ORDER BY pos) AS positions
+FROM ptoks GROUP BY 1, 2
+ORDER BY doc_id, term
+"""

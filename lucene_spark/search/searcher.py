@@ -1162,6 +1162,107 @@ class IndexSearcher:
                .agg(F.countDistinct(group_col).alias("n")).collect())
         return int(row[0]["n"]) if row else 0
 
+    def term_vectors(self, doc_ids, field: str = "text"):
+        """Per-document term vectors — the TermVectorsFormat analogue
+        (``core/codecs/lucene90/compressing/Lucene90CompressingTermVectorsFormat``,
+        read path ``IndexReader.termVectors().get(docID)`` /
+        ``core/index/TermVectors.java``): for each GLOBAL docID in
+        ``doc_ids``, every (term, freq, positions) of its indexed field —
+        the transpose of the inverted index restricted to a bounded doc
+        set. Returns a DataFrame (doc_id, term, freq, positions) with
+        positions space-joined ("" when the index stores none); deleted
+        docs yield no rows (live-docs semantics, like ``document()``).
+
+        Plan shape: ONE postings scan pruned to the segments covering the
+        requested docs (``seg=N`` partition pruning), per-segment numpy
+        kernel — blocks screened by [first_doc, last_doc] overlap before
+        any decode, survivors batch-decoded (``decode_doc_ids_batch``, one
+        C pass) and intersected with the target set; positions decode only
+        for blocks that actually contain a match. Cost is O(postings of
+        touched segments) scan + O(matches) work — the same access shape
+        Lucene pays when term vectors are derived rather than stored.
+        """
+        from pyspark.sql import functions as F
+
+        from lucene_spark.indexing.blocks import (
+            decode_block_positions, decode_doc_ids_batch, decode_varints)
+
+        ids = sorted({int(x) for x in doc_ids})
+        schema = "doc_id long, term string, freq int, positions string"
+        if not ids:
+            return self.spark.createDataFrame([], schema)
+        bounds = self._segment_doc_bounds()
+        targets = {}
+        for s, (lo, hi) in bounds.items():
+            loc = np.asarray([d - lo for d in ids if lo <= d < hi], np.int64)
+            if loc.size:
+                targets[int(s)] = loc
+        offsets = {int(s): int(lo) for s, (lo, _hi) in bounds.items()}
+        dload = self.reader.deleted_loader()
+
+        def run_segment(key, pdf):
+            import pandas as pd
+
+            seg = int(key[0])
+            empty = pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "freq": pd.Series(dtype="int32"),
+                "positions": pd.Series(dtype="object"),
+            })
+            tgt = targets.get(seg)
+            if tgt is None:
+                return empty
+            if dload is not None:
+                dele = dload(seg)
+                if len(dele):
+                    tgt = tgt[~np.isin(tgt, np.asarray(dele, np.int64))]
+            if tgt.size == 0:
+                return empty
+            first = pdf["first_doc"].to_numpy(np.int64)
+            last = pdf["last_doc"].to_numpy(np.int64)
+            keep = (last >= tgt[0]) & (first <= tgt[-1])
+            pdf = pdf[keep]
+            if pdf.empty:
+                return empty
+            first = pdf["first_doc"].to_numpy(np.int64)
+            last = pdf["last_doc"].to_numpy(np.int64)
+            counts = pdf["count"].to_numpy(np.int64)
+            docs, starts = decode_doc_ids_batch(
+                first, last, counts, list(pdf["doc_gaps"]))
+            tfs = decode_varints(b"".join(pdf["tfs"]))
+            hit = np.isin(docs, tgt)
+            if not hit.any():
+                return empty
+            blk_of = np.repeat(np.arange(len(pdf)), counts)
+            terms = pdf["term"].to_numpy(object)
+            hidx = np.flatnonzero(hit)
+            pos_col = np.full(hidx.size, "", dtype=object)
+            pos_bufs = pdf["positions"].to_numpy(object)
+            if pos_bufs.size and pos_bufs[0] is not None:
+                # decode positions only for blocks holding a match
+                for b in np.unique(blk_of[hidx]):
+                    s, c = int(starts[b]), int(counts[b])
+                    btfs = tfs[s:s + c]
+                    flat, toff = decode_block_positions(pos_bufs[b], btfs)
+                    for j in np.flatnonzero((hidx >= s) & (hidx < s + c)):
+                        i_local = int(hidx[j] - s)
+                        p0 = int(toff[i_local])
+                        ps = flat[p0:p0 + int(btfs[i_local])]
+                        pos_col[j] = " ".join(str(int(p)) for p in ps)
+            return pd.DataFrame({
+                "doc_id": docs[hidx] + offsets[seg],
+                "term": terms[blk_of[hidx]],
+                "freq": tfs[hidx].astype("int32"),
+                "positions": pos_col,
+            })
+
+        postings = self.reader._postings_df.filter(F.col("field") == field)
+        postings = self._prune_segs(postings, ids)
+        return (postings
+                .groupBy("seg")
+                .applyInPandas(run_segment, schema))
+
     def facet_paths(self, query, path_df, topn: int | None = None):
         """Hierarchical (taxonomy) facet counts
         (``facet/taxonomy/TaxonomyFacetCounts`` + ``FacetsCollector.java:49``):

@@ -1924,3 +1924,29 @@ def test_search_sorted_after_keyset_pagination(searcher):
 def test_search_sorted_after_bad_tuple_raises(searcher):
     with pytest.raises(ValueError, match="after must be"):
         searcher.search_sorted(VOCAB[0], "dl", k=5, after=(1,))
+
+
+def test_term_vectors_match_reanalysis(searcher, corpus_pdf):
+    """term_vectors (TermVectorsFormat analogue) ≡ re-analysis of the stored
+    text: same terms, freqs, and 0-based Lucene token positions."""
+    from collections import Counter
+
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("standard")
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"],
+                                 kind="mergesort").reset_index(drop=True)
+    ids = [0, 3, len(pdf) // 2, len(pdf) - 1]
+    tv = searcher.term_vectors(ids).toPandas()
+    assert set(tv["doc_id"]) <= set(ids)
+    for did in ids:
+        toks = an.tokenize_text(pdf.loc[did, "text"])
+        cnt = Counter(toks)
+        sub = tv[tv["doc_id"] == did]
+        assert {t: int(f) for t, f in zip(sub["term"], sub["freq"])} == dict(cnt)
+        want_pos = {t: [i for i, x in enumerate(toks) if x == t] for t in cnt}
+        got_pos = {r.term: [int(p) for p in r.positions.split()]
+                   for r in sub.itertuples()}
+        assert got_pos == want_pos
+    assert searcher.term_vectors([]).count() == 0
+    assert searcher.term_vectors([10 ** 12]).count() == 0  # out of range
