@@ -614,6 +614,37 @@ def _q_unicode_kana_topk(spark, sf_dir):
     return _hits_df(spark, s.search("테이블 バリュー ぎ", k=50, mode="wand"))
 
 
+# NFD: explicit combining marks (U+0300/U+0301), NOT precomposed letters
+EXT_REPL = ((r"\btable\b", "tàblé"),
+            (r"\bvalue\b", "valué"))
+
+
+def _q_unicode_ext_topk(spark, sf_dir):
+    """Combining-diacritics (UAX#29 Extend, U+0300–U+036F) tokenizer gate:
+    inject NFD accented vocabulary ('table'→'tàblé', 'value'→'valué', both
+    with COMBINING marks, not precomposed), index with the byte-level
+    StandardAnalyzer (marks absorb into the word run per WB4 and stay in
+    the term bytes), query the marked terms. Oracle: same derivation with
+    the Extend-aware Unicode regex."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_uniext/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in EXT_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(
+        "tàblé valué", k=50, mode="wand"))
+
+
 MSEARCH_QS = (Q_HOT, Q_OR, Q_BOOL, Q_BOOST)
 
 
@@ -1355,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_topk": _q_unicode_topk,
         "unicode_kana_topk": _q_unicode_kana_topk,
         "unicode_gc_topk": _q_unicode_gc_topk,
+        # (added mid-round-4: past the 50-slot window — r5 rotation)
+        "unicode_ext_topk": _q_unicode_ext_topk,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -1423,6 +1456,10 @@ def oracle_sql() -> dict[str, str]:
         "unicode_gc_topk": oracle.unicode_topk_sql(
             ["таблица", "τιμή", "σειρά"], 50, list(GC_REPL),
             token_re=oracle.UNICODE_GC_TOKEN_RE,
+        ),
+        "unicode_ext_topk": oracle.unicode_topk_sql(
+            ["tàblé", "valué"], 50, list(EXT_REPL),
+            token_re=oracle.UNICODE_EXT_TOKEN_RE,
         ),
         "msearch_topk": "\nUNION ALL\n".join(
             f"SELECT CAST({i} AS BIGINT) AS qid, doc_id, score"

@@ -79,10 +79,17 @@ for _cp in range(0x400, 0x410):
     _GC_LOWER[_cp] = _cp + 0x50
 for _cp in range(0x410, 0x430):
     _GC_LOWER[_cp] = _cp + 0x20
+# UAX#29 WB4 Extend absorption, Combining Diacritical Marks block only
+# (U+0300–U+036F): every word character may be followed by combining marks,
+# which stay in the token (jflex ``ALetterEx = {ALetter} {Extend}*`` etc.,
+# ``StandardTokenizerImpl.jflex``). Marks after a separator/joiner attach to
+# it and are dropped with it. Other Extend-class chars (kana voicing
+# U+3099/309A, ZWJ, …) remain documented out (SURVEY §7.3).
+_EXT = "̀-ͯ"
 _STANDARD_RE = re.compile(
-    f"[{_WORD_CLS}]+"
+    f"(?:[{_WORD_CLS}][{_EXT}]*)+"
     f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
-    f"|(?<=[0-9]),(?=[0-9]))[{_WORD_CLS}]+)*"
+    f"|(?<=[0-9]),(?=[0-9]))(?:[{_WORD_CLS}][{_EXT}]*)+)*"
     "|[가-힣]+"          # Hangul syllable runs
     "|[ァ-ヺー-ヾ]+"      # Katakana runs (incl. prolonged-sound/iteration)
     "|[一-鿿]"           # Han: one ideograph per token
@@ -345,6 +352,30 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     else:
         tok = _SCR.get("tok", B, bool)
         np.take(_STRICT, buf, out=tok)
+
+    if joiners and has_non_ascii and B > 1:
+        # UAX#29 WB4 Extend absorption (Combining Diacritical Marks
+        # U+0300–U+036F = UTF-8 CC 80–CD AF): both bytes of each mark
+        # inherit the token-membership of the last non-mark byte before the
+        # mark chain — marks after a word char stay in the token (the jflex
+        # ``ALetterEx``/``NumericEx`` macros), marks after a separator or
+        # unjoined punctuation attach to it and drop. Joiner rules above
+        # already see the mark byte (not a letter/digit), so a mark breaks
+        # ':'/','-joins exactly like the regex chain's lookarounds.
+        cc = buf == 0xCC
+        cd = buf == 0xCD
+        if cc.any() or cd.any():
+            nxt = np.zeros(B, dtype=np.uint8)
+            nxt[:-1] = buf[1:]
+            lead = ((cc & ((nxt & 0xC0) == 0x80))
+                    | (cd & (nxt >= 0x80) & (nxt <= 0xAF)))
+            if lead.any():
+                extb = lead.copy()
+                extb[1:] |= lead[:-1]  # continuation bytes of the marks
+                prev = np.maximum.accumulate(
+                    np.where(extb, -1, np.arange(B, dtype=np.int64)))
+                sel = extb & (prev >= 0)
+                tok[sel] = tok[prev[sel]]
 
     # run starts/ends: tok[i] & ~tok[i-1] / tok[i] & ~tok[i+1]
     np.copyto(t1, tok)

@@ -201,6 +201,9 @@ LIMIT {k}
 
 
 UNICODE_TOKEN_RE = "[a-z0-9à-öø-ÿ]+|[一-鿿]"
+# Extend step-up: UAX#29 WB4 — combining diacritical marks (U+0300–U+036F)
+# absorb into the word run after any word character and stay in the token
+UNICODE_EXT_TOKEN_RE = "(?:[a-z0-9à-öø-ÿ][̀-ͯ]*)+|[一-鿿]"
 # kana/Hangul step-up: Hangul + Katakana RUNS, Han + Hiragana single chars
 # (StandardTokenizerImpl.jflex:220-224,278-279 typing rules)
 UNICODE_KANA_TOKEN_RE = (

@@ -86,6 +86,18 @@ def test_unicode_tokenizer_parity():
         "tableтест τιμήvalue",    # ALetter×ALetter: cross-script single runs
         "Ο'ΝΕΙΛ д.т знач·τιμή",  # joiners apply; U+0387 · separates
         "ЀЍѐџ ѣѢ",               # 0400–045F in scope; 0463 Ѣ out (separator)
+        # UAX#29 Extend (U+0300–U+036F combining marks, WB4 absorption)
+        "café time",            # NFD e+acute joins the word
+        "CAFÉ X",               # uppercase base + mark
+        "́leading mark",         # mark at start of text drops
+        "after ́space",          # mark after separator drops
+        "don'́t",                # mark breaks the apostrophe join
+        "dón't again",          # mark inside a joined token
+        "é̂chain x́́́y",  # mark chains
+        "á:b 1̀1,2",       # mark breaks ':' join, ',' still joins
+        "σοφός плю́с",     # marks on Greek/Cyrillic letters
+        "1̀ digits̏",       # marks on digits / at token end
+        "Ͱʹ",               # CD B0+ (Greek archaic) is NOT Extend
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))
