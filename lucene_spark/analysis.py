@@ -328,15 +328,59 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     if lat_lead is not None:
         np.logical_or(is_base, lat_lead, out=is_base)
         np.logical_or(is_base, lat_cont, out=is_base)
+
+    # UAX#29 WB4 Extend detection (Combining Diacritical Marks U+0300–U+036F
+    # = UTF-8 CC 80–CD AF), computed BEFORE the joiner rules so marks can be
+    # transparent on the left of '/.'-joins (mirroring the regex chain,
+    # where the preceding word run has already consumed the marks). Scratch-
+    # pooled; batches without CC/CD lead bytes pay two equality scans only.
+    ext_sel = ext_prev = None
+    if joiners and has_non_ascii and B > 1:
+        np.equal(buf, 0xCC, out=t1)
+        np.equal(buf, 0xCD, out=t2)
+        np.logical_or(t1, t2, out=t2)
+        if t2.any():
+            nxt = _SCR.get("u_exn", B, np.uint8)
+            nxt[:-1] = buf[1:]
+            nxt[-1] = 0
+            lead = _SCR.get("u_exl", B, bool)
+            # CC + any continuation → U+0300–033F; CD + cont ≤ AF → U+0340–036F
+            np.equal(buf, 0xCC, out=lead)
+            np.logical_and(lead, (nxt & 0xC0) == 0x80, out=lead)
+            np.equal(buf, 0xCD, out=t1)
+            np.logical_and(t1, nxt >= 0x80, out=t1)
+            np.logical_and(t1, nxt <= 0xAF, out=t1)
+            np.logical_or(lead, t1, out=lead)
+            if lead.any():
+                extb = _SCR.get("u_exb", B, bool)
+                np.copyto(extb, lead)
+                np.logical_or(extb[1:], lead[:-1], out=extb[1:])
+                prev = _SCR.get("u_exp", B, np.int64)
+                prev[:] = np.arange(B, dtype=np.int64)
+                prev[extb] = -1
+                np.maximum.accumulate(prev, out=prev)
+                ext_sel = _SCR.get("u_exs", B, bool)
+                np.copyto(ext_sel, extb)
+                np.logical_and(ext_sel, prev >= 0, out=ext_sel)
+                ext_prev = prev
+
     if joiners:
         tok = _SCR.get("tok", B, bool)
         np.copyto(tok, is_base)
         if B > 2:
-            # ' and . join base|base
+            # ' and . join base|base; a mark run on the LEFT is transparent
+            # (the regex word-run `(?:[w][ext]*)+` consumed it), on the
+            # RIGHT it breaks the join (regex requires a word char directly
+            # after the joiner)
+            left = is_base
+            if ext_sel is not None:
+                left = _SCR.get("u_bf", B, bool)
+                np.copyto(left, is_base)
+                left[ext_sel] = is_base[ext_prev[ext_sel]]
             np.equal(buf, 39, out=t1)
             np.equal(buf, 46, out=t2)
             np.logical_or(t1, t2, out=t1)
-            _shift_and_into(tok, t1, is_base, is_base)
+            _shift_and_into(tok, t1, left, is_base)
             # : joins letter|letter
             cls = _SCR.get("cls", B, bool)
             np.take(_LETTER, buf, out=cls)
@@ -353,29 +397,15 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
         tok = _SCR.get("tok", B, bool)
         np.take(_STRICT, buf, out=tok)
 
-    if joiners and has_non_ascii and B > 1:
-        # UAX#29 WB4 Extend absorption (Combining Diacritical Marks
-        # U+0300–U+036F = UTF-8 CC 80–CD AF): both bytes of each mark
-        # inherit the token-membership of the last non-mark byte before the
-        # mark chain — marks after a word char stay in the token (the jflex
+    if ext_sel is not None:
+        # WB4 Extend absorption: both bytes of each mark inherit the
+        # token-membership of the last non-mark byte before the chain —
+        # marks after a word char stay in the token (the jflex
         # ``ALetterEx``/``NumericEx`` macros), marks after a separator or
-        # unjoined punctuation attach to it and drop. Joiner rules above
-        # already see the mark byte (not a letter/digit), so a mark breaks
-        # ':'/','-joins exactly like the regex chain's lookarounds.
-        cc = buf == 0xCC
-        cd = buf == 0xCD
-        if cc.any() or cd.any():
-            nxt = np.zeros(B, dtype=np.uint8)
-            nxt[:-1] = buf[1:]
-            lead = ((cc & ((nxt & 0xC0) == 0x80))
-                    | (cd & (nxt >= 0x80) & (nxt <= 0xAF)))
-            if lead.any():
-                extb = lead.copy()
-                extb[1:] |= lead[:-1]  # continuation bytes of the marks
-                prev = np.maximum.accumulate(
-                    np.where(extb, -1, np.arange(B, dtype=np.int64)))
-                sel = extb & (prev >= 0)
-                tok[sel] = tok[prev[sel]]
+        # unjoined punctuation attach to it and drop. ':'/',' lookarounds
+        # see the mark byte itself (not a letter/digit) on EITHER side, so
+        # marks break those joins exactly like the regex chain.
+        tok[ext_sel] = tok[ext_prev[ext_sel]]
 
     # run starts/ends: tok[i] & ~tok[i-1] / tok[i] & ~tok[i+1]
     np.copyto(t1, tok)

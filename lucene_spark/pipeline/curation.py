@@ -65,6 +65,12 @@ def contamination_check(
     )
 
 
+# Minimum doc length (tokens) for the repetition fraction rules to apply;
+# below it, n-gram counts are too small for a 20%/10% fraction to be
+# meaningful (1 duplicate out of 4 bigrams is already 25%).
+MIN_REP_TOKENS = 10
+
+
 def _ngram_rep(docs: DataFrame, n: int, prefix: str) -> DataFrame:
     """(doc_id, {prefix}_total, {prefix}_dup, {prefix}_top) n-gram repetition
     counts: total n-grams, duplicated occurrences (total - distinct), and the
@@ -77,10 +83,8 @@ def _ngram_rep(docs: DataFrame, n: int, prefix: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
-    g = docs.select("doc_id", F.explode_outer(grams).alias("g"))
-    per_gram = g.filter(F.col("g").isNotNull()).groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    per_gram = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     agg = per_gram.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias(f"{prefix}_total"),
         (F.sum("c") - F.count(F.lit(1))).cast("long").alias(f"{prefix}_dup"),
@@ -107,7 +111,11 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
 
     rep_ok (all integer comparisons): duplicated 2-grams ≤ 20% of 2-grams,
     duplicated 3-grams ≤ 10% of 3-grams, and the most frequent 2-gram covers
-    ≤ 20% of 2-gram slots.  Docs too short to have n-grams pass trivially.
+    ≤ 20% of 2-gram slots.  The fraction rules apply only to docs with
+    ≥ MIN_REP_TOKENS tokens (the public Gopher rules likewise gate on a
+    minimum word count) — shorter docs pass trivially, so e.g. a clean
+    2-token doc (one bigram, top count 1 > 20% of 1) is not rejected for
+    being short.
     """
     r2 = _ngram_rep(docs, 2, "g2")
     r3 = _ngram_rep(docs, 3, "g3")
@@ -115,7 +123,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
     out = base.join(r2, "doc_id").join(r3, "doc_id")
-    ok = (
+    ok = (F.col("n_tokens") < MIN_REP_TOKENS) | (
         (F.col("g2_dup") * 5 <= F.col("g2_total"))
         & (F.col("g3_dup") * 10 <= F.col("g3_total"))
         & (F.col("g2_top") * 5 <= F.col("g2_total"))

@@ -651,9 +651,10 @@ SELECT t.doc_id, len(t.toks) AS n_tokens,
        coalesce(a3.g3_total, 0) AS g3_total,
        coalesce(a3.g3_dup, 0) AS g3_dup,
        coalesce(a3.g3_top, 0) AS g3_top,
-       (coalesce(a2.g2_dup, 0) * 5 <= coalesce(a2.g2_total, 0)
-        AND coalesce(a3.g3_dup, 0) * 10 <= coalesce(a3.g3_total, 0)
-        AND coalesce(a2.g2_top, 0) * 5 <= coalesce(a2.g2_total, 0)) AS rep_ok
+       (len(t.toks) < 10 OR
+        (coalesce(a2.g2_dup, 0) * 5 <= coalesce(a2.g2_total, 0)
+         AND coalesce(a3.g3_dup, 0) * 10 <= coalesce(a3.g3_total, 0)
+         AND coalesce(a2.g2_top, 0) * 5 <= coalesce(a2.g2_total, 0))) AS rep_ok
 FROM ptoks t
 LEFT JOIN a2 USING (doc_id)
 LEFT JOIN a3 USING (doc_id)

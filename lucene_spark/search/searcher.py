@@ -1245,7 +1245,9 @@ class IndexSearcher:
                     s, c = int(starts[b]), int(counts[b])
                     btfs = tfs[s:s + c]
                     flat, toff = decode_block_positions(pos_bufs[b], btfs)
-                    for j in np.flatnonzero((hidx >= s) & (hidx < s + c)):
+                    # hidx is sorted → this block's hits are one slice
+                    jlo, jhi = np.searchsorted(hidx, [s, s + c])
+                    for j in range(int(jlo), int(jhi)):
                         i_local = int(hidx[j] - s)
                         p0 = int(toff[i_local])
                         ps = flat[p0:p0 + int(btfs[i_local])]

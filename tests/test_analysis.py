@@ -98,6 +98,13 @@ def test_unicode_tokenizer_parity():
         "σοφός плю́с",     # marks on Greek/Cyrillic letters
         "1̀ digits̏",       # marks on digits / at token end
         "Ͱʹ",               # CD B0+ (Greek archaic) is NOT Extend
+        # marks BEFORE a joiner are transparent for '/'.'.' (the word run
+        # consumed them), but break ':'/',' (physical lookarounds)
+        "caf\u00e8.com",              # precomposed control: plain join
+        "cafe\u0300.com",             # NFD mark + '.' still joins
+        "do\u0300'nt x\u0300'y",     # NFD mark + apostrophe joins
+        "e\u0300.\u0301x",           # mark AFTER '.' breaks the join
+        "a\u0300:b 1\u0300,2",       # mark before ':'/',' breaks
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))

@@ -252,16 +252,19 @@ def test_repetition_scores_rules(spark):
     from lucene_spark.pipeline.curation import repetition_scores
 
     docs = spark.createDataFrame(
-        [(1, "spam ham spam ham spam ham spam ham"),  # max repetition
-         (2, "one two three four five six seven eight"),  # all distinct
-         (3, "x")],  # no n-grams at all
+        [(1, "spam ham " * 5),  # 10 tokens, max repetition
+         (2, "one two three four five six seven eight nine ten"),  # distinct
+         (3, "x"),  # no n-grams at all
+         (4, "tiny tiny tiny")],  # repetitive but < MIN_REP_TOKENS -> passes
         "doc_id long, text string")
     r = {row["doc_id"]: row for row in repetition_scores(docs).collect()}
-    # doc1: 7 2-grams, "spam ham" x4 + "ham spam" x3 -> 5 duplicated slots
-    assert r[1]["g2_total"] == 7 and r[1]["g2_dup"] == 5 and r[1]["g2_top"] == 4
+    # doc1: 9 2-grams, "spam ham" x5 + "ham spam" x4 -> 7 duplicated slots
+    assert r[1]["g2_total"] == 9 and r[1]["g2_dup"] == 7 and r[1]["g2_top"] == 5
     assert not r[1]["rep_ok"]
     assert r[2]["g2_dup"] == 0 and r[2]["g3_dup"] == 0 and r[2]["rep_ok"]
     assert r[3]["g2_total"] == 0 and r[3]["rep_ok"]  # trivially passes
+    assert r[4]["g2_dup"] == 1 and r[4]["g2_top"] == 2
+    assert r[4]["rep_ok"]  # would fail the top-2-gram rule without the guard
 
 
 def test_stratified_sample_deterministic(spark, docs):
