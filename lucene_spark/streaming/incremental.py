@@ -248,6 +248,106 @@ class IncrementalIndexer:
         out["deleted"] = n_del
         return out
 
+    def add_indexes(self, src_dir: str) -> dict:
+        """``IndexWriter.addIndexes(Directory...)`` analogue
+        (``core/index/IndexWriter.java`` addIndexes — the Directory variant
+        COPIES the source segments as-is, no re-analysis or merge): the
+        source index's segment partitions are copied into this index under
+        renumbered ``seg=N`` ids with shifted docBases, then stats merge
+        incrementally exactly like an append and ONE atomic manifest
+        replace publishes segments + stats + offsets together.
+
+        Constraints (both checked): the source must be delete-free (run
+        ``compact()`` on it first — the copy variant does not rewrite
+        postings, so it cannot apply live-docs) and must share the
+        field/analyzer/positions/keyword-field configuration. Like Lucene's
+        addIndexes, the call is NOT idempotent — calling twice adds the
+        documents twice.
+
+        Scale shape: pure file copies (no shuffle, no re-tokenize, no
+        postings rewrite) + the O(new segments + dictionary) stats merge —
+        the same cost Lucene pays copying segment files between
+        directories.
+        """
+        import json
+        import shutil
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        b = self._builder
+        manifest = b._load_manifest()
+        if manifest is None:
+            raise ValueError("target index has no manifest — build it first")
+        with open(f"{src_dir}/manifest.json", encoding="utf-8") as f:
+            src = json.load(f)
+        if src.get("has_deletes"):
+            raise NotImplementedError(
+                "addIndexes from an index with deletes — compact() the "
+                "source first (the Directory copy variant cannot apply "
+                "live-docs)")
+        for k in ("field", "analyzer", "positions", "keyword_fields"):
+            if manifest.get(k) != src.get(k):
+                raise ValueError(
+                    f"config mismatch on {k!r}: "
+                    f"{manifest.get(k)!r} != {src.get(k)!r}")
+        base_seg = (1 + max(int(s) for s in manifest["offsets"])
+                    if manifest["offsets"] else 0)
+        src_offs = sorted(((int(k), int(v)) for k, v in src["offsets"].items()),
+                          key=lambda kv: kv[1])
+        offsets = {int(k): int(v) for k, v in manifest["offsets"].items()}
+        doc_count = int(manifest["doc_count"])
+        new_ids, seg_map = [], {}
+        for i, (s, off) in enumerate(src_offs):
+            new = base_seg + i
+            seg_map[s] = (new, doc_count + off)
+            for table in ("postings", "docs"):
+                sp = f"{src_dir}/{table}/seg={s}"
+                dp = f"{self.index_dir}/{table}/seg={new}"
+                if os.path.isdir(dp):  # crashed earlier attempt
+                    shutil.rmtree(dp)
+                shutil.copytree(sp, dp)
+            offsets[new] = doc_count + off
+            new_ids.append(new)
+
+        # lineage: remap the source's build_manifest rows into ours
+        src_bm = IndexBuilder.recover_build_manifest(src_dir)
+        if os.path.isdir(src_bm):
+            rows = self.spark.read.parquet(src_bm).toPandas()
+            rows["doc_offset"] = [seg_map[int(s)][1] for s in rows["segment"]]
+            rows["segment"] = [seg_map[int(s)][0] for s in rows["segment"]]
+            dst_bm = IndexBuilder.recover_build_manifest(self.index_dir)
+            prev = (self.spark.read.parquet(dst_bm)
+                    if os.path.isdir(dst_bm) else None)
+            new_mdf = self.spark.createDataFrame(pd.DataFrame(rows))
+            if prev is not None:
+                prev = prev.filter(~F.col("segment").isin(new_ids))
+                all_mdf = prev.unionByName(new_mdf)
+            else:
+                all_mdf = new_mdf
+            all_mdf.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.index_dir}/build_manifest.tmp")
+            IndexBuilder.swap_build_manifest(
+                self.index_dir, f"{self.index_dir}/build_manifest.tmp")
+
+        old_sdirs = b._stats_dirs(manifest)
+        gen = int(manifest.get("stats_gen", 0)) + 1
+        sdirs = b._merge_stats(new_ids, suffix=f".g{gen}")
+        manifest["doc_count"] = doc_count + int(src["doc_count"])
+        manifest["offsets"] = {str(k): v for k, v in sorted(offsets.items())}
+        manifest["num_segments"] = len(offsets)
+        manifest["stats_dirs"] = sdirs
+        manifest["stats_gen"] = gen
+        b._save_manifest(manifest)  # atomic commit point
+        keep = set(sdirs.values()) | set(old_sdirs.values())
+        for g in range(max(1, gen - self.GC_KEEP_GENERATIONS), gen):
+            keep |= {f"term_stats.g{g}", f"field_stats.g{g}"}
+        if gen - self.GC_KEEP_GENERATIONS <= 0:
+            keep |= {"term_stats", "field_stats"}
+        b._gc_stats_generations(keep=keep)
+        return {"doc_count": manifest["doc_count"], "built": 0, "reused": 0,
+                "copied_segments": len(new_ids)}
+
     # -- Structured Streaming sink -----------------------------------------
     def foreach_batch(self):
         """``df.writeStream.foreachBatch(indexer.foreach_batch())``."""

@@ -53,6 +53,13 @@ class IndexWriter:
             return self._mnt.delete_by_term(term, field=field)
         return self._mnt.delete_by_query(query)
 
+    def add_indexes(self, src_dir: str) -> dict:
+        """``addIndexes(Directory...)``: copy another index's segments into
+        this one (renumbered segments, shifted docBases, merged stats, one
+        commit). The source must be delete-free and share this index's
+        configuration."""
+        return self._inc.add_indexes(src_dir)
+
     # -- merges -------------------------------------------------------------
     def force_merge(self, target_rows: int = 1_000_000) -> dict:
         """``forceMerge``-ish: run the tiered compaction pass (purges

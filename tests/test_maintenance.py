@@ -268,3 +268,59 @@ def test_index_writer_facade_and_delete_by_query(spark, tmp_path):
     nd2 = w.delete_documents(term=VOCAB[1])
     assert nd2 > 0 and w.has_deletions()
     assert IndexSearcher(spark, d).count(ast.TermQuery(VOCAB[1])) == 0
+
+
+def test_add_indexes_copies_segments(spark, tmp_path):
+    """addIndexes(Directory) analogue: combined index equals a fresh build
+    over the union corpus on stats, counts, and (conv, turn, score) hit
+    sets; config mismatch and deleted sources are refused."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.writer import IndexWriter
+
+    a_df = synthetic_transcripts(spark, 30)
+    b_df = (synthetic_transcripts(spark, 20, seed=77)
+            .withColumn("conv_id", F.concat(F.lit("b"), F.col("conv_id"))))
+    da, db, du = (str(tmp_path / x) for x in ("a", "b", "u"))
+    IndexBuilder(spark, da, num_segments=3).build(a_df)
+    IndexBuilder(spark, db, num_segments=2).build(b_df)
+    IndexBuilder(spark, du, num_segments=5).build(a_df.unionByName(b_df))
+
+    w = IndexWriter(spark, da)
+    out = w.add_indexes(db)
+    assert out["copied_segments"] == 2
+
+    sa = IndexSearcher(spark, da)
+    su = IndexSearcher(spark, du)
+    assert sa.reader.doc_count == su.reader.doc_count
+    # stats are order-independent → must match a fresh union build exactly
+    def ts(d):
+        import json
+        with open(f"{d}/manifest.json", encoding="utf-8") as f:
+            sd = json.load(f).get("stats_dirs", {}).get("term_stats",
+                                                        "term_stats")
+        return sorted(
+            map(tuple, spark.read.parquet(f"{d}/{sd}")
+                .select("field", "term", "df", "ttf").collect()))
+    assert ts(da) == ts(du)
+    assert sa.reader.sum_ttf == su.reader.sum_ttf
+    # scores are stats-dependent only → hit sets match modulo docID layout
+    for q in _queries():
+        assert sa.count(q) == su.count(q)
+        def keyed(s, q):
+            hits = s.search(q, k=s.reader.doc_count)
+            docs = {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+                    for r in s.reader.docs().collect()}
+            return sorted((*docs[h.doc_id], round(h.score, 6)) for h in hits)
+        assert keyed(sa, q) == keyed(su, q)
+
+    # config mismatch refused
+    dws = str(tmp_path / "ws")
+    IndexBuilder(spark, dws, num_segments=1, analyzer="whitespace").build(
+        synthetic_transcripts(spark, 5))
+    with pytest.raises(ValueError):
+        IndexWriter(spark, da).add_indexes(dws)
+    # deleted source refused
+    IndexMaintenance(spark, db).delete_by_term(VOCAB[0])
+    with pytest.raises(NotImplementedError):
+        IndexWriter(spark, da).add_indexes(db)
