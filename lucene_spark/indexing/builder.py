@@ -494,8 +494,14 @@ class IndexBuilder:
         import glob
         import shutil as _sh
 
+        from lucene_spark.indexing import commits as _commits
+
         for p in glob.glob(f"{self.index_dir}/live_docs*"):
             _sh.rmtree(p, ignore_errors=True)
+        # a full rebuild is authoritative (OpenMode.CREATE): snapshots of
+        # the pre-rebuild index reference re-inverted segment ids and are
+        # dropped with the live-docs state
+        _commits.clear(self.index_dir)
         return {
             "doc_count": acc,
             "built": sum(1 for r in metrics_rows if r["status"] == "ok"),
@@ -505,10 +511,15 @@ class IndexBuilder:
 
     def _gc_stats_generations(self, keep: set):
         """Remove stats generation dirs no longer referenced by the manifest
-        (post-commit garbage collection; stale gens are never read)."""
+        (post-commit garbage collection; stale gens are never read).
+        Generations pinned by a commit snapshot are always kept
+        (SnapshotDeletionPolicy semantics — see ``indexing/commits.py``)."""
         import glob
         import shutil
 
+        from lucene_spark.indexing import commits
+
+        keep = set(keep) | commits.protected(self.index_dir)["stats"]
         for p in glob.glob(f"{self.index_dir}/term_stats*") + glob.glob(
                 f"{self.index_dir}/field_stats*"):
             if os.path.basename(p) not in keep:

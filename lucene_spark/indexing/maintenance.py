@@ -161,9 +161,13 @@ class IndexMaintenance:
 
     def _gc_live_generations(self, keep: set):
         """Remove live-docs generation dirs not in ``keep`` (post-commit;
-        keep the previous generation too so open readers stay valid)."""
+        keep the previous generation too so open readers stay valid).
+        Generations pinned by a commit snapshot are always kept."""
         import glob
 
+        from lucene_spark.indexing import commits
+
+        keep = set(keep) | commits.protected(self.index_dir)["live"]
         for p in glob.glob(f"{self.index_dir}/live_docs*"):
             if os.path.basename(p) not in keep:
                 shutil.rmtree(p, ignore_errors=True)
@@ -459,8 +463,13 @@ class IndexMaintenance:
         # --- post-commit GC: old run segments, live docs, old stats gens ---
         # (the immediately-previous stats generation is kept so readers
         # opened just before the commit keep a consistent view)
+        from lucene_spark.indexing import commits
+
+        pinned = commits.protected(index_dir)["segs"]
         for run in runs:
             for s in run:
+                if s in pinned:  # referenced by a commit snapshot
+                    continue
                 for sub in ("docs", "postings"):
                     shutil.rmtree(f"{index_dir}/{sub}/seg={s}",
                                   ignore_errors=True)

@@ -23,11 +23,21 @@ from lucene_spark.similarity import BM25Similarity
 
 
 class IndexReader:
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str, commit: str | None = None):
+        """``commit``: open a point-in-time view of a pinned snapshot tag
+        (``DirectoryReader.open(IndexCommit)`` — see ``indexing/commits``)
+        instead of the live manifest. Everything a snapshot references is
+        immutable and GC-protected, so the whole reader surface (stats,
+        postings, live docs, offsets membership filter) works unchanged."""
         self.spark = spark
         self.index_dir = index_dir
-        with open(f"{index_dir}/manifest.json") as f:
-            self.manifest = json.load(f)
+        if commit is not None:
+            from lucene_spark.indexing import commits as _commits
+
+            self.manifest = _commits.load(index_dir, commit)
+        else:
+            with open(f"{index_dir}/manifest.json") as f:
+                self.manifest = json.load(f)
         self.offsets = {int(k): int(v) for k, v in self.manifest["offsets"].items()}
         # stats tables are resolved through manifest pointers so that stats
         # rewrites (append merges, compaction) can publish a NEW generation

@@ -104,11 +104,13 @@ class IndexSearcher:
     #: kernel needs the term list; documented limit).
     max_clause_count = 1024
 
-    def __init__(self, spark, index_dir: str, similarity: BM25Similarity | None = None):
+    def __init__(self, spark, index_dir: str,
+                 similarity: BM25Similarity | None = None,
+                 commit: str | None = None):
         from lucene_spark.search.querycache import LRUQueryCache
 
         self.spark = spark
-        self.reader = IndexReader(spark, index_dir)
+        self.reader = IndexReader(spark, index_dir, commit=commit)
         self.similarity = similarity or BM25Similarity()
         self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
         self.query_cache = LRUQueryCache()

@@ -66,6 +66,40 @@ class IndexWriter:
         deleted docs, renumbers docIDs densely, recomputes stats)."""
         return self._mnt.compact(target_rows=target_rows)
 
+    # -- commit points --------------------------------------------------------
+    def snapshot(self, tag: str) -> dict:
+        """``SnapshotDeletionPolicy.snapshot()``: pin the current commit
+        under ``tag``. Everything it references survives GC/compaction
+        until ``release_snapshot``; open a point-in-time view with
+        ``IndexSearcher(spark, dir, commit=tag)``."""
+        from lucene_spark.indexing import commits
+
+        return commits.snapshot(self.index_dir, tag)
+
+    def release_snapshot(self, tag: str) -> None:
+        """``SnapshotDeletionPolicy.release()``."""
+        from lucene_spark.indexing import commits
+
+        commits.release(self.index_dir, tag)
+
+    def snapshots(self) -> dict:
+        """tag → pinned manifest (``getSnapshots()``)."""
+        from lucene_spark.indexing import commits
+
+        return commits.list_snapshots(self.index_dir)
+
+    def rollback(self, tag: str) -> dict:
+        """``IndexWriter.rollback``-to-commit: atomically restore the
+        pinned commit as the live manifest, abandoning every mutation
+        committed after it (their segment/stats dirs become inert orphans —
+        the reader's manifest-membership filter ignores them and later
+        maintenance GC removes them)."""
+        from lucene_spark.indexing import commits
+
+        m = commits.load(self.index_dir, tag)
+        self._inc._builder._save_manifest(m)
+        return m
+
     # -- introspection ------------------------------------------------------
     @property
     def manifest(self) -> dict:

@@ -324,3 +324,53 @@ def test_add_indexes_copies_segments(spark, tmp_path):
     IndexMaintenance(spark, db).delete_by_term(VOCAB[0])
     with pytest.raises(NotImplementedError):
         IndexWriter(spark, da).add_indexes(db)
+
+
+def test_snapshot_commit_points(spark, tmp_path):
+    """SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit) analogue:
+    a pinned commit survives append + delete + compaction GC and serves the
+    OLD point-in-time results bit-exactly; rollback restores it as the live
+    view; release unpins it."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.writer import IndexWriter
+
+    d = str(tmp_path / "snapidx")
+    df = synthetic_transcripts(spark, 30)
+    IndexBuilder(spark, d, num_segments=3).build(df)
+    w = IndexWriter(spark, d, rows_per_segment=20)
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+
+    s0 = IndexSearcher(spark, d)
+    before = [(h.doc_id, h.score) for h in s0.search(q, k=20)]
+    n0 = s0.reader.doc_count
+    w.snapshot("pre")
+
+    # mutate heavily: append new docs, delete a term, compact everything
+    extra = (synthetic_transcripts(spark, 10, seed=99)
+             .withColumn("conv_id", F.concat(F.lit("z"), F.col("conv_id"))))
+    w.add_documents(extra)
+    w.delete_documents(term=VOCAB[7])
+    w.force_merge(target_rows=10 ** 6)
+
+    live = IndexSearcher(spark, d)
+    assert live.reader.doc_count != n0  # the live view moved on
+
+    snap = IndexSearcher(spark, d, commit="pre")
+    assert snap.reader.doc_count == n0
+    after = [(h.doc_id, h.score) for h in snap.search(q, k=20)]
+    assert after == before  # bit-exact point-in-time scores
+
+    # rollback: the live manifest becomes the pinned commit again
+    w.rollback("pre")
+    rolled = IndexSearcher(spark, d)
+    assert rolled.reader.doc_count == n0
+    assert [(h.doc_id, h.score) for h in rolled.search(q, k=20)] == before
+
+    # release + a fresh mutation's GC may now collect the pinned state
+    w.release_snapshot("pre")
+    assert "pre" not in w.snapshots()
+    with pytest.raises(FileNotFoundError):
+        w.release_snapshot("pre")
+    with pytest.raises(ValueError):
+        w.snapshot("bad/tag")
