@@ -698,6 +698,18 @@ def _q_suggest_terms(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester-lite: dictionary terms CONTAINING 'a'
+    ranked by docFreq (matches anywhere in the surface form, not just the
+    prefix)."""
+    from lucene_spark.search.suggest import suggest_infix
+
+    s = _searcher(spark, sf_dir)
+    out = suggest_infix(s.reader, "a", k=10)
+    return spark.createDataFrame(
+        [(t, int(df)) for t, df in out], "term string, df long")
+
+
 def _q_spellcheck(spark, sf_dir):
     """DirectSpellChecker-lite: top-5 corrections for the misspelling
     'sart' within Damerau-Levenshtein distance 2, ranked
@@ -1373,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_dl_topk": _q_sort_by_dl,
         "sort_conv_early": _q_sort_conv_early,
         "suggest_terms": _q_suggest_terms,
+        # (added mid-round-4: past the 50-slot window — r5 rotation)
+        "suggest_infix": _q_suggest_infix,
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
         "monitor_batch": _q_monitor_batch,
@@ -1620,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_conv_early": oracle.sort_conv_early_sql(
             Q_OR.split(), 50),
         "suggest_terms": oracle.suggest_terms_sql("s", 10),
+        "suggest_infix": oracle.suggest_infix_sql("a", 10),
         "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),
         "percolate_queries": oracle.percolate_sql(
             "spark", ["table", "value"], list(PHRASE_TERMS)),

@@ -2672,3 +2672,15 @@ SELECT did AS doc_id, term, count(*)::INT AS freq,
 FROM ptoks GROUP BY 1, 2
 ORDER BY doc_id, term
 """
+
+
+def suggest_infix_sql(substr: str, k: int) -> str:
+    """Infix suggester oracle: terms containing the substring, ranked
+    (df DESC, term ASC)."""
+    return f"""
+WITH {BASE_CTES}
+SELECT term, df FROM tstats
+WHERE term LIKE '%{substr}%'
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""

@@ -115,3 +115,36 @@ def spell_suggest(reader, term: str, k: int = 5, field: str = "text",
         .collect()
     )
     return rank((r["term"], int(r["df"])) for r in rows)
+
+
+def suggest_infix(reader, substr: str, k: int = 10, field: str = "text"):
+    """AnalyzingInfixSuggester-lite
+    (``suggest/analyzing/AnalyzingInfixSuggester.java:71`` — "like a normal
+    suggester except it matches terms anywhere in the surface form, not just
+    the prefix"): top-k dictionary terms CONTAINING ``substr``, ranked by
+    (df DESC, term ASC). Returns [(term, df), ...].
+
+    Driver-resident dictionaries answer with no Spark job; larger
+    dictionaries run a contains-pushdown scan (StringContains reaches the
+    parquet reader) with a TakeOrdered reduce. The reference accelerates
+    this with edge n-grams of every token; at this layout the dictionary
+    scan is one column of one sorted table — the n-gram sidecar is the
+    documented next step past ~10^9 terms.
+    """
+    cache = reader._term_cache()
+    if cache is not None:
+        cands = [(t, v["df"]) for (f, t), v in cache.items()
+                 if f == field and substr in t]
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        return cands[:k]
+    from pyspark.sql import functions as F
+
+    rows = (
+        reader._term_stats_df
+        .filter((F.col("field") == field)
+                & F.col("term").contains(substr))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]

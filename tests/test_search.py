@@ -1950,3 +1950,25 @@ def test_term_vectors_match_reanalysis(searcher, corpus_pdf):
         assert got_pos == want_pos
     assert searcher.term_vectors([]).count() == 0
     assert searcher.term_vectors([10 ** 12]).count() == 0  # out of range
+
+
+def test_suggest_infix_paths_agree(searcher):
+    """AnalyzingInfixSuggester-lite: driver-dictionary and pushdown-scan
+    paths return the same (df DESC, term ASC) ranking; every result
+    contains the substring anywhere (not just as a prefix)."""
+    from lucene_spark.search.suggest import suggest_infix, suggest_terms
+
+    r = searcher.reader
+    via_cache = suggest_infix(r, "ar", k=8)
+    assert via_cache and all("ar" in t for t, _ in via_cache)
+    # strictly wider than the prefix suggester for the same needle
+    pref = {t for t, _ in suggest_terms(r, "ar", k=10 ** 6)}
+    assert {t for t, _ in via_cache} - pref, "expected a non-prefix match"
+    assert all(d1 >= d2 for (_, d1), (_, d2) in zip(via_cache, via_cache[1:]))
+    cached = r._term_cache
+    try:
+        r._term_cache = lambda: None        # force the scan fallback
+        via_scan = suggest_infix(r, "ar", k=8)
+    finally:
+        r._term_cache = cached
+    assert via_scan == via_cache
