@@ -151,6 +151,28 @@ def main(sf_dir: str):
                      capture(s.score_df(e._parse("key"),
                                         doc_ids=[1, 2, 3]))))
 
+    sections.append(("term vectors for a bounded doc set (expect seg "
+                     "PartitionFilters pruning + field EqualTo pushdown — "
+                     "only covering segments are read)",
+                     capture(s.term_vectors([1, 2, 3]))))
+
+    from lucene_spark.pipeline.curation import (
+        contamination_check, stratified_sample)
+
+    docs_cur = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    sections.append(("decontamination (expect BroadcastHashJoin on the "
+                     "DISTINCT eval shingles + two-stage count agg, pure "
+                     "JVM)",
+                     capture(contamination_check(
+                         docs_cur.filter(F.col("doc_id") % 10 != 7),
+                         docs_cur.filter(F.col("doc_id") % 10 == 7)))))
+    sections.append(("stratified sample (expect ONE shuffle on the stratum "
+                     "key + RunningWindowFunction, pure JVM)",
+                     capture(stratified_sample(
+                         spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                         ["lang", "source"], 3))))
+
     import re
 
     checks = []
@@ -209,6 +231,20 @@ def main(sf_dir: str):
                    "(seg partition filter reaches the postings scan)",
                    bool(re.search(r"PartitionFilters: \[[^\]]*seg",
                                   sections[13][1]))))
+    checks.append(("term vectors prune segments + push the field filter",
+                   bool(re.search(r"PartitionFilters: \[[^\]]*seg",
+                                  sections[14][1]))
+                   and bool(re.search(r"EqualTo\(`?field`?,",
+                                      sections[14][1]))))
+    checks.append(("decontamination broadcasts the eval shingles and "
+                   "combines map-side (pure JVM)",
+                   "BroadcastHashJoin" in sections[15][1]
+                   and "partial_count" in sections[15][1]
+                   and "Python" not in sections[15][1]))
+    checks.append(("stratified sample is one JVM window over the stratum "
+                   "shuffle (no Python)",
+                   "Window" in sections[16][1]
+                   and "Python" not in sections[16][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
