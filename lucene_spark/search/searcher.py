@@ -1261,7 +1261,10 @@ class IndexSearcher:
                 "positions": pos_col,
             })
 
-        postings = self.reader._postings_df.filter(F.col("field") == field)
+        postings = (self.reader._postings_df
+                    .filter(F.col("field") == field)
+                    .select("seg", "term", "first_doc", "last_doc", "count",
+                            "doc_gaps", "tfs", "positions"))
         postings = self._prune_segs(postings, ids)
         return (postings
                 .groupBy("seg")
