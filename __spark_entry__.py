@@ -950,6 +950,26 @@ def _q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII scrubbing: deterministic injection (every 5th doc gets an email /
+    phone / IPv4 suffix) then sequential count-and-replace per class — one
+    JVM codegen projection, the oracle mirrors the same staged contract."""
+    from lucene_spark.pipeline.curation import redact_pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" mail user"), did.cast("string"), F.lit("@example.com ok")))
+        .when(did % 5 == 1, F.lit(" call +1 (555) 010-7788 now"))
+        .when(did % 5 == 2, F.lit(" host 10.1.2.3 up"))
+        .otherwise(F.lit("")))
+    injected = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text"))
+    return redact_pii(injected).orderBy("doc_id")
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: exactly 3 docs per (lang, source)
     stratum ranked by the fixed md5(doc_id) permutation."""
@@ -1423,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam,
         "rep_ngram_scores": _q_repetition,
         "sample_stratified": _q_sample_stratified,
+        "redact_pii": _q_redact_pii,
         "highlight_snippets": _q_highlight,
         "passage_highlight": _q_passage_highlight,
         "mm_binary_stats": _q_mm_binary_stats,
@@ -1669,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_overlap": po.contamination_sql(),
         "rep_ngram_scores": po.repetition_sql(),
         "sample_stratified": po.stratified_sample_sql(),
+        "redact_pii": po.redact_pii_sql(),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
         "dedup_simhash": po.dedup_simhash_sql(),

@@ -25,6 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -148,3 +149,39 @@ def stratified_sample(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= n_per_stratum)
     )
+
+
+# PII patterns (RE2/ICU-portable: no backrefs, no lookaround) — emails,
+# international-ish phone numbers, and IPv4 addresses. Deliberately compact;
+# the operator contract is the scrub/count plumbing, not regex completeness.
+PII_PATTERNS = (
+    # order matters: emails first (their digits must not feed the phone
+    # rule), then IPv4 (dots + digits would otherwise match as a phone),
+    # then phones
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]"),
+)
+
+
+def redact_pii(docs: DataFrame, patterns=PII_PATTERNS) -> DataFrame:
+    """(doc_id, clean_text, n_email, n_ipv4, n_phone, has_pii) — scrub PII
+    spans with ``<NAME>`` placeholders and count the matches per class.
+
+    Patterns apply in order (see ``PII_PATTERNS`` — an email or IPv4 is
+    redacted before the phone rule can see its digits). All work is JVM
+    ``regexp_replace`` /
+    ``regexp_extract_all`` — one codegen projection, no shuffle; at 100 TB
+    this is a map-only pass.
+    """
+    t = F.coalesce(F.col("text"), F.lit(""))
+    counts = []
+    for name, pat in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+    out = docs.select("doc_id", t.alias("clean_text"), *counts)
+    has = reduce(lambda a, b: a | b,
+                 [F.col(f"n_{name}") > 0 for name, _ in patterns])
+    return out.withColumn("has_pii", has)

@@ -675,3 +675,47 @@ SELECT lang, source, doc_id, rk FROM (
 ) WHERE rk <= {n_per_stratum}
 ORDER BY lang, source, rk
 """
+
+
+def redact_pii_sql() -> str:
+    """PII scrub oracle — mirrors the gate's deterministic injection (every
+    5th doc gets an email / phone / IPv4 suffix) and curation.redact_pii's
+    sequential count-then-replace contract."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE doc_id % 5
+           WHEN 0 THEN ' mail user' || doc_id::VARCHAR || '@example.com ok'
+           WHEN 1 THEN ' call +1 (555) 010-7788 now'
+           WHEN 2 THEN ' host 10.1.2.3 up'
+           ELSE ''
+         END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '{email}'))::BIGINT AS n_email,
+         regexp_replace(t0, '{email}', '<EMAIL>', 'g') AS t1
+  FROM inj
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{ipv4}'))::BIGINT AS n_ipv4,
+         regexp_replace(t1, '{ipv4}', '<IPV4>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2, '{phone}'))::BIGINT AS n_phone,
+         regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS clean_text
+  FROM s2
+)
+SELECT doc_id, clean_text, n_email, n_ipv4, n_phone,
+       (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0) AS has_pii
+FROM s3
+ORDER BY doc_id
+"""

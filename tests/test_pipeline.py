@@ -286,3 +286,27 @@ def test_stratified_sample_deterministic(spark, docs):
                      on="doc_id", suffixes=("", "_src"))
     assert (merged["lang"] == merged["lang_src"]).all()
     assert (merged["source"] == merged["source_src"]).all()
+
+
+def test_redact_pii(spark):
+    from lucene_spark.pipeline.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "write to a.b+c@mail.example.org or x@y.io today"),
+         (2, "call +1 (555) 010-7788 or 555-010-9999 now"),
+         (3, "hosts 10.0.0.1 and 192.168.255.254"),
+         (4, "clean text with nothing sensitive"),
+         (5, None)],
+        "doc_id long, text string")
+    r = {row["doc_id"]: row for row in redact_pii(docs).collect()}
+    assert r[1]["n_email"] == 2 and r[1]["has_pii"]
+    assert "@" not in r[1]["clean_text"] and "<EMAIL>" in r[1]["clean_text"]
+    assert r[2]["n_phone"] == 2 and "<PHONE>" in r[2]["clean_text"]
+    assert r[3]["n_ipv4"] == 2 and "<IPV4>" in r[3]["clean_text"]
+    assert not r[4]["has_pii"] and r[4]["clean_text"] == docs.collect()[3]["text"]
+    assert r[5]["clean_text"] == "" and not r[5]["has_pii"]
+    # emails are scrubbed before the phone rule can see their digits
+    one = redact_pii(spark.createDataFrame(
+        [(9, "id 12345678901@example.com done")], "doc_id long, text string"
+    )).collect()[0]
+    assert one["n_email"] == 1 and one["n_phone"] == 0
