@@ -698,6 +698,17 @@ def _q_suggest_terms(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_combined_field(spark, sf_dir):
+    """CombinedFieldQuery (sandbox BM25F): terms ['user', 'value'] scored
+    against {text: 1, role: 1} as one combined pseudo-field — pseudo
+    df = MAX over (term, field) pairs, freq = Σ weight·tf, combined
+    collection stats; role (keyword/omitNorms) adds freq but no norm."""
+    s = _searcher(spark, sf_dir)
+    hits = s.combined_field(["user", "value"], {"text": 1.0, "role": 1.0},
+                            k=40)
+    return _hits_df(spark, hits)
+
+
 def _q_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester-lite: dictionary terms CONTAINING 'a'
     ranked by docFreq (matches anywhere in the surface form, not just the
@@ -1407,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         # (added mid-round-4: past the 50-slot window — r5 rotation)
         "suggest_infix": _q_suggest_infix,
+        "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
         "monitor_batch": _q_monitor_batch,
@@ -1656,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
             Q_OR.split(), 50),
         "suggest_terms": oracle.suggest_terms_sql("s", 10),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),
+        "combined_field_topk": oracle.combined_field_sql(["user", "value"], 40),
         "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),
         "percolate_queries": oracle.percolate_sql(
             "spark", ["table", "value"], list(PHRASE_TERMS)),

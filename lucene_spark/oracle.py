@@ -2684,3 +2684,47 @@ WHERE term LIKE '%{substr}%'
 ORDER BY df DESC, term ASC
 LIMIT {k}
 """
+
+
+def combined_field_sql(terms, k: int) -> str:
+    """CombinedFieldQuery oracle over fields {text: 1, role: 1} on the gate
+    corpus (role = 'user' on every doc): pseudo df = MAX over (term, field)
+    pairs, combined collection stats (docCount = n, sumTTF = text sumTTF +
+    n), per-doc freq = text tf sum + 1 for the role match, float32-staged
+    BM25 on the text dlen (w=1 norm combination is the identity)."""
+    qvals = ",".join(f"('{t}')" for t in terms)
+    role_hit = 1 if "user" in terms else 0
+    return f"""
+WITH {BASE_CTES},
+qt(term) AS (VALUES {qvals}),
+ftext AS (
+  SELECT t.did, sum(t.tf)::BIGINT AS ft
+  FROM tf t JOIN qt USING (term) GROUP BY t.did
+),
+pstats AS (
+  SELECT greatest(
+           coalesce((SELECT max(ts.df) FROM tstats ts JOIN qt USING (term)), 0),
+           CASE WHEN {role_hit} = 1 THEN (SELECT n FROM fstats) ELSE 0 END
+         ) AS pdf,
+         (SELECT n FROM fstats) AS n,
+         CAST(((SELECT sum_ttf FROM fstats) + {role_hit} * (SELECT n FROM fstats))
+              / (SELECT n FROM fstats)::DOUBLE AS FLOAT) AS avgdl
+),
+scored AS (
+  SELECT d.did,
+         (SELECT CAST(ln(1 + (n - pdf + 0.5) / (pdf + 0.5)) AS FLOAT) FROM pstats)
+         - (SELECT CAST(ln(1 + (n - pdf + 0.5) / (pdf + 0.5)) AS FLOAT) FROM pstats)
+           / (CAST(1 AS FLOAT)
+              + CAST(coalesce(f.ft, 0) + {role_hit} AS FLOAT)
+                * (CAST(1 AS FLOAT)
+                   / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                              + ({B} * CAST(d.dlen AS FLOAT))
+                                / (SELECT avgdl FROM pstats))))) AS score
+  FROM dlen d LEFT JOIN ftext f USING (did)
+  WHERE coalesce(f.ft, 0) + {role_hit} > 0
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM scored
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""

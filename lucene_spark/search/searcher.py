@@ -1270,6 +1270,141 @@ class IndexSearcher:
                 .groupBy("seg")
                 .applyInPandas(run_segment, schema))
 
+    def combined_field_df(self, terms, fields, norm_fields=None):
+        """CombinedFieldQuery — the BM25F-style cross-field scorer
+        (``lucene/sandbox/src/java/org/apache/lucene/sandbox/search/
+        CombinedFieldQuery.java``): score ``terms`` against several fields
+        AS IF their contents were one combined field.
+
+        Reference semantics reproduced exactly:
+        - pseudo term stats over every (term, field) pair: df = MAX of the
+          per-pair docFreqs, ttf = Σ weight·ttf (:328-345);
+        - pseudo collection stats: docCount/maxDoc/sumDocFreq = MAX over
+          fields, sumTotalTermFreq = Σ weight·sumTTF (:355-370);
+        - per-doc freq = Σ weight·tf over all pairs, as float32
+          (``WeightedDisiWrapper.freq``, :453-488);
+        - per-doc norm = SmallFloat reencode of round(Σ weight·decoded
+          norm) over ``norm_fields`` (``MultiNormsLeafSimScorer.java:
+          141-153``); fields with omitted norms (our keyword fields, like
+          Lucene's StringField) contribute freq but no norm — the default
+          ``norm_fields`` is the main text field only.
+
+        ``fields``: {field: weight}. Returns an exhaustive (doc_id, score)
+        DataFrame (every matching doc). Plan shape: ONE multi-field
+        postings scan (In(term,…) + field pushdown) → per-segment numpy
+        kernel (batch block decode, one weighted bincount, float32 BM25)
+        → k-free distributed output; the driver touches only statistics.
+        """
+        from pyspark.sql import functions as F
+
+        from lucene_spark.indexing.blocks import (
+            decode_doc_ids_batch, decode_varints)
+        from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+        fields = dict(fields)
+        if norm_fields is None:
+            norm_fields = {self.reader.field: fields.get(self.reader.field, 1.0)}
+        else:
+            norm_fields = {f: fields[f] for f in norm_fields}
+        terms = list(dict.fromkeys(terms))
+
+        # ---- driver: pseudo stats (CombinedFieldWeight ctor) ------------
+        pseudo_df, pseudo_ttf = 0, 0.0
+        for f, w in fields.items():
+            st = self.reader.term_stats(terms, field=f)
+            for t in terms:
+                s = st.get(t)
+                if s and s["df"] > 0:
+                    pseudo_df = max(pseudo_df, s["df"])
+                    pseudo_ttf += float(w) * s["ttf"]
+        schema = "doc_id long, score float"
+        if pseudo_df == 0:
+            return self.spark.createDataFrame([], schema)
+        doc_count = sum_ttf = 0
+        for f, w in fields.items():
+            fs = self.reader.field_stats.get(f)
+            if fs:
+                doc_count = max(doc_count, fs["doc_count"])
+                sum_ttf += float(w) * fs["sum_ttf"]
+        scorer = self.similarity.scorer(
+            1.0, doc_count, int(sum_ttf), [pseudo_df],
+            ttfs=[max(1, int(pseudo_ttf))])
+
+        index_dir = self.reader.index_dir
+        weights = {f: float(w) for f, w in fields.items()}
+        nfields = {f: float(w) for f, w in norm_fields.items()}
+        offsets = {int(s): int(o) for s, o in self.reader.offsets.items()}
+        dload = self.reader.deleted_loader()
+        self_field = self.reader.field
+
+        def run_segment(key, pdf):
+            import pandas as pd
+            import pyarrow.dataset as pds
+
+            seg = int(key[0])
+            empty = pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float32"),
+            })
+            if pdf.empty:
+                return empty
+            dt = pds.dataset(f"{index_dir}/docs/seg={seg}").to_table(
+                columns=["doc_id", "norm"])
+            dids = dt.column("doc_id").to_numpy()
+            n = int(dids.max()) + 1 if len(dids) else 0
+            if n == 0:
+                return empty
+            # combined norm per local doc (MultiFieldNormValues.advanceExact:
+            # Math.round == floor(x + 0.5), then intToByte4 re-encode)
+            nv = np.zeros(n, dtype=np.float32)
+            seg_norms = np.zeros(n, dtype=np.int64)
+            seg_norms[dids] = dt.column("norm").to_numpy()
+            main = self_field
+            if main in nfields:
+                nv += np.float32(nfields[main]) * LENGTH_TABLE[seg_norms]
+            comb_norm = int_to_byte4(np.floor(nv + 0.5).astype(np.int64))
+
+            counts = pdf["count"].to_numpy(np.int64)
+            docs, _starts = decode_doc_ids_batch(
+                pdf["first_doc"].to_numpy(np.int64),
+                pdf["last_doc"].to_numpy(np.int64),
+                counts, list(pdf["doc_gaps"]))
+            tfs = decode_varints(b"".join(pdf["tfs"]))
+            wrow = pdf["field"].map(weights).to_numpy(np.float32)
+            wpost = np.repeat(wrow, counts)
+            freq = np.zeros(n, dtype=np.float32)
+            np.add.at(freq, docs, wpost * tfs.astype(np.float32))
+            hit = freq > 0
+            if dload is not None:
+                dele = dload(seg)
+                if len(dele):
+                    hit[np.asarray(dele, np.int64)] = False
+            hidx = np.flatnonzero(hit)
+            if hidx.size == 0:
+                return empty
+            sc = scorer.score(freq[hidx], comb_norm[hidx])
+            return pd.DataFrame({
+                "doc_id": hidx + offsets[seg],
+                "score": np.asarray(sc, dtype=np.float32),
+            })
+
+        posts = (self.reader._postings_df
+                 .filter(F.col("field").isin(list(fields))
+                         & F.col("term").isin(terms))
+                 .select("seg", "field", "term", "first_doc", "last_doc",
+                         "count", "doc_gaps", "tfs"))
+        return posts.groupBy("seg").applyInPandas(run_segment, schema)
+
+    def combined_field(self, terms, fields, k: int = 10,
+                       norm_fields=None):
+        """Top-k CombinedFieldQuery hits: (score DESC, doc_id ASC)."""
+        from pyspark.sql import functions as F
+
+        rows = (self.combined_field_df(terms, fields, norm_fields)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k).collect())
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def facet_paths(self, query, path_df, topn: int | None = None):
         """Hierarchical (taxonomy) facet counts
         (``facet/taxonomy/TaxonomyFacetCounts`` + ``FacetsCollector.java:49``):

@@ -160,3 +160,47 @@ def test_synonym_dismax_on_keyword_field(spark, kw_index, corpus_pdf):
     # keyword postings: tf=1, norm = the role field's single-token length
     exp_score = float(scorer.score(np.array([1]), np.array([1]))[0])
     assert hits[0].score == exp_score, (hits[0].score, exp_score)
+
+
+def test_combined_field_matches_brute(spark, kw_index, corpus_pdf):
+    """CombinedFieldQuery (BM25F): bit-exact vs a from-scratch numpy
+    reimplementation of the reference semantics — pseudo df = MAX over
+    (term, field) pairs, freq = Σ weight·tf, combined collection stats,
+    norms from the text field only (keyword fields omit norms)."""
+    import numpy as np
+
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.similarity import BM25Similarity
+    from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    s = IndexSearcher(spark, kw_index)
+    terms = [VOCAB[0], "assistant"]
+    fields = {"text": 1.0, "role": 2.0}  # non-unit weight exercises Σ w·tf
+    hits = s.combined_field(terms, fields, k=15)
+
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"],
+                                 kind="mergesort").reset_index(drop=True)
+    an = get_analyzer("standard")
+    toks = [an.tokenize_text(t) for t in pdf["text"]]
+    n = len(toks)
+    # per-field stats
+    df_text = {t: sum(1 for ts in toks if t in ts) for t in terms}
+    df_role = {t: int((pdf["role"] == t).sum()) for t in terms}
+    pseudo_df = max(max(df_text.values()), max(df_role.values()))
+    sum_ttf = 1.0 * sum(len(ts) for ts in toks) + 2.0 * n  # role on all docs
+    scorer = BM25Similarity().scorer(1.0, n, int(sum_ttf), [pseudo_df])
+    freq = np.zeros(n, dtype=np.float32)
+    for i, ts in enumerate(toks):
+        freq[i] += np.float32(1.0) * sum(ts.count(t) for t in terms)
+    for t in terms:
+        freq += np.where(pdf["role"].to_numpy() == t, np.float32(2.0),
+                         np.float32(0.0))
+    norm_text = int_to_byte4(np.array([len(ts) for ts in toks]))
+    comb = int_to_byte4(
+        np.floor(1.0 * LENGTH_TABLE[norm_text] + 0.5).astype(np.int64))
+    scores = scorer.score(freq, comb)
+    exp = sorted(((i, float(scores[i])) for i in range(n) if freq[i] > 0),
+                 key=lambda x: (-x[1], x[0]))[:15]
+    assert [(h.doc_id, h.score) for h in hits] == exp
+    # absent everywhere → empty
+    assert s.combined_field(["zzznotaterm"], fields, k=5) == []
