@@ -2728,3 +2728,55 @@ FROM scored
 ORDER BY score DESC, did ASC
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------------ geo --
+# Synthetic geo doc values for the driver gates: lat/lon derived from the
+# global docID with integer arithmetic (exact in both engines), then
+# quantized through the GeoEncodingUtils int32 encode/decode roundtrip
+# exactly like LatLonPoint storage (core/geo/GeoEncodingUtils.java). The
+# same expression strings drive the Spark gate (F.expr) and this oracle.
+GEO_LAT_RAW = "(((did * 7919) % 1800000) / 10000e0 - 90e0)"
+GEO_LON_RAW = "(((did * 104729) % 3600000) / 10000e0 - 180e0)"
+
+
+def geo_cte() -> str:
+    from lucene_spark.search.geo import LAT_SCALE, LON_SCALE, quantize_sql
+
+    lat = quantize_sql(GEO_LAT_RAW, LAT_SCALE)
+    lon = quantize_sql(GEO_LON_RAW, LON_SCALE)
+    return f"geo AS (SELECT did, {lat} AS lat, {lon} AS lon FROM docs0)"
+
+
+def geo_distance_count_sql(center_lat: float, center_lon: float,
+                           radius_m: float) -> str:
+    """LatLonPoint.newDistanceQuery hit count: docs within radius_m of the
+    center under the exact haversine the engine evaluates (identical SQL
+    expression text → identical operation order)."""
+    from lucene_spark.search.geo import dlit, haversine_sql
+
+    dist = haversine_sql("lat", "lon", center_lat, center_lon)
+    return f"""
+WITH {BASE_CTES},
+{geo_cte()}
+SELECT count(*)::BIGINT AS hits FROM geo WHERE {dist} <= {dlit(radius_m)}
+"""
+
+
+def geo_sort_topk_sql(term: str, k: int, center_lat: float,
+                      center_lon: float) -> str:
+    """LatLonDocValuesField.newDistanceSort over a term query's match set:
+    top-k by (floor-meters ASC, docID ASC). Distances are quantized to
+    whole meters in BOTH engines so cross-libm trig noise in the last ulps
+    (~1e-8 relative) cannot flip the ranking."""
+    from lucene_spark.search.geo import haversine_sql
+
+    dist = haversine_sql("lat", "lon", center_lat, center_lon)
+    return f"""
+WITH {BASE_CTES},
+{geo_cte()}
+SELECT did AS doc_id, CAST(floor({dist}) AS BIGINT) AS dist_m
+FROM geo g
+WHERE EXISTS (SELECT 1 FROM tf m WHERE m.did = g.did AND m.term = '{term}')
+ORDER BY dist_m ASC, doc_id ASC LIMIT {int(k)}
+"""

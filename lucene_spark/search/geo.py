@@ -1,0 +1,169 @@
+"""LatLonPoint geo queries and distance sort — Spark-first.
+
+Reference semantics:
+
+- ``core/document/LatLonPoint.java`` ``newDistanceQuery(field, lat, lon,
+  radiusMeters)`` → ``LatLonPointDistanceQuery``: match docs whose point
+  lies within ``radiusMeters`` of the center (haversine distance), with a
+  bounding-box pre-filter (the BKD-tree pruning step).
+- ``core/document/LatLonDocValuesField.java`` ``newDistanceSort(field, lat,
+  lon)``: sort hits by haversine distance to a center point.
+- ``core/geo/GeoEncodingUtils.java`` (encodeLatitude/decodeLatitude):
+  coordinates are stored quantized to int32 — ``floor(lat · 2^31/90)`` /
+  the inverse scale on decode (~4.2e-8 deg resolution). We apply the same
+  encode/decode roundtrip when attaching geo doc values, so the stored
+  precision contract matches Lucene's.
+- ``core/util/SloppyMath.java`` ``haversinMeters`` — mean earth radius
+  6371008.7714 m. (Lucene's "sloppy" sin is a JVM speed hack; Catalyst's
+  codegen trig intrinsics fill that role here, so we use exact
+  sin/cos/asin.)
+
+Plan shape (100-TB lens): geo doc values are a columnar side table
+(doc_id, lat, lon). A distance query is ONE scan — cheap bounding-box
+comparisons prune rows before any trig (pushdown-able when the table is
+parquet), then the exact haversine predicate; no shuffle, no Python UDF.
+A distance sort joins the distributed match set to the geo table and
+TakeOrdered's k rows to the driver.
+
+The arithmetic is emitted as ONE SQL expression string (`haversine_sql`)
+used both by the engine (``F.expr`` → Catalyst codegen) and by the DuckDB
+correctness oracle — identical operation order on both sides, so the only
+cross-engine divergence is libm trig in the last ulps (the gates quantize
+distances to whole meters, 7+ orders of magnitude above that noise).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+# SloppyMath.TO_METERS (mean earth radius, meters)
+EARTH_RADIUS_M = 6371008.7714
+
+
+def dlit(x: float) -> str:
+    """A float as a DOUBLE SQL literal valid in both Spark SQL and DuckDB.
+    Bare decimal literals (``0.5``) parse as DECIMAL in both engines —
+    scientific notation with 17 significant digits parses as DOUBLE and
+    round-trips the exact IEEE value."""
+    return format(float(x), ".17e")
+
+
+# GeoEncodingUtils scales: int32 range over ±90 / ±180 degrees
+LAT_SCALE = "(2147483648e0 / 90e0)"
+LON_SCALE = "(2147483648e0 / 180e0)"
+_DEG2RAD = dlit(math.pi / 180.0)
+
+
+def quantize_sql(col: str, scale: str) -> str:
+    """GeoEncodingUtils encode→decode roundtrip as a SQL expression:
+    ``floor(x·scale) / scale`` (int32 clamp is a no-op for in-range
+    coordinates; callers validate range)."""
+    return f"(floor(({col}) * {scale}) / {scale})"
+
+
+def haversine_sql(lat_col: str, lon_col: str,
+                  center_lat: float, center_lon: float) -> str:
+    """Haversine meters from (lat_col, lon_col) in degrees to a fixed
+    center, as one SQL scalar expression (valid in both Spark SQL and
+    DuckDB). Center-dependent constants (radians, cos) are folded to
+    double literals in Python so both engines consume identical bits."""
+    phi2 = dlit(math.radians(center_lat))
+    lam2 = dlit(math.radians(center_lon))
+    cos_phi2 = dlit(math.cos(math.radians(center_lat)))
+    two_r = dlit(2.0 * EARTH_RADIUS_M)
+    phi1 = f"(({lat_col}) * {_DEG2RAD})"
+    lam1 = f"(({lon_col}) * {_DEG2RAD})"
+    sdphi = f"sin(({phi1} - {phi2}) * 5e-1)"
+    sdlam = f"sin(({lam1} - {lam2}) * 5e-1)"
+    h = f"({sdphi} * {sdphi} + cos({phi1}) * {cos_phi2} * ({sdlam} * {sdlam}))"
+    return f"({two_r} * asin(least(1e0, sqrt({h}))))"
+
+
+def distance_bbox(center_lat: float, center_lon: float, radius_m: float):
+    """Conservative bounding box for the distance query's pre-filter
+    (``core/geo/Rectangle.java`` fromPointDistance analogue), as
+    (lat_min, lat_max, lon_ranges) where lon_ranges is a list of
+    (lon_min, lon_max) intervals (two when the box crosses the
+    antimeridian, the single full range when the box touches a pole).
+
+    A small epsilon pads every edge: the box only PRE-filters — the exact
+    haversine predicate decides membership — so padding costs a few extra
+    candidate rows, never correctness.
+    """
+    eps = 1e-6
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M) + eps
+    lat_min = max(-90.0, center_lat - dlat)
+    lat_max = min(90.0, center_lat + dlat)
+    if lat_min <= -90.0 + eps or lat_max >= 90.0 - eps:
+        return lat_min, lat_max, [(-180.0, 180.0)]  # pole in range
+    max_abs_lat = max(abs(lat_min), abs(lat_max))
+    sin_ratio = math.sin(radius_m / EARTH_RADIUS_M) / math.cos(
+        math.radians(max_abs_lat))
+    if abs(sin_ratio) >= 1.0:
+        return lat_min, lat_max, [(-180.0, 180.0)]
+    dlon = math.degrees(math.asin(sin_ratio)) + eps
+    lon_min, lon_max = center_lon - dlon, center_lon + dlon
+    if lon_min < -180.0 and lon_max > 180.0:
+        return lat_min, lat_max, [(-180.0, 180.0)]
+    if lon_min < -180.0:  # wraps west across the antimeridian
+        return lat_min, lat_max, [(-180.0, lon_max), (lon_min + 360.0, 180.0)]
+    if lon_max > 180.0:  # wraps east
+        return lat_min, lat_max, [(lon_min, 180.0), (-180.0, lon_max - 360.0)]
+    return lat_min, lat_max, [(lon_min, lon_max)]
+
+
+def bbox_condition(lat_col: str, lon_col: str,
+                   center_lat: float, center_lon: float, radius_m: float):
+    """The bounding-box pre-filter as a Spark Column (pure comparisons —
+    prunes before any trig evaluates; pushdown-able on parquet geo
+    tables)."""
+    lat_min, lat_max, lon_ranges = distance_bbox(center_lat, center_lon,
+                                                 radius_m)
+    cond = F.col(lat_col).between(lat_min, lat_max)
+    lon_cond = None
+    for lo, hi in lon_ranges:
+        rng = F.col(lon_col).between(lo, hi)
+        lon_cond = rng if lon_cond is None else (lon_cond | rng)
+    return cond & lon_cond
+
+
+def attach_geo(geo_df, lat_col: str = "lat", lon_col: str = "lon"):
+    """Quantize a (doc_id, lat, lon) DataFrame through the
+    GeoEncodingUtils int32 encode/decode roundtrip (what LatLonPoint
+    stores) — one JVM projection."""
+    return geo_df.select(
+        "doc_id",
+        F.expr(quantize_sql(f"CAST({lat_col} AS DOUBLE)", LAT_SCALE))
+        .alias("lat"),
+        F.expr(quantize_sql(f"CAST({lon_col} AS DOUBLE)", LON_SCALE))
+        .alias("lon"),
+    )
+
+
+def distance_filter(geo_df, center_lat: float, center_lon: float,
+                    radius_m: float):
+    """LatLonPointDistanceQuery match set: (doc_id) within radius —
+    bbox pre-filter then exact haversine, one scan, no shuffle."""
+    dist = F.expr(haversine_sql("lat", "lon", center_lat, center_lon))
+    return (
+        geo_df
+        .filter(bbox_condition("lat", "lon", center_lat, center_lon,
+                               radius_m))
+        .filter(dist <= float(radius_m))
+        .select("doc_id")
+    )
+
+
+def distance_sorted(geo_df, match_df, center_lat: float, center_lon: float,
+                    k: int | None = None):
+    """LatLonDocValuesField.newDistanceSort: the match set ordered by
+    haversine meters ASC, doc_id ASC; returns (doc_id, dist_m)."""
+    dist = F.expr(haversine_sql("lat", "lon", center_lat, center_lon))
+    out = (
+        match_df.join(geo_df, "doc_id")
+        .select("doc_id", dist.alias("dist_m"))
+        .orderBy(F.asc("dist_m"), F.asc("doc_id"))
+    )
+    return out.limit(int(k)) if k is not None else out

@@ -115,6 +115,7 @@ class IndexSearcher:
         self.analyzer = get_analyzer(self.reader.manifest["analyzer"])
         self.query_cache = LRUQueryCache()
         self.vectors = None  # (doc_id, embedding) doc-values DF (set_vectors)
+        self.geo = None  # (doc_id, lat, lon) doc-values DF (set_geo)
 
     def _segment_doc_bounds(self) -> dict:
         """seg → (lo, hi) global docID range, from the manifest offsets."""
@@ -154,6 +155,53 @@ class IndexSearcher:
                 filter = self.parse(filter)
             filter_df = self.match_df(filter)
         return knn_topk_df(self.vectors, query_vec, k, filter_df, strategy)
+
+    def set_geo(self, geo_df, lat_col: str = "lat", lon_col: str = "lon"):
+        """Attach a (doc_id, lat, lon) geo doc-values DataFrame —
+        ``LatLonPoint`` / ``LatLonDocValuesField`` storage re-expressed as
+        a columnar side table. Coordinates are quantized through the
+        GeoEncodingUtils int32 encode/decode roundtrip on attach (what
+        Lucene stores, ``core/geo/GeoEncodingUtils.java``)."""
+        from lucene_spark.search import geo
+
+        self.geo = geo.attach_geo(geo_df, lat_col, lon_col)
+        return self
+
+    def geo_distance_df(self, center_lat: float, center_lon: float,
+                        radius_m: float, query=None):
+        """``LatLonPoint.newDistanceQuery`` analogue
+        (``core/document/LatLonPoint.java``): distributed (doc_id) match
+        set of docs whose point lies within ``radius_m`` meters of the
+        center — bounding-box pre-filter (pure comparisons, prunes before
+        trig) then exact haversine, one scan, no shuffle. Optional
+        ``query`` intersects with that query's match set (the
+        filtered-geo-query composition)."""
+        from lucene_spark.search import geo
+
+        if self.geo is None:
+            raise ValueError("no geo attached — call set_geo() first")
+        out = geo.distance_filter(self.geo, center_lat, center_lon,
+                                  radius_m)
+        if query is not None:
+            if isinstance(query, str):
+                query = self.parse(query)
+            out = out.join(self.match_df(query), "doc_id", "left_semi")
+        return out
+
+    def geo_sort_df(self, query, center_lat: float, center_lon: float,
+                    k: int | None = None):
+        """``LatLonDocValuesField.newDistanceSort`` analogue: the query's
+        match set ordered by haversine meters ASC (doc_id ASC tie-break);
+        returns (doc_id, dist_m DOUBLE). One distributed join + TakeOrdered
+        at k."""
+        from lucene_spark.search import geo
+
+        if self.geo is None:
+            raise ValueError("no geo attached — call set_geo() first")
+        if isinstance(query, str):
+            query = self.parse(query)
+        return geo.distance_sorted(self.geo, self.match_df(query),
+                                   center_lat, center_lon, k)
 
     def _collect(self, df):
         """Execute a serving-path plan without AQE (see session.no_aqe)."""
