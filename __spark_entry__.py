@@ -1246,6 +1246,39 @@ def _q_mm_binary_stats(spark, sf_dir):
     return binary_stats(attach_payload(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style global line dedup over a boilerplate-injected corpus
+    (every doc wrapped in shared header/footer lines — the web-corpus
+    shape the op exists for). First-occurrence ownership via a two-stage
+    min-struct groupBy; the oracle recomputes it with a window."""
+    from lucene_spark.pipeline.curation import line_dedup
+    from lucene_spark.pipeline.oracles import LINE_FOOTERS, LINE_HEADER
+
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(LINE_HEADER + "\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n" + LINE_FOOTERS[0] + "\n" + LINE_FOOTERS[1]),
+        ).alias("text"),
+    )
+    return (
+        line_dedup(injected)
+        .select("doc_id", "n_lines", "n_kept",
+                F.md5("text_clean").alias("clean_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram-LM quality score (CCNet perplexity-bucket
+    proxy): mean token log-prob per doc, float32 per-term ln + exact
+    double sums (hash-exact cross-engine)."""
+    from lucene_spark.pipeline.textqc import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 GEO_CENTER = (12.3, 45.6)
 GEO_RADIUS_M = 2_000_000.0
 
@@ -1504,10 +1537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_snippets": _q_highlight,
         "passage_highlight": _q_passage_highlight,
         "mm_binary_stats": _q_mm_binary_stats,
-        # geo (added late round-4: past the 50-slot window by design —
-        # oracle + pytest covered now; rotate into the r5 window)
+        # geo + curation-2 (added late round-4: past the 50-slot window by
+        # design — oracle + pytest covered now; rotate into the r5 window)
         "geo_distance_count": _q_geo_distance_count,
         "geo_sort_topk": _q_geo_sort_topk,
+        "line_dedup": _q_line_dedup,
+        "unigram_logprob": _q_unigram_logprob,
     })
 
 
@@ -1772,4 +1807,6 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance_count": oracle.geo_distance_count_sql(
             *GEO_CENTER, GEO_RADIUS_M),
         "geo_sort_topk": oracle.geo_sort_topk_sql(Q_HOT, 50, *GEO_CENTER),
+        "line_dedup": po.line_dedup_sql(),
+        "unigram_logprob": po.unigram_logprob_sql(),
     }

@@ -185,3 +185,59 @@ def redact_pii(docs: DataFrame, patterns=PII_PATTERNS) -> DataFrame:
     has = reduce(lambda a, b: a | b,
                  [F.col(f"n_{name}") > 0 for name, _ in patterns])
     return out.withColumn("has_pii", has)
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """C4-style global line-level deduplication (the "deduplicate lines
+    across the dataset" step of public web-corpus pipelines): keep the
+    globally-FIRST occurrence of every distinct line — first = smallest
+    (doc_id, line position) — drop every other occurrence, and rebuild
+    each doc's text from its kept lines in their original order.
+
+    Returns (doc_id, n_lines, n_kept, text_clean); docs whose every line
+    was deduplicated away come back with ``n_kept = 0`` and empty text.
+
+    Scale (100 TB): lines explode into (doc_id, pos, line); ownership is
+    ONE two-stage groupBy on the line hash computing ``min(struct(doc_id,
+    pos))`` — map-side partial combine collapses boilerplate hot lines
+    before the shuffle (no window over skewed per-line groups) — then a
+    join back on the hash. The rebuild groupBy keys on doc_id (unique by
+    construction → no skew). All JVM, no Python UDFs.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    first = lines.groupBy("lh").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"),
+                       F.col("pos").alias("p"))).alias("o"))
+    kept = (
+        lines.join(first, "lh")
+        .filter((F.col("doc_id") == F.col("o.d")) & (F.col("pos") == F.col("o.p")))
+        .select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -719,3 +719,85 @@ SELECT doc_id, clean_text, n_email, n_ipv4, n_phone,
 FROM s3
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------- curation 2 -
+
+# boilerplate the line-dedup GATE injects around every doc (mirrors
+# __spark_entry__._q_line_dedup — web-corpus boilerplate shape)
+LINE_HEADER = "cookie policy"
+LINE_FOOTERS = ("all rights reserved", "contact us")
+
+
+def line_dedup_sql() -> str:
+    """Global first-occurrence line dedup over the boilerplate-injected
+    corpus (mirrors curation.line_dedup: first = smallest (doc_id, pos);
+    the oracle uses a window where the engine uses a two-stage min-struct
+    groupBy — identical semantics)."""
+    nl = "chr(10)"
+    return f"""
+WITH ldocs AS (
+  SELECT doc_id,
+         '{LINE_HEADER}' || {nl} || coalesce(text, '') || {nl}
+         || '{LINE_FOOTERS[0]}' || {nl} || '{LINE_FOOTERS[1]}' AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.pos, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(ls) + 1),
+             i -> struct_pack(pos := i - 1, line := ls[i]))) AS u
+    FROM (SELECT doc_id, string_split(t, {nl}) AS ls FROM ldocs)
+  )
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+reb AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(line, {nl} ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       md5(coalesce(r.text_clean, '')) AS clean_md5
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def unigram_logprob_sql() -> str:
+    """Self-trained unigram-LM mean log-prob per doc (mirrors
+    textqc.unigram_logprob: float32 per-term ln, exact double sums)."""
+    return f"""
+WITH {PDOCS},
+utf AS (SELECT doc_id, unnest(toks) AS term FROM ptoks),
+tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM utf GROUP BY 1, 2),
+lm0 AS (SELECT term, sum(tf)::BIGINT AS ttf FROM tfx GROUP BY 1),
+tot AS (SELECT sum(ttf)::BIGINT AS tot FROM lm0),
+lm AS (
+  SELECT term,
+         CAST(ln(CAST(ttf AS DOUBLE)
+                 / (SELECT CAST(tot AS DOUBLE) FROM tot)) AS FLOAT) AS lp
+  FROM lm0
+),
+pd AS (
+  SELECT t.doc_id,
+         sum(CAST(t.tf AS DOUBLE) * CAST(l.lp AS DOUBLE)) AS slp,
+         sum(t.tf)::BIGINT AS n_tokens
+  FROM tfx t JOIN lm l USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       CAST(coalesce(p.slp / p.n_tokens, 0e0) AS DOUBLE) AS avg_lp
+FROM documents d LEFT JOIN pd p USING (doc_id)
+ORDER BY d.doc_id
+"""

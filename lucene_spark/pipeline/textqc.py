@@ -127,3 +127,51 @@ def fingerprints(docs: DataFrame, sketch_size: int = 4) -> DataFrame:
         fp.join(sk, "doc_id", "left")
         .select("doc_id", "fp", F.coalesce("sketch", F.lit("")).alias("sketch"))
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram-LM quality score: each doc's mean token
+    log-probability under the corpus's OWN unigram MLE (self-trained —
+    deterministic, no external model; the perplexity-bucketing proxy of
+    public pipeline reports). Returns (doc_id, n_tokens, avg_lp) — lower
+    avg_lp = rarer vocabulary.
+
+    Exactness contract (cross-engine hash parity): the per-TERM ``ln`` is
+    rounded to float32 (absorbs last-ulp libm differences, same trick as
+    the BM25 idf oracle); per-doc accumulation multiplies by integer tf
+    and sums in double — every partial sum stays well under 53 significant
+    bits, so the sum is EXACT and order-independent.
+
+    Scale: two two-stage groupBys (doc_id×term, then term) + one shuffle
+    join of per-doc tfs against the term LM (hot stopword keys bounded by
+    the distinct-per-doc tf side; AQE skew-join splits the rest), then a
+    per-doc groupBy. All JVM.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lm0 = tf.groupBy("term").agg(F.sum("tf").alias("ttf"))
+    total = lm0.agg(F.sum("ttf").alias("tot"))
+    lm = lm0.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr("CAST(ln(CAST(ttf AS DOUBLE) / CAST(tot AS DOUBLE)) AS FLOAT)")
+        .alias("lp"),
+    )
+    per_doc = (
+        tf.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf").cast("double") * F.col("lp").cast("double"))
+            .alias("slp"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("slp") / F.col("n_tokens"), F.lit(0.0))
+            .cast("double").alias("avg_lp"),
+        )
+    )

@@ -310,3 +310,61 @@ def test_redact_pii(spark):
         [(9, "id 12345678901@example.com done")], "doc_id long, text string"
     )).collect()[0]
     assert one["n_email"] == 1 and one["n_phone"] == 0
+
+
+def test_line_dedup_first_occurrence(spark):
+    from lucene_spark.pipeline.curation import line_dedup
+
+    rows = [
+        (0, "boiler\nunique zero\nboiler"),   # in-doc repeat too
+        (1, "boiler\nunique one"),
+        (2, "unique two\nboiler"),
+        (3, ""),                               # empty text = one empty line
+        (4, None),                             # null text = one empty line
+        (5, "unique zero"),                    # dup of doc 0's content line
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # doc 0 owns 'boiler' (pos 0) and 'unique zero'; its pos-2 repeat drops
+    assert out[0]["text_clean"] == "boiler\nunique zero"
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 2)
+    # later docs lose every line already seen
+    assert out[1]["text_clean"] == "unique one"
+    assert out[2]["text_clean"] == "unique two"
+    # doc 3 owns the empty line (smaller doc_id); doc 4 loses it
+    assert (out[3]["n_kept"], out[4]["n_kept"]) == (1, 0)
+    assert out[4]["text_clean"] == ""
+    assert out[5]["n_kept"] == 0  # its only line belongs to doc 0
+    # global invariant: every distinct line kept exactly once
+    assert sum(r["n_kept"] for r in out.values()) == 5
+
+
+def test_unigram_logprob_exactness(spark):
+    import math
+
+    import numpy as np
+
+    from lucene_spark.pipeline.textqc import unigram_logprob
+
+    rows = [(0, "aa aa bb"), (1, "aa cc"), (2, ""), (3, None)]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # corpus LM: aa 3/5, bb 1/5, cc 1/5 — float32 per-term ln, exact sums
+    lp = {t: np.float32(math.log(c / 5.0)) for t, c in
+          [("aa", 3), ("bb", 1), ("cc", 1)]}
+    want0 = (2 * float(lp["aa"]) + float(lp["bb"])) / 3
+    want1 = (float(lp["aa"]) + float(lp["cc"])) / 2
+    assert out[0]["avg_lp"] == want0 and out[0]["n_tokens"] == 3
+    assert out[1]["avg_lp"] == want1
+    assert out[2]["avg_lp"] == 0.0 and out[2]["n_tokens"] == 0
+    assert out[3]["avg_lp"] == 0.0
+    # rarer vocabulary scores lower
+    assert out[1]["avg_lp"] < out[0]["avg_lp"]
