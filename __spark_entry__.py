@@ -1279,6 +1279,34 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+DV_UPDATES = (("table", 100), ("value", 200))  # ordered — later wins
+
+
+def _q_dv_update_sort(spark, sf_dir):
+    """updateNumericDocValue lifecycle gate: build → two ordered updates to
+    the 'priority' doc-values field (newest generation wins per doc) →
+    sort the OR query's match set by the updated value (missing = 0).
+    Own index dir like the delete gates (the op mutates)."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.writer import IndexWriter
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_dv/{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="simple", num_segments=6).build(t)
+    w = IndexWriter(spark, d)
+    for term, val in DV_UPDATES:
+        w.update_numeric_doc_value(term, "priority", val)
+    s = IndexSearcher(spark, d)
+    return s.sort_by_doc_value_df(_parse(Q_OR), "priority", k=50,
+                                  ascending=False)
+
+
 GEO_CENTER = (12.3, 45.6)
 GEO_RADIUS_M = 2_000_000.0
 
@@ -1543,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_sort_topk": _q_geo_sort_topk,
         "line_dedup": _q_line_dedup,
         "unigram_logprob": _q_unigram_logprob,
+        "dv_update_sort": _q_dv_update_sort,
     })
 
 
@@ -1809,4 +1838,6 @@ def oracle_sql() -> dict[str, str]:
         "geo_sort_topk": oracle.geo_sort_topk_sql(Q_HOT, 50, *GEO_CENTER),
         "line_dedup": po.line_dedup_sql(),
         "unigram_logprob": po.unigram_logprob_sql(),
+        "dv_update_sort": oracle.dv_update_sort_sql(
+            Q_OR.split(), 50, DV_UPDATES),
     }

@@ -200,6 +200,65 @@ class IndexMaintenance:
         staged = stage_deletes_matchset(self, s.match_df(query))
         return _commit_staged_deletes(self, staged)
 
+    # -- numeric doc-values updates ------------------------------------------
+    def update_numeric_doc_value(self, field: str, value: int,
+                                 term: str | None = None,
+                                 term_field: str = "text",
+                                 query=None, searcher=None) -> int:
+        """``IndexWriter.updateNumericDocValue(Term, String field, long)``
+        (``core/index/IndexWriter.java``; generation files =
+        ``DocValuesFieldUpdates`` / ``.dvu``): assign ``value`` to the
+        doc-values ``field`` of every doc matching ``term`` (or an
+        arbitrary ``query`` match set) WITHOUT reindexing. Writes one
+        sparse generation dir; the atomic manifest replace is the commit
+        point (inert before it, crash-safe). Returns docs updated; a
+        no-match update is a no-op (no generation, no commit).
+
+        Scale: the match set stays distributed (searcher.match_df → one
+        projection → one parquet write); readers overlay the sparse chain
+        (see ``indexing/docvalues.py``) — nothing corpus-sized moves."""
+        from pyspark.sql import functions as F
+
+        from lucene_spark.indexing import docvalues
+        from lucene_spark.search import ast as _ast
+        from lucene_spark.search.searcher import IndexSearcher
+
+        if (term is None) == (query is None):
+            raise ValueError("exactly one of term= / query= is required")
+        s = searcher or IndexSearcher(self.spark, self.index_dir)
+        q = _ast.TermQuery(term, term_field) if term is not None else query
+        m = self._manifest()
+        gen_dir = docvalues.next_gen_dir(m, field)
+        out = s.match_df(q).select(
+            "doc_id", F.lit(int(value)).cast("long").alias("value"))
+        out.write.mode("overwrite").parquet(f"{self.index_dir}/{gen_dir}")
+        n = self.spark.read.parquet(f"{self.index_dir}/{gen_dir}").count()
+        if n == 0:
+            shutil.rmtree(f"{self.index_dir}/{gen_dir}", ignore_errors=True)
+            return 0
+        dv = dict(m.get("dv_updates", {}))
+        dv[field] = list(dv.get(field, [])) + [gen_dir]
+        m["dv_updates"] = dv
+        self._save_manifest(m)  # commit point
+        return int(n)
+
+    def _gc_dv_generations(self, keep: set):
+        """Remove doc-values generation dirs not in ``keep`` and not
+        referenced by any pinned commit snapshot (post-commit GC, same
+        policy as live-docs/stats generations)."""
+        import glob
+
+        from lucene_spark.indexing import commits
+
+        prot = set()
+        for mm in commits.list_snapshots(self.index_dir).values():
+            for gens in mm.get("dv_updates", {}).values():
+                prot |= set(gens)
+        for p in glob.glob(f"{self.index_dir}/dv/*"):
+            rel = "dv/" + os.path.basename(p)
+            if rel not in keep and rel not in prot:
+                shutil.rmtree(p, ignore_errors=True)
+
     # -- compaction ---------------------------------------------------------
     def plan_merges(self, target_rows: int) -> list[list[int]]:
         """Greedy tiered plan: consecutive runs in GLOBAL DOC ORDER (the
@@ -449,6 +508,49 @@ class IndexMaintenance:
         # fully readable — the .prev dir is promoted back on next open
         IndexBuilder.swap_build_manifest(index_dir, tmp)
 
+        # --- fold doc-values update chains onto the renumbered docIDs ------
+        # (Lucene merges fold the .dvu chain into the merged segment's doc
+        # values). Old→new docID recovery is exact through the (conv_id,
+        # turn_idx) doc identity — the docID invariant holds on both sides.
+        # Deleted docs simply find no join partner and their values drop.
+        dv_fields = dict(manifest.get("dv_updates", {}))
+        new_dv: dict = {}
+        old_dv_dirs = {g for gens in dv_fields.values() for g in gens}
+        if dv_fields:
+            from lucene_spark.indexing import docvalues as _dv
+
+            all_docs = spark.read.parquet(f"{index_dir}/docs")
+            old_offsets = {int(k): int(v)
+                           for k, v in manifest["offsets"].items()}
+            odf = spark.createDataFrame(
+                list(old_offsets.items()), "seg int, off long")
+            ndf = spark.createDataFrame(
+                list(offsets.items()), "seg int, noff long")
+            old_map = (
+                all_docs.filter(F.col("seg").isin(list(old_offsets)))
+                .join(F.broadcast(odf), "seg")
+                .select((F.col("doc_id") + F.col("off")).alias("old_gid"),
+                        "conv_id", "turn_idx"))
+            new_map = (
+                all_docs.filter(F.col("seg").isin(list(offsets)))
+                .join(F.broadcast(ndf), "seg")
+                .select((F.col("doc_id") + F.col("noff")).alias("doc_id"),
+                        "conv_id", "turn_idx"))
+            idmap = old_map.join(new_map, ["conv_id", "turn_idx"]) \
+                .select("old_gid", "doc_id")
+            for fld in sorted(dv_fields):
+                merged = _dv.merged_doc_values(spark, index_dir, manifest,
+                                               fld)
+                # fresh generation number past the existing chain — old
+                # gens stay intact for readers holding the old manifest
+                out_dir = _dv.next_gen_dir(manifest, fld)
+                (merged.withColumnRenamed("doc_id", "old_gid")
+                 .join(idmap, "old_gid").select("doc_id", "value")
+                 .write.mode("overwrite")
+                 .parquet(f"{index_dir}/{out_dir}"))
+                new_dv[fld] = [out_dir]
+            manifest["dv_updates"] = new_dv
+
         manifest["offsets"] = {str(s): o for s, o in sorted(offsets.items())}
         manifest["doc_count"] = acc
         manifest["num_segments"] = len(offsets)
@@ -476,6 +578,10 @@ class IndexMaintenance:
         self._gc_live_generations(keep={live_dir})
         self._builder._gc_stats_generations(
             keep=set(sdirs.values()) | set(old_sdirs.values()))
+        # keep the pre-fold dv generations too (open readers hold the old
+        # manifest); the next compact removes them
+        self._gc_dv_generations(
+            keep={g for gens in new_dv.values() for g in gens} | old_dv_dirs)
         return {"merged_runs": len(runs), "doc_count": acc,
                 "num_segments": len(offsets)}
 

@@ -2780,3 +2780,27 @@ FROM geo g
 WHERE EXISTS (SELECT 1 FROM tf m WHERE m.did = g.did AND m.term = '{term}')
 ORDER BY dist_m ASC, doc_id ASC LIMIT {int(k)}
 """
+
+
+def dv_update_sort_sql(terms, k: int, updates) -> str:
+    """Numeric doc-values update + sort oracle: ``updates`` is an ordered
+    [(term, value)] list — LATER updates override earlier ones per doc
+    (DocValuesFieldUpdates newest-generation-wins), docs matching none
+    default to 0. Match set = docs containing ANY of ``terms``; ranked
+    (value DESC, docID ASC), top-k. Integer-exact cross-engine."""
+    cases = " ".join(
+        f"WHEN EXISTS (SELECT 1 FROM tf u WHERE u.did = d.did"
+        f" AND u.term = '{t}') THEN {int(v)}"
+        for t, v in reversed(list(updates))
+    )
+    ors = " OR ".join(
+        f"EXISTS (SELECT 1 FROM tf s WHERE s.did = d.did AND s.term = '{t}')"
+        for t in terms
+    )
+    return f"""
+WITH {BASE_CTES}
+SELECT did AS doc_id, CAST(CASE {cases} ELSE 0 END AS BIGINT) AS value
+FROM dls d
+WHERE {ors}
+ORDER BY value DESC, did ASC LIMIT {int(k)}
+"""

@@ -253,6 +253,22 @@ class IndexReader:
             .drop("doc_offset")
         )
 
+    def numeric_doc_values(self, field: str):
+        """Merged numeric doc-values UPDATE view for ``field`` — sparse
+        (doc_id, value) with the newest update generation winning per doc
+        (``DocValuesFieldUpdates`` overlay, see ``indexing/docvalues.py``).
+        None when the field has no updates. Docs without a row have no
+        value (Lucene NumericDocValues absent-doc semantics — callers
+        supply the missing-value default)."""
+        from lucene_spark.indexing import docvalues
+
+        return docvalues.merged_doc_values(self.spark, self.index_dir,
+                                           self.manifest, field)
+
+    def dv_fields(self) -> list[str]:
+        """Fields with doc-values updates (FieldInfos docValuesGen > 0)."""
+        return sorted(self.manifest.get("dv_updates", {}))
+
     def similarity_scorer(self, similarity: BM25Similarity, boost: float, dfs,
                           ttfs=None):
         return similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs,

@@ -203,6 +203,31 @@ class IndexSearcher:
         return geo.distance_sorted(self.geo, self.match_df(query),
                                    center_lat, center_lon, k)
 
+    def sort_by_doc_value_df(self, query, field: str, k: int | None = None,
+                             default: int = 0, ascending: bool = True):
+        """Sort a query's match set by an UPDATED numeric doc-values field
+        (SortField over a ``updateNumericDocValue``'d field — the
+        docValuesGen overlay is the value source). ``default`` fills docs
+        the update chain never touched (SortField.setMissingValue).
+        Returns (doc_id, value) ordered (value, doc_id ASC tie-break) —
+        one sparse left join + TakeOrdered at k, fully distributed."""
+        from pyspark.sql import functions as F
+
+        dv = self.reader.numeric_doc_values(field)
+        if dv is None:
+            raise ValueError(f"no doc-values updates for field {field!r}")
+        if isinstance(query, str):
+            query = self.parse(query)
+        out = (
+            self.match_df(query).join(dv, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("value", F.lit(int(default)))
+                    .cast("long").alias("value"))
+            .orderBy(F.asc("value") if ascending else F.desc("value"),
+                     F.asc("doc_id"))
+        )
+        return out.limit(int(k)) if k is not None else out
+
     def _collect(self, df):
         """Execute a serving-path plan without AQE (see session.no_aqe)."""
         from lucene_spark.session import no_aqe

@@ -286,6 +286,12 @@ class IncrementalIndexer:
                 "addIndexes from an index with deletes — compact() the "
                 "source first (the Directory copy variant cannot apply "
                 "live-docs)")
+        if src.get("dv_updates"):
+            raise NotImplementedError(
+                "addIndexes from an index with doc-values updates — the "
+                "copy variant does not remap the source's dv generation "
+                "docIDs (compact-fold support lives on the target side "
+                "only)")
         for k in ("field", "analyzer", "positions", "keyword_fields"):
             if manifest.get(k) != src.get(k):
                 raise ValueError(

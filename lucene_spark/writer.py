@@ -53,6 +53,16 @@ class IndexWriter:
             return self._mnt.delete_by_term(term, field=field)
         return self._mnt.delete_by_query(query)
 
+    def update_numeric_doc_value(self, term: str, field: str, value: int,
+                                 term_field: str = "text") -> int:
+        """``updateNumericDocValue(Term term, String field, long value)``
+        (``core/index/IndexWriter.java``): assign ``value`` to the numeric
+        doc-values ``field`` of every doc matching ``term`` without
+        reindexing; one sparse update generation + atomic commit. Returns
+        docs updated."""
+        return self._mnt.update_numeric_doc_value(
+            field, value, term=term, term_field=term_field)
+
     def add_indexes(self, src_dir: str) -> dict:
         """``addIndexes(Directory...)``: copy another index's segments into
         this one (renumbered segments, shifted docBases, merged stats, one
