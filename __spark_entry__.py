@@ -1279,6 +1279,16 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_phrase_wildcard(spark, sf_dir):
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+    phrase "table v?lue*" — the wildcard slot expands against the term
+    dictionary and the phrase runs as a MultiPhraseQuery (fail-loud past
+    max_expansions instead of Lucene's segment-dependent truncation —
+    documented divergence)."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.phrase_wildcard(("table", "v?lue*"), k=40))
+
+
 DV_UPDATES = (("table", 100), ("value", 200))  # ordered — later wins
 
 
@@ -1572,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "unigram_logprob": _q_unigram_logprob,
         "dv_update_sort": _q_dv_update_sort,
+        "phrase_wildcard_topk": _q_phrase_wildcard,
     })
 
 
@@ -1840,4 +1851,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": po.unigram_logprob_sql(),
         "dv_update_sort": oracle.dv_update_sort_sql(
             Q_OR.split(), 50, DV_UPDATES),
+        "phrase_wildcard_topk": oracle.phrase_wildcard_topk_sql(
+            ["table", ("like", "v_lue%")], 40),
     }

@@ -2804,3 +2804,41 @@ FROM dls d
 WHERE {ors}
 ORDER BY value DESC, did ASC LIMIT {int(k)}
 """
+
+
+def phrase_wildcard_topk_sql(slots, k: int, boost: float = 1.0) -> str:
+    """PhraseWildcardQuery oracle
+    (``sandbox/search/PhraseWildcardQuery.java``): each slot is a literal
+    term string or ``("like", sql_like_pattern)`` — a wildcard slot's
+    expansion (every dictionary term matching the pattern) is derived
+    INDEPENDENTLY in SQL, then the phrase scores via the shared
+    MultiPhrase skeleton (union postings per slot, idf summed over every
+    slot term, MultiPhraseQuery.java:234,303)."""
+    f32_idf = ("CAST(ln(1 + ((SELECT n FROM fstats) - {df} + 0.5)"
+               " / ({df} + 0.5)) AS FLOAT)")
+    joins, conds, idf_parts, ctes = [], [], [], []
+    for i, slot in enumerate(slots):
+        if i > 0:
+            joins.append(
+                f"\n  JOIN toksp t{i} ON t{i}.did = t0.did "
+                f"AND t{i}.pos = t0.pos + {i}"
+            )
+        if isinstance(slot, str):
+            conds.append(f"t{i}.term = '{slot}'")
+            df = f"(SELECT df FROM tstats WHERE term = '{slot}')"
+            idf_parts.append(f"CAST({f32_idf.format(df=df)} AS DOUBLE)")
+        else:
+            kind, pat = slot
+            if kind != "like":
+                raise ValueError(f"unsupported oracle slot kind: {kind}")
+            ctes.append(
+                f"exp{i} AS (SELECT term, df FROM tstats "
+                f"WHERE term LIKE '{pat}')")
+            conds.append(f"t{i}.term IN (SELECT term FROM exp{i})")
+            idf_parts.append(
+                "(SELECT coalesce(sum(CAST("
+                + f32_idf.format(df="ts.df")
+                + " AS DOUBLE)), 0) FROM exp" + str(i) + " ts)")
+    extra = (",\n" + ",\n".join(ctes)) if ctes else ""
+    return _multiphrase_body_sql(joins, conds, " + ".join(idf_parts),
+                                 extra, k, boost)

@@ -2051,6 +2051,48 @@ class IndexSearcher:
             ast.MultiPhraseQuery(slots, field=field, boost=boost,
                                  slop=slop), k)
 
+    def phrase_wildcard(self, slots, k: int = 10,
+                        max_expansions: int = 1024, field: str = "text",
+                        boost: float = 1.0, slop: int = 0) -> list[ScoreDoc]:
+        """PhraseWildcardQuery
+        (``sandbox/search/PhraseWildcardQuery.java``): a phrase whose
+        slots may be multi-term queries. Each slot is a literal term, a
+        tuple of alternatives, a ``*``/``?`` wildcard pattern string, or
+        any ``ast.MultiTermQuery``; multi-term slots expand against the
+        term dictionary and the phrase runs as a MultiPhraseQuery (union
+        postings per slot, idf summed over every slot term —
+        ``MultiPhraseQuery.java:234,303``).
+
+        Divergence from Lucene, documented: PhraseWildcardQuery BOUNDS
+        expansion at maxMultiTermExpansions by truncating segment-by-
+        segment (result set depends on segmentation); we keep the engine's
+        fail-loud contract instead — past ``max_expansions`` this raises
+        TooManyClauses rather than silently truncating, so results are
+        segmentation-independent. An empty expansion matches nothing
+        (same as Lucene's no-match segment)."""
+        from lucene_spark.search import multiterm as mt
+
+        out_slots = []
+        for s in slots:
+            if isinstance(s, tuple):
+                out_slots.append(s)
+                continue
+            if isinstance(s, str):
+                if not any(c in s for c in "*?"):
+                    out_slots.append((s,))
+                    continue
+                s = ast.MultiTermQuery(kind="wildcard", value=s, field=field)
+            if not isinstance(s, ast.MultiTermQuery):
+                raise TypeError(f"unsupported slot: {s!r}")
+            exp = mt.expand_terms_hybrid(self.reader, s,
+                                         int(max_expansions))
+            if not exp:
+                return []
+            out_slots.append(tuple(exp))
+        return self.search(
+            ast.MultiPhraseQuery(tuple(out_slots), field=field, boost=boost,
+                                 slop=slop), k)
+
     def boost_by_query_df(self, query, boost_query, boost: float):
         """``FunctionScoreQuery.boostByQuery``
         (``queries/function/FunctionScoreQuery.java:83-101``): the main

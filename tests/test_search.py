@@ -1972,3 +1972,31 @@ def test_suggest_infix_paths_agree(searcher):
     finally:
         r._term_cache = cached
     assert via_scan == via_cache
+
+
+def test_phrase_wildcard_matches_manual_expansion(spark, index_dir):
+    """PhraseWildcardQuery ≡ MultiPhraseQuery over the dictionary expansion
+    (sandbox/search/PhraseWildcardQuery.java re-expressed fail-loud)."""
+    from lucene_spark.search import ast as _ast
+    from lucene_spark.search import multiterm as mt
+    from lucene_spark.search.multiterm import TooManyClauses
+
+    s = IndexSearcher(spark, index_dir)
+    t0 = VOCAB[0]
+    pat = VOCAB[1][:2] + "*"
+    exp = mt.expand_terms_hybrid(
+        s.reader, _ast.MultiTermQuery(kind="wildcard", value=pat), 1024)
+    assert exp
+    got = s.phrase_wildcard((t0, pat), k=20)
+    want = s.search(_ast.MultiPhraseQuery(((t0,), tuple(exp))), k=20)
+    assert [(h.doc_id, h.score) for h in got] == [
+        (h.doc_id, h.score) for h in want]
+    # literal + tuple slots pass through untouched
+    got2 = s.phrase_wildcard(((t0,), exp[0]), k=5)
+    want2 = s.search(_ast.MultiPhraseQuery(((t0,), (exp[0],))), k=5)
+    assert [(h.doc_id, h.score) for h in got2] == [
+        (h.doc_id, h.score) for h in want2]
+    # empty expansion matches nothing; oversized expansion fails loud
+    assert s.phrase_wildcard((t0, "zzzz*"), k=5) == []
+    with pytest.raises(TooManyClauses):
+        s.phrase_wildcard((t0, "*"), k=5, max_expansions=2)
