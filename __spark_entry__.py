@@ -1279,6 +1279,17 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+MR_RANGES = ((5, 12), (30, 40), (38, 55), (200, 300))  # overlapping + empty
+
+
+def _q_multi_range_count(spark, sf_dir):
+    """MultiRangeQuery (sandbox): docs whose dl falls in ANY of the ranges
+    (overlapping ranges count once; one scan, OR'd BETWEENs)."""
+    s = _searcher(spark, sf_dir)
+    return s.multi_range_df("dl", MR_RANGES).agg(
+        F.count("*").cast("long").alias("hits"))
+
+
 def _q_phrase_wildcard(spark, sf_dir):
     """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
     phrase "table v?lue*" — the wildcard slot expands against the term
@@ -1583,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "dv_update_sort": _q_dv_update_sort,
         "phrase_wildcard_topk": _q_phrase_wildcard,
+        "multi_range_count": _q_multi_range_count,
     })
 
 
@@ -1853,4 +1865,5 @@ def oracle_sql() -> dict[str, str]:
             Q_OR.split(), 50, DV_UPDATES),
         "phrase_wildcard_topk": oracle.phrase_wildcard_topk_sql(
             ["table", ("like", "v_lue%")], 40),
+        "multi_range_count": oracle.multi_range_count_sql(MR_RANGES),
     }

@@ -2842,3 +2842,14 @@ def phrase_wildcard_topk_sql(slots, k: int, boost: float = 1.0) -> str:
     extra = (",\n" + ",\n".join(ctes)) if ctes else ""
     return _multiphrase_body_sql(joins, conds, " + ".join(idf_parts),
                                  extra, k, boost)
+
+
+def multi_range_count_sql(ranges) -> str:
+    """MultiRangeQuery oracle (``sandbox/search/MultiRangeQuery.java``):
+    count of docs whose dl lies in ANY of the inclusive ranges."""
+    ors = " OR ".join(
+        f"(d.dl BETWEEN {int(lo)} AND {int(hi)})" for lo, hi in ranges)
+    return f"""
+WITH {BASE_CTES}
+SELECT count(*)::BIGINT AS hits FROM dls d WHERE {ors}
+"""

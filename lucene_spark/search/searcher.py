@@ -203,6 +203,30 @@ class IndexSearcher:
         return geo.distance_sorted(self.geo, self.match_df(query),
                                    center_lat, center_lon, k)
 
+    def multi_range_df(self, col: str, ranges, query=None):
+        """``MultiRangeQuery`` (``sandbox/search/MultiRangeQuery.java``:
+        matches points inside ANY of a set of ranges in one field —
+        disjunction executed as a single pass, not N separate range
+        queries). ``ranges``: [(lo, hi)] inclusive bounds. One docs-table
+        scan with OR'd BETWEEN predicates (Catalyst folds overlapping
+        bounds; pushdown-able) — no union, no shuffle. Optional ``query``
+        intersects with its match set. Returns (doc_id)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if not ranges:
+            return self.spark.createDataFrame([], "doc_id long")
+        cond = reduce(lambda a, b: a | b,
+                      [F.col(col).between(lo, hi) for lo, hi in ranges])
+        out = (self.reader.docs(live_only=True)
+               .filter(cond).select("doc_id"))
+        if query is not None:
+            if isinstance(query, str):
+                query = self.parse(query)
+            out = out.join(self.match_df(query), "doc_id", "left_semi")
+        return out
+
     def sort_by_doc_value_df(self, query, field: str, k: int | None = None,
                              default: int = 0, ascending: bool = True):
         """Sort a query's match set by an UPDATED numeric doc-values field

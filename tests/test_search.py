@@ -2000,3 +2000,22 @@ def test_phrase_wildcard_matches_manual_expansion(spark, index_dir):
     assert s.phrase_wildcard((t0, "zzzz*"), k=5) == []
     with pytest.raises(TooManyClauses):
         s.phrase_wildcard((t0, "*"), k=5, max_expansions=2)
+
+
+def test_multi_range_query(spark, index_dir):
+    """MultiRangeQuery: OR of ranges ≡ union of single-range filters,
+    overlaps count once, live-docs respected, query intersection."""
+    s = IndexSearcher(spark, index_dir)
+    docs = {r["doc_id"]: r["dl"] for r in s.reader.docs().collect()}
+    ranges = [(1, 8), (6, 15), (10_000, 20_000)]
+    got = sorted(r["doc_id"] for r in
+                 s.multi_range_df("dl", ranges).collect())
+    want = sorted(i for i, dl in docs.items()
+                  if any(lo <= dl <= hi for lo, hi in ranges))
+    assert got == want and got
+    assert s.multi_range_df("dl", []).count() == 0
+    q = s.parse(VOCAB[0])
+    match = {r["doc_id"] for r in s.match_df(q).collect()}
+    inter = sorted(r["doc_id"] for r in
+                   s.multi_range_df("dl", ranges, query=q).collect())
+    assert inter == sorted(set(want) & match)
