@@ -1279,6 +1279,38 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+NB_INPUTS = ("table value query row scan", "spark fast merge batch line")
+
+
+def _q_nb_classify(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (lucene/classification): classes = lang
+    (indexed as the role keyword field on a dedicated index); priors +
+    add-1-smoothed word likelihoods from index statistics; f32-narrowed
+    ln's + exact double sums (hash-parity)."""
+    import shutil
+
+    from lucene_spark.classification import SimpleNaiveBayesClassifier
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_nb/{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.col("text"),
+    )
+    if not os.path.exists(f"{d}/manifest.json"):
+        shutil.rmtree(d, ignore_errors=True)
+        IndexBuilder(spark, d, analyzer="simple", num_segments=4,
+                     keyword_fields=("role",)).build(t)
+    s = IndexSearcher(spark, d)
+    clf = SimpleNaiveBayesClassifier(s, class_field="role")
+    return clf.classify_df(list(NB_INPUTS)).orderBy("input_id", "cls")
+
+
 MR_RANGES = ((5, 12), (30, 40), (38, 55), (200, 300))  # overlapping + empty
 
 
@@ -1595,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update_sort": _q_dv_update_sort,
         "phrase_wildcard_topk": _q_phrase_wildcard,
         "multi_range_count": _q_multi_range_count,
+        "nb_classify": _q_nb_classify,
     })
 
 
@@ -1866,4 +1899,5 @@ def oracle_sql() -> dict[str, str]:
         "phrase_wildcard_topk": oracle.phrase_wildcard_topk_sql(
             ["table", ("like", "v_lue%")], 40),
         "multi_range_count": oracle.multi_range_count_sql(MR_RANGES),
+        "nb_classify": oracle.nb_classify_sql(NB_INPUTS),
     }

@@ -1,0 +1,131 @@
+"""Index-backed text classification — the ``lucene/classification`` module.
+
+``SimpleNaiveBayesClassifier``
+(``classification/src/java/org/apache/lucene/classification/
+SimpleNaiveBayesClassifier.java``): a naive Bayes classifier whose training
+data IS the index — classes are the terms of a keyword (class) field,
+priors and word likelihoods come from index statistics:
+
+- classes + df(c):            the class field's term dictionary
+- docsWithClass N:            getDocCount(class field) = Σdf (single-valued)
+- log prior(c):               ln(df(c)) − ln(N)                        (:279)
+- hits(w, c):                 count of ``+text:w +class:c``            (:263)
+- den(c) = avgUniqueTerms × df(c) + N, where avgUniqueTerms =
+  sumDocFreq(text) / docCount(text)  (docs with ≥1 term ⇔ dl > 0)      (:241)
+- log likelihood:             Σ_w ln((hits(w,c) + 1) / den(c))  — add-1
+  smoothing, repeated input words count each occurrence               (:209)
+
+Cross-engine exactness contract (same trick as the BM25 / unigram-LM
+oracles): every ``ln`` narrows to float32 — absorbing last-ulp libm
+differences — and the per-input sums accumulate those float32 values in
+double, which is EXACT (≪ 53 significant bits) and order-independent, so
+the DuckDB oracle hash-matches bit-for-bit.
+
+Scale shape: ONE distributed job computes the (word, class, hits) table —
+the union of per-word match sets joined to the union of per-class match
+sets, two-stage counted; its size is |query words| × |classes| (tiny), so
+the driver-side score assembly handles a handful of scalars, exactly like
+Lucene's own per-call loop. Nothing corpus-sized is collected.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lucene_spark.search import ast
+
+
+def _f32_ln(x: float) -> float:
+    return float(np.float32(math.log(x)))
+
+
+class SimpleNaiveBayesClassifier:
+    def __init__(self, searcher, class_field: str = "role",
+                 text_field: str = "text"):
+        self.searcher = searcher
+        self.class_field = class_field
+        self.text_field = text_field
+        r = searcher.reader
+        stats = r._term_stats_df.filter(F.col("field") == class_field)
+        self.classes = {
+            row["term"]: int(row["df"])
+            for row in stats.select("term", "df").collect()
+        }
+        if not self.classes:
+            raise ValueError(f"no terms in class field {class_field!r}")
+        fs = r.field_stats[class_field]
+        self.n_class = int(fs["doc_count"])  # docsWithClass (Σdf, 1-valued)
+        tfs = r.field_stats[text_field]
+        # Lucene getDocCount(text) counts docs with ≥1 term (dl > 0)
+        self.doc_count_text = int(
+            r.docs().filter(F.col("dl") > 0).count())
+        self.avg_unique = tfs["sum_df"] / float(self.doc_count_text)
+
+    def _hits(self, words: list[str]):
+        """(word, class, hits) via one distributed plan: union of per-word
+        text match sets ⋈ union of per-class keyword match sets."""
+        s = self.searcher
+        uniq = sorted(set(words))
+        wparts = [
+            s.match_df(ast.TermQuery(w, self.text_field))
+            .select("doc_id", F.lit(w).alias("word"))
+            for w in uniq
+        ]
+        cparts = [
+            s.match_df(ast.TermQuery(c, self.class_field))
+            .select("doc_id", F.lit(c).alias("cls"))
+            for c in sorted(self.classes)
+        ]
+
+        def _union(parts):
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            return u
+
+        rows = (
+            _union(wparts).join(_union(cparts), "doc_id")
+            .groupBy("word", "cls")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .collect()
+        )
+        return {(r["word"], r["cls"]): int(r["hits"]) for r in rows}
+
+    def classify_all(self, texts: list[str]) -> list[list[tuple[str, float]]]:
+        """Per input: every class with its raw log score, ranked
+        (score DESC, class ASC) — ``getClasses`` minus the monotone 0-1
+        normalization (argmax identical; documented cut)."""
+        tok = [self.searcher.analyzer.tokenize_text(t) for t in texts]
+        all_words = [w for ws in tok for w in ws]
+        hits = self._hits(all_words) if all_words else {}
+        out = []
+        for ws in tok:
+            scored = []
+            for c, dfc in sorted(self.classes.items()):
+                den = self.avg_unique * float(dfc) + float(self.n_class)
+                sc = _f32_ln(float(dfc)) - _f32_ln(float(self.n_class))
+                for w in ws:
+                    num = float(hits.get((w, c), 0) + 1)
+                    sc += float(np.float32(math.log(num / den)))
+                scored.append((c, sc))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            out.append(scored)
+        return out
+
+    def assign_class(self, text: str) -> tuple[str, float]:
+        """``assignClass``: the max-scoring class."""
+        return self.classify_all([text])[0][0]
+
+    def classify_df(self, texts: list[str]):
+        """(input_id, cls, score) DataFrame over every (input, class) pair
+        — the gate-able surface."""
+        rows = [
+            (i, c, s)
+            for i, scored in enumerate(self.classify_all(texts))
+            for c, s in scored
+        ]
+        return self.searcher.spark.createDataFrame(
+            rows, "input_id long, cls string, score double")

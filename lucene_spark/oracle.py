@@ -2853,3 +2853,58 @@ def multi_range_count_sql(ranges) -> str:
 WITH {BASE_CTES}
 SELECT count(*)::BIGINT AS hits FROM dls d WHERE {ors}
 """
+
+
+def nb_classify_sql(inputs) -> str:
+    """SimpleNaiveBayesClassifier oracle
+    (``classification/.../SimpleNaiveBayesClassifier.java``): classes =
+    lang values; prior = f32ln(df_c) − f32ln(N); per-occurrence word
+    log-likelihood = f32(ln((hits+1) / (avgUnique·df_c + N))) with
+    avgUnique = sumDocFreq(text)/docCount(text) (docs with dl > 0);
+    per-(input, class) sums of f32 addends accumulate in double — exact
+    and order-independent, hash-parity with the engine."""
+    vals = ",".join(f"({i}, '{t}')" for i, t in enumerate(inputs))
+    return f"""
+WITH {BASE_CTES},
+inputs(input_id, itext) AS (VALUES {vals}),
+itoks AS (
+  SELECT input_id,
+         unnest(regexp_extract_all(lower(itext), '[a-z0-9]+')) AS word
+  FROM inputs
+),
+classes AS (SELECT lang AS cls, count(*)::BIGINT AS dfc FROM docs0 GROUP BY 1),
+cstats AS (SELECT count(*)::BIGINT AS nclass FROM docs0),
+sdf AS (SELECT count(*)::BIGINT AS sum_df FROM tf),
+dct AS (SELECT count(*)::BIGINT AS n FROM dls WHERE dl > 0),
+hits AS (
+  SELECT t.term AS word, d.lang AS cls, count(DISTINCT t.did)::BIGINT AS h
+  FROM tf t JOIN docs0 d ON d.did = t.did
+  WHERE t.term IN (SELECT DISTINCT word FROM itoks)
+  GROUP BY 1, 2
+),
+wl AS (
+  SELECT i.input_id, c.cls,
+         CAST(ln(CAST(coalesce(h.h, 0) + 1 AS DOUBLE)
+                 / ((CAST((SELECT sum_df FROM sdf) AS DOUBLE)
+                     / CAST((SELECT n FROM dct) AS DOUBLE))
+                    * CAST(c.dfc AS DOUBLE)
+                    + CAST((SELECT nclass FROM cstats) AS DOUBLE)))
+              AS FLOAT) AS lp
+  FROM itoks i CROSS JOIN classes c
+  LEFT JOIN hits h ON h.word = i.word AND h.cls = c.cls
+),
+agg AS (
+  SELECT input_id, cls, sum(CAST(lp AS DOUBLE)) AS slp
+  FROM wl GROUP BY 1, 2
+),
+prior AS (SELECT cls, CAST(ln(CAST(dfc AS DOUBLE)) AS FLOAT) AS lpc
+          FROM classes)
+SELECT CAST(i.input_id AS BIGINT) AS input_id, p.cls,
+       CAST(CAST(p.lpc AS DOUBLE)
+            - CAST(CAST(ln(CAST((SELECT nclass FROM cstats) AS DOUBLE))
+                        AS FLOAT) AS DOUBLE)
+            + coalesce(a.slp, 0e0) AS DOUBLE) AS score
+FROM inputs i CROSS JOIN prior p
+LEFT JOIN agg a ON a.input_id = i.input_id AND a.cls = p.cls
+ORDER BY i.input_id, p.cls
+"""
