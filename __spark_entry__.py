@@ -1282,16 +1282,11 @@ def _q_unigram_logprob(spark, sf_dir):
 NB_INPUTS = ("table value query row scan", "spark fast merge batch line")
 
 
-def _q_nb_classify(spark, sf_dir):
-    """SimpleNaiveBayesClassifier (lucene/classification): classes = lang
-    (indexed as the role keyword field on a dedicated index); priors +
-    add-1-smoothed word likelihoods from index statistics; f32-narrowed
-    ln's + exact double sums (hash-parity)."""
+def _nb_index(spark, sf_dir) -> str:
+    """Dedicated classification index: role := lang (multi-class)."""
     import shutil
 
-    from lucene_spark.classification import SimpleNaiveBayesClassifier
     from lucene_spark.indexing.builder import IndexBuilder
-    from lucene_spark.search.searcher import IndexSearcher
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     d = f"/tmp/lucene_spark_driver_nb/{tag}"
@@ -1306,9 +1301,36 @@ def _q_nb_classify(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
         IndexBuilder(spark, d, analyzer="simple", num_segments=4,
                      keyword_fields=("role",)).build(t)
-    s = IndexSearcher(spark, d)
+    return d
+
+
+def _q_nb_classify(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (lucene/classification): classes = lang
+    (indexed as the role keyword field on a dedicated index); priors +
+    add-1-smoothed word likelihoods from index statistics; f32-narrowed
+    ln's + exact double sums (hash-parity)."""
+    from lucene_spark.classification import SimpleNaiveBayesClassifier
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, _nb_index(spark, sf_dir))
     clf = SimpleNaiveBayesClassifier(s, class_field="role")
     return clf.classify_df(list(NB_INPUTS)).orderBy("input_id", "cls")
+
+
+def _q_knn_classify(spark, sf_dir):
+    """KNearestNeighborClassifier (lucene/classification): MLT top-20 of
+    doc 32's text → per-lang vote (count × normalized boost / k); the
+    unboosted MLT config the SQL oracle models."""
+    from lucene_spark.classification import KNearestNeighborClassifier
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, _nb_index(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = (docs.orderBy("doc_id").limit(MLT_SRC_DID + 1)
+           .collect()[MLT_SRC_DID])
+    clf = KNearestNeighborClassifier(s, class_field="role", k=20)
+    return (clf.classify_df([row.text])
+            .select("cls", "score").orderBy(F.desc("score"), F.asc("cls")))
 
 
 MR_RANGES = ((5, 12), (30, 40), (38, 55), (200, 300))  # overlapping + empty
@@ -1628,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_wildcard_topk": _q_phrase_wildcard,
         "multi_range_count": _q_multi_range_count,
         "nb_classify": _q_nb_classify,
+        "knn_classify": _q_knn_classify,
     })
 
 
@@ -1900,4 +1923,5 @@ def oracle_sql() -> dict[str, str]:
             ["table", ("like", "v_lue%")], 40),
         "multi_range_count": oracle.multi_range_count_sql(MR_RANGES),
         "nb_classify": oracle.nb_classify_sql(NB_INPUTS),
+        "knn_classify": oracle.knn_classify_sql(MLT_SRC_DID, 20),
     }

@@ -129,3 +129,90 @@ class SimpleNaiveBayesClassifier:
         ]
         return self.searcher.spark.createDataFrame(
             rows, "input_id long, cls string, score double")
+
+
+class KNearestNeighborClassifier:
+    """``classification/.../KNearestNeighborClassifier.java``: classify by
+    voting over the k docs most similar to the input (a MoreLikeThis query
+    over the text field → top-k BM25 → class votes):
+
+    - per class: count + boost = Σ hit score / maxScore (top-1 score)
+    - score(c) = (count × (boost/count)) / k, rescaled ×k/sumdoc when
+      fewer than k hits carried a class (``buildListFromTopDocs``)
+
+    Cross-engine exactness: each score/maxScore quotient narrows to
+    float32 before the per-class double sum (exact, order-independent) —
+    same contract as the rest of the oracle suite. Lucene turns MLT term
+    boosting ON for knnSearch; this classifier exposes ``mlt_opts`` and
+    the driver gate runs the unboosted config its SQL oracle models
+    (boosted selection is engine-supported via ``mlt_query(boost=True)``).
+    """
+
+    def __init__(self, searcher, class_field: str = "role", k: int = 10,
+                 mlt_opts: dict | None = None):
+        self.searcher = searcher
+        self.class_field = class_field
+        self.k = int(k)
+        self.mlt_opts = dict(mlt_opts or {})
+        stats = searcher.reader._term_stats_df.filter(
+            F.col("field") == class_field)
+        self.classes = sorted(
+            r["term"] for r in stats.select("term").collect())
+        if not self.classes:
+            raise ValueError(f"no terms in class field {class_field!r}")
+
+    def _classes_of(self, doc_ids: list[int]) -> dict[int, str]:
+        s = self.searcher
+        parts = [
+            s.match_df(ast.TermQuery(c, self.class_field))
+            .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("doc_id", F.lit(c).alias("cls"))
+            for c in self.classes
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return {int(r["doc_id"]): r["cls"] for r in u.collect()}
+
+    def classify_all(self, texts: list[str]) -> list[list[tuple[str, float]]]:
+        out = []
+        for text in texts:
+            hits = self.searcher.more_like_this(text, k=self.k,
+                                                **self.mlt_opts)
+            if not hits:
+                out.append([])
+                continue
+            max_score = float(hits[0].score)
+            cls_of = self._classes_of([h.doc_id for h in hits])
+            counts: dict[str, int] = {}
+            boosts: dict[str, float] = {}
+            for h in hits:
+                c = cls_of.get(int(h.doc_id))
+                if c is None:
+                    continue
+                counts[c] = counts.get(c, 0) + 1
+                boosts[c] = boosts.get(c, 0.0) + float(
+                    np.float32(float(h.score) / max_score))
+            sumdoc = sum(counts.values())
+            scored = []
+            for c in sorted(counts):
+                sc = (counts[c] * (boosts[c] / counts[c])) / float(self.k)
+                if sumdoc < self.k:
+                    sc = sc * float(self.k) / float(sumdoc)
+                scored.append((c, sc))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            out.append(scored)
+        return out
+
+    def assign_class(self, text: str):
+        scored = self.classify_all([text])[0]
+        return scored[0] if scored else None
+
+    def classify_df(self, texts: list[str]):
+        rows = [
+            (i, c, s)
+            for i, scored in enumerate(self.classify_all(texts))
+            for c, s in scored
+        ]
+        return self.searcher.spark.createDataFrame(
+            rows, "input_id long, cls string, score double")

@@ -2908,3 +2908,36 @@ FROM inputs i CROSS JOIN prior p
 LEFT JOIN agg a ON a.input_id = i.input_id AND a.cls = p.cls
 ORDER BY i.input_id, p.cls
 """
+
+
+def knn_classify_sql(src_did: int, k: int) -> str:
+    """KNearestNeighborClassifier oracle
+    (``classification/.../KNearestNeighborClassifier.java``
+    buildListFromTopDocs): top-k MLT hits (the mlt_topk_sql CTE chain,
+    unboosted config) → per-class count + Σ f32(score/maxScore) →
+    score = (count × (boost/count)) / k, rescaled ×k/sumdoc when
+    sumdoc < k. Classes = lang."""
+    mlt = mlt_topk_sql(src_did, k)
+    kd = f"CAST({int(k)} AS DOUBLE)"
+    return f"""
+WITH hits AS (SELECT * FROM ({mlt}) mq),
+dmap AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lang FROM documents),
+mx AS (SELECT max(score) AS m FROM hits),
+q AS (
+  SELECT h.doc_id, d.lang AS cls,
+         CAST(h.score / (SELECT m FROM mx) AS FLOAT) AS qt
+  FROM hits h JOIN dmap d ON d.did = h.doc_id),
+votes AS (
+  SELECT cls, count(*)::BIGINT AS cnt, sum(CAST(qt AS DOUBLE)) AS boost
+  FROM q GROUP BY cls),
+sd AS (SELECT CAST(sum(cnt) AS DOUBLE) AS sumdoc,
+              sum(cnt)::BIGINT AS sumdoc_i FROM votes)
+SELECT cls,
+       CAST(CASE WHEN (SELECT sumdoc_i FROM sd) < {int(k)}
+            THEN ((cnt * (boost / cnt)) / {kd})
+                 * {kd} / (SELECT sumdoc FROM sd)
+            ELSE (cnt * (boost / cnt)) / {kd} END AS DOUBLE) AS score
+FROM votes ORDER BY score DESC, cls ASC
+"""

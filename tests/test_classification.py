@@ -71,3 +71,35 @@ def test_nb_matches_brute(spark, nb_index, corpus_pdf):
     for i, scored in enumerate(got):
         for c, sc in scored:
             assert by[(i, c)] == sc
+
+
+def test_knn_classifier_vote(spark, nb_index, corpus_pdf):
+    from lucene_spark.classification import KNearestNeighborClassifier
+
+    s = IndexSearcher(spark, nb_index)
+    k = 12
+    clf = KNearestNeighborClassifier(s, class_field="role", k=k)
+    text = " ".join([VOCAB[0], VOCAB[1], VOCAB[0], VOCAB[2]] * 3)
+    hits = s.more_like_this(text, k=k)
+    assert hits
+    # brute vote from the raw corpus rows (analyzer-tokenized role lookup)
+    roles = list(corpus_pdf["role"])
+    max_score = float(hits[0].score)
+    counts, boosts = {}, {}
+    for h in hits:
+        c = roles[h.doc_id]
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + float(
+            np.float32(float(h.score) / max_score))
+    sumdoc = sum(counts.values())
+    want = {}
+    for c in counts:
+        sc = (counts[c] * (boosts[c] / counts[c])) / float(k)
+        if sumdoc < k:
+            sc = sc * float(k) / float(sumdoc)
+        want[c] = sc
+    got = clf.classify_all([text])[0]
+    assert dict(got) == want  # bit-exact
+    assert [c for c, _ in got] == sorted(want, key=lambda c: (-want[c], c))
+    best = clf.assign_class(text)
+    assert best == got[0]
