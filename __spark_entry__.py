@@ -1333,6 +1333,22 @@ def _q_knn_classify(spark, sf_dir):
             .select("cls", "score").orderBy(F.desc("score"), F.asc("cls")))
 
 
+FT_KEY = "key query "  # trailing space → next-token prediction
+
+
+def _q_freetext_suggest(spark, sf_dir):
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
+    stupid-backoff trigram LM next-token suggestions after 'key query '."""
+    from lucene_spark.search.suggest import FreeTextSuggester
+
+    ftk = f"_ft_{os.path.basename(os.path.normpath(sf_dir))}"
+    if ftk not in _SEARCHERS:
+        _SEARCHERS[ftk] = FreeTextSuggester(
+            spark, _docs(spark, sf_dir), _AN, grams=3)
+    rows = _SEARCHERS[ftk].lookup(FT_KEY, num=10)
+    return spark.createDataFrame(rows, "tok string, score double")
+
+
 MR_RANGES = ((5, 12), (30, 40), (38, 55), (200, 300))  # overlapping + empty
 
 
@@ -1651,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_range_count": _q_multi_range_count,
         "nb_classify": _q_nb_classify,
         "knn_classify": _q_knn_classify,
+        "freetext_suggest": _q_freetext_suggest,
     })
 
 
@@ -1924,4 +1941,6 @@ def oracle_sql() -> dict[str, str]:
         "multi_range_count": oracle.multi_range_count_sql(MR_RANGES),
         "nb_classify": oracle.nb_classify_sql(NB_INPUTS),
         "knn_classify": oracle.knn_classify_sql(MLT_SRC_DID, 20),
+        "freetext_suggest": oracle.freetext_suggest_sql(
+            ["key", "query"], 10),
     }

@@ -2941,3 +2941,58 @@ SELECT cls,
             ELSE (cnt * (boost / cnt)) / {kd} END AS DOUBLE) AS score
 FROM votes ORDER BY score DESC, cls ASC
 """
+
+
+def freetext_suggest_sql(ctx_tokens, num: int, grams: int = 3) -> str:
+    """FreeTextSuggester oracle
+    (``suggest/analyzing/FreeTextSuggester.java`` stupid backoff): next-
+    token suggestions after a trailing-space key whose last tokens are
+    ``ctx_tokens``. Level ℓ weight = 0.4^ℓ (exact double products — the
+    engine's backoff decays per level with sufficient context, seen or
+    not); score = weight × cnt(context+token)/cnt(context); a token seen
+    at a higher order is not re-suggested; ranked (score DESC, tok ASC).
+    Assumes len(ctx_tokens) ≥ grams-1 (trailing-space lookup)."""
+    ctx_tokens = list(ctx_tokens)
+    assert len(ctx_tokens) >= grams - 1
+    # n-gram count CTEs g1..g{grams}
+    ctes = ["tdocs AS (SELECT regexp_extract_all(lower(coalesce(text, '')),"
+            " '[a-z0-9]+') AS ts FROM documents)"]
+    for n in range(1, grams + 1):
+        ctes.append(
+            f"c{n} AS (SELECT g, count(*)::BIGINT AS cnt FROM ("
+            f"SELECT array_to_string(list_slice(ts, i, i + {n - 1}), ' ')"
+            f" AS g FROM (SELECT ts, unnest(range(1, len(ts) - {n - 2}))"
+            f" AS i FROM tdocs) WHERE len(ts) >= {n}) GROUP BY g)")
+    levels = []
+    backoff = 1.0
+    lvl = 0
+    for n in range(grams, 0, -1):
+        need = n - 1
+        ctx = ctx_tokens[len(ctx_tokens) - need:] if need else []
+        w = format(backoff, ".17e")
+        if ctx:
+            cs = " ".join(ctx)
+            ctx_cnt = f"(SELECT cnt FROM c{need} WHERE g = '{cs}')"
+            where = f"g LIKE '{cs} %'"
+        else:
+            ctx_cnt = "(SELECT sum(cnt) FROM c1)"
+            where = "TRUE"
+        levels.append(
+            f"SELECT {lvl} AS lvl, list_extract(string_split(g, ' '), {n})"
+            f" AS tok, {w} * (CAST(cnt AS DOUBLE)"
+            f" / CAST({ctx_cnt} AS DOUBLE)) AS score"
+            f" FROM c{n} WHERE {where}"
+            f" AND coalesce({ctx_cnt}, 0) > 0")
+        backoff *= 0.4
+        lvl += 1
+    union = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH {",".join(ctes)},
+lv AS ({union}),
+dedup AS (
+  SELECT tok, score, row_number() OVER (PARTITION BY tok ORDER BY lvl) AS rn
+  FROM lv
+)
+SELECT tok, score FROM dedup WHERE rn = 1
+ORDER BY score DESC, tok ASC LIMIT {int(num)}
+"""

@@ -148,3 +148,114 @@ def suggest_infix(reader, substr: str, k: int = 10, field: str = "text"):
         .collect()
     )
     return [(r["term"], int(r["df"])) for r in rows]
+
+
+class FreeTextSuggester:
+    """N-gram language-model suggester with stupid backoff —
+    ``suggest/analyzing/FreeTextSuggester.java`` (ALPHA = 0.4, the "Large
+    language models in machine translation" model it cites).
+
+    ``build``: token n-gram count tables (1..grams) from a corpus
+    DataFrame — per-order ONE explode + two-stage groupBy (map-side
+    combine; hot n-grams reduce before the shuffle), the ShingleFilter +
+    aggregation the reference runs through a temp index + FST.
+
+    ``lookup(key)``: the last (grams-1) analyzed tokens form the context;
+    a trailing-space key predicts the NEXT token, otherwise the last
+    fragment is prefix-completed. Levels run highest-order first:
+    score = 0.4^level_drop × count(context+token) / count(context)
+    (count(∅) = totTokens); a token seen at a higher order is not
+    re-suggested (the ``seen`` set); ranked (score DESC, token ASC).
+    Scores stay exact doubles (integer ratios × a power-of-0.4 literal —
+    deterministic cross-engine; the reference's Long.MAX_VALUE
+    presentation scaling is dropped, documented).
+
+    Levels with insufficient context are skipped WITHOUT consuming a
+    backoff step, and an unseen context still decays the backoff — both
+    exactly as the reference loop does (lookup():524-676).
+    """
+
+    ALPHA = 0.4
+
+    def __init__(self, spark, docs_df, analyzer, grams: int = 3,
+                 text_col: str = "text"):
+        from pyspark.sql import functions as F
+
+        if grams < 1:
+            raise ValueError("grams must be >= 1")
+        self.spark = spark
+        self.grams = int(grams)
+        self.analyzer = analyzer
+        toks = docs_df.select(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit("[a-z0-9]+"), F.lit(0)).alias("ts"))
+        self.tables = {}
+        for n in range(1, self.grams + 1):
+            grams_col = F.when(
+                F.size("ts") < n, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, n)),
+                )
+            )
+            self.tables[n] = (
+                toks.select(F.explode(grams_col).alias("g"))
+                .groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+                .cache()
+            )
+        self.tot_tokens = int(
+            self.tables[1].agg(F.sum("cnt")).head()[0] or 0)
+
+    def lookup(self, key: str, num: int = 10) -> list[tuple[str, float]]:
+        """Ranked [(next_or_completed_token, score)]."""
+        from pyspark.sql import functions as F
+
+        toks = self.analyzer.tokenize_text(key)
+        if not toks:
+            raise ValueError("no tokens produced by the analyzer")
+        ended = key != key.rstrip()
+        frag = None if ended else toks[-1]
+        ctx_all = toks if ended else toks[:-1]
+        levels = []  # (weight, context tuple)
+        backoff = 1.0
+        for n in range(self.grams, 0, -1):
+            need = n - 1
+            if len(ctx_all) < need:
+                continue  # insufficient context: no backoff step (ref :545)
+            ctx = tuple(ctx_all[len(ctx_all) - need:])
+            ctx_cnt = self._count(ctx)
+            if ctx_cnt > 0:
+                levels.append((backoff, ctx, ctx_cnt, n))
+            backoff *= self.ALPHA  # unseen context still decays (ref :566)
+        out: dict[str, float] = {}
+        for weight, ctx, ctx_cnt, n in levels:
+            df = self.tables[n]
+            prefix = (" ".join(ctx) + " ") if ctx else ""
+            cand = df.filter(F.col("g").startswith(prefix + (frag or "")))
+            # per-level top cut (the FST top-paths search): within a level
+            # score ∝ cnt, at most |seen| candidates are masked, so the top
+            # (num + |seen|) by (cnt DESC, tok ASC) provably contains every
+            # candidate that can reach the final top-num
+            tok = F.substring_index(F.col("g"), " ", -1)
+            rows = (cand.select(tok.alias("tok"), "cnt")
+                    .orderBy(F.desc("cnt"), F.asc("tok"))
+                    .limit(int(num) + len(out)).collect())
+            for r in rows:
+                t = r["tok"]
+                if t in out:
+                    continue  # seen at a higher order (ref seen-set)
+                out[t] = weight * (int(r["cnt"]) / float(ctx_cnt))
+        ranked = sorted(out.items(), key=lambda t: (-t[1], t[0]))
+        return ranked[:int(num)]
+
+    def _count(self, ctx: tuple) -> int:
+        from pyspark.sql import functions as F
+
+        if not ctx:
+            return self.tot_tokens
+        n = len(ctx)
+        row = self.tables[n].filter(
+            F.col("g") == " ".join(ctx)).select("cnt").head()
+        return int(row["cnt"]) if row else 0

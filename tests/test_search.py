@@ -2019,3 +2019,37 @@ def test_multi_range_query(spark, index_dir):
     inter = sorted(r["doc_id"] for r in
                    s.multi_range_df("dl", ranges, query=q).collect())
     assert inter == sorted(set(want) & match)
+
+
+def test_freetext_suggester(spark):
+    """FreeTextSuggester stupid backoff on a hand-computable corpus."""
+    from lucene_spark.analysis import SimpleAnalyzer
+    from lucene_spark.search.suggest import FreeTextSuggester
+
+    rows = [
+        (0, "a b c"), (1, "a b d"), (2, "a b d"), (3, "x b e"),
+        (4, "b f"), (5, "q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ft = FreeTextSuggester(spark, docs, SimpleAnalyzer(), grams=3)
+    # key 'a b ' (ended): trigram ctx (a,b) cnt=3 → c:1/3, d:2/3
+    # bigram ctx (b,) cnt=5 → c:0.4·1/5, d:0.4·2/5, e:0.4·1/5, f:0.4·1/5
+    # unigram: all tokens, 0.16·cnt/tot (tot=15)
+    got = dict(ft.lookup("a b ", num=20))
+    assert got["d"] == 2 / 3 and got["c"] == 1 / 3
+    assert got["e"] == 0.4 * (1 / 5) and got["f"] == 0.4 * (1 / 5)
+    assert got["q"] == (0.4 * 0.4) * (1 / 15)  # unigram backoff level
+    ranked = ft.lookup("a b ", num=3)
+    assert [t for t, _ in ranked] == ["d", "c", "e"][:3] or \
+           [t for t, _ in ranked][:2] == ["d", "c"]
+    # fragment completion: 'a b d' (not ended) completes d* in ctx (a,b)
+    frag = dict(ft.lookup("a b d", num=5))
+    assert frag == {"d": 2 / 3}
+    # insufficient context skips the trigram level WITHOUT backoff decay
+    one = dict(ft.lookup("b ", num=20))
+    assert one["d"] == 2 / 5  # bigram level at weight 1.0
+    # unseen context still decays: 'zz ' → only unigram level at 0.4
+    zz = dict(ft.lookup("zz ", num=20))
+    assert zz["b"] == 0.4 * (5 / 15)
+    with pytest.raises(ValueError):
+        ft.lookup("   ")
