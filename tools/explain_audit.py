@@ -173,6 +173,38 @@ def main(sf_dir: str):
                          spark.read.parquet(f"{sf_dir}/documents.parquet"),
                          ["lang", "source"], 3))))
 
+    # round-4 late additions: geo / curation-2 / doc-values / multi-range
+    # (plain columnar geo attach — the gate's row_number-derived synth adds
+    # a harness-only window; real deployments read a parquet side table)
+    geo_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("(((doc_id * 7919) % 1800000) / 10000e0 - 90e0)").alias("lat"),
+        F.expr("(((doc_id * 104729) % 3600000) / 10000e0 - 180e0)")
+        .alias("lon"),
+    )
+    s.set_geo(geo_df)
+    sections.append(("geo distance query (expect bbox comparison Filters "
+                     "BEFORE the haversine trig, all inside codegen, NO "
+                     "Python, no shuffle)",
+                     capture(s.geo_distance_df(*e.GEO_CENTER,
+                                               e.GEO_RADIUS_M))))
+
+    from lucene_spark.pipeline.curation import line_dedup
+    from lucene_spark.pipeline.textqc import unigram_logprob
+
+    sections.append(("line dedup (expect two-stage partial_min/min "
+                     "HashAggregate on the line hash — no window over "
+                     "skewed line groups — pure JVM)",
+                     capture(line_dedup(docs_cur))))
+    sections.append(("unigram-LM quality (expect two two-stage "
+                     "HashAggregates + one shuffle join vs the term LM, "
+                     "pure JVM)",
+                     capture(unigram_logprob(docs_cur))))
+
+    sections.append(("multi-range query (expect ONE docs scan with OR'd "
+                     "range Filters — no union of scans)",
+                     capture(s.multi_range_df("dl", list(e.MR_RANGES)))))
+
     import re
 
     checks = []
@@ -245,6 +277,21 @@ def main(sf_dir: str):
                    "shuffle (no Python)",
                    "Window" in sections[16][1]
                    and "Python" not in sections[16][1]))
+    checks.append(("geo distance stays JVM (bbox + haversine in codegen, "
+                   "no Python, no exchange)",
+                   "Python" not in sections[17][1]
+                   and "SIN" in sections[17][1].upper()
+                   and "Exchange" not in sections[17][1]))
+    checks.append(("line dedup ownership is a two-stage min agg on the "
+                   "line hash (no window, no Python)",
+                   "partial_min" in sections[18][1]
+                   and "Python" not in sections[18][1]))
+    checks.append(("unigram-LM stays JVM (two-stage aggs, no Python)",
+                   "partial_" in sections[19][1]
+                   and "Python" not in sections[19][1]))
+    checks.append(("multi-range is ONE scan (no Union), filters JVM-side",
+                   "Union" not in sections[20][1]
+                   and "Python" not in sections[20][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
