@@ -311,7 +311,7 @@ def _q_mt_fuzzy_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "hits long")
 
 
-def _mk_sim_topk(sim_name: str, k: int):
+def _mk_sim_topk(sim_name: str, k: int, **sim_kw):
     """Alternative-similarity top-k (Similarity plug-in surface): same WAND
     kernel, different scoring model bound per clause."""
     def run(spark, sf_dir):
@@ -319,7 +319,8 @@ def _mk_sim_topk(sim_name: str, k: int):
         from lucene_spark.similarity import get_similarity
 
         d = _ensure_index(spark, sf_dir)
-        s = IndexSearcher(spark, d, similarity=get_similarity(sim_name))
+        s = IndexSearcher(spark, d,
+                          similarity=get_similarity(sim_name, **sim_kw))
         return _hits_df(spark, s.search(_parse(Q_OR), k=k, mode="wand"))
 
     return run
@@ -1668,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": _q_nb_classify,
         "knn_classify": _q_knn_classify,
         "freetext_suggest": _q_freetext_suggest,
+        "sweet_spot_topk": _mk_sim_topk("sweet_spot", 40, ln_min=6,
+                                        ln_max=40, tf_base=1.5, tf_min=2.0),
     })
 
 
@@ -1943,4 +1946,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": oracle.knn_classify_sql(MLT_SRC_DID, 20),
         "freetext_suggest": oracle.freetext_suggest_sql(
             ["key", "query"], 10),
+        "sweet_spot_topk": oracle.sweet_spot_topk_sql(_parse(Q_OR), 40),
     }

@@ -2996,3 +2996,56 @@ dedup AS (
 SELECT tok, score FROM dedup WHERE rn = 1
 ORDER BY score DESC, tok ASC LIMIT {int(num)}
 """
+
+
+def sweet_spot_topk_sql(query, k: int, ln_min: int = 6, ln_max: int = 40,
+                        steepness: float = 0.5, tf_base: float = 1.5,
+                        tf_min: float = 2.0) -> str:
+    """SweetSpotSimilarity top-k (``misc/.../SweetSpotSimilarity.java``):
+    Classic idf/weight; baselineTf = tf_base up to tf_min else
+    f32(sqrt(freq + tf_base² − tf_min)); plateau lengthNorm =
+    f32(1/sqrt(s·f32(|x−min|+|x−max|−(max−min)) + 1)). Float chain
+    mirrors the engine's numpy ops bit-for-bit."""
+    import numpy as _np
+
+    clauses, scoring, must, must_not = _boolean_filtered(query)
+    if not scoring:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    b2 = float(_np.float32(_np.float32(tf_base) * _np.float32(tf_base)))
+    qvals = ",".join(
+        f"({i}, '{t}', CAST({b!r} AS FLOAT))"
+        for i, (t, b) in enumerate(scoring))
+    s_lit = format(float(steepness), ".17e")
+    hl = int(ln_max) - int(ln_min)
+    tf_expr = (
+        f"CASE WHEN tf.tf <= {format(float(tf_min), '.17e')} "
+        f"THEN CAST({format(float(tf_base), '.17e')} AS FLOAT) "
+        f"ELSE CAST(sqrt(tf.tf + {format(b2, '.17e')} "
+        f"- {format(float(tf_min), '.17e')}) AS FLOAT) END")
+    tri = (f"CAST(abs(d.dlen - {int(ln_min)}) + abs(d.dlen - {int(ln_max)})"
+           f" - {hl} AS FLOAT)")
+    inner = (f"CAST(CAST(CAST({s_lit} AS FLOAT) * {tri} AS FLOAT)"
+             f" + CAST(1 AS FLOAT) AS FLOAT)")
+    norm_expr = f"CAST(1.0 / sqrt({inner}) AS FLOAT)"
+    body = f"""
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         CAST(q.boost * CAST(ln(((SELECT n FROM fstats) + 1) / (ts.df + 1.0))
+                             + 1.0 AS FLOAT) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         CAST(CAST({tf_expr} * w.w AS FLOAT) * {norm_expr} AS FLOAT) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+"""
+    return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"

@@ -67,6 +67,14 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
     """
     from lucene_spark.indexing.blocks import decode_block
 
+    # a similarity whose score is NOT monotone ↓decoded-length (e.g.
+    # SweetSpotSimilarity's plateau lengthNorm penalizes SHORT docs) breaks
+    # the (max tf, min norm) Pareto block bound — fall back to unpruned
+    # evaluation (identical results, no bound assumptions)
+    prune = prune and all(
+        getattr(c.scorer, "length_monotone", True)
+        for c in clauses if c.scorer is not None)
+
     terms = block_rows["term"]
     n_blocks = len(terms)
     # clauses are a multiset for MUST/SHOULD (Lucene scores duplicates twice);

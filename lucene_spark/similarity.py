@@ -638,7 +638,8 @@ class IBSPLScorer:
 
 def get_similarity(name: str, **kw):
     """Similarity registry — the plug-in lookup used by jobs and gates.
-    21 models, mirroring the full ``core/search/similarities/`` package."""
+    22 models: the full ``core/search/similarities/`` package plus the
+    misc module's SweetSpotSimilarity."""
     if name == "bm25":
         return BM25Similarity(**kw)
     if name == "classic":
@@ -670,9 +671,70 @@ def get_similarity(name: str, **kw):
     if name in ("axiomatic_f1exp", "axiomatic_f1log", "axiomatic_f2log",
                 "axiomatic_f3exp", "axiomatic_f3log"):
         return AxiomaticSimilarity(variant=name.split("_")[1], **kw)
+    if name == "sweet_spot":
+        return SweetSpotSimilarity(**kw)
     if name == "multi_bm25_classic":
         return MultiSimilarity((BM25Similarity(), ClassicSimilarity()))
     raise ValueError(f"unknown similarity: {name}")
+
+
+@dataclass(frozen=True)
+class SweetSpotSimilarity:
+    """Plateau length norm + baseline tf
+    (``misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java``):
+    TFIDF (Classic) idf/weight, lengthNorm = f32(1/sqrt(s·(|x−min| +
+    |x−max| − (max−min)) + 1)) — 1.0 across the [min,max] plateau, sqrt
+    falloff outside — and baselineTf = 0 at freq 0, tf_base up to tf_min,
+    f32(sqrt(freq + tf_base² − tf_min)) past it (:94-137,:106-118).
+
+    The plateau penalizes SHORT docs too, so the score is NOT monotone
+    ↓length — ``length_monotone = False`` makes the WAND kernel run this
+    model unpruned (the Pareto (max tf, min norm) block bound would not be
+    valid)."""
+
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+    name = "sweet_spot"
+
+    def scorer(self, boost, doc_count, sum_ttf, dfs, ttfs=None):
+        dfs = list(dfs)
+        acc = 0.0
+        for df in dfs:
+            acc += float(F32(math.log((doc_count + 1) / float(df + 1)) + 1.0))
+        w_idf = F32(acc) if len(dfs) > 1 else F32(
+            math.log((doc_count + 1) / float(dfs[0] + 1)) + 1.0)
+        query_weight = F32(F32(boost) * w_idf)
+        lt = LENGTH_TABLE.astype(np.float64)
+        l, h, s = int(self.ln_min), int(self.ln_max), F32(self.steepness)
+        tri = (np.abs(lt - l) + np.abs(lt - h) - (h - l)).astype(F32)
+        inner = ((s * tri).astype(F32) + F32(1.0)).astype(F32)
+        norm_table = (1.0 / np.sqrt(inner.astype(np.float64))).astype(F32)
+        return SweetSpotScorer(weight=query_weight, norm_table=norm_table,
+                               tf_base=F32(self.tf_base),
+                               tf_min=F32(self.tf_min))
+
+
+@dataclass(frozen=True)
+class SweetSpotScorer:
+    weight: np.float32
+    norm_table: np.ndarray
+    tf_base: np.float32
+    tf_min: np.float32
+    length_monotone = False  # plateau norm: unpruned evaluation only
+
+    def score(self, tf, norm_code) -> np.ndarray:
+        freq = np.asarray(tf, dtype=np.float64).astype(F32)
+        b2 = F32(self.tf_base * self.tf_base)
+        inner = ((freq + b2).astype(F32) - self.tf_min).astype(F32)
+        tfv = np.sqrt(inner.astype(np.float64)).astype(F32)
+        tfv = np.where(freq <= self.tf_min, self.tf_base, tfv).astype(F32)
+        tfv = np.where(freq == 0, F32(0.0), tfv)
+        raw = (tfv * self.weight).astype(F32)
+        nv = self.norm_table[np.asarray(norm_code, dtype=np.int64) & 0xFF]
+        return (raw * nv).astype(F32)
 
 
 @dataclass(frozen=True)

@@ -220,3 +220,54 @@ def test_new_similarity_formula_spot_checks():
     assert msc.score(np.array([tf]), np.array([norm]))[0] == np.float32(
         b.score(np.array([tf]), np.array([norm]))[0]
         + c.score(np.array([tf]), np.array([norm]))[0])
+
+
+def test_sweet_spot_properties():
+    """SweetSpotSimilarity (misc module): plateau norm = 1.0 on [min,max],
+    sqrt falloff outside; baselineTf floor; degrades to Classic at
+    defaults; WAND must not prune it (length_monotone = False)."""
+    from lucene_spark.similarity import (ClassicSimilarity,
+                                         SweetSpotSimilarity)
+    from lucene_spark.smallfloat import int_to_byte4
+
+    sim = SweetSpotSimilarity(ln_min=6, ln_max=40, steepness=0.5,
+                              tf_base=1.5, tf_min=2.0)
+    sc = sim.scorer(1.0, 1000, 30000, [50])
+    assert sc.length_monotone is False
+    # plateau: every EXACTLY-representable length in [6, 40] → norm 1.0
+    for dl in (6, 10, 24, 39, 40):
+        code = int(int_to_byte4(np.array([dl]))[0])
+        if int(LENGTH_TABLE[code]) == dl:
+            assert sc.norm_table[code] == np.float32(1.0)
+    # falloff both sides of the plateau
+    c1 = int(int_to_byte4(np.array([1]))[0])
+    c200 = int(int_to_byte4(np.array([200]))[0])
+    assert sc.norm_table[c1] < 1.0 and sc.norm_table[c200] < 1.0
+    # baselineTf: 0 → 0; freq ≤ tf_min → tf_base; then sqrt growth
+    got = sc.score([0, 1, 2, 3], [13, 13, 13, 13])
+    assert got[0] == 0.0 and got[1] == got[2] < got[3]
+    # defaults degrade to ClassicSimilarity bit-for-bit (code 0 excluded:
+    # Classic special-cases the zero-length norm slot, Java does too —
+    # SweetSpot's formula is finite at 0 by construction)
+    d = SweetSpotSimilarity().scorer(1.0, 1000, 30000, [50])
+    c = ClassicSimilarity().scorer(1.0, 1000, 30000, [50])
+    tfs = [1, 2, 3, 9, 100]
+    codes = [1, 13, 40, 200, 255]
+    assert np.array_equal(d.score(tfs, codes), c.score(tfs, codes))
+
+
+def test_sweet_spot_wand_equals_exhaustive(spark, index_dir):
+    """The unpruned fallback: mode='wand' ≡ mode='exhaustive' under the
+    non-length-monotone flag."""
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.similarity import get_similarity
+
+    s = IndexSearcher(spark, index_dir, similarity=get_similarity(
+        "sweet_spot", ln_min=3, ln_max=12, tf_base=1.5, tf_min=2.0))
+    q = s.parse(f"{VOCAB[0]} {VOCAB[2]} {VOCAB[5]}")
+    a = s.search(q, k=25, mode="wand")
+    b = s.search(q, k=25, mode="exhaustive")
+    assert [(h.doc_id, h.score) for h in a] == [
+        (h.doc_id, h.score) for h in b]
+    assert a
