@@ -176,6 +176,32 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
         reps.append(time.time() - t)
     extra["phrase_prefix"] = sorted(reps)[1]
 
+    # round-4 late ops: geo distance sort + phrase wildcard
+    from pyspark.sql import functions as F
+
+    geo = searcher.reader.docs().select(
+        "doc_id",
+        F.expr("(((doc_id * 7919) % 1800000) / 10000e0 - 90e0)").alias("lat"),
+        F.expr("(((doc_id * 104729) % 3600000) / 10000e0 - 180e0)")
+        .alias("lon"))
+    searcher.set_geo(geo)
+    q_geo = searcher.parse(VOCAB[0])
+    searcher.geo_sort_df(q_geo, 12.3, 45.6, k=10).collect()  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.geo_sort_df(q_geo, 12.3, 45.6, k=10).collect()
+        reps.append(time.time() - t)
+    extra["geo_sort"] = sorted(reps)[1]
+    pw_slots = (VOCAB[3], VOCAB[0][:3] + "*")
+    searcher.phrase_wildcard(pw_slots, k=10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.phrase_wildcard(pw_slots, k=10)
+        reps.append(time.time() - t)
+    extra["phrase_wildcard"] = sorted(reps)[1]
+
     total = sum(timings.values())
     result = {
         "metric": "index_build_sec_plus_topk_query_latency",
