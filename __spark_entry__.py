@@ -526,10 +526,9 @@ def _q_english_stem(spark, sf_dir):
     return _hits_df(spark, s.search("tables values", k=50, mode="wand"))
 
 
-def _q_join_conv(spark, sf_dir):
-    """Block-join gate (VERDICT r2 next-#9): top-10 CONVERSATIONS whose
-    turns match 'table value', ScoreMode.Max — index built over the
-    multi-turn chunked corpus so parents genuinely have many children."""
+def _conv_searcher(spark, sf_dir):
+    """Searcher over the multi-turn chunked corpus (conversations genuinely
+    have many children) — shared by the join / diversified gates."""
     from lucene_spark.corpus import multiturn_from_documents
     from lucene_spark.indexing.builder import IndexBuilder
     from lucene_spark.search.searcher import IndexSearcher
@@ -540,11 +539,39 @@ def _q_join_conv(spark, sf_dir):
     t = multiturn_from_documents(spark, sf_dir)
     IndexBuilder(spark, d, analyzer="simple", num_segments=6).build(
         t, resume=resume)
-    s = IndexSearcher(spark, d)
+    return IndexSearcher(spark, d)
+
+
+def _q_join_conv(spark, sf_dir):
+    """Block-join gate (VERDICT r2 next-#9): top-10 CONVERSATIONS whose
+    turns match 'table value', ScoreMode.Max."""
+    s = _conv_searcher(spark, sf_dir)
     hits = s.join_conversations(_parse("table value"), k=10,
                                 score_mode="max")
     return spark.createDataFrame(
         [(c, sc) for c, sc in hits], "conv_id string, score double")
+
+
+def _q_join_field(spark, sf_dir):
+    """JoinUtil query-time value join (``join/JoinUtil.java:90-118``,
+    ScoreMode.Max, single-valued): every TURN of a conversation containing
+    a 'table value' match, scored by the conversation's max turn score —
+    the to-side-docs half of the join module (block-join covers the
+    parent side). Past the r4 driver window — r5 rotation."""
+    s = _conv_searcher(spark, sf_dir)
+    hits = s.join_by_field(_parse("table value"), "conv_id", "conv_id",
+                           k=20, score_mode="max")
+    return _hits_df(spark, hits)
+
+
+def _q_diversified(spark, sf_dir):
+    """DiversifiedTopDocsCollector gate
+    (``misc/.../DiversifiedTopDocsCollector.java:69-157``): top-20 turn
+    hits for 'table value query' with at most 2 hits per conversation.
+    Past the r4 driver window — r5 rotation."""
+    s = _conv_searcher(spark, sf_dir)
+    hits = s.diversified_search(_parse(Q_OR), "conv_id", 2, k=20)
+    return _hits_df(spark, hits)
 
 
 def _q_kw_should(spark, sf_dir):
@@ -1572,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_role_filter": _mk_bm25("+role:user +table", 20),
         "kw_should_topk": _q_kw_should,
         "join_conv_top10": _q_join_conv,
+        "join_field_topk": _q_join_field,
+        "diversified_topk": _q_diversified,
         "kw_role_miss_count": lambda spark, sf_dir: spark.createDataFrame(
             [(int(_searcher(spark, sf_dir).count("+role:assistant +table")),)],
             "hits long",
@@ -1827,6 +1856,9 @@ def oracle_sql() -> dict[str, str]:
             _parse("table"), 30, const_boost=1.0
         ),
         "join_conv_top10": oracle.join_conv_topk_sql(["table", "value"], 10),
+        "join_field_topk": oracle.join_field_topk_sql(["table", "value"], 20),
+        "diversified_topk": oracle.diversified_topk_sql(
+            ["table", "value", "query"], 20, 2),
         "kw_role_miss_count": "SELECT CAST(0 AS BIGINT) AS hits",
         "mt_regexp": oracle.multiterm_sql(
             "regexp_matches(x.term, '^(?:(ta|va)[a-z]+e)$')", 50

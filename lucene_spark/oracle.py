@@ -686,18 +686,17 @@ LIMIT {k}
 """
 
 
-def join_conv_topk_sql(terms, k: int, words_per_turn: int = 40) -> str:
-    """Block-join oracle: derive the multi-turn corpus exactly like
-    ``corpus.multiturn_from_documents`` (word-chunking, verified
-    value-identical to the Spark derivation), score turns with float32 BM25
-    for a flat SHOULD query, then aggregate per conversation with MAX
-    (float32-exact) — ``JoinUtil.createJoinQuery`` ScoreMode.Max."""
+def _multiturn_scored_ctes(terms, words_per_turn: int = 40) -> str:
+    """Shared CTE chain for multiturn-corpus oracles: derive the multi-turn
+    corpus exactly like ``corpus.multiturn_from_documents`` (word-chunking,
+    verified value-identical to the Spark derivation) and score turns with
+    float32 BM25 for a flat SHOULD query — ends at ``summed(did, score)``
+    plus ``docs0(did, conv_id, t)``."""
     w = words_per_turn
     qvals = ",".join(
         f"({i}, '{t}', CAST(1.0 AS FLOAT))" for i, t in enumerate(terms)
     )
-    return rf"""
-WITH src AS (
+    return rf"""src AS (
   SELECT printf('c%010d', doc_id) AS conv_id,
          regexp_split_to_array(coalesce(text, ''), '\s+') AS words
   FROM documents
@@ -761,11 +760,60 @@ clause_scores AS (
 summed AS (
   SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
   FROM clause_scores GROUP BY did
-)
+)"""
+
+
+def join_conv_topk_sql(terms, k: int, words_per_turn: int = 40) -> str:
+    """Block-join oracle: per-turn float32 BM25 scores aggregated per
+    conversation with MAX (float32-exact) —
+    ``JoinUtil.createJoinQuery`` ScoreMode.Max (parent side)."""
+    return f"""
+WITH {_multiturn_scored_ctes(terms, words_per_turn)}
 SELECT d0.conv_id, CAST(MAX(s0.score) AS DOUBLE) AS score
 FROM summed s0 JOIN docs0 d0 ON d0.did = s0.did
 GROUP BY d0.conv_id
 ORDER BY MAX(s0.score) DESC, d0.conv_id ASC
+LIMIT {k}
+"""
+
+
+def join_field_topk_sql(terms, k: int, words_per_turn: int = 40) -> str:
+    """JoinUtil value-join oracle (``join/JoinUtil.java:90-118``,
+    from_field = to_field = conv_id, ScoreMode.Max): every TURN of a
+    conversation containing a match, scored by the conversation's MAX
+    turn score (float32-exact), top-k by (score DESC, docID ASC)."""
+    return f"""
+WITH {_multiturn_scored_ctes(terms, words_per_turn)},
+convs AS (
+  SELECT d0.conv_id, MAX(s0.score) AS cscore
+  FROM summed s0 JOIN docs0 d0 ON d0.did = s0.did
+  GROUP BY d0.conv_id
+)
+SELECT d.did AS doc_id, CAST(c.cscore AS DOUBLE) AS score
+FROM docs0 d JOIN convs c ON c.conv_id = d.conv_id
+ORDER BY c.cscore DESC, d.did ASC
+LIMIT {k}
+"""
+
+
+def diversified_topk_sql(terms, k: int, max_per_key: int,
+                         words_per_turn: int = 40) -> str:
+    """DiversifiedTopDocsCollector oracle
+    (``misc/.../DiversifiedTopDocsCollector.java:69-157``): top-k turn hits
+    keeping at most ``max_per_key`` per conversation — per-key rank filter
+    on (score DESC, docID ASC) then global top-k (proven equivalent to the
+    reference's greedy PQ insert/evict)."""
+    return f"""
+WITH {_multiturn_scored_ctes(terms, words_per_turn)},
+ranked AS (
+  SELECT s0.did, s0.score,
+         row_number() OVER (PARTITION BY d0.conv_id
+                            ORDER BY s0.score DESC, s0.did ASC) AS rn
+  FROM summed s0 JOIN docs0 d0 ON d0.did = s0.did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rn <= {max_per_key}
+ORDER BY score DESC, did ASC
 LIMIT {k}
 """
 

@@ -2363,6 +2363,106 @@ class IndexSearcher:
         )
         return [(r["conv_id"], float(r["score"])) for r in rows]
 
+    def join_by_field_df(self, from_query, from_field: str, to_field: str,
+                         score_mode: str = "max"):
+        """Query-time value join (``lucene/join/.../JoinUtil.java:90-118``
+        ``createJoinQuery`` + ``TermsIncludingScoreQuery``): every doc whose
+        ``to_field`` equals some ``from_field`` value of a doc matching
+        ``from_query``, scored by the per-value aggregate of the from-side
+        scores (ScoreMode Max / Min / Total / Avg / None).
+
+        Plan shape: ONE distributed from-side score plan joins the docs
+        table on doc_id (docID-aligned), reduces to one row per join value
+        (map-side combine — billions of from-hits collapse to the distinct
+        value set before any shuffle), then joins the to-side docs on the
+        value. Nothing is collected to the driver; with a selective
+        from-query AQE turns the value join into a broadcast, otherwise it
+        shuffles on the value key — both are the plans a 1000-executor
+        cluster wants. This is the single-valued-field form
+        (``multipleValuesPerDocument=false``); Max/Min aggregate
+        float32-exact, Total/Avg accumulate in double then narrow (the
+        reference sums in float ordinal-encounter order — order-dependent,
+        documented divergence), None = constant 1.0 (the TermsQuery
+        rewrite when no scores are kept). Returns (doc_id, score float32)
+        distributed, live-docs filtered on both sides.
+        """
+        from pyspark.sql import functions as F
+
+        if isinstance(from_query, str):
+            from_query = self.parse(from_query)
+        docs = self.reader.docs(live_only=True)
+        if score_mode == "none":
+            vals = (
+                self.match_df(from_query)
+                .join(docs.select("doc_id", from_field), "doc_id")
+                .select(F.col(from_field).alias("_jv")).distinct()
+                .withColumn("score", F.lit(1.0).cast("float"))
+            )
+        else:
+            aggs = {"max": F.max, "min": F.min, "total": F.sum,
+                    "avg": F.avg}
+            if score_mode not in aggs:
+                raise ValueError(f"unknown score_mode: {score_mode}")
+            vals = (
+                self.score_df(from_query)
+                .join(docs.select("doc_id", from_field), "doc_id")
+                .groupBy(F.col(from_field).alias("_jv"))
+                .agg(aggs[score_mode]("score").cast("float").alias("score"))
+            )
+        to_docs = docs.select("doc_id", F.col(to_field).alias("_jv"))
+        return to_docs.join(vals, "_jv").select("doc_id", "score")
+
+    def join_by_field(self, from_query, from_field: str, to_field: str,
+                      k: int = 10, score_mode: str = "max") -> list[ScoreDoc]:
+        """Top-k docs of :meth:`join_by_field_df`, tie-break
+        (score DESC, docID ASC) like every other collector."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.join_by_field_df(from_query, from_field, to_field,
+                                  score_mode)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        )
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def diversified_topk_df(self, query, key_field: str,
+                            max_per_key: int, k: int):
+        """DiversifiedTopDocsCollector analogue
+        (``lucene/misc/.../search/DiversifiedTopDocsCollector.java:69-157``):
+        top-k hits with at most ``max_per_key`` results per ``key_field``
+        value. The reference's greedy PQ insert/evict (insert when the key
+        group has capacity, evict the group's weakest when a stronger
+        same-key hit arrives) admits exactly the docs that are within their
+        key's local top-``max_per_key`` by (score, docID) — so the
+        declarative form is a per-key rank filter then a global top-k,
+        which Spark runs as one partial-aggregating window + TakeOrdered
+        (no driver-side PQ, no collect).
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        scores = self.score_df(query)
+        docs = self.reader.docs(live_only=True).select("doc_id", key_field)
+        w = (Window.partitionBy(key_field)
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+        return (
+            scores.join(docs, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(max_per_key))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
+
+    def diversified_search(self, query, key_field: str, max_per_key: int,
+                           k: int = 10) -> list[ScoreDoc]:
+        """Collected form of :meth:`diversified_topk_df`."""
+        rows = self._collect(
+            self.diversified_topk_df(query, key_field, max_per_key, k))
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def search_after(self, query, after_count: int, k: int = 10,
                      mode: str = "wand") -> list[ScoreDoc]:
         """Keyset pagination (``TopScoreDocCollector.java:163-184`` analogy):
