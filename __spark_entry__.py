@@ -1471,6 +1471,65 @@ def _q_geo_sort_topk(spark, sf_dir):
     )
 
 
+GEO_BOX = (-30.0, 40.0, 120.0, -100.0)  # min_lon > max_lon: crosses ±180°
+
+
+def _q_geo_box_count(spark, sf_dir):
+    """LatLonPoint.newBoxQuery hit count over a rectangle that CROSSES the
+    antimeridian (lon 120° → −100°) — grid-snapped bounds, pure
+    comparisons, one scan."""
+    s = _geo_searcher(spark, sf_dir)
+    return s.geo_box_df(*GEO_BOX).agg(
+        F.count("*").cast("long").alias("hits"))
+
+
+def _q_high_freq_ttf(spark, sf_dir):
+    """HighFreqTerms -t (misc/HighFreqTerms.java:64): top-100 terms by
+    totalTermFreq, PQ tie-break toward the larger term."""
+    s = _searcher(spark, sf_dir)
+    return s.reader.high_freq_terms(100, order="ttf")
+
+
+def _q_dv_stats(spark, sf_dir):
+    """DocValuesStats over the 3-term OR match set: dl values with every
+    7th docID missing from the value table (exercises the missing
+    counter); exact int64 sums → shared-SQL doubles, hash-exact."""
+    s = _searcher(spark, sf_dir)
+    vals = (s.reader.docs()
+            .filter(F.col("doc_id") % 7 != 0)
+            .select("doc_id", "dl"))
+    return s.dv_stats(_parse(Q_OR), value_df=vals, value_col="dl")
+
+
+def _q_group_heads(spark, sf_dir):
+    """AllGroupHeadsCollector: the (dl DESC, docID ASC) head doc of every
+    source group containing ≥1 match of the 3-term OR."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir).withColumnRenamed("did", "doc_id")
+    return s.group_heads(_parse(Q_OR), meta.select("doc_id", "source"),
+                         "source", sort_expr="dl", ascending=False)
+
+
+def _q_group_distinct(spark, sf_dir):
+    """DistinctValuesCollector: per source group, COUNT(DISTINCT lang)
+    among the group's matches of the 3-term OR."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir).withColumnRenamed("did", "doc_id")
+    return s.group_distinct_values(
+        _parse(Q_OR), meta.select("doc_id", "source"), "source",
+        meta.select("doc_id", "lang"), "lang")
+
+
+def _q_dv_terms_count(spark, sf_dir):
+    """DocValuesTermsQuery: hot-term matches whose lang doc value ∈
+    {en, fr} — the random-access post-filter shape."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir).withColumnRenamed("did", "doc_id")
+    return s.dv_terms_df(meta.select("doc_id", "lang"), "lang",
+                         ("en", "fr"), query=_parse(Q_HOT)).agg(
+        F.count("*").cast("long").alias("hits"))
+
+
 # Driver-window priority (VERDICT r3 wrong-#1): the driver verifies only the
 # FIRST 50 entries of queries(). Order the dict so every gate that has never
 # produced a driver row, every gate whose last green row predates r3, and every
@@ -1690,6 +1749,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design — oracle + pytest covered now; rotate into the r5 window)
         "geo_distance_count": _q_geo_distance_count,
         "geo_sort_topk": _q_geo_sort_topk,
+        "geo_box_count": _q_geo_box_count,
+        "high_freq_ttf": _q_high_freq_ttf,
+        "dv_stats_dl": _q_dv_stats,
+        "group_heads": _q_group_heads,
+        "group_distinct_values": _q_group_distinct,
+        "dv_terms_count": _q_dv_terms_count,
         "line_dedup": _q_line_dedup,
         "unigram_logprob": _q_unigram_logprob,
         "dv_update_sort": _q_dv_update_sort,
@@ -1964,6 +2029,14 @@ def oracle_sql() -> dict[str, str]:
         "passage_highlight": oracle.passage_highlight_sql(
             ["table", "value"], 30, 100),
         "mm_binary_stats": po.binary_stats_sql(),
+        "geo_box_count": oracle.geo_box_count_sql(*GEO_BOX),
+        "high_freq_ttf": oracle.high_freq_ttf_sql(100),
+        "dv_stats_dl": oracle.dv_stats_sql(_parse(Q_OR)),
+        "group_heads": oracle.group_heads_sql(_parse(Q_OR), "source"),
+        "group_distinct_values": oracle.group_distinct_sql(
+            _parse(Q_OR), "source", "lang"),
+        "dv_terms_count": oracle.dv_terms_count_sql(
+            _parse(Q_HOT), "lang", ("en", "fr")),
         "geo_distance_count": oracle.geo_distance_count_sql(
             *GEO_CENTER, GEO_RADIUS_M),
         "geo_sort_topk": oracle.geo_sort_topk_sql(Q_HOT, 50, *GEO_CENTER),

@@ -94,6 +94,127 @@ SELECT term, df, ttf FROM (
 """
 
 
+def high_freq_ttf_sql(limit: int = 100) -> str:
+    """HighFreqTerms with the ``-t`` flag (misc/HighFreqTerms.java:64,
+    TotalTermFreqComparator :155-167): top terms by totalTermFreq, equal
+    frequencies break toward the larger term (the keep-highest PQ compares
+    termtext ascending)."""
+    return f"""
+WITH {BASE_CTES}
+SELECT term, df, ttf FROM (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+  FROM tf GROUP BY term
+) ORDER BY ttf DESC, term DESC LIMIT {limit}
+"""
+
+
+def dv_stats_sql(query, mod: int = 7) -> str:
+    """DocValuesStats oracle: stats of dl over the match set, where docs
+    with did % mod == 0 are MISSING from the value table (exercises the
+    missing counter, DocValuesStats.java:31-66). The double mean/variance/
+    stdev expressions are the engine's own shared SQL strings evaluated
+    over exact BIGINT sums — identical bits on both sides."""
+    from lucene_spark.search.searcher import DV_MEAN_SQL, DV_VARIANCE_SQL
+
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+docs1 AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+'))::BIGINT AS dl
+  FROM documents
+),
+vals AS (SELECT did, dl FROM docs1 WHERE did % {mod} != 0),
+agg AS (
+  SELECT count(*)::BIGINT AS n_matched,
+         count(v.dl)::BIGINT AS count,
+         min(v.dl)::BIGINT AS vmin, max(v.dl)::BIGINT AS vmax,
+         sum(v.dl)::BIGINT AS vsum,
+         sum(v.dl * v.dl)::BIGINT AS _ssq
+  FROM matched m LEFT JOIN vals v ON v.did = m.doc_id
+)
+SELECT count, (n_matched - count)::BIGINT AS missing, vmin, vmax, vsum,
+       {DV_MEAN_SQL} AS mean, {DV_VARIANCE_SQL} AS variance,
+       sqrt({DV_VARIANCE_SQL}) AS stdev
+FROM agg
+"""
+
+
+def group_heads_sql(query, group_col: str = "source") -> str:
+    """AllGroupHeadsCollector oracle: the head doc of every group under
+    (dl DESC, docID ASC) over the match set."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+meta AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         {group_col} AS grp,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+'))::BIGINT AS dl
+  FROM documents
+),
+ranked AS (
+  SELECT g.grp, m.doc_id, g.dl AS v,
+         row_number() OVER (PARTITION BY g.grp
+                            ORDER BY g.dl DESC, m.doc_id ASC) AS rn
+  FROM matched m JOIN meta g ON g.did = m.doc_id
+)
+SELECT grp AS {group_col}, doc_id, v FROM ranked WHERE rn = 1
+ORDER BY {group_col}
+"""
+
+
+def group_distinct_sql(query, group_col: str = "source",
+                       value_col: str = "lang") -> str:
+    """DistinctValuesCollector oracle: per-group COUNT(DISTINCT value)
+    over the match set."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+meta AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         {group_col} AS grp, {value_col} AS val
+  FROM documents
+)
+SELECT grp AS {group_col}, count(DISTINCT val)::BIGINT AS n
+FROM matched m JOIN meta g ON g.did = m.doc_id
+GROUP BY grp ORDER BY {group_col}
+"""
+
+
+def dv_terms_count_sql(query, value_col: str, values) -> str:
+    """DocValuesTermsQuery oracle: matched docs whose doc value ∈ set."""
+    inner = bm25_topk_sql(query, 10**9)
+    vs = ", ".join(f"'{v}'" for v in values)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+meta AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         {value_col} AS val
+  FROM documents
+)
+SELECT count(*)::BIGINT AS hits
+FROM matched m JOIN meta g ON g.did = m.doc_id
+WHERE g.val IN ({vs})
+"""
+
+
+def geo_box_count_sql(min_lat: float, max_lat: float,
+                      min_lon: float, max_lon: float) -> str:
+    """LatLonPoint.newBoxQuery hit count — the engine's own box predicate
+    SQL (grid-snapped bounds as shared double literals)."""
+    from lucene_spark.search.geo import box_condition_sql
+
+    cond = box_condition_sql("lat", "lon", min_lat, max_lat,
+                             min_lon, max_lon)
+    return f"""
+WITH {BASE_CTES},
+{geo_cte()}
+SELECT count(*)::BIGINT AS hits FROM geo WHERE {cond}
+"""
+
+
 def doc_norms_sql() -> str:
     """(doc_id, dl, dlen) for every doc — validates docID order + SmallFloat."""
     return f"""

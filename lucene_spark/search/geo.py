@@ -142,6 +142,54 @@ def attach_geo(geo_df, lat_col: str = "lat", lon_col: str = "lon"):
     )
 
 
+def box_bounds(min_lat: float, max_lat: float,
+               min_lon: float, max_lon: float):
+    """Query-box edge quantization for ``LatLonPoint.newBoxQuery``
+    (``core/document/LatLonPoint.java`` newBoxQuery →
+    ``core/geo/GeoEncodingUtils.java`` encodeCeil on the min edges /
+    encode (floor) on the max edges): snap each edge to the int32 grid so
+    an inclusive comparison over the stored (floor-quantized) coordinates
+    is equivalent to Lucene's encoded-int32 compare."""
+    lat_s = 2147483648.0 / 90.0
+    lon_s = 2147483648.0 / 180.0
+    return (
+        math.ceil(min_lat * lat_s) / lat_s,
+        math.floor(max_lat * lat_s) / lat_s,
+        math.ceil(min_lon * lon_s) / lon_s,
+        math.floor(max_lon * lon_s) / lon_s,
+    )
+
+
+def box_condition_sql(lat_col: str, lon_col: str, min_lat: float,
+                      max_lat: float, min_lon: float, max_lon: float) -> str:
+    """The box-membership predicate as ONE SQL boolean expression (valid
+    in both Spark SQL and DuckDB — identical double literals via ``dlit``,
+    so engine and oracle evaluate the same bits). ``min_lon > max_lon``
+    means the box crosses the antimeridian and the longitude test becomes
+    a disjunction (``LatLonPointBoxQuery`` splits the same way)."""
+    lo_lat, hi_lat, lo_lon, hi_lon = box_bounds(min_lat, max_lat,
+                                                min_lon, max_lon)
+    lat_c = (f"({lat_col} >= {dlit(lo_lat)} AND "
+             f"{lat_col} <= {dlit(hi_lat)})")
+    if min_lon > max_lon:
+        lon_c = (f"({lon_col} >= {dlit(lo_lon)} OR "
+                 f"{lon_col} <= {dlit(hi_lon)})")
+    else:
+        lon_c = (f"({lon_col} >= {dlit(lo_lon)} AND "
+                 f"{lon_col} <= {dlit(hi_lon)})")
+    return f"({lat_c} AND {lon_c})"
+
+
+def box_filter(geo_df, min_lat: float, max_lat: float,
+               min_lon: float, max_lon: float):
+    """``LatLonPoint.newBoxQuery`` match set: (doc_id) of docs whose
+    quantized point lies inside the rectangle — pure comparisons
+    (pushdown-able on parquet geo tables), one scan, no shuffle, no trig."""
+    cond = box_condition_sql("lat", "lon", min_lat, max_lat,
+                             min_lon, max_lon)
+    return geo_df.filter(F.expr(cond)).select("doc_id")
+
+
 def distance_filter(geo_df, center_lat: float, center_lon: float,
                     radius_m: float):
     """LatLonPointDistanceQuery match set: (doc_id) within radius —

@@ -196,6 +196,29 @@ class IndexReader:
             for r in rows
         }
 
+    def high_freq_terms(self, n: int = 10, field: str = "text",
+                        order: str = "df"):
+        """HighFreqTerms (``misc/src/java/org/apache/lucene/misc/
+        HighFreqTerms.java:37-137``): the ``n`` terms of ``field`` with the
+        highest docFreq (default) or totalTermFreq (``-t`` flag →
+        ``order="ttf"``). One distributed TakeOrdered over the term-stats
+        table — postings are never touched. Equal frequencies break toward
+        the LARGER term (the reference's ``DocFreqComparator`` /
+        ``TotalTermFreqComparator`` compare termtext ascending inside a
+        keep-highest priority queue, ``:139-167``), hence term DESC here.
+        Returns (term, df, ttf)."""
+        from pyspark.sql import functions as F
+
+        if order not in ("df", "ttf"):
+            raise ValueError("order must be 'df' or 'ttf'")
+        return (
+            self._term_stats_df
+            .filter(F.col("field") == field)
+            .orderBy(F.desc(order), F.desc("term"))
+            .select("term", "df", "ttf")
+            .limit(int(n))
+        )
+
     def postings(self, terms: list[str], field: str = "text"):
         """Posting-block rows for the given terms, with ``seg`` +
         ``doc_offset`` (the per-segment docBase) columns."""

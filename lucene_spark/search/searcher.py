@@ -25,6 +25,17 @@ from lucene_spark.similarity import BM25Similarity, norm_cache
 
 F32 = np.float32
 
+# DocValuesStats closed-form mean/variance over exact int64 sums (n, vsum,
+# _ssq) — ONE shared SQL expression string evaluated by both the engine
+# (F.expr) and the DuckDB oracle, so both sides compute identical doubles
+# (misc/search/DocValuesStats.java:124-137; Welford ≡ this in exact
+# arithmetic). count = 0 → NULL (the reference leaves mean/variance 0 when
+# nothing accumulated; gates run on non-empty match sets).
+DV_MEAN_SQL = ("(CAST(vsum AS DOUBLE) / CAST(count AS DOUBLE))")
+DV_VARIANCE_SQL = (
+    "((CAST(_ssq AS DOUBLE) - (CAST(vsum AS DOUBLE) * CAST(vsum AS DOUBLE))"
+    " / CAST(count AS DOUBLE)) / CAST(count AS DOUBLE))")
+
 
 @dataclass(frozen=True)
 class ScoreDoc:
@@ -1260,6 +1271,144 @@ class IndexSearcher:
         row = (m.join(group_df, "doc_id")
                .agg(F.countDistinct(group_col).alias("n")).collect())
         return int(row[0]["n"]) if row else 0
+
+    def group_heads(self, query, group_df, group_col: str,
+                    sort_expr: str = "dl", ascending: bool = False):
+        """AllGroupHeadsCollector (``lucene/grouping/src/java/org/apache/
+        lucene/search/grouping/AllGroupHeadsCollector.java:38``): the
+        'head' document of EVERY group under a within-group sort — one row
+        per group containing ≥1 match, as (group, doc_id, sort value).
+        The collector replaces a head only on a strictly competitive
+        compare, so equal sort keys keep the earlier (lower-docID) doc —
+        docID ASC tie-break here. ``sort_expr`` is a Spark SQL expression
+        over the docs-table columns. ONE window + rn=1 filter, all
+        Catalyst, nothing collected."""
+        from pyspark.sql import Window, functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        m = self.match_df(ast.normalize(query))
+        v = (m.join(self.reader.docs(), "doc_id")
+             .select("doc_id", F.expr(sort_expr).cast("long").alias("v"))
+             .join(group_df, "doc_id"))
+        key = F.asc("v") if ascending else F.desc("v")
+        w = Window.partitionBy(group_col).orderBy(key, F.asc("doc_id"))
+        return (v.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(group_col, "doc_id", "v")
+                .orderBy(group_col))
+
+    def group_distinct_values(self, query, group_df, group_col: str,
+                              value_df, value_col: str):
+        """DistinctValuesCollector (``lucene/grouping/src/java/org/apache/
+        lucene/search/grouping/DistinctValuesCollector.java:28``): per
+        group, the number of DISTINCT values of a second (count) field
+        among that group's matching docs. ``group_df``/``value_df`` are
+        (doc_id, col) doc-values side tables. One distributed two-key
+        aggregation — count-distinct shuffles once on the group key."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        m = self.match_df(ast.normalize(query))
+        return (m.join(group_df, "doc_id").join(value_df, "doc_id")
+                .groupBy(group_col)
+                .agg(F.countDistinct(value_col).alias("n"))
+                .orderBy(group_col))
+
+    def dv_stats(self, query, value_df=None, value_col: str = "dl"):
+        """DocValuesStats / DocValuesStatsCollector (``misc/src/java/org/
+        apache/lucene/misc/search/DocValuesStats.java:29-140``,
+        ``DocValuesStatsCollector.java:28``): statistics of a numeric doc
+        value over the query's match set — one row (count, missing, vmin,
+        vmax, vsum, mean, variance, stdev). ``value_df``: optional
+        (doc_id, <value_col>) side table; matched docs absent from it count
+        as ``missing`` (docs without the DV field, ``:31-66``). Default =
+        the docs table's ``value_col`` column (missing = 0).
+
+        The reference accumulates mean/variance online (Welford,
+        ``LongDocValuesStats.doAccumulate`` ``:165-170``) — run-order-
+        dependent in floating point, which cannot reproduce across
+        partitionings. Count/sum/sum-of-squares aggregate EXACTLY in int64
+        here, then mean = s/n and variance = (ssq − s²/n)/n evaluate in one
+        deterministic double expression — equal to Welford in exact
+        arithmetic, order-independent at any scale."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        m = self.match_df(ast.normalize(query))
+        if value_df is None:
+            value_df = (self.reader.docs()
+                        .select("doc_id",
+                                F.expr(value_col).cast("long").alias("_v")))
+        else:
+            value_df = value_df.select(
+                "doc_id", F.col(value_col).cast("long").alias("_v"))
+        j = m.join(value_df, "doc_id", "left")
+        agg = j.agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count("_v").alias("count"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+            F.sum("_v").alias("vsum"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_ssq"),
+        )
+        return agg.select(
+            F.col("count").cast("long").alias("count"),
+            (F.col("n_matched") - F.col("count")).cast("long")
+            .alias("missing"),
+            F.col("vmin").cast("long").alias("vmin"),
+            F.col("vmax").cast("long").alias("vmax"),
+            F.col("vsum").cast("long").alias("vsum"),
+            F.col("_ssq").cast("long").alias("_ssq"),
+        ).select(
+            "count", "missing", "vmin", "vmax", "vsum",
+            F.expr(DV_MEAN_SQL).alias("mean"),
+            F.expr(DV_VARIANCE_SQL).alias("variance"),
+            F.expr(f"sqrt({DV_VARIANCE_SQL})").alias("stdev"),
+        )
+
+    def dv_terms_df(self, value_df, value_col: str, values, query=None):
+        """DocValuesTermsQuery (``lucene/sandbox/src/java/org/apache/
+        lucene/sandbox/search/DocValuesTermsQuery.java:62``): docs whose
+        doc value equals ANY of ``values`` — the random-access doc-values
+        filter (the reference's stated use-case is exactly this post-filter
+        shape vs a TermInSetQuery over the inverted index). Constant-score
+        match set (doc_id); ``values`` folds into one In(...) predicate
+        (pushdown-able); optional ``query`` intersects via semi-join."""
+        from pyspark.sql import functions as F
+
+        out = (value_df
+               .filter(F.col(value_col).isin(list(values)))
+               .select("doc_id"))
+        if query is not None:
+            if isinstance(query, str):
+                query = self.parse(query)
+            out = out.join(self.match_df(ast.normalize(query)),
+                           "doc_id", "left_semi")
+        return out
+
+    def geo_box_df(self, min_lat: float, max_lat: float, min_lon: float,
+                   max_lon: float, query=None):
+        """``LatLonPoint.newBoxQuery`` analogue (``core/document/
+        LatLonPoint.java`` newBoxQuery): distributed (doc_id) match set of
+        docs whose quantized point lies inside the lat/lon rectangle —
+        pure comparisons (no trig), one scan, no shuffle; the query bounds
+        snap to the int32 grid exactly like GeoEncodingUtils
+        encodeCeil/encode. ``min_lon > max_lon`` crosses the antimeridian.
+        Optional ``query`` intersects with that query's match set."""
+        from lucene_spark.search import geo
+
+        if self.geo is None:
+            raise ValueError("no geo attached — call set_geo() first")
+        out = geo.box_filter(self.geo, min_lat, max_lat, min_lon, max_lon)
+        if query is not None:
+            if isinstance(query, str):
+                query = self.parse(query)
+            out = out.join(self.match_df(ast.normalize(query)),
+                           "doc_id", "left_semi")
+        return out
 
     def term_vectors(self, doc_ids, field: str = "text"):
         """Per-document term vectors — the TermVectorsFormat analogue

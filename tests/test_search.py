@@ -2115,3 +2115,124 @@ def test_diversified_matches_greedy_reference(searcher):
             got = [(h.doc_id, h.score) for h in searcher.diversified_search(
                 q, "conv_id", max_per, k=k)]
             assert got == kept, f"max_per={max_per} k={k}"
+
+
+def _hot_query(searcher):
+    from lucene_spark.search import ast as A
+
+    stats = searcher.reader.term_stats(searcher.reader.sorted_terms("text"))
+    hot = max(stats.items(), key=lambda kv: kv[1]["df"])[0]
+    return A.BooleanQuery(((A.SHOULD, A.TermQuery(hot)),))
+
+
+def test_group_heads_matches_brute(searcher):
+    """AllGroupHeadsCollector (grouping/AllGroupHeadsCollector.java:38):
+    one head per conv_id group under (dl dir, docID ASC), brute-checked
+    both directions."""
+    q = _hot_query(searcher)
+    docs = searcher.reader.docs().select("doc_id", "conv_id", "dl")
+    matched = {int(r["doc_id"])
+               for r in searcher.match_df(q).collect()}
+    rows = [(int(r["doc_id"]), r["conv_id"], int(r["dl"]))
+            for r in docs.collect() if int(r["doc_id"]) in matched]
+    for ascending in (False, True):
+        got = [(r["conv_id"], int(r["doc_id"]), int(r["v"]))
+               for r in searcher.group_heads(
+                   q, docs.select("doc_id", "conv_id"), "conv_id",
+                   sort_expr="dl", ascending=ascending).collect()]
+        want: dict = {}
+        for d, g, v in rows:
+            cur = want.get(g)
+            key = (v if ascending else -v, d)
+            if cur is None or key < (cur[0] if ascending else -cur[0],
+                                     cur[1]):
+                want[g] = (v, d)
+        expect = sorted((g, d, v) for g, (v, d) in want.items())
+        assert got == expect and got
+
+
+def test_group_distinct_values_matches_brute(searcher):
+    """DistinctValuesCollector (grouping/DistinctValuesCollector.java:28):
+    per-conv_id COUNT(DISTINCT role) over the match set."""
+    from pyspark.sql import functions as F
+
+    q = _hot_query(searcher)
+    docs = (searcher.reader.docs()
+            .select("doc_id", "conv_id",
+                    (F.col("turn_idx") % 3).alias("val")))
+    matched = {int(r["doc_id"]) for r in searcher.match_df(q).collect()}
+    got = {r["conv_id"]: int(r["n"])
+           for r in searcher.group_distinct_values(
+               q, docs.select("doc_id", "conv_id"), "conv_id",
+               docs.select("doc_id", "val"), "val").collect()}
+    want: dict = {}
+    for r in docs.collect():
+        if int(r["doc_id"]) in matched:
+            want.setdefault(r["conv_id"], set()).add(int(r["val"]))
+    assert got == {g: len(s) for g, s in want.items()} and got
+
+
+def test_dv_stats_matches_brute(searcher):
+    """DocValuesStats (misc/search/DocValuesStats.java:29-140): exact
+    count/missing/min/max/sum plus closed-form mean/variance/stdev ==
+    numpy's (Welford-equivalent) values; every 3rd doc missing from the
+    value table exercises the missing counter (:31-66)."""
+    import math as _m
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    q = _hot_query(searcher)
+    vals_df = (searcher.reader.docs()
+               .filter(F.col("doc_id") % 3 != 0).select("doc_id", "dl"))
+    row = searcher.dv_stats(q, value_df=vals_df, value_col="dl").collect()[0]
+    matched = {int(r["doc_id"]) for r in searcher.match_df(q).collect()}
+    dls = {int(r["doc_id"]): int(r["dl"])
+           for r in searcher.reader.docs().select("doc_id", "dl").collect()}
+    have = np.array(sorted(dls[d] for d in matched if d % 3 != 0))
+    assert int(row["count"]) == have.size
+    assert int(row["missing"]) == sum(1 for d in matched if d % 3 == 0) > 0
+    assert (int(row["vmin"]), int(row["vmax"])) == (have.min(), have.max())
+    assert int(row["vsum"]) == have.sum()
+    assert abs(float(row["mean"]) - have.mean()) < 1e-12
+    assert abs(float(row["variance"]) - have.var()) < 1e-9
+    assert abs(float(row["stdev"]) - _m.sqrt(have.var())) < 1e-9
+
+
+def test_dv_terms_df_matches_brute(searcher):
+    """DocValuesTermsQuery (sandbox/search/DocValuesTermsQuery.java:62):
+    DV ∈ set post-filter, with and without a query intersection."""
+    q = _hot_query(searcher)
+    docs = searcher.reader.docs().select("doc_id", "conv_id")
+    convs = {int(r["doc_id"]): r["conv_id"] for r in docs.collect()}
+    vals = tuple(sorted(set(convs.values()))[:5])
+    got_all = {int(r["doc_id"])
+               for r in searcher.dv_terms_df(docs, "conv_id",
+                                             vals).collect()}
+    assert got_all == {d for d, cv in convs.items() if cv in vals}
+    matched = {int(r["doc_id"]) for r in searcher.match_df(q).collect()}
+    got_q = {int(r["doc_id"])
+             for r in searcher.dv_terms_df(docs, "conv_id", vals,
+                                           query=q).collect()}
+    assert got_q == got_all & matched and got_q
+
+
+def test_high_freq_terms_order(searcher):
+    """HighFreqTerms (misc/HighFreqTerms.java:139-167): top-N by df and by
+    ttf, equal frequencies break toward the larger term (the keep-highest
+    PQ compares termtext ascending)."""
+    ts = searcher.reader._term_stats_df.filter("field = 'text'").collect()
+    stats = [(r["term"], int(r["df"]), int(r["ttf"])) for r in ts]
+    for order, pick in (("df", 1), ("ttf", 2)):
+        got = [(r["term"], int(r["df"]), int(r["ttf"]))
+               for r in searcher.reader.high_freq_terms(
+                   7, order=order).collect()]
+        want = sorted(stats, key=lambda t: (-t[pick],
+                                            tuple(-b for b in
+                                                  t[0].encode())))[:7]
+        assert got == want and len(got) == 7
+    try:
+        searcher.reader.high_freq_terms(5, order="bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
