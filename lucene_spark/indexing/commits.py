@@ -80,6 +80,52 @@ def clear(index_dir: str) -> None:
     shutil.rmtree(f"{index_dir}/{COMMITS_DIR}", ignore_errors=True)
 
 
+def next_segment_base(index_dir: str, manifest: dict | None) -> int:
+    """First free segment id: 1 + the max over the live manifest's segments
+    AND every ``seg=N`` dir on disk. After :func:`rollback` the live
+    manifest's max can sit BELOW segment dirs written by rolled-back
+    commits — dirs another snapshot may still pin — so allocating from the
+    manifest alone would assign a colliding id and overwrite pinned data.
+    The reference never reuses segment numbers for the same reason
+    (``SegmentInfos.counter`` is monotone; ``core/index/SegmentInfos.java``).
+    Driver-side metadata scan only — O(#segment dirs), no data reads."""
+    mx = -1
+    if manifest and manifest.get("offsets"):
+        mx = max(int(s) for s in manifest["offsets"])
+    for table in ("postings", "docs"):
+        base = f"{index_dir}/{table}"
+        if os.path.isdir(base):
+            for n in os.listdir(base):
+                if n.startswith("seg="):
+                    try:
+                        mx = max(mx, int(n[4:]))
+                    except ValueError:
+                        pass
+    return mx + 1
+
+
+def next_generation(index_dir: str, manifest: dict | None,
+                    prefixes: tuple[str, ...], counter_key: str) -> int:
+    """First free generation number for dirs named ``<prefix>.gN`` (a bare
+    ``<prefix>`` dir counts as generation 0): 1 + the max over the live
+    manifest's counter and every matching dir on disk. Same post-rollback
+    never-reuse rule as :func:`next_segment_base` — a rolled-back commit's
+    stats / live-docs / doc-values generations may still be pinned by other
+    snapshots, and reusing their names would overwrite pinned data."""
+    mx = int(manifest.get(counter_key, 0)) if manifest else 0
+    for prefix in prefixes:
+        for p in glob.glob(f"{index_dir}/{prefix}*"):
+            n = os.path.basename(p)
+            if n == prefix:
+                continue  # generation 0, already ≤ mx
+            if n.startswith(prefix + ".g"):
+                try:
+                    mx = max(mx, int(n[len(prefix) + 2:]))
+                except ValueError:
+                    pass
+    return mx + 1
+
+
 def protected(index_dir: str) -> dict:
     """Everything any snapshot still references:
     ``{"segs": set[int], "stats": set[str], "live": set[str]}``."""

@@ -34,9 +34,22 @@ def dv_updates_of(manifest: dict) -> dict:
     return dict(manifest.get("dv_updates", {}))
 
 
-def next_gen_dir(manifest: dict, field: str) -> str:
+def next_gen_dir(index_dir: str, manifest: dict, field: str) -> str:
+    """Next doc-values generation dir for ``field`` — 1 + the max over the
+    manifest's chain AND every ``dv/<field>.gN`` dir on disk: a rolled-back
+    commit's generations may still be pinned by other snapshots, so their
+    names are never reused (same rule as ``commits.next_generation``)."""
+    import glob
+    import os
+
     gens = dv_updates_of(manifest).get(field, [])
     nums = [int(g.rsplit(".g", 1)[1]) for g in gens]
+    for p in glob.glob(f"{index_dir}/dv/{field}.g*"):
+        tail = os.path.basename(p).rsplit(".g", 1)[1]
+        try:
+            nums.append(int(tail))
+        except ValueError:
+            pass
     return f"dv/{field}.g{(max(nums) + 1) if nums else 0}"
 
 

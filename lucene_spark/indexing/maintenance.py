@@ -80,6 +80,14 @@ def live_dir_of(manifest: dict) -> str:
     return manifest.get("live_dir", "live_docs")
 
 
+def _next_live_gen(index_dir: str, m: dict) -> int:
+    """Disk-scan live-docs generation allocation — never reuse a
+    post-rollback orphan generation's name (it may be snapshot-pinned)."""
+    from lucene_spark.indexing import commits
+
+    return commits.next_generation(index_dir, m, ("live_docs",), "live_gen")
+
+
 class IndexMaintenance:
     def __init__(self, spark, index_dir: str):
         self.spark = spark
@@ -113,7 +121,7 @@ class IndexMaintenance:
         index_dir = self.index_dir
         m = self._manifest()
         old_live = live_dir_of(m)
-        gen = int(m.get("live_gen", 0)) + 1
+        gen = _next_live_gen(index_dir, m)
         out_live = f"live_docs.g{gen}"
         segs = sorted(int(x) for x in m["offsets"])
         postings = (
@@ -228,7 +236,7 @@ class IndexMaintenance:
         s = searcher or IndexSearcher(self.spark, self.index_dir)
         q = _ast.TermQuery(term, term_field) if term is not None else query
         m = self._manifest()
-        gen_dir = docvalues.next_gen_dir(m, field)
+        gen_dir = docvalues.next_gen_dir(self.index_dir, m, field)
         out = s.match_df(q).select(
             "doc_id", F.lit(int(value)).cast("long").alias("value"))
         out.write.mode("overwrite").parquet(f"{self.index_dir}/{gen_dir}")
@@ -258,6 +266,37 @@ class IndexMaintenance:
             rel = "dv/" + os.path.basename(p)
             if rel not in keep and rel not in prot:
                 shutil.rmtree(p, ignore_errors=True)
+
+    def gc_orphan_segments(self) -> list[int]:
+        """Remove ``seg=N`` dirs referenced by neither the live manifest nor
+        any commit snapshot — the inert leftovers of ``rollback`` (segments
+        committed after the restored commit) and of crashed append attempts.
+        ``IndexFileDeleter`` refCount-0 semantics
+        (``core/index/IndexFileDeleter.java:66``). Safe under disk-scan id
+        allocation (:func:`commits.next_segment_base`): ids are never
+        reused, so an orphan can never be a future commit's in-flight data
+        written to a recycled id. Driver-side metadata pass only."""
+        from lucene_spark.indexing import commits
+
+        m = self._manifest()
+        keep = {int(s) for s in m.get("offsets", {})} \
+            | commits.protected(self.index_dir)["segs"]
+        removed: set[int] = set()
+        for table in ("postings", "docs"):
+            base = f"{self.index_dir}/{table}"
+            if not os.path.isdir(base):
+                continue
+            for n in os.listdir(base):
+                if not n.startswith("seg="):
+                    continue
+                try:
+                    sid = int(n[4:])
+                except ValueError:
+                    continue
+                if sid not in keep:
+                    shutil.rmtree(f"{base}/{n}", ignore_errors=True)
+                    removed.add(sid)
+        return sorted(removed)
 
     # -- compaction ---------------------------------------------------------
     def plan_merges(self, target_rows: int) -> list[list[int]]:
@@ -320,7 +359,11 @@ class IndexMaintenance:
         old_order = [int(x) for x, _ in
                      sorted(manifest["offsets"].items(),
                             key=lambda kv: int(kv[1]))]
-        base = max(int(x) for x in manifest["offsets"]) + 1
+        from lucene_spark.indexing import commits as _commits
+
+        # disk-scan allocation: merged-run ids must not collide with ANY
+        # seg dir on disk (post-rollback orphans may be snapshot-pinned)
+        base = _commits.next_segment_base(index_dir, manifest)
         run_of = {s: i for i, run in enumerate(runs) for s in run}
         run_list = [list(run) for run in runs]
         new_ids = [base + i for i in range(len(runs))]
@@ -485,7 +528,8 @@ class IndexMaintenance:
         # stats: full recompute over the SURVIVOR segments into a fresh
         # generation dir — the moment deleted docs leave the statistics
         # (Lucene merge semantics); published by the manifest commit below
-        gen = int(manifest.get("stats_gen", 0)) + 1
+        gen = _commits.next_generation(
+            index_dir, manifest, ("term_stats", "field_stats"), "stats_gen")
         survivor_ids = [s for s, _n, _fp in survivors]
         self._builder._write_stats(suffix=f".g{gen}", segs=survivor_ids)
         sdirs = {"term_stats": f"term_stats.g{gen}",
@@ -543,7 +587,7 @@ class IndexMaintenance:
                                                fld)
                 # fresh generation number past the existing chain — old
                 # gens stay intact for readers holding the old manifest
-                out_dir = _dv.next_gen_dir(manifest, fld)
+                out_dir = _dv.next_gen_dir(index_dir, manifest, fld)
                 (merged.withColumnRenamed("doc_id", "old_gid")
                  .join(idmap, "old_gid").select("doc_id", "value")
                  .write.mode("overwrite")
@@ -582,6 +626,9 @@ class IndexMaintenance:
         # manifest); the next compact removes them
         self._gc_dv_generations(
             keep={g for gens in new_dv.values() for g in gens} | old_dv_dirs)
+        # sweep rollback / crashed-append orphans under the same policy
+        # (keep = live manifest ∪ snapshot-pinned)
+        self.gc_orphan_segments()
         return {"merged_runs": len(runs), "doc_count": acc,
                 "num_segments": len(offsets)}
 
@@ -597,7 +644,7 @@ def stage_deletes_matchset(mnt: "IndexMaintenance", match_df) -> dict:
     index_dir = mnt.index_dir
     m = mnt._manifest()
     old_live = live_dir_of(m)
-    gen = int(m.get("live_gen", 0)) + 1
+    gen = _next_live_gen(index_dir, m)
     out_live = f"live_docs.g{gen}"
     offs = sorted(((int(s), int(o)) for s, o in m["offsets"].items()),
                   key=lambda kv: kv[1])

@@ -115,8 +115,11 @@ class IncrementalIndexer:
         nseg = max(1, n // self.rows_per_segment)
         boundaries = plan_boundaries(batch_df, nseg)
         nseg = len(boundaries) + 1
-        base_seg = 1 + max(int(s) for s in manifest["offsets"]) \
-            if manifest["offsets"] else 0
+        # disk-scan allocation: never reuse a segment id still on disk
+        # (post-rollback orphans may be pinned by other commit snapshots)
+        from lucene_spark.indexing import commits as _commits
+
+        base_seg = _commits.next_segment_base(self.index_dir, manifest)
         skeys = collision_free_skeys(nseg)
 
         with_seg = batch_df.withColumn("segment", segment_col(boundaries)) \
@@ -170,7 +173,11 @@ class IncrementalIndexer:
         # point that publishes segments + stats + epoch together, so a
         # replayed epoch never double-counts (exactly-once preserved).
         old_sdirs = b._stats_dirs(manifest)
-        gen = int(manifest.get("stats_gen", 0)) + 1
+        # disk-scan generation number (never reuse a post-rollback orphan's
+        # name — another snapshot may pin it; see commits.next_generation)
+        gen = _commits.next_generation(
+            self.index_dir, manifest, ("term_stats", "field_stats"),
+            "stats_gen")
         sdirs = b._merge_stats(new_ids, suffix=f".g{gen}")
         manifest["doc_count"] = acc
         manifest["offsets"] = {str(k): v for k, v in sorted(offsets.items())}
@@ -297,8 +304,11 @@ class IncrementalIndexer:
                 raise ValueError(
                     f"config mismatch on {k!r}: "
                     f"{manifest.get(k)!r} != {src.get(k)!r}")
-        base_seg = (1 + max(int(s) for s in manifest["offsets"])
-                    if manifest["offsets"] else 0)
+        from lucene_spark.indexing import commits as _commits
+
+        # disk-scan allocation (see append path): ids disjoint from every
+        # seg dir on disk, incl. post-rollback orphans pinned by snapshots
+        base_seg = _commits.next_segment_base(self.index_dir, manifest)
         src_offs = sorted(((int(k), int(v)) for k, v in src["offsets"].items()),
                           key=lambda kv: kv[1])
         offsets = {int(k): int(v) for k, v in manifest["offsets"].items()}
@@ -337,7 +347,11 @@ class IncrementalIndexer:
                 self.index_dir, f"{self.index_dir}/build_manifest.tmp")
 
         old_sdirs = b._stats_dirs(manifest)
-        gen = int(manifest.get("stats_gen", 0)) + 1
+        # disk-scan generation number (never reuse a post-rollback orphan's
+        # name — another snapshot may pin it; see commits.next_generation)
+        gen = _commits.next_generation(
+            self.index_dir, manifest, ("term_stats", "field_stats"),
+            "stats_gen")
         sdirs = b._merge_stats(new_ids, suffix=f".g{gen}")
         manifest["doc_count"] = doc_count + int(src["doc_count"])
         manifest["offsets"] = {str(k): v for k, v in sorted(offsets.items())}

@@ -374,3 +374,60 @@ def test_snapshot_commit_points(spark, tmp_path):
         w.release_snapshot("pre")
     with pytest.raises(ValueError):
         w.snapshot("bad/tag")
+
+
+def test_rollback_append_never_reuses_segment_ids(spark, tmp_path):
+    """Append-after-rollback must not recycle the rolled-back commits'
+    segment ids: another snapshot may pin those dirs, and overwriting them
+    would corrupt its point-in-time view. Ids come from a disk scan
+    (``commits.next_segment_base``), mirroring the reference's monotone
+    ``SegmentInfos.counter``; ``gc_orphan_segments`` then sweeps only the
+    truly-unreferenced leftovers (IndexFileDeleter refCount-0)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.indexing import commits
+    from lucene_spark.writer import IndexWriter
+
+    d = str(tmp_path / "rbidx")
+    IndexBuilder(spark, d, num_segments=2).build(synthetic_transcripts(spark, 20))
+    n0 = IndexSearcher(spark, d).reader.doc_count
+    w = IndexWriter(spark, d, rows_per_segment=5)
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+
+    w.snapshot("a")
+    segs_a = {int(s) for s in commits.load(d, "a")["offsets"]}
+
+    extra = (synthetic_transcripts(spark, 10, seed=7)
+             .withColumn("conv_id", F.concat(F.lit("x"), F.col("conv_id"))))
+    w.add_documents(extra)
+    w.snapshot("b")
+    segs_b = {int(s) for s in commits.load(d, "b")["offsets"]}
+    sb = IndexSearcher(spark, d, commit="b")
+    hits_b = [(h.doc_id, h.score) for h in sb.search(q, k=20)]
+
+    # roll back to "a", then append fresh docs: the new commit's segment
+    # ids must be disjoint from EVERYTHING on disk (incl. b-only segments)
+    w.rollback("a")
+    extra2 = (synthetic_transcripts(spark, 10, seed=8)
+              .withColumn("conv_id", F.concat(F.lit("y"), F.col("conv_id"))))
+    w.add_documents(extra2)
+    segs_live = {int(s) for s in w.manifest["offsets"]}
+    new_segs = segs_live - segs_a
+    assert new_segs and not (new_segs & segs_b)
+
+    # snapshot "b"'s point-in-time view is bit-exact after the new append
+    sb2 = IndexSearcher(spark, d, commit="b")
+    assert [(h.doc_id, h.score) for h in sb2.search(q, k=20)] == hits_b
+
+    # orphan GC keeps live + pinned dirs, removes nothing while b pins all
+    assert IndexMaintenance(spark, d).gc_orphan_segments() == []
+    # release "b": its private segments are now refCount-0 and swept
+    w.release_snapshot("b")
+    swept = IndexMaintenance(spark, d).gc_orphan_segments()
+    assert set(swept) == segs_b - segs_a - segs_live
+    for s in segs_live:
+        assert os.path.isdir(f"{d}/postings/seg={s}")
+    live = IndexSearcher(spark, d)
+    assert live.reader.doc_count == n0 + extra2.count()
