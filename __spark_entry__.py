@@ -1345,6 +1345,20 @@ def _q_nb_classify(spark, sf_dir):
     return clf.classify_df(list(NB_INPUTS)).orderBy("input_id", "cls")
 
 
+def _q_bm25_nb_classify(spark, sf_dir):
+    """BM25NBClassifier (classification/BM25NBClassifier.java:47): naive
+    Bayes approximated by BM25 top-1 query scores — log prior =
+    f32ln(class keyword constant), per-word log likelihood =
+    f32ln(f32(cconst + max class-doc BM25 word score)); raw log
+    posteriors (softmax normalization is monotone — pytest-pinned)."""
+    from lucene_spark.classification import BM25NBClassifier
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, _nb_index(spark, sf_dir))
+    clf = BM25NBClassifier(s, class_field="role")
+    return clf.classify_df(list(NB_INPUTS)).orderBy("input_id", "cls")
+
+
 def _q_knn_classify(spark, sf_dir):
     """KNearestNeighborClassifier (lucene/classification): MLT top-20 of
     doc 32's text → per-lang vote (count × normalized boost / k); the
@@ -1761,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_wildcard_topk": _q_phrase_wildcard,
         "multi_range_count": _q_multi_range_count,
         "nb_classify": _q_nb_classify,
+        "bm25_nb_classify": _q_bm25_nb_classify,
         "knn_classify": _q_knn_classify,
         "freetext_suggest": _q_freetext_suggest,
         "sweet_spot_topk": _mk_sim_topk("sweet_spot", 40, ln_min=6,
@@ -2048,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
             ["table", ("like", "v_lue%")], 40),
         "multi_range_count": oracle.multi_range_count_sql(MR_RANGES),
         "nb_classify": oracle.nb_classify_sql(NB_INPUTS),
+        "bm25_nb_classify": oracle.bm25_nb_classify_sql(NB_INPUTS),
         "knn_classify": oracle.knn_classify_sql(MLT_SRC_DID, 20),
         "freetext_suggest": oracle.freetext_suggest_sql(
             ["key", "query"], 10),

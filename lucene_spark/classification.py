@@ -216,3 +216,128 @@ class KNearestNeighborClassifier:
         ]
         return self.searcher.spark.createDataFrame(
             rows, "input_id long, cls string, score double")
+
+class BM25NBClassifier:
+    """``classification/.../BM25NBClassifier.java:47`` — naive Bayes
+    approximated by pure BM25 query scores:
+
+    - classes = the class (keyword) field's term dictionary (:126-139)
+    - log prior(c)       = ln(top-1 score of ``+class:c``)        (:222-231)
+    - log likelihood(c)  = Σ_w ln(top-1 score of ``+class:c text:w``),
+      repeated input words counting each occurrence              (:198-220);
+      a (class, word) pair with no hits contributes ln(1) = 0 — but with
+      the class term always matching, top-1 is never empty here
+
+    The reference runs one IndexSearcher.search per (class, word). Both
+    top-1 scores have closed forms that ONE distributed job computes:
+    the class field is keyword-indexed (omitNorms, tf = 1), so the class
+    clause adds the same float32 constant cconst(c)
+    (:func:`lucene_spark.search.searcher.keyword_const_score`) to every doc
+    of class c; hence
+
+    - top-1(``+class:c``)           = cconst(c)
+    - top-1(``+class:c text:w``)    = f32(cconst(c) + max_ws(c, w)) where
+      max_ws = the max per-doc float32 BM25 text score of w over docs of
+      class c (0 when no class doc contains w — the SHOULD clause). The
+      f32 narrowing of the per-doc double clause sum is monotone, so
+      max-then-narrow equals the reference's per-doc narrow-then-max.
+
+    max_ws for all (class, word) pairs is one plan: union of per-word
+    score sets ⋈ union of per-class match sets → groupBy max — tiny
+    output, nothing corpus-sized collected (same shape as SimpleNB).
+
+    Cross-engine exactness contract (same as SimpleNB): each ln narrows
+    to float32, per-input sums accumulate in double (exact,
+    order-independent). The reference's softmax normalization
+    (``normClassificationResults`` :147-174) is strictly monotone per
+    input — exposed via ``normalize=True`` (ranking identical,
+    pytest-pinned); the gate scores are the raw log posteriors.
+    """
+
+    def __init__(self, searcher, class_field: str = "role",
+                 text_field: str = "text"):
+        from lucene_spark.search.searcher import keyword_const_score
+
+        self.searcher = searcher
+        self.class_field = class_field
+        self.text_field = text_field
+        r = searcher.reader
+        stats = r._term_stats_df.filter(F.col("field") == class_field)
+        rows = stats.select("term", "df", "ttf").collect()
+        if not rows:
+            raise ValueError(f"no terms in class field {class_field!r}")
+        fs = r.field_stats[class_field]
+        self.cconst = {
+            row["term"]: float(keyword_const_score(
+                searcher.similarity, 1.0, fs,
+                {"df": int(row["df"]), "ttf": int(row["ttf"])}))
+            for row in rows
+        }
+
+    def _max_word_scores(self, words: list[str]):
+        """(word, class) → max per-doc float32 text score, one plan."""
+        s = self.searcher
+        uniq = sorted(set(words))
+        if not uniq:
+            return {}
+        wparts = [
+            s.score_df(ast.TermQuery(w, self.text_field))
+            .select("doc_id", "score", F.lit(w).alias("word"))
+            for w in uniq
+        ]
+        cparts = [
+            s.match_df(ast.TermQuery(c, self.class_field))
+            .select("doc_id", F.lit(c).alias("cls"))
+            for c in sorted(self.cconst)
+        ]
+
+        def _union(parts):
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            return u
+
+        rows = (
+            _union(wparts).join(_union(cparts), "doc_id")
+            .groupBy("word", "cls")
+            .agg(F.max("score").alias("mx"))
+            .collect()
+        )
+        return {(r["word"], r["cls"]): float(r["mx"]) for r in rows}
+
+    def classify_all(self, texts: list[str],
+                     normalize: bool = False) -> list[list[tuple[str, float]]]:
+        tok = [self.searcher.analyzer.tokenize_text(t) for t in texts]
+        mx = self._max_word_scores([w for ws in tok for w in ws])
+        out = []
+        for ws in tok:
+            scored = []
+            for c, cc in sorted(self.cconst.items()):
+                sc = _f32_ln(cc)  # log prior
+                for w in ws:
+                    p = float(np.float32(cc + mx.get((w, c), 0.0)))
+                    sc += _f32_ln(p)
+                scored.append((c, sc))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            if normalize:
+                # normClassificationResults: softmax via the log-sum-exp
+                # trick (:147-174) — strictly monotone, ranking unchanged
+                smax = scored[0][1]
+                loga = smax + math.log(
+                    sum(math.exp(s - smax) for _, s in scored))
+                scored = [(c, math.exp(s - loga)) for c, s in scored]
+            out.append(scored)
+        return out
+
+    def assign_class(self, text: str) -> tuple[str, float]:
+        return self.classify_all([text])[0][0]
+
+    def classify_df(self, texts: list[str]):
+        """(input_id, cls, score) over every (input, class) pair."""
+        rows = [
+            (i, c, s)
+            for i, scored in enumerate(self.classify_all(texts))
+            for c, s in scored
+        ]
+        return self.searcher.spark.createDataFrame(
+            rows, "input_id long, cls string, score double")

@@ -3079,6 +3079,91 @@ ORDER BY i.input_id, p.cls
 """
 
 
+def bm25_nb_classify_sql(inputs) -> str:
+    """BM25NBClassifier oracle
+    (``classification/.../BM25NBClassifier.java:47``): classes = lang;
+    log prior = f32ln(cconst(c)) where cconst is the float32 keyword-clause
+    BM25 constant of the class term (omitNorms keyword field: df = df_c,
+    N = sum_ttf = docCount, tf = dl = avgdl = 1 — the
+    ``keyword_const_score`` chain); per-occurrence word log-likelihood =
+    f32ln(f32(cconst(c) + max per-doc f32 BM25 text score of the word over
+    class-c docs, 0 when absent)); f32 addends accumulate in double —
+    exact and order-independent, hash-parity with the engine."""
+    vals = ",".join(f"({i}, '{t}')" for i, t in enumerate(inputs))
+    return f"""
+WITH {BASE_CTES},
+inputs(input_id, itext) AS (VALUES {vals}),
+itoks AS (
+  SELECT input_id,
+         unnest(regexp_extract_all(lower(itext), '[a-z0-9]+')) AS word
+  FROM inputs
+),
+classes AS (SELECT lang AS cls, count(*)::BIGINT AS dfc FROM docs0 GROUP BY 1),
+cstats AS (SELECT count(*)::BIGINT AS nclass FROM docs0),
+cconst AS (
+  SELECT cls, CAST(w - w / (CAST(1 AS FLOAT)
+                            + CAST(CAST(1 AS FLOAT) * inv AS FLOAT))
+              AS FLOAT) AS c
+  FROM (
+    SELECT cls,
+           CAST(CAST(1.0 AS FLOAT)
+                * CAST(ln(1 + ((SELECT nclass FROM cstats) - dfc + 0.5)
+                              / (dfc + 0.5)) AS FLOAT)
+                AS FLOAT) AS w,
+           CAST(CAST(1 AS FLOAT)
+                / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                           + CAST({B} * CAST(1 AS FLOAT) AS FLOAT)
+                             / CAST(1 AS FLOAT))) AS FLOAT) AS inv
+    FROM classes
+  )
+),
+wweights AS (
+  SELECT ts.term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                     / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM tstats ts
+  WHERE ts.term IN (SELECT DISTINCT word FROM itoks)
+),
+wscores AS (
+  SELECT tf.did, tf.term,
+         CAST(CAST(ww.w - ww.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats)))))
+              AS DOUBLE) AS FLOAT) AS s
+  FROM tf
+  JOIN wweights ww ON ww.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+maxws AS (
+  SELECT ws.term AS word, d.lang AS cls, max(ws.s) AS mx
+  FROM wscores ws JOIN docs0 d ON d.did = ws.did
+  GROUP BY 1, 2
+),
+wl AS (
+  SELECT i.input_id, c.cls,
+         CAST(ln(CAST(CAST(CAST(c.c AS DOUBLE)
+                           + coalesce(CAST(m.mx AS DOUBLE), 0e0)
+                           AS FLOAT) AS DOUBLE)) AS FLOAT) AS lp
+  FROM itoks i CROSS JOIN cconst c
+  LEFT JOIN maxws m ON m.word = i.word AND m.cls = c.cls
+),
+agg AS (
+  SELECT input_id, cls, sum(CAST(lp AS DOUBLE)) AS slp
+  FROM wl GROUP BY 1, 2
+),
+prior AS (SELECT cls, CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS lpc
+          FROM cconst)
+SELECT CAST(i.input_id AS BIGINT) AS input_id, p.cls,
+       CAST(CAST(p.lpc AS DOUBLE) + coalesce(a.slp, 0e0) AS DOUBLE) AS score
+FROM inputs i CROSS JOIN prior p
+LEFT JOIN agg a ON a.input_id = i.input_id AND a.cls = p.cls
+ORDER BY i.input_id, p.cls
+"""
+
+
 def knn_classify_sql(src_did: int, k: int) -> str:
     """KNearestNeighborClassifier oracle
     (``classification/.../KNearestNeighborClassifier.java``

@@ -103,3 +103,56 @@ def test_knn_classifier_vote(spark, nb_index, corpus_pdf):
     assert [c for c, _ in got] == sorted(want, key=lambda c: (-want[c], c))
     best = clf.assign_class(text)
     assert best == got[0]
+
+
+def test_bm25_nb_top1_closed_form_matches_engine(spark, nb_index):
+    """The classifier's analytic top-1 scores equal the engine actually
+    running the reference's queries (BM25NBClassifier.java:205-231):
+    top-1(+role:c) = cconst(c) and top-1(+role:c text:w) =
+    f32(cconst + max class-doc word score)."""
+    from lucene_spark.classification import BM25NBClassifier
+    from lucene_spark.search import ast
+
+    s = IndexSearcher(spark, nb_index)
+    clf = BM25NBClassifier(s, class_field="role")
+    for c in sorted(clf.cconst):
+        hits = s.search(ast.BooleanQuery(
+            [(ast.MUST, ast.TermQuery(c, "role"))]), k=1)
+        assert hits and hits[0].score == pytest.approx(clf.cconst[c], abs=0)
+        for w in (VOCAB[0], VOCAB[7], "zzznovocab"):
+            bq = ast.BooleanQuery([(ast.MUST, ast.TermQuery(c, "role")),
+                                   (ast.SHOULD, ast.TermQuery(w, "text"))])
+            top1 = s.search(bq, k=1)[0].score
+            mx = clf._max_word_scores([w]).get((w, c), 0.0)
+            p = float(np.float32(clf.cconst[c] + mx))
+            assert top1 == p
+
+
+def test_bm25_nb_scores_and_normalization(spark, nb_index):
+    """Raw log posteriors recompute from the engine's own pieces; softmax
+    normalization preserves ranking and sums to 1 per input
+    (normClassificationResults BM25NBClassifier.java:147-174)."""
+    from lucene_spark.classification import BM25NBClassifier
+
+    s = IndexSearcher(spark, nb_index)
+    clf = BM25NBClassifier(s, class_field="role")
+    texts = [f"{VOCAB[0]} {VOCAB[3]} {VOCAB[0]}",  # repeat counts twice
+             f"{VOCAB[7]} zzznovocab"]
+    raw = clf.classify_all(texts)
+    # repeated word: score differs from the dedup'd version
+    dedup = clf.classify_all([f"{VOCAB[0]} {VOCAB[3]}"])[0]
+    assert dict(raw[0]) != dict(dedup)
+    # brute recompute of input 0 from cconst + one max_word_scores call
+    words = [VOCAB[0], VOCAB[3], VOCAB[0]]
+    mx = clf._max_word_scores(words)
+    for c, sc in raw[0]:
+        want = float(np.float32(math.log(clf.cconst[c])))
+        for w in words:
+            p = float(np.float32(clf.cconst[c] + mx.get((w, c), 0.0)))
+            want += float(np.float32(math.log(p)))
+        assert sc == want
+    norm = clf.classify_all(texts, normalize=True)
+    for r, n in zip(raw, norm):
+        assert [c for c, _ in r] == [c for c, _ in n]
+        assert sum(p for _, p in n) == pytest.approx(1.0, rel=1e-12)
+        assert all(p > 0 for _, p in n)
