@@ -1375,6 +1375,23 @@ def _q_knn_classify(spark, sf_dir):
             .select("cls", "score").orderBy(F.desc("score"), F.asc("cls")))
 
 
+KNF_INPUT = "tabel valu join scam"  # typos → fuzzy variants + one exact
+
+
+def _q_knn_fuzzy_classify(spark, sf_dir):
+    """KNearestFuzzyClassifier (classification/KNearestFuzzyClassifier.java
+    :50): NearestFuzzyQuery over a typo'd input (2-char prefix + suffix
+    DL≤1 variants, boost²·idf clause scores, artificial df=1 BM25) +
+    class-wildcard MUST, top-20 → buildListFromTopDocs vote."""
+    from lucene_spark.classification import KNearestFuzzyClassifier
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, _nb_index(spark, sf_dir))
+    clf = KNearestFuzzyClassifier(s, class_field="role", k=20)
+    return (clf.classify_df([KNF_INPUT])
+            .select("cls", "score").orderBy(F.desc("score"), F.asc("cls")))
+
+
 FT_KEY = "key query "  # trailing space → next-token prediction
 
 
@@ -1776,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_range_count": _q_multi_range_count,
         "nb_classify": _q_nb_classify,
         "bm25_nb_classify": _q_bm25_nb_classify,
+        "knn_fuzzy_classify": _q_knn_fuzzy_classify,
         "knn_classify": _q_knn_classify,
         "freetext_suggest": _q_freetext_suggest,
         "sweet_spot_topk": _mk_sim_topk("sweet_spot", 40, ln_min=6,
@@ -2064,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_range_count": oracle.multi_range_count_sql(MR_RANGES),
         "nb_classify": oracle.nb_classify_sql(NB_INPUTS),
         "bm25_nb_classify": oracle.bm25_nb_classify_sql(NB_INPUTS),
+        "knn_fuzzy_classify": oracle.knn_fuzzy_classify_sql(KNF_INPUT, 20),
         "knn_classify": oracle.knn_classify_sql(MLT_SRC_DID, 20),
         "freetext_suggest": oracle.freetext_suggest_sql(
             ["key", "query"], 10),

@@ -341,3 +341,216 @@ class BM25NBClassifier:
         ]
         return self.searcher.spark.createDataFrame(
             rows, "input_id long, cls string, score double")
+
+# -- KNearestFuzzyClassifier ------------------------------------------------
+
+#: NearestFuzzyQuery fixed parameters
+#: (``classification/utils/NearestFuzzyQuery.java:53-56``)
+NF_MAX_VARIANTS_PER_TERM = 50
+NF_MAX_EDITS = 1           # MIN_SIMILARITY = 1f (cast to int maxEdits)
+NF_PREFIX_LENGTH = 2
+NF_MAX_NUM_TERMS = 300
+
+
+def fuzzy_variants(reader, token: str, field: str = "text",
+                   prefix_len: int = NF_PREFIX_LENGTH,
+                   max_edits: int = NF_MAX_EDITS) -> list[tuple]:
+    """Dictionary variants of ``token``: share its ``prefix_len``-char
+    prefix with Damerau-Levenshtein distance ≤ ``max_edits`` on the SUFFIX
+    — ``FuzzyTermsEnum``'s automata are (exact prefix) + Levenshtein on the
+    remainder with transpositions on (``core/search/FuzzyTermsEnum.java``;
+    ``NearestFuzzyQuery.java:134`` passes transpositions=true). Tokens
+    shorter than ``prefix_len`` use the whole token as prefix (variants =
+    suffix insertions). Returns [(term, df, suffix_ed)] — includes the
+    token itself (ed 0) when indexed.
+
+    Driver-resident dictionaries answer with no Spark job; otherwise ONE
+    prefix-pushdown scan (StartsWith reaches the parquet term dictionary)
+    bounds the candidate list before the exact driver-side DL filter —
+    same hybrid as spell_suggest."""
+    from lucene_spark.search.multiterm import damerau_levenshtein
+
+    pre, suf = token[:prefix_len], token[prefix_len:]
+    n = len(token)
+    cache = reader._term_cache()
+    if cache is not None:
+        cands = [(t, v["df"]) for (f, t), v in cache.items()
+                 if f == field and t.startswith(pre)
+                 and abs(len(t) - n) <= max_edits]
+    else:
+        rows = (
+            reader._term_stats_df
+            .filter((F.col("field") == field)
+                    & F.col("term").startswith(pre)
+                    & (F.length("term") >= n - max_edits)
+                    & (F.length("term") <= n + max_edits))
+            .select("term", "df").collect()
+        )
+        cands = [(r["term"], int(r["df"])) for r in rows]
+    out = []
+    for t, df in cands:
+        ed = damerau_levenshtein(t[prefix_len:], suf)
+        if ed <= max_edits:
+            out.append((t, int(df), ed))
+    return out
+
+
+def nearest_fuzzy_query(searcher, text: str, field: str = "text"):
+    """``NearestFuzzyQuery`` rewrite
+    (``classification/utils/NearestFuzzyQuery.java:214-262``): per distinct
+    analyzed token, enumerate fuzzy variants; variant boost = 1.0 on exact
+    match else f32(1 − f32(ed)/f32(min(|variant|, |token|)))
+    (``FuzzyTermsEnum.java:249-255``); keep the top
+    ``NF_MAX_VARIANTS_PER_TERM`` per token, re-score each as
+    f32(f32(boost·boost) · idf) with the CLASSIC idf
+    f32(ln((N+1)/(df+1)) + 1) over the SOURCE token's df — or, when the
+    token is corpus-absent, the integer-division average of the variants'
+    dfs (:171-176) — and keep the global top ``NF_MAX_NUM_TERMS``. Each
+    surviving variant becomes a SHOULD ``TermQuery(df1=True)`` (scored
+    with artificial df = ttf = 1, :199-212).
+
+    Both caps rank (score DESC, term ASC); the reference's PriorityQueue
+    tie order is insertion-dependent, so the deterministic tie-break is a
+    documented divergence that only matters when a cap binds. N =
+    ``reader.doc_count`` (the reference uses live numDocs — identical
+    without deletes; documented)."""
+    r = searcher.reader
+    n_docs = int(r.doc_count)
+    seen: set[str] = set()
+    scored: list[tuple[str, float]] = []  # (variant term, clause boost)
+    for tok in searcher.analyzer.tokenize_text(text):
+        if tok in seen:
+            continue
+        seen.add(tok)
+        variants = fuzzy_variants(r, tok, field)
+        if not variants:
+            continue
+        # FuzzyTermsEnum boost, before idf re-scoring
+        boosted = [
+            (t, 1.0 if t == tok else float(
+                np.float32(1.0) - np.float32(ed) / np.float32(min(len(t),
+                                                                  len(tok)))))
+            for t, _df, ed in variants
+        ]
+        boosted.sort(key=lambda x: (-x[1], x[0]))
+        top = boosted[:NF_MAX_VARIANTS_PER_TERM]
+        src_df = next((df for t, df, _ in variants if t == tok), 0)
+        if src_df == 0:
+            # integer-division average df of ALL enumerated variants (:173)
+            src_df = sum(df for _, df, _ in variants) // len(variants)
+        idf = float(np.float32(
+            math.log((n_docs + 1) / float(src_df + 1)) + 1.0))
+        for t, b in top:
+            sc = float(np.float32(
+                np.float32(np.float32(b) * np.float32(b)) * np.float32(idf)))
+            scored.append((t, sc))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    scored = scored[:NF_MAX_NUM_TERMS]
+    if not scored:
+        return None
+    return ast.BooleanQuery(tuple(
+        (ast.SHOULD, ast.TermQuery(t, field, boost=sc, df1=True))
+        for t, sc in scored
+    ))
+
+
+def _build_list_from_top_docs(hits, cls_of, k: int):
+    """``buildListFromTopDocs`` vote (shared by the KNN classifiers):
+    per class count + Σ f32(score/maxScore); score = (count·(boost/count))/k
+    with the <k rescale."""
+    if not hits:
+        return []
+    max_score = float(hits[0].score)
+    counts: dict[str, int] = {}
+    boosts: dict[str, float] = {}
+    for h in hits:
+        c = cls_of.get(int(h.doc_id))
+        if c is None:
+            continue
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + float(
+            np.float32(float(h.score) / max_score))
+    sumdoc = sum(counts.values())
+    scored = []
+    for c in sorted(counts):
+        sc = (counts[c] * (boosts[c] / counts[c])) / float(k)
+        if sumdoc < k:
+            sc = sc * float(k) / float(sumdoc)
+        scored.append((c, sc))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored
+
+
+class KNearestFuzzyClassifier:
+    """``classification/KNearestFuzzyClassifier.java:50`` — k-NN
+    classification over a :func:`nearest_fuzzy_query`:
+
+    - knnSearch (:137-148): ``MUST(NearestFuzzyQuery) MUST(class:*)`` —
+      the class wildcard takes the CONSTANT_SCORE rewrite and adds 1.0 to
+      every hit (all docs carry the class on the gate index); top-k by
+      (score DESC, docID ASC)
+    - vote: the same ``buildListFromTopDocs`` as
+      :class:`KNearestNeighborClassifier` (:155-195)
+
+    One engine search per input (the reference's exact shape); the fuzzy
+    rewrite costs one driver-dict pass (or one prefix-pushdown scan) per
+    distinct token. Cross-engine exactness: per-hit score/maxScore
+    quotients narrow to float32 before the per-class double sum."""
+
+    def __init__(self, searcher, class_field: str = "role", k: int = 10,
+                 text_field: str = "text"):
+        self.searcher = searcher
+        self.class_field = class_field
+        self.text_field = text_field
+        self.k = int(k)
+        stats = searcher.reader._term_stats_df.filter(
+            F.col("field") == class_field)
+        self.classes = sorted(
+            r["term"] for r in stats.select("term").collect())
+        if not self.classes:
+            raise ValueError(f"no terms in class field {class_field!r}")
+
+    def _classes_of(self, doc_ids: list[int]) -> dict[int, str]:
+        s = self.searcher
+        parts = [
+            s.match_df(ast.TermQuery(c, self.class_field))
+            .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("doc_id", F.lit(c).alias("cls"))
+            for c in self.classes
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return {int(r["doc_id"]): r["cls"] for r in u.collect()}
+
+    def knn_search(self, text: str):
+        fq = nearest_fuzzy_query(self.searcher, text, self.text_field)
+        if fq is None:
+            return []
+        bq = ast.BooleanQuery(
+            ((ast.MUST, fq),
+             (ast.MUST, ast.MultiTermQuery("wildcard", "*",
+                                           field=self.class_field))))
+        return self.searcher.search(bq, k=self.k)
+
+    def classify_all(self, texts: list[str]) -> list[list[tuple[str, float]]]:
+        out = []
+        for text in texts:
+            hits = self.knn_search(text)
+            cls_of = (self._classes_of([h.doc_id for h in hits])
+                      if hits else {})
+            out.append(_build_list_from_top_docs(hits, cls_of, self.k))
+        return out
+
+    def assign_class(self, text: str):
+        scored = self.classify_all([text])[0]
+        return scored[0] if scored else None
+
+    def classify_df(self, texts: list[str]):
+        rows = [
+            (i, c, s)
+            for i, scored in enumerate(self.classify_all(texts))
+            for c, s in scored
+        ]
+        return self.searcher.spark.createDataFrame(
+            rows, "input_id long, cls string, score double")

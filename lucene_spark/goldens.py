@@ -402,6 +402,9 @@ class BruteForceIndex:
                 docs, tfs = hit
                 ttfs = ([int(tfs.sum())]
                         if isinstance(tq, ast.TermQuery) else None)
+                if isinstance(tq, ast.TermQuery) and tq.df1:
+                    # artificial df = ttf = 1 (NearestFuzzyQuery.java:199)
+                    dfs, ttfs = [1], [1]
                 scorer = self.similarity.scorer(
                     tq.boost, self.doc_count, self.sum_ttf, dfs, ttfs=ttfs
                 )

@@ -3197,6 +3197,115 @@ FROM votes ORDER BY score DESC, cls ASC
 """
 
 
+def knn_fuzzy_classify_sql(text: str, k: int) -> str:
+    """KNearestFuzzyClassifier oracle
+    (``classification/KNearestFuzzyClassifier.java:50`` +
+    ``classification/utils/NearestFuzzyQuery.java:214-262``): the whole
+    chain recomputed independently — fuzzy variants (2-char exact prefix +
+    suffix Damerau-Levenshtein ≤ 1, DuckDB ``damerau_levenshtein`` ==
+    the engine helper by construction), FuzzyTermsEnum boost
+    f32(1 − f32(ed)/f32(min lens)) (1.0 on exact), clause score
+    f32(f32(boost²) · classic-idf(src df | int-div avg df)), final BM25
+    with ARTIFICIAL df = 1 per variant + the class-wildcard constant 1.0
+    (every gate doc carries a class), top-k (score DESC, docID ASC), then
+    the buildListFromTopDocs vote. The 50/300 caps never bind on the gate
+    corpus (31-term vocabulary), so the reference PQ's insertion-dependent
+    tie order is moot here."""
+    toks, seen = [], set()
+    for t in __import__("re").findall(r"[a-z0-9]+", text.lower()):
+        if t not in seen:
+            seen.add(t)
+            toks.append(t)
+    qvals = ",".join(f"('{t}')" for t in toks)
+    kd = f"CAST({int(k)} AS DOUBLE)"
+    return f"""
+WITH {BASE_CTES},
+qtoks(tok) AS (VALUES {qvals}),
+vterms AS (SELECT DISTINCT term FROM tf),
+vars AS (
+  SELECT q.tok, v.term,
+         damerau_levenshtein(substr(v.term, 3), substr(q.tok, 3)) AS ed
+  FROM qtoks q JOIN vterms v
+    ON substr(v.term, 1, 2) = substr(q.tok, 1, 2)
+  WHERE damerau_levenshtein(substr(v.term, 3), substr(q.tok, 3)) <= 1
+),
+srcdf AS (
+  SELECT v.tok,
+         coalesce(max(ts0.df),
+                  CAST(sum(ts.df) AS BIGINT) // count(*)) AS df
+  FROM vars v
+  JOIN tstats ts ON ts.term = v.term
+  LEFT JOIN tstats ts0 ON ts0.term = v.tok
+  GROUP BY v.tok
+),
+stq AS (
+  SELECT b.tok, b.term,
+         CAST(CAST(CAST(b.b AS FLOAT) * CAST(b.b AS FLOAT) AS FLOAT)
+              * CAST(ln(CAST((SELECT n FROM fstats) + 1 AS DOUBLE)
+                        / CAST(s.df + 1 AS DOUBLE)) + 1.0 AS FLOAT)
+              AS FLOAT) AS boost
+  FROM (
+    SELECT tok, term,
+           CASE WHEN term = tok THEN CAST(1 AS FLOAT)
+                ELSE CAST(CAST(1 AS FLOAT)
+                          - CAST(ed AS FLOAT)
+                            / CAST(least(length(term), length(tok))
+                                   AS FLOAT) AS FLOAT) END AS b
+    FROM vars
+  ) b JOIN srcdf s ON s.tok = b.tok
+),
+fw AS (
+  SELECT term,
+         CAST(CAST(boost AS FLOAT)
+              * CAST(ln(1 + ((SELECT n FROM fstats) - 1 + 0.5)
+                            / (1 + 0.5)) AS FLOAT) AS FLOAT) AS w
+  FROM stq
+),
+cs AS (
+  SELECT tf.did,
+         fw.w - fw.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN fw ON fw.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+tot AS (
+  -- the NearestFuzzyQuery is a NESTED clause of the outer boolean: its
+  -- scorer returns FLOAT (f32 of its own double clause sum) before the
+  -- outer double sum adds the class-wildcard constant 1.0 — per-level
+  -- float32 narrowing, Lucene Scorer.score() contract
+  SELECT did,
+         CAST(CAST(CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE)
+              + CAST(1 AS DOUBLE) AS FLOAT) AS score
+  FROM cs GROUP BY did
+),
+hits AS (
+  SELECT did AS doc_id, score FROM tot
+  ORDER BY score DESC, did ASC LIMIT {int(k)}
+),
+mxh AS (SELECT max(score) AS m FROM hits),
+qv AS (
+  SELECT h.doc_id, d.lang AS cls,
+         CAST(h.score / (SELECT m FROM mxh) AS FLOAT) AS qt
+  FROM hits h JOIN docs0 d ON d.did = h.doc_id),
+votes AS (
+  SELECT cls, count(*)::BIGINT AS cnt, sum(CAST(qt AS DOUBLE)) AS boost
+  FROM qv GROUP BY cls),
+sd AS (SELECT CAST(sum(cnt) AS DOUBLE) AS sumdoc,
+              sum(cnt)::BIGINT AS sumdoc_i FROM votes)
+SELECT cls,
+       CAST(CASE WHEN (SELECT sumdoc_i FROM sd) < {int(k)}
+            THEN ((cnt * (boost / cnt)) / {kd})
+                 * {kd} / (SELECT sumdoc FROM sd)
+            ELSE (cnt * (boost / cnt)) / {kd} END AS DOUBLE) AS score
+FROM votes ORDER BY score DESC, cls ASC
+"""
+
+
 def freetext_suggest_sql(ctx_tokens, num: int, grams: int = 3) -> str:
     """FreeTextSuggester oracle
     (``suggest/analyzing/FreeTextSuggester.java`` stupid backoff): next-

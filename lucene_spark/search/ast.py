@@ -35,9 +35,14 @@ class TermQuery:
     term: str
     field: str = "text"
     boost: float = 1.0
+    #: score with ARTIFICIAL df = ttf = 1 instead of the term's real stats
+    #: (``classification/utils/NearestFuzzyQuery.java:199-212`` newTermQuery
+    #: builds a TermStates whose overall df and ttf equal 1); matching /
+    #: existence checks still use the real postings
+    df1: bool = False
 
     def boosted(self, b: float) -> "TermQuery":
-        return TermQuery(self.term, self.field, self.boost * b)
+        return TermQuery(self.term, self.field, self.boost * b, self.df1)
 
 
 @dataclass(frozen=True)

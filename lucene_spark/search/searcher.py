@@ -331,8 +331,11 @@ class IndexSearcher:
                     self.reader.field_stats.get(tq.field), st))
                 w = scorer.weight
             elif occur in (ast.MUST, ast.SHOULD):
+                # df1: artificial df = ttf = 1 (NearestFuzzyQuery.java:199)
                 scorer = self.reader.similarity_scorer(
-                    self.similarity, tq.boost, [st["df"]], ttfs=[st["ttf"]]
+                    self.similarity, tq.boost,
+                    [1 if tq.df1 else st["df"]],
+                    ttfs=[1 if tq.df1 else st["ttf"]],
                 )
                 w = scorer.weight
             else:
@@ -652,8 +655,8 @@ class IndexSearcher:
                                 sub.boost, int(sub.slop), None))
                 elif isinstance(sub, ast.TermQuery):
                     by_field.setdefault(sub.field, set()).add(sub.term)
-                    out.append((occur, "term", sub.field, (sub.term,),
-                                sub.boost, 0, None))
+                    out.append((occur, "term1" if sub.df1 else "term",
+                                sub.field, (sub.term,), sub.boost, 0, None))
                 elif isinstance(sub, ast.MultiTermQuery):
                     terms = tuple(expand_terms_hybrid(self.reader, sub,
                                                       max_terms=100_000))
@@ -732,7 +735,7 @@ class IndexSearcher:
                                     "clauses": inner, "msm": slop,
                                     "weight": 0.0})
                     continue
-                kw_term = f != "text" and kind == "term"
+                kw_term = f != "text" and kind in ("term", "term1")
                 if f != "text" and kind == "phrase" and occur == ast.MUST:
                     occur = ast.FILTER  # keyword phrase = pure filter
                 if kind != "const":
@@ -741,19 +744,26 @@ class IndexSearcher:
                             return None  # required clause can never match
                         continue  # absent SHOULD / MUST_NOT never matches
                 if kw_term and occur in (ast.MUST, ast.SHOULD):
+                    # term1: artificial df = ttf = 1 for SCORING only
+                    # (NearestFuzzyQuery.java:199-212 newTermQuery)
+                    kind_stats = ({"df": 1, "ttf": 1} if kind == "term1"
+                                  else stats[(f, terms[0])])
                     kind = "const"  # constant similarity score, occur kept
                     w = float(keyword_const_score(
                         scoring_sim, boost, self.reader.field_stats.get(f),
-                        stats[(f, terms[0])]))
+                        kind_stats))
                 elif kind == "const":
                     w = float(boost)
                 elif occur in (ast.MUST, ast.SHOULD):
                     scorer = self.reader.similarity_scorer(
-                        scoring_sim, boost, [df_of(f, t) for t in terms]
+                        scoring_sim, boost,
+                        [1] if kind == "term1"
+                        else [df_of(f, t) for t in terms]
                     )
                     w = float(scorer.weight)
                 else:
                     w = 0.0
+                kind = "term" if kind == "term1" else kind
                 field_terms.setdefault(f, []).extend(terms)
                 clauses.append({"occur": occur, "kind": kind, "field": f,
                                 "terms": tuple(f + sep + t for t in terms),

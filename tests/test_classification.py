@@ -156,3 +156,74 @@ def test_bm25_nb_scores_and_normalization(spark, nb_index):
         assert [c for c, _ in r] == [c for c, _ in n]
         assert sum(p for _, p in n) == pytest.approx(1.0, rel=1e-12)
         assert all(p > 0 for _, p in n)
+
+
+def test_knn_fuzzy_classifier(spark, nb_index, corpus_pdf):
+    """KNearestFuzzyClassifier end-to-end: variants vs brute DL, clause
+    scores vs hand recompute, df1 scoring vs the (patched) golden, vote vs
+    _build_list_from_top_docs over golden hits."""
+    from lucene_spark.classification import (
+        NF_PREFIX_LENGTH, KNearestFuzzyClassifier, _build_list_from_top_docs,
+        fuzzy_variants, nearest_fuzzy_query)
+    from lucene_spark.goldens import BruteForceIndex
+    from lucene_spark.search import ast
+    from lucene_spark.search.multiterm import damerau_levenshtein
+
+    s = IndexSearcher(spark, nb_index)
+    golden = BruteForceIndex(corpus_pdf, keyword_fields=("role",))
+
+    # variants ≡ brute enumeration over the full dictionary
+    tok = VOCAB[0][:-1] + ("x" if VOCAB[0][-1] != "x" else "q")  # typo
+    got = sorted(fuzzy_variants(s.reader, tok))
+    vocab = sorted({w for t in corpus_pdf["text"]
+                    for w in golden.analyzer.tokenize_text(t or "")})
+    want = sorted(
+        (v, len(golden.postings[v][0]),
+         damerau_levenshtein(v[NF_PREFIX_LENGTH:], tok[NF_PREFIX_LENGTH:]))
+        for v in vocab
+        if v[:NF_PREFIX_LENGTH] == tok[:NF_PREFIX_LENGTH]
+        and damerau_levenshtein(v[NF_PREFIX_LENGTH:],
+                                tok[NF_PREFIX_LENGTH:]) <= 1
+    )
+    assert got == want and got  # the typo must have real variants
+
+    # clause boosts: hand-recomputed f32 chain
+    fq = nearest_fuzzy_query(s, tok)
+    n = s.reader.doc_count
+    src_df = sum(df for _, df, _ in want) // len(want)  # tok corpus-absent
+    idf = float(np.float32(math.log((n + 1) / float(src_df + 1)) + 1.0))
+    expect = {}
+    for v, _df, ed in want:
+        b = 1.0 if v == tok else float(
+            np.float32(1.0) - np.float32(ed) / np.float32(min(len(v),
+                                                              len(tok))))
+        expect[v] = float(np.float32(
+            np.float32(np.float32(b) * np.float32(b)) * np.float32(idf)))
+    assert {c.term: c.boost for _, c in fq.clauses} == expect
+    assert all(c.df1 for _, c in fq.clauses)
+
+    # df1 scoring: engine ≡ golden on the raw fuzzy boolean (WAND/flat
+    # path) and nested under a class wildcard (mixed path)
+    hits = s.search(fq, k=15)
+    ghits = golden.search(fq, k=15)
+    assert [(h.doc_id, h.score) for h in hits] == ghits
+    bq = ast.BooleanQuery(
+        ((ast.MUST, fq),
+         (ast.MUST, ast.MultiTermQuery("wildcard", "*", field="role"))))
+    hits2 = s.search(bq, k=15)
+    ghits2 = golden.search(bq, k=15)
+    assert [(h.doc_id, h.score) for h in hits2] == ghits2
+    # the class wildcard adds the constant 1.0 AFTER the nested fuzzy
+    # node's float32 narrowing (per-level Scorer.score() contract)
+    g1 = dict(ghits)
+    assert all(sc == float(np.float32(np.float64(g1[d]) + 1.0))
+               for d, sc in ghits2 if d in g1)
+
+    # vote: classifier ≡ _build_list_from_top_docs over golden hits
+    clf = KNearestFuzzyClassifier(s, class_field="role", k=15)
+    roles = list(corpus_pdf["role"])
+    cls_of = {d: roles[d] for d, _ in ghits2}
+    want_vote = _build_list_from_top_docs(
+        [type("H", (), {"doc_id": d, "score": sc})() for d, sc in ghits2],
+        cls_of, 15)
+    assert clf.classify_all([tok])[0] == want_vote
