@@ -564,6 +564,19 @@ def _q_join_field(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+def _q_parent_children(spark, sf_dir):
+    """ParentChildrenBlockJoinQuery
+    (``join/ParentChildrenBlockJoinQuery.java:40-57``): the 'row hash join scan'
+    child hits of ONE parent — the conversation with the most turns
+    (conv_id ASC tie-break, derived identically in the SQL oracle)."""
+    s = _conv_searcher(spark, sf_dir)
+    conv = (s.reader.docs().groupBy("conv_id").count()
+            .orderBy(F.desc("count"), F.asc("conv_id"))
+            .limit(1).collect()[0]["conv_id"])
+    hits = s.parent_children(conv, _parse("row hash join scan"), k=20)
+    return _hits_df(spark, hits)
+
+
 def _q_diversified(spark, sf_dir):
     """DiversifiedTopDocsCollector gate
     (``misc/.../DiversifiedTopDocsCollector.java:69-157``): top-20 turn
@@ -1058,6 +1071,22 @@ def _q_facet_dl_ranges(spark, sf_dir):
     distributed."""
     s = _searcher(spark, sf_dir)
     return s.facet_ranges(_parse(Q_OR), "dl", DL_RANGES)
+
+
+#: (label, min, min_inclusive, max, max_inclusive) — overlapping + empty +
+#: half-open edges; dl/4.0 is exact binary arithmetic (hash-safe edges)
+DBL_RANGES = (("a_low", 0.0, True, 5.25, False),
+              ("b_mid", 5.25, True, 12.5, True),
+              ("c_overlap", 10.0, False, 30.0, True),
+              ("d_empty", 900.0, True, 1000.0, True))
+
+
+def _q_facet_double_ranges(spark, sf_dir):
+    """Double-range facets (facet/range/DoubleRangeFacetCounts.java:45):
+    per-range counts of dl/4.0 (a DoubleValuesSource expression) over the
+    OR query's match set — per-edge inclusivity, overlap, empty range."""
+    s = _searcher(spark, sf_dir)
+    return s.facet_double_ranges(_parse(Q_OR), "dl / 4.0", DBL_RANGES)
 
 
 def _q_facet_taxonomy(spark, sf_dir):
@@ -1637,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": _q_knn,
         "span_near_topk": _q_span_near,
         "facet_dl_ranges": _q_facet_dl_ranges,
+        "facet_double_ranges": _q_facet_double_ranges,
         "facet_taxonomy": _q_facet_taxonomy,
         "drill_sideways": _q_drill_sideways,
         "span_unordered_count": _q_span_unordered_count,
@@ -1690,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_should_topk": _q_kw_should,
         "join_conv_top10": _q_join_conv,
         "join_field_topk": _q_join_field,
+        "parent_children_topk": _q_parent_children,
         "diversified_topk": _q_diversified,
         "kw_role_miss_count": lambda spark, sf_dir: spark.createDataFrame(
             [(int(_searcher(spark, sf_dir).count("+role:assistant +table")),)],
@@ -1857,6 +1888,8 @@ def oracle_sql() -> dict[str, str]:
             ["table", "value"], 3, 50, in_order=True),
         "facet_dl_ranges": oracle.facet_ranges_sql(
             _parse(Q_OR), DL_RANGES),
+        "facet_double_ranges": oracle.facet_double_ranges_sql(
+            _parse(Q_OR), "d.dl / 4.0", DBL_RANGES),
         "facet_taxonomy": oracle.facet_paths_sql(_parse(Q_OR)),
         "drill_sideways": oracle.drill_sideways_sql(
             _parse(Q_OR), {"lang": "en", "source": "src0"}),
@@ -1955,6 +1988,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_conv_top10": oracle.join_conv_topk_sql(["table", "value"], 10),
         "join_field_topk": oracle.join_field_topk_sql(["table", "value"], 20),
+        "parent_children_topk":
+            oracle.parent_children_topk_sql(["row", "hash", "join", "scan"], 20),
         "diversified_topk": oracle.diversified_topk_sql(
             ["table", "value", "query"], 20, 2),
         "kw_role_miss_count": "SELECT CAST(0 AS BIGINT) AS hits",

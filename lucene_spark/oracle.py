@@ -917,6 +917,27 @@ LIMIT {k}
 """
 
 
+def parent_children_topk_sql(terms, k: int,
+                             words_per_turn: int = 40) -> str:
+    """ParentChildrenBlockJoinQuery oracle
+    (``join/ParentChildrenBlockJoinQuery.java:40-57``): the child-query
+    BM25 hits restricted to ONE parent conversation — the conversation
+    with the most turns (conv_id ASC tie-break), derived in SQL itself —
+    top-k by (score DESC, docID ASC)."""
+    return f"""
+WITH {_multiturn_scored_ctes(terms, words_per_turn)},
+parent AS (
+  SELECT conv_id FROM docs0 GROUP BY conv_id
+  ORDER BY count(*) DESC, conv_id ASC LIMIT 1
+)
+SELECT s0.did AS doc_id, CAST(s0.score AS DOUBLE) AS score
+FROM summed s0 JOIN docs0 d0 ON d0.did = s0.did
+WHERE d0.conv_id = (SELECT conv_id FROM parent)
+ORDER BY s0.score DESC, s0.did ASC
+LIMIT {k}
+"""
+
+
 def diversified_topk_sql(terms, k: int, max_per_key: int,
                          words_per_turn: int = 40) -> str:
     """DiversifiedTopDocsCollector oracle
@@ -2711,6 +2732,39 @@ SELECT r.rng AS range, count(m.doc_id)::BIGINT AS n
 FROM ranges r
 LEFT JOIN (SELECT m.doc_id, d.dl FROM matched m JOIN dmap d ON d.did = m.doc_id) m
   ON m.dl BETWEEN r.lo AND r.hi
+GROUP BY r.rng ORDER BY r.rng
+"""
+
+
+def facet_double_ranges_sql(query, expr_sql: str, bounds) -> str:
+    """Double-range facet oracle (``DoubleRangeFacetCounts.java:45``,
+    ``DoubleRange.java:28-69``): per-range counts of a DOUBLE expression
+    over the match set, per-edge inclusivity, 0 for empty ranges.
+    ``expr_sql`` computes the value from ``dl`` (raw token count) — use
+    exact binary arithmetic (e.g. dl / 4.0) so engine and oracle agree
+    bit-for-bit at range edges."""
+    inner = bm25_topk_sql(query, 10**9)
+    vals = ",".join(
+        f"('{lb}', CAST({lo!r} AS DOUBLE), {str(bool(li)).upper()}, "
+        f"CAST({hi!r} AS DOUBLE), {str(bool(hc)).upper()})"
+        for lb, lo, li, hi, hc in bounds)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+dmap AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS dl
+  FROM documents
+),
+vals0 AS (
+  SELECT m.doc_id, CAST({expr_sql} AS DOUBLE) AS v
+  FROM matched m JOIN dmap d ON d.did = m.doc_id
+),
+ranges(rng, lo, lo_inc, hi, hi_inc) AS (VALUES {vals})
+SELECT r.rng AS range, count(m.doc_id)::BIGINT AS n
+FROM ranges r
+LEFT JOIN vals0 m
+  ON (CASE WHEN r.lo_inc THEN m.v >= r.lo ELSE m.v > r.lo END)
+ AND (CASE WHEN r.hi_inc THEN m.v <= r.hi ELSE m.v < r.hi END)
 GROUP BY r.rng ORDER BY r.rng
 """
 

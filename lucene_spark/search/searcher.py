@@ -1241,6 +1241,53 @@ class IndexSearcher:
             .orderBy("range")
         )
 
+    def facet_double_ranges(self, query, expr: str, bounds):
+        """Double-range facet counts
+        (``facet/range/DoubleRangeFacetCounts.java:45`` over a
+        DoubleValuesSource, ``facet/range/DoubleRange.java:28-69``):
+        per-range hit counts of an arbitrary DOUBLE expression over the
+        match set. ``expr``: any Spark SQL expression over docs columns
+        (the DoubleValuesSource analogue); ``bounds``: (label, min,
+        min_inclusive, max, max_inclusive) — ranges may overlap.
+
+        The reference maps doubles to sortable longs
+        (``NumericUtils.doubleToSortableLong``, exclusive edges via
+        nextUp/nextDown) and counts with inclusive long compares; direct
+        IEEE double compares are order-isomorphic to the sortable mapping
+        on non-NaN values and exclude NaN either way, so the results are
+        identical. Same inner-broadcast-theta-join + backfill plan as
+        :meth:`facet_ranges` (the broadcast stays on the tiny ranges table
+        at any match-set size)."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        match = self.match_df(ast.normalize(query))
+        docs = self.reader.docs().select(
+            "doc_id", F.expr(expr).cast("double").alias("_fv"))
+        j = match.join(docs, "doc_id")
+        rdf = self.spark.createDataFrame(
+            [(str(lb), float(lo), bool(li), float(hi), bool(hc))
+             for lb, lo, li, hi, hc in bounds],
+            "range string, lo double, lo_inc boolean, "
+            "hi double, hi_inc boolean",
+        )
+        lo_ok = F.when(rdf["lo_inc"], j["_fv"] >= rdf["lo"]) \
+                 .otherwise(j["_fv"] > rdf["lo"])
+        hi_ok = F.when(rdf["hi_inc"], j["_fv"] <= rdf["hi"]) \
+                 .otherwise(j["_fv"] < rdf["hi"])
+        counts = (
+            j.join(F.broadcast(rdf), lo_ok & hi_ok)
+            .groupBy("range")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            rdf.select("range")
+            .join(F.broadcast(counts), "range", "left")
+            .select("range", F.coalesce("n", F.lit(0)).alias("n"))
+            .orderBy("range")
+        )
+
     def facet_sum(self, query, group_df, group_col: str,
                   value_expr: str = "dl"):
         """Facet value aggregation — the TaxonomyFacetSumValueSource /
@@ -2521,6 +2568,42 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
         )
         return [(r["conv_id"], float(r["score"])) for r in rows]
+
+    def parent_children_df(self, parent_key, child_query,
+                           key_field: str = "conv_id"):
+        """``ParentChildrenBlockJoinQuery`` analogue
+        (``join/ParentChildrenBlockJoinQuery.java:40-57``): all child (turn)
+        docs of ONE parent conversation that match ``child_query``, scored
+        by the child query — the "expand one hit's children" half of the
+        block-join module (``join_conversations_df`` is the to-parent half,
+        ``join_by_field_df`` the value-join half).
+
+        Plan shape: the single parent's children come from one
+        pushdown-filtered docs scan (``key_field = parent_key`` reaches the
+        parquet reader), broadcast into a semi-join against the distributed
+        child score plan — a bounded (one conversation) join, one scan per
+        side, no shuffle of the score set."""
+        from pyspark.sql import functions as F
+
+        scores = self.score_df(child_query)
+        kids = (
+            self.reader.docs(live_only=True)
+            .filter(F.col(key_field) == parent_key)
+            .select("doc_id")
+        )
+        return scores.join(F.broadcast(kids), "doc_id")
+
+    def parent_children(self, parent_key, child_query, k: int = 10,
+                        key_field: str = "conv_id") -> list[ScoreDoc]:
+        """Top-k children of :meth:`parent_children_df`, tie-break
+        (score DESC, docID ASC)."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.parent_children_df(parent_key, child_query, key_field)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        )
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def join_by_field_df(self, from_query, from_field: str, to_field: str,
                          score_mode: str = "max"):

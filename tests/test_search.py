@@ -2236,3 +2236,45 @@ def test_high_freq_terms_order(searcher):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_parent_children_block_join(spark, searcher, golden, corpus_pdf):
+    """ParentChildrenBlockJoinQuery (join/ParentChildrenBlockJoinQuery.java
+    :40-57): children of ONE parent matching the child query, child-scored
+    — ≡ the golden's full hit set filtered to the parent's rows."""
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+    convs = list(corpus_pdf["conv_id"])
+    all_hits = golden.search(q, k=len(convs))
+    # pick a parent that actually has matching children
+    parent = convs[all_hits[0][0]]
+    want = [(d, s) for d, s in all_hits if convs[d] == parent][:10]
+    got = searcher.parent_children(parent, q, k=10)
+    assert [(h.doc_id, h.score) for h in got] == want
+    # rare child query: parents without a matching child → empty
+    rare = VOCAB[800]
+    rare_hits = golden.search(rare, k=len(convs))
+    miss = next(c for c in convs
+                if not any(convs[d] == c for d, _ in rare_hits))
+    assert searcher.parent_children(miss, rare, k=10) == []
+    # unknown parent key → empty
+    assert searcher.parent_children("c_no_such_conv", q, k=10) == []
+
+
+def test_facet_double_ranges(spark, searcher, golden, corpus_pdf):
+    """DoubleRangeFacetCounts (facet/range/DoubleRangeFacetCounts.java:45):
+    per-edge inclusivity over a double expression ≡ brute counts."""
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+    hits = {d for d, _ in golden.search(q, k=len(corpus_pdf))}
+    dls = [len(golden.analyzer.tokenize_text(t or ""))
+           for t in corpus_pdf["text"]]
+    bounds = (("a", 0.0, True, 3.75, False), ("b", 3.75, True, 3.75, True),
+              ("c", 2.0, False, 100.0, True), ("z", 500.0, True, 600.0, True))
+    got = {r["range"]: r["n"] for r in
+           searcher.facet_double_ranges(q, "dl / 4.0", bounds).collect()}
+    for lb, lo, li, hi, hc in bounds:
+        want = sum(
+            1 for d in hits
+            if (dls[d] / 4.0 >= lo if li else dls[d] / 4.0 > lo)
+            and (dls[d] / 4.0 <= hi if hc else dls[d] / 4.0 < hi))
+        assert got[lb] == want
+    assert got["z"] == 0
