@@ -1404,6 +1404,44 @@ def _q_knn_classify(spark, sf_dir):
             .select("cls", "score").orderBy(F.desc("score"), F.asc("cls")))
 
 
+def _bool_index(spark, sf_dir) -> str:
+    """Dedicated boolean-class index: role := 'true' iff lang = 'en'."""
+    import shutil
+
+    from lucene_spark.indexing.builder import IndexBuilder
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_bool/{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("lang") == "en", "true").otherwise("false")
+         .alias("role"),
+        F.col("text"),
+    )
+    if not os.path.exists(f"{d}/manifest.json"):
+        shutil.rmtree(d, ignore_errors=True)
+        IndexBuilder(spark, d, analyzer="simple", num_segments=4,
+                     keyword_fields=("role",)).build(t)
+    return d
+
+
+def _q_bool_perceptron(spark, sf_dir):
+    """BooleanPerceptronClassifier (classification/
+    BooleanPerceptronClassifier.java:59): index-stat-initialized boolean
+    perceptron, one docID-order online training pass (integer weight
+    arithmetic, batch_size=1). Iterative algorithm — rows-only gate
+    (driver contract); brute-simulation pytest pins the training."""
+    from lucene_spark.classification import BooleanPerceptronClassifier
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, _bool_index(spark, sf_dir))
+    clf = BooleanPerceptronClassifier(s, class_field="role", batch_size=1)
+    return clf.classify_df(list(NB_INPUTS) + ["the of and", ""]) \
+        .orderBy("input_id")
+
+
 KNF_INPUT = "tabel valu join scam"  # typos → fuzzy variants + one exact
 
 
@@ -1825,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": _q_nb_classify,
         "bm25_nb_classify": _q_bm25_nb_classify,
         "knn_fuzzy_classify": _q_knn_fuzzy_classify,
+        "bool_perceptron_classify": _q_bool_perceptron,
         "knn_classify": _q_knn_classify,
         "freetext_suggest": _q_freetext_suggest,
         "sweet_spot_topk": _mk_sim_topk("sweet_spot", 40, ln_min=6,

@@ -554,3 +554,128 @@ class KNearestFuzzyClassifier:
         ]
         return self.searcher.spark.createDataFrame(
             rows, "input_id long, cls string, score double")
+
+class BooleanPerceptronClassifier:
+    """``classification/BooleanPerceptronClassifier.java:59`` — a boolean
+    perceptron whose weights come from index statistics:
+
+    - initial weight(term) = totalTermFreq(term)    (:120-126)
+    - bias = sumTotalTermFreq / docCount (avg field length) unless given
+      (:100-115)
+    - assignClass: output = Σ over analyzed tokens (repeats counted) of
+      the FST's LONG weight; class = output ≥ bias; score =
+      1 − exp(−|bias − output| / bias)               (:221-238)
+    - training (:130-165): ONE pass over the class-bearing docs in docID
+      order; for each, classify the stored text with the CURRENT FST —
+      on a miss, modifier = signum(correct − assigned) and every term of
+      the doc gets weight = max(0, fst(term) + modifier·tf(term, doc))
+      (the STALE fst value, :188-200); the FST snapshot refreshes only
+      when batchCount % batchSize == 0 at miss time — both quirks
+      reproduced. Classes parse like ``Boolean.valueOf``: the string
+      "true" (case-insensitive) is True, anything else False.
+
+    All arithmetic is integer (FST outputs are longs, :207 longValue
+    truncation) — bit-exact trivially. Online perceptron training is
+    inherently sequential (the reference is a single docID-order loop);
+    the engine fetches the training rows with ONE distributed ordered
+    scan and loops on the driver — an iterative algorithm under the
+    driver contract (rows-only gate, brute-simulation pytest)."""
+
+    def __init__(self, searcher, class_field: str = "role",
+                 text_field: str = "text", batch_size: int = 1,
+                 bias: float | None = None):
+        self.searcher = searcher
+        self.text_field = text_field
+        r = searcher.reader
+        stats = r._term_stats_df.filter(F.col("field") == text_field)
+        weights = {row["term"]: float(row["ttf"])
+                   for row in stats.select("term", "ttf").collect()}
+        fs = r.field_stats[text_field]
+        self.bias = (float(bias) if bias else
+                     float(fs["sum_ttf"]) / float(fs["doc_count"]))
+        self.fst = {t: int(w) for t, w in weights.items()}
+        an = searcher.analyzer
+
+        # Training data from the INDEX, like the reference (stored class +
+        # per-doc term vectors, :130-165): class-bearing docs via the
+        # wildcard(class:*) MUST filter, per-doc (term, tf) via the
+        # postings transpose (term_vectors — the reference requires stored
+        # term vectors), both in TWO distributed plans collected once;
+        # the docID-order training loop itself is inherently sequential.
+        cls_rows = []
+        for c in sorted(
+            row["term"] for row in
+            r._term_stats_df.filter(F.col("field") == class_field)
+            .select("term").collect()
+        ):
+            cls_rows.append(
+                searcher.match_df(ast.TermQuery(c, class_field))
+                .select("doc_id", F.lit(c).alias("cls")))
+        u = cls_rows[0]
+        for p in cls_rows[1:]:
+            u = u.unionByName(p)
+        cls_of = {int(x["doc_id"]): x["cls"] for x in u.collect()}
+        doc_ids = sorted(cls_of)
+        tv: dict[int, list[tuple[str, int]]] = {}
+        for x in searcher.term_vectors(doc_ids, field=text_field).collect():
+            tv.setdefault(int(x["doc_id"]), []).append(
+                (x["term"], int(x["freq"])))
+        batch_count = 0
+        for did in doc_ids:
+            tfs = tv.get(did, [])
+            # assignClass over the stored text ≡ Σ tf · fst(term) — the
+            # analyzed token multiset IS the term vector
+            output = sum(tf * self.fst[t] for t, tf in tfs
+                         if t in self.fst)
+            assigned = output >= self.bias
+            correct = cls_of[did].lower() == "true"
+            modifier = (correct > assigned) - (correct < assigned)
+            if modifier:
+                for t, tf in tfs:
+                    prev = self.fst.get(t)
+                    weights[t] = (0.0 if prev is None
+                                  else float(max(0, prev + modifier * tf)))
+                if batch_count % batch_size == 0:
+                    self.fst = {t: int(w) for t, w in weights.items()}
+            batch_count += 1
+        # NOTE deliberately NO final snapshot: the reference never flushes
+        # updates made after the last batch-boundary rebuild (:130-165 —
+        # the tail of the weights map dies with weights.clear()); with the
+        # default batch_size=1 every miss flushes, so nothing is lost
+
+    def assign_class(self, text: str) -> tuple[bool, float]:
+        output = 0
+        for t in self.searcher.analyzer.tokenize_text(text):
+            d = self.fst.get(t)
+            if d is not None:
+                output += d
+        score = 1.0 - math.exp(-abs(self.bias - float(output)) / self.bias)
+        return output >= self.bias, score
+
+    def classify_df(self, texts: list[str]):
+        rows = [(i,) + self.assign_class(t) for i, t in enumerate(texts)]
+        return self.searcher.spark.createDataFrame(
+            rows, "input_id long, assigned boolean, score double")
+
+class CachingNaiveBayesClassifier(SimpleNaiveBayesClassifier):
+    """``classification/CachingNaiveBayesClassifier.java:37`` — SimpleNB
+    with the per-(word, class) hit counts cached across calls (the
+    reference pre-populates word/class count maps via ``reInitCache``;
+    here the cache fills lazily per distinct word — same counts, same
+    scores, fewer Spark jobs on repeated classification)."""
+
+    def __init__(self, searcher, class_field: str = "role",
+                 text_field: str = "text"):
+        super().__init__(searcher, class_field, text_field)
+        self._hit_cache: dict[tuple[str, str], int] = {}
+        self._cached_words: set[str] = set()
+
+    def _hits(self, words: list[str]):
+        missing = sorted(set(words) - self._cached_words)
+        if missing:
+            fresh = super()._hits(missing)
+            # absent (word, class) pairs are real zeros — cache the words
+            self._hit_cache.update(fresh)
+            self._cached_words.update(missing)
+        return {(w, c): n for (w, c), n in self._hit_cache.items()
+                if w in set(words)}

