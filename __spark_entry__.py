@@ -750,6 +750,18 @@ def _q_combined_field(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+def _q_fuzzy_suggest(spark, sf_dir):
+    """FuzzySuggester-lite (suggest/analyzing/FuzzySuggester.java:66-91):
+    completions of the typo'd key 'qery' — terms with some prefix within
+    DL<=1 (first char exact), exact-first then (df DESC, term ASC)."""
+    from lucene_spark.search.suggest import fuzzy_suggest
+
+    s = _searcher(spark, sf_dir)
+    out = fuzzy_suggest(s.reader, "qery", k=10)
+    return spark.createDataFrame(
+        [(t, int(df)) for t, df in out], "term string, df long")
+
+
 def _q_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester-lite: dictionary terms CONTAINING 'a'
     ranked by docFreq (matches anywhere in the surface form, not just the
@@ -1804,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         # (added mid-round-4: past the 50-slot window — r5 rotation)
         "suggest_infix": _q_suggest_infix,
+        "fuzzy_suggest": _q_fuzzy_suggest,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
@@ -2083,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_conv_early": oracle.sort_conv_early_sql(
             Q_OR.split(), 50),
         "suggest_terms": oracle.suggest_terms_sql("s", 10),
+        "fuzzy_suggest": oracle.fuzzy_suggest_sql("qery", 10),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),
         "combined_field_topk": oracle.combined_field_sql(["user", "value"], 40),
         "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),

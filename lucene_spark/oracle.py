@@ -3360,6 +3360,41 @@ FROM votes ORDER BY score DESC, cls ASC
 """
 
 
+def fuzzy_suggest_sql(key: str, k: int, max_edits: int = 1,
+                      non_fuzzy_prefix: int = 1,
+                      min_fuzzy_length: int = 3) -> str:
+    """FuzzySuggester oracle (``suggest/analyzing/FuzzySuggester.java:66-91``):
+    terms with SOME prefix within DL ≤ max_edits of the key (first
+    non_fuzzy_prefix chars exact; plain prefix completion below
+    min_fuzzy_length), ranked exact-first then (df DESC, term ASC) —
+    the prefix-DL minimum is derived per term with a lateral range
+    unnest over every prefix length."""
+    pre, rest = key[:non_fuzzy_prefix], key[non_fuzzy_prefix:]
+    edits = max_edits if len(key) >= min_fuzzy_length else 0
+    if edits == 0:
+        cond = f"starts_with(term, '{key}')"
+        md_cte = f"cands AS (SELECT term, df FROM tstats WHERE {cond})"
+    else:
+        md_cte = f"""pref AS (
+  SELECT t.term, t.df,
+         min(damerau_levenshtein(
+               substr(t.term, {non_fuzzy_prefix + 1}, CAST(u.j AS INT)),
+               '{rest}')) AS md
+  FROM (SELECT term, df FROM tstats
+        WHERE starts_with(term, '{pre}')) t,
+       unnest(range(0, length(t.term) - {non_fuzzy_prefix} + 1)) AS u(j)
+  GROUP BY t.term, t.df
+),
+cands AS (SELECT term, df FROM pref WHERE md <= {edits})"""
+    return f"""
+WITH {BASE_CTES},
+{md_cte}
+SELECT term, df FROM cands
+ORDER BY (term = '{key}') DESC, df DESC, term ASC
+LIMIT {k}
+"""
+
+
 def freetext_suggest_sql(ctx_tokens, num: int, grams: int = 3) -> str:
     """FreeTextSuggester oracle
     (``suggest/analyzing/FreeTextSuggester.java`` stupid backoff): next-

@@ -2278,3 +2278,43 @@ def test_facet_double_ranges(spark, searcher, golden, corpus_pdf):
             and (dls[d] / 4.0 <= hi if hc else dls[d] / 4.0 < hi))
         assert got[lb] == want
     assert got["z"] == 0
+
+
+def test_fuzzy_suggest(spark, searcher, corpus_pdf, golden):
+    """FuzzySuggester-lite (suggest/analyzing/FuzzySuggester.java:66-91):
+    prefix-DL matching ≡ brute over the vocabulary; min-length and
+    exact-first rules."""
+    from lucene_spark.search.multiterm import damerau_levenshtein
+    from lucene_spark.search.suggest import fuzzy_suggest
+
+    vocab = {}
+    for t in corpus_pdf["text"]:
+        for w in golden.analyzer.tokenize_text(t or ""):
+            vocab[w] = vocab.get(w, set())
+    dfs = {w: len(golden.postings[w][0]) for w in vocab}
+
+    def brute(key, k, edits):
+        pre, rest = key[:1], key[1:]
+        out = []
+        for t, df in dfs.items():
+            if not t.startswith(pre):
+                continue
+            s = t[1:]
+            hit = (s.startswith(rest) if edits == 0 else
+                   any(damerau_levenshtein(s[:j], rest) <= edits
+                       for j in range(len(s) + 1)))
+            if hit:
+                out.append((t, df))
+        out.sort(key=lambda x: (not x[0] == key, -x[1], x[0]))
+        return out[:k]
+
+    typo = VOCAB[0][0] + VOCAB[0][2:]  # drop 2nd char: one deletion
+    for key, edits in [(typo, 1), (VOCAB[3], 1), (VOCAB[0][:2], 0)]:
+        got = fuzzy_suggest(searcher.reader, key, k=8)
+        assert got == brute(key, 8, edits), key
+    # the typo'd key recovers the original term
+    assert any(t == VOCAB[0] for t, _ in fuzzy_suggest(
+        searcher.reader, typo, k=8))
+    # exact-first: an exact match ranks first even at lower df
+    got = fuzzy_suggest(searcher.reader, VOCAB[3], k=8)
+    assert got[0][0] == VOCAB[3]
