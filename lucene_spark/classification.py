@@ -42,6 +42,29 @@ def _f32_ln(x: float) -> float:
     return float(np.float32(math.log(x)))
 
 
+def _union_by_name(parts):
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def _classes_of(searcher, classes, class_field: str,
+                doc_ids: list[int]) -> dict[int, str]:
+    """doc_id → class for a bounded doc set: ONE union of per-class
+    keyword match sets filtered to the ids (shared by the k-NN
+    classifiers)."""
+    ids = [int(d) for d in doc_ids]
+    parts = [
+        searcher.match_df(ast.TermQuery(c, class_field))
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", F.lit(c).alias("cls"))
+        for c in classes
+    ]
+    return {int(r["doc_id"]): r["cls"]
+            for r in _union_by_name(parts).collect()}
+
+
 class SimpleNaiveBayesClassifier:
     def __init__(self, searcher, class_field: str = "role",
                  text_field: str = "text"):
@@ -80,14 +103,8 @@ class SimpleNaiveBayesClassifier:
             for c in sorted(self.classes)
         ]
 
-        def _union(parts):
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            return u
-
         rows = (
-            _union(wparts).join(_union(cparts), "doc_id")
+            _union_by_name(wparts).join(_union_by_name(cparts), "doc_id")
             .groupBy("word", "cls")
             .agg(F.count(F.lit(1)).alias("hits"))
             .collect()
@@ -162,46 +179,17 @@ class KNearestNeighborClassifier:
             raise ValueError(f"no terms in class field {class_field!r}")
 
     def _classes_of(self, doc_ids: list[int]) -> dict[int, str]:
-        s = self.searcher
-        parts = [
-            s.match_df(ast.TermQuery(c, self.class_field))
-            .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
-            .select("doc_id", F.lit(c).alias("cls"))
-            for c in self.classes
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return {int(r["doc_id"]): r["cls"] for r in u.collect()}
+        return _classes_of(self.searcher, self.classes, self.class_field,
+                           doc_ids)
 
     def classify_all(self, texts: list[str]) -> list[list[tuple[str, float]]]:
         out = []
         for text in texts:
             hits = self.searcher.more_like_this(text, k=self.k,
                                                 **self.mlt_opts)
-            if not hits:
-                out.append([])
-                continue
-            max_score = float(hits[0].score)
-            cls_of = self._classes_of([h.doc_id for h in hits])
-            counts: dict[str, int] = {}
-            boosts: dict[str, float] = {}
-            for h in hits:
-                c = cls_of.get(int(h.doc_id))
-                if c is None:
-                    continue
-                counts[c] = counts.get(c, 0) + 1
-                boosts[c] = boosts.get(c, 0.0) + float(
-                    np.float32(float(h.score) / max_score))
-            sumdoc = sum(counts.values())
-            scored = []
-            for c in sorted(counts):
-                sc = (counts[c] * (boosts[c] / counts[c])) / float(self.k)
-                if sumdoc < self.k:
-                    sc = sc * float(self.k) / float(sumdoc)
-                scored.append((c, sc))
-            scored.sort(key=lambda t: (-t[1], t[0]))
-            out.append(scored)
+            cls_of = (self._classes_of([h.doc_id for h in hits])
+                      if hits else {})
+            out.append(_build_list_from_top_docs(hits, cls_of, self.k))
         return out
 
     def assign_class(self, text: str):
@@ -290,15 +278,8 @@ class BM25NBClassifier:
             .select("doc_id", F.lit(c).alias("cls"))
             for c in sorted(self.cconst)
         ]
-
-        def _union(parts):
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            return u
-
         rows = (
-            _union(wparts).join(_union(cparts), "doc_id")
+            _union_by_name(wparts).join(_union_by_name(cparts), "doc_id")
             .groupBy("word", "cls")
             .agg(F.max("score").alias("mx"))
             .collect()
@@ -360,9 +341,12 @@ def fuzzy_variants(reader, token: str, field: str = "text",
     — ``FuzzyTermsEnum``'s automata are (exact prefix) + Levenshtein on the
     remainder with transpositions on (``core/search/FuzzyTermsEnum.java``;
     ``NearestFuzzyQuery.java:134`` passes transpositions=true). Tokens
-    shorter than ``prefix_len`` use the whole token as prefix (variants =
-    suffix insertions). Returns [(term, df, suffix_ed)] — includes the
-    token itself (ed 0) when indexed.
+    shorter than ``prefix_len`` use the whole token as the fixed prefix
+    (``FuzzyAutomatonBuilder``: realPrefixLength = min(prefixLength,
+    termLength)) — candidates are then sliced at the SAME real prefix
+    length, so e.g. token 'a' measures 'an' at suffix distance 1, not 0.
+    Returns [(term, df, suffix_ed)] — includes the token itself (ed 0)
+    when indexed.
 
     Driver-resident dictionaries answer with no Spark job; otherwise ONE
     prefix-pushdown scan (StartsWith reaches the parquet term dictionary)
@@ -370,6 +354,7 @@ def fuzzy_variants(reader, token: str, field: str = "text",
     same hybrid as spell_suggest."""
     from lucene_spark.search.multiterm import damerau_levenshtein
 
+    prefix_len = min(prefix_len, len(token))
     pre, suf = token[:prefix_len], token[prefix_len:]
     n = len(token)
     cache = reader._term_cache()
@@ -511,17 +496,8 @@ class KNearestFuzzyClassifier:
             raise ValueError(f"no terms in class field {class_field!r}")
 
     def _classes_of(self, doc_ids: list[int]) -> dict[int, str]:
-        s = self.searcher
-        parts = [
-            s.match_df(ast.TermQuery(c, self.class_field))
-            .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
-            .select("doc_id", F.lit(c).alias("cls"))
-            for c in self.classes
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return {int(r["doc_id"]): r["cls"] for r in u.collect()}
+        return _classes_of(self.searcher, self.classes, self.class_field,
+                           doc_ids)
 
     def knn_search(self, text: str):
         fq = nearest_fuzzy_query(self.searcher, text, self.text_field)
@@ -591,6 +567,8 @@ class BooleanPerceptronClassifier:
         weights = {row["term"]: float(row["ttf"])
                    for row in stats.select("term", "ttf").collect()}
         fs = r.field_stats[text_field]
+        # bias == null || bias == 0d → auto-assign avg field length
+        # (BooleanPerceptronClassifier.java:100-115) — 0 is "unset"
         self.bias = (float(bias) if bias else
                      float(fs["sum_ttf"]) / float(fs["doc_count"]))
         self.fst = {t: int(w) for t, w in weights.items()}
@@ -611,10 +589,8 @@ class BooleanPerceptronClassifier:
             cls_rows.append(
                 searcher.match_df(ast.TermQuery(c, class_field))
                 .select("doc_id", F.lit(c).alias("cls")))
-        u = cls_rows[0]
-        for p in cls_rows[1:]:
-            u = u.unionByName(p)
-        cls_of = {int(x["doc_id"]): x["cls"] for x in u.collect()}
+        cls_of = {int(x["doc_id"]): x["cls"]
+                  for x in _union_by_name(cls_rows).collect()}
         doc_ids = sorted(cls_of)
         tv: dict[int, list[tuple[str, int]]] = {}
         for x in searcher.term_vectors(doc_ids, field=text_field).collect():
@@ -677,5 +653,6 @@ class CachingNaiveBayesClassifier(SimpleNaiveBayesClassifier):
             # absent (word, class) pairs are real zeros — cache the words
             self._hit_cache.update(fresh)
             self._cached_words.update(missing)
+        ws = set(words)
         return {(w, c): n for (w, c), n in self._hit_cache.items()
-                if w in set(words)}
+                if w in ws}

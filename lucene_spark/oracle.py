@@ -3264,7 +3264,9 @@ def knn_fuzzy_classify_sql(text: str, k: int) -> str:
     (every gate doc carries a class), top-k (score DESC, docID ASC), then
     the buildListFromTopDocs vote. The 50/300 caps never bind on the gate
     corpus (31-term vocabulary), so the reference PQ's insertion-dependent
-    tie order is moot here."""
+    tie order is moot here. The SQL slices at the FULL 2-char prefix, so
+    every gate input token must be >= 2 chars (the engine handles shorter
+    tokens with realPrefixLength = min(2, len); pytest-covered)."""
     toks, seen = [], set()
     for t in __import__("re").findall(r"[a-z0-9]+", text.lower()):
         if t not in seen:

@@ -326,9 +326,11 @@ class IndexSearcher:
                     return None  # required term absent from corpus
                 continue  # absent SHOULD / MUST_NOT clauses never match
             if const_score:
+                # df1: artificial df = ttf = 1 (NearestFuzzyQuery.java:199)
+                kst = {"df": 1, "ttf": 1} if tq.df1 else st
                 scorer = ConstScorer(keyword_const_score(
                     self.similarity, tq.boost,
-                    self.reader.field_stats.get(tq.field), st))
+                    self.reader.field_stats.get(tq.field), kst))
                 w = scorer.weight
             elif occur in (ast.MUST, ast.SHOULD):
                 # df1: artificial df = ttf = 1 (NearestFuzzyQuery.java:199)

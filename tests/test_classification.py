@@ -287,11 +287,10 @@ def test_boolean_perceptron_matches_brute(spark, bool_index, corpus_pdf):
                     fst = {t: int(w) for t, w in weights.items()}
             batch_count += 1
         assert clf.fst == fst, f"fst mismatch at batch_size={batch_size}"
-        # the training must have actually updated something
-        assert clf.fst != {t: int(w) for t, w in
-                           {w2: float(c) for w2, c in
-                            [(t0, sum(ws.count(t0) for ws in toks))
-                             for t0 in clf.fst]}.items()} or True
+        # the training must have actually updated something (the initial
+        # weights are the raw ttf counts)
+        init = {t0: int(sum(ws.count(t0) for ws in toks)) for t0 in clf.fst}
+        assert clf.fst != init
         for text in [f"{VOCAB[0]} {VOCAB[3]}", "", "zzznovocab"]:
             a, sc = clf.assign_class(text)
             ws = an.tokenize_text(text)
@@ -313,3 +312,23 @@ def test_caching_nb_matches_simple(spark, nb_index):
     words_before = set(caching._cached_words)
     assert caching.classify_all([texts[0]]) == simple.classify_all([texts[0]])
     assert caching._cached_words == words_before  # nothing re-fetched
+
+
+def test_fuzzy_variants_short_token(spark, nb_index, corpus_pdf):
+    """Tokens shorter than the 2-char prefix use realPrefixLength =
+    min(prefixLength, termLength) (FuzzyAutomatonBuilder): for token 'a',
+    a 2-char term like 'ab' is at suffix distance 1, NOT an exact match."""
+    from lucene_spark.classification import fuzzy_variants
+    from lucene_spark.search.multiterm import damerau_levenshtein
+
+    s = IndexSearcher(spark, nb_index)
+    vocab = sorted({w for t in corpus_pdf["text"]
+                    for w in s.analyzer.tokenize_text(t or "")})
+    tok = min(vocab, key=len)[:1]  # a 1-char key
+    got = fuzzy_variants(s.reader, tok)
+    for t, _df, ed in got:
+        assert t[:1] == tok
+        assert ed == damerau_levenshtein(t[1:], "") == len(t) - 1
+        assert ed <= 1
+    want = sorted(t for t in vocab if t[:1] == tok and len(t) <= 2)
+    assert sorted(t for t, _, _ in got) == want
