@@ -1673,11 +1673,17 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # — rotated out for the four new never-verified gates below; they
     # remain in queries() past the window)
     "phrase_prefix_topk", "boost_by_query_topk",
-    "feature_satu_topk", "group_top3_source",
-    # (rotation note 4: text_token_counts + text_quality — both r2-green
-    # pure-codegen projection plans (token_counts is a subset of quality) —
-    # rotated out for the never-verified span_containing_count and
-    # sort_expr_topk)
+    "feature_satu_topk",
+    # (rotation note 4 — REVERSED late round-4: the r3 VERDICT done
+    # criterion asks for re-confirmation of ALL 12 pipeline ops, so
+    # text_quality + text_token_counts return to the window; the two
+    # slots come from group_top3_source (generalizes the r2-green
+    # group_top1 machinery over the same score_df window substrate the
+    # in-window facet/drill gates exercise) and span_not_count (the span
+    # kernel's exclusion param is pinned by the in-window span_near /
+    # span_unordered / span_first gates plus the brute-enumeration
+    # pytest); both remain in queries() past the window)
+    "text_quality", "text_token_counts",
     # (rotation note 5: span_containing_count → common_terms_topk — the
     # containment kernel is already confirmed in-window by span_near /
     # span_unordered / span_first / span_not plus the randomized
@@ -1694,7 +1700,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # operator coverage with a per-doc-threshold oracle)
     "bool_nested_topk", "covering_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
-    "span_first_count", "span_not_count",
+    "span_first_count",
     "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
