@@ -205,6 +205,18 @@ def main(sf_dir: str):
                      "range Filters — no union of scans)",
                      capture(s.multi_range_df("dl", list(e.MR_RANGES)))))
 
+    conv = e._conv_searcher(spark, sf_dir)
+    sections.append(("parent-children block join (expect the ONE-parent "
+                     "child set broadcast — BroadcastHashJoin, the score "
+                     "plan never shuffled on the join key)",
+                     capture(conv.parent_children_df(
+                         "c0000000000", "row scan"))))
+    sections.append(("double-range facets (expect the tiny ranges table "
+                     "broadcast into the theta-join, counts map-side "
+                     "combined)",
+                     capture(s.facet_double_ranges(
+                         "table value", "dl / 4.0", list(e.DBL_RANGES)))))
+
     import re
 
     checks = []
@@ -292,6 +304,18 @@ def main(sf_dir: str):
     checks.append(("multi-range is ONE scan (no Union), filters JVM-side",
                    "Union" not in sections[20][1]
                    and "Python" not in sections[20][1]))
+    checks.append(("parent-children join broadcasts the one parent's "
+                   "child set (no score-plan shuffle on the join key)",
+                   "BroadcastHashJoin" in sections[21][1]))
+    checks.append(("double-range facets broadcast the ranges table into "
+                   "the theta-join and combine counts map-side (no Python "
+                   "eval past the match kernel — applySchemaToPythonRDD is "
+                   "just the tiny ranges createDataFrame)",
+                   "BroadcastNestedLoopJoin" in sections[22][1]
+                   and "partial_count" in sections[22][1]
+                   and "EvalPython" not in sections[22][1]
+                   # one Python node = tree line + detail line
+                   and sections[22][1].count("InPandas") <= 2))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
