@@ -762,6 +762,18 @@ def _q_fuzzy_suggest(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_surround(spark, sf_dir):
+    """Surround query parser (queryparser/surround QueryParser.jj):
+    '(table 3w value) AND query' — ordered distance operator (slop =
+    dist-1 SpanNearQuery, constant-score span v1) as a MUST clause next
+    to a BM25-scored term."""
+    from lucene_spark.search.surround import parse_surround
+
+    s = _searcher(spark, sf_dir)
+    q = parse_surround(s, "(table 3w value) AND query")
+    return _hits_df(spark, s.search(q, k=40))
+
+
 def _q_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester-lite: dictionary terms CONTAINING 'a'
     ranked by docFreq (matches anywhere in the surface form, not just the
@@ -1823,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (added mid-round-4: past the 50-slot window — r5 rotation)
         "suggest_infix": _q_suggest_infix,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "surround_topk": _q_surround,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
@@ -2103,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
             Q_OR.split(), 50),
         "suggest_terms": oracle.suggest_terms_sql("s", 10),
         "fuzzy_suggest": oracle.fuzzy_suggest_sql("qery", 10),
+        "surround_topk": oracle.surround_topk_sql(
+            ["table", "value"], 3, "query", 40),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),
         "combined_field_topk": oracle.combined_field_sql(["user", "value"], 40),
         "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),

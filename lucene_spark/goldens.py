@@ -257,6 +257,12 @@ class BruteForceIndex:
             if docs is None:
                 return []
             return [(int(d), float(F32(q.boost))) for d in docs[:k]]
+        if isinstance(q, ast.SpanNearQuery):
+            # standalone span: k smallest matching docIDs, score == boost
+            docs = self._span_docs(q)
+            if docs is None:
+                return []
+            return [(int(d), float(F32(q.boost))) for d in docs[:k]]
         if isinstance(q, ast.TermQuery):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
         if not isinstance(q, ast.BooleanQuery):
@@ -274,6 +280,45 @@ class BruteForceIndex:
         sc = sc_all[idx]
         order = np.lexsort((idx, -sc.astype(np.float64)))[:k]
         return [(int(idx[i]), float(sc[i])) for i in order]
+
+    def _span_docs(self, q):
+        """Brute span-near match set (docID array) for a SpanNearQuery —
+        per-doc exhaustive enumeration over the slots' position lists
+        (a slot may be a tuple of SpanOr alternatives); None when a slot
+        has no indexed alternative."""
+        from itertools import permutations, product
+
+        slots = [tuple(t) if isinstance(t, (tuple, list)) else (t,)
+                 for t in q.terms]
+        maps = []
+        for slot in slots:
+            merged: dict = {}
+            for t in slot:
+                for d, ps in self.positions.get(t, {}).items():
+                    merged.setdefault(d, set()).update(ps)
+            if not merged:
+                return None
+            maps.append(merged)
+        docs = set(maps[0])
+        for m in maps[1:]:
+            docs &= set(m)
+        n = len(slots)
+        out = []
+        for d in sorted(docs):
+            pls = [sorted(m[d]) for m in maps]
+
+            def feasible(order_idx):
+                for combo in product(*[pls[i] for i in order_idx]):
+                    if all(combo[j] > combo[j - 1] for j in range(1, n)) \
+                            and combo[-1] - combo[0] - (n - 1) <= q.slop:
+                        return True
+                return False
+
+            hit = (feasible(list(range(n))) if q.in_order else
+                   any(feasible(list(p)) for p in permutations(range(n))))
+            if hit:
+                out.append(d)
+        return np.array(out, dtype=np.int64) if out else None
 
     def _bool_eval(self, q):
         """Recursive boolean evaluation: (match mask, float32 scores over all
@@ -334,6 +379,26 @@ class BruteForceIndex:
                         self.kw_field_stats.get(tq.field), st)
                     any_scoring = True
                     score[docs] += float(const)
+                    if occur == ast.SHOULD:
+                        should_cnt[docs] += 1
+                continue
+            if isinstance(tq, ast.SpanNearQuery):
+                # span clause in a boolean: constant-score match set
+                docs = self._span_docs(tq)
+                if occur == ast.MUST_NOT:
+                    if docs is not None:
+                        excluded[docs] = True
+                    continue
+                if occur in (ast.MUST, ast.FILTER):
+                    n_req += 1
+                    if docs is None:
+                        return None
+                    must_cnt[docs] += 1
+                if occur in (ast.MUST, ast.SHOULD):
+                    if docs is None:
+                        continue
+                    any_scoring = True
+                    score[docs] += float(F32(tq.boost))
                     if occur == ast.SHOULD:
                         should_cnt[docs] += 1
                 continue

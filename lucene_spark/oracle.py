@@ -2519,6 +2519,53 @@ LIMIT {k}
 """
 
 
+def surround_topk_sql(span_terms, dist: int, term: str, k: int) -> str:
+    """Surround-parser oracle for ``(a dW b) AND c``
+    (``queryparser/surround/parser/QueryParser.jj`` grammar;
+    ``DistanceQuery.getSpanNearQuery`` slop = distance − 1): docs matching
+    the ORDERED span AND the term, score = f32(1.0 (constant span clause)
+    + the term's float32 BM25 clause score summed in double), top-k
+    (score DESC, docID ASC)."""
+    n = len(span_terms)
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n))
+    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(span_terms)]
+    conds += [f"t{i}.pos > t{i - 1}.pos" for i in range(1, n)]
+    conds.append(f"t{n - 1}.pos - t0.pos - {n - 1} <= {int(dist) - 1}")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE},
+spandocs AS (
+  SELECT t0.did FROM toksp t0{joins}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.did
+),
+qweights AS (
+  SELECT ts.term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                     / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM tstats ts WHERE ts.term = '{term}'
+),
+cs AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf JOIN qweights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+)
+SELECT c.did AS doc_id,
+       CAST(CAST(CAST(1 AS DOUBLE) + SUM(CAST(c.s AS DOUBLE)) AS FLOAT)
+            AS DOUBLE) AS score
+FROM cs c JOIN spandocs sp ON sp.did = c.did
+GROUP BY c.did
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def span_near_count_sql(terms, slop: int, in_order: bool = True,
                         max_end: int | None = None,
                         exclude: str | None = None, pre: int = 0,

@@ -94,6 +94,24 @@ def _eval_boolean(rows, by_term, clauses, cache, min_should_match: int = 0):
             if c["occur"] in (MUST, SHOULD):
                 return d, c["scores"]
             return d, None
+        if c["kind"] == "span":
+            # span clause inside a boolean (SpanQuery as a BooleanClause) —
+            # constant-score match set from the span kernel. The kernel
+            # keys by docID * 2^34, so feed SEGMENT-LOCAL docIDs (rows here
+            # carry global ones) and re-offset the result.
+            if rows["first_doc"].size == 0:
+                return None, None
+            off = np.int64(rows["doc_offset"][0])
+            local = dict(rows)
+            local["first_doc"] = rows["first_doc"] - off
+            local["last_doc"] = rows["last_doc"] - off
+            d = segment_span_near(local, list(c["slots"]), c["slop"],
+                                  c["in_order"]) + off
+            if d.size == 0:
+                return None, None
+            if c["occur"] in (MUST, SHOULD):
+                return d, np.full(d.size, np.float32(c["weight"]), dtype=F32)
+            return d, None
         if c["kind"] == "const":
             idxs = [i for t in c["terms"] if t in by_term for i in by_term[t]]
             if not idxs:

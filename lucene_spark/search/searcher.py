@@ -668,6 +668,20 @@ class IndexSearcher:
                         continue
                     out.append((occur, "const", sub.field, terms,
                                 sub.boost, 0, None))
+                elif isinstance(sub, ast.SpanNearQuery):
+                    # span clause inside a boolean — SpanQuery IS a Query
+                    # in the reference (spans/SpanNearQuery.java:41 used as
+                    # any BooleanClause); constant-score under the span v1
+                    # cut, like the standalone path
+                    state["need_positions"] = True
+                    slots = tuple(
+                        tuple(t) if isinstance(t, (tuple, list)) else (t,)
+                        for t in sub.terms)
+                    by_field.setdefault(sub.field, set()).update(
+                        t for slot in slots for t in slot)
+                    out.append((occur, "span", sub.field, slots,
+                                sub.boost, int(sub.slop),
+                                bool(sub.in_order)))
                 elif isinstance(sub, ast.BooleanQuery):
                     inner = flatten(sub)
                     if inner is None or not inner:
@@ -736,6 +750,29 @@ class IndexSearcher:
                     clauses.append({"occur": occur, "kind": "nested",
                                     "clauses": inner, "msm": slop,
                                     "weight": 0.0})
+                    continue
+                if kind == "span":
+                    # a slot dies only when EVERY SpanOr alternative is
+                    # corpus-absent; dead required slot → clause never
+                    # matches (same rule as the standalone span path)
+                    live_slots = tuple(
+                        tuple(t for t in slot if df_of(f, t) > 0)
+                        for slot in terms)
+                    if any(not s for s in live_slots):
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None
+                        continue
+                    for slot in live_slots:
+                        field_terms.setdefault(f, []).extend(slot)
+                    w = (float(F32(boost))
+                         if occur in (ast.MUST, ast.SHOULD) else 0.0)
+                    clauses.append({
+                        "occur": occur, "kind": "span",
+                        "slots": tuple(tuple(f + sep + t for t in slot)
+                                       for slot in live_slots),
+                        "slop": slop, "in_order": bool(sub),
+                        "weight": w,
+                    })
                     continue
                 kw_term = f != "text" and kind in ("term", "term1")
                 if f != "text" and kind == "phrase" and occur == ast.MUST:
