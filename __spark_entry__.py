@@ -1203,6 +1203,17 @@ def _q_facet_sum(spark, sf_dir):
     return s.facet_sum(_parse(Q_OR), meta.select("doc_id", "lang"), "lang")
 
 
+def _q_group_facets(spark, sf_dir):
+    """GroupFacetCollector (grouping/GroupFacetCollector.java:28): per
+    lang facet value, the number of DISTINCT source groups with ≥1 match
+    of the 3-term OR — each group counts a value once."""
+    s = _searcher(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir).withColumnRenamed("did", "doc_id")
+    return s.group_facets(_parse(Q_OR),
+                          meta.select("doc_id", "source", "lang"),
+                          "source", "lang")
+
+
 def _q_group_count(spark, sf_dir):
     """AllGroupsCollector (grouping/AllGroupsCollector.java:30): number of
     distinct source groups containing ≥1 match of the 3-term OR."""
@@ -1836,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_infix": _q_suggest_infix,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "surround_topk": _q_surround,
+        "group_facet_counts": _q_group_facets,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
@@ -2118,6 +2130,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_suggest": oracle.fuzzy_suggest_sql("qery", 10),
         "surround_topk": oracle.surround_topk_sql(
             ["table", "value"], 3, "query", 40),
+        "group_facet_counts": oracle.group_facets_sql(
+            _parse(Q_OR), "source", "lang"),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),
         "combined_field_topk": oracle.combined_field_sql(["user", "value"], 40),
         "spellcheck_terms": oracle.spell_suggest_sql("sart", 5),

@@ -1336,6 +1336,22 @@ FROM matched m JOIN gmap g ON g.did = m.doc_id
 """
 
 
+def group_facets_sql(query, group_col: str = "source",
+                     facet_col: str = "lang") -> str:
+    """GroupFacetCollector oracle
+    (``grouping/GroupFacetCollector.java:28``): per facet value, the
+    number of distinct groups with ≥1 matching doc carrying it."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+WITH matched AS (SELECT doc_id FROM ({inner})),
+gmap AS (SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+                {group_col} AS gv, {facet_col} AS fv FROM documents)
+SELECT g.fv AS {facet_col}, count(DISTINCT g.gv)::BIGINT AS n
+FROM matched m JOIN gmap g ON g.did = m.doc_id
+GROUP BY g.fv ORDER BY g.fv
+"""
+
+
 def search_after_sql(query, page: int, k: int) -> str:
     """Keyset pagination oracle: page ``page`` (0-based) of size k."""
     inner = bm25_topk_sql(query, (page + 1) * k)

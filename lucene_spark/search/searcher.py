@@ -1368,6 +1368,76 @@ class IndexSearcher:
                .agg(F.countDistinct(group_col).alias("n")).collect())
         return int(row[0]["n"]) if row else 0
 
+    def profile(self, query, k: int = 10) -> dict:
+        """Query profiling — the sandbox QueryProfiler surface
+        (``sandbox/search/QueryProfilerIndexSearcher.java``,
+        ``ProfilerCollector.java``, ``QueryProfilerTimingType.java``):
+        run the query and return wall-clock timings per phase plus plan
+        facts. Phases map the reference's timing types onto this engine's
+        lifecycle: CREATE_WEIGHT ≈ parse + normalize + stats resolution
+        (driver-side), NEXT_DOC/SCORE ≈ the distributed execute + driver
+        merge (one number — per-segment kernels run inside Spark tasks).
+
+        Returns {"hits", "mode", "leaf_clauses", "breakdown": {phase:
+        seconds}, "total_sec"} — a diagnostic wrapper; results are
+        identical to :meth:`search` (pytest-pinned)."""
+        import time
+
+        t0 = time.perf_counter()
+        if isinstance(query, str):
+            query = self.parse(query)
+        q = ast.normalize(query)
+        t_parse = time.perf_counter()
+        mode = "other"
+        wc = None
+        if isinstance(q, ast.BooleanQuery) and not any(
+            not isinstance(sub, ast.TermQuery) for _, sub in q.clauses
+        ) or isinstance(q, ast.TermQuery):
+            wc = self._weighted_clauses(q)
+            if wc is not None:
+                mode = self._pick_mode(wc[0], k)
+        t_weight = time.perf_counter()
+        hits = self.search(q, k=k)
+        t_exec = time.perf_counter()
+        return {
+            "hits": hits,
+            "mode": mode,
+            "leaf_clauses": ast.count_leaf_clauses(q),
+            "breakdown": {
+                "parse_rewrite_sec": t_parse - t0,
+                "create_weight_sec": t_weight - t_parse,
+                "execute_merge_sec": t_exec - t_weight,
+            },
+            "total_sec": t_exec - t0,
+        }
+
+    def group_facets(self, query, group_df, group_col: str,
+                     facet_col: str, facet_prefix: str | None = None):
+        """GroupFacetCollector (``lucene/grouping/src/java/org/apache/
+        lucene/search/grouping/GroupFacetCollector.java:28``,
+        ``TermGroupFacetCollector``): per facet value, the number of
+        DISTINCT groups with ≥1 matching doc carrying that value — each
+        group counts a facet value once however many of its docs match
+        (the collector's unique group/facet-ord pair counting). Optional
+        ``facet_prefix`` filters values like the reference's facetPrefix.
+
+        ONE distributed agg: match set → docs join → countDistinct(group)
+        per facet value; partial aggregation collapses a group's repeat
+        (group, facet) pairs map-side before the shuffle. Returns
+        (facet value, n) ordered by value."""
+        from pyspark.sql import functions as F
+
+        if isinstance(query, str):
+            query = self.parse(query)
+        m = self.match_df(ast.normalize(query))
+        j = m.join(group_df.select("doc_id", group_col, facet_col),
+                   "doc_id")
+        if facet_prefix is not None:
+            j = j.filter(F.col(facet_col).startswith(facet_prefix))
+        return (j.groupBy(facet_col)
+                .agg(F.countDistinct(group_col).cast("long").alias("n"))
+                .orderBy(facet_col))
+
     def group_heads(self, query, group_df, group_col: str,
                     sort_expr: str = "dl", ascending: bool = False):
         """AllGroupHeadsCollector (``lucene/grouping/src/java/org/apache/

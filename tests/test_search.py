@@ -2318,3 +2318,49 @@ def test_fuzzy_suggest(spark, searcher, corpus_pdf, golden):
     # exact-first: an exact match ranks first even at lower df
     got = fuzzy_suggest(searcher.reader, VOCAB[3], k=8)
     assert got[0][0] == VOCAB[3]
+
+
+def test_group_facets(spark, searcher, golden, corpus_pdf):
+    """GroupFacetCollector (grouping/GroupFacetCollector.java:28): per
+    facet value the number of DISTINCT groups with >=1 matching doc —
+    each group counts a value once, prefix filter honored."""
+    from pyspark.sql import functions as F
+
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+    hits = {d for d, _ in golden.search(q, k=len(corpus_pdf))}
+    roles = list(corpus_pdf["role"])
+    convs = list(corpus_pdf["conv_id"])
+    meta = spark.createDataFrame(
+        [(i, convs[i], roles[i]) for i in range(len(convs))],
+        "doc_id long, conv_id string, role string")
+    got = {r["role"]: r["n"] for r in
+           searcher.group_facets(q, meta, "conv_id", "role").collect()}
+    want = {}
+    for d in hits:
+        want.setdefault(roles[d], set()).add(convs[d])
+    assert got == {v: len(g) for v, g in want.items()}
+    # facet prefix filter
+    pre = sorted(want)[0][:1]
+    got_p = {r["role"]: r["n"] for r in searcher.group_facets(
+        q, meta, "conv_id", "role", facet_prefix=pre).collect()}
+    assert got_p == {v: len(g) for v, g in want.items()
+                     if v.startswith(pre)}
+
+
+def test_profile(searcher):
+    """QueryProfiler surface (sandbox/search/QueryProfilerIndexSearcher):
+    hits identical to search(), phases sum to the total, plan facts."""
+    q = f"{VOCAB[0]} {VOCAB[3]}"
+    prof = searcher.profile(q, k=10)
+    assert prof["hits"] == searcher.search(q, k=10)
+    bd = prof["breakdown"]
+    assert set(bd) == {"parse_rewrite_sec", "create_weight_sec",
+                       "execute_merge_sec"}
+    assert all(v >= 0 for v in bd.values())
+    assert prof["total_sec"] == pytest.approx(sum(bd.values()), rel=1e-9)
+    assert prof["mode"] in ("wand", "exhaustive")
+    assert prof["leaf_clauses"] == 2
+    # non-flat shape still profiles (mode reported as 'other')
+    prof2 = searcher.profile(ast.SpanNearQuery((VOCAB[0], VOCAB[3]),
+                                               slop=3), k=5)
+    assert prof2["mode"] == "other" and prof2["hits"]
