@@ -35,7 +35,9 @@ import re
 from lucene_spark.search import ast
 
 _TOKEN_RE = re.compile(r'\s*("(?:[^"]*)"|\(|\)|,|\^[0-9.]+|[^\s(),^"]+)')
-_DIST_RE = re.compile(r"^([0-9]{1,2})?([wWnN])$")
+#: _DISTOP_NUM is ("2"-"9")("0"-"9")? in the reference lexer
+#: (QueryParser.jj:201-216) — "1w" and "10w".."19w" lex as plain TERMS
+_DIST_RE = re.compile(r"^([2-9][0-9]?)?([wWnN])$")
 _FIELD_RE = re.compile(r"^([a-zA-Z_][a-zA-Z0-9_]*):(.*)$", re.S)
 
 
@@ -67,8 +69,6 @@ def _dist_op(tok: str):
     if not m:
         return None
     d = int(m.group(1)) if m.group(1) else 1
-    if m.group(1) and not (2 <= d <= 99):
-        raise SurroundSyntaxError(f"distance out of range 2-99: {tok}")
     return d, m.group(2).lower() == "w"
 
 

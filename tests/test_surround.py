@@ -60,7 +60,8 @@ def test_parse_shapes(searcher):
 def test_parse_errors(searcher):
     for bad in [f"2W(3N({A}, {B}), {C})",      # nested distance
                 f"{A} 2W {B} 3W {C}",           # mixed distances in a chain
-                f"{A} 101W {B}",                # distance out of range
+                f"{A} 101W {B}",                # 101w lexes as a TERM →
+                                                # two adjacent terms
                 f"({A} AND {B}"]:               # unbalanced paren
         with pytest.raises(SurroundSyntaxError):
             parse_surround(searcher, bad)
@@ -104,3 +105,14 @@ def test_surround_end_to_end_matches_golden(spark, searcher, golden):
         q = parse_surround(searcher, text)
         eng = [(h.doc_id, h.score) for h in searcher.search(q, k=15)]
         assert eng == golden.search(q, k=15), text
+
+
+def test_distop_lexing_matches_reference(searcher):
+    """_DISTOP_NUM is ("2"-"9")("0"-"9")? (QueryParser.jj) — '1w' and
+    '10w'..'19w' are plain terms, not distance operators."""
+    from lucene_spark.search.surround import _dist_op
+
+    assert _dist_op("w") == (1, True) and _dist_op("99n") == (99, False)
+    assert _dist_op("1w") is None and _dist_op("15n") is None
+    q = parse_surround(searcher, f"{A} AND 1w")
+    assert (ast.MUST, ast.TermQuery("1w")) in q.clauses
