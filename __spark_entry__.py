@@ -30,6 +30,12 @@ Q_MIXED = '+"table value" query -spark'
 PHRASE_TERMS = ("table", "value")
 # round-4 nested-boolean gates (VERDICT r3 next-#3/#4)
 Q_NESTED = "(table AND value) OR (query AND customer)"
+# SimpleQueryParser syntax: + AND, | OR, - NOT (→ the MatchAllDocsQuery
+# complement wrapper), ( ) precedence — parsed by search/simpleqp.py
+Q_SIMPLE = "table + (value | query) -spark"
+# phrase + trailing-* prefix through the same parser → nested boolean with
+# exact-phrase and constant-score multiterm leaves
+Q_SIMPLE_PH = '"table value" | tab* + query'
 Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
 CT_TEXT = "dup table value query"  # CommonTermsQuery input (dup is rare)
@@ -43,6 +49,12 @@ _AN = SimpleAnalyzer()
 
 def _parse(s: str):
     return ast.parse(s, _AN, fields=("text", "role"))
+
+
+def _parse_simple_q(qstr: str):
+    from lucene_spark.search.simpleqp import parse_simple
+
+    return parse_simple(qstr, _AN)
 
 
 def _index_dir(sf_dir: str) -> str:
@@ -324,6 +336,27 @@ def _mk_sim_topk(sim_name: str, k: int, **sim_kw):
         return _hits_df(spark, s.search(_parse(Q_OR), k=k, mode="wand"))
 
     return run
+
+
+def _q_simple_query(spark, sf_dir):
+    """SimpleQueryParser end-to-end (queryparser/simple): human syntax →
+    AST (incl. the NOT operator's MatchAllDocsQuery complement wrapper) →
+    recursive mixed kernel with the distributed matchall expansion."""
+    from lucene_spark.search.simpleqp import parse_simple
+
+    s = _searcher(spark, sf_dir)
+    q = parse_simple(Q_SIMPLE, _AN)
+    return _hits_df(spark, s.search(q, k=40))
+
+
+def _q_simple_query_phrase(spark, sf_dir):
+    """SimpleQueryParser phrase + prefix operators: '"a b" | p* + c' →
+    nested boolean with exact-phrase and constant-score multiterm leaves."""
+    from lucene_spark.search.simpleqp import parse_simple
+
+    s = _searcher(spark, sf_dir)
+    q = parse_simple(Q_SIMPLE_PH, _AN)
+    return _hits_df(spark, s.search(q, k=40))
 
 
 def _q_const_score_bool(spark, sf_dir):
@@ -1683,7 +1716,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # r2-green, machinery covered by stronger in-window gates — rotated out
     # to make room; they remain in queries() past the window)
     "expression_score_topk", "passage_highlight",
-    "rescore_topk", "span_or_count",
+    "rescore_topk",
     # (rotation note 2: group_top1_source + sort_by_dl_topk — both r2-green;
     # grouping runs over the same score_df substrate as in-window facet /
     # drill gates, and sort_conv_early re-verifies the search_sorted path —
@@ -1716,6 +1749,14 @@ _WINDOW_HEAD: tuple[str, ...] = (
     "dedup_ngram_jaccard", "dedup_embedding", "ann_brute_topk",
     "ann_lsh_topk", "ann_ivf_topk", "text_langid",
     "text_fingerprint", "mm_binary_stats",
+    # (rotation note 7: span_or_count → simple_query_topk — the span
+    # kernel keeps three in-window representatives (span_near /
+    # span_unordered / span_first) and SpanOr union slots are exercised
+    # INSIDE the in-window span_near_topk gate plus the surround pytest
+    # suite; SimpleQueryParser is brand-new machinery — the parser itself
+    # plus the MatchAllDocsQuery-inside-boolean clause kind with its
+    # distributed per-segment complement path)
+    "simple_query_topk",
     # -- new round-4 gates
     # (rotation note 6: bool_nested_mix_topk → covering_topk — the
     # recursive mixed kernel + nested oracle family is already in-window
@@ -1768,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_nested_topk": _mk_bm25(Q_NESTED, 40),
         "bool_nested_mix_topk": _mk_bm25(Q_NESTED2, 40),
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
+        "simple_query_topk": _q_simple_query,
+        "simple_query_phrase_topk": _q_simple_query_phrase,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -2010,6 +2053,10 @@ def oracle_sql() -> dict[str, str]:
         "bool_nested_topk": oracle.nested_topk_sql(_parse(Q_NESTED), 40),
         "bool_nested_mix_topk": oracle.nested_topk_sql(_parse(Q_NESTED2), 40),
         "bool_msm2_topk": oracle.bm25_topk_sql(_parse(Q_MSM2), 40),
+        "simple_query_topk": oracle.nested_topk_sql(
+            _parse_simple_q(Q_SIMPLE), 40),
+        "simple_query_phrase_topk": oracle.nested_topk_sql(
+            _parse_simple_q(Q_SIMPLE_PH), 40),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

@@ -353,6 +353,21 @@ class BruteForceIndex:
                     if occur == ast.SHOULD:
                         should_cnt[sub_docs] += 1
                 continue
+            if isinstance(tq, ast.MatchAllDocsQuery):
+                # MatchAllDocsQuery clause (the SimpleQueryParser NOT
+                # wrapper): every doc matches at constant f32(boost)
+                if occur == ast.MUST_NOT:
+                    excluded[:] = True
+                    continue
+                if occur in (ast.MUST, ast.FILTER):
+                    n_req += 1
+                    must_cnt += 1
+                if occur in (ast.MUST, ast.SHOULD):
+                    any_scoring = True
+                    score += float(F32(tq.boost))
+                    if occur == ast.SHOULD:
+                        should_cnt += 1
+                continue
             if isinstance(tq, ast.TermQuery) and tq.field != "text":
                 # keyword field: constant similarity score (freq=1, dl=1,
                 # keyword-field collection stats), occur preserved

@@ -565,10 +565,39 @@ LIMIT {k}
 """
 
 
+def _mt_term_cond(q) -> str:
+    """SQL predicate over column ``term`` matching a MultiTermQuery's
+    expansion (prefix/wildcard/range/set — the CONSTANT_SCORE rewrite
+    shapes the nested oracle models; fuzzy/regexp leaves stay engine+pytest
+    only)."""
+
+    def esc_like(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+    if q.kind == "prefix":
+        return f"term LIKE '{esc_like(q.value)}%' ESCAPE '\\'"
+    if q.kind == "wildcard":
+        pat = esc_like(q.value).replace("*", "%").replace("?", "_")
+        return f"term LIKE '{pat}' ESCAPE '\\'"
+    if q.kind == "range":
+        parts = []
+        if q.lower is not None:
+            parts.append(f"term >{'=' if q.include_lower else ''} '{q.lower}'")
+        if q.upper is not None:
+            parts.append(f"term <{'=' if q.include_upper else ''} '{q.upper}'")
+        return " AND ".join(parts) or "TRUE"
+    if q.kind == "set":
+        vals = ", ".join(f"'{t}'" for t in q.terms)
+        return f"term IN ({vals})" if vals else "FALSE"
+    raise NotImplementedError(
+        f"nested oracle: unsupported multiterm kind {q.kind!r}")
+
+
 def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
     """Float32-bit-exact BM25 top-k SQL for an ARBITRARILY NESTED boolean
-    tree of term clauses (``Boolean2ScorerSupplier`` composition — the
-    engine's recursive mixed kernel).
+    tree of term, phrase (exact), constant-score multiterm, and match-all
+    clauses (``Boolean2ScorerSupplier`` composition — the engine's
+    recursive mixed kernel).
 
     Per-node semantics (matching ``phrase._eval_boolean``): a doc matches a
     node iff every MUST/FILTER clause matches ∧ no MUST_NOT clause matches ∧
@@ -587,6 +616,8 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
 
     leaves: list[tuple[str, float]] = []  # (term, boost) per scoring leaf
 
+    phrase_ctes: list[str] = []
+
     def collect(bq):
         for occ, sub in bq.clauses:
             if isinstance(sub, ast.BooleanQuery):
@@ -594,9 +625,19 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
             elif isinstance(sub, ast.TermQuery):
                 if occ in (ast.MUST, ast.SHOULD):
                     leaves.append((sub.term, sub.boost))
+            elif isinstance(sub, ast.PhraseQuery):
+                if sub.slop:
+                    raise NotImplementedError(
+                        "nested oracle models exact phrases only (sloppy "
+                        "phrase leaves: engine + sloppy_pair oracles)")
+                phrase_ctes.append(
+                    _phrase_freq_cte(f"nph{len(phrase_ctes)}", sub.terms))
+            elif isinstance(sub, (ast.MatchAllDocsQuery, ast.MultiTermQuery)):
+                pass  # rendered inline in node_sql
             else:
                 raise NotImplementedError(
-                    "nested oracle supports term leaves only")
+                    "nested oracle supports term / exact-phrase / multiterm"
+                    " / match-all leaves only")
 
     collect(q)
     # no scoring leaves (FILTER/MUST_NOT-only trees): an empty VALUES list
@@ -608,6 +649,7 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
     ) or "(-1, '', CAST(0.0 AS FLOAT))"
 
     counter = iter(range(len(leaves))) if leaves else iter(())
+    ph_counter = iter(range(len(phrase_ctes)))
 
     def node_sql(bq) -> str:
         """SQL relation (did, s FLOAT) of docs matching this node."""
@@ -615,7 +657,32 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
         n_req = 0
         n_should = 0
         for ci, (occ, sub) in enumerate(bq.clauses):
-            if isinstance(sub, ast.TermQuery):
+            if isinstance(sub, ast.MatchAllDocsQuery):
+                # MatchAllDocsQuery leaf (SimpleQueryParser NOT wrapper):
+                # every doc matches at constant f32(boost) — docs0 covers
+                # ALL docs, including zero-token ones
+                b = float(np.float32(sub.boost))
+                rel = (f"SELECT did, CAST({b!r} AS FLOAT) AS s "
+                       f"FROM docs0")
+            elif isinstance(sub, ast.PhraseQuery):
+                # exact-phrase leaf: BM25 with summed-idf pseudo-term weight
+                # and tf = phrase frequency (PhraseWeight — same contract as
+                # bm25_mixed_topk_sql)
+                name = f"nph{next(ph_counter)}"
+                if occ in (ast.MUST, ast.SHOULD):
+                    w = _clause_weight(sub.terms, sub.boost)
+                    rel = (f"SELECT p.did, ({w}) - ({w}) / "
+                           f"(CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT)"
+                           f" * {_INV}) AS s"
+                           f" FROM {name} p JOIN dlen d ON d.did = p.did")
+                else:
+                    rel = f"SELECT did, CAST(0 AS FLOAT) AS s FROM {name}"
+            elif isinstance(sub, ast.MultiTermQuery):
+                # CONSTANT_SCORE rewrite: union doc set at f32(boost)
+                b = float(np.float32(sub.boost))
+                rel = (f"SELECT DISTINCT did, CAST({b!r} AS FLOAT) AS s "
+                       f"FROM tf WHERE {_mt_term_cond(sub)}")
+            elif isinstance(sub, ast.TermQuery):
                 if occ in (ast.MUST, ast.SHOULD):
                     cid = next(counter)
                     rel = f"SELECT did, s FROM cs WHERE cid = {cid}"
@@ -662,8 +729,11 @@ GROUP BY did
 HAVING {having}"""
 
     root = node_sql(q)
+    extra = ""
+    if phrase_ctes:
+        extra = "," + ",".join([TOKSP] + phrase_ctes)
     return f"""
-WITH {base_ctes(doc_where)},
+WITH {base_ctes(doc_where)}{extra},
 qterms(cid, term, boost) AS (VALUES {qvals}),
 weights AS (
   SELECT q.cid, q.term,

@@ -74,15 +74,35 @@ def _has_docset(clauses) -> bool:
     )
 
 
+def _has_matchall(clauses) -> bool:
+    return any(
+        c["kind"] == "matchall"
+        or (c["kind"] == "nested" and _has_matchall(c["clauses"]))
+        for c in clauses
+    )
+
+
 def _slice_docsets(clauses, lo: int, hi: int):
     """Mask every docset clause (recursively) to the segment doc range
-    [lo, hi) — docset docIDs are global, each segment task keeps its own."""
+    [lo, hi) — docset docIDs are global, each segment task keeps its own.
+    A matchall clause (MatchAllDocsQuery inside a boolean —
+    ``core/search/MatchAllDocsQuery.java`` constant weight) materializes
+    HERE as the segment's full docID range at its constant score: the
+    slice runs inside each segment task, so the arange is executor-local
+    and O(segment docs) — the same all-docs iteration the reference's
+    scorer does per leaf."""
     out = []
     for c in clauses:
         if c["kind"] == "docset":
             m = (c["docs"] >= lo) & (c["docs"] < hi)
             out.append({**c, "docs": c["docs"][m],
                         "scores": c["scores"][m]})
+        elif c["kind"] == "matchall":
+            docs = np.arange(lo, hi, dtype=np.int64)
+            out.append({"occur": c["occur"], "kind": "docset", "docs": docs,
+                        "scores": np.full(docs.size, np.float32(c["weight"]),
+                                          dtype=np.float32),
+                        "weight": c["weight"]})
         elif c["kind"] == "nested":
             out.append({**c, "clauses": _slice_docsets(c["clauses"], lo, hi)})
         else:
@@ -690,6 +710,16 @@ class IndexSearcher:
                         continue
                     out.append((occur, "nested", None, (),
                                 1.0, sub.min_should_match, inner))
+                elif isinstance(sub, ast.MatchAllDocsQuery):
+                    # MatchAllDocsQuery as a boolean clause (the
+                    # SimpleQueryParser NOT-wrapper shape,
+                    # queryparser/simple/SimpleQueryParser.java:440-447):
+                    # matches every live doc at constant f32(boost)
+                    # (MatchAllDocsQuery.java constant weight). Expanded to
+                    # the segment's docID range inside each segment task
+                    # (_slice_docsets) — never materialized on the driver.
+                    out.append((occur, "matchall", None, (),
+                                sub.boost, 0, None))
                 elif isinstance(sub, ast.KnnQuery):
                     # KnnQuery clause: pre-resolve to its k (doc, score)
                     # pairs (the DocAndScoreQuery rewrite) and inject as a
@@ -737,6 +767,10 @@ class IndexSearcher:
                     clauses.append({"occur": occur, "kind": "docset",
                                     "docs": sub[0], "scores": sub[1],
                                     "weight": 0.0})
+                    continue
+                if kind == "matchall":
+                    clauses.append({"occur": occur, "kind": "matchall",
+                                    "weight": float(F32(boost))})
                     continue
                 if kind == "nested":
                     inner = build(sub)
@@ -845,17 +879,29 @@ class IndexSearcher:
         dload = self.reader.deleted_loader()
         # docset clauses (pre-resolved KNN) hold GLOBAL docIDs across all
         # segments — each task keeps only its own range so the driver merge
-        # never sees the same doc from two segments
-        seg_hi = self._segment_doc_bounds() if _has_docset(clauses) else None
+        # never sees the same doc from two segments. matchall clauses need
+        # the same coverage map: they expand to the segment's docID range
+        # inside each task (_slice_docsets), so hi must be the REAL segment
+        # end (clamped to doc_count — the last segment's manifest bound is
+        # open-ended).
+        has_ma = _has_matchall(clauses)
+        seg_hi = (self._segment_doc_bounds()
+                  if _has_docset(clauses) or has_ma else None)
+        if seg_hi is not None and has_ma:
+            dc = self.reader.doc_count
+            seg_hi = {s: (lo, min(hi, dc)) for s, (lo, hi) in seg_hi.items()}
 
-        # Segments holding docset docs but NONE of the query's terms get no
-        # postings task — their docset-only matches (the KNN hit in a
-        # segment where no other clause occurs) are evaluated right here on
-        # the driver with the SAME kernel over empty postings, then unioned
-        # in. Docset clauses are driver-resident and k-bounded, and the
-        # coverage probe is one seg-column scan behind the In(term, …)
-        # pushdown, so this stays O(k + segments) on the driver.
+        # Segments holding docset/matchall matches but NONE of the query's
+        # terms get no postings task. Docset-only complements (the KNN hit
+        # in a segment where no other clause occurs) are k-bounded and
+        # evaluated on the driver with the SAME kernel over empty postings;
+        # matchall complements can be a whole segment's doc range, so they
+        # run DISTRIBUTED — one task per uncovered segment, arange stays
+        # executor-local (never on the driver). The coverage probe is one
+        # seg-column scan behind the In(term, …) pushdown, O(segments).
         complement = None
+        comp_df = None
+        schema = "n long" if count_only else "doc_id long, score float"
         if seg_hi is not None:
             from lucene_spark.search.phrase import segment_boolean_mixed
 
@@ -864,27 +910,54 @@ class IndexSearcher:
                  postings.select("seg").distinct().collect()}
                 if postings is not None else set()
             )
-            empty_rows = {c: np.zeros(0, dtype=object) for c in cols}
-            comp_d, comp_s = [], []
-            for s0 in sorted(set(seg_hi) - covered):
-                lo, hi = seg_hi[s0]
-                cl = _slice_docsets(clauses, lo, hi)
-                dele = dload(s0) + lo if dload else None
-                d, s = segment_boolean_mixed(
-                    empty_rows, cl, cache, None if count_only else k, msm,
-                    deleted=dele,
+            uncovered = sorted(set(seg_hi) - covered)
+            if uncovered and has_ma:
+                bounds = seg_hi
+
+                def run_uncovered(pdf: pd.DataFrame) -> pd.DataFrame:
+                    s0 = int(pdf["seg"].iloc[0])
+                    lo, hi = bounds[s0]
+                    er = {c: np.zeros(0, dtype=object) for c in cols}
+                    cl = _slice_docsets(clauses, lo, hi)
+                    dele = dload(s0) + lo if dload else None
+                    d, s = segment_boolean_mixed(
+                        er, cl, cache, None if count_only else k, msm,
+                        deleted=dele,
+                    )
+                    if count_only:
+                        return pd.DataFrame({"n": [int(d.size)]})
+                    return pd.DataFrame({"doc_id": d,
+                                         "score": s.astype(np.float32)})
+
+                comp_df = (
+                    self.spark.createDataFrame(
+                        [(int(s),) for s in uncovered], "seg int")
+                    .groupBy("seg")
+                    .applyInPandas(run_uncovered, schema)
                 )
-                comp_d.append(d), comp_s.append(s)
-            if comp_d:
-                d = np.concatenate(comp_d)
-                s = np.concatenate(comp_s)
-                if count_only:
-                    complement = [(int(d.size),)] if d.size else None
-                elif d.size:
-                    complement = [(int(x), float(y)) for x, y in zip(d, s)]
+            elif uncovered:
+                empty_rows = {c: np.zeros(0, dtype=object) for c in cols}
+                comp_d, comp_s = [], []
+                for s0 in uncovered:
+                    lo, hi = seg_hi[s0]
+                    cl = _slice_docsets(clauses, lo, hi)
+                    dele = dload(s0) + lo if dload else None
+                    d, s = segment_boolean_mixed(
+                        empty_rows, cl, cache, None if count_only else k, msm,
+                        deleted=dele,
+                    )
+                    comp_d.append(d), comp_s.append(s)
+                if comp_d:
+                    d = np.concatenate(comp_d)
+                    s = np.concatenate(comp_s)
+                    if count_only:
+                        complement = [(int(d.size),)] if d.size else None
+                    elif d.size:
+                        complement = [(int(x), float(y))
+                                      for x, y in zip(d, s)]
         if postings is None:
-            schema = "n long" if count_only else "doc_id long, score float"
-            return self.spark.createDataFrame(complement or [], schema)
+            base = self.spark.createDataFrame(complement or [], schema)
+            return base.unionByName(comp_df) if comp_df is not None else base
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = {c: pdf[c].to_numpy() for c in cols}
@@ -904,7 +977,6 @@ class IndexSearcher:
                 return pd.DataFrame({"n": [int(d.size)]})
             return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
 
-        schema = "n long" if count_only else "doc_id long, score float"
         df = (
             postings.select("seg", *cols)
             .groupBy("seg")
@@ -912,6 +984,8 @@ class IndexSearcher:
         )
         if complement:
             df = df.unionByName(self.spark.createDataFrame(complement, schema))
+        if comp_df is not None:
+            df = df.unionByName(comp_df)
         return df
 
     def _search_boolean_mixed(self, q: ast.BooleanQuery, k: int) -> list[ScoreDoc]:
