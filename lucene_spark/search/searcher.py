@@ -3245,7 +3245,7 @@ class IndexSearcher:
             for c in cls:
                 if c["kind"] == "nested":
                     _collect_fields(c["clauses"])
-                elif c["kind"] != "docset":
+                elif c["kind"] not in ("docset", "matchall"):
                     f = c["field"]
                     ts = [t.split(sep, 1)[1] for t in c["terms"]]
                     by_field.setdefault(f, set()).update(ts)
@@ -3297,6 +3297,14 @@ class IndexSearcher:
                     s = np.float32(c["scores"][j]) if hit else np.float32(0)
                     entry = {"kind": "docset", "occur": occ, "freq": freq,
                              "score": None}
+                elif c["kind"] == "matchall":
+                    # MatchAllDocsQuery clause: every live doc matches at
+                    # the constant f32 weight (the explained doc passed
+                    # _doc_location's live check above)
+                    freq = 1.0
+                    s = np.float32(c["weight"])
+                    entry = {"kind": "matchall", "occur": occ, "freq": freq,
+                             "weight": float(s), "score": None}
                 else:
                     f = c["field"]
                     raw_terms = [t.split(sep, 1)[1] for t in c["terms"]]

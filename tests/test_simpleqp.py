@@ -190,6 +190,27 @@ def test_count_complement(searcher, golden):
     assert got == want
 
 
+def test_explain_matchall_clause(searcher):
+    """explain() on a NOT-wrapper query: total must equal the search score
+    bit-exactly, with the matchall clause reported."""
+    q = parse_simple(f"{A} -{B}", AN)
+    hits = searcher.search(q, k=3)
+    assert hits
+    for h in hits:
+        e = searcher.explain(q, h.doc_id)
+        assert e["match"] is True
+        assert e["total"] == h.score
+
+    def kinds(entries):
+        out = []
+        for c in entries:
+            out.append(c["kind"])
+            out.extend(kinds(c.get("clauses", [])))
+        return out
+
+    assert "matchall" in kinds(e["clauses"])
+
+
 def test_absent_term_complement_runs_distributed(searcher, golden):
     """A NOT of a corpus-absent term matches EVERY doc — every segment is
     uncovered by postings, so the whole result comes from the distributed
