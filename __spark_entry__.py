@@ -36,6 +36,8 @@ Q_SIMPLE = "table + (value | query) -spark"
 # phrase + trailing-* prefix through the same parser → nested boolean with
 # exact-phrase and constant-score multiterm leaves
 Q_SIMPLE_PH = '"table value" | tab* + query'
+# ComplexPhraseQueryParser: OR group + prefix INSIDE a phrase, slop 1
+Q_CPQ = '"(table query) val*"~1'
 Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
 CT_TEXT = "dup table value query"  # CommonTermsQuery input (dup is rare)
@@ -356,6 +358,18 @@ def _q_simple_query_phrase(spark, sf_dir):
 
     s = _searcher(spark, sf_dir)
     q = parse_simple(Q_SIMPLE_PH, _AN)
+    return _hits_df(spark, s.search(q, k=40))
+
+
+def _q_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser: '"(table query) val*"~1' — an OR group
+    and a prefix element inside one phrase, rewritten to a SpanNearQuery
+    whose slots expand against the term dictionary (constant-score span
+    v1: k smallest matching docIDs)."""
+    from lucene_spark.search.complexphrase import parse_complex_phrase
+
+    s = _searcher(spark, sf_dir)
+    q = parse_complex_phrase(s, Q_CPQ, max_expansions=1024)
     return _hits_df(spark, s.search(q, k=40))
 
 
@@ -1811,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_msm2_topk": _mk_bm25(Q_MSM2, 40),
         "simple_query_topk": _q_simple_query,
         "simple_query_phrase_topk": _q_simple_query_phrase,
+        "complex_phrase_topk": _q_complex_phrase,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -2057,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
             _parse_simple_q(Q_SIMPLE), 40),
         "simple_query_phrase_topk": oracle.nested_topk_sql(
             _parse_simple_q(Q_SIMPLE_PH), 40),
+        "complex_phrase_topk": oracle.span_near_topk_sql(
+            [("table", "query"), {"like": "val%"}], 1, 40, in_order=True),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

@@ -2551,16 +2551,23 @@ def span_near_topk_sql(terms, slop: int, k: int, in_order: bool = True,
     single-term little: some contain-term position inside [start, end]).
     A tuple element of ``terms`` is a SpanOr clause
     (``spans/SpanOrQuery.java:38``) — that sub-span matches any of its
-    alternatives' positions (term IN (…))."""
+    alternatives' positions (term IN (…)). A ``{"like": pattern}`` element
+    matches any term LIKE the pattern — the SQL-side equivalent of the
+    engine expanding a prefix/wildcard slot against the term dictionary
+    (ComplexPhraseQueryParser slots), dictionary-independent."""
     n = len(terms)
     joins = "".join(
         f"\n  JOIN toksp t{i} ON t{i}.did = t0.did" for i in range(1, n)
     )
-    conds = [
-        (f"t{i}.term IN ({', '.join(repr(a) for a in t)})"
-         if isinstance(t, tuple) else f"t{i}.term = '{t}'")
-        for i, t in enumerate(terms)
-    ]
+
+    def slot_cond(i, t):
+        if isinstance(t, dict):
+            return f"t{i}.term LIKE '{t['like']}' ESCAPE '\\'"
+        if isinstance(t, tuple):
+            return f"t{i}.term IN ({', '.join(repr(a) for a in t)})"
+        return f"t{i}.term = '{t}'"
+
+    conds = [slot_cond(i, t) for i, t in enumerate(terms)]
     if in_order:
         conds += [f"t{i}.pos > t{i - 1}.pos" for i in range(1, n)]
         conds.append(f"t{n - 1}.pos - t0.pos - {n - 1} <= {slop}")
