@@ -361,6 +361,51 @@ def _q_simple_query_phrase(spark, sf_dir):
     return _hits_df(spark, s.search(q, k=40))
 
 
+def _ensure_payload_index(spark: SparkSession, sf_dir: str) -> str:
+    """Separate index built with the delimited-payload chain: every token
+    carries its 0-based ordinal as an integer payload (``word|i``), so the
+    DuckDB oracle recomputes payloads as token positions without parsing."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+
+    d = _index_dir(sf_dir) + "_payload"
+    resume = os.path.exists(f"{d}/manifest.json")
+    if resume:
+        with open(f"{d}/manifest.json") as f:
+            if not json.load(f).get("payloads", False):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+                resume = False
+    b = IndexBuilder(spark, d, analyzer="delimited_payload",
+                     positions=False, num_segments=8)
+    t = transcripts_from_documents(spark, sf_dir)
+    t = t.withColumn(
+        "text",
+        F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda w, i: F.concat_ws("|", w, i.cast("string"))),
+            " "))
+    b.build(t, resume=resume)
+    return d
+
+
+def _q_payload_score(spark, sf_dir):
+    """PayloadScoreQuery (queries/payloads): per-doc MAX of the payloads on
+    'table' occurrences — payloads stored per occurrence in the postings
+    (the .pay analogue), aggregated by a per-segment numpy kernel."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    d = _ensure_payload_index(spark, sf_dir)
+    s = IndexSearcher(spark, d)
+    hits = s.payload_score("table", fn="max", k=40)
+    return _hits_df(spark, hits)
+
+
 def _q_complex_phrase(spark, sf_dir):
     """ComplexPhraseQueryParser: '"(table query) val*"~1' — an OR group
     and a prefix element inside one phrase, rewritten to a SpanNearQuery
@@ -1826,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_topk": _q_simple_query,
         "simple_query_phrase_topk": _q_simple_query_phrase,
         "complex_phrase_topk": _q_complex_phrase,
+        "payload_score_topk": _q_payload_score,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -2074,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
             _parse_simple_q(Q_SIMPLE_PH), 40),
         "complex_phrase_topk": oracle.span_near_topk_sql(
             [("table", "query"), {"like": "val%"}], 1, 40, in_order=True),
+        "payload_score_topk": oracle.payload_topk_sql("table", "max", 40),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

@@ -618,6 +618,8 @@ def get_analyzer(name: str):
         return KeywordAnalyzer()
     if name == "standard_folding":
         return FoldingAnalyzer()
+    if name == "delimited_payload":
+        return DelimitedPayloadAnalyzer()
     raise ValueError(f"unknown analyzer: {name}")
 
 
@@ -760,6 +762,103 @@ def stop_analyzer(stopwords=None) -> LetterAnalyzer:
 
 
 @dataclass(frozen=True)
+class DelimitedPayloadAnalyzer:
+    """Whitespace tokenizer + lowercase + delimited-payload extraction —
+    the ``WhitespaceAnalyzer`` + ``DelimitedPayloadTokenFilter`` chain with
+    the integer encoder
+    (``analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:28-40``
+    + ``IntegerEncoder.java``): a token ``term|N`` indexes as ``term``
+    carrying per-occurrence integer payload ``N``.
+
+    Documented divergences: the term part is lowercased (our indexes store
+    lowercased terms; the raw reference chain is case-preserving); a token
+    WITHOUT the delimiter carries payload 0 (the reference leaves the
+    payload attribute unset — identical under the min/max/sum/avg payload
+    functions whenever every token is delimited, the chain's intended
+    input); payloads clamp at 0 (varint storage is unsigned); an empty
+    term part drops the token, leaving a position hole.
+    """
+
+    name = "delimited_payload"
+    payloads = True
+    delimiter = "|"
+
+    def _split(self, tok: str) -> tuple[str, int]:
+        i = tok.rfind(self.delimiter)
+        if i < 0:
+            return tok.lower(), 0
+        try:
+            p = int(tok[i + 1:])
+        except ValueError:
+            p = 0
+        return tok[:i].lower(), max(p, 0)
+
+    def tokenize_text(self, text: str) -> list[str]:
+        if not text:
+            return []
+        out = []
+        for tok in text.split():
+            t, _ = self._split(tok)
+            if t:
+                out.append(t)
+        return out
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(self.tokenize_text)
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        uniq, codes, per_row, _pos, _pay = self.tokenize_ids_payload(
+            texts, with_positions=True)
+        if with_positions:
+            return uniq, codes, per_row, _pos
+        return uniq, codes, per_row
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+    def tokenize_ids_payload(self, texts: pd.Series,
+                             with_positions: bool = False):
+        """(uniq_terms, codes, per_row_counts, positions|None, payloads) —
+        the builder's payload inversion input. Positions are ordinals over
+        ALL whitespace tokens of the row (dropped empty-term tokens leave
+        holes, the StopFilter convention)."""
+        n_rows = len(texts)
+        pairs_per_row = [
+            [self._split(tok) for tok in (t.split() if t else [])]
+            for t in texts.fillna("")
+        ]
+        lens_all = np.fromiter((len(l) for l in pairs_per_row),
+                               dtype=np.int64, count=n_rows)
+        total = int(lens_all.sum())
+        if total == 0:
+            return (np.array([], dtype=object), np.zeros(0, np.int64),
+                    np.zeros(n_rows, np.int64),
+                    np.zeros(0, np.int64) if with_positions else None,
+                    np.zeros(0, np.int64))
+        flat = np.empty(total, dtype=object)
+        pays = np.empty(total, dtype=np.int64)
+        i = 0
+        for pr in pairs_per_row:
+            for t, p in pr:
+                flat[i] = t
+                pays[i] = p
+                i += 1
+        starts = np.concatenate([[0], np.cumsum(lens_all)[:-1]]).astype(
+            np.int64)
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lens_all)
+        pos = np.arange(total, dtype=np.int64) - starts[row_ids]
+        keep = np.fromiter((t != "" for t in flat), dtype=bool, count=total)
+        if not keep.all():
+            flat, pays, pos, row_ids = (flat[keep], pays[keep], pos[keep],
+                                        row_ids[keep])
+        per_row = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+        uniq, codes = np.unique(flat, return_inverse=True)
+        return (uniq, codes.astype(np.int64), per_row,
+                pos if with_positions else None, pays)
+
+
 class KeywordAnalyzer:
     """``core/analysis/core/KeywordAnalyzer.java``: the entire input is ONE
     token, untouched (no lowercase, no length cap) — the analysis-chain

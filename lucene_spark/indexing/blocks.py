@@ -144,7 +144,8 @@ def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
 def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
                           tf_arr: np.ndarray, norm_per_posting: np.ndarray,
                           term_pool: np.ndarray | None = None,
-                          pos_flat: np.ndarray | None = None) -> dict:
+                          pos_flat: np.ndarray | None = None,
+                          payload_flat: np.ndarray | None = None) -> dict:
     """Whole-segment vectorized block encoding.
 
     Input: postings rows sorted by (term, doc) — ``terms_arr`` object strings
@@ -162,6 +163,8 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
         "ttf": [], "max_tf": [], "doc_gaps": [], "tfs": [], "norms": [],
         "positions": [], "impact_tfs": [], "impact_norms": [],
     }
+    if payload_flat is not None:
+        empty["payloads"] = []
     if n == 0:
         return empty
     idx = np.arange(n, dtype=np.int64)
@@ -204,6 +207,17 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
     else:
         positions = [b""] * starts.size
 
+    # payloads: one unsigned int per occurrence, absolute varints at block
+    # granularity in the same flat per-posting layout as positions — the
+    # .pay-file analogue (Lucene90PostingsFormat
+    # DOCS_AND_FREQS_AND_POSITIONS_AND_PAYLOADS)
+    payloads = None
+    if payload_flat is not None:
+        tok_starts_p = np.concatenate([[0], np.cumsum(tf_arr)[:-1]]).astype(
+            np.int64)
+        payloads = encode_varints_grouped(
+            payload_flat.astype(np.int64), tok_starts_p[starts])
+
     impact_tfs, impact_norms = [], []
     for s, e in zip(starts.tolist(), ends.tolist()):
         it, inm = pareto_impacts(tf_arr[s:e], norm_per_posting[s:e])
@@ -227,7 +241,21 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
         "positions": positions,
         "impact_tfs": impact_tfs,
         "impact_norms": impact_norms,
+        **({"payloads": payloads} if payloads is not None else {}),
     }
+
+
+def decode_block_payloads(payloads: bytes, tfs_decoded: np.ndarray):
+    """Inverse of the payload encoding for one block.
+
+    Returns (flat_payloads, per_posting_offsets): posting i's payloads are
+    ``flat[offsets[i]:offsets[i] + tfs_decoded[i]]``, one per occurrence in
+    position order.
+    """
+    vals = decode_varints(payloads)
+    tstarts = np.concatenate([[0], np.cumsum(tfs_decoded)[:-1]]).astype(
+        np.int64)
+    return vals, tstarts
 
 
 def decode_block_positions(positions: bytes, tfs_decoded: np.ndarray):

@@ -155,7 +155,15 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     )
     # byte-level tokenize → sorted unique-term pool + int codes (no per-token
     # Python objects; the pool is byte-ordered == Lucene term order)
-    if positions:
+    has_payloads = bool(getattr(analyzer, "payloads", False))
+    tok_payload = None
+    if has_payloads:
+        # payload chain (DelimitedPayloadTokenFilter analogue): per-token
+        # integer payloads ride along, aligned with the token stream
+        uniq_terms, codes, dl, tok_pos, tok_payload = (
+            analyzer.tokenize_ids_payload(pdf["text"],
+                                          with_positions=positions))
+    elif positions:
         uniq_terms, codes, dl, tok_pos = analyzer.tokenize_ids(
             pdf["text"], with_positions=True
         )
@@ -193,9 +201,10 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     term_codes = uc // max(n, 1)
     d_arr = uc % max(n, 1)
     pos_flat = tok_pos[order] if tok_pos is not None else None
+    payload_flat = tok_payload[order] if tok_payload is not None else None
     cols = encode_segment_blocks(
         term_codes, d_arr, tf_arr, norms[d_arr],
-        term_pool=uniq_terms, pos_flat=pos_flat,
+        term_pool=uniq_terms, pos_flat=pos_flat, payload_flat=payload_flat,
     )
     n_blocks = len(cols["term"])
     field_col = [np.full(n_blocks, FIELD, dtype=object)]
@@ -218,6 +227,8 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
             np.ones(present.size, dtype=np.int64),
             term_pool=np.array(kw_uniq, dtype=object),
         )
+        if has_payloads:  # keyword fields carry no payloads
+            kcols["payloads"] = [b""] * len(kcols["term"])
         field_col.append(np.full(len(kcols["term"]), kf, dtype=object))
         col_parts.append(kcols)
 
@@ -226,9 +237,11 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
         if len(col_parts) > 1 else cols
     )
     n_blocks = len(merged["term"])
+    schema = (POSTINGS_SCHEMA.append(pa.field("payloads", pa.binary()))
+              if has_payloads else POSTINGS_SCHEMA)
     postings_tbl = pa.Table.from_pydict(
         {"field": np.concatenate(field_col), **merged},
-        schema=POSTINGS_SCHEMA,
+        schema=schema,
     )
     _atomic_write_parquet(postings_tbl, f"{index_dir}/postings/seg={seg}/part-0.parquet")
     n_terms = int(uniq_terms.size)
@@ -474,6 +487,8 @@ class IndexBuilder:
                 "field": FIELD,
                 "analyzer": self.analyzer,
                 "positions": self.positions,
+                "payloads": bool(getattr(get_analyzer(self.analyzer),
+                                         "payloads", False)),
                 "keyword_fields": list(self.keyword_fields),
                 "num_segments": nseg,
                 "boundaries": boundaries,

@@ -565,6 +565,29 @@ LIMIT {k}
 """
 
 
+def payload_topk_sql(term: str, fn: str, k: int) -> str:
+    """PayloadScoreQuery oracle (``queries/payloads/PayloadScoreQuery.java``
+    + Max/Min/Average/Sum payload functions) for the driver's payload gate:
+    the gate index derives token payloads as the 0-based token ordinal
+    (``word|i``), so the payload of an occurrence at 1-based DuckDB position
+    ``pos`` is exactly ``pos - 1`` — no delimiter parsing needed. score =
+    f32(fn over the doc's occurrence payloads); int payloads this small are
+    exact in float32, so the fold order does not matter."""
+    agg = {"max": "max(pos - 1)", "min": "min(pos - 1)",
+           "sum": "sum(pos - 1)",
+           "avg": "CAST(sum(pos - 1) AS FLOAT) / CAST(count(*) AS FLOAT)"}[fn]
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT did AS doc_id,
+       CAST(CAST(({agg}) AS FLOAT) AS DOUBLE) AS score
+FROM toksp
+WHERE term = '{term}'
+GROUP BY did
+ORDER BY score DESC, did ASC
+LIMIT {k}
+"""
+
+
 def _mt_term_cond(q) -> str:
     """SQL predicate over column ``term`` matching a MultiTermQuery's
     expansion (prefix/wildcard/range/set — the CONSTANT_SCORE rewrite

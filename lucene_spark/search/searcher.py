@@ -2586,6 +2586,93 @@ class IndexSearcher:
               + feat.cast("float").cast("double")).cast("float")
         return joined.select("doc_id", ns.cast("double").alias("score"))
 
+    PAYLOAD_FNS = ("max", "min", "sum", "avg")
+
+    def payload_score_df(self, term: str, fn: str = "max",
+                         field: str = "text",
+                         include_span_score: bool = False,
+                         boost: float = 1.0):
+        """PayloadScoreQuery over one span-term query —
+        ``queries/payloads/PayloadScoreQuery.java:46-76`` with the
+        Max/Min/Average/Sum payload functions
+        (``MaxPayloadFunction.java`` et al.: per-doc fold over the
+        occurrences' payloads; ``docScore`` = the fold when ≥1 payload was
+        seen). Payloads are the integer per-occurrence values the
+        ``delimited_payload`` chain indexed (``PayloadDecoder`` integer
+        analogue: payload int → float).
+
+        ``include_span_score=True`` multiplies by the wrapped span's score,
+        which under the engine's constant-score span v1 cut is
+        ``f32(boost)`` (the reference multiplies by the real SpanScorer
+        score — documented divergence). Returns a distributed
+        (doc_id, score float) DataFrame; per-segment numpy kernel, one
+        pushed-down postings scan, nothing collected."""
+        from lucene_spark.indexing.blocks import (
+            decode_block,
+            decode_block_payloads,
+        )
+
+        if fn not in self.PAYLOAD_FNS:
+            raise ValueError(f"fn must be one of {self.PAYLOAD_FNS}")
+        if not self.reader.manifest.get("payloads", False):
+            raise ValueError(
+                "index was built without payloads; rebuild with "
+                "IndexBuilder(..., analyzer='delimited_payload')")
+        postings = self.reader.postings([term], field=field)
+        cols = ["first_doc", "count", "doc_gaps", "tfs", "payloads",
+                "doc_offset"]
+        dload = self.reader.deleted_loader()
+        span_mult = float(F32(boost)) if include_span_score else None
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            d_parts, s_parts = [], []
+            for _, r in pdf.iterrows():
+                d, tf = decode_block(r["first_doc"], r["count"],
+                                     r["doc_gaps"], r["tfs"])
+                flat, offs = decode_block_payloads(r["payloads"], tf)
+                pay = flat.astype(np.float32)
+                if fn == "max":
+                    agg = np.maximum.reduceat(pay, offs)
+                elif fn == "min":
+                    agg = np.minimum.reduceat(pay, offs)
+                else:
+                    agg = np.add.reduceat(pay, offs).astype(np.float32)
+                    if fn == "avg":
+                        agg = (agg / tf.astype(np.float32)).astype(
+                            np.float32)
+                d_parts.append(d)
+                s_parts.append(agg.astype(np.float32))
+            d = np.concatenate(d_parts)
+            s = np.concatenate(s_parts)
+            off = np.int64(pdf["doc_offset"].iloc[0])
+            d = d.astype(np.int64) + off
+            if span_mult is not None:
+                s = (s * np.float32(span_mult)).astype(np.float32)
+            if dload:
+                dele = dload(pdf["seg"].iloc[0]) + off
+                if len(dele):
+                    m = ~np.isin(d, dele)
+                    d, s = d[m], s[m]
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        return (postings.select("seg", *cols)
+                .groupBy("seg")
+                .applyInPandas(run_segment, "doc_id long, score float"))
+
+    def payload_score(self, term: str, fn: str = "max", k: int = 10,
+                      field: str = "text",
+                      include_span_score: bool = False,
+                      boost: float = 1.0) -> list[ScoreDoc]:
+        """Top-k of :meth:`payload_score_df`, (score DESC, docID ASC)."""
+        from pyspark.sql import functions as F
+
+        rows = self._collect(
+            self.payload_score_df(term, fn, field, include_span_score,
+                                  boost)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"]))
+                for r in rows]
+
     def feature_score(self, query, feature_col: str = "dl",
                       fn: str = "saturation", k: int = 10,
                       weight: float = 1.0, pivot: float = 1.0,
