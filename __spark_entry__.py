@@ -1010,6 +1010,20 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_dedup_exact_substring(spark, sf_dir):
+    """ExactSubstr window-dedup stats (Lee et al. 2022 approximation):
+    top docs by deduplicatable-token count over the augmented corpus."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.curation import exact_substring_stats
+
+    out = exact_substring_stats(augmented_docs(_docs(spark, sf_dir)),
+                                window=10)
+    return (out.filter(F.col("dup_tokens") > 0)
+            .orderBy(F.desc("dup_tokens"), F.asc("doc_id")).limit(100))
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from lucene_spark.pipeline.contracts import augmented_docs
     from lucene_spark.pipeline.dedup import minhash_dedup_pairs
@@ -1971,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_exact_substring": _q_dedup_exact_substring,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2275,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": po.dedup_clusters_sql(),
         "dedup_incremental": po.dedup_incremental_sql(),
+        "dedup_exact_substring": po.exact_substring_sql(10, 100),
         "term_vectors_doc": oracle.term_vectors_sql(25),
         "decontam_overlap": po.contamination_sql(),
         "rep_ngram_scores": po.repetition_sql(),

@@ -30,7 +30,12 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lucene_spark.pipeline.contracts import SHINGLE_K, doc_shingles, tokens_col
+from lucene_spark.pipeline.contracts import (
+    SHINGLE_K,
+    doc_shingles,
+    shingles_col,
+    tokens_col,
+)
 
 
 def contamination_check(
@@ -240,4 +245,67 @@ def line_dedup(docs: DataFrame) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
+    )
+
+
+def exact_substring_stats(docs: DataFrame, window: int = 10) -> DataFrame:
+    """ExactSubstr deduplication statistics — the duplicated-span removal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", the suffix-array ExactSubstr method) re-expressed as
+    fixed-width window hashing, the standard distributed approximation: a
+    ``window``-token span is duplicated when the identical token window
+    occurs ≥ 2 times anywhere in the corpus; every occurrence EXCEPT the
+    globally-first (smallest (doc_id, pos)) is a removal candidate.
+
+    Returns (doc_id, n_tokens, dup_tokens): ``dup_tokens`` = size of the
+    union of the candidate spans' token intervals — exactly the token
+    count ExactSubstr would cut from that doc, keeping first occurrences.
+
+    Scale (100 TB): windows explode to one row per token (same order as
+    the corpus itself); ownership is ONE two-stage groupBy on the window
+    hash computing (count, min(struct(doc_id, pos))) with map-side partial
+    combine, then a shuffle join of the occurrences against the ≥2-count
+    hashes only. The interval union is the classic gaps-and-islands sweep:
+    two window functions partitioned by doc_id (unique-ish key → no skew),
+    no Python UDFs, everything whole-stage codegen.
+    """
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(shingles_col(F.col("toks"), window)).alias("pos", "w"),
+    ).select("doc_id", "pos", F.md5("w").alias("h"))
+    stats = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col("doc_id").alias("d"),
+                       F.col("pos").alias("p"))).alias("o"),
+    )
+    cand = (
+        wins.join(stats.filter(F.col("cnt") >= 2).select("h", "o"), "h")
+        .filter(~((F.col("doc_id") == F.col("o.d"))
+                  & (F.col("pos") == F.col("o.p"))))
+        .select("doc_id", F.col("pos").alias("s"),
+                (F.col("pos") + F.lit(window)).alias("e"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        cand.withColumn(
+            "new_isl",
+            (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("long"))
+        .withColumn("isl", F.sum("new_isl").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    dup = (
+        islands.groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s")).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").cast("long").alias("dup_tokens"))
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(dup, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                .alias("dup_tokens"))
     )

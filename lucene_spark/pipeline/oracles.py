@@ -801,3 +801,64 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def exact_substring_sql(window: int = 10, k: int = 100) -> str:
+    """ExactSubstr window-dedup stats over the augmented corpus (mirrors
+    curation.exact_substring_stats on contracts.augmented_docs): a
+    window-token span duplicates when the identical window occurs >= 2
+    times corpus-wide; every occurrence except the smallest (doc_id, pos)
+    is a candidate; dup_tokens = per-doc union length of candidate spans
+    (gaps-and-islands sweep, same as the engine's two window functions)."""
+    return f"""
+WITH {PDOCS},
+adocs AS (
+  SELECT doc_id, toks FROM ptoks
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_slice(toks, 1, greatest(len(toks) - 5, 1)) AS toks
+  FROM ptoks
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {window} - 1), ' ')) AS h
+  FROM adocs, unnest(range(1, len(toks) - {window} + 2)) AS r(i)
+  WHERE len(toks) >= {window}
+),
+stats AS (
+  SELECT h, count(*) AS cnt,
+         min(struct_pack(d := doc_id, p := pos)) AS o
+  FROM wins GROUP BY h
+),
+cand AS (
+  SELECT w.doc_id, w.pos AS s, w.pos + {window} AS e
+  FROM wins w JOIN stats t USING (h)
+  WHERE t.cnt >= 2 AND NOT (w.doc_id = t.o.d AND w.pos = t.o.p)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM cand
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+  FROM isl
+),
+dup AS (
+  SELECT doc_id, sum(ilen)::BIGINT AS dup_tokens FROM (
+    SELECT doc_id, g, max(e) - min(s) AS ilen
+    FROM isl2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT a.doc_id, len(a.toks)::BIGINT AS n_tokens, d.dup_tokens
+FROM adocs a JOIN dup d USING (doc_id)
+WHERE d.dup_tokens > 0
+ORDER BY d.dup_tokens DESC, a.doc_id ASC
+LIMIT {k}
+"""

@@ -368,3 +368,51 @@ def test_unigram_logprob_exactness(spark):
     assert out[3]["avg_lp"] == 0.0
     # rarer vocabulary scores lower
     assert out[1]["avg_lp"] < out[0]["avg_lp"]
+
+
+def test_exact_substring_stats(spark):
+    """ExactSubstr window-dedup: first occurrence protected, later copies
+    fully marked, partial overlaps unioned (gaps-and-islands)."""
+    from lucene_spark.pipeline.curation import exact_substring_stats
+
+    base = "a b c d e f g h i j k l"          # 12 tokens
+    rows = [
+        (0, base),                              # canonical everywhere
+        (1, base),                              # exact copy → all 12 dup
+        (2, "q r s t u v w x y z zz"),          # unrelated → 0
+        (3, "x y " + "a b c d e f g h i j"),    # shares one 10-window
+        (4, "a b c d e f g h i j"),             # prefix copy → all 10 dup
+    ]
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in exact_substring_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=10).collect()
+    }
+    assert out[0] == (12, 0)    # first occurrence keeps everything
+    assert out[1] == (12, 12)   # exact copy marked wholesale
+    assert out[2] == (11, 0)
+    assert out[3] == (12, 10)   # only the shared window's span
+    assert out[4] == (10, 10)
+
+
+def test_exact_substring_union_of_overlaps(spark):
+    """Two overlapping duplicated spans in one doc count once (union)."""
+    from lucene_spark.pipeline.curation import exact_substring_stats
+
+    w1 = "a b c d e f g h i j"    # 10 tokens
+    w2 = "c d e f g h i j k l"    # overlaps w1 by 8
+    rows = [
+        (0, w1),                   # canonical for w1
+        (1, w2),                   # canonical for w2
+        (2, w1 + " k l"),          # contains w1 (pos 0) and w2 (pos 2)
+    ]
+    out = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in exact_substring_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=10).collect()
+    }
+    # doc2: spans [0,10) ∪ [2,12) = 12 tokens, not 10+10
+    assert out[2] == 12
+    assert out[0] == 0 and out[1] == 0
