@@ -406,6 +406,17 @@ def _q_payload_score(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+def _q_span_payload_check(spark, sf_dir):
+    """SpanPayloadCheckQuery (queries/payloads): docs where 'table' occurs
+    with payload >= 30 (payload = token ordinal in the payload index)."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    d = _ensure_payload_index(spark, sf_dir)
+    s = IndexSearcher(spark, d)
+    n = s.span_payload_check_df("table", 30, "gte").count()
+    return spark.createDataFrame([(int(n),)], "hits long")
+
+
 def _q_complex_phrase(spark, sf_dir):
     """ComplexPhraseQueryParser: '"(table query) val*"~1' — an OR group
     and a prefix element inside one phrase, rewritten to a SpanNearQuery
@@ -1886,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_phrase_topk": _q_simple_query_phrase,
         "complex_phrase_topk": _q_complex_phrase,
         "payload_score_topk": _q_payload_score,
+        "span_payload_check_count": _q_span_payload_check,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -2136,6 +2148,8 @@ def oracle_sql() -> dict[str, str]:
         "complex_phrase_topk": oracle.span_near_topk_sql(
             [("table", "query"), {"like": "val%"}], 1, 40, in_order=True),
         "payload_score_topk": oracle.payload_topk_sql("table", "max", 40),
+        "span_payload_check_count": oracle.payload_check_count_sql(
+            "table", 30, "gte"),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

@@ -588,6 +588,19 @@ LIMIT {k}
 """
 
 
+def payload_check_count_sql(term: str, value: int, op: str) -> str:
+    """SpanPayloadCheckQuery oracle (single-term span, INT payloads): docs
+    with some occurrence whose payload (= 0-based token ordinal in the
+    payload gate index) satisfies the comparison."""
+    sql_op = {"eq": "=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<="}[op]
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT count(DISTINCT did)::BIGINT AS hits
+FROM toksp
+WHERE term = '{term}' AND pos - 1 {sql_op} {value}
+"""
+
+
 def _mt_term_cond(q) -> str:
     """SQL predicate over column ``term`` matching a MultiTermQuery's
     expansion (prefix/wildcard/range/set — the CONSTANT_SCORE rewrite

@@ -2673,6 +2673,74 @@ class IndexSearcher:
         return [ScoreDoc(int(r["doc_id"]), float(r["score"]))
                 for r in rows]
 
+    _PAYLOAD_OPS = {"eq": np.equal, "gt": np.greater,
+                    "gte": np.greater_equal, "lt": np.less,
+                    "lte": np.less_equal}
+
+    def span_payload_check_df(self, term: str, value: int, op: str = "eq",
+                              field: str = "text"):
+        """SpanPayloadCheckQuery over one span-term query —
+        ``queries/payloads/SpanPayloadCheckQuery.java:48-99`` with the INT
+        payload type and the EQ/GT/GTE/LT/LTE match operations: the doc
+        matches when some occurrence of ``term`` carries a payload
+        satisfying ``payload <op> value``. v1 cut: single-term spans only
+        (the reference checks each position of a composite span against a
+        payload list — composite spans are a documented gap), constant
+        score like the engine's other span queries. Returns the
+        distributed (doc_id) match set."""
+        from lucene_spark.indexing.blocks import (
+            decode_block,
+            decode_block_payloads,
+        )
+
+        if op not in self._PAYLOAD_OPS:
+            raise ValueError(f"op must be one of {sorted(self._PAYLOAD_OPS)}")
+        if not self.reader.manifest.get("payloads", False):
+            raise ValueError(
+                "index was built without payloads; rebuild with "
+                "IndexBuilder(..., analyzer='delimited_payload')")
+        cmp = self._PAYLOAD_OPS[op]
+        val = np.int64(value)
+        postings = self.reader.postings([term], field=field)
+        cols = ["first_doc", "count", "doc_gaps", "tfs", "payloads",
+                "doc_offset"]
+        dload = self.reader.deleted_loader()
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for _, r in pdf.iterrows():
+                d, tf = decode_block(r["first_doc"], r["count"],
+                                     r["doc_gaps"], r["tfs"])
+                flat, offs = decode_block_payloads(r["payloads"], tf)
+                ok = cmp(flat, val)
+                # any-occurrence-per-posting: count of hits in each
+                # posting's payload slice > 0
+                hits = np.add.reduceat(ok.astype(np.int64), offs) > 0
+                parts.append(d[hits])
+            d = np.concatenate(parts).astype(np.int64)
+            off = np.int64(pdf["doc_offset"].iloc[0])
+            d = d + off
+            if dload:
+                dele = dload(pdf["seg"].iloc[0]) + off
+                if len(dele):
+                    d = d[~np.isin(d, dele)]
+            return pd.DataFrame({"doc_id": d})
+
+        return (postings.select("seg", *cols)
+                .groupBy("seg")
+                .applyInPandas(run_segment, "doc_id long"))
+
+    def span_payload_check(self, term: str, value: int, op: str = "eq",
+                           k: int = 10, field: str = "text",
+                           boost: float = 1.0) -> list[ScoreDoc]:
+        """Top-k of :meth:`span_payload_check_df` — k smallest matching
+        docIDs at f32(boost) (constant-score span contract)."""
+        rows = self._collect(
+            self.span_payload_check_df(term, value, op, field)
+            .orderBy("doc_id").limit(k))
+        b = float(F32(boost))
+        return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
+
     def feature_score(self, query, feature_col: str = "dl",
                       fn: str = "saturation", k: int = 10,
                       weight: float = 1.0, pivot: float = 1.0,

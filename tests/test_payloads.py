@@ -117,3 +117,28 @@ def test_position_holes_from_dropped_tokens():
     assert list(pos) == [0, 2]          # dropped token leaves a hole
     assert list(pays) == [1, 2]
     assert list(per_row) == [2]
+
+
+@pytest.mark.parametrize("op", ["eq", "gt", "gte", "lt", "lte"])
+def test_span_payload_check_matches_brute(payload_searcher, payload_corpus,
+                                          op):
+    import operator
+
+    py_op = {"eq": operator.eq, "gt": operator.gt, "gte": operator.ge,
+             "lt": operator.lt, "lte": operator.le}[op]
+    raw, _ = payload_corpus
+    rows = raw.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = sorted(
+        did for did, t in enumerate(rows["text"])
+        if any(w.lower() == A and py_op(i, 20)
+               for i, w in enumerate(t.split())))
+    got = sorted(r["doc_id"] for r in
+                 payload_searcher.span_payload_check_df(A, 20, op).collect())
+    assert got == want
+
+
+def test_span_payload_check_topk(payload_searcher):
+    hits = payload_searcher.span_payload_check(A, 5, "lte", k=4, boost=1.5)
+    ids = [h.doc_id for h in hits]
+    assert ids == sorted(ids)
+    assert all(h.score == 1.5 for h in hits)
