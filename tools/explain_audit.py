@@ -217,6 +217,39 @@ def main(sf_dir: str):
                      capture(s.facet_double_ranges(
                          "table value", "dl / 4.0", list(e.DBL_RANGES)))))
 
+    from lucene_spark.search.simpleqp import parse_simple
+
+    # '-absent' → every segment lacks the term's postings → the matchall
+    # complement must run DISTRIBUTED (one applyInPandas task per
+    # uncovered segment), never materialized on the driver
+    sections.append(("matchall complement for '-absentterm' (expect a "
+                     "UNION of the postings kernel with a SECOND "
+                     "applyInPandas over the uncovered segment ids — the "
+                     "whole-corpus complement never lands on the driver)",
+                     capture(s._mixed_segment_df(
+                         __import__("lucene_spark.search.ast",
+                                    fromlist=["normalize"]).normalize(
+                             parse_simple("-zzqqabsentterm", s.analyzer)),
+                         40))))
+
+    from lucene_spark.pipeline.contracts import augmented_docs
+    from lucene_spark.pipeline.curation import exact_substring_stats
+
+    sections.append(("exact-substring dedup stats (expect two-stage "
+                     "partial agg on the window hash, a join against the "
+                     "duplicated hashes only, and the gaps-and-islands "
+                     "Window pair sharing ONE doc_id sort — pure JVM)",
+                     capture(exact_substring_stats(
+                         augmented_docs(docs_cur), window=10))))
+
+    from lucene_spark.search.searcher import IndexSearcher as _IS
+
+    pay_s = _IS(spark, e._ensure_payload_index(spark, sf_dir))
+    sections.append(("payload score kernel (expect ONE pushed-down "
+                     "postings scan — In(term,…) — and exactly one "
+                     "applyInPandas fold, no join, no extra shuffle)",
+                     capture(pay_s.payload_score_df("table", "max"))))
+
     import re
 
     checks = []
@@ -316,6 +349,28 @@ def main(sf_dir: str):
                    and "EvalPython" not in sections[22][1]
                    # one Python node = tree line + detail line
                    and sections[22][1].count("InPandas") <= 2))
+    checks.append(("matchall complement runs distributed (Union of the "
+                   "postings kernel with a per-uncovered-segment "
+                   "applyInPandas — at least two Python kernels, no "
+                   "whole-corpus driver relation)",
+                   "Union" in sections[23][1]
+                   # the complement kernel is grouped-applyInPandas over
+                   # the uncovered segment ids — run_uncovered in the plan
+                   # proves the whole-corpus complement is executor-side
+                   and "run_uncovered" in sections[23][1]
+                   and "FlatMapGroupsInPandas" in sections[23][1]))
+    checks.append(("exact-substring dedup: two-stage window-hash agg "
+                   "(partial_count+partial_min) + Window sweep, no Python",
+                   "partial_count" in sections[24][1]
+                   and "partial_min" in sections[24][1]
+                   and "Window" in sections[24][1]
+                   and "Python" not in sections[24][1]))
+    checks.append(("payload fold is one pushed-down scan + one Python "
+                   "kernel (no join)",
+                   bool(re.search(r"PushedFilters: \[[^\]]*(In|EqualTo)"
+                                  r"\(`?term`?,", sections[25][1]))
+                   and sections[25][1].count("FlatMapGroupsInPandas") == 2
+                   and "Join" not in sections[25][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
