@@ -38,6 +38,8 @@ Q_SIMPLE = "table + (value | query) -spark"
 Q_SIMPLE_PH = '"table value" | tab* + query'
 # ComplexPhraseQueryParser: OR group + prefix INSIDE a phrase, slop 1
 Q_CPQ = '"(table query) val*"~1'
+# MultiReader federated gate: MUST+SHOULD mix across two half-indexes
+Q_MR = "+value customer spark"
 Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
 CT_TEXT = "dup table value query"  # CommonTermsQuery input (dup is rare)
@@ -415,6 +417,39 @@ def _q_span_payload_check(spark, sf_dir):
     s = IndexSearcher(spark, d)
     n = s.span_payload_check_df("table", 30, "gte").count()
     return spark.createDataFrame([(int(n),)], "hits long")
+
+
+def _ensure_multireader_indexes(spark: SparkSession, sf_dir: str):
+    """TWO half-corpus indexes (prefix split in docID order) — the
+    MultiReader gate searches them as one composite and must reproduce
+    the single-index BM25 oracle bit-for-bit."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from pyspark.sql import functions as F
+
+    t = transcripts_from_documents(spark, sf_dir)
+    n_docs = t.count()
+    cut = f"c{n_docs // 2:010d}"
+    dirs = []
+    for name, cond in [("a", F.col("conv_id") < cut),
+                       ("b", F.col("conv_id") >= cut)]:
+        d = _index_dir(sf_dir) + f"_mr_{name}"
+        resume = os.path.exists(f"{d}/manifest.json")
+        IndexBuilder(spark, d, analyzer="simple",
+                     num_segments=4).build(t.filter(cond), resume=resume)
+        dirs.append(d)
+    return dirs
+
+
+def _q_multireader(spark, sf_dir):
+    """MultiReader federated top-k (core/index/MultiReader.java +
+    combined collection statistics): two half-corpus indexes searched as
+    one composite — scores must equal the single-index BM25 oracle."""
+    from lucene_spark.search.multireader import MultiIndexSearcher
+
+    dirs = _ensure_multireader_indexes(spark, sf_dir)
+    ms = MultiIndexSearcher(spark, dirs)
+    return _hits_df(spark, ms.search(_parse(Q_MR), k=40))
 
 
 def _q_complex_phrase(spark, sf_dir):
@@ -1898,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase_topk": _q_complex_phrase,
         "payload_score_topk": _q_payload_score,
         "span_payload_check_count": _q_span_payload_check,
+        "multireader_topk": _q_multireader,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -2150,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_score_topk": oracle.payload_topk_sql("table", "max", 40),
         "span_payload_check_count": oracle.payload_check_count_sql(
             "table", 30, "gte"),
+        "multireader_topk": oracle.bm25_topk_sql(_parse(Q_MR), 40),
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

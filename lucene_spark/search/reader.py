@@ -62,6 +62,17 @@ class IndexReader:
         self.doc_count = int(fs["doc_count"])
         self.sum_ttf = int(fs["sum_ttf"])
         self.field = main
+        # scorer-visible collection stats — normally this index's own, but
+        # a MultiIndexSearcher overrides them with the COMBINED corpus
+        # stats (IndexSearcher.collectionStatistics over a MultiReader);
+        # docID-range logic keeps using the REAL doc_count above
+        self.stats_doc_count = self.doc_count
+        self.stats_sum_ttf = self.sum_ttf
+        #: {field: {term: {df, ttf, max_tf}}} — when set, term_stats serves
+        #: these (combined multi-index) stats first, falling back to the
+        #: index's own stats for terms outside the map (e.g. per-index
+        #: multiterm expansions, which only need liveness)
+        self.term_stats_override = None
         # point-in-time DataFrames: the parquet file listing (InMemoryFileIndex)
         # is resolved once per reader open, not once per query — the
         # DirectoryReader-open analogy; per-query work is then only the
@@ -178,6 +189,17 @@ class IndexReader:
         """df/ttf/max_tf per term in ``field`` (driver cache, else scan)."""
         if not terms:
             return {}
+        if self.term_stats_override is not None:
+            ov = self.term_stats_override.get(field, {})
+            out = {t: ov[t] for t in set(terms) if t in ov}
+            rest = [t for t in set(terms) if t not in ov]
+            if rest:
+                saved, self.term_stats_override = self.term_stats_override, None
+                try:
+                    out.update(self.term_stats(rest, field))
+                finally:
+                    self.term_stats_override = saved
+            return out
         cache = self._term_cache()
         if cache is not None:
             return {t: cache[(field, t)] for t in set(terms)
@@ -294,8 +316,8 @@ class IndexReader:
 
     def similarity_scorer(self, similarity: BM25Similarity, boost: float, dfs,
                           ttfs=None):
-        return similarity.scorer(boost, self.doc_count, self.sum_ttf, dfs,
-                                 ttfs=ttfs)
+        return similarity.scorer(boost, self.stats_doc_count,
+                                 self.stats_sum_ttf, dfs, ttfs=ttfs)
 
     def deleted_loader(self):
         """None when the index has no deletes; else an executor-safe callable

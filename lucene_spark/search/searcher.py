@@ -849,8 +849,11 @@ class IndexSearcher:
             c["occur"] in (ast.MUST, ast.SHOULD, ast.FILTER) for c in clauses
         ):
             return None
+        # avgdl is a COLLECTION statistic — use the scorer-visible stats
+        # (overridden to the union corpus under a MultiIndexSearcher)
         cache = norm_cache(
-            np.float32(self.reader.sum_ttf / float(self.reader.doc_count)),
+            np.float32(self.reader.stats_sum_ttf
+                       / float(self.reader.stats_doc_count)),
             F32(scoring_sim.k1), F32(scoring_sim.b),
         )
         return clauses, cache, q.min_should_match, field_terms, need_positions
