@@ -1889,6 +1889,13 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- flagship re-confirmation (fills the window to 50)
     # (facet_sum_dl + group_count land past the window this round — oracle
     # + pytest covered now; rotate into the r5 window)
+    # (r5 rotation queue — late round-4 gates past the window, all
+    # locally sweep-verified vs DuckDB at sf0.001+sf0.01 via
+    # tools/check_oracles.py: simple_query_phrase_topk,
+    # complex_phrase_topk, payload_score_topk, span_payload_check_count,
+    # multireader_topk, dedup_exact_substring, facet_double_ranges,
+    # span_not_count, span_containing_count, facet_sum_dl, group_count,
+    # bool_nested_mix_topk, group_top3_source)
 )
 
 

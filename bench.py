@@ -201,6 +201,18 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
         searcher.phrase_wildcard(pw_slots, k=10)
         reps.append(time.time() - t)
     extra["phrase_wildcard"] = sorted(reps)[1]
+    # SimpleQueryParser NOT-complement: exercises the matchall clause's
+    # per-segment docID-range expansion + distributed complement path
+    from lucene_spark.search.simpleqp import parse_simple
+
+    q_not = parse_simple(f"{VOCAB[7]} -{VOCAB[0]}", searcher.analyzer)
+    searcher.search(q_not, k=10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.search(q_not, k=10)
+        reps.append(time.time() - t)
+    extra["simple_not"] = sorted(reps)[1]
 
     total = sum(timings.values())
     result = {
