@@ -40,6 +40,8 @@ Q_SIMPLE_PH = '"table value" | tab* + query'
 Q_CPQ = '"(table query) val*"~1'
 # MultiReader federated gate: MUST+SHOULD mix across two half-indexes
 Q_MR = "+value customer spark"
+# sorted-index gates: docID assignment order = (text length, conv key)
+_SORTED_ORDER = "length(coalesce(text, '')), printf('c%010d', doc_id)"
 Q_NESTED2 = "+spark (value OR (table AND query))"
 Q_MSM2 = "(table value query customer)~2"
 CT_TEXT = "dup table value query"  # CommonTermsQuery input (dup is rare)
@@ -439,6 +441,49 @@ def _ensure_multireader_indexes(spark: SparkSession, sf_dir: str):
                      num_segments=4).build(t.filter(cond), resume=resume)
         dirs.append(d)
     return dirs
+
+
+def _ensure_sorted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built with ``index_sort=(slen,)`` (IndexWriterConfig.setIndexSort):
+    docIDs are assigned in (text length, conv_id) order, so BM25 results
+    must match an oracle whose row_number uses the same order."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+
+    d = _index_dir(sf_dir) + "_sorted"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "slen", F.length(F.coalesce(F.col("text"), F.lit(""))))
+    IndexBuilder(spark, d, analyzer="simple", num_segments=4,
+                 index_sort=("slen",)).build(t, resume=resume)
+    return d
+
+
+def _q_sorted_index(spark, sf_dir):
+    """BM25 top-k on a SORTED index (index_sort=text length): scores are
+    order-independent but docIDs follow the index sort — the oracle
+    renumbers with the same ORDER BY, so a hash match proves the whole
+    sorted docID assignment end-to-end."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    d = _ensure_sorted_index(spark, sf_dir)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(_parse(Q_OR), k=40))
+
+
+def _q_sorted_index_early(spark, sf_dir):
+    """Early-terminating sort-by-index-sort-field on the sorted index
+    (TopFieldCollector.canEarlyTerminate): the k FIRST docIDs of the match
+    set ARE the top-k by (slen, conv) — leading posting blocks only."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    d = _ensure_sorted_index(spark, sf_dir)
+    s = IndexSearcher(spark, d)
+    rows = s.search_sorted(_parse(Q_HOT), "slen", k=25, reverse=False)
+    return spark.createDataFrame(
+        [(int(d0), int(v)) for d0, v in rows], "doc_id long, slen long")
 
 
 def _q_multireader(spark, sf_dir):
@@ -1941,6 +1986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score_topk": _q_payload_score,
         "span_payload_check_count": _q_span_payload_check,
         "multireader_topk": _q_multireader,
+        "sorted_index_topk": _q_sorted_index,
+        "sorted_index_early": _q_sorted_index_early,
         "bm25_hot_term": _mk_bm25(Q_HOT, K_HOT),
         "bm25_or_top100": _mk_bm25(Q_OR, K_OR),
         "bm25_bool_mix": _mk_bm25(Q_BOOL, K_BOOL),
@@ -2194,6 +2241,21 @@ def oracle_sql() -> dict[str, str]:
         "span_payload_check_count": oracle.payload_check_count_sql(
             "table", 30, "gte"),
         "multireader_topk": oracle.bm25_topk_sql(_parse(Q_MR), 40),
+        "sorted_index_topk": oracle.bm25_topk_sql(
+            _parse(Q_OR), 40, base_cte=oracle.tokenizer_ctes(
+                order_by=_SORTED_ORDER)),
+        "sorted_index_early": f"""
+WITH {oracle.tokenizer_ctes(order_by=_SORTED_ORDER)}
+SELECT did AS doc_id, slen
+FROM (SELECT d.did, length(coalesce(d0.text, '')) AS slen
+      FROM dlen d
+      JOIN (SELECT row_number() OVER (ORDER BY {_SORTED_ORDER}) - 1 AS did,
+                   text FROM documents) d0 ON d0.did = d.did
+      WHERE EXISTS (SELECT 1 FROM tf WHERE tf.did = d.did
+                    AND tf.term = '{Q_HOT}'))
+ORDER BY doc_id ASC
+LIMIT 25
+""",
         "index_term_stats": oracle.term_stats_sql(100),
         "index_doc_norms": oracle.doc_norms_sql(),
         "bm25_hot_term": oracle.bm25_topk_sql(_parse(Q_HOT), K_HOT),

@@ -143,7 +143,8 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 4096
 
 def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
                     analyzer_name: str, positions: bool = True,
-                    keyword_fields: tuple = ()) -> dict:
+                    keyword_fields: tuple = (),
+                    index_sort: tuple = ()) -> dict:
     """Invert one fully-accumulated, key-sorted segment and write its files."""
     t0 = time.time()
     analyzer = get_analyzer(analyzer_name)
@@ -172,16 +173,20 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
         tok_pos = None
     norms = int_to_byte4(dl).astype(np.int64)
 
-    docs_tbl = pa.Table.from_pydict(
-        {
-            "doc_id": np.arange(n, dtype=np.int64),
-            "conv_id": pdf["conv_id"].to_numpy(dtype=object),
-            "turn_idx": pdf["turn_idx"].to_numpy().astype(np.int32),
-            "dl": dl.astype(np.int32),
-            "norm": norms.astype(np.int32),
-        },
-        schema=DOCS_SCHEMA,
-    )
+    docs_schema = DOCS_SCHEMA
+    docs_cols = {
+        "doc_id": np.arange(n, dtype=np.int64),
+        "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+        "turn_idx": pdf["turn_idx"].to_numpy().astype(np.int32),
+        "dl": dl.astype(np.int32),
+        "norm": norms.astype(np.int32),
+    }
+    for c in index_sort:
+        # index-sort columns persist as doc values (Lucene requires sort
+        # fields to be doc values) so sorted search can return/filter them
+        docs_schema = docs_schema.append(pa.field(c, pa.int64()))
+        docs_cols[c] = pdf[c].to_numpy().astype(np.int64)
+    docs_tbl = pa.Table.from_pydict(docs_cols, schema=docs_schema)
     _atomic_write_parquet(docs_tbl, f"{index_dir}/docs/seg={seg}/part-0.parquet")
 
     # tf over (term_code, local_doc) as one int64 key — a single stable sort
@@ -257,7 +262,7 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
 
 
 def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True,
-                    keyword_fields: tuple = ()):
+                    keyword_fields: tuple = (), index_sort: tuple = ()):
     def invert(iterator):
         cur_seg = None
         buf: list[pd.DataFrame] = []
@@ -269,7 +274,7 @@ def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True,
             pdf = pd.concat(buf, ignore_index=True)
             results.append(
                 _invert_segment(cur_seg, pdf, index_dir, analyzer_name,
-                                positions, keyword_fields)
+                                positions, keyword_fields, index_sort)
             )
 
         for pdf in iterator:
@@ -322,13 +327,21 @@ class IndexBuilder:
 
     def __init__(self, spark, index_dir: str, analyzer: str = "standard",
                  num_segments: int | None = None, positions: bool = True,
-                 keyword_fields: tuple = ()):
+                 keyword_fields: tuple = (), index_sort: tuple = ()):
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.num_segments = num_segments or spark.sparkContext.defaultParallelism
         self.positions = positions
         self.keyword_fields = tuple(keyword_fields)
+        #: ``IndexWriterConfig.setIndexSort`` analogue
+        #: (``core/index/IndexWriterConfig.java`` setIndexSort +
+        #: ``Lucene90SortedDocValuesFormat`` sorted segments): docIDs are
+        #: assigned in ``(*index_sort, conv_id, turn_idx)`` ascending order
+        #: — segment ranges, in-segment order, and therefore the
+        #: early-termination prefix all follow the sort. v1: non-negative
+        #: integer input columns, ascending only (documented cut).
+        self.index_sort = tuple(index_sort)
 
     # -- manifest helpers ---------------------------------------------------
     @property
@@ -368,15 +381,23 @@ class IndexBuilder:
         phase_t: dict[str, float] = {}
         t0 = time.time()
         manifest = self._load_manifest() if resume else None
+        if manifest is not None and (manifest.get("index_sort", [])
+                                     != list(self.index_sort)):
+            # index-sort change invalidates every segment's in-segment
+            # ORDER, which the order-independent fingerprints cannot
+            # see — treat as a fresh build
+            manifest, resume = None, False
         if manifest is not None:
             boundaries = manifest["boundaries"]
         else:
-            boundaries = plan_boundaries(transcripts, self.num_segments)
+            boundaries = plan_boundaries(transcripts, self.num_segments,
+                                         index_sort=self.index_sort)
         phase_t["plan"] = time.time() - t0
         nseg = len(boundaries) + 1
         skeys = collision_free_skeys(nseg)
 
-        with_seg = transcripts.withColumn("segment", segment_col(boundaries))
+        with_seg = transcripts.withColumn(
+            "segment", segment_col(boundaries, self.index_sort))
 
         # resume: light fingerprint pass decides which segments to re-invert
         done: dict[int, dict] = {}
@@ -384,7 +405,7 @@ class IndexBuilder:
                 self.recover_build_manifest(self.index_dir)):
             fp_rows = (
                 with_seg.select("segment", "conv_id", "turn_idx", "text",
-                                *self.keyword_fields)
+                                *self.keyword_fields, *self.index_sort)
                 .mapInPandas(_make_fingerprint_fn(self.keyword_fields),
                              "segment int, rows_in long, fp long")
                 .groupBy("segment")
@@ -419,14 +440,16 @@ class IndexBuilder:
         if present is None or len(metrics_rows) < len(present):
             shuffled = (
                 work.select("segment", "conv_id", "turn_idx", "text",
-                            *self.keyword_fields)
+                            *self.keyword_fields, *self.index_sort)
                 .withColumn("skey", skey_col(skeys))
                 .repartition(nseg, "skey")
                 .drop("skey")
-                .sortWithinPartitions("segment", "conv_id", "turn_idx")
+                .sortWithinPartitions("segment", *self.index_sort,
+                                      "conv_id", "turn_idx")
             )
             invert = _make_invert_fn(self.index_dir, self.analyzer,
-                                     self.positions, self.keyword_fields)
+                                     self.positions, self.keyword_fields,
+                                     self.index_sort)
             metrics = shuffled.mapInPandas(invert, METRICS_SCHEMA).collect()
             metrics_rows.extend(r.asDict() for r in metrics)
         phase_t["invert"] = time.time() - t0
@@ -490,6 +513,7 @@ class IndexBuilder:
                 "payloads": bool(getattr(get_analyzer(self.analyzer),
                                          "payloads", False)),
                 "keyword_fields": list(self.keyword_fields),
+                "index_sort": list(self.index_sort),
                 "num_segments": nseg,
                 "boundaries": boundaries,
                 "doc_count": acc,

@@ -71,11 +71,22 @@ def collision_free_skeys(n: int) -> list[int]:
     return [keys[i] for i in range(n)]
 
 
-def sort_key_expr():
-    """Sortable single-string key equivalent to ordering by (conv_id, turn_idx)."""
+def sort_key_expr(index_sort: tuple = ()):
+    """Sortable single-string key equivalent to ordering by
+    ``(*index_sort, conv_id, turn_idx)``.
+
+    ``index_sort`` columns (the ``IndexWriterConfig.setIndexSort`` analogue)
+    must be NON-NEGATIVE integer expressions — they are zero-padded to a
+    fixed width so string order == numeric order; (conv_id, turn_idx) stays
+    the final tie-break, keeping docIDs total-ordered and deterministic."""
     from pyspark.sql import functions as F
 
+    parts = []
+    for c in index_sort:
+        parts.extend([F.lpad(F.col(c).cast("string"), 19, "0"),
+                      F.lit("\x01")])
     return F.concat(
+        *parts,
         F.col("conv_id"),
         F.lit("\x01"),
         F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
@@ -83,7 +94,8 @@ def sort_key_expr():
 
 
 def plan_boundaries(df, num_segments: int, sample_mod: int = 101,
-                    target_per_segment: int = 200, _stats: dict | None = None):
+                    target_per_segment: int = 200, _stats: dict | None = None,
+                    index_sort: tuple = ()):
     """Deterministic range boundaries over the sort key — the driver never
     materializes more than O(num_segments) keys.
 
@@ -106,7 +118,7 @@ def plan_boundaries(df, num_segments: int, sample_mod: int = 101,
 
     if num_segments <= 1:
         return []
-    keys_df = df.select(sort_key_expr().alias("k"))
+    keys_df = df.select(sort_key_expr(index_sort).alias("k"))
     sampled = keys_df.filter(F.pmod(F.xxhash64("k"), F.lit(sample_mod)) == 0)
     n_sample = sampled.count()
     if n_sample < 4 * num_segments and sample_mod > 1:
@@ -139,7 +151,7 @@ def plan_boundaries(df, num_segments: int, sample_mod: int = 101,
     return sorted({str(sample[min(q, sample.size - 1)]) for q in qs})
 
 
-def segment_col(boundaries: list[str]):
+def segment_col(boundaries: list[str], index_sort: tuple = ()):
     """Arrow-vectorized searchsorted of the sort key over the boundary list."""
     from pyspark.sql.functions import pandas_udf
 
@@ -152,7 +164,7 @@ def segment_col(boundaries: list[str]):
         idx = np.searchsorted(barr, key.to_numpy(dtype=object), side="left")
         return pd.Series(idx.astype(np.int32))
 
-    return seg(sort_key_expr())
+    return seg(sort_key_expr(index_sort))
 
 
 def skey_col(skeys: list[int]):

@@ -45,14 +45,18 @@ def base_ctes(doc_where: str = "TRUE") -> str:
 
 def tokenizer_ctes(doc_where: str = "TRUE",
                    txt: str = "lower(coalesce(text, ''))",
-                   tok_re: str = "[a-z0-9]+") -> str:
+                   tok_re: str = "[a-z0-9]+",
+                   order_by: str = "printf('c%010d', doc_id)") -> str:
     """Base CTEs with a pluggable tokenization contract: ``txt`` is the
     normalized-text expression, ``tok_re`` the token regex — e.g. the
     WhitespaceAnalyzer contract is ``coalesce(text, '')`` + ``\\S+``
-    (case-preserving, split on whitespace)."""
+    (case-preserving, split on whitespace). ``order_by``: the docID
+    assignment order — override for sorted indexes
+    (``IndexWriterConfig.setIndexSort``: did = row_number over the index
+    sort instead of the (conv_id, turn_idx) default)."""
     return f"""
 docs0 AS (
-  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+  SELECT row_number() OVER (ORDER BY {order_by}) - 1 AS did,
          lang, source,
          {txt} AS t
   FROM documents

@@ -2758,12 +2758,20 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in rows]
 
-    # ascending sort-key prefixes of the INDEX sort (docID order is
-    # row_number over (conv_id, turn_idx)) — eligible for early termination
-    _INDEX_SORT_PREFIXES = (
-        (("conv_id", False),),
-        (("conv_id", False), ("turn_idx", False)),
-    )
+    @property
+    def _INDEX_SORT_PREFIXES(self):
+        """Ascending sort-key prefixes of the INDEX sort — eligible for
+        early termination. docID order is row_number over
+        ``(*manifest.index_sort, conv_id, turn_idx)`` — the default build
+        sorts by (conv_id, turn_idx); a build with
+        ``IndexBuilder(..., index_sort=(col,…))``
+        (``IndexWriterConfig.setIndexSort``) prepends its columns, so
+        sort-by-that-column queries early-terminate instead."""
+        seq = list(dict.fromkeys(
+            list(self.reader.manifest.get("index_sort", []))
+            + ["conv_id", "turn_idx"]))
+        return tuple(tuple((f, False) for f in seq[:i])
+                     for i in range(1, len(seq) + 1))
 
     def _search_sorted_early(self, query, fields, k: int):
         """Early-terminating sort-by-index-order — the
@@ -2840,6 +2848,24 @@ class IndexSearcher:
         keys = ([(sort_field, reverse)] if isinstance(sort_field, str)
                 else [(f, bool(r)) for f, r in sort_field])
         fields = [f for f, _ in keys]
+        if fields == ["_doc"]:
+            # SortField.Type.DOC (sort by docID — on a sorted index,
+            # ascending docID IS the index sort): early-terminate when
+            # ascending and the query shape allows, else one bounded
+            # orderBy over the distributed match set
+            rev = keys[0][1]
+            if after is None and not rev:
+                early = self._search_sorted_early(query, [], k)
+                if early is not None:
+                    return early
+            m = self.match_df(query)
+            if after is not None:
+                m = m.filter(F.col("doc_id") < int(after[0]) if rev
+                             else F.col("doc_id") > int(after[0]))
+            rows = self._collect(
+                m.orderBy(F.desc("doc_id") if rev else F.asc("doc_id"))
+                .limit(k))
+            return [(int(r["doc_id"]),) for r in rows]
         if after is None and tuple(keys) in self._INDEX_SORT_PREFIXES:
             early = self._search_sorted_early(query, fields, k)
             if early is not None:
