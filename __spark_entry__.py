@@ -945,6 +945,30 @@ def _q_fuzzy_suggest(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_interval_ordered(spark, sf_dir):
+    """IntervalQuery (queries/intervals/IntervalQuery.java:72): ordered
+    minimal intervals of (table|key) → value within maxgaps=8
+    (Intervals.maxgaps over Intervals.ordered with an Intervals.or slot),
+    saturation-scored top-40 (IntervalScoreFunction.java:56-72)."""
+    from lucene_spark.search.intervals import Ordered
+
+    s = _searcher(spark, sf_dir)
+    q = ast.IntervalQuery(Ordered((("table", "key"), "value"), max_gaps=8))
+    return _hits_df(spark, s.search(q, k=40))
+
+
+def _q_interval_unordered(spark, sf_dir):
+    """IntervalQuery over unordered minimal intervals of {table, value,
+    query} within maxgaps=12 (UnorderedIntervalsSource queue semantics),
+    pivot=2 saturation top-40."""
+    from lucene_spark.search.intervals import Unordered
+
+    s = _searcher(spark, sf_dir)
+    q = ast.IntervalQuery(Unordered(("table", "value", "query"),
+                                    max_gaps=12), pivot=2.0)
+    return _hits_df(spark, s.search(q, k=40))
+
+
 def _q_surround(spark, sf_dir):
     """Surround query parser (queryparser/surround QueryParser.jj):
     '(table 3w value) AND query' — ordered distance operator (slop =
@@ -2067,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_infix": _q_suggest_infix,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "surround_topk": _q_surround,
+        "interval_ordered_topk": _q_interval_ordered,
+        "interval_unordered_topk": _q_interval_unordered,
         "group_facet_counts": _q_group_facets,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
@@ -2376,6 +2402,11 @@ LIMIT 25
         "fuzzy_suggest": oracle.fuzzy_suggest_sql("qery", 10),
         "surround_topk": oracle.surround_topk_sql(
             ["table", "value"], 3, "query", 40),
+        "interval_ordered_topk": oracle.interval_topk_sql(
+            [("table", "key"), "value"], 40, in_order=True, max_gaps=8),
+        "interval_unordered_topk": oracle.interval_topk_sql(
+            ["table", "value", "query"], 40, in_order=False, max_gaps=12,
+            pivot=2.0),
         "group_facet_counts": oracle.group_facets_sql(
             _parse(Q_OR), "source", "lang"),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),

@@ -2652,6 +2652,116 @@ LIMIT {k}
 """
 
 
+def interval_topk_sql(slots, k: int, in_order: bool = True,
+                      max_gaps: int | None = None, pivot: float = 1.0,
+                      boost: float = 1.0) -> str:
+    """IntervalQuery oracle (``queries/intervals``): top-k docs by the
+    saturation score over the source's MINIMAL intervals.
+
+    Semantics recomputed independently in SQL:
+
+    * ordered (2 slots): candidate = each slot-0 position ``s`` chained to
+      the first slot-1 position ``> s`` (``OrderedIntervalsSource.java:153``
+      greedy re-advance); minimal = MAX(s) per (doc, end) — the iterator's
+      in-call minimizing loop.
+    * unordered (n slots): candidate end = any slot position ``e``, start =
+      LEAST over slots of the latest occurrence ≤ e
+      (``UnorderedIntervalsSource.java:147-173`` queue window); minimal =
+      starts strictly grow scanning ends ascending.
+    * ``Intervals.maxgaps`` filters AFTER minimization
+      (``FilteredIntervalsSource.java``): (e − s + 1) − n ≤ max_gaps.
+    * freq = the Java-float sequential fold of 1 / max(len − minExtent + 1,
+      1) in enumeration (start) order (``IntervalScorer.java:69-75`` — each
+      += rounds through float32; ``list_reduce`` with a REAL cast per step
+      reproduces it bit-for-bit).
+    * score = f32(boost · (1 − pivot/(pivot + freq)))
+      (``IntervalScoreFunction.java:56-72`` saturation; DuckDB REAL
+      arithmetic rounds per-op like Java float).
+
+    A tuple slot is ``Intervals.or`` of terms (position union). Ordered
+    supports exactly 2 slots in SQL (the engine kernel takes any arity —
+    pytest covers 3+); unordered supports any arity.
+    """
+    n = len(slots)
+
+    def in_list(slot):
+        names = slot if isinstance(slot, tuple) else (slot,)
+        return ", ".join(repr(t) for t in names)
+
+    slot_ctes = ",\n".join(
+        f"p{i} AS (SELECT did, pos FROM toksp WHERE term IN ({in_list(s)}))"
+        for i, s in enumerate(slots))
+    if in_order:
+        if n != 2:
+            raise NotImplementedError(
+                "ordered interval oracle supports exactly 2 slots")
+        cand = f"""
+cand AS (
+  SELECT p0.did, p0.pos AS s, MIN(p1.pos) AS e
+  FROM p0 JOIN p1 ON p1.did = p0.did AND p1.pos > p0.pos
+  GROUP BY p0.did, p0.pos
+),
+minimal AS (
+  SELECT did, MAX(s) AS s, e FROM cand GROUP BY did, e
+)"""
+    else:
+        lasts = ",\n         ".join(
+            f"(SELECT MAX(q.pos) FROM p{i} q"
+            f" WHERE q.did = a.did AND q.pos <= a.pos) AS l{i}"
+            for i in range(n))
+        least = ", ".join(f"l{i}" for i in range(n))
+        notnull = " AND ".join(f"l{i} IS NOT NULL" for i in range(n))
+        cand = f"""
+allpos AS (
+  SELECT DISTINCT did, pos FROM toksp
+  WHERE term IN ({", ".join(in_list(s) for s in slots)})
+),
+cand AS (
+  SELECT a.did, a.pos AS e,
+         {lasts}
+  FROM allpos a
+),
+valid AS (
+  SELECT did, least({least}) AS s, e FROM cand WHERE {notnull}
+),
+minimal AS (
+  SELECT did, s, e FROM (
+    SELECT did, s, e, lag(s) OVER (PARTITION BY did ORDER BY e) AS prev_s
+    FROM valid
+  ) WHERE prev_s IS NULL OR s > prev_s
+)"""
+    gap_filter = (f"WHERE (e - s + 1) - {n} <= {int(max_gaps)}"
+                  if max_gaps is not None else "")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE},
+{slot_ctes},{cand},
+filtered AS (
+  SELECT did, s, e FROM minimal {gap_filter}
+),
+freqs AS (
+  SELECT did,
+         list_reduce(
+           list_prepend(CAST(0 AS REAL),
+             list(CAST(1.0 AS DOUBLE)
+                  / greatest((e - s + 1) - {n} + 1, 1) ORDER BY s)),
+           (acc, x) -> CAST(acc + x AS REAL)) AS freq
+  FROM filtered GROUP BY did
+)
+SELECT did AS doc_id,
+       -- every op pinned to REAL: list_reduce's return type unifies to
+       -- DOUBLE even though each fold step's VALUE is f32-exact, so the
+       -- saturation chain must re-cast per op to mirror Java float
+       CAST(CAST(CAST({boost!r} AS REAL)
+            * CAST(CAST(1.0 AS REAL)
+               - CAST(CAST({pivot!r} AS REAL)
+                 / CAST(CAST({pivot!r} AS REAL) + CAST(freq AS REAL)
+                   AS REAL) AS REAL) AS REAL) AS REAL) AS DOUBLE) AS score
+FROM freqs
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def surround_topk_sql(span_terms, dist: int, term: str, k: int) -> str:
     """Surround-parser oracle for ``(a dW b) AND c``
     (``queryparser/surround/parser/QueryParser.jj`` grammar;

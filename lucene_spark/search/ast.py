@@ -220,6 +220,24 @@ class KnnQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class IntervalQuery:
+    """Minimal-interval proximity query with saturation scoring
+    (``queries/intervals/IntervalQuery.java:72-84``): per matching doc the
+    sloppy frequency of the source's minimal intervals feeds
+    ``weight * (1 - pivot / (pivot + freq))``
+    (``IntervalScoreFunction.java:56-72``). ``source`` is a
+    ``search.intervals`` source: a term, a tuple of alternative terms
+    (``Intervals.or``), or ``intervals.Ordered`` / ``intervals.Unordered``
+    with optional ``max_gaps`` (``Intervals.maxgaps``;
+    ``max_gaps=0`` ordered ≡ ``Intervals.phrase``)."""
+
+    source: object
+    pivot: float = 1.0
+    field: str = "text"
+    boost: float = 1.0
+
+
 SPAN_QUERY_TYPES = (SpanNearQuery, SpanFirstQuery, SpanNotQuery,
                     SpanContainingQuery, SpanWithinQuery)
 
@@ -298,7 +316,7 @@ def normalize(q):
             return MatchNoDocsQuery()
         return q
     if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery,
-                      MultiTermQuery, KnnQuery)):
+                      MultiTermQuery, KnnQuery, IntervalQuery)):
         return q
     if isinstance(q, BooleanQuery):
         # recursive normalization (BooleanQuery.java:249-310 rewrite loop):

@@ -1,0 +1,241 @@
+"""Minimal-interval algebra + IntervalQuery scoring — the PySpark-native
+re-expression of Lucene's ``queries/intervals`` module.
+
+Reference semantics (all file:line cites are into ``/root/reference``):
+
+* ``queries/intervals/OrderedIntervalsSource.java:140-172`` and
+  ``UnorderedIntervalsSource.java:112-185`` enumerate **minimal** intervals
+  per document: the returned sequence has strictly increasing starts AND
+  strictly increasing ends — an enumerated interval never properly contains
+  another one.  For an ordered source the candidate chain from a start
+  position is greedy (each sub begins strictly after the previous sub ends,
+  ``OrderedIntervalsSource.java:153`` ``start() <= end()`` re-advance), and
+  the iterator's in-call "minimizing" loop keeps only the LARGEST start for
+  each distinct end.  For an unordered source the candidate window ending at
+  a position ``e`` spans from the minimum over sub-sources of the latest
+  occurrence ``<= e``; minimality again keeps windows whose start strictly
+  grows.
+* ``queries/intervals/FilteredIntervalsSource.java`` (``Intervals.maxgaps``)
+  filters the enumerated minimal intervals by
+  ``gaps = (end - start + 1) - Σ sub-widths <= max_gaps`` AFTER
+  minimization — a filtered-out interval does not resurrect a contained
+  non-minimal one.
+* ``queries/intervals/BlockIntervalsSource.java`` (``Intervals.phrase``)
+  matches exact adjacency.  For width-1 sub-sources this is provably the
+  ordered source filtered to ``gaps == 0``: a block occurrence has the
+  minimum possible width, so no chain can nest inside it and the greedy
+  chain from its start lands exactly on its end.
+* ``queries/intervals/IntervalScorer.java:69-75``: per matching document,
+  ``freq += 1.0 / max(length - minExtent + 1, 1)`` over the enumerated
+  intervals **accumulated in Java float** (each += rounds the double sum
+  back to float32); ``minExtent`` is the source's minimum possible extent
+  (Σ of sub minExtents for ordered/unordered, 1 for a term).
+* ``queries/intervals/IntervalScoreFunction.java:56-88`` saturation:
+  ``score = weight * (1.0f - pivot / (pivot + freq))`` in float32, pivot
+  default 1 (``IntervalQuery.java:72``).
+
+Out of scope (documented v1 cuts): repeated sub-sources
+(``RepeatingIntervalsSource.java`` — a term may appear in only one slot),
+nested ordered/unordered sub-sources (Lucene itself flattens
+ordered-in-ordered, ``OrderedIntervalsSource.java:40-49``; heterogeneous
+nesting raises), and the containing/not-containing/overlapping interval
+filters (their span-query analogues exist in ``phrase.segment_span_near``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+import numpy as np
+
+from lucene_spark.search.phrase import _POS_M, _structs_for_slots
+
+Slot = Union[str, tuple]
+
+
+@dataclass(frozen=True)
+class Ordered:
+    """``Intervals.ordered`` (+ optional ``Intervals.maxgaps`` wrapper).
+
+    ``slots``: sub-sources in order; each is a term name or a tuple of
+    alternative term names (``Intervals.or`` of terms — width-1 union,
+    ``DisjunctionIntervalsSource.java``).  ``max_gaps=0`` is
+    ``Intervals.phrase`` (``BlockIntervalsSource.java``).
+    """
+
+    slots: tuple
+    max_gaps: int | None = None
+
+
+@dataclass(frozen=True)
+class Unordered:
+    """``Intervals.unordered`` (+ optional maxgaps), overlaps allowed."""
+
+    slots: tuple
+    max_gaps: int | None = None
+
+
+def phrase(*slots) -> Ordered:
+    """``Intervals.phrase`` — exact adjacency (gaps == 0)."""
+    return Ordered(tuple(slots), max_gaps=0)
+
+
+def _norm_slots(slots) -> list[Slot]:
+    out = []
+    for s in slots:
+        out.append(tuple(s) if isinstance(s, (tuple, list)) else s)
+    flat = [t for s in out for t in (s if isinstance(s, tuple) else (s,))]
+    if len(set(flat)) != len(flat):
+        raise ValueError(
+            "repeated terms across interval sub-sources are not supported "
+            "(RepeatingIntervalsSource is out of scope)")
+    return out
+
+
+def source_slots(source) -> list[Slot]:
+    """Normalized slot list of a source (leaf sources are one slot)."""
+    if isinstance(source, (Ordered, Unordered)):
+        return _norm_slots(source.slots)
+    return _norm_slots([source])
+
+
+def source_terms(source) -> list[str]:
+    """All distinct terms a source touches, sorted."""
+    return sorted({t for s in source_slots(source)
+                   for t in (s if isinstance(s, tuple) else (s,))})
+
+
+def min_extent(source) -> int:
+    """``IntervalsSource.minExtent`` — Σ sub extents; width-1 leaves."""
+    return len(source_slots(source))
+
+
+def _slot_keys(per):
+    """Per slot: sorted int64 composite keys doc*2^34 + position."""
+    keys = []
+    for docs, tfs, _nms, flat, _offs in per:
+        k = np.repeat(docs.astype(np.int64), tfs) * _POS_M + flat
+        keys.append(k)
+    return keys
+
+
+def _minimal_ordered(keys):
+    """Minimal ordered intervals over per-slot position key arrays.
+
+    Returns (doc, start, end) int64 arrays sorted by (doc, start), with
+    strictly increasing starts and ends per doc — the exact sequence
+    ``OrderedIntervalIterator`` enumerates."""
+    k0 = keys[0]
+    doc = k0 // _POS_M
+    start = k0 % _POS_M
+    cur = k0.copy()
+    valid = np.ones(k0.size, dtype=bool)
+    for ki in keys[1:]:
+        # greedy: first occurrence of this slot strictly after cur
+        idx = np.searchsorted(ki, cur + 1, side="left")
+        ok = idx < ki.size
+        nxt = ki[np.minimum(idx, ki.size - 1)]
+        ok &= (nxt // _POS_M) == doc
+        valid &= ok
+        cur = np.where(ok, nxt, cur)
+    doc, start, end = doc[valid], start[valid], (cur % _POS_M)[valid]
+    if doc.size == 0:
+        return doc, start, end
+    # minimality: keep the LAST (max) start per distinct (doc, end) — the
+    # iterator's in-call minimizing loop (OrderedIntervalsSource.java:144-171)
+    keep = np.ones(doc.size, dtype=bool)
+    keep[:-1] = (doc[:-1] != doc[1:]) | (end[:-1] != end[1:])
+    return doc[keep], start[keep], end[keep]
+
+
+def _minimal_unordered(keys):
+    """Minimal unordered (overlaps-allowed) intervals over slot keys."""
+    ends_k = np.unique(np.concatenate(keys))
+    doc = ends_k // _POS_M
+    smin = np.full(ends_k.size, np.iinfo(np.int64).max)
+    valid = np.ones(ends_k.size, dtype=bool)
+    for ki in keys:
+        # latest occurrence of this slot <= the candidate end
+        idx = np.searchsorted(ki, ends_k, side="right") - 1
+        ok = idx >= 0
+        last = ki[np.maximum(idx, 0)]
+        ok &= (last // _POS_M) == doc
+        valid &= ok
+        smin = np.minimum(smin, np.where(ok, last, np.iinfo(np.int64).max))
+    doc, sk, ek = doc[valid], smin[valid], ends_k[valid]
+    if doc.size == 0:
+        return doc, sk, ek
+    start, end = sk % _POS_M, ek % _POS_M
+    # minimality: scanning ends ascending, start is non-decreasing; keep
+    # candidates whose start strictly grows (UnorderedIntervalsSource's
+    # queue minimization, :154-185)
+    keep = np.ones(doc.size, dtype=bool)
+    keep[1:] = (doc[1:] != doc[:-1]) | (start[1:] > start[:-1])
+    return doc[keep], start[keep], end[keep]
+
+
+def segment_intervals(rows, source):
+    """Minimal (+ maxgaps-filtered) intervals of ``source`` within one
+    segment: (doc, start, end) int64 arrays ordered by (doc, start)."""
+    empty = (np.zeros(0, np.int64),) * 3
+    slots = source_slots(source)
+    per = _structs_for_slots(rows, slots)
+    if per is None:
+        return empty
+    keys = _slot_keys(per)
+    if len(keys) == 1:
+        k = keys[0]
+        doc, pos = k // _POS_M, k % _POS_M
+        return doc, pos, pos
+    if isinstance(source, Unordered):
+        doc, start, end = _minimal_unordered(keys)
+    else:
+        doc, start, end = _minimal_ordered(keys)
+    mg = getattr(source, "max_gaps", None)
+    if mg is not None and doc.size:
+        # FilteredIntervalsSource: gaps = width − Σ sub widths (all 1 here)
+        gaps = (end - start + 1) - len(slots)
+        m = gaps <= mg
+        doc, start, end = doc[m], start[m], end[m]
+    return doc, start, end
+
+
+def interval_freqs(doc, start, end, extent: int):
+    """Per-doc sloppy frequency, Java-float exact.
+
+    ``IntervalScorer.ensureFreq`` (:69-75): iterate the doc's intervals in
+    enumeration order, ``freq = (float)(freq + 1.0 / max(len - minExtent
+    + 1, 1))`` — each step rounds through float32.  Vectorized over docs by
+    interval rank (bounded by the max interval count per doc)."""
+    if doc.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    udocs, first = np.unique(doc, return_index=True)
+    # rank of each interval within its doc (doc-sorted input)
+    rank = np.arange(doc.size) - np.repeat(first, np.diff(
+        np.concatenate([first, [doc.size]])))
+    incr = 1.0 / np.maximum((end - start + 1) - extent + 1, 1)  # float64
+    loc = np.searchsorted(udocs, doc)
+    freq = np.zeros(udocs.size, dtype=np.float32)
+    for j in range(int(rank.max()) + 1):
+        sel = rank == j
+        li = loc[sel]
+        freq[li] = (freq[li].astype(np.float64) + incr[sel]).astype(
+            np.float32)
+    return udocs, freq
+
+
+def saturation_scores(freq, pivot: float = 1.0, boost: float = 1.0):
+    """``IntervalScoreFunction.SaturationFunction`` (:56-72), float32 ops:
+    ``weight * (1.0f - pivot / (pivot + freq))``."""
+    p = np.float32(pivot)
+    t = np.float32(1.0) - (p / (p + freq.astype(np.float32)))
+    return np.float32(boost) * t
+
+
+def segment_interval_postings(rows, source, pivot: float = 1.0,
+                              boost: float = 1.0):
+    """(docs, scores) of the IntervalQuery over one segment's postings."""
+    doc, start, end = segment_intervals(rows, source)
+    udocs, freq = interval_freqs(doc, start, end, min_extent(source))
+    return udocs, saturation_scores(freq, pivot, boost)

@@ -434,6 +434,8 @@ class IndexSearcher:
             rows = self._collect(df.orderBy("doc_id").limit(k))
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
+        if isinstance(query, ast.IntervalQuery):
+            return self._search_intervals(query, k)
         if isinstance(query, ast.KnnQuery):
             # standalone KNN: k nearest docs, scored with the DOT_PRODUCT
             # similarity scaling (KnnFloatVectorQuery top-level semantics)
@@ -1173,6 +1175,65 @@ class IndexSearcher:
             .applyInPandas(run_segment, "doc_id long")
         )
 
+    def interval_scored_df(self, q: ast.IntervalQuery):
+        """(doc_id, score) DataFrame of an IntervalQuery's full match set —
+        per-segment minimal-interval kernel fan-out
+        (``intervals.segment_interval_postings``,
+        ``queries/intervals/IntervalScorer.java:69-75`` sloppy-freq +
+        ``IntervalScoreFunction.java:56-72`` saturation). None when a
+        required sub-source is corpus-absent (the conjunction can never
+        match)."""
+        from lucene_spark.search import intervals as iv
+
+        source = q.source
+        slots = iv.source_slots(source)
+        terms = iv.source_terms(source)
+        stats = self.reader.term_stats(terms, field=q.field)
+        for slot in slots:
+            names = slot if isinstance(slot, tuple) else (slot,)
+            if all(stats.get(t, {}).get("df", 0) == 0 for t in names):
+                return None  # a required sub-source can never match
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        postings = self.reader.postings(terms, field=q.field)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions", "doc_offset"]
+        dload = self.reader.deleted_loader()
+        pivot, boost = float(q.pivot), float(q.boost)
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            # segment-LOCAL docIDs into the kernel (its doc·2^34 composite
+            # keys must not see global IDs past 2^29), offset the result
+            rows["first_doc"] = rows["first_doc"].astype(np.int64)
+            rows["last_doc"] = rows["last_doc"].astype(np.int64)
+            d, s = iv.segment_interval_postings(rows, source, pivot, boost)
+            d = d + off
+            if d.size and dload:
+                keep = ~np.isin(d, dload(pdf["seg"].iloc[0]) + off)
+                d, s = d[keep], s[keep]
+            return pd.DataFrame({"doc_id": d,
+                                 "score": s.astype(np.float32)})
+
+        return (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long, score float")
+        )
+
+    def _search_intervals(self, q: ast.IntervalQuery, k: int):
+        """Top-k IntervalQuery hits: per-segment scored kernel, k rows per
+        segment collected, driver merge (score DESC, docID ASC)."""
+        from pyspark.sql import functions as F
+
+        df = self.interval_scored_df(q)
+        if df is None:
+            return []
+        out = self._collect(
+            df.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k))
+        return [ScoreDoc(int(r["doc_id"]), float(r["score"])) for r in out]
+
     def _phrase_count(self, q: ast.PhraseQuery) -> int:
         """Distributed phrase-hit count: one count row per segment (a hot
         phrase at 10^12 scale matches billions of docs — never collected)."""
@@ -1236,6 +1297,9 @@ class IndexSearcher:
             return int(self.match_df(query.query).count())
         if isinstance(query, ast.SPAN_QUERY_TYPES):
             df = self._span_match_df(query)
+            return 0 if df is None else int(df.count())
+        if isinstance(query, ast.IntervalQuery):
+            df = self.interval_scored_df(query)
             return 0 if df is None else int(df.count())
         if isinstance(query, ast.KnnQuery):
             # standalone KNN (also: a single-MUST boolean normalize

@@ -1,0 +1,324 @@
+"""Minimal-interval algebra (queries/intervals): kernel vs the reference's
+own golden expectations (``TestIntervals.java``) and vs a definition-based
+brute-force enumerator; IntervalQuery scoring end-to-end on a built index."""
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+from lucene_spark.goldens import BruteForceIndex
+from lucene_spark.search import ast
+from lucene_spark.search import intervals as iv
+from lucene_spark.search.intervals import (
+    Ordered,
+    Unordered,
+    _minimal_ordered,
+    _minimal_unordered,
+    interval_freqs,
+    saturation_scores,
+)
+from lucene_spark.search.phrase import _POS_M
+from lucene_spark.search.searcher import IndexSearcher
+
+# the reference's own test corpus (TestIntervals.java:66-87, public Apache-2.0
+# test fixtures) — positions derive from whitespace/punct tokenization
+FIELD1_DOCS = [
+    "Nothing of interest to anyone here",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot "
+    "nine days old.  Some like it hot, some like it cold, some like it in "
+    "the pot nine days old",
+    "Pease porridge cold, pease porridge hot, pease porridge in the pot "
+    "twelve days old.  Some like it cold, some like it hot, some like it "
+    "in the fraggle",
+    "Nor here, nowt hot going on in pease this one",
+    "Pease porridge hot, pease porridge cold, pease porridge in the pot "
+    "nine years old.  Some like it hot, some like it twelve",
+    "Porridge is great",
+]
+
+FIELD2_DOCS = [
+    "In Xanadu did Kubla Khan a stately pleasure dome decree",
+    "Where Alph the sacred river ran through caverns measureless to man",
+    "a b a c b a b c",
+    "So thrice five miles of fertile ground",
+    "Pease hot porridge porridge",
+    "w1 w2 w3 w4 w1 w6 w3 w8 w4 w7 w1 w6",
+]
+
+
+def _positions(docs, term):
+    """{doc: [positions]} under simple word tokenization (the reference
+    uses StandardAnalyzer with an empty stop set)."""
+    import re
+
+    out = {}
+    for d, text in enumerate(docs):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        ps = [i for i, t in enumerate(toks) if t == term]
+        if ps:
+            out[d] = ps
+    return out
+
+
+def _keys_for(docs, slot):
+    """Sorted composite keys doc*2^34 + pos for a slot (term or or-tuple)."""
+    names = slot if isinstance(slot, tuple) else (slot,)
+    pairs = []
+    for t in names:
+        for d, ps in _positions(docs, t).items():
+            pairs += [(d, p) for p in ps]
+    pairs = sorted(set(pairs))
+    return np.array([d * int(_POS_M) + p for d, p in pairs], dtype=np.int64)
+
+
+def _run(docs, source):
+    """{doc: [(start, end), ...]} via the kernel primitives."""
+    slots = iv.source_slots(source)
+    keys = [_keys_for(docs, s) for s in slots]
+    if any(k.size == 0 for k in keys):
+        return {}
+    if len(keys) == 1:
+        k = keys[0]
+        doc, s, e = k // _POS_M, k % _POS_M, k % _POS_M
+    elif isinstance(source, Unordered):
+        doc, s, e = _minimal_unordered(keys)
+    else:
+        doc, s, e = _minimal_ordered(keys)
+    mg = getattr(source, "max_gaps", None)
+    if mg is not None and doc.size:
+        m = (e - s + 1) - len(slots) <= mg
+        doc, s, e = doc[m], s[m], e[m]
+    out = {}
+    for d, a, b in zip(doc.tolist(), s.tolist(), e.tolist()):
+        out.setdefault(d, []).append((a, b))
+    return out
+
+
+def _golden(expected):
+    """TestIntervals checkIntervals int[][] — flat (start, end) pairs per
+    doc — to {doc: [(s, e), ...]} skipping empty docs."""
+    out = {}
+    for d, flat in enumerate(expected):
+        if flat:
+            out[d] = [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
+    return out
+
+
+# --- reference goldens (TestIntervals.java method:line cited per case) ---
+
+
+def test_golden_term_intervals():
+    # testTermQueryIntervals (:284-291)
+    got = _run(FIELD1_DOCS, "porridge")
+    assert got == _golden([
+        [], [1, 1, 4, 4, 7, 7], [1, 1, 4, 4, 7, 7], [], [1, 1, 4, 4, 7, 7],
+        [0, 0]])
+
+
+def test_golden_ordered():
+    # testOrderedNearIntervals (:307-311)
+    got = _run(FIELD1_DOCS, Ordered(("pease", "hot")))
+    assert got == _golden([
+        [], [0, 2, 6, 17], [3, 5, 6, 21], [], [0, 2, 6, 17], []])
+
+
+def test_golden_unordered():
+    # testUnorderedNearIntervals (:380-389)
+    got = _run(FIELD1_DOCS, Unordered(("pease", "hot")))
+    assert got == _golden([
+        [], [0, 2, 2, 3, 6, 17], [3, 5, 5, 6, 6, 21], [3, 7],
+        [0, 2, 2, 3, 6, 17], []])
+
+
+def test_golden_phrase():
+    # testPhraseIntervals (:351-357) — Intervals.phrase == ordered maxgaps=0
+    got = _run(FIELD1_DOCS, iv.phrase("pease", "porridge"))
+    assert got == _golden([
+        [], [0, 1, 3, 4, 6, 7], [0, 1, 3, 4, 6, 7], [], [0, 1, 3, 4, 6, 7],
+        []])
+
+
+def test_golden_ordered_with_or_slot():
+    # testCombinationDisjunction (:493-499): ordered(or(alph, sacred),
+    # measureless) on field2
+    got = _run(FIELD2_DOCS, Ordered((("alph", "sacred"), "measureless")))
+    assert got == _golden([[], [3, 8], [], [], [], []])
+
+
+def test_repeated_terms_rejected():
+    with pytest.raises(ValueError):
+        iv.source_slots(Ordered(("pease", "pease", "porridge")))
+    with pytest.raises(ValueError):
+        iv.source_slots(Ordered((("a", "b"), "b")))
+
+
+# --- definition-based brute force vs kernel, randomized ---
+
+
+def _brute_minimal(docs, source):
+    """All match windows enumerated from positions, minimized by the
+    definition (no enumerated window properly contains another), then
+    maxgaps-filtered — the semantics OrderedIntervalsSource /
+    UnorderedIntervalsSource / FilteredIntervalsSource implement lazily."""
+    slots = iv.source_slots(source)
+    n = len(slots)
+    ordered = not isinstance(source, Unordered) and n > 1
+    mg = getattr(source, "max_gaps", None)
+    out = {}
+    per_slot = []
+    for s in slots:
+        names = s if isinstance(s, tuple) else (s,)
+        merged = {}
+        for t in names:
+            for d, ps in _positions(docs, t).items():
+                merged.setdefault(d, set()).update(ps)
+        per_slot.append(merged)
+    common = set(per_slot[0])
+    for m in per_slot[1:]:
+        common &= set(m)
+    for d in sorted(common):
+        pls = [sorted(m[d]) for m in per_slot]
+        cands = set()
+        for combo in product(*pls):
+            if ordered:
+                if not all(combo[i] > combo[i - 1] for i in range(1, n)):
+                    continue
+                cands.add((combo[0], combo[-1]))
+            else:
+                cands.add((min(combo), max(combo)))
+        minimal = {
+            (s, e) for (s, e) in cands
+            if not any(s2 >= s and e2 <= e and (s2, e2) != (s, e)
+                       for (s2, e2) in cands)
+        }
+        if mg is not None:
+            minimal = {(s, e) for (s, e) in minimal if (e - s + 1) - n <= mg}
+        if minimal:
+            out[d] = sorted(minimal)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_vs_brute(seed):
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+            for _ in range(12)]
+    sources = [
+        Ordered(("a", "b")),
+        Ordered(("a", "b", "c")),
+        Ordered(("a", "b"), max_gaps=2),
+        Ordered((("a", "b"), "c"), max_gaps=3),
+        Ordered(("a", "b", "c"), max_gaps=0),  # phrase
+        Unordered(("a", "b")),
+        Unordered(("a", "b", "c")),
+        Unordered(("a", "b"), max_gaps=1),
+        Unordered((("a", "b"), "c", "d"), max_gaps=4),
+    ]
+    for src in sources:
+        assert _run(docs, src) == _brute_minimal(docs, src), src
+
+
+# --- scoring: Java-float freq fold + saturation ---
+
+
+def test_interval_freq_java_float_parity():
+    rng = np.random.default_rng(7)
+    docs = np.repeat(np.arange(20, dtype=np.int64),
+                     rng.integers(1, 9, size=20))
+    n = docs.size
+    starts = np.sort(rng.integers(0, 50, size=n).astype(np.int64))
+    ends = starts + rng.integers(1, 9, size=n)
+    udocs, freq = interval_freqs(docs, starts, ends, extent=2)
+    # brute per-doc Java-float emulation
+    for i, d in enumerate(udocs.tolist()):
+        acc = np.float32(0.0)
+        sel = docs == d
+        for ln in (ends[sel] - starts[sel] + 1).tolist():
+            acc = np.float32(np.float64(acc) + 1.0 / max(ln - 2 + 1, 1))
+        assert freq[i] == acc
+    sc = saturation_scores(freq, pivot=1.0, boost=2.5)
+    for i in range(udocs.size):
+        t = np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + freq[i])
+        assert sc[i] == np.float32(2.5) * t
+
+
+# --- end-to-end on a built index ---
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return IndexSearcher(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_pdf):
+    return BruteForceIndex(corpus_pdf)
+
+
+def _brute_hits(golden, source, pivot, boost, k):
+    """IntervalScorer emulation over BruteForceIndex positions."""
+    slots = iv.source_slots(source)
+    texts = {}
+    for s in slots:
+        names = s if isinstance(s, tuple) else (s,)
+        for t in names:
+            texts[t] = golden.positions.get(t, {})
+    hits = []
+    per_slot = []
+    for s in slots:
+        names = s if isinstance(s, tuple) else (s,)
+        merged = {}
+        for t in names:
+            for d, ps in texts[t].items():
+                merged.setdefault(d, set()).update(ps)
+        per_slot.append(merged)
+    common = set(per_slot[0])
+    for m in per_slot[1:]:
+        common &= set(m)
+    n = len(slots)
+    ordered = not isinstance(source, Unordered) and n > 1
+    mg = getattr(source, "max_gaps", None)
+    for d in sorted(common):
+        pls = [sorted(m[d]) for m in per_slot]
+        cands = set()
+        for combo in product(*pls):
+            if ordered:
+                if not all(combo[i] > combo[i - 1] for i in range(1, n)):
+                    continue
+                cands.add((combo[0], combo[-1]))
+            else:
+                cands.add((min(combo), max(combo)))
+        minimal = sorted(
+            (s, e) for (s, e) in cands
+            if not any(s2 >= s and e2 <= e and (s2, e2) != (s, e)
+                       for (s2, e2) in cands))
+        if mg is not None:
+            minimal = [(s, e) for (s, e) in minimal if (e - s + 1) - n <= mg]
+        if not minimal:
+            continue
+        acc = np.float32(0.0)
+        for s, e in minimal:
+            acc = np.float32(
+                np.float64(acc) + 1.0 / max((e - s + 1) - n + 1, 1))
+        t = np.float32(1.0) - (
+            np.float32(pivot) / (np.float32(pivot) + acc))
+        hits.append((d, float(np.float32(boost) * t)))
+    hits.sort(key=lambda h: (-h[1], h[0]))
+    return hits[:k]
+
+
+@pytest.mark.parametrize("source,pivot", [
+    (Ordered(("table", "value")), 1.0),
+    (Ordered(("table", "value"), max_gaps=6), 1.0),
+    (Unordered(("table", "value", "query")), 2.0),
+    (Ordered((("table", "key"), "value"), max_gaps=8), 1.0),
+])
+def test_engine_matches_brute(searcher, golden, source, pivot):
+    q = ast.IntervalQuery(source, pivot=pivot, boost=1.5)
+    got = [(h.doc_id, h.score) for h in searcher.search(q, k=30)]
+    want = _brute_hits(golden, source, pivot, 1.5, 30)
+    assert got == want
+    assert searcher.count(q) == len(
+        _brute_hits(golden, source, pivot, 1.5, 10 ** 9))
