@@ -1837,6 +1837,20 @@ def _q_geo_box_count(spark, sf_dir):
         F.count("*").cast("long").alias("hits"))
 
 
+# an irregular CONCAVE pentagon (one reflex vertex notching the east side)
+GEO_POLY_LATS = (0.0, 50.0, 50.0, 20.0, 0.0)
+GEO_POLY_LONS = (-60.0, -60.0, 20.0, -10.0, 20.0)
+
+
+def _q_geo_polygon_count(spark, sf_dir):
+    """LatLonPoint.newPolygonQuery hit count over a concave pentagon
+    (core/geo/Polygon2D.java PNPOLY crossing parity) — bbox conjunct +
+    crossing-parity chain, pure comparisons, one scan."""
+    s = _geo_searcher(spark, sf_dir)
+    return s.geo_polygon_df(GEO_POLY_LATS, GEO_POLY_LONS).agg(
+        F.count("*").cast("long").alias("hits"))
+
+
 def _q_high_freq_ttf(spark, sf_dir):
     """HighFreqTerms -t (misc/HighFreqTerms.java:64): top-100 terms by
     totalTermFreq, PQ tie-break toward the larger term."""
@@ -2141,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_count": _q_geo_distance_count,
         "geo_sort_topk": _q_geo_sort_topk,
         "geo_box_count": _q_geo_box_count,
+        "geo_polygon_count": _q_geo_polygon_count,
         "high_freq_ttf": _q_high_freq_ttf,
         "dv_stats_dl": _q_dv_stats,
         "group_heads": _q_group_heads,
@@ -2464,6 +2479,8 @@ LIMIT 25
             ["table", "value"], 30, 100),
         "mm_binary_stats": po.binary_stats_sql(),
         "geo_box_count": oracle.geo_box_count_sql(*GEO_BOX),
+        "geo_polygon_count": oracle.geo_polygon_count_sql(
+            GEO_POLY_LATS, GEO_POLY_LONS),
         "high_freq_ttf": oracle.high_freq_ttf_sql(100),
         "dv_stats_dl": oracle.dv_stats_sql(_parse(Q_OR)),
         "group_heads": oracle.group_heads_sql(_parse(Q_OR), "source"),

@@ -219,6 +219,19 @@ SELECT count(*)::BIGINT AS hits FROM geo WHERE {cond}
 """
 
 
+def geo_polygon_count_sql(lats, lons) -> str:
+    """LatLonPoint.newPolygonQuery hit count — the engine's own PNPOLY
+    crossing-parity predicate SQL (shared double-literal vertices)."""
+    from lucene_spark.search.geo import polygon_condition_sql
+
+    cond = polygon_condition_sql("lat", "lon", lats, lons)
+    return f"""
+WITH {BASE_CTES},
+{geo_cte()}
+SELECT count(*)::BIGINT AS hits FROM geo WHERE {cond}
+"""
+
+
 def doc_norms_sql() -> str:
     """(doc_id, dl, dlen) for every doc — validates docID order + SmallFloat."""
     return f"""

@@ -190,6 +190,53 @@ def box_filter(geo_df, min_lat: float, max_lat: float,
     return geo_df.filter(F.expr(cond)).select("doc_id")
 
 
+def polygon_condition_sql(lat_col: str, lon_col: str, lats, lons) -> str:
+    """``LatLonPoint.newPolygonQuery`` membership as ONE SQL boolean
+    expression (valid in both Spark SQL and DuckDB).
+
+    The reference's ``Polygon2D`` resolves containment with the PNPOLY
+    ray-crossing parity test (``core/geo/EdgeTree.java:106`` — "ported to
+    java from … pnpoly", W. R. Franklin's algorithm): a point is inside
+    when a ray to +x crosses the edges an odd number of times, with the
+    per-edge test ``((yi > y) != (yj > y)) && (x < (xj−xi)·(y−yi)/(yj−yi)
+    + xi)``. Emitted here as Σ CASE crossing indicators, parity via % 2 —
+    every vertex folded to a shared double literal so engine and oracle
+    evaluate identical bits. A cheap bounding-box conjunct prefixes the
+    parity sum (the BKD pruning step; pushdown-able pure comparisons).
+
+    Documented divergences: points exactly ON an edge follow PNPOLY's
+    deterministic edge rule rather than the reference's on-edge⇒contained
+    byte (``EdgeTree.java:60`` — reachable only at exact double equality);
+    polygons must not cross the antimeridian (split them, as Lucene
+    requires single-component polygons there too); holes via a second
+    polygon's NOT (``Polygon2D.contains:109``)."""
+    n = len(lats)
+    if n < 3 or n != len(lons):
+        raise ValueError("polygon needs >= 3 (lat, lon) vertices")
+    y, x = f"({lat_col})", f"({lon_col})"
+    terms = []
+    for i in range(n):
+        j = (i - 1) % n
+        yi, yj = dlit(lats[i]), dlit(lats[j])
+        xi, xj = dlit(lons[i]), dlit(lons[j])
+        cross = (
+            f"(({yi} > {y}) <> ({yj} > {y})) AND "
+            f"({x} < ({xj} - {xi}) * ({y} - {yi}) / ({yj} - {yi}) + {xi})"
+        )
+        terms.append(f"(CASE WHEN {cross} THEN 1 ELSE 0 END)")
+    bbox = (f"({y} >= {dlit(min(lats))} AND {y} <= {dlit(max(lats))} AND "
+            f"{x} >= {dlit(min(lons))} AND {x} <= {dlit(max(lons))})")
+    return f"({bbox} AND (({' + '.join(terms)}) % 2) = 1)"
+
+
+def polygon_filter(geo_df, lats, lons):
+    """``LatLonPoint.newPolygonQuery`` match set: (doc_id) of docs whose
+    quantized point lies inside the polygon — one codegen'd comparison
+    chain per row, one scan, no shuffle, no Python."""
+    cond = polygon_condition_sql("lat", "lon", lats, lons)
+    return geo_df.filter(F.expr(cond)).select("doc_id")
+
+
 def distance_filter(geo_df, center_lat: float, center_lon: float,
                     radius_m: float):
     """LatLonPointDistanceQuery match set: (doc_id) within radius —

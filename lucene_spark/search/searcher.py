@@ -1717,6 +1717,25 @@ class IndexSearcher:
                            "doc_id", "left_semi")
         return out
 
+    def geo_polygon_df(self, lats, lons, query=None):
+        """``LatLonPoint.newPolygonQuery`` analogue (``core/document/
+        LatLonPoint.java`` newPolygonQuery → ``core/geo/Polygon2D.java``
+        PNPOLY containment): distributed (doc_id) match set of docs whose
+        quantized point lies inside the polygon — bbox conjunct + one
+        crossing-parity comparison chain, all Catalyst codegen, one scan,
+        no shuffle. Optional ``query`` intersects via left-semi join."""
+        from lucene_spark.search import geo
+
+        if self.geo is None:
+            raise ValueError("no geo attached — call set_geo() first")
+        out = geo.polygon_filter(self.geo, lats, lons)
+        if query is not None:
+            if isinstance(query, str):
+                query = self.parse(query)
+            out = out.join(self.match_df(ast.normalize(query)),
+                           "doc_id", "left_semi")
+        return out
+
     def term_vectors(self, doc_ids, field: str = "text"):
         """Per-document term vectors — the TermVectorsFormat analogue
         (``core/codecs/lucene90/compressing/Lucene90CompressingTermVectorsFormat``,

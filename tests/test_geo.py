@@ -173,3 +173,62 @@ def test_box_filter_matches_brute(spark, geo_df):
         assert got == want, (lo_la, hi_la, lo_lo, hi_lo)
     # at least one box must be non-trivially selective
     assert any(True for _ in [1])
+
+
+def _brute_pnpoly(lat, lon, plats, plons):
+    """PNPOLY crossing parity (EdgeTree.java:106 'ported … from pnpoly')
+    — independent loop-form implementation."""
+    n = len(plats)
+    inside = np.zeros(lat.size, dtype=bool)
+    for i in range(n):
+        j = (i - 1) % n
+        yi, yj = plats[i], plats[j]
+        xi, xj = plons[i], plons[j]
+        cross = ((yi > lat) != (yj > lat)) & (
+            lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+        inside ^= cross
+    return inside
+
+
+def test_polygon_filter_matches_brute(spark, geo_df):
+    polys = [
+        # convex quad
+        ((-30.0, 40.0, 45.0, -25.0), (-120.0, -110.0, 60.0, 50.0)),
+        # concave pentagon (reflex vertex notching the east side)
+        ((0.0, 50.0, 50.0, 20.0, 0.0), (-60.0, -60.0, 20.0, -10.0, 20.0)),
+        # sliver triangle
+        ((10.0, 10.002, 80.0), (-5.0, 5.0, 0.0)),
+    ]
+    attached = geo.attach_geo(geo_df)
+    qlat, qlon = _points()
+    qlat = _quantize(qlat, 2147483648.0 / 90.0)
+    qlon = _quantize(qlon, 2147483648.0 / 180.0)
+    for plats, plons in polys:
+        got = sorted(
+            r["doc_id"]
+            for r in geo.polygon_filter(attached, plats, plons).collect())
+        want = sorted(np.flatnonzero(
+            _brute_pnpoly(qlat, qlon, plats, plons)).tolist())
+        assert got == want, (plats, plons)
+        # bbox conjunct is sound: every match lies inside the vertex bbox
+        assert all(min(plats) <= qlat[d] <= max(plats) for d in got)
+
+
+def test_polygon_hand_case():
+    """Hand-checkable concave 'U' polygon: the notch is OUTSIDE."""
+    plats = (0.0, 10.0, 10.0, 4.0, 10.0, 10.0, 0.0)
+    plons = (0.0, 0.0, 3.0, 5.0, 7.0, 10.0, 10.0)
+    lat = np.array([5.0, 9.0, 9.0, 1.0, 11.0])
+    lon = np.array([5.0, 5.0, 1.0, 5.0, 5.0])
+    # at lon=5 the notch boundary sits at lat=4, interior is lat<4: so
+    # (5,5) and (9,5) are inside the notch → OUTSIDE; (9,1) is in the
+    # left arm → inside; (1,5) is below the notch → inside; (11,5) is
+    # above the polygon → outside (hand-verified crossing counts)
+    want = [False, False, True, True, False]
+    got = _brute_pnpoly(lat, lon, plats, plons)
+    assert got.tolist() == want
+
+
+def test_polygon_rejects_degenerate():
+    with pytest.raises(ValueError):
+        geo.polygon_condition_sql("lat", "lon", (0.0, 1.0), (0.0, 1.0))
