@@ -945,6 +945,14 @@ def _q_fuzzy_suggest(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_blended_dismax(spark, sf_dir):
+    """BlendedTermQuery (core/search/BlendedTermQuery.java:270-301): both
+    terms score with the blended MAX docFreq, DisjunctionMax(0.01)
+    rewrite — the oracle re-derives the blend in SQL."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.blended_search(("table", "value"), k=40))
+
+
 def _q_interval_ordered(spark, sf_dir):
     """IntervalQuery (queries/intervals/IntervalQuery.java:72): ordered
     minimal intervals of (table|key) → value within maxgaps=8
@@ -2107,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_topk": _q_surround,
         "interval_ordered_topk": _q_interval_ordered,
         "interval_unordered_topk": _q_interval_unordered,
+        "blended_dismax_topk": _q_blended_dismax,
         "group_facet_counts": _q_group_facets,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
@@ -2422,6 +2431,8 @@ LIMIT 25
         "interval_unordered_topk": oracle.interval_topk_sql(
             ["table", "value", "query"], 40, in_order=False, max_gaps=12,
             pivot=2.0),
+        "blended_dismax_topk": oracle.blended_dismax_topk_sql(
+            ["table", "value"], 40),
         "group_facet_counts": oracle.group_facets_sql(
             _parse(Q_OR), "source", "lang"),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),

@@ -1403,6 +1403,56 @@ FROM agg ORDER BY sc DESC, did ASC LIMIT {k}
 """
 
 
+def blended_dismax_topk_sql(terms, k: int, tie: float = 0.01) -> str:
+    """BlendedTermQuery oracle (``core/search/BlendedTermQuery.java``):
+    the SQL derives the blended docFreq ITSELF (MAX df over the query
+    terms, ``:281-286`` — nothing baked in), scores every term's BM25
+    clause with that artificial df, and combines per doc with the
+    DisjunctionMax tie-breaker chain mirroring the engine's float32 ops:
+    ``f32(max + f32(tie · f32(f32(Σ_double) − max)))``. The blended
+    totalTermFreq is invisible to BM25 (the scorer reads df and field
+    stats only), like the reference under BM25Similarity. Use ≤2 terms:
+    the engine's Σ is a float64 accumulation whose last-ulp depends on
+    encounter order at ≥3 addends."""
+    qvals = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {BASE_CTES},
+qterms(term) AS (VALUES {qvals}),
+blend AS (
+  SELECT max(ts.df) AS bdf
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+weights AS (
+  SELECT q.term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - (SELECT bdf FROM blend) + 0.5)
+                     / ((SELECT bdf FROM blend) + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+agg AS (
+  SELECT did,
+         CAST(max(s)
+              + CAST(CAST({tie!r} AS FLOAT)
+                     * CAST(CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) - max(s)
+                       AS FLOAT) AS FLOAT) AS FLOAT) AS sc
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(sc AS DOUBLE) AS score
+FROM agg ORDER BY sc DESC, did ASC LIMIT {k}
+"""
+
+
 def group_top1_sql(query, group_col: str = "source") -> str:
     """Top-1 doc per group by BM25 score (GroupingSearch analogy) — the
     n=1 projection of :func:`group_topn_sql` (no rn column, the original

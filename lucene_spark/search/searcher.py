@@ -1717,6 +1717,46 @@ class IndexSearcher:
                            "doc_id", "left_semi")
         return out
 
+    def blended_search(self, terms, k: int = 10, field: str = "text",
+                       tie_breaker: float = 0.01, rewrite: str = "dismax"):
+        """BlendedTermQuery (``core/search/BlendedTermQuery.java:270-301``):
+        blend index statistics across the terms — every term's docFreq
+        becomes the MAX docFreq and its totalTermFreq the SUM
+        (``:281-291``), then rewrite to a DisjunctionMaxQuery with
+        tie_breaker 0.01 (``DISJUNCTION_MAX_REWRITE``, ``:189``) or to a
+        SHOULD-only BooleanQuery (``BOOLEAN_REWRITE``, ``:137``) scored
+        with the blended stats. Blending happens on the driver (a stats
+        override installed for the one plan build — weights bake into the
+        clause specs before execution, zero extra distributed work);
+        corpus-absent terms keep their null TermStates and contribute
+        nothing, exactly like the reference's unregistered leaf states
+        (``adjustFrequencies``, ``:313-327``). v1: unit per-term boosts
+        (the builder's boost array is a documented cut)."""
+        uniq = list(dict.fromkeys(terms))
+        stats = self.reader.term_stats(uniq, field=field)
+        present = [t for t in uniq
+                   if stats.get(t, {}).get("df", 0) > 0]
+        if not present:
+            return []
+        bdf = max(stats[t]["df"] for t in present)
+        bttf = sum(stats[t]["ttf"] for t in present)
+        ov = {t: {**stats[t], "df": bdf, "ttf": bttf} for t in present}
+        saved = self.reader.term_stats_override
+        self.reader.term_stats_override = {field: ov}
+        try:
+            if rewrite == "dismax":
+                q = ast.DisjunctionMaxQuery(tuple(present),
+                                            tie_breaker=float(tie_breaker),
+                                            field=field)
+            elif rewrite == "boolean":
+                q = ast.BooleanQuery(tuple(
+                    (ast.SHOULD, ast.TermQuery(t, field)) for t in present))
+            else:
+                raise ValueError(f"unknown rewrite method: {rewrite!r}")
+            return self.search(q, k)
+        finally:
+            self.reader.term_stats_override = saved
+
     def geo_polygon_df(self, lats, lons, query=None):
         """``LatLonPoint.newPolygonQuery`` analogue (``core/document/
         LatLonPoint.java`` newPolygonQuery → ``core/geo/Polygon2D.java``

@@ -1,0 +1,108 @@
+"""BlendedTermQuery (core/search/BlendedTermQuery.java): blended-stats
+rewrite vs a numpy brute (dismax combine) and the override mechanism."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.corpus import VOCAB
+from lucene_spark.goldens import BruteForceIndex
+from lucene_spark.search import ast
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.similarity import BM25Similarity
+
+F32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return IndexSearcher(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_pdf):
+    return BruteForceIndex(corpus_pdf)
+
+
+def _brute_blended_dismax(golden, terms, k, tie=0.01):
+    """BM25 clause scores with the blended MAX docFreq (BlendedTermQuery
+    rewrite :281-291), combined per doc with the engine's dismax f32
+    chain: f32(max + f32(tie · f32(f32(Σ_double) − max)))."""
+    present = [t for t in dict.fromkeys(terms) if t in golden.postings]
+    if not present:
+        return []
+    bdf = max(golden.postings[t][0].size for t in present)
+    sim = BM25Similarity()
+    n = golden.n
+    per_doc: dict[int, list] = {}
+    for t in present:
+        docs, tfs = golden.postings[t]
+        sc = sim.scorer(1.0, n, int(golden.dl.sum()), [bdf])
+        scores = sc.score(tfs.astype(np.int64),
+                          golden.norms[docs].astype(np.int64))
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            per_doc.setdefault(d, []).append(np.float32(s))
+    hits = []
+    for d, subs in per_doc.items():
+        smax = max(subs)
+        ssum = np.float32(sum(np.float64(x) for x in subs))
+        score = np.float32(
+            smax + np.float32(np.float32(tie)
+                              * np.float32(ssum - smax)))
+        hits.append((d, float(score)))
+    hits.sort(key=lambda h: (-h[1], h[0]))
+    return hits[:k]
+
+
+def test_blended_dismax_matches_brute(searcher, golden):
+    got = [(h.doc_id, h.score)
+           for h in searcher.blended_search((VOCAB[0], VOCAB[7]), k=30)]
+    want = _brute_blended_dismax(golden, (VOCAB[0], VOCAB[7]), 30)
+    assert got == want
+
+
+def test_blend_actually_changes_scores(searcher):
+    """The rarer term's clause must score LOWER under the inflated df."""
+    plain = {h.doc_id: h.score for h in searcher.search(
+        ast.DisjunctionMaxQuery((VOCAB[0], VOCAB[7]), tie_breaker=0.01), k=50)}
+    blended = {h.doc_id: h.score
+               for h in searcher.blended_search((VOCAB[0], VOCAB[7]), k=50)}
+    stats = searcher.reader.term_stats([VOCAB[0], VOCAB[7]])
+    assert stats[VOCAB[0]]["df"] != stats[VOCAB[7]]["df"], "pick rarer terms"
+    assert any(abs(plain.get(d, 0.0) - s) > 1e-9 for d, s in blended.items())
+
+
+def test_blended_absent_term_is_noop(searcher):
+    """A corpus-absent term has df = 0 (null TermStates): the blend and
+    the match set reduce to the present term alone."""
+    lone = searcher.blended_search((VOCAB[0],), k=20)
+    with_ghost = searcher.blended_search((VOCAB[0], "zzzznotaterm"), k=20)
+    assert [(h.doc_id, h.score) for h in lone] == \
+        [(h.doc_id, h.score) for h in with_ghost]
+    assert searcher.blended_search(("zzzznotaterm",), k=5) == []
+
+
+def test_blended_boolean_rewrite(searcher):
+    """BOOLEAN_REWRITE (:137): SHOULD-only boolean scored with the blended
+    stats — equals a manual override + plain boolean search."""
+    terms = (VOCAB[0], VOCAB[7])
+    stats = searcher.reader.term_stats(list(terms))
+    bdf = max(s["df"] for s in stats.values())
+    bttf = sum(s["ttf"] for s in stats.values())
+    got = [(h.doc_id, h.score)
+           for h in searcher.blended_search(terms, k=25, rewrite="boolean")]
+    saved = searcher.reader.term_stats_override
+    searcher.reader.term_stats_override = {
+        "text": {t: {**stats[t], "df": bdf, "ttf": bttf} for t in terms}}
+    try:
+        want = [(h.doc_id, h.score) for h in searcher.search(
+            ast.BooleanQuery(tuple(
+                (ast.SHOULD, ast.TermQuery(t)) for t in terms)), k=25)]
+    finally:
+        searcher.reader.term_stats_override = saved
+    assert got == want
+    assert searcher.reader.term_stats_override is saved
+
+
+def test_blended_rejects_unknown_rewrite(searcher):
+    with pytest.raises(ValueError):
+        searcher.blended_search((VOCAB[0],), rewrite="nope")
