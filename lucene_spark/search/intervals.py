@@ -111,6 +111,23 @@ def min_extent(source) -> int:
     return len(source_slots(source))
 
 
+def prefix_terms(source, prefix: str):
+    """Copy of ``source`` with every term name prefixed — the mixed boolean
+    kernel's rows carry field-prefixed term names (``field SEP term``)."""
+    def p_slot(s):
+        if isinstance(s, tuple):
+            return tuple(prefix + t for t in s)
+        return prefix + s
+
+    if isinstance(source, Ordered):
+        return Ordered(tuple(p_slot(s) for s in source.slots),
+                       source.max_gaps)
+    if isinstance(source, Unordered):
+        return Unordered(tuple(p_slot(s) for s in source.slots),
+                         source.max_gaps)
+    return p_slot(source)
+
+
 def _slot_keys(per):
     """Per slot: sorted int64 composite keys doc*2^34 + position."""
     keys = []

@@ -112,6 +112,29 @@ def _eval_boolean(rows, by_term, clauses, cache, min_should_match: int = 0):
             if c["occur"] in (MUST, SHOULD):
                 return d, np.full(d.size, np.float32(c["weight"]), dtype=F32)
             return d, None
+        if c["kind"] == "interval":
+            # IntervalQuery clause inside a boolean — per-doc saturation
+            # scores from the minimal-interval kernel (IntervalScorer as a
+            # BooleanClause scorer). Segment-LOCAL docIDs in (the kernel's
+            # doc·2^34 keys), re-offset the result.
+            from lucene_spark.search.intervals import (
+                segment_interval_postings,
+            )
+
+            if rows["first_doc"].size == 0:
+                return None, None
+            off = np.int64(rows["doc_offset"][0])
+            local = dict(rows)
+            local["first_doc"] = rows["first_doc"] - off
+            local["last_doc"] = rows["last_doc"] - off
+            d, s = segment_interval_postings(local, c["source"],
+                                             c["pivot"], c["weight"])
+            if d.size == 0:
+                return None, None
+            d = d + off
+            if c["occur"] in (MUST, SHOULD):
+                return d, s
+            return d, None
         if c["kind"] == "const":
             idxs = [i for t in c["terms"] if t in by_term for i in by_term[t]]
             if not idxs:

@@ -704,6 +704,17 @@ class IndexSearcher:
                     out.append((occur, "span", sub.field, slots,
                                 sub.boost, int(sub.slop),
                                 bool(sub.in_order)))
+                elif isinstance(sub, ast.IntervalQuery):
+                    # IntervalQuery clause — any Query composes as a
+                    # BooleanClause in the reference; contributes its
+                    # saturation score per matching doc (IntervalScorer)
+                    from lucene_spark.search import intervals as iv
+
+                    state["need_positions"] = True
+                    by_field.setdefault(sub.field, set()).update(
+                        iv.source_terms(sub.source))
+                    out.append((occur, "interval", sub.field, (sub.source,),
+                                sub.boost, 0, float(sub.pivot)))
                 elif isinstance(sub, ast.BooleanQuery):
                     inner = flatten(sub)
                     if inner is None or not inner:
@@ -803,11 +814,37 @@ class IndexSearcher:
                     w = (float(F32(boost))
                          if occur in (ast.MUST, ast.SHOULD) else 0.0)
                     clauses.append({
-                        "occur": occur, "kind": "span",
+                        "occur": occur, "kind": "span", "field": f,
                         "slots": tuple(tuple(f + sep + t for t in slot)
                                        for slot in live_slots),
                         "slop": slop, "in_order": bool(sub),
                         "weight": w,
+                    })
+                    continue
+                if kind == "interval":
+                    from lucene_spark.search import intervals as iv
+
+                    source = terms[0]
+                    # a slot dies only when EVERY alternative is absent;
+                    # dead slot → the interval conjunction never matches
+                    dead = any(
+                        all(df_of(f, t) == 0
+                            for t in (s if isinstance(s, tuple) else (s,)))
+                        for s in iv.source_slots(source))
+                    if dead:
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None
+                        continue
+                    field_terms.setdefault(f, []).extend(
+                        iv.source_terms(source))
+                    clauses.append({
+                        "occur": occur, "kind": "interval", "field": f,
+                        "source": iv.prefix_terms(source, f + sep),
+                        "source_raw": source,
+                        "pivot": float(sub),
+                        "weight": (float(boost)
+                                   if occur in (ast.MUST, ast.SHOULD)
+                                   else 0.0),
                     })
                     continue
                 kw_term = f != "text" and kind in ("term", "term1")
@@ -3552,6 +3589,16 @@ class IndexSearcher:
             for c in cls:
                 if c["kind"] == "nested":
                     _collect_fields(c["clauses"])
+                elif c["kind"] == "span":
+                    f = c["field"]
+                    ts = [t.split(sep, 1)[1] for slot in c["slots"]
+                          for t in slot]
+                    by_field.setdefault(f, set()).update(ts)
+                elif c["kind"] == "interval":
+                    from lucene_spark.search import intervals as iv
+
+                    by_field.setdefault(c["field"], set()).update(
+                        iv.source_terms(c["source_raw"]))
                 elif c["kind"] not in ("docset", "matchall"):
                     f = c["field"]
                     ts = [t.split(sep, 1)[1] for t in c["terms"]]
@@ -3612,6 +3659,38 @@ class IndexSearcher:
                     s = np.float32(c["weight"])
                     entry = {"kind": "matchall", "occur": occ, "freq": freq,
                              "weight": float(s), "score": None}
+                elif c["kind"] == "span":
+                    # span clause: constant-score membership for this doc,
+                    # same kernel as the distributed path (rows here carry
+                    # RAW terms and segment-local docIDs)
+                    from lucene_spark.search.phrase import segment_span_near
+
+                    raw_slots = [tuple(t.split(sep, 1)[1] for t in slot)
+                                 for slot in c["slots"]]
+                    d = segment_span_near(rows_of[c["field"]], raw_slots,
+                                          c["slop"], c["in_order"])
+                    hit = bool(np.isin(local, d).any())
+                    freq = 1.0 if hit else 0.0
+                    s = np.float32(c["weight"]) if hit else np.float32(0)
+                    entry = {"kind": "span", "occur": occ, "freq": freq,
+                             "weight": float(np.float32(c["weight"])),
+                             "score": None}
+                elif c["kind"] == "interval":
+                    # IntervalQuery clause: saturation score for this doc
+                    # from the minimal-interval kernel
+                    from lucene_spark.search.intervals import (
+                        segment_interval_postings,
+                    )
+
+                    d, sarr = segment_interval_postings(
+                        rows_of[c["field"]], c["source_raw"], c["pivot"],
+                        c["weight"])
+                    j = int(np.searchsorted(d, local))
+                    hit = j < d.size and int(d[j]) == int(local)
+                    freq = 1.0 if hit else 0.0
+                    s = np.float32(sarr[j]) if hit else np.float32(0)
+                    entry = {"kind": "interval", "occur": occ, "freq": freq,
+                             "pivot": c["pivot"], "score": None}
                 else:
                     f = c["field"]
                     raw_terms = [t.split(sep, 1)[1] for t in c["terms"]]

@@ -322,3 +322,73 @@ def test_engine_matches_brute(searcher, golden, source, pivot):
     assert got == want
     assert searcher.count(q) == len(
         _brute_hits(golden, source, pivot, 1.5, 10 ** 9))
+
+
+# --- IntervalQuery as a boolean clause ---
+
+
+def test_interval_as_boolean_clause(searcher, golden):
+    """+term SHOULD(interval): per-doc score = f32(Σ_double of the term's
+    BM25 f32 score and the interval clause's f32 saturation score) over the
+    MUST match set — composed exactly like any other clause."""
+    from lucene_spark.corpus import VOCAB
+
+    iq = ast.IntervalQuery(Ordered((VOCAB[0], VOCAB[3]), max_gaps=6),
+                           boost=2.0)
+    bq = ast.BooleanQuery(((ast.MUST, ast.TermQuery(VOCAB[5])),
+                           (ast.SHOULD, iq)))
+    got = [(h.doc_id, h.score) for h in searcher.search(bq, k=25)]
+
+    term_scores = {r["doc_id"]: r["score"] for r in
+                   searcher.score_df(ast.TermQuery(VOCAB[5])).collect()}
+    iv_scores = {r["doc_id"]: r["score"] for r in
+                 searcher.interval_scored_df(iq).collect()}
+    want = []
+    for d, ts in term_scores.items():
+        tot = np.float32(np.float64(ts) + np.float64(iv_scores.get(d, 0.0)))
+        want.append((d, float(tot)))
+    want.sort(key=lambda h: (-h[1], h[0]))
+    assert got == want[:25]
+
+
+def test_interval_as_required_clause(searcher):
+    """MUST(interval) restricts the match set to interval-matching docs."""
+    from lucene_spark.corpus import VOCAB
+
+    iq = ast.IntervalQuery(Unordered((VOCAB[0], VOCAB[3]), max_gaps=4))
+    bq = ast.BooleanQuery(((ast.MUST, iq),
+                           (ast.SHOULD, ast.TermQuery(VOCAB[5]))))
+    got_docs = {h.doc_id for h in searcher.search(bq, k=10 ** 6)}
+    iv_docs = {r["doc_id"]
+               for r in searcher.interval_scored_df(iq).collect()}
+    assert got_docs == iv_docs
+    # MUST_NOT(interval) excludes them
+    bq2 = ast.BooleanQuery(((ast.MUST, ast.TermQuery(VOCAB[5])),
+                            (ast.MUST_NOT, iq)))
+    ex_docs = {h.doc_id for h in searcher.search(bq2, k=10 ** 6)}
+    assert ex_docs.isdisjoint(iv_docs) and ex_docs
+
+
+def test_explain_interval_and_span_clauses(searcher):
+    """explain() on booleans holding interval AND span clauses (the span
+    case was a latent KeyError before intervals landed)."""
+    from lucene_spark.corpus import VOCAB
+
+    iq = ast.IntervalQuery(Ordered((VOCAB[0], VOCAB[3]), max_gaps=6),
+                           boost=2.0)
+    bq = ast.BooleanQuery(((ast.MUST, ast.TermQuery(VOCAB[5])),
+                           (ast.SHOULD, iq)))
+    hits = searcher.search(bq, k=3)
+    assert hits
+    ex = searcher.explain(bq, hits[0].doc_id)
+    assert ex["match"] and abs(ex["total"] - hits[0].score) < 1e-6
+    kinds = {c["kind"] for c in ex["clauses"]}
+    assert "interval" in kinds
+    sq = ast.BooleanQuery(((ast.MUST, ast.TermQuery(VOCAB[5])),
+                           (ast.SHOULD, ast.SpanNearQuery(
+                               (VOCAB[0], VOCAB[3]), slop=5, boost=3.0))))
+    shits = searcher.search(sq, k=3)
+    assert shits
+    ex2 = searcher.explain(sq, shits[0].doc_id)
+    assert ex2["match"] and abs(ex2["total"] - shits[0].score) < 1e-6
+    assert "span" in {c["kind"] for c in ex2["clauses"]}
