@@ -1877,6 +1877,21 @@ def _q_dv_stats(spark, sf_dir):
     return s.dv_stats(_parse(Q_OR), value_df=vals, value_col="dl")
 
 
+def _q_field_exists_count(spark, sf_dir):
+    """FieldExistsQuery (core/search/FieldExistsQuery.java:49-77 doc-values
+    variant) count: docs carrying a value in a side table that skips every
+    7th docID and nulls every 11th, intersected with the hot term's match
+    set — IsNotNull scan + two semi-joins, no shuffle."""
+    s = _searcher(spark, sf_dir)
+    vals = (s.reader.docs()
+            .filter(F.col("doc_id") % 7 != 0)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 11 != 0, F.col("dl"))
+                    .alias("value")))
+    return s.field_exists_df(value_df=vals, query=Q_HOT).agg(
+        F.count("*").cast("long").alias("hits"))
+
+
 def _q_group_heads(spark, sf_dir):
     """AllGroupHeadsCollector: the (dl DESC, docID ASC) head doc of every
     source group containing ≥1 match of the 3-term OR."""
@@ -2116,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_ordered_topk": _q_interval_ordered,
         "interval_unordered_topk": _q_interval_unordered,
         "blended_dismax_topk": _q_blended_dismax,
+        "field_exists_count": _q_field_exists_count,
         "group_facet_counts": _q_group_facets,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
@@ -2433,6 +2449,7 @@ LIMIT 25
             pivot=2.0),
         "blended_dismax_topk": oracle.blended_dismax_topk_sql(
             ["table", "value"], 40),
+        "field_exists_count": oracle.field_exists_count_sql(_parse(Q_HOT)),
         "group_facet_counts": oracle.group_facets_sql(
             _parse(Q_OR), "source", "lang"),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),

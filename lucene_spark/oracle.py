@@ -219,6 +219,16 @@ SELECT count(*)::BIGINT AS hits FROM geo WHERE {cond}
 """
 
 
+def field_exists_count_sql(query) -> str:
+    """FieldExistsQuery oracle for the gate's planted side table (every 7th
+    docID absent, every 11th null): matched docs with a non-null value."""
+    inner = bm25_topk_sql(query, 10**9)
+    return f"""
+SELECT count(*)::BIGINT AS hits FROM ({inner})
+WHERE doc_id % 7 != 0 AND doc_id % 11 != 0
+"""
+
+
 def geo_polygon_count_sql(lats, lons) -> str:
     """LatLonPoint.newPolygonQuery hit count — the engine's own PNPOLY
     crossing-parity predicate SQL (shared double-literal vertices)."""

@@ -258,6 +258,44 @@ class IndexSearcher:
             out = out.join(self.match_df(query), "doc_id", "left_semi")
         return out
 
+    def field_exists_df(self, field: str | None = None, value_df=None,
+                        value_col: str = "value", query=None):
+        """``FieldExistsQuery`` (``core/search/FieldExistsQuery.java:37``):
+        constant-score docs that HAVE a value for the field. Two variants,
+        exactly one selected:
+
+        * ``value_df`` — the doc-values iterator variant
+          (``getDocValuesDocIdSetIterator`` ``:49-77``): live docs present
+          in the (doc_id, value) side table with a non-null value; one
+          pushdown-able IsNotNull scan + live semi-join, no shuffle.
+        * ``field`` — the norms variant for an indexed field (``:125``,
+          ``hasNorms`` branch): the union of the field's postings docs —
+          the same doc set the norms iterator walks. Executed as the
+          empty-prefix MultiTermQuery (every term of the field; the
+          existing hybrid pushdown / semi-join machinery and live-docs
+          filtering apply).
+
+        Optional ``query`` intersects via left-semi join. Returns
+        (doc_id)."""
+        from pyspark.sql import functions as F
+
+        if (value_df is None) == (field is None):
+            raise ValueError("exactly one of field= / value_df= required")
+        if value_df is not None:
+            out = (value_df.filter(F.col(value_col).isNotNull())
+                   .select("doc_id").distinct()
+                   .join(self.reader.docs(live_only=True).select("doc_id"),
+                         "doc_id", "left_semi"))
+        else:
+            out = self.match_df(ast.MultiTermQuery("prefix", "",
+                                                   field=field))
+        if query is not None:
+            if isinstance(query, str):
+                query = self.parse(query)
+            out = out.join(self.match_df(ast.normalize(query)),
+                           "doc_id", "left_semi")
+        return out
+
     def sort_by_doc_value_df(self, query, field: str, k: int | None = None,
                              default: int = 0, ascending: bool = True):
         """Sort a query's match set by an UPDATED numeric doc-values field

@@ -113,3 +113,37 @@ def test_compact_folds_dv_chain(spark, tmp_path):
     # a second compact is a no-op merge plan OR GCs the stale gens — either
     # way the manifest chain stays folded
     assert r2.manifest["dv_updates"]["prio"][0].startswith("dv/prio.g")
+
+
+def test_field_exists_df(spark, index_dir):
+    """FieldExistsQuery (core/search/FieldExistsQuery.java): doc-values
+    variant = non-null side-table rows ∩ live; norms variant = union of a
+    keyword field's postings docs."""
+    import pyspark.sql.functions as F
+
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir)
+    n = s.reader.doc_count
+    vals = (s.reader.docs()
+            .filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 5 != 0, F.col("dl"))
+                    .alias("value")))
+    got = sorted(r["doc_id"]
+                 for r in s.field_exists_df(value_df=vals).collect())
+    want = [d for d in range(n) if d % 3 == 0 and d % 5 != 0]
+    assert got == want
+    # norms variant: every doc has >=1 text posting in this corpus except
+    # docs whose text tokenized to nothing
+    got_txt = {r["doc_id"] for r in s.field_exists_df(field="text").collect()}
+    dls = {r["doc_id"]: r["dl"] for r in
+           s.reader.docs().select("doc_id", "dl").collect()}
+    assert got_txt == {d for d, dl in dls.items() if dl > 0}
+    # exactly-one-variant guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.field_exists_df()
+    with _pytest.raises(ValueError):
+        s.field_exists_df(field="text", value_df=vals)
