@@ -945,6 +945,18 @@ def _q_fuzzy_suggest(spark, sf_dir):
         [(t, int(df)) for t, df in out], "term string, df long")
 
 
+def _q_interval_filtered(spark, sf_dir):
+    """Intervals.notContaining over maxgaps-ordered minimal intervals
+    (NotContainingIntervalsSource): (table|key)→value chains within
+    maxgaps=10 that hold NO 'query' position, saturation top-40."""
+    from lucene_spark.search import intervals as iv
+
+    s = _searcher(spark, sf_dir)
+    src = iv.not_containing(
+        iv.Ordered((("table", "key"), "value"), max_gaps=10), "query")
+    return _hits_df(spark, s.search(ast.IntervalQuery(src), k=40))
+
+
 def _q_blended_dismax(spark, sf_dir):
     """BlendedTermQuery (core/search/BlendedTermQuery.java:270-301): both
     terms score with the blended MAX docFreq, DisjunctionMax(0.01)
@@ -2132,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_unordered_topk": _q_interval_unordered,
         "blended_dismax_topk": _q_blended_dismax,
         "field_exists_count": _q_field_exists_count,
+        "interval_filtered_topk": _q_interval_filtered,
         "group_facet_counts": _q_group_facets,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
@@ -2450,6 +2463,9 @@ LIMIT 25
         "blended_dismax_topk": oracle.blended_dismax_topk_sql(
             ["table", "value"], 40),
         "field_exists_count": oracle.field_exists_count_sql(_parse(Q_HOT)),
+        "interval_filtered_topk": oracle.interval_topk_sql(
+            [("table", "key"), "value"], 40, in_order=True, max_gaps=10,
+            not_containing="query"),
         "group_facet_counts": oracle.group_facets_sql(
             _parse(Q_OR), "source", "lang"),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),

@@ -2727,7 +2727,8 @@ LIMIT {k}
 
 def interval_topk_sql(slots, k: int, in_order: bool = True,
                       max_gaps: int | None = None, pivot: float = 1.0,
-                      boost: float = 1.0) -> str:
+                      boost: float = 1.0,
+                      not_containing: str | None = None) -> str:
     """IntervalQuery oracle (``queries/intervals``): top-k docs by the
     saturation score over the source's MINIMAL intervals.
 
@@ -2803,8 +2804,19 @@ minimal AS (
     FROM valid
   ) WHERE prev_s IS NULL OR s > prev_s
 )"""
-    gap_filter = (f"WHERE (e - s + 1) - {n} <= {int(max_gaps)}"
-                  if max_gaps is not None else "")
+    conds = []
+    if max_gaps is not None:
+        conds.append(f"(e - s + 1) - {n} <= {int(max_gaps)}")
+    if not_containing is not None:
+        # Intervals.notContaining (NotContainingIntervalsSource): drop
+        # minimal intervals holding a reference-term position — the
+        # reference side of the relation is a width-1 minimal set, so a
+        # plain position-EXISTS is exact
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM toksp x WHERE x.did = minimal.did"
+            f" AND x.term = '{not_containing}'"
+            f" AND x.pos BETWEEN minimal.s AND minimal.e)")
+    gap_filter = f"WHERE {' AND '.join(conds)}" if conds else ""
     return f"""
 WITH {BASE_CTES},{_TOKSP_CTE},
 {slot_ctes},{cand},

@@ -81,6 +81,67 @@ def phrase(*slots) -> Ordered:
     return Ordered(tuple(slots), max_gaps=0)
 
 
+@dataclass(frozen=True)
+class Filtered:
+    """Relational interval filters (``Intervals.containing / containedBy /
+    notContaining / notContainedBy / overlapping / nonOverlapping``,
+    ``queries/intervals/ContainingIntervalsSource.java`` et al.): keep the
+    MINIMAL intervals of ``source`` for which a MINIMAL interval of
+    ``reference`` (not-)satisfies the relation — both sides enumerate
+    minimal sets first (pinned by the reference's own goldens:
+    ``TestIntervals.java:644-712,927-950``)."""
+
+    kind: str  # containing|not_containing|contained_by|not_contained_by|
+    #            overlapping|non_overlapping
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class Extended:
+    """``Intervals.extend`` (``ExtendedIntervalsSource.java``): every
+    enumerated interval widens to [max(0, start − before), end + after];
+    minExtent grows by before + after (``:126-132``)."""
+
+    source: object
+    before: int
+    after: int
+
+
+def containing(source, reference) -> Filtered:
+    return Filtered("containing", source, reference)
+
+
+def not_containing(source, reference) -> Filtered:
+    return Filtered("not_containing", source, reference)
+
+
+def contained_by(source, reference) -> Filtered:
+    return Filtered("contained_by", source, reference)
+
+
+def not_contained_by(source, reference) -> Filtered:
+    return Filtered("not_contained_by", source, reference)
+
+
+def overlapping(source, reference) -> Filtered:
+    return Filtered("overlapping", source, reference)
+
+
+def non_overlapping(source, reference) -> Filtered:
+    return Filtered("non_overlapping", source, reference)
+
+
+def within(source, positions: int, reference) -> Filtered:
+    """``Intervals.within`` (``Intervals.java:418-421``)."""
+    return contained_by(source, Extended(reference, positions, positions))
+
+
+def not_within(source, positions: int, reference) -> Filtered:
+    """``Intervals.notWithin`` (``Intervals.java:403-407``)."""
+    return non_overlapping(source, Extended(reference, positions, positions))
+
+
 def _norm_slots(slots) -> list[Slot]:
     out = []
     for s in slots:
@@ -94,20 +155,36 @@ def _norm_slots(slots) -> list[Slot]:
 
 
 def source_slots(source) -> list[Slot]:
-    """Normalized slot list of a source (leaf sources are one slot)."""
+    """Normalized slot list of a source's REQUIRED (source-side) chain —
+    the slots whose corpus absence makes the source unable to match.
+    Filter references don't appear: a dead positive reference empties the
+    result at evaluation, a dead negative one passes everything."""
+    if isinstance(source, (Filtered, Extended)):
+        return source_slots(source.source)
     if isinstance(source, (Ordered, Unordered)):
         return _norm_slots(source.slots)
     return _norm_slots([source])
 
 
 def source_terms(source) -> list[str]:
-    """All distinct terms a source touches, sorted."""
+    """All distinct terms a source touches (incl. filter references)."""
+    if isinstance(source, Filtered):
+        return sorted(set(source_terms(source.source))
+                      | set(source_terms(source.reference)))
+    if isinstance(source, Extended):
+        return source_terms(source.source)
     return sorted({t for s in source_slots(source)
                    for t in (s if isinstance(s, tuple) else (s,))})
 
 
 def min_extent(source) -> int:
-    """``IntervalsSource.minExtent`` — Σ sub extents; width-1 leaves."""
+    """``IntervalsSource.minExtent`` — Σ sub extents; width-1 leaves;
+    filters keep the source's extent; extend adds before + after."""
+    if isinstance(source, Filtered):
+        return min_extent(source.source)
+    if isinstance(source, Extended):
+        return min_extent(source.source) + int(source.before) + int(
+            source.after)
     return len(source_slots(source))
 
 
@@ -119,6 +196,12 @@ def prefix_terms(source, prefix: str):
             return tuple(prefix + t for t in s)
         return prefix + s
 
+    if isinstance(source, Filtered):
+        return Filtered(source.kind, prefix_terms(source.source, prefix),
+                        prefix_terms(source.reference, prefix))
+    if isinstance(source, Extended):
+        return Extended(prefix_terms(source.source, prefix),
+                        source.before, source.after)
     if isinstance(source, Ordered):
         return Ordered(tuple(p_slot(s) for s in source.slots),
                        source.max_gaps)
@@ -192,15 +275,67 @@ def _minimal_unordered(keys):
     return doc[keep], start[keep], end[keep]
 
 
-def segment_intervals(rows, source):
-    """Minimal (+ maxgaps-filtered) intervals of ``source`` within one
-    segment: (doc, start, end) int64 arrays ordered by (doc, start)."""
+def _exists_relation(kind, d, s, e, rd, rs, re_):
+    """Boolean mask over source intervals: does a reference interval (in
+    the same doc) satisfy the relation? Vectorized: references arrive
+    sorted by (doc, start); per-doc prefix-max / suffix-min of reference
+    ends answer the suffix/prefix existence tests in one searchsorted."""
+    import pandas as pd
+
+    neg = kind.startswith(("not_", "non_"))
+    base = kind.removeprefix("not_").removeprefix("non_")
+    if rd.size == 0:
+        hit = np.zeros(d.size, dtype=bool)
+        return ~hit if neg else hit
+    rkey = rd * _POS_M + rs
+    rds = pd.Series(rd)
+    if base == "containing":
+        # ∃ ref with rs >= s and re <= e: suffix-min of re over rs >= s
+        sm = pd.Series(re_[::-1]).groupby(rds.iloc[::-1].to_numpy()) \
+            .cummin().to_numpy()[::-1]
+        idx = np.searchsorted(rkey, d * _POS_M + s, side="left")
+        ok = idx < rkey.size
+        ii = np.minimum(idx, rkey.size - 1)
+        hit = ok & (rd[ii] == d) & (sm[ii] <= e)
+    elif base == "contained_by":
+        # ∃ ref with rs <= s and re >= e: prefix-max of re over rs <= s
+        pm = pd.Series(re_).groupby(rds.to_numpy()).cummax().to_numpy()
+        idx = np.searchsorted(rkey, d * _POS_M + s, side="right") - 1
+        ok = idx >= 0
+        ii = np.maximum(idx, 0)
+        hit = ok & (rd[ii] == d) & (pm[ii] >= e)
+    elif base == "overlapping":
+        # ∃ ref with rs <= e and re >= s: prefix-max of re over rs <= e
+        pm = pd.Series(re_).groupby(rds.to_numpy()).cummax().to_numpy()
+        idx = np.searchsorted(rkey, d * _POS_M + e, side="right") - 1
+        ok = idx >= 0
+        ii = np.maximum(idx, 0)
+        hit = ok & (rd[ii] == d) & (pm[ii] >= s)
+    else:
+        raise ValueError(f"unknown interval relation: {kind!r}")
+    return ~hit if neg else hit
+
+
+def eval_intervals(source, keys_of):
+    """Recursive minimal-interval evaluation; ``keys_of(slot)`` returns the
+    slot's sorted doc·2^34+pos keys, or None when every alternative is
+    absent. Returns (doc, start, end) ordered by (doc, start)."""
     empty = (np.zeros(0, np.int64),) * 3
+    if isinstance(source, Extended):
+        d, s, e = eval_intervals(source.source, keys_of)
+        return d, np.maximum(s - int(source.before), 0), \
+            e + int(source.after)
+    if isinstance(source, Filtered):
+        d, s, e = eval_intervals(source.source, keys_of)
+        if d.size == 0:
+            return empty
+        rd, rs, re_ = eval_intervals(source.reference, keys_of)
+        keep = _exists_relation(source.kind, d, s, e, rd, rs, re_)
+        return d[keep], s[keep], e[keep]
     slots = source_slots(source)
-    per = _structs_for_slots(rows, slots)
-    if per is None:
+    keys = [keys_of(s) for s in slots]
+    if any(k is None for k in keys):
         return empty
-    keys = _slot_keys(per)
     if len(keys) == 1:
         k = keys[0]
         doc, pos = k // _POS_M, k % _POS_M
@@ -216,6 +351,20 @@ def segment_intervals(rows, source):
         m = gaps <= mg
         doc, start, end = doc[m], start[m], end[m]
     return doc, start, end
+
+
+def segment_intervals(rows, source):
+    """Minimal (+ filtered) intervals of ``source`` within one segment:
+    (doc, start, end) int64 arrays ordered by (doc, start)."""
+    cache: dict = {}
+
+    def keys_of(slot):
+        if slot not in cache:
+            per = _structs_for_slots(rows, [slot])
+            cache[slot] = None if per is None else _slot_keys(per)[0]
+        return cache[slot]
+
+    return eval_intervals(source, keys_of)
 
 
 def interval_freqs(doc, start, end, extent: int):

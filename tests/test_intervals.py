@@ -73,22 +73,12 @@ def _keys_for(docs, slot):
 
 
 def _run(docs, source):
-    """{doc: [(start, end), ...]} via the kernel primitives."""
-    slots = iv.source_slots(source)
-    keys = [_keys_for(docs, s) for s in slots]
-    if any(k.size == 0 for k in keys):
-        return {}
-    if len(keys) == 1:
-        k = keys[0]
-        doc, s, e = k // _POS_M, k % _POS_M, k % _POS_M
-    elif isinstance(source, Unordered):
-        doc, s, e = _minimal_unordered(keys)
-    else:
-        doc, s, e = _minimal_ordered(keys)
-    mg = getattr(source, "max_gaps", None)
-    if mg is not None and doc.size:
-        m = (e - s + 1) - len(slots) <= mg
-        doc, s, e = doc[m], s[m], e[m]
+    """{doc: [(start, end), ...]} via the kernel's recursive evaluator."""
+    def keys_of(slot):
+        k = _keys_for(docs, slot)
+        return None if k.size == 0 else k
+
+    doc, s, e = iv.eval_intervals(source, keys_of)
     out = {}
     for d, a, b in zip(doc.tolist(), s.tolist(), e.tolist()):
         out.setdefault(d, []).append((a, b))
@@ -392,3 +382,138 @@ def test_explain_interval_and_span_clauses(searcher):
     ex2 = searcher.explain(sq, shits[0].doc_id)
     assert ex2["match"] and abs(ex2["total"] - shits[0].score) < 1e-6
     assert "span" in {c["kind"] for c in ex2["clauses"]}
+
+
+# --- relational filters: reference goldens (TestIntervals.java lines) ---
+
+
+def test_golden_containing():
+    # testContaining (:666-688)
+    src = iv.containing(Ordered(("pease", "cold")), "porridge")
+    assert _run(FIELD1_DOCS, src) == _golden([
+        [], [3, 5, 6, 21], [0, 2, 6, 17], [], [3, 5], []])
+
+
+def test_golden_contained_by():
+    # testContainedBy (:644-664)
+    src = iv.contained_by("porridge", Ordered(("pease", "cold")))
+    assert _run(FIELD1_DOCS, src) == _golden([
+        [], [4, 4, 7, 7], [1, 1, 7, 7], [], [4, 4], []])
+
+
+def test_golden_not_containing():
+    # testNotContaining (:690-705)
+    src = iv.not_containing(Ordered(("porridge", "pease")), "hot")
+    assert _run(FIELD1_DOCS, src) == _golden([
+        [], [4, 6], [1, 3], [], [4, 6], []])
+
+
+def test_golden_within():
+    # testWithin (:917-925): within(hot, 6, or(porridge, fraggle))
+    src = iv.within("hot", 6, ("porridge", "fraggle"))
+    assert _run(FIELD1_DOCS, src) == _golden([
+        [], [2, 2], [5, 5, 21, 21], [], [2, 2], []])
+
+
+def test_golden_overlapping():
+    # testOverlapping (:927-950)
+    src = iv.overlapping(Unordered(("hot", "porridge")),
+                         Unordered(("cold", "pease")))
+    assert _run(FIELD1_DOCS, src) == _golden([
+        [], [2, 4, 7, 17], [5, 7, 7, 21], [], [2, 4], []])
+
+
+def test_golden_extend():
+    # testExtends (:272-281): extend(term(fox), 1, 2) on field2 doc6
+    docs2 = FIELD2_DOCS + ["the quick brown fox jumps over the lazy dog"]
+    src = iv.Extended("fox", 1, 2)
+    got = _run(docs2, src)
+    assert got == {6: [(2, 5)]}
+    assert iv.min_extent(src) == 4  # 1 + 1 + 2 (:126-132)
+
+
+def test_golden_maxgaps_unordered():
+    # testMaxGaps (:706-712): maxgaps(1, unordered(w1, w3, w4)) on field2
+    src = Unordered(("w1", "w3", "w4"), max_gaps=1)
+    assert _run(FIELD2_DOCS, src) == _golden([
+        [], [], [], [], [], [0, 3, 2, 4, 3, 6]])
+
+
+def _brute_filtered(docs, source):
+    """Definition-based reference for Filtered/Extended over _brute_minimal
+    (positive = keep source minimal intervals with a satisfying reference
+    minimal interval in the same doc)."""
+    if isinstance(source, iv.Extended):
+        inner = _brute_filtered(docs, source.source)
+        return {d: sorted((max(0, s - source.before), e + source.after)
+                          for s, e in ivs)
+                for d, ivs in inner.items()}
+    if not isinstance(source, iv.Filtered):
+        return _brute_minimal(docs, source)
+    src = _brute_filtered(docs, source.source)
+    ref = _brute_filtered(docs, source.reference)
+    neg = source.kind.startswith(("not_", "non_"))
+    base = source.kind.removeprefix("not_").removeprefix("non_")
+
+    def rel(a, b):
+        (s, e), (rs, re_) = a, b
+        if base == "containing":
+            return rs >= s and re_ <= e
+        if base == "contained_by":
+            return rs <= s and re_ >= e
+        return rs <= e and re_ >= s  # overlapping
+
+    out = {}
+    for d, ivs in src.items():
+        refs = ref.get(d, [])
+        kept = [ab for ab in ivs
+                if any(rel(ab, r) for r in refs) != neg]
+        if kept:
+            out[d] = sorted(kept)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_filters_vs_brute(seed):
+    rng = np.random.default_rng(100 + seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(6, 35)))
+            for _ in range(10)]
+    sources = [
+        iv.containing(Ordered(("a", "b"), max_gaps=5), "c"),
+        iv.not_containing(Ordered(("a", "b"), max_gaps=5), "c"),
+        iv.contained_by("c", Unordered(("a", "b"))),
+        iv.not_contained_by("c", Unordered(("a", "b"))),
+        iv.overlapping(Ordered(("a", "b")), Ordered(("c", "d"))),
+        iv.non_overlapping(Ordered(("a", "b")), Ordered(("c", "d"))),
+        iv.within("a", 2, Ordered(("c", "d"))),
+        iv.not_within("a", 2, ("c", "d")),
+        iv.containing(Ordered(("a", "b")), "zznothere"),
+        iv.not_containing(Ordered(("a", "b")), "zznothere"),
+    ]
+    for src in sources:
+        assert _run(docs, src) == _brute_filtered(docs, src), src
+
+
+def test_filtered_end_to_end(searcher, golden):
+    """Filtered source through the full engine path (search + count)."""
+    from lucene_spark.corpus import VOCAB
+
+    src = iv.not_containing(Ordered((VOCAB[0], VOCAB[3]), max_gaps=8),
+                            VOCAB[5])
+    q = ast.IntervalQuery(src, boost=1.5)
+    hits = searcher.search(q, k=20)
+    # brute: minimal ordered intervals (from golden positions) minus those
+    # containing a VOCAB[5] position, scored with the saturation fold
+    texts = golden.pdf["text"].tolist()
+    want_iv = _brute_filtered(texts, src)
+    want = []
+    for d, ivs in want_iv.items():
+        acc = np.float32(0.0)
+        for s, e in sorted(ivs):
+            acc = np.float32(np.float64(acc) + 1.0 / max((e - s + 1) - 1, 1))
+        t = np.float32(1.0) - (np.float32(1.0) / (np.float32(1.0) + acc))
+        want.append((d, float(np.float32(1.5) * t)))
+    want.sort(key=lambda h: (-h[1], h[0]))
+    assert [(h.doc_id, h.score) for h in hits] == want[:20]
+    assert searcher.count(q) == len(want)
