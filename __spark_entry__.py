@@ -957,6 +957,17 @@ def _q_interval_filtered(spark, sf_dir):
     return _hits_df(spark, s.search(ast.IntervalQuery(src), k=40))
 
 
+def _q_interval_atleast(spark, sf_dir):
+    """Intervals.atLeast(2 of {table, value, query}) within maxgaps=10
+    (MinimumShouldMatchIntervalsSource) — saturation top-40; the oracle
+    derives the n-th-largest-last window independently."""
+    from lucene_spark.search import intervals as iv
+
+    s = _searcher(spark, sf_dir)
+    src = iv.AtLeast(2, ("table", "value", "query"), max_gaps=10)
+    return _hits_df(spark, s.search(ast.IntervalQuery(src), k=40))
+
+
 def _q_blended_dismax(spark, sf_dir):
     """BlendedTermQuery (core/search/BlendedTermQuery.java:270-301): both
     terms score with the blended MAX docFreq, DisjunctionMax(0.01)
@@ -2145,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blended_dismax_topk": _q_blended_dismax,
         "field_exists_count": _q_field_exists_count,
         "interval_filtered_topk": _q_interval_filtered,
+        "interval_atleast_topk": _q_interval_atleast,
         "group_facet_counts": _q_group_facets,
         "combined_field_topk": _q_combined_field,
         "spellcheck_terms": _q_spellcheck,
@@ -2466,6 +2478,8 @@ LIMIT 25
         "interval_filtered_topk": oracle.interval_topk_sql(
             [("table", "key"), "value"], 40, in_order=True, max_gaps=10,
             not_containing="query"),
+        "interval_atleast_topk": oracle.interval_atleast_topk_sql(
+            2, ["table", "value", "query"], 40, max_gaps=10),
         "group_facet_counts": oracle.group_facets_sql(
             _parse(Q_OR), "source", "lang"),
         "suggest_infix": oracle.suggest_infix_sql("a", 10),

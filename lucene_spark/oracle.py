@@ -2847,6 +2847,81 @@ LIMIT {k}
 """
 
 
+def interval_atleast_topk_sql(n: int, slots, k: int,
+                              max_gaps: int | None = None,
+                              pivot: float = 1.0,
+                              boost: float = 1.0) -> str:
+    """``Intervals.atLeast(n, …)`` oracle
+    (``MinimumShouldMatchIntervalsSource.java``): the window ending at a
+    position starts at the n-th LARGEST per-sub latest-occurrence ≤ end —
+    computed independently here as ORDER BY … DESC NULLS LAST OFFSET n−1
+    over a VALUES list of the per-sub correlated MAXes (fewer than n
+    present → NULL → invalid); minimality, gaps = width − n, the f32 freq
+    fold, and saturation share the unordered oracle's scaffold."""
+    m = len(slots)
+
+    def in_list(slot):
+        names = slot if isinstance(slot, tuple) else (slot,)
+        return ", ".join(repr(t) for t in names)
+
+    slot_ctes = ",\n".join(
+        f"p{i} AS (SELECT did, pos FROM toksp WHERE term IN ({in_list(s)}))"
+        for i, s in enumerate(slots))
+    lasts = ",\n         ".join(
+        f"(SELECT MAX(q.pos) FROM p{i} q"
+        f" WHERE q.did = a.did AND q.pos <= a.pos) AS l{i}"
+        for i in range(m))
+    vals = ", ".join(f"(l{i})" for i in range(m))
+    gap_filter = (f"WHERE (e - s + 1) - {n} <= {int(max_gaps)}"
+                  if max_gaps is not None else "")
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE},
+{slot_ctes},
+allpos AS (
+  SELECT DISTINCT did, pos FROM toksp
+  WHERE term IN ({", ".join(in_list(s) for s in slots)})
+),
+cand AS (
+  SELECT a.did, a.pos AS e,
+         {lasts}
+  FROM allpos a
+),
+nth AS (
+  SELECT did, e,
+         (SELECT l FROM (VALUES {vals}) t(l)
+          ORDER BY l DESC NULLS LAST OFFSET {n - 1} LIMIT 1) AS s
+  FROM cand
+),
+minimal AS (
+  SELECT did, s, e FROM (
+    SELECT did, s, e, lag(s) OVER (PARTITION BY did ORDER BY e) AS prev_s
+    FROM nth WHERE s IS NOT NULL
+  ) WHERE prev_s IS NULL OR s > prev_s
+),
+filtered AS (
+  SELECT did, s, e FROM minimal {gap_filter}
+),
+freqs AS (
+  SELECT did,
+         list_reduce(
+           list_prepend(CAST(0 AS REAL),
+             list(CAST(1.0 AS DOUBLE)
+                  / greatest((e - s + 1) - {n} + 1, 1) ORDER BY s)),
+           (acc, x) -> CAST(acc + x AS REAL)) AS freq
+  FROM filtered GROUP BY did
+)
+SELECT did AS doc_id,
+       CAST(CAST(CAST({boost!r} AS REAL)
+            * CAST(CAST(1.0 AS REAL)
+               - CAST(CAST({pivot!r} AS REAL)
+                 / CAST(CAST({pivot!r} AS REAL) + CAST(freq AS REAL)
+                   AS REAL) AS REAL) AS REAL) AS REAL) AS DOUBLE) AS score
+FROM freqs
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def surround_topk_sql(span_terms, dist: int, term: str, k: int) -> str:
     """Surround-parser oracle for ``(a dW b) AND c``
     (``queryparser/surround/parser/QueryParser.jj`` grammar;

@@ -82,6 +82,22 @@ def phrase(*slots) -> Ordered:
 
 
 @dataclass(frozen=True)
+class AtLeast:
+    """``Intervals.atLeast(n, subs…)``
+    (``MinimumShouldMatchIntervalsSource.java``): minimal intervals
+    containing at least ``n`` of the sub-sources — the window ending at a
+    position ``e`` starts at the n-th LARGEST latest-occurrence ≤ e
+    (the proximity queue's bottom), minimized like unordered; ``gaps`` and
+    ``minExtent`` count ``n`` matching width-1 subs (pinned by
+    ``TestIntervals.testMinimumShouldMatch:772-815`` incl. its gaps
+    assertion)."""
+
+    n: int
+    slots: tuple
+    max_gaps: int | None = None
+
+
+@dataclass(frozen=True)
 class Filtered:
     """Relational interval filters (``Intervals.containing / containedBy /
     notContaining / notContainedBy / overlapping / nonOverlapping``,
@@ -143,14 +159,20 @@ def not_within(source, positions: int, reference) -> Filtered:
 
 
 def _norm_slots(slots) -> list[Slot]:
+    """Normalize slots. Plain-term slots may REPEAT (the reference's
+    ``deduplicate`` → ``RepeatingIntervalsSource`` shapes: ordered chains
+    handle duplicates natively, unordered requires the r-th latest
+    occurrence — ``TestIntervals.java:330-348,407-433`` goldens). Or-slot
+    alternatives must stay disjoint from every other slot (overlapping
+    unions would double-assign one position)."""
     out = []
     for s in slots:
         out.append(tuple(s) if isinstance(s, (tuple, list)) else s)
-    flat = [t for s in out for t in (s if isinstance(s, tuple) else (s,))]
-    if len(set(flat)) != len(flat):
+    tup_terms = [t for s in out if isinstance(s, tuple) for t in s]
+    plain = {s for s in out if not isinstance(s, tuple)}
+    if len(set(tup_terms)) != len(tup_terms) or plain & set(tup_terms):
         raise ValueError(
-            "repeated terms across interval sub-sources are not supported "
-            "(RepeatingIntervalsSource is out of scope)")
+            "or-slot alternatives must not repeat or overlap other slots")
     return out
 
 
@@ -161,6 +183,8 @@ def source_slots(source) -> list[Slot]:
     result at evaluation, a dead negative one passes everything."""
     if isinstance(source, (Filtered, Extended)):
         return source_slots(source.source)
+    if isinstance(source, AtLeast):
+        return []  # no slot is individually required (any n of m match)
     if isinstance(source, (Ordered, Unordered)):
         return _norm_slots(source.slots)
     return _norm_slots([source])
@@ -173,7 +197,9 @@ def source_terms(source) -> list[str]:
                       | set(source_terms(source.reference)))
     if isinstance(source, Extended):
         return source_terms(source.source)
-    return sorted({t for s in source_slots(source)
+    slots = (_norm_slots(source.slots) if isinstance(source, AtLeast)
+             else source_slots(source))
+    return sorted({t for s in slots
                    for t in (s if isinstance(s, tuple) else (s,))})
 
 
@@ -185,6 +211,8 @@ def min_extent(source) -> int:
     if isinstance(source, Extended):
         return min_extent(source.source) + int(source.before) + int(
             source.after)
+    if isinstance(source, AtLeast):
+        return int(source.n)
     return len(source_slots(source))
 
 
@@ -202,6 +230,9 @@ def prefix_terms(source, prefix: str):
     if isinstance(source, Extended):
         return Extended(prefix_terms(source.source, prefix),
                         source.before, source.after)
+    if isinstance(source, AtLeast):
+        return AtLeast(source.n, tuple(p_slot(s) for s in source.slots),
+                       source.max_gaps)
     if isinstance(source, Ordered):
         return Ordered(tuple(p_slot(s) for s in source.slots),
                        source.max_gaps)
@@ -249,15 +280,21 @@ def _minimal_ordered(keys):
     return doc[keep], start[keep], end[keep]
 
 
-def _minimal_unordered(keys):
-    """Minimal unordered (overlaps-allowed) intervals over slot keys."""
+def _minimal_unordered(keys, ranks=None):
+    """Minimal unordered (overlaps-allowed) intervals over slot keys.
+    ``ranks[i]`` > 0 marks the i-th slot as the (rank+1)-th occurrence of a
+    REPEATED sub-source: it binds the (rank+1)-th-latest occurrence ≤ the
+    candidate end (RepeatingIntervalsSource inside unordered,
+    ``TestIntervals.java:407-423`` golden)."""
+    if ranks is None:
+        ranks = [0] * len(keys)
     ends_k = np.unique(np.concatenate(keys))
     doc = ends_k // _POS_M
     smin = np.full(ends_k.size, np.iinfo(np.int64).max)
     valid = np.ones(ends_k.size, dtype=bool)
-    for ki in keys:
-        # latest occurrence of this slot <= the candidate end
-        idx = np.searchsorted(ki, ends_k, side="right") - 1
+    for ki, rank in zip(keys, ranks):
+        # (rank+1)-th latest occurrence of this slot <= the candidate end
+        idx = np.searchsorted(ki, ends_k, side="right") - 1 - rank
         ok = idx >= 0
         last = ki[np.maximum(idx, 0)]
         ok &= (last // _POS_M) == doc
@@ -270,6 +307,32 @@ def _minimal_unordered(keys):
     # minimality: scanning ends ascending, start is non-decreasing; keep
     # candidates whose start strictly grows (UnorderedIntervalsSource's
     # queue minimization, :154-185)
+    keep = np.ones(doc.size, dtype=bool)
+    keep[1:] = (doc[1:] != doc[:-1]) | (start[1:] > start[:-1])
+    return doc[keep], start[keep], end[keep]
+
+
+def _minimal_atleast(keys, n: int):
+    """``Intervals.atLeast(n, …)``: the window ending at position ``e``
+    starts at the n-th LARGEST latest-occurrence ≤ e among the sub-sources
+    (exactly n subs fall inside — the (n+1)-th largest is strictly
+    earlier); minimized by the strictly-growing-start rule."""
+    m = len(keys)
+    ends_k = np.unique(np.concatenate(keys))
+    doc = ends_k // _POS_M
+    lasts = np.full((m, ends_k.size), np.int64(-1))
+    for i, ki in enumerate(keys):
+        idx = np.searchsorted(ki, ends_k, side="right") - 1
+        last = ki[np.maximum(idx, 0)]
+        ok = (idx >= 0) & ((last // _POS_M) == doc)
+        lasts[i] = np.where(ok, last, np.int64(-1))
+    # n-th largest last per candidate (-1 sentinels sort below any key)
+    nth = np.partition(lasts, m - n, axis=0)[m - n]
+    valid = nth >= 0  # fewer than n present → the n-th largest is -1
+    doc, sk, ek = doc[valid], nth[valid], ends_k[valid]
+    if doc.size == 0:
+        return doc, sk, ek
+    start, end = sk % _POS_M, ek % _POS_M
     keep = np.ones(doc.size, dtype=bool)
     keep[1:] = (doc[1:] != doc[:-1]) | (start[1:] > start[:-1])
     return doc[keep], start[keep], end[keep]
@@ -332,22 +395,37 @@ def eval_intervals(source, keys_of):
         rd, rs, re_ = eval_intervals(source.reference, keys_of)
         keep = _exists_relation(source.kind, d, s, e, rd, rs, re_)
         return d[keep], s[keep], e[keep]
-    slots = source_slots(source)
-    keys = [keys_of(s) for s in slots]
-    if any(k is None for k in keys):
-        return empty
-    if len(keys) == 1:
-        k = keys[0]
-        doc, pos = k // _POS_M, k % _POS_M
-        return doc, pos, pos
-    if isinstance(source, Unordered):
-        doc, start, end = _minimal_unordered(keys)
+    if isinstance(source, AtLeast):
+        slots = _norm_slots(source.slots)
+        if len(set(slots)) != len(slots):
+            raise ValueError("atLeast sub-sources must be distinct")
+        keys = [k for k in (keys_of(s) for s in slots) if k is not None]
+        n = int(source.n)
+        if len(keys) < n or n < 1:
+            return empty
+        doc, start, end = _minimal_atleast(keys, n)
+        extent = n
     else:
-        doc, start, end = _minimal_ordered(keys)
+        slots = source_slots(source)
+        keys = [keys_of(s) for s in slots]
+        if any(k is None for k in keys):
+            return empty
+        if len(keys) == 1:
+            k = keys[0]
+            doc, pos = k // _POS_M, k % _POS_M
+            return doc, pos, pos
+        if isinstance(source, Unordered):
+            # rank = index among identical repeated slots: the j-th copy
+            # binds the (j+1)-th latest occurrence
+            ranks = [slots[:i].count(s) for i, s in enumerate(slots)]
+            doc, start, end = _minimal_unordered(keys, ranks)
+        else:
+            doc, start, end = _minimal_ordered(keys)
+        extent = len(slots)
     mg = getattr(source, "max_gaps", None)
     if mg is not None and doc.size:
         # FilteredIntervalsSource: gaps = width − Σ sub widths (all 1 here)
-        gaps = (end - start + 1) - len(slots)
+        gaps = (end - start + 1) - extent
         m = gaps <= mg
         doc, start, end = doc[m], start[m], end[m]
     return doc, start, end

@@ -136,11 +136,15 @@ def test_golden_ordered_with_or_slot():
     assert got == _golden([[], [3, 8], [], [], [], []])
 
 
-def test_repeated_terms_rejected():
-    with pytest.raises(ValueError):
-        iv.source_slots(Ordered(("pease", "pease", "porridge")))
+def test_overlapping_or_slots_rejected():
+    """Plain-term repeats are supported (RepeatingIntervalsSource shapes);
+    or-slot alternatives overlapping other slots are not."""
+    assert iv.source_slots(Ordered(("pease", "pease", "porridge"))) == [
+        "pease", "pease", "porridge"]
     with pytest.raises(ValueError):
         iv.source_slots(Ordered((("a", "b"), "b")))
+    with pytest.raises(ValueError):
+        iv.source_slots(Ordered((("a", "b"), ("b", "c"))))
 
 
 # --- definition-based brute force vs kernel, randomized ---
@@ -176,6 +180,8 @@ def _brute_minimal(docs, source):
                     continue
                 cands.add((combo[0], combo[-1]))
             else:
+                if len(set(combo)) != n:  # repeats need distinct positions
+                    continue
                 cands.add((min(combo), max(combo)))
         minimal = {
             (s, e) for (s, e) in cands
@@ -517,3 +523,101 @@ def test_filtered_end_to_end(searcher, golden):
     want.sort(key=lambda h: (-h[1], h[0]))
     assert [(h.doc_id, h.score) for h in hits] == want[:20]
     assert searcher.count(q) == len(want)
+
+
+# --- repeats + atLeast (RepeatingIntervalsSource / MinimumShouldMatch) ---
+
+
+def test_golden_ordered_with_duplicates():
+    # testOrderedNearWithDuplicates (:330-348)
+    got = _run(FIELD1_DOCS, Ordered(("pease", "pease", "porridge")))
+    assert got == _golden([
+        [], [0, 4, 3, 7], [0, 4, 3, 7], [], [0, 4, 3, 7], []])
+
+
+def test_golden_unordered_with_repeats():
+    # testUnorderedWithRepeats (:407-423)
+    got = _run(FIELD1_DOCS, Unordered(("pease", "pease", "hot")))
+    assert got == _golden([
+        [], [0, 3, 2, 6, 3, 17], [0, 5, 3, 6], [], [0, 3, 2, 6, 3, 17], []])
+
+
+def test_golden_unordered_repeats_maxgaps():
+    # testUnorderedWithRepeatsAndMaxGaps (:425-433)
+    got = _run(FIELD1_DOCS,
+               Unordered(("pease", "pease", "hot"), max_gaps=2))
+    assert got == _golden([
+        [], [0, 3, 2, 6], [3, 6], [], [0, 3, 2, 6], []])
+
+
+def test_golden_at_least():
+    # testMinimumShouldMatch (:772-815)
+    src = iv.AtLeast(3, ("porridge", "hot", "twelve", "nine", "pease"))
+    got = _run(FIELD1_DOCS, src)
+    assert got == _golden([
+        [],
+        [0, 2, 1, 3, 2, 4, 6, 11, 7, 17],
+        [3, 5, 4, 6, 5, 7, 6, 11, 7, 21],
+        [],
+        [0, 2, 1, 3, 2, 4, 6, 11, 7, 17, 11, 21],
+        [],
+    ])
+    assert iv.min_extent(src) == 3
+
+
+def _brute_atleast(docs, n, slots, max_gaps=None):
+    from itertools import combinations
+
+    per_slot = []
+    for s in slots:
+        names = s if isinstance(s, tuple) else (s,)
+        merged = {}
+        for t in names:
+            for d, ps in _positions(docs, t).items():
+                merged.setdefault(d, set()).update(ps)
+        per_slot.append(merged)
+    alldocs = sorted(set().union(*[set(m) for m in per_slot]))
+    out = {}
+    for d in alldocs:
+        cands = set()
+        present = [sorted(m[d]) for m in per_slot if d in m]
+        if len(present) < n:
+            continue
+        for chosen in combinations(range(len(present)), n):
+            for combo in product(*[present[i] for i in chosen]):
+                if len(set(combo)) != n:
+                    continue
+                cands.add((min(combo), max(combo)))
+        minimal = {(s, e) for (s, e) in cands
+                   if not any(s2 >= s and e2 <= e and (s2, e2) != (s, e)
+                              for (s2, e2) in cands)}
+        if max_gaps is not None:
+            minimal = {(s, e) for (s, e) in minimal
+                       if (e - s + 1) - n <= max_gaps}
+        if minimal:
+            out[d] = sorted(minimal)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_repeats_and_atleast(seed):
+    rng = np.random.default_rng(200 + seed)
+    vocab = ["a", "b", "c", "d"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(6, 30)))
+            for _ in range(10)]
+    for src in [Ordered(("a", "a", "b")),
+                Ordered(("a", "b", "a"), max_gaps=4),
+                Unordered(("a", "a", "b")),
+                Unordered(("b", "b", "a"), max_gaps=3)]:
+        assert _run(docs, src) == _brute_minimal(docs, src), src
+    for n, slots, mg in [(2, ("a", "b", "c"), None),
+                         (3, ("a", "b", "c", "d"), None),
+                         (2, (("a", "b"), "c", "d"), 2),
+                         (4, ("a", "b", "c", "zznothere", "d"), None)]:
+        got = _run(docs, iv.AtLeast(n, slots, max_gaps=mg))
+        assert got == _brute_atleast(docs, n, slots, mg), (n, slots, mg)
+
+
+def test_atleast_rejects_duplicate_subs():
+    with pytest.raises(ValueError):
+        _run(FIELD1_DOCS, iv.AtLeast(2, ("pease", "pease", "hot")))
