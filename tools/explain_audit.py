@@ -250,6 +250,23 @@ def main(sf_dir: str):
                      "applyInPandas fold, no join, no extra shuffle)",
                      capture(pay_s.payload_score_df("table", "max"))))
 
+    from lucene_spark.search import intervals as _iv
+
+    iv_q = _ast.IntervalQuery(
+        _iv.not_containing(_iv.Ordered((("table", "key"), "value"),
+                                       max_gaps=10), "query"))
+    sections.append(("interval query (filtered minimal-interval kernel) — "
+                     "expect ONE pushed-down postings scan In(term,…) and "
+                     "exactly one applyInPandas kernel, no join",
+                     capture(srch.interval_scored_df(iv_q))))
+
+    geo_s = e._geo_searcher(spark, sf_dir)
+    sections.append(("polygon geo query (PNPOLY crossing parity) — expect "
+                     "the whole predicate in ONE codegen Filter, no "
+                     "Python, no exchange before the projection",
+                     capture(geo_s.geo_polygon_df(e.GEO_POLY_LATS,
+                                                  e.GEO_POLY_LONS))))
+
     import re
 
     checks = []
@@ -371,6 +388,18 @@ def main(sf_dir: str):
                                   r"\(`?term`?,", sections[25][1]))
                    and sections[25][1].count("FlatMapGroupsInPandas") == 2
                    and "Join" not in sections[25][1]))
+
+    checks.append(("interval kernel: one pushed-down scan + one "
+                   "applyInPandas, no join",
+                   bool(re.search(r"PushedFilters: \[[^\]]*In\(`?term`?,",
+                                  sections[26][1]))
+                   and sections[26][1].count("FlatMapGroupsInPandas") == 2
+                   and "Join" not in sections[26][1]))
+    checks.append(("polygon predicate is pure codegen (no Python, no "
+                   "pre-projection exchange)",
+                   "Python" not in sections[27][1]
+                   and "pnpoly" not in sections[27][1].lower()
+                   and "Filter" in sections[27][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
