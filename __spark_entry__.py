@@ -2012,8 +2012,19 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # operator coverage with a per-doc-threshold oracle)
     "bool_nested_topk", "covering_topk", "bool_msm2_topk",
     "knn_topk", "span_near_topk", "span_unordered_count",
-    "span_first_count",
-    "facet_dl_ranges", "facet_taxonomy", "drill_sideways", "dedup_clusters",
+    # (rotation note 8 — late round-4: span_first_count → interval_ordered
+    # and drill_sideways → blended_dismax. The span kernel keeps two
+    # in-window representatives (span_near / span_unordered) and the
+    # end-bound param is brute-pytest-pinned; drill-sideways runs the same
+    # unioned-groupBy substrate as the in-window facet_dl_ranges +
+    # facet_taxonomy. The intervals module and BlendedTermQuery are
+    # brand-new operator machinery (minimal-interval kernel + stats
+    # blending) — each gets a driver row; the other five new gates
+    # (interval_unordered/filtered/atleast, field_exists, geo_polygon)
+    # queue for r5 rotation, each individually checked vs its DuckDB
+    # oracle at sf0.01 on landing)
+    "interval_ordered_topk", "blended_dismax_topk",
+    "facet_dl_ranges", "facet_taxonomy", "dedup_clusters",
     "dedup_incremental",
     # -- flagship re-confirmation (fills the window to 50)
     # (facet_sum_dl + group_count land past the window this round — oracle
