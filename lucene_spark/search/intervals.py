@@ -34,12 +34,17 @@ Reference semantics (all file:line cites are into ``/root/reference``):
   ``score = weight * (1.0f - pivot / (pivot + freq))`` in float32, pivot
   default 1 (``IntervalQuery.java:72``).
 
-Out of scope (documented v1 cuts): repeated sub-sources
-(``RepeatingIntervalsSource.java`` — a term may appear in only one slot),
-nested ordered/unordered sub-sources (Lucene itself flattens
-ordered-in-ordered, ``OrderedIntervalsSource.java:40-49``; heterogeneous
-nesting raises), and the containing/not-containing/overlapping interval
-filters (their span-query analogues exist in ``phrase.segment_span_near``).
+Also covered: repeated sub-sources (``RepeatingIntervalsSource.java``
+shapes inside ordered/unordered), ``Intervals.atLeast``
+(``MinimumShouldMatchIntervalsSource.java``), the relational filters
+(containing / containedBy / not-variants / overlapping / nonOverlapping),
+``Intervals.extend`` / ``within`` / ``notWithin`` / ``before`` / ``after``
+(``OffsetIntervalsSource.java``).
+
+Out of scope (documented cuts): heterogeneous NESTED ordered/unordered
+sub-sources (Lucene itself flattens ordered-in-ordered,
+``OrderedIntervalsSource.java:40-49``), ``Intervals.fixField`` (cross-field
+position spaces), and or-slot alternatives overlapping other slots.
 """
 
 from __future__ import annotations
@@ -124,6 +129,22 @@ class Extended:
     after: int
 
 
+@dataclass(frozen=True)
+class Offset:
+    """``OffsetIntervalsSource.java:50-84``: each reference interval maps to
+    a zero-width interval one position before its start (clamped at 0) or
+    one position after its end — the building block of ``Intervals.before``
+    / ``after``."""
+
+    source: object
+    before_side: bool
+
+
+# extend() bound standing in for Integer.MAX_VALUE (any value larger than a
+# document's position space works — positions are < 2^34)
+_MAX_EXTEND = int(_POS_M) - 1
+
+
 def containing(source, reference) -> Filtered:
     return Filtered("containing", source, reference)
 
@@ -158,6 +179,20 @@ def not_within(source, positions: int, reference) -> Filtered:
     return non_overlapping(source, Extended(reference, positions, positions))
 
 
+def before(source, reference) -> Filtered:
+    """``Intervals.before`` (``Intervals.java:491-494``): source intervals
+    appearing before a reference interval — containedBy the prefix ending
+    one position before the reference's start."""
+    return contained_by(source,
+                        Extended(Offset(reference, True), _MAX_EXTEND, 0))
+
+
+def after(source, reference) -> Filtered:
+    """``Intervals.after`` (``Intervals.java:497-501``)."""
+    return contained_by(source,
+                        Extended(Offset(reference, False), 0, _MAX_EXTEND))
+
+
 def _norm_slots(slots) -> list[Slot]:
     """Normalize slots. Plain-term slots may REPEAT (the reference's
     ``deduplicate`` → ``RepeatingIntervalsSource`` shapes: ordered chains
@@ -181,7 +216,7 @@ def source_slots(source) -> list[Slot]:
     the slots whose corpus absence makes the source unable to match.
     Filter references don't appear: a dead positive reference empties the
     result at evaluation, a dead negative one passes everything."""
-    if isinstance(source, (Filtered, Extended)):
+    if isinstance(source, (Filtered, Extended, Offset)):
         return source_slots(source.source)
     if isinstance(source, AtLeast):
         return []  # no slot is individually required (any n of m match)
@@ -195,7 +230,7 @@ def source_terms(source) -> list[str]:
     if isinstance(source, Filtered):
         return sorted(set(source_terms(source.source))
                       | set(source_terms(source.reference)))
-    if isinstance(source, Extended):
+    if isinstance(source, (Extended, Offset)):
         return source_terms(source.source)
     slots = (_norm_slots(source.slots) if isinstance(source, AtLeast)
              else source_slots(source))
@@ -213,6 +248,8 @@ def min_extent(source) -> int:
             source.after)
     if isinstance(source, AtLeast):
         return int(source.n)
+    if isinstance(source, Offset):
+        return 1  # zero-width single-position intervals
     return len(source_slots(source))
 
 
@@ -230,6 +267,9 @@ def prefix_terms(source, prefix: str):
     if isinstance(source, Extended):
         return Extended(prefix_terms(source.source, prefix),
                         source.before, source.after)
+    if isinstance(source, Offset):
+        return Offset(prefix_terms(source.source, prefix),
+                      source.before_side)
     if isinstance(source, AtLeast):
         return AtLeast(source.n, tuple(p_slot(s) for s in source.slots),
                        source.max_gaps)
@@ -388,6 +428,10 @@ def eval_intervals(source, keys_of):
         d, s, e = eval_intervals(source.source, keys_of)
         return d, np.maximum(s - int(source.before), 0), \
             e + int(source.after)
+    if isinstance(source, Offset):
+        d, s, e = eval_intervals(source.source, keys_of)
+        p = np.maximum(s - 1, 0) if source.before_side else e + 1
+        return d, p, p.copy()
     if isinstance(source, Filtered):
         d, s, e = eval_intervals(source.source, keys_of)
         if d.size == 0:

@@ -621,3 +621,12 @@ def test_randomized_repeats_and_atleast(seed):
 def test_atleast_rejects_duplicate_subs():
     with pytest.raises(ValueError):
         _run(FIELD1_DOCS, iv.AtLeast(2, ("pease", "pease", "hot")))
+
+
+def test_golden_before_after():
+    # testBefore (:911-915) / testAfter (:894-909)
+    got_b = _run(FIELD1_DOCS, iv.before("cold", "twelve"))
+    assert got_b == _golden([[], [], [2, 2], [], [5, 5], []])
+    got_a = _run(FIELD1_DOCS,
+                 iv.after("porridge", Ordered(("pease", "cold"))))
+    assert got_a == _golden([[], [7, 7], [4, 4, 7, 7], [], [7, 7], []])
