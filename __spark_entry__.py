@@ -976,6 +976,17 @@ def _q_blended_dismax(spark, sf_dir):
     return _hits_df(spark, s.blended_search(("table", "value"), k=40))
 
 
+def _q_fuzzy_blended(spark, sf_dir):
+    """FuzzyQuery under its DEFAULT TopTermsBlendedFreqScoringRewrite
+    (core/search/FuzzyQuery.java:56-61): vocabulary expansion at DL<=2 of
+    'part' (exact hit boost 1.0 + three ed=2 variants at 0.5/0.6), top-50
+    by (boost DESC, term ASC), blended MAX docFreq, SHOULD-boolean of
+    boosted term clauses — the oracle re-derives expansion, boosts, blend,
+    and clamp entirely in SQL."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.fuzzy_blended_search("part", k=40))
+
+
 def _q_interval_ordered(spark, sf_dir):
     """IntervalQuery (queries/intervals/IntervalQuery.java:72): ordered
     minimal intervals of (table|key) → value within maxgaps=8
@@ -2235,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freetext_suggest": _q_freetext_suggest,
         "sweet_spot_topk": _mk_sim_topk("sweet_spot", 40, ln_min=6,
                                         ln_max=40, tf_base=1.5, tf_min=2.0),
+        "fuzzy_blended_topk": _q_fuzzy_blended,
     })
 
 
@@ -2574,4 +2586,5 @@ LIMIT 25
         "freetext_suggest": oracle.freetext_suggest_sql(
             ["key", "query"], 10),
         "sweet_spot_topk": oracle.sweet_spot_topk_sql(_parse(Q_OR), 40),
+        "fuzzy_blended_topk": oracle.fuzzy_blended_topk_sql("part", 40),
     }

@@ -1463,6 +1463,68 @@ FROM agg ORDER BY sc DESC, did ASC LIMIT {k}
 """
 
 
+def fuzzy_blended_topk_sql(term: str, k: int, max_edits: int = 2,
+                           max_expansions: int = 50) -> str:
+    """FuzzyQuery default-rewrite oracle (``TopTermsBlendedFreqScoringRewrite``,
+    ``core/search/FuzzyQuery.java:56-61`` + ``MultiTermQuery.java:197-236``):
+    the SQL itself (1) expands vocabulary terms within OSA Damerau-Levenshtein
+    ``max_edits`` of the query term, (2) boosts each ``ed == 0 → 1.0f`` else
+    ``1f − ed/min(len)`` in float32 (``FuzzyTermsEnum.java:236-256``),
+    (3) keeps the top ``max_expansions`` by (boost DESC, term ASC)
+    (``TopTermsRewrite.java:118-121``), (4) blends df = MAX over the kept
+    terms (``BlendedTermQuery.java:281-286``; the blended ttf is invisible to
+    BM25), clamps negative boosts to 0 (``TopTermsRewrite.java:168-171``),
+    and (5) sums the boosted clause scores per doc in DOUBLE → FLOAT like
+    every boolean gate (exact: f32 addends in a 53-bit accumulator)."""
+    qlen = len(term)
+    return f"""
+WITH {BASE_CTES},
+fz AS (
+  SELECT term, df,
+         CASE WHEN term = '{term}' THEN CAST(1 AS FLOAT)
+              ELSE CAST(1 AS FLOAT)
+                   - CAST(damerau_levenshtein(term, '{term}') AS FLOAT)
+                     / CAST(least(length(term), {qlen}) AS FLOAT) END AS boost
+  FROM tstats
+  WHERE damerau_levenshtein(term, '{term}') <= {max_edits}
+),
+kept AS (
+  SELECT term, df, boost FROM fz
+  ORDER BY boost DESC, term ASC LIMIT {max_expansions}
+),
+blend AS (SELECT max(df) AS bdf FROM kept),
+weights AS (
+  SELECT term,
+         -- greatest() promotes FLOAT→DOUBLE in DuckDB; one rounding of the
+         -- exact product == the engine's f32*f32, so a single outer cast
+         -- restores the float32 weight contract
+         CAST(greatest(boost, CAST(0 AS FLOAT))
+              * CAST(ln(1 + ((SELECT n FROM fstats) - (SELECT bdf FROM blend) + 0.5)
+                          / ((SELECT bdf FROM blend) + 0.5)) AS FLOAT)
+              AS FLOAT) AS w
+  FROM kept
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
 def group_top1_sql(query, group_col: str = "source") -> str:
     """Top-1 doc per group by BM25 score (GroupingSearch analogy) — the
     n=1 projection of :func:`group_topn_sql` (no rn column, the original

@@ -1832,6 +1832,71 @@ class IndexSearcher:
         finally:
             self.reader.term_stats_override = saved
 
+    def fuzzy_blended_search(self, term: str, k: int = 10,
+                             field: str = "text", max_edits: int = 2,
+                             prefix_length: int = 0,
+                             max_expansions: int = 50):
+        """FuzzyQuery under its DEFAULT rewrite —
+        ``TopTermsBlendedFreqScoringRewrite`` (``core/search/FuzzyQuery.java:56-61``
+        ``defaultMaxExpansions = 50`` → ``defaultRewriteMethod``), the path a
+        plain ``new FuzzyQuery(term)`` search takes in the reference (unlike
+        our constant-score ``MultiTermQuery("fuzzy", …)`` which models the
+        explicit CONSTANT_SCORE rewrite):
+
+        1. Enumerate dictionary terms within Damerau-Levenshtein (optimal
+           string alignment) ``max_edits`` of the query term; each carries a
+           similarity boost ``ed == 0 → 1.0f`` else
+           ``1.0f − ed / min(|term|, |query|)`` in float32
+           (``FuzzyTermsEnum.java:236-256``).
+        2. Keep the top ``min(max_expansions, 1024)`` by (boost DESC, term
+           bytes ASC) — the ``TopTermsRewrite`` priority queue
+           (``TopTermsRewrite.java:118-121``, ``ScoreTerm.compareTo:209-211``;
+           max size capped by ``IndexSearcher.getMaxClauseCount()``,
+           ``MultiTermQuery.java:210-213``). Negative boosts rank in the
+           queue untruncated but clamp to 0 at query build
+           (``TopTermsRewrite.java:168-171``).
+        3. Blend index stats across the kept terms — every clause scores
+           with df = MAX docFreq, ttf = Σ ttf (``BlendedTermQuery.java:281-291``)
+           — then combine as a SHOULD-only BooleanQuery of boosted
+           TermQueries (``BlendedTermQuery.BOOLEAN_REWRITE`` :137-147, boost
+           wrap :296-299), executed by the standard WAND kernel.
+        """
+        from lucene_spark.search import multiterm as mt
+
+        cand = mt.expand_terms(
+            self.reader,
+            ast.MultiTermQuery("fuzzy", term, max_edits=max_edits,
+                               field=field))
+        pre = term[:prefix_length]
+        qlen = len(term)
+        scored = []
+        for t in cand:
+            if prefix_length and not t.startswith(pre):
+                continue
+            ed = 0 if t == term else mt.damerau_levenshtein(t, term)
+            boost = (np.float32(1.0) if ed == 0 else
+                     np.float32(1.0)
+                     - np.float32(ed) / np.float32(min(len(t), qlen)))
+            scored.append((float(boost), t))
+        # PQ order: boost DESC, smaller term bytes win ties
+        scored.sort(key=lambda bt: (-bt[0], bt[1]))
+        kept = scored[:min(int(max_expansions), 1024)]
+        if not kept:
+            return []
+        stats = self.reader.term_stats([t for _, t in kept], field=field)
+        bdf = max(stats[t]["df"] for _, t in kept)
+        bttf = sum(stats[t]["ttf"] for _, t in kept)
+        ov = {t: {**stats[t], "df": bdf, "ttf": bttf} for _, t in kept}
+        saved = self.reader.term_stats_override
+        self.reader.term_stats_override = {field: ov}
+        try:
+            q = ast.BooleanQuery(tuple(
+                (ast.SHOULD, ast.TermQuery(t, field, boost=max(0.0, b)))
+                for b, t in kept))
+            return self.search(q, k)
+        finally:
+            self.reader.term_stats_override = saved
+
     def geo_polygon_df(self, lats, lons, query=None):
         """``LatLonPoint.newPolygonQuery`` analogue (``core/document/
         LatLonPoint.java`` newPolygonQuery → ``core/geo/Polygon2D.java``

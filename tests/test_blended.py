@@ -106,3 +106,92 @@ def test_blended_boolean_rewrite(searcher):
 def test_blended_rejects_unknown_rewrite(searcher):
     with pytest.raises(ValueError):
         searcher.blended_search((VOCAB[0],), rewrite="nope")
+
+
+# ---------------------------------------------------------------------------
+# FuzzyQuery default rewrite — TopTermsBlendedFreqScoringRewrite
+# (core/search/FuzzyQuery.java:56-61, MultiTermQuery.java:197-236,
+#  FuzzyTermsEnum.java:236-256, TopTermsRewrite.java:118-121,168-171)
+# ---------------------------------------------------------------------------
+
+def _manual_fuzzy_blended(searcher, term, k, max_edits=2, max_expansions=50):
+    """Reproduce the documented rewrite with explicit steps: expansion,
+    float32 similarity boosts, (boost DESC, term ASC) top-N selection,
+    blended MAX-df/Σ-ttf override, clamp-negative-to-zero SHOULD boolean."""
+    from lucene_spark.search import multiterm as mt
+
+    cand = mt.expand_terms(
+        searcher.reader,
+        ast.MultiTermQuery("fuzzy", term, max_edits=max_edits))
+    scored = []
+    for t in cand:
+        ed = 0 if t == term else mt.damerau_levenshtein(t, term)
+        boost = (np.float32(1.0) if ed == 0 else
+                 np.float32(1.0)
+                 - np.float32(ed) / np.float32(min(len(t), len(term))))
+        scored.append((float(boost), t))
+    scored.sort(key=lambda bt: (-bt[0], bt[1]))
+    kept = scored[:max_expansions]
+    if not kept:
+        return []
+    stats = searcher.reader.term_stats([t for _, t in kept])
+    bdf = max(stats[t]["df"] for _, t in kept)
+    bttf = sum(stats[t]["ttf"] for _, t in kept)
+    saved = searcher.reader.term_stats_override
+    searcher.reader.term_stats_override = {
+        "text": {t: {**stats[t], "df": bdf, "ttf": bttf} for _, t in kept}}
+    try:
+        return [(h.doc_id, h.score) for h in searcher.search(
+            ast.BooleanQuery(tuple(
+                (ast.SHOULD, ast.TermQuery(t, boost=max(0.0, b)))
+                for b, t in kept)), k=k)]
+    finally:
+        searcher.reader.term_stats_override = saved
+
+
+def test_fuzzy_blended_matches_manual_rewrite(searcher):
+    """End-to-end equals the explicit expansion+blend+boolean construction
+    (the vocab has 62 DL<=2 neighbours of 'qeso', so the default
+    max_expansions=50 queue truncation is exercised)."""
+    got = [(h.doc_id, h.score)
+           for h in searcher.fuzzy_blended_search("qeso", k=30)]
+    want = _manual_fuzzy_blended(searcher, "qeso", 30)
+    assert len(got) == 30
+    assert got == want
+    # the stats override must not leak past the call
+    assert searcher.reader.term_stats_override is None
+
+
+def test_fuzzy_blended_truncates_to_max_expansions(searcher):
+    """A small max_expansions keeps only the top (boost DESC, term ASC)
+    terms — results must differ from the full expansion and equal the
+    manual selection at the same cap."""
+    full = [(h.doc_id, h.score)
+            for h in searcher.fuzzy_blended_search("qeso", k=30)]
+    capped = [(h.doc_id, h.score)
+              for h in searcher.fuzzy_blended_search("qeso", k=30,
+                                                     max_expansions=3)]
+    assert capped == _manual_fuzzy_blended(searcher, "qeso", 30,
+                                           max_expansions=3)
+    assert capped != full
+
+
+def test_fuzzy_blended_exact_match_gets_unit_boost(searcher):
+    """Querying an existing vocabulary term: the ed == 0 candidate carries
+    boost 1.0 (FuzzyTermsEnum.java:248-249) and the top hit scores at least
+    the plain blended-df term score of that term."""
+    from lucene_spark.search import multiterm as mt
+
+    # pick a term that actually occurs in the test corpus
+    term = sorted(mt.expand_terms(
+        searcher.reader, ast.MultiTermQuery("fuzzy", "qeso")))[0]
+    stats = searcher.reader.term_stats([term])
+    assert stats[term]["df"] > 0, "probe must be a corpus term"
+    hits = searcher.fuzzy_blended_search(term, k=5)
+    assert hits and hits[0].score > 0.0
+    manual = _manual_fuzzy_blended(searcher, term, 5)
+    assert [(h.doc_id, h.score) for h in hits] == manual
+
+
+def test_fuzzy_blended_no_candidates_is_empty(searcher):
+    assert searcher.fuzzy_blended_search("zzzzzzzzzzzz", k=5) == []
