@@ -987,6 +987,15 @@ def _q_fuzzy_blended(spark, sf_dir):
     return _hits_df(spark, s.fuzzy_blended_search("part", k=40))
 
 
+def _q_mt_prefix_scored(spark, sf_dir):
+    """MultiTermQuery SCORING_BOOLEAN_REWRITE (core/search/ScoringRewrite.java:44-79):
+    prefix 's' expands to 6 vocabulary terms, each scored as its own BM25
+    SHOULD clause with its true df (vs the constant-score mt_prefix gate)."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.multiterm_scored_search(
+        ast.MultiTermQuery("prefix", "s"), k=40))
+
+
 def _q_interval_ordered(spark, sf_dir):
     """IntervalQuery (queries/intervals/IntervalQuery.java:72): ordered
     minimal intervals of (table|key) → value within maxgaps=8
@@ -2247,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweet_spot_topk": _mk_sim_topk("sweet_spot", 40, ln_min=6,
                                         ln_max=40, tf_base=1.5, tf_min=2.0),
         "fuzzy_blended_topk": _q_fuzzy_blended,
+        "mt_prefix_scored_topk": _q_mt_prefix_scored,
     })
 
 
@@ -2587,4 +2597,6 @@ LIMIT 25
             ["key", "query"], 10),
         "sweet_spot_topk": oracle.sweet_spot_topk_sql(_parse(Q_OR), 40),
         "fuzzy_blended_topk": oracle.fuzzy_blended_topk_sql("part", 40),
+        "mt_prefix_scored_topk": oracle.multiterm_scored_topk_sql(
+            "term LIKE 's%'", 40),
     }

@@ -1525,6 +1525,43 @@ FROM summed ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def multiterm_scored_topk_sql(term_cond: str, k: int) -> str:
+    """``MultiTermQuery.SCORING_BOOLEAN_REWRITE`` oracle
+    (``core/search/ScoringRewrite.java:44-79``): the SQL derives the
+    expansion itself (``term_cond`` is a predicate over the vocabulary,
+    e.g. ``term LIKE 's%'``) and scores each matched term as an independent
+    SHOULD BM25 clause with its OWN df — per-doc clause scores summed in
+    DOUBLE → FLOAT (order-exact for f32 addends)."""
+    return f"""
+WITH {BASE_CTES},
+qterms AS (SELECT term, df FROM tstats WHERE {term_cond}),
+weights AS (
+  SELECT term,
+         CAST(ln(1 + ((SELECT n FROM fstats) - df + 0.5)
+                     / (df + 0.5)) AS FLOAT) AS w
+  FROM qterms
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
 def group_top1_sql(query, group_col: str = "source") -> str:
     """Top-1 doc per group by BM25 score (GroupingSearch analogy) — the
     n=1 projection of :func:`group_topn_sql` (no rn column, the original

@@ -1897,6 +1897,36 @@ class IndexSearcher:
         finally:
             self.reader.term_stats_override = saved
 
+    def multiterm_scored_search(self, q: "ast.MultiTermQuery", k: int = 10,
+                                max_clause_count: int = 1024):
+        """``MultiTermQuery.SCORING_BOOLEAN_REWRITE``
+        (``core/search/ScoringRewrite.java:44-79``): expand the multi-term
+        query against the term dictionary and score each matched term as its
+        OWN SHOULD TermQuery — true per-term df/idf, no blending, no
+        constant score. Exceeding ``IndexSearcher.getMaxClauseCount()``
+        (1024, ``core/search/IndexSearcher.java:81``) raises
+        ``TooManyClauses`` exactly like ``checkMaxClauseCount`` (:75-79) —
+        never silently truncates; ``max_clause_count`` mirrors
+        ``IndexSearcher.setMaxClauseCount``. Terms enumerate in dictionary order
+        (``TermCollectingRewrite``); the per-doc sum is order-exact (f32
+        addends in a double accumulator).
+
+        Documented divergence: a non-unit ``q.boost`` is applied per clause
+        (weight = f32(boost·idf)) rather than as the reference's outer
+        BoostQuery wrap (f32(boost·f32(Σ))) — identical at boost == 1, at
+        most one rounding apart otherwise.
+        """
+        from lucene_spark.search import multiterm as mt
+
+        terms = mt.expand_terms_hybrid(self.reader, q,
+                                       max_terms=int(max_clause_count))
+        if not terms:
+            return []
+        bq = ast.BooleanQuery(tuple(
+            (ast.SHOULD, ast.TermQuery(t, q.field, boost=q.boost))
+            for t in sorted(terms)))
+        return self.search(bq, k)
+
     def geo_polygon_df(self, lats, lons, query=None):
         """``LatLonPoint.newPolygonQuery`` analogue (``core/document/
         LatLonPoint.java`` newPolygonQuery → ``core/geo/Polygon2D.java``
