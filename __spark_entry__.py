@@ -869,6 +869,38 @@ def _q_unicode_ext_topk(spark, sf_dir):
         "tàblé valué", k=50, mode="wand"))
 
 
+# 3-byte Extend/Format chars (WB4 ExtFmtZwj): a voicing mark INSIDE a
+# katakana run, a voiced hiragana single, and a ZWNJ inside a latin word
+VM_REPL = ((r"\btable\b", "\u30c6\u30fc\u30d6\u3099\u30eb"),
+           (r"\brow\b", "\u304e\u3099"),
+           (r"\bscan\b", "sc\u200can"))
+VM_TERMS = [r for _, r in VM_REPL]
+
+
+def _q_unicode_voicing_topk(spark, sf_dir):
+    """Kana-voicing-mark + ZWNJ tokenizer gate (UAX#29 WB4 ExtFmtZwj,
+    StandardTokenizerImpl.jflex:85-95): inject U+3099 marks inside a
+    katakana run and after a hiragana single, and a ZWNJ inside a latin
+    word; the marks absorb LEFT and stay in the term bytes. Oracle: the
+    same corpus derivation tokenized with the mark-aware Unicode regex."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_univm/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in VM_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(" ".join(VM_TERMS), k=50, mode="wand"))
+
+
 MSEARCH_QS = (Q_HOT, Q_OR, Q_BOOL, Q_BOOST)
 
 
@@ -2257,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         ln_max=40, tf_base=1.5, tf_min=2.0),
         "fuzzy_blended_topk": _q_fuzzy_blended,
         "mt_prefix_scored_topk": _q_mt_prefix_scored,
+        "unicode_voicing_topk": _q_unicode_voicing_topk,
     })
 
 
@@ -2599,4 +2632,8 @@ LIMIT 25
         "fuzzy_blended_topk": oracle.fuzzy_blended_topk_sql("part", 40),
         "mt_prefix_scored_topk": oracle.multiterm_scored_topk_sql(
             "term LIKE 's%'", 40),
+        "unicode_voicing_topk": oracle.unicode_topk_sql(
+            VM_TERMS, 50, list(VM_REPL),
+            token_re=oracle.UNICODE_VM_TOKEN_RE,
+        ),
     }

@@ -79,21 +79,26 @@ for _cp in range(0x400, 0x410):
     _GC_LOWER[_cp] = _cp + 0x50
 for _cp in range(0x410, 0x430):
     _GC_LOWER[_cp] = _cp + 0x20
-# UAX#29 WB4 Extend absorption, Combining Diacritical Marks block only
-# (U+0300–U+036F): every word character may be followed by combining marks,
-# which stay in the token (jflex ``ALetterEx = {ALetter} {Extend}*`` etc.,
-# ``StandardTokenizerImpl.jflex``). Marks after a separator/joiner attach to
-# it and are dropped with it. Other Extend-class chars (kana voicing
-# U+3099/309A, ZWJ, …) remain documented out (SURVEY §7.3).
-_EXT = "̀-ͯ"
+# UAX#29 WB4 Extend absorption (jflex ``ExtFmtZwj`` macros,
+# ``StandardTokenizerImpl.jflex:85-95`` — ``X (Extend|Format|ZWJ)* → X``):
+# word characters absorb the Combining Diacritical Marks block
+# (U+0300–U+036F) plus the 3-byte Extend/Format chars — kana voicing marks
+# U+3099/309A, ZWNJ U+200C, ZWJ U+200D; CJK chars absorb the 3-byte set
+# (``HanEx``/``HiraganaEx``/``KatakanaEx``/``HangulEx``). Absorbed marks
+# stay in the token; marks after a separator/joiner attach to it and drop.
+# Other Extend-class chars (halfwidth voicing U+FF9E/FF9F, presentation
+# selectors, marks-after-CJK from the U+0300 block) remain documented out
+# (SURVEY §7.3).
+_EXT = "\u0300-\u036f\u3099\u309a\u200c\u200d"
+_EXT3 = "\u3099\u309a\u200c\u200d"
 _STANDARD_RE = re.compile(
     f"(?:[{_WORD_CLS}][{_EXT}]*)+"
     f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
     f"|(?<=[0-9]),(?=[0-9]))(?:[{_WORD_CLS}][{_EXT}]*)+)*"
-    "|[가-힣]+"          # Hangul syllable runs
-    "|[ァ-ヺー-ヾ]+"      # Katakana runs (incl. prolonged-sound/iteration)
-    "|[一-鿿]"           # Han: one ideograph per token
-    "|[ぁ-ゖゝ-ゟ]"       # Hiragana: one character per token
+    f"|(?:[가-힣][{_EXT3}]*)+"    # Hangul syllable runs (HangulEx+)
+    f"|(?:[ァ-ヺー-ヾ][{_EXT3}]*)+"  # Katakana runs (KatakanaEx+)
+    f"|[一-鿿][{_EXT3}]*"         # Han: one ideograph per token (HanEx)
+    f"|[ぁ-ゖゝ-ゟ][{_EXT3}]*"     # Hiragana: one char per token (HiraganaEx)
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
 _HAS_ALNUM_RE = re.compile(
@@ -215,6 +220,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     # hot path (this VM refaults freed pages at ~67µs/page).
     lat_lead = lat_cont = None
     extra_s = extra_e = None  # non-base 3-byte-script token spans
+    ext3b = None  # lead-byte mask of 3-byte Extend/Format chars (WB4)
     has_non_ascii = bool((buf >= 0x80).any())
     if joiners and B > 2 and has_non_ascii:
         c3 = _SCR.get("u_c3", B, bool)
@@ -290,7 +296,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                 lat_lead[gli] = True
                 lat_cont[gli + 1] = True
         e_lead = _SCR.get("u_el", B, bool)
-        np.greater_equal(buf, 0xE3, out=e_lead)
+        np.greater_equal(buf, 0xE2, out=e_lead)
         np.less_equal(buf, 0xED, out=t1)
         np.logical_and(e_lead, t1, out=e_lead)
         if e_lead.any():
@@ -308,17 +314,60 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             kata = valid & (((cp >= 0x30A1) & (cp <= 0x30FA))
                             | ((cp >= 0x30FC) & (cp <= 0x30FE)))
             hang = valid & (cp >= 0xAC00) & (cp <= 0xD7A3)
+            # 3-byte Extend/Format chars (UAX#29 WB4 `X (Extend|Format|ZWJ)*
+            # → X`, jflex ExtFmtZwj macros :85-95): kana voicing marks
+            # U+3099/309A + ZWNJ U+200C / ZWJ U+200D. They glue LEFT — into
+            # the preceding Han/Hiragana single, the enclosing Katakana/
+            # Hangul run, or (below, via the mark-inheritance machinery) the
+            # preceding word run. Orphans (after a separator) drop.
+            vm = valid & ((cp == 0x3099) | (cp == 0x309A)
+                          | (cp == 0x200C) | (cp == 0x200D))
+            if vm.any():
+                ext3b = _SCR.get("u_e3b", B, bool)
+                ext3b[:] = False
+                ext3b[li[vm]] = True
             parts_s, parts_e = [], []
             if singles.any():
                 ss = li[singles]
+                ee = ss + 3
+                if ext3b is not None:
+                    # absorb trailing mark chains (HanEx / HiraganaEx)
+                    while True:
+                        m2 = (ee <= B - 3)
+                        m2[m2] = ext3b[ee[m2]]
+                        if not m2.any():
+                            break
+                        ee[m2] += 3
                 parts_s.append(ss)
-                parts_e.append(ss + 3)
+                parts_e.append(ee)
             for m in (kata, hang):
-                if m.any():
+                if not m.any():
+                    continue
+                if ext3b is None:
                     cs_ = li[m]
                     brk = np.flatnonzero(np.diff(cs_) != 3)
                     parts_s.append(cs_[np.concatenate([[0], brk + 1])])
                     parts_e.append(np.concatenate([cs_[brk], cs_[-1:]]) + 3)
+                    continue
+                # runs with absorbed marks: (Kata Ext*)+ — group contiguous
+                # (member|mark) chars, then trim LEADING marks (they belong
+                # to whatever precedes, or drop); mark-only groups vanish
+                sel = m | vm
+                cs_ = li[sel]
+                base = m[sel]
+                brk = np.flatnonzero(np.diff(cs_) != 3)
+                gs = np.concatenate([[0], brk + 1])
+                ge = np.concatenate([brk, [cs_.size - 1]])
+                bidx = np.flatnonzero(base)
+                if bidx.size == 0:
+                    continue
+                fi = np.searchsorted(bidx, gs)
+                ok = fi < bidx.size
+                ok[ok] = bidx[fi[ok]] <= ge[ok]
+                if not ok.any():
+                    continue
+                parts_s.append(cs_[bidx[fi[ok]]])
+                parts_e.append(cs_[ge[ok]] + 3)
             if parts_s:
                 extra_s = np.concatenate(parts_s)
                 extra_e = np.concatenate(parts_e)
@@ -336,6 +385,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
     # pooled; batches without CC/CD lead bytes pay two equality scans only.
     ext_sel = ext_prev = None
     if joiners and has_non_ascii and B > 1:
+        lead = None
         np.equal(buf, 0xCC, out=t1)
         np.equal(buf, 0xCD, out=t2)
         np.logical_or(t1, t2, out=t2)
@@ -351,18 +401,30 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             np.logical_and(t1, nxt >= 0x80, out=t1)
             np.logical_and(t1, nxt <= 0xAF, out=t1)
             np.logical_or(lead, t1, out=lead)
-            if lead.any():
-                extb = _SCR.get("u_exb", B, bool)
+            if not lead.any():
+                lead = None
+        if lead is not None or ext3b is not None:
+            # mark-byte mask: both bytes of each 2-byte combining mark +
+            # all three bytes of each 3-byte Extend/Format char (kana
+            # voicing / ZWNJ / ZWJ) — one shared inheritance pass
+            extb = _SCR.get("u_exb", B, bool)
+            if lead is not None:
                 np.copyto(extb, lead)
                 np.logical_or(extb[1:], lead[:-1], out=extb[1:])
-                prev = _SCR.get("u_exp", B, np.int64)
-                prev[:] = np.arange(B, dtype=np.int64)
-                prev[extb] = -1
-                np.maximum.accumulate(prev, out=prev)
-                ext_sel = _SCR.get("u_exs", B, bool)
-                np.copyto(ext_sel, extb)
-                np.logical_and(ext_sel, prev >= 0, out=ext_sel)
-                ext_prev = prev
+            else:
+                extb[:] = False
+            if ext3b is not None:
+                np.logical_or(extb, ext3b, out=extb)
+                np.logical_or(extb[1:], ext3b[:-1], out=extb[1:])
+                np.logical_or(extb[2:], ext3b[:-2], out=extb[2:])
+            prev = _SCR.get("u_exp", B, np.int64)
+            prev[:] = np.arange(B, dtype=np.int64)
+            prev[extb] = -1
+            np.maximum.accumulate(prev, out=prev)
+            ext_sel = _SCR.get("u_exs", B, bool)
+            np.copyto(ext_sel, extb)
+            np.logical_and(ext_sel, prev >= 0, out=ext_sel)
+            ext_prev = prev
 
     if joiners:
         tok = _SCR.get("tok", B, bool)

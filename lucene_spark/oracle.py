@@ -361,6 +361,16 @@ UNICODE_KANA_TOKEN_RE = (
 # lower()ed before vocabulary injection
 UNICODE_GC_TOKEN_RE = (
     "[a-z0-9à-öø-ÿά-ώа-џ]+|[가-힣]+|[ァ-ヺー-ヾ]+|[一-鿿]|[ぁ-ゖゝ-ゟ]")
+# Extend/Format step-up (UAX#29 WB4 ExtFmtZwj, jflex :85-95): kana voicing
+# marks U+3099/309A + ZWNJ/ZWJ absorb into the preceding word char, kana/
+# hangul run member, or han/hiragana single and stay in the token
+_VM = "゙゚‌‍"
+UNICODE_VM_TOKEN_RE = (
+    f"(?:[a-z0-9à-öø-ÿ][{_VM}]*)+"
+    f"|(?:[가-힣][{_VM}]*)+"
+    f"|(?:[ァ-ヺー-ヾ][{_VM}]*)+"
+    f"|[一-鿿][{_VM}]*"
+    f"|[ぁ-ゖゝ-ゟ][{_VM}]*")
 
 
 def unicode_topk_sql(terms, k: int, replacements,

@@ -105,6 +105,22 @@ def test_unicode_tokenizer_parity():
         "do\u0300'nt x\u0300'y",     # NFD mark + apostrophe joins
         "e\u0300.\u0301x",           # mark AFTER '.' breaks the join
         "a\u0300:b 1\u0300,2",       # mark before ':'/',' breaks
+        # 3-byte Extend/Format absorption (WB4 ExtFmtZwj): kana voicing
+        # marks U+3099/309A + ZWNJ U+200C / ZWJ U+200D glue LEFT into
+        # hiragana/han singles, katakana/hangul runs, and word runs
+        "\u304e\u3099 \u30d0\u30ea\u30e5\u30fc ta\u200cble \u5024\u3099 x",
+        "\u3073\u3099\u3089",       # mark glues to the FIRST hiragana single
+        "\u30ab\u30bf\u3099\u30ab\u30ca",  # voicing mark inside a katakana run
+        " \u3099orphan",              # orphan mark after a separator drops
+        "a\u200d b\u200cc",          # ZWJ at word end, ZWNJ mid-word
+        "\u5024\u3099\u6f22",       # han single + mark, then han
+        "\ud55c\uad74\u3099runs \ud55c\u200c\uae00",  # hangul + marks
+        "\u3073\u30a2 \u30a2\u3070",  # hira|kata adjacency around marks
+        "x\u3099y 1\u200c,2 a\u3099:b",  # absorb vs ':'/',' break
+        "ca\u200cfe.com",             # ZWNJ + '.' join still works
+        "\u3099\u3099\u3099",       # mark-only text → nothing
+        "\u30a2\u3099\u3099\u3099\u3070\u3099\u3099",  # mark chains
+        "caf\u00e8\u3099x",          # mixed 2-byte + 3-byte mark chain
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))
