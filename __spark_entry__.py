@@ -1019,6 +1019,32 @@ def _q_fuzzy_blended(spark, sf_dir):
     return _hits_df(spark, s.fuzzy_blended_search("part", k=40))
 
 
+SHINGLE_TERMS = ["table hash", "merge group"]
+
+
+def _q_shingle_topk(spark, sf_dir):
+    """ShingleAnalyzer gate (analysis/common/.../shingle/ShingleFilter.java,
+    min=max=2, no unigrams): index the corpus as space-joined word bigrams,
+    BM25 top-k over two hot bigram terms. Oracle: the SQL derives the
+    shingled index itself via position self-joins."""
+    import shutil as _sh  # noqa: F401  (parity with sibling gates)
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_shingle/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="shingle", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    q = ast.BooleanQuery(tuple(
+        (ast.SHOULD, ast.TermQuery(term)) for term in SHINGLE_TERMS))
+    return _hits_df(spark, s.search(q, k=40, mode="wand"))
+
+
 def _q_mt_prefix_scored(spark, sf_dir):
     """MultiTermQuery SCORING_BOOLEAN_REWRITE (core/search/ScoringRewrite.java:44-79):
     prefix 's' expands to 6 vocabulary terms, each scored as its own BM25
@@ -2290,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_blended_topk": _q_fuzzy_blended,
         "mt_prefix_scored_topk": _q_mt_prefix_scored,
         "unicode_voicing_topk": _q_unicode_voicing_topk,
+        "shingle_topk": _q_shingle_topk,
     })
 
 
@@ -2636,4 +2663,5 @@ LIMIT 25
             VM_TERMS, 50, list(VM_REPL),
             token_re=oracle.UNICODE_VM_TOKEN_RE,
         ),
+        "shingle_topk": oracle.shingle_topk_sql(SHINGLE_TERMS, 40),
     }

@@ -661,6 +661,49 @@ class SimpleAnalyzer:
         return uniq[codes] if codes.size else np.array([], dtype=object), lens
 
 
+@dataclass(frozen=True)
+class ShingleAnalyzer:
+    """Word n-grams over the StandardAnalyzer stream — the
+    ``ShingleAnalyzerWrapper(delegate, N, N, " ", outputUnigrams=false,
+    outputUnigramsIfNoShingles=false, fillerToken=null)`` configuration
+    (``analysis/common/src/java/org/apache/lucene/analysis/shingle/
+    ShingleAnalyzerWrapper.java:36-70`` over ``ShingleFilter.java``): every
+    emitted token is one space-joined shingle of exactly ``shingle_size``
+    consecutive words, each at position increment 1 — a flat token stream,
+    so the norm/position accounting matches the builder protocol with no
+    overlap discounting needed. v1 contract (documented): min == max
+    shingle size (Lucene's mixed-size output interleaves posIncr-0 tokens),
+    unigrams off, and an empty stop set upstream → no "_" filler tokens
+    (``ShingleFilter.java`` FILLER_TOKEN is stop-hole-only)."""
+
+    shingle_size: int = 2
+
+    name = "shingle"
+
+    def _delegate(self):
+        return StandardAnalyzer()
+
+    def tokenize_text(self, text: str) -> list[str]:
+        toks = self._delegate().tokenize_text(text)
+        k = self.shingle_size
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        k = self.shingle_size
+        return self._delegate().tokenize_series(texts).map(
+            lambda ts: [" ".join(ts[i:i + k])
+                        for i in range(len(ts) - k + 1)])
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
 def get_analyzer(name: str):
     if name == "standard":
         return StandardAnalyzer()
@@ -682,6 +725,10 @@ def get_analyzer(name: str):
         return FoldingAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
+    if name == "shingle":
+        return ShingleAnalyzer()
+    if name.startswith("shingle"):  # "shingle3", "shingle4", …
+        return ShingleAnalyzer(shingle_size=int(name[len("shingle"):]))
     raise ValueError(f"unknown analyzer: {name}")
 
 

@@ -1535,6 +1535,74 @@ FROM summed ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def shingle_topk_sql(terms, k: int, size: int = 2) -> str:
+    """ShingleAnalyzer oracle (``analysis/common/.../shingle/ShingleFilter.java``
+    under the engine's min==max / no-unigrams contract): the SQL derives the
+    shingled index ITSELF — space-joined ``size``-grams via self-joins on
+    token positions, dl = max(n_tokens − size + 1, 0) — then scores the query
+    shingles with the standard float32 BM25 chain."""
+    joins = "".join(
+        f"\n  JOIN toksp t{i} ON t{i}.did = t0.did AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, size))
+    gram = " || ' ' || ".join(f"t{i}.term" for i in range(size))
+    qvals = ",".join(f"({i}, '{t}', CAST(1.0 AS FLOAT))"
+                     for i, t in enumerate(terms))
+    return f"""
+WITH docs0 AS (
+  SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
+         lower(coalesce(text, '')) AS t
+  FROM documents
+),{_TOKSP_CTE},
+sh AS (
+  SELECT t0.did, {gram} AS term
+  FROM toksp t0{joins}
+),
+tf AS (SELECT did, term, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2),
+dls AS (
+  SELECT did,
+         greatest(len(regexp_extract_all(t, '[a-z0-9]+')) - {size - 1},
+                  0)::BIGINT AS dl
+  FROM docs0
+),
+normmap(lo, hi) AS (VALUES {norm_map_values()}),
+dlen AS (
+  SELECT d.did, d.dl, m.lo AS dlen
+  FROM dls d JOIN normmap m ON d.dl BETWEEN m.lo AND m.hi
+),
+fstats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_ttf,
+         CAST(sum(dl) / count(*)::DOUBLE AS FLOAT) AS avgdl
+  FROM dls
+),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qterms(cid, term, boost) AS (VALUES {qvals}),
+weights AS (
+  SELECT q.cid, q.term,
+         q.boost * CAST(ln(1 + ((SELECT n FROM fstats) - ts.df + 0.5)
+                              / (ts.df + 0.5)) AS FLOAT) AS w
+  FROM qterms q JOIN tstats ts ON ts.term = q.term
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed ORDER BY score DESC, did ASC LIMIT {k}
+"""
+
+
 def multiterm_scored_topk_sql(term_cond: str, k: int) -> str:
     """``MultiTermQuery.SCORING_BOOLEAN_REWRITE`` oracle
     (``core/search/ScoringRewrite.java:44-79``): the SQL derives the

@@ -291,3 +291,34 @@ def test_tokenize_series_normalizes_with_huge_length_cap():
     out = an.tokenize_series(pd.Series(["Foo _ BAR"])).iloc[0]
     assert out == ["foo", "bar"]
     assert out == an.tokenize_text("Foo _ BAR")
+
+
+def test_shingle_analyzer():
+    """ShingleAnalyzerWrapper(min=max=N, no unigrams) contract
+    (analysis/common/.../shingle/ShingleFilter.java): space-joined N-grams
+    of the StandardAnalyzer stream, one token per gram, posIncr 1."""
+    import pandas as pd
+
+    from lucene_spark.analysis import ShingleAnalyzer, get_analyzer
+
+    an = get_analyzer("shingle")
+    assert isinstance(an, ShingleAnalyzer) and an.shingle_size == 2
+    assert an.tokenize_text("Table hash JOIN") == ["table hash", "hash join"]
+    assert an.tokenize_text("one") == []          # shorter than the shingle
+    assert an.tokenize_text("") == []
+    # joiners flow through the delegate ("3.14" is ONE word)
+    assert an.tokenize_text("pi is 3.14 ok") == [
+        "pi is", "is 3.14", "3.14 ok"]
+    # series/ids parity with the scalar path
+    texts = ["Table hash JOIN", "", "one", "a b c d"]
+    assert an.tokenize_series(pd.Series(texts)).tolist() == [
+        an.tokenize_text(t) for t in texts]
+    uniq, codes, per_row, pos = an.tokenize_ids(pd.Series(texts),
+                                                with_positions=True)
+    flat = [uniq[c] for c in codes]
+    assert flat == [t for s in texts for t in an.tokenize_text(s)]
+    assert per_row.tolist() == [2, 0, 0, 3]
+    assert pos.tolist() == [0, 1, 0, 1, 2]
+    # size-3 variant via the registry suffix
+    an3 = get_analyzer("shingle3")
+    assert an3.tokenize_text("a b c d") == ["a b c", "b c d"]
