@@ -1019,6 +1019,33 @@ def _q_fuzzy_blended(spark, sf_dir):
     return _hits_df(spark, s.fuzzy_blended_search("part", k=40))
 
 
+WB_INPUTS = ["tablehash", "bigdata", "arowa", "valuescan"]
+WC_TERMS = ["tab", "le", "hash", "big", "data", "val", "ue"]
+
+
+def _q_word_break(spark, sf_dir):
+    """WordBreakSpellChecker gate (suggest/.../spell/WordBreakSpellChecker.java,
+    SUGGEST_WHEN_NOT_IN_INDEX, maxChanges=2): word-break suggestions for
+    concatenated terms (incl. one recursion-exercising 3-way split) plus
+    word-combination suggestions over a mis-tokenized query. The oracle
+    enumerates splits/combinations in SQL over the vocabulary."""
+    from lucene_spark.search.suggest import (word_break_suggest,
+                                             word_combine_suggest)
+
+    s = _searcher(spark, sf_dir)
+    rows = []
+    for inp in WB_INPUTS:
+        for sug, npart, fmax in word_break_suggest(s.reader, inp, k=5):
+            rows.append(("break", inp, sug, npart, fmax))
+    for i, j, comb, f in word_combine_suggest(s.reader, WC_TERMS, k=5):
+        rows.append(("combine", " ".join(WC_TERMS[i:j + 1]), comb,
+                     j - i + 1, f))
+    return spark.createDataFrame(
+        rows,
+        "kind string, input string, suggestion string, "
+        "num_parts int, freq long")
+
+
 SHINGLE_TERMS = ["table hash", "merge group"]
 
 
@@ -2317,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_prefix_scored_topk": _q_mt_prefix_scored,
         "unicode_voicing_topk": _q_unicode_voicing_topk,
         "shingle_topk": _q_shingle_topk,
+        "word_break_suggest": _q_word_break,
     })
 
 
@@ -2664,4 +2692,6 @@ LIMIT 25
             token_re=oracle.UNICODE_VM_TOKEN_RE,
         ),
         "shingle_topk": oracle.shingle_topk_sql(SHINGLE_TERMS, 40),
+        "word_break_suggest": oracle.word_break_suggest_sql(
+            WB_INPUTS, WC_TERMS, 5),
     }

@@ -1603,6 +1603,85 @@ FROM summed ORDER BY score DESC, did ASC LIMIT {k}
 """
 
 
+def word_break_suggest_sql(break_inputs, combine_terms, k: int = 5,
+                           max_combine_length: int = 20) -> str:
+    """``WordBreakSpellChecker`` oracle (``suggest/.../spell/
+    WordBreakSpellChecker.java``, SUGGEST_WHEN_NOT_IN_INDEX,
+    maxChanges=2): the SQL enumerates 2- and 3-way splits via substr over
+    generated split points (a 3-way split needs every part in the
+    dictionary — exactly the recursion's reachability condition), and
+    2-/3-term combinations via ordinal self-joins; both ranked
+    (num_parts ASC, freq DESC, deterministic tie-break) with a top-``k``
+    window per input."""
+    bvals = ",".join(f"('{t}')" for t in break_inputs)
+    cvals = ",".join(f"({i}, '{t}')" for i, t in enumerate(combine_terms))
+    return f"""
+WITH {BASE_CTES},
+binputs(input) AS (VALUES {bvals}),
+pos2 AS (
+  SELECT b.input, gs.i
+  FROM binputs b, LATERAL (SELECT unnest(generate_series(1, len(b.input) - 1)) AS i) gs
+  WHERE NOT EXISTS (SELECT 1 FROM tstats t WHERE t.term = b.input)
+),
+b2 AS (
+  SELECT p.input,
+         substr(p.input, 1, p.i) || ' ' || substr(p.input, p.i + 1) AS suggestion,
+         2 AS num_parts,
+         greatest(d1.df, d2.df)::BIGINT AS freq
+  FROM pos2 p
+  JOIN tstats d1 ON d1.term = substr(p.input, 1, p.i)
+  JOIN tstats d2 ON d2.term = substr(p.input, p.i + 1)
+),
+pos3 AS (
+  SELECT p.input, p.i, gs.j
+  FROM pos2 p, LATERAL (SELECT unnest(generate_series(p.i + 1, len(p.input) - 1)) AS j) gs
+),
+b3 AS (
+  SELECT p.input,
+         substr(p.input, 1, p.i) || ' ' || substr(p.input, p.i + 1, p.j - p.i)
+           || ' ' || substr(p.input, p.j + 1) AS suggestion,
+         3 AS num_parts,
+         greatest(d1.df, d2.df, d3.df)::BIGINT AS freq
+  FROM pos3 p
+  JOIN tstats d1 ON d1.term = substr(p.input, 1, p.i)
+  JOIN tstats d2 ON d2.term = substr(p.input, p.i + 1, p.j - p.i)
+  JOIN tstats d3 ON d3.term = substr(p.input, p.j + 1)
+),
+breaks AS (
+  SELECT 'break' AS kind, input, suggestion, num_parts, freq,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY num_parts ASC, freq DESC, suggestion ASC) AS rn
+  FROM (SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+),
+cterms(idx, term) AS (VALUES {cvals}),
+cdf AS (
+  SELECT c.idx, c.term, coalesce(t.df, 0)::BIGINT AS df
+  FROM cterms c LEFT JOIN tstats t ON t.term = c.term
+),
+runs AS (
+  SELECT a.idx AS i, b.idx AS j,
+         a.term || ' ' || b.term AS input, a.term || b.term AS comb,
+         2 AS num_parts, least(a.df, b.df) AS minf
+  FROM cdf a JOIN cdf b ON b.idx = a.idx + 1
+  UNION ALL
+  SELECT a.idx, c.idx, a.term || ' ' || b.term || ' ' || c.term,
+         a.term || b.term || c.term, 3, least(a.df, b.df, c.df)
+  FROM cdf a JOIN cdf b ON b.idx = a.idx + 1 JOIN cdf c ON c.idx = a.idx + 2
+),
+combines AS (
+  SELECT 'combine' AS kind, r.input, r.comb AS suggestion,
+         r.num_parts, t.df::BIGINT AS freq,
+         row_number() OVER (ORDER BY r.num_parts ASC, t.df DESC, r.i ASC) AS rn
+  FROM runs r JOIN tstats t ON t.term = r.comb
+  WHERE r.minf = 0 AND len(r.comb) <= {max_combine_length}
+)
+SELECT kind, input, suggestion, num_parts::INT AS num_parts, freq
+FROM (SELECT * FROM breaks UNION ALL SELECT * FROM combines)
+WHERE rn <= {k}
+ORDER BY kind, input, num_parts, freq DESC, suggestion
+"""
+
+
 def multiterm_scored_topk_sql(term_cond: str, k: int) -> str:
     """``MultiTermQuery.SCORING_BOOLEAN_REWRITE`` oracle
     (``core/search/ScoringRewrite.java:44-79``): the SQL derives the

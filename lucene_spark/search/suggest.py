@@ -316,3 +316,101 @@ def fuzzy_suggest(reader, key: str, k: int = 10, field: str = "text",
     cands.sort(key=lambda x: (not (exact_first and x[0] == key),
                               -x[1], x[0]))
     return cands[:k]
+
+
+def word_break_suggest(reader, term: str, k: int = 5, field: str = "text",
+                       max_changes: int = 2, min_break_length: int = 1,
+                       min_suggestion_freq: int = 1,
+                       max_evaluations: int = 1000):
+    """``WordBreakSpellChecker.suggestWordBreaks`` (``lucene/suggest/src/java/
+    org/apache/lucene/search/spell/WordBreakSpellChecker.java:238-300``,
+    SUGGEST_WHEN_NOT_IN_INDEX + NUM_CHANGES_THEN_MAX_FREQUENCY): split a
+    not-in-index term into dictionary words — split points scan left to
+    right, the left word must meet the frequency floor both to suggest and
+    to recurse into the right remainder (numberBreaks ≤ ``max_changes``),
+    with the reference's shared ``maxEvaluations`` budget. Ranked (fewer
+    words first, then max word docFreq DESC). Documented divergence:
+    equal-rank ties order by the joined suggestion ASC — the reference PQ's
+    tie order is insertion-dependent. Returns
+    [(suggestion, num_words, freq_max)].
+
+    One batched ``term_stats`` lookup covers every contiguous substring of
+    the input (≤ n(n+1)/2 probes against the driver-resident dictionary /
+    one pushdown scan), then the recursion is pure in-memory — no per-split
+    Spark work.
+    """
+    stats = reader.term_stats([term], field=field)
+    if stats.get(term, {}).get("df", 0) > 0:
+        return []  # SUGGEST_WHEN_NOT_IN_INDEX
+    n = len(term)
+    subs = {term[i:j] for i in range(n) for j in range(i + 1, n + 1)}
+    dfs = reader.term_stats(sorted(subs), field=field)
+    df = lambda w: dfs.get(w, {}).get("df", 0)  # noqa: E731
+
+    out = []
+    state = {"evals": 0}
+    minlen = max(min_break_length, 1)
+
+    def recurse(rest: str, number_breaks: int, prefix: tuple):
+        m = len(rest)
+        if m < minlen * 2:
+            return
+        for i in range(minlen, m - minlen + 1):
+            if state["evals"] >= max_evaluations:
+                break
+            state["evals"] += 1
+            left, right = rest[:i], rest[i:]
+            if df(left) >= min_suggestion_freq:
+                if df(right) >= min_suggestion_freq:
+                    words = prefix + (left, right)
+                    out.append((" ".join(words), len(words),
+                                max(df(w) for w in words)))
+                if number_breaks + 1 <= max_changes:
+                    recurse(right, number_breaks + 1, prefix + (left,))
+
+    recurse(term, 1, ())
+    out.sort(key=lambda s: (s[1], -s[2], s[0]))
+    return out[:k]
+
+
+def word_combine_suggest(reader, terms, k: int = 5, field: str = "text",
+                         max_changes: int = 2,
+                         max_combine_length: int = 20,
+                         min_suggestion_freq: int = 1):
+    """``WordBreakSpellChecker.suggestWordCombinations`` (same file,
+    :139-236, SUGGEST_WHEN_NOT_IN_INDEX): concatenate runs of 2..
+    ``max_changes``+1 consecutive query terms; suggest when at least one
+    term of the run is absent from the index (min original freq == 0), the
+    combined text is a dictionary word (freq ≥ the floor), and the combined
+    length stays ≤ ``max_combine_length``. Ranked (fewer combined terms,
+    then combined docFreq DESC); ties → (start index ASC). Returns
+    [(start, end, combined, freq)] with an inclusive index range.
+    """
+    terms = list(terms)
+    cands = set(terms)
+    for i in range(len(terms) - 1):
+        comb = terms[i]
+        for j in range(i + 1, min(len(terms), i + max_changes + 1)):
+            comb += terms[j]
+            if len(comb) > max_combine_length:
+                break
+            cands.add(comb)
+    dfs = reader.term_stats(sorted(cands), field=field)
+    df = lambda w: dfs.get(w, {}).get("df", 0)  # noqa: E731
+
+    out = []
+    for i in range(len(terms) - 1):
+        if len(terms[i]) > max_combine_length:
+            continue
+        comb = terms[i]
+        min_freq = df(terms[i])
+        for j in range(i + 1, min(len(terms), i + max_changes + 1)):
+            comb += terms[j]
+            if len(comb) > max_combine_length:
+                break
+            min_freq = min(min_freq, df(terms[j]))
+            cf = df(comb)
+            if min_freq == 0 and cf >= min_suggestion_freq:
+                out.append((i, j, comb, cf))
+    out.sort(key=lambda s: (s[1] - s[0], -s[3], s[0]))
+    return out[:k]

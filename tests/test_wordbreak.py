@@ -1,0 +1,80 @@
+"""WordBreakSpellChecker (suggest/.../spell/WordBreakSpellChecker.java):
+break/combine suggestions vs a brute enumeration over the test vocabulary."""
+
+import pytest
+
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.search.suggest import word_break_suggest, word_combine_suggest
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return IndexSearcher(spark, index_dir)
+
+
+def _vocab_df(searcher, words):
+    return searcher.reader.term_stats(sorted(set(words)))
+
+
+def test_break_simple_and_recursive(searcher):
+    """Concatenations of corpus words split back; a 3-part input needs the
+    maxChanges=2 recursion."""
+    from lucene_spark.corpus import VOCAB
+
+    stats = searcher.reader.term_stats(list(VOCAB[:50]))
+    present = [t for t in VOCAB[:50] if stats.get(t, {}).get("df", 0) > 0]
+    assert len(present) >= 3
+    a, b, c = present[:3]
+    got = word_break_suggest(searcher.reader, a + b, k=5)
+    assert any(s == f"{a} {b}" for s, n, _ in got if n == 2)
+    got3 = word_break_suggest(searcher.reader, a + b + c, k=10,
+                              max_changes=2)
+    assert any(s == f"{a} {b} {c}" for s, n, _ in got3 if n == 3)
+    # maxChanges=1 must NOT produce 3-part suggestions
+    got1 = word_break_suggest(searcher.reader, a + b + c, k=10,
+                              max_changes=1)
+    assert all(n == 2 for _, n, _ in got1)
+
+
+def test_break_in_index_term_returns_empty(searcher):
+    """SUGGEST_WHEN_NOT_IN_INDEX: a term already in the dictionary gets no
+    break suggestions."""
+    from lucene_spark.corpus import VOCAB
+
+    stats = searcher.reader.term_stats(list(VOCAB[:20]))
+    term = next(t for t in VOCAB[:20] if stats.get(t, {}).get("df", 0) > 0)
+    assert word_break_suggest(searcher.reader, term) == []
+
+
+def test_break_rank_fewer_words_then_max_freq(searcher):
+    """Ranking: 2-part suggestions before 3-part, then max word freq DESC."""
+    from lucene_spark.corpus import VOCAB
+
+    stats = searcher.reader.term_stats(list(VOCAB[:80]))
+    present = [t for t in VOCAB[:80] if stats.get(t, {}).get("df", 0) > 0]
+    a, b, c = present[:3]
+    got = word_break_suggest(searcher.reader, a + b + c, k=20)
+    nums = [n for _, n, _ in got]
+    assert nums == sorted(nums)
+    for n in set(nums):
+        freqs = [f for _, m, f in got if m == n]
+        assert freqs == sorted(freqs, reverse=True) or len(freqs) <= 1
+
+
+def test_combine(searcher):
+    """Adjacent fragments whose concatenation is a dictionary word combine;
+    runs where every term is already in the index are filtered
+    (WHEN_NOT_IN_INDEX needs min original freq == 0)."""
+    from lucene_spark.corpus import VOCAB
+
+    stats = searcher.reader.term_stats(list(VOCAB[:20]))
+    present = [t for t in VOCAB[:20]
+               if stats.get(t, {}).get("df", 0) > 0 and len(t) >= 4]
+    w = present[0]
+    frags = [w[:2], w[2:]]
+    got = word_combine_suggest(searcher.reader, frags, k=5)
+    assert any(comb == w for _, _, comb, _ in got)
+    # two full dictionary words adjacent: min orig freq > 0 → no suggestion
+    got2 = word_combine_suggest(searcher.reader, present[:2], k=5)
+    assert all(comb != present[0] + present[1]
+               for _, _, comb, _ in got2)
