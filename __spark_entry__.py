@@ -1019,6 +1019,43 @@ def _q_fuzzy_blended(spark, sf_dir):
     return _hits_df(spark, s.fuzzy_blended_search("part", k=40))
 
 
+def _q_add_indexes(spark, sf_dir):
+    """IndexWriter.addIndexes(Directory...) gate (core/index/IndexWriter.java
+    addIndexes — verbatim segment adoption, shifted docBases, union stats):
+    build two half-corpus indexes (split at the median doc_id, which is
+    docID-order-aligned), physically append the second into the first, and
+    run the standard boolean WAND top-k on the combined index. Oracle: the
+    plain full-corpus BM25 SQL — the merged index must be bit-identical to
+    a fresh full build."""
+    from pyspark.sql import functions as F2
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.writer import IndexWriter
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_addidx/{tag}"
+    t = transcripts_from_documents(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    median = docs.approxQuantile("doc_id", [0.5], 0)[0]
+    cut = f"c{int(median):010d}"
+    dest, src = f"{d}/dest", f"{d}/src"
+    if not os.path.exists(f"{dest}/manifest.json") or \
+            not os.path.exists(f"{dest}/.added"):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        IndexBuilder(spark, dest, num_segments=3).build(
+            t.filter(F2.col("conv_id") < cut))
+        IndexBuilder(spark, src, num_segments=3).build(
+            t.filter(F2.col("conv_id") >= cut))
+        IndexWriter(spark, dest).add_indexes(src)
+        open(f"{dest}/.added", "w").write("1")
+    s = IndexSearcher(spark, dest)
+    return _hits_df(spark, s.search(_parse(Q_BOOL), k=50, mode="wand"))
+
+
 WB_INPUTS = ["tablehash", "bigdata", "arowa", "valuescan"]
 WC_TERMS = ["tab", "le", "hash", "big", "data", "val", "ue"]
 
@@ -2345,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_voicing_topk": _q_unicode_voicing_topk,
         "shingle_topk": _q_shingle_topk,
         "word_break_suggest": _q_word_break,
+        "add_indexes_topk": _q_add_indexes,
     })
 
 
@@ -2694,4 +2732,5 @@ LIMIT 25
         "shingle_topk": oracle.shingle_topk_sql(SHINGLE_TERMS, 40),
         "word_break_suggest": oracle.word_break_suggest_sql(
             WB_INPUTS, WC_TERMS, 5),
+        "add_indexes_topk": oracle.bm25_topk_sql(_parse(Q_BOOL), 50),
     }
