@@ -1019,6 +1019,37 @@ def _q_fuzzy_blended(spark, sf_dir):
     return _hits_df(spark, s.fuzzy_blended_search("part", k=40))
 
 
+# Thai Complex_Context runs: injected Thai vocabulary, one token per run
+THAI_REPL = ((r"\btable\b", "\u0e15\u0e32\u0e23\u0e32\u0e07"),
+             (r"\bvalue\b", "\u0e04\u0e48\u0e32"),
+             (r"\bscan\b", "\u0e2a\u0e41\u0e01\u0e19"))
+THAI_TERMS = [r for _, r in THAI_REPL]
+
+
+def _q_unicode_thai_topk(spark, sf_dir):
+    """SE-Asian Complex_Context tokenizer gate
+    ({ComplexContextEx}+ -> SOUTH_EAST_ASIAN_TYPE,
+    StandardTokenizerImpl.jflex:100,274): inject Thai vocabulary (incl. a
+    tone-marked word) and query it — each contiguous Thai run is ONE term.
+    Oracle: same derivation with the Thai-aware Unicode regex."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_unithai/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in THAI_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(" ".join(THAI_TERMS), k=50, mode="wand"))
+
+
 def _q_add_indexes(spark, sf_dir):
     """IndexWriter.addIndexes(Directory...) gate (core/index/IndexWriter.java
     addIndexes — verbatim segment adoption, shifted docBases, union stats):
@@ -2383,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_topk": _q_shingle_topk,
         "word_break_suggest": _q_word_break,
         "add_indexes_topk": _q_add_indexes,
+        "unicode_thai_topk": _q_unicode_thai_topk,
     })
 
 
@@ -2733,4 +2765,8 @@ LIMIT 25
         "word_break_suggest": oracle.word_break_suggest_sql(
             WB_INPUTS, WC_TERMS, 5),
         "add_indexes_topk": oracle.bm25_topk_sql(_parse(Q_BOOL), 50),
+        "unicode_thai_topk": oracle.unicode_topk_sql(
+            THAI_TERMS, 50, list(THAI_REPL),
+            token_re=oracle.UNICODE_THAI_TOKEN_RE,
+        ),
     }

@@ -97,12 +97,13 @@ _STANDARD_RE = re.compile(
     f"|(?<=[0-9]),(?=[0-9]))(?:[{_WORD_CLS}][{_EXT}]*)+)*"
     f"|(?:[가-힣][{_EXT3}]*)+"    # Hangul syllable runs (HangulEx+)
     f"|(?:[ァ-ヺー-ヾ][{_EXT3}]*)+"  # Katakana runs (KatakanaEx+)
+    f"|(?:[\u0e01-\u0e3a\u0e40-\u0e4e][{_EXT3}]*)+"  # Thai Complex_Context runs
     f"|[一-鿿][{_EXT3}]*"         # Han: one ideograph per token (HanEx)
     f"|[ぁ-ゖゝ-ゟ][{_EXT3}]*"     # Hiragana: one char per token (HiraganaEx)
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
 _HAS_ALNUM_RE = re.compile(
-    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ]")
+    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ\u0e01-\u0e3a\u0e40-\u0e4e]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
@@ -296,7 +297,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                 lat_lead[gli] = True
                 lat_cont[gli + 1] = True
         e_lead = _SCR.get("u_el", B, bool)
-        np.greater_equal(buf, 0xE2, out=e_lead)
+        np.greater_equal(buf, 0xE0, out=e_lead)
         np.less_equal(buf, 0xED, out=t1)
         np.logical_and(e_lead, t1, out=e_lead)
         if e_lead.any():
@@ -314,6 +315,14 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             kata = valid & (((cp >= 0x30A1) & (cp <= 0x30FA))
                             | ((cp >= 0x30FC) & (cp <= 0x30FE)))
             hang = valid & (cp >= 0xAC00) & (cp <= 0xD7A3)
+            # SE-Asian Complex_Context (Thai): one token per contiguous run
+            # (jflex ``{ComplexContextEx}+ → SOUTH_EAST_ASIAN_TYPE``,
+            # ``StandardTokenizerImpl.jflex:100,274``). Thai combining
+            # vowels/tone marks are themselves Complex_Context, so they sit
+            # inside the run naturally. Lao/Khmer/Myanmar stay documented
+            # out (SURVEY §7.3).
+            thai = valid & (((cp >= 0x0E01) & (cp <= 0x0E3A))
+                            | ((cp >= 0x0E40) & (cp <= 0x0E4E)))
             # 3-byte Extend/Format chars (UAX#29 WB4 `X (Extend|Format|ZWJ)*
             # → X`, jflex ExtFmtZwj macros :85-95): kana voicing marks
             # U+3099/309A + ZWNJ U+200C / ZWJ U+200D. They glue LEFT — into
@@ -340,7 +349,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                         ee[m2] += 3
                 parts_s.append(ss)
                 parts_e.append(ee)
-            for m in (kata, hang):
+            for m in (kata, hang, thai):
                 if not m.any():
                     continue
                 if ext3b is None:

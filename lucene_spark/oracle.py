@@ -371,6 +371,13 @@ UNICODE_VM_TOKEN_RE = (
     f"|(?:[ァ-ヺー-ヾ][{_VM}]*)+"
     f"|[一-鿿][{_VM}]*"
     f"|[ぁ-ゖゝ-ゟ][{_VM}]*")
+# SE-Asian Complex_Context step-up: Thai runs are ONE token per run
+# ({ComplexContextEx}+ -> SOUTH_EAST_ASIAN_TYPE, jflex :100,274)
+UNICODE_THAI_TOKEN_RE = (
+    "[a-z0-9\u00e0-\u00f6\u00f8-\u00ff]+"
+    "|[\u0e01-\u0e3a\u0e40-\u0e4e]+"
+    "|[\uac00-\ud7a3]+|[\u30a1-\u30fa\u30fc-\u30fe]+"
+    "|[\u4e00-\u9fff]|[\u3041-\u3096\u309d-\u309f]")
 
 
 def unicode_topk_sql(terms, k: int, replacements,

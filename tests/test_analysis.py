@@ -121,6 +121,12 @@ def test_unicode_tokenizer_parity():
         "\u3099\u3099\u3099",       # mark-only text → nothing
         "\u30a2\u3099\u3099\u3099\u3070\u3099\u3099",  # mark chains
         "caf\u00e8\u3099x",          # mixed 2-byte + 3-byte mark chain
+        # Thai Complex_Context: one token per contiguous run (jflex :274);
+        # in-run combining vowels/tone marks are Complex_Context themselves
+        "\u0e15\u0e32\u0e23\u0e32\u0e07 \u0e04\u0e48\u0e32 x",
+        "\u0e2a\u0e41\u0e01\u0e19scan",        # script break latin|thai
+        "\u0e01\u0e32\u0e3f\u0e1a\u0e32\u0e17",  # ฿ (non-SA) splits runs
+        "\u0e40\u0e2d\u0e01 \u4e2d\u0e01",    # thai|han adjacency
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))
