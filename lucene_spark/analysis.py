@@ -89,21 +89,21 @@ for _cp in range(0x410, 0x430):
 # Other Extend-class chars (halfwidth voicing U+FF9E/FF9F, presentation
 # selectors, marks-after-CJK from the U+0300 block) remain documented out
 # (SURVEY §7.3).
-_EXT = "\u0300-\u036f\u3099\u309a\u200c\u200d"
-_EXT3 = "\u3099\u309a\u200c\u200d"
+_EXT = "\u0300-\u036f\u3099\u309a\u200c\u200d\uff9e\uff9f"
+_EXT3 = "\u3099\u309a\u200c\u200d\uff9e\uff9f"
 _STANDARD_RE = re.compile(
     f"(?:[{_WORD_CLS}][{_EXT}]*)+"
     f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
     f"|(?<=[0-9]),(?=[0-9]))(?:[{_WORD_CLS}][{_EXT}]*)+)*"
-    f"|(?:[가-힣][{_EXT3}]*)+"    # Hangul syllable runs (HangulEx+)
-    f"|(?:[ァ-ヺー-ヾ][{_EXT3}]*)+"  # Katakana runs (KatakanaEx+)
+    f"|(?:[가-힣\u1100-\u11ff][{_EXT3}]*)+"    # Hangul syllable+jamo runs (HangulEx+)
+    f"|(?:[ァ-ヺー-ヾ\uff66-\uff9d][{_EXT3}]*)+"  # Katakana runs incl. halfwidth (KatakanaEx+)
     f"|(?:[\u0e01-\u0e3a\u0e40-\u0e4e][{_EXT3}]*)+"  # Thai Complex_Context runs
     f"|[一-鿿][{_EXT3}]*"         # Han: one ideograph per token (HanEx)
     f"|[ぁ-ゖゝ-ゟ][{_EXT3}]*"     # Hiragana: one char per token (HiraganaEx)
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
 _HAS_ALNUM_RE = re.compile(
-    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ\u0e01-\u0e3a\u0e40-\u0e4e]")
+    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ\u0e01-\u0e3a\u0e40-\u0e4e\uff66-\uff9d\u1100-\u11ff]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
@@ -298,7 +298,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                 lat_cont[gli + 1] = True
         e_lead = _SCR.get("u_el", B, bool)
         np.greater_equal(buf, 0xE0, out=e_lead)
-        np.less_equal(buf, 0xED, out=t1)
+        np.less_equal(buf, 0xEF, out=t1)
         np.logical_and(e_lead, t1, out=e_lead)
         if e_lead.any():
             li = np.flatnonzero(e_lead[:-2])
@@ -313,8 +313,10 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                                | ((cp >= 0x309D) & (cp <= 0x309F)))
             # run tokens, per script (a Katakana run never joins a Hangul run)
             kata = valid & (((cp >= 0x30A1) & (cp <= 0x30FA))
-                            | ((cp >= 0x30FC) & (cp <= 0x30FE)))
-            hang = valid & (cp >= 0xAC00) & (cp <= 0xD7A3)
+                            | ((cp >= 0x30FC) & (cp <= 0x30FE))
+                            | ((cp >= 0xFF66) & (cp <= 0xFF9D)))
+            hang = valid & (((cp >= 0xAC00) & (cp <= 0xD7A3))
+                            | ((cp >= 0x1100) & (cp <= 0x11FF)))
             # SE-Asian Complex_Context (Thai): one token per contiguous run
             # (jflex ``{ComplexContextEx}+ → SOUTH_EAST_ASIAN_TYPE``,
             # ``StandardTokenizerImpl.jflex:100,274``). Thai combining
@@ -330,7 +332,8 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
             # Hangul run, or (below, via the mark-inheritance machinery) the
             # preceding word run. Orphans (after a separator) drop.
             vm = valid & ((cp == 0x3099) | (cp == 0x309A)
-                          | (cp == 0x200C) | (cp == 0x200D))
+                          | (cp == 0x200C) | (cp == 0x200D)
+                          | (cp == 0xFF9E) | (cp == 0xFF9F))
             if vm.any():
                 ext3b = _SCR.get("u_e3b", B, bool)
                 ext3b[:] = False

@@ -127,6 +127,14 @@ def test_unicode_tokenizer_parity():
         "\u0e2a\u0e41\u0e01\u0e19scan",        # script break latin|thai
         "\u0e01\u0e32\u0e3f\u0e1a\u0e32\u0e17",  # ฿ (non-SA) splits runs
         "\u0e40\u0e2d\u0e01 \u4e2d\u0e01",    # thai|han adjacency
+        # halfwidth katakana (WB:Katakana) + halfwidth voicing (WB:Extend)
+        "\uff76\uff80\uff76\uff85 x",          # halfwidth run
+        "\uff76\uff9e\uff77\uff9e value",      # halfwidth voicing absorbs
+        "\u30d0\uff76 mixed",                    # fullwidth+halfwidth one run
+        " \uff9eorphan a\uff9eb",                # orphan drops / latin absorb
+        # Hangul jamo (Script:Hangul ∩ WB:ALetter → HangulEx)
+        "\u1100\u1161\u11a8 \ud55c\uae00",    # jamo run + syllable run
+        "\ud55c\u1100\uae00",                   # jamo inside syllable run
     ]
     for s in cases:
         uniq, codes, _pr = an.tokenize_ids(pd.Series([s]))
