@@ -1050,6 +1050,42 @@ def _q_unicode_thai_topk(spark, sf_dir):
     return _hits_df(spark, s.search(" ".join(THAI_TERMS), k=50, mode="wand"))
 
 
+# HTML markup injections: inline tag, block tag, comment-split word,
+# entity separator, script block — the strip chain must recover the words
+HTML_REPL = ((r"\btable\b", "<b>table</b>"),
+             (r"\bvalue\b", "<p>value</p>"),
+             (r"\bscan\b", "sc<!--zz-->an"),
+             (r"\bjoin\b", "join&nbsp;q9"),
+             (r"\bhash\b", "<script>var a=1;</script>hash"))
+HTML_TERMS = ["table", "value", "scan", "join", "hash"]
+
+
+def _q_html_strip_topk(spark, sf_dir):
+    """HTMLStripCharFilter-lite gate (analysis/common/.../charfilter/
+    HTMLStripCharFilter.jflex :116-153): inject inline/block tags, a
+    comment splitting a word, a named entity, and a script block; the
+    engine strips with the shared JVM regexp chain (inline -> '',
+    block/script -> newline, entities decoded) before indexing; the oracle
+    applies the IDENTICAL chain in SQL and recomputes BM25."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.pipeline.curation import html_strip_col
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_html/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in HTML_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", html_strip_col(txt))
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(" ".join(HTML_TERMS), k=50, mode="wand"))
+
+
 def _q_add_indexes(spark, sf_dir):
     """IndexWriter.addIndexes(Directory...) gate (core/index/IndexWriter.java
     addIndexes — verbatim segment adoption, shifted docBases, union stats):
@@ -2415,7 +2451,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_break_suggest": _q_word_break,
         "add_indexes_topk": _q_add_indexes,
         "unicode_thai_topk": _q_unicode_thai_topk,
+        "html_strip_topk": _q_html_strip_topk,
     })
+
+
+def _html_oracle_sql() -> str:
+    from lucene_spark.pipeline.curation import html_strip_sql_expr
+
+    return oracle.unicode_topk_sql(
+        HTML_TERMS, 50,
+        [(p, r.replace("'", "''")) for p, r in HTML_REPL],
+        token_re="[a-z0-9]+",
+        txt_wrap=html_strip_sql_expr)
 
 
 def _english_oracle_sql() -> str:
@@ -2769,4 +2816,5 @@ LIMIT 25
             THAI_TERMS, 50, list(THAI_REPL),
             token_re=oracle.UNICODE_THAI_TOKEN_RE,
         ),
+        "html_strip_topk": _html_oracle_sql(),
     }

@@ -381,7 +381,8 @@ UNICODE_THAI_TOKEN_RE = (
 
 
 def unicode_topk_sql(terms, k: int, replacements,
-                     token_re: str = UNICODE_TOKEN_RE) -> str:
+                     token_re: str = UNICODE_TOKEN_RE,
+                     txt_wrap=None) -> str:
     """Float32-bit-exact BM25 top-k over a corpus derived by injecting
     non-ASCII vocabulary (VERDICT r2 next-#6 gate): ``replacements`` is a
     list of (token_regex, replacement) applied to the raw text, then the
@@ -392,6 +393,9 @@ def unicode_topk_sql(terms, k: int, replacements,
     t_expr = "lower(coalesce(text, ''))"
     for pat, rep in replacements:
         t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
+    if txt_wrap is not None:
+        # post-replacement text transform (e.g. the HTML-strip chain)
+        t_expr = txt_wrap(t_expr)
     qvals = ",".join(
         f"({i}, '{t}', CAST(1.0 AS FLOAT))" for i, t in enumerate(terms)
     )

@@ -309,3 +309,62 @@ def exact_substring_stats(docs: DataFrame, window: int = 10) -> DataFrame:
                 F.coalesce("dup_tokens", F.lit(0)).cast("long")
                 .alias("dup_tokens"))
     )
+
+
+# HTMLStripCharFilter-lite (``analysis/common/src/java/org/apache/lucene/
+# analysis/charfilter/HTMLStripCharFilter.jflex``): the reference strips
+# INLINE elements to nothing (:116-141 InlineElment — "a<b>x</b>c" → "axc"),
+# replaces every other (block-level) tag plus <script>/<style> blocks with
+# '\n' (:148-153), and decodes character entities. Lite contract
+# (documented): the same inline-element list, block→'\n', script/style/
+# comments handled, NAMED entities only (amp/lt/gt/quot/apos/nbsp) — numeric
+# entities and the exotic states (CDATA, server-side includes, bare '<')
+# stay out. Every rule is one JVM regexp_replace — a codegen projection
+# that DuckDB mirrors verbatim, no UDF.
+_HTML_INLINE = ("a|b|i|q|s|u|abbr|acronym|basefont|bdo|big|cite|code|dfn|em|"
+                "font|img|input|kbd|label|samp|select|small|span|strike|"
+                "strong|sub|sup|textarea|tt|var")
+
+#: (pattern, replacement) chain — order matters (script/style/comments
+#: before generic tags). Shared verbatim by the SQL oracle.
+HTML_STRIP_RULES = (
+    (r"(?is)<script(\s[^>]*)?>.*?</script\s*>", "\n"),
+    (r"(?is)<style(\s[^>]*)?>.*?</style\s*>", "\n"),
+    (r"(?s)<!--.*?-->", ""),
+    (rf"(?i)</?({_HTML_INLINE})(\s[^>]*)?/?>", ""),
+    (r"<[^>]*>", "\n"),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),
+)
+
+
+def html_strip_col(col):
+    """Spark Column: HTML-stripped text per :data:`HTML_STRIP_RULES`."""
+    from pyspark.sql import functions as F
+
+    for pat, rep in HTML_STRIP_RULES:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def html_strip(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Strip HTML markup from ``text_col`` in place — the pre-tokenization
+    cleaning pass of a web-crawl curation pipeline. Pure whole-stage-codegen
+    projection: no shuffle, no UDF, pipelines with the scan at any scale."""
+    return docs.withColumn(text_col, html_strip_col(docs[text_col]))
+
+
+def html_strip_sql_expr(expr: str = "coalesce(text, '')") -> str:
+    """The identical rule chain as a DuckDB SQL expression (oracle side)."""
+    out = expr
+    for pat, rep in HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        # DuckDB swallows backslash escapes in replacement literals —
+        # newline must go through chr(10)
+        r = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r}, 'gs')"
+    return out

@@ -416,3 +416,55 @@ def test_exact_substring_union_of_overlaps(spark):
     # doc2: spans [0,10) ∪ [2,12) = 12 tokens, not 10+10
     assert out[2] == 12
     assert out[0] == 0 and out[1] == 0
+
+
+def test_html_strip_rules(spark):
+    """HTMLStripCharFilter-lite (charfilter/HTMLStripCharFilter.jflex
+    :116-153): inline tags vanish without a break, block/script/style tags
+    separate with a newline, comments vanish, named entities decode — the
+    Spark column and the DuckDB SQL expression agree byte-for-byte."""
+    import re
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.curation import (
+        HTML_STRIP_RULES, html_strip_col, html_strip_sql_expr)
+
+    cases = [
+        "a<b>x</b>c",                       # inline: no separator → "axc"
+        "a<p>x</p>c",                       # block: newline separators
+        "pre<script>var a='<p>';</script>post",
+        "s<style>p { }</style>e",
+        "ke<!-- zap -->pt",
+        "x&amp;y &lt;tag&gt; &quot;q&quot; &apos;a&apos; n&nbsp;b",
+        "<div class='c'>body</div>",
+        "<img src='x.png'/>next",           # inline self-closing
+        "no markup at all",
+        "<br>line<br/>break",
+    ]
+    # python reference of the shared chain
+    def py_strip(t):
+        for pat, rep in HTML_STRIP_RULES:
+            t = re.sub(pat, rep, t)
+        return t
+
+    assert py_strip(cases[0]) == "axc"
+    assert py_strip(cases[1]) == "a\nx\nc"
+    assert py_strip(cases[4]) == "kept"
+    assert py_strip(cases[5]) == "x&y <tag> \"q\" 'a' n b"
+    assert py_strip(cases[7]) == "next"
+
+    sdf = spark.createDataFrame([(c,) for c in cases], "text string")
+    got_spark = [r["t"] for r in
+                 sdf.select(html_strip_col(F.col("text")).alias("t"))
+                 .collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT " + html_strip_sql_expr("?") + " AS t", [c]).df().t[0]
+        for c in cases
+    ]
+    want = [py_strip(c) for c in cases]
+    assert got_spark == want
+    assert got_duck == want
