@@ -1745,6 +1745,23 @@ def _q_feature_satu(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+def _q_feature_log(spark, sf_dir):
+    """FeatureField LogFunction (core/document/FeatureField.java
+    newLogQuery): combined = f32(main + f32(0.6*ln(1 + dl))), top-40."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.feature_score(_parse(Q_OR), "dl", "log", k=40,
+                                           weight=0.6, scaling=1.0))
+
+
+def _q_feature_sigmoid(spark, sf_dir):
+    """FeatureField SigmoidFunction (newSigmoidQuery): combined =
+    f32(main + f32(0.9*dl^2/(dl^2+25^2))), top-40."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.feature_score(
+        _parse(Q_OR), "dl", "sigmoid", k=40, weight=0.9, pivot=25.0,
+        exp_a=2.0))
+
+
 def _q_group_top3(spark, sf_dir):
     """GroupingSearch with maxDocsPerGroup=3 (TopGroups analogy): top-3
     docs per source group by BM25 score, with per-group rank."""
@@ -2452,6 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_indexes_topk": _q_add_indexes,
         "unicode_thai_topk": _q_unicode_thai_topk,
         "html_strip_topk": _q_html_strip_topk,
+        "feature_log_topk": _q_feature_log,
+        "feature_sigmoid_topk": _q_feature_sigmoid,
     })
 
 
@@ -2817,4 +2836,8 @@ LIMIT 25
             token_re=oracle.UNICODE_THAI_TOKEN_RE,
         ),
         "html_strip_topk": _html_oracle_sql(),
+        "feature_log_topk": oracle.feature_fn_topk_sql(
+            _parse(Q_OR), "log", 0.6, 40, scaling=1.0),
+        "feature_sigmoid_topk": oracle.feature_fn_topk_sql(
+            _parse(Q_OR), "sigmoid", 0.9, 40, pivot=25.0, exp_a=2.0),
     }

@@ -3392,6 +3392,46 @@ LIMIT {k}
 """
 
 
+def feature_fn_topk_sql(query, fn: str, weight: float, k: int,
+                        pivot: float = 1.0, exp_a: float = 1.0,
+                        scaling: float = 1.0) -> str:
+    """FeatureField LogFunction / SigmoidFunction oracle
+    (``core/document/FeatureField.java`` newLogQuery / newSigmoidQuery):
+    feature S = raw token count dl; feature score in DOUBLE mirroring the
+    engine's expression order — log: ``w × ln(scaling + S)``; sigmoid:
+    ``(w × S^a) / (S^a + pivot^a)`` — narrowed to FLOAT, combined
+    = f32(main + feature) like the saturation gate. The lone libm call
+    (ln / pow) runs on small-integer inputs on BOTH sides of this
+    container's libm and the f32 narrowing absorbs any last-ulp double
+    divergence."""
+    main = bm25_topk_sql(query, 10**9)
+    sd = "CAST(d.dl AS DOUBLE)"
+    if fn == "log":
+        feat = (f"CAST({float(weight)!r} AS DOUBLE)"
+                f" * ln(CAST({float(scaling)!r} AS DOUBLE) + {sd})")
+    elif fn == "sigmoid":
+        sa = f"pow({sd}, CAST({float(exp_a)!r} AS DOUBLE))"
+        pa = (f"pow(CAST({float(pivot)!r} AS DOUBLE), "
+              f"CAST({float(exp_a)!r} AS DOUBLE))")
+        feat = f"CAST({float(weight)!r} AS DOUBLE) * {sa} / ({sa} + {pa})"
+    else:
+        raise ValueError(fn)
+    return f"""
+WITH mainp AS (SELECT * FROM ({main})),
+     {BASE_CTES},
+     combined AS (
+       SELECT m.doc_id AS doc_id,
+              CAST(CAST(m.score
+                        + CAST(CAST({feat} AS FLOAT) AS DOUBLE)
+                   AS FLOAT) AS DOUBLE) AS score
+       FROM mainp m JOIN dls d ON d.did = m.doc_id
+     )
+SELECT doc_id, score FROM combined
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def sort_by_expression_sql(query, expr_sql: str, k: int,
                            ascending: bool = True) -> str:
     """Expression-sort oracle (``lucene/expressions``
