@@ -100,6 +100,34 @@ _TEXT_ALPHABET = st.text(
     max_size=120,
 )
 
+# full extended alphabet: every script family + Extend/Format marks the
+# round-4 tokenizer supports — latin-1, greek, cyrillic, han, hiragana,
+# katakana (full+half width), hangul (syllable+jamo), thai, combining
+# diacritics, kana voicing (full+half width), ZWNJ/ZWJ, joiners, separators
+_EXT_ALPHABET = st.text(
+    alphabet=("abZ09_'.:, \t-?" "éßÿ" "Σσώ" "Яёж" "光值" "ぎらゝ" "バーｶﾅ"
+              "한글가" "ตค่า" "\u0300\u0301\u3099\u309a\uff9e"
+              "\u200c\u200d"),
+    max_size=80,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_EXT_ALPHABET, max_size=6))
+def test_tokenizer_extended_alphabet_parity(texts):
+    """Byte kernel ≡ regex chain over random mixed-script text drawn from
+    the FULL supported alphabet — scripts, marks, joiners, and separators
+    interleaved arbitrarily (the adversarial shapes the curated parity
+    cases can't enumerate)."""
+    import pandas as pd
+
+    s = pd.Series(texts, dtype=object)
+    an = StandardAnalyzer()
+    flat, lens = an.tokenize_flat(s)
+    lists = an.tokenize_series(s)
+    assert lens.tolist() == [len(x) for x in lists]
+    assert flat.tolist() == [t for ts in lists for t in ts]
+
 
 @settings(max_examples=150, deadline=None)
 @given(st.lists(_TEXT_ALPHABET, max_size=8))
