@@ -685,6 +685,29 @@ def _q_delete_by_query(spark, sf_dir):
     return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
 
 
+def _q_pfor_topk(spark, sf_dir):
+    """PFOR-codec gate: build the index with ``postings_codec="pfor"``
+    (``indexing/pfor.py`` — PForUtil-parity patched bit-packing,
+    ``core/codecs/lucene90/PForUtil.java:29,61-110``) and run the flagship
+    BM25 top-k. The codec only changes posting-buffer bytes, never scores or
+    ranks, so the oracle is the plain whole-corpus SQL — a green row proves
+    the full encode → tagged-buffer dispatch → WAND decode path."""
+    import shutil
+
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_pfor/{tag}"
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="simple", num_segments=6,
+                 postings_codec="pfor").build(
+        t, resume=os.path.exists(f"{d}/manifest.json"))
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(_parse(Q_OR), k=50, mode="wand"))
+
+
 def _q_english_stem(spark, sf_dir):
     """EnglishAnalyzer (possessive + stop + Porter) end-to-end: build a
     stemmed index and query with morphological variants ('tables' stems to
@@ -2261,7 +2284,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # complex_phrase_topk, payload_score_topk, span_payload_check_count,
     # multireader_topk, dedup_exact_substring, facet_double_ranges,
     # span_not_count, span_containing_count, facet_sum_dl, group_count,
-    # bool_nested_mix_topk, group_top3_source)
+    # bool_nested_mix_topk, group_top3_source, pfor_topk)
 )
 
 
@@ -2403,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "doc_range_dl": _q_doc_range,
         "streaming_incremental": _q_streaming_incremental,
+        "pfor_topk": _q_pfor_topk,
         "delete_compact_topk": _q_delete_compact,
         "delete_by_query_topk": _q_delete_by_query,
         "english_stem_topk": _q_english_stem,
@@ -2753,6 +2777,7 @@ LIMIT 25
         ),
         "doc_range_dl": oracle.doc_range_sql(30, 60, 100),
         "streaming_incremental": oracle.bm25_topk_sql(_parse(Q_OR), 50),
+        "pfor_topk": oracle.bm25_topk_sql(_parse(Q_OR), 50),
         "delete_compact_topk": oracle.bm25_topk_sql(
             _parse(Q_OR), 50,
             doc_where=(

@@ -23,6 +23,98 @@ import numpy as np
 
 BLOCK_SIZE = 128  # ForUtil.BLOCK_SIZE (ForUtil.java:32)
 
+# Self-describing buffer codec tags (first byte of every NON-EMPTY packed-int
+# buffer: doc_gaps / tfs / positions / payloads; empty buffers stay b"" so
+# presence checks like ``len(p) > 0`` keep working). Readers dispatch per
+# buffer, so an index may mix codecs (e.g. addIndexes of a varint and a pfor
+# index) and still be served by the same kernels. Default stays varint per
+# the north rule; PFOR (indexing/pfor.py) is the opt-in parity codec.
+CODEC_VARINT = 0
+CODEC_PFOR = 1
+_TAG_VARINT = bytes([CODEC_VARINT])
+_TAG_PFOR = bytes([CODEC_PFOR])
+# manifest format version: bump when the on-disk buffer layout changes
+# (v2 = tagged buffers); IndexBuilder forces a fresh build over any cached
+# index whose manifest carries an older version
+POSTINGS_FORMAT = 2
+
+
+def _decode_tagged(buf: bytes) -> np.ndarray:
+    """Decode one tagged packed-int buffer (b'' → empty)."""
+    if not buf:
+        return np.zeros(0, dtype=np.int64)
+    tag = buf[0]
+    if tag == CODEC_VARINT:
+        return decode_varints(buf[1:])
+    if tag == CODEC_PFOR:
+        from lucene_spark.indexing.pfor import pfor_decode
+
+        return pfor_decode(buf[1:])
+    raise ValueError(f"unknown posting-buffer codec tag {tag}")
+
+
+def _decode_tagged_many(bufs) -> np.ndarray:
+    """Decode MANY tagged buffers into one concatenated int64 array.
+
+    Keeps the one-pass vectorized property of the varint join path: when all
+    buffers share a codec the stripped payloads are joined and decoded in a
+    single call (both stream formats are self-delimiting under
+    concatenation); mixed codecs fall back to per-buffer decode + concat."""
+    if not len(bufs):
+        return np.zeros(0, dtype=np.int64)
+    tags = {b[0] for b in bufs if b}
+    if len(tags) <= 1:
+        joined = b"".join(b[1:] for b in bufs if b)
+        if not tags or tags == {CODEC_VARINT}:
+            return decode_varints(joined)
+        if tags == {CODEC_PFOR}:
+            from lucene_spark.indexing.pfor import pfor_decode
+
+            return pfor_decode(joined)
+        raise ValueError(f"unknown posting-buffer codec tag {tags}")
+    return np.concatenate([_decode_tagged(b) for b in bufs])
+
+
+def _encode_grouped(values: np.ndarray, group_starts: np.ndarray,
+                    codec: int) -> list[bytes]:
+    """Grouped packed-int encode with the chosen codec, tagged per buffer."""
+    if codec == CODEC_VARINT:
+        tag = _TAG_VARINT
+        parts = encode_varints_grouped(values, group_starts)
+    elif codec == CODEC_PFOR:
+        from lucene_spark.indexing.pfor import pfor_encode_grouped
+
+        tag = _TAG_PFOR
+        parts = pfor_encode_grouped(values, group_starts)
+    else:
+        raise ValueError(f"unknown postings codec {codec}")
+    return [tag + p if p else b"" for p in parts]
+
+
+def _encode_one(values: np.ndarray, codec: int) -> bytes:
+    if values.size == 0:
+        return b""
+    if codec == CODEC_VARINT:
+        return _TAG_VARINT + encode_varints(values)
+    if codec == CODEC_PFOR:
+        from lucene_spark.indexing.pfor import pfor_encode
+
+        return _TAG_PFOR + pfor_encode(values)
+    raise ValueError(f"unknown postings codec {codec}")
+
+
+# public names for kernel code that decodes raw buffers directly
+decode_posting_buf = _decode_tagged
+decode_posting_bufs = _decode_tagged_many
+
+
+def codec_id(name: str) -> int:
+    """Map a manifest codec name → tag (accepts 'varint' | 'pfor')."""
+    try:
+        return {"varint": CODEC_VARINT, "pfor": CODEC_PFOR}[name]
+    except KeyError:
+        raise ValueError(f"unknown postings codec {name!r}") from None
+
 
 def encode_varints_sized(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128 encode + per-value byte counts (vectorized, ≤10 passes)."""
@@ -105,7 +197,8 @@ def pareto_impacts(tfs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.n
     return t[keep][::-1].copy(), n[keep][::-1].copy()
 
 
-def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
+def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
+                       codec: int = CODEC_VARINT):
     """Split one term's sorted postings into 128-doc encoded block dicts.
 
     ``doc_ids`` strictly increasing; ``norms`` aligned per doc (for impacts).
@@ -130,8 +223,8 @@ def encode_term_blocks(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
             "count": int(d.size),
             "ttf": int(t.sum()),
             "max_tf": int(t.max()),
-            "doc_gaps": encode_varints(gaps[1:]),
-            "tfs": encode_varints(t),
+            "doc_gaps": _encode_one(gaps[1:], codec),
+            "tfs": _encode_one(t, codec),
             # per-doc norm codes denormalized into the block (1 byte/posting,
             # ZSTD-friendly): saves the query-time join against the docs
             # table that Lucene pays via .nvd random access
@@ -145,7 +238,8 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
                           tf_arr: np.ndarray, norm_per_posting: np.ndarray,
                           term_pool: np.ndarray | None = None,
                           pos_flat: np.ndarray | None = None,
-                          payload_flat: np.ndarray | None = None) -> dict:
+                          payload_flat: np.ndarray | None = None,
+                          codec: int = CODEC_VARINT) -> dict:
     """Whole-segment vectorized block encoding.
 
     Input: postings rows sorted by (term, doc) — ``terms_arr`` object strings
@@ -187,8 +281,8 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
     gap_mask = ~block_start
     gap_vals = gaps[gap_mask]
     gap_group_starts = np.concatenate([[0], np.cumsum(counts - 1)[:-1]]).astype(np.int64)
-    doc_gaps = encode_varints_grouped(gap_vals, gap_group_starts)
-    tf_bytes = encode_varints_grouped(tf_arr, starts)
+    doc_gaps = _encode_grouped(gap_vals, gap_group_starts, codec)
+    tf_bytes = _encode_grouped(tf_arr, starts, codec)
     norm_buf = norm_per_posting.astype(np.uint8).tobytes()
     norms = [norm_buf[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
 
@@ -203,7 +297,7 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
             deltas[0] = pos_flat[0]
             deltas[1:] = pos_flat[1:] - pos_flat[:-1]
             deltas[tok_starts] = pos_flat[tok_starts]  # reset at posting start
-        positions = encode_varints_grouped(deltas, tok_starts[starts])
+        positions = _encode_grouped(deltas, tok_starts[starts], codec)
     else:
         positions = [b""] * starts.size
 
@@ -215,8 +309,8 @@ def encode_segment_blocks(terms_arr: np.ndarray, d_arr: np.ndarray,
     if payload_flat is not None:
         tok_starts_p = np.concatenate([[0], np.cumsum(tf_arr)[:-1]]).astype(
             np.int64)
-        payloads = encode_varints_grouped(
-            payload_flat.astype(np.int64), tok_starts_p[starts])
+        payloads = _encode_grouped(
+            payload_flat.astype(np.int64), tok_starts_p[starts], codec)
 
     impact_tfs, impact_norms = [], []
     for s, e in zip(starts.tolist(), ends.tolist()):
@@ -252,7 +346,7 @@ def decode_block_payloads(payloads: bytes, tfs_decoded: np.ndarray):
     ``flat[offsets[i]:offsets[i] + tfs_decoded[i]]``, one per occurrence in
     position order.
     """
-    vals = decode_varints(payloads)
+    vals = _decode_tagged(payloads)
     tstarts = np.concatenate([[0], np.cumsum(tfs_decoded)[:-1]]).astype(
         np.int64)
     return vals, tstarts
@@ -264,7 +358,7 @@ def decode_block_positions(positions: bytes, tfs_decoded: np.ndarray):
     Returns (flat_abs_positions, per_posting_offsets): posting i's positions
     are ``flat[offsets[i]:offsets[i] + tfs_decoded[i]]``.
     """
-    deltas = decode_varints(positions)
+    deltas = _decode_tagged(positions)
     tstarts = np.concatenate([[0], np.cumsum(tfs_decoded)[:-1]]).astype(np.int64)
     cum = np.cumsum(deltas)
     cum_before = np.concatenate([[0], cum])[tstarts]
@@ -275,14 +369,14 @@ def decode_block_positions(positions: bytes, tfs_decoded: np.ndarray):
 def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes,
                  norms: bytes | None = None):
     """Inverse of encode_term_blocks for one block → (doc_ids, tfs[, norms])."""
-    gaps = decode_varints(doc_gaps)
+    gaps = _decode_tagged(doc_gaps)
     doc_ids = np.empty(count, dtype=np.int64)
     doc_ids[0] = first_doc
     if count > 1:
         doc_ids[1:] = first_doc + np.cumsum(gaps)
     if norms is None:
-        return doc_ids, decode_varints(tfs)
-    return doc_ids, decode_varints(tfs), np.frombuffer(norms, dtype=np.uint8).astype(np.int64)
+        return doc_ids, _decode_tagged(tfs)
+    return doc_ids, _decode_tagged(tfs), np.frombuffer(norms, dtype=np.uint8).astype(np.int64)
 
 
 def decode_doc_ids_batch(first_docs, last_docs, counts, doc_gaps_list):
@@ -306,7 +400,7 @@ def decode_doc_ids_batch(first_docs, last_docs, counts, doc_gaps_list):
     total = int(counts.sum())
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     g = np.empty(total, dtype=np.int64)
-    gaps = decode_varints(b"".join(doc_gaps_list))
+    gaps = _decode_tagged_many(list(doc_gaps_list))
     mask = np.ones(total, dtype=bool)
     mask[starts] = False
     g[mask] = gaps

@@ -50,7 +50,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_spark.analysis import get_analyzer
-from lucene_spark.indexing.blocks import encode_segment_blocks
+from lucene_spark.indexing.blocks import (POSTINGS_FORMAT, codec_id,
+                                           encode_segment_blocks)
 from lucene_spark.indexing.partitioning import (
     collision_free_skeys,
     plan_boundaries,
@@ -144,7 +145,8 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 4096
 def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
                     analyzer_name: str, positions: bool = True,
                     keyword_fields: tuple = (),
-                    index_sort: tuple = ()) -> dict:
+                    index_sort: tuple = (),
+                    codec: int = 0) -> dict:
     """Invert one fully-accumulated, key-sorted segment and write its files."""
     t0 = time.time()
     analyzer = get_analyzer(analyzer_name)
@@ -210,6 +212,7 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
     cols = encode_segment_blocks(
         term_codes, d_arr, tf_arr, norms[d_arr],
         term_pool=uniq_terms, pos_flat=pos_flat, payload_flat=payload_flat,
+        codec=codec,
     )
     n_blocks = len(cols["term"])
     field_col = [np.full(n_blocks, FIELD, dtype=object)]
@@ -231,6 +234,7 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
             np.ones(present.size, dtype=np.int64),
             np.ones(present.size, dtype=np.int64),
             term_pool=np.array(kw_uniq, dtype=object),
+            codec=codec,
         )
         if has_payloads:  # keyword fields carry no payloads
             kcols["payloads"] = [b""] * len(kcols["term"])
@@ -262,7 +266,8 @@ def _invert_segment(seg: int, pdf: pd.DataFrame, index_dir: str,
 
 
 def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True,
-                    keyword_fields: tuple = (), index_sort: tuple = ()):
+                    keyword_fields: tuple = (), index_sort: tuple = (),
+                    codec: int = 0):
     def invert(iterator):
         cur_seg = None
         buf: list[pd.DataFrame] = []
@@ -274,7 +279,7 @@ def _make_invert_fn(index_dir: str, analyzer_name: str, positions: bool = True,
             pdf = pd.concat(buf, ignore_index=True)
             results.append(
                 _invert_segment(cur_seg, pdf, index_dir, analyzer_name,
-                                positions, keyword_fields, index_sort)
+                                positions, keyword_fields, index_sort, codec)
             )
 
         for pdf in iterator:
@@ -327,13 +332,18 @@ class IndexBuilder:
 
     def __init__(self, spark, index_dir: str, analyzer: str = "standard",
                  num_segments: int | None = None, positions: bool = True,
-                 keyword_fields: tuple = (), index_sort: tuple = ()):
+                 keyword_fields: tuple = (), index_sort: tuple = (),
+                 postings_codec: str = "varint"):
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.num_segments = num_segments or spark.sparkContext.defaultParallelism
         self.positions = positions
         self.keyword_fields = tuple(keyword_fields)
+        #: packed-int codec for posting buffers; "varint" (north-rule
+        #: default) or "pfor" (PForUtil-parity opt-in, indexing/pfor.py)
+        self.postings_codec = postings_codec
+        codec_id(postings_codec)  # validate early
         #: ``IndexWriterConfig.setIndexSort`` analogue
         #: (``core/index/IndexWriterConfig.java`` setIndexSort +
         #: ``Lucene90SortedDocValuesFormat`` sorted segments): docIDs are
@@ -386,6 +396,14 @@ class IndexBuilder:
             # index-sort change invalidates every segment's in-segment
             # ORDER, which the order-independent fingerprints cannot
             # see — treat as a fresh build
+            manifest, resume = None, False
+        if manifest is not None and (
+                manifest.get("postings_format") != POSTINGS_FORMAT
+                or manifest.get("postings_codec", "varint")
+                != self.postings_codec):
+            # buffer-layout or codec change: every cached segment's posting
+            # bytes are in the wrong format — rebuild from scratch (the
+            # segments_N analogue of an index-format major-version bump)
             manifest, resume = None, False
         if manifest is not None:
             boundaries = manifest["boundaries"]
@@ -449,7 +467,8 @@ class IndexBuilder:
             )
             invert = _make_invert_fn(self.index_dir, self.analyzer,
                                      self.positions, self.keyword_fields,
-                                     self.index_sort)
+                                     self.index_sort,
+                                     codec_id(self.postings_codec))
             metrics = shuffled.mapInPandas(invert, METRICS_SCHEMA).collect()
             metrics_rows.extend(r.asDict() for r in metrics)
         phase_t["invert"] = time.time() - t0
@@ -507,6 +526,8 @@ class IndexBuilder:
             {
                 "version": 2,
                 "build_id": build_id,
+                "postings_format": POSTINGS_FORMAT,
+                "postings_codec": self.postings_codec,
                 "field": FIELD,
                 "analyzer": self.analyzer,
                 "positions": self.positions,

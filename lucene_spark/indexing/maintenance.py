@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_spark.indexing.blocks import (
+    codec_id,
     decode_block,
     decode_block_positions,
     encode_segment_blocks,
@@ -351,6 +352,9 @@ class IndexMaintenance:
             return {"merged_runs": 0}
         index_dir = self.index_dir
         spark = self.spark
+        # re-encode merged blocks with the index's own codec (a pfor index
+        # stays pfor through compaction)
+        codec = codec_id(self._manifest().get("postings_codec", "varint"))
         manifest = self._manifest()
         live_dir = live_dir_of(manifest)
         bm_rows = [r.asDict() for r in spark.read.parquet(
@@ -470,6 +474,7 @@ class IndexMaintenance:
                     np.concatenate(parts["nm"]).astype(np.int64),
                     pos_flat=(np.concatenate(parts["pos"]).astype(np.int64)
                               if has_pos else None),
+                    codec=codec,
                 )
                 out_parts.append(cols)
                 field_cols.append(

@@ -710,7 +710,9 @@ def parse(query_str: str, analyzer, default_field: str = "text",
     any field in ``fields`` (non-default fields are keyword fields whose
     values are NOT analyzed — StringField semantics), ranges, wildcards,
     fuzzy — and the classic boolean operators ``AND OR NOT && || !`` with
-    one level of exactly-flattenable parenthesis grouping
+    arbitrarily nested parenthesis grouping (flattenable groups are
+    flattened per ``BooleanQuery.java:519-545``; the rest become nested
+    :class:`BooleanQuery` clauses evaluated recursively)
     (:func:`_parse_operators`; operator words are case-sensitive, so
     lowercase ``and``/``or``/``not`` remain search terms).
     """

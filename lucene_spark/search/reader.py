@@ -38,6 +38,18 @@ class IndexReader:
         else:
             with open(f"{index_dir}/manifest.json") as f:
                 self.manifest = json.load(f)
+        from lucene_spark.indexing.blocks import POSTINGS_FORMAT
+
+        fmt = self.manifest.get("postings_format", 1)
+        if fmt != POSTINGS_FORMAT:
+            # Codec version-check analogue (IndexFormatTooOld/NewException):
+            # tagged-buffer layouts are not parseable across format versions,
+            # so refuse loudly instead of misdecoding. IndexBuilder.build
+            # auto-rebuilds old-format indexes; this guards direct opens.
+            raise ValueError(
+                f"index at {index_dir} has postings_format {fmt}; this "
+                f"reader requires {POSTINGS_FORMAT} — rebuild with "
+                f"IndexBuilder.build (old caches rebuild automatically)")
         self.offsets = {int(k): int(v) for k, v in self.manifest["offsets"].items()}
         # stats tables are resolved through manifest pointers so that stats
         # rewrites (append merges, compaction) can publish a NEW generation

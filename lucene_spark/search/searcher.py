@@ -1969,7 +1969,8 @@ class IndexSearcher:
         from pyspark.sql import functions as F
 
         from lucene_spark.indexing.blocks import (
-            decode_block_positions, decode_doc_ids_batch, decode_varints)
+            decode_block_positions, decode_doc_ids_batch,
+            decode_posting_bufs)
 
         ids = sorted({int(x) for x in doc_ids})
         schema = "doc_id long, term string, freq int, positions string"
@@ -2014,7 +2015,7 @@ class IndexSearcher:
             counts = pdf["count"].to_numpy(np.int64)
             docs, starts = decode_doc_ids_batch(
                 first, last, counts, list(pdf["doc_gaps"]))
-            tfs = decode_varints(b"".join(pdf["tfs"]))
+            tfs = decode_posting_bufs(list(pdf["tfs"]))
             hit = np.isin(docs, tgt)
             if not hit.any():
                 return empty
@@ -2080,7 +2081,7 @@ class IndexSearcher:
         from pyspark.sql import functions as F
 
         from lucene_spark.indexing.blocks import (
-            decode_doc_ids_batch, decode_varints)
+            decode_doc_ids_batch, decode_posting_bufs)
         from lucene_spark.smallfloat import LENGTH_TABLE, int_to_byte4
 
         fields = dict(fields)
@@ -2151,7 +2152,7 @@ class IndexSearcher:
                 pdf["first_doc"].to_numpy(np.int64),
                 pdf["last_doc"].to_numpy(np.int64),
                 counts, list(pdf["doc_gaps"]))
-            tfs = decode_varints(b"".join(pdf["tfs"]))
+            tfs = decode_posting_bufs(list(pdf["tfs"]))
             wrow = pdf["field"].map(weights).to_numpy(np.float32)
             wpost = np.repeat(wrow, counts)
             freq = np.zeros(n, dtype=np.float32)

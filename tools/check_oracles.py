@@ -33,7 +33,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
     return eq
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set | None = None):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
     from lucene_spark.session import get_spark
@@ -51,6 +51,8 @@ def main(sf_dir: str):
             pass
 
     qs, os_ = e.queries(), e.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     fails = 0
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir).toPandas()
@@ -61,10 +63,14 @@ def main(sf_dir: str):
         ok = compare(name, sdf, ddf)
         print(f"{'OK  ' if ok else 'FAIL'} {name} ({len(sdf)} rows)")
         fails += 0 if ok else 1
-    print("entry():", e.entry(spark).count(), "rows")
+    if not only:
+        print("entry():", e.entry(spark).count(), "rows")
     print("FAILS:", fails)
     return fails
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    # usage: check_oracles.py [sf_dir] [gate1,gate2,...]
+    raise SystemExit(main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None))
