@@ -1073,6 +1073,40 @@ def _q_unicode_thai_topk(spark, sf_dir):
     return _hits_df(spark, s.search(" ".join(THAI_TERMS), k=50, mode="wand"))
 
 
+# SE-Asian Complex_Context beyond Thai: one word per script — Lao, Myanmar,
+# Khmer — each fully inside the SA ranges (incl. in-run subjoined/killer
+# marks U+17D2 and U+103A)
+SEA_REPL = ((r"\bbatch\b", "\u0e84\u0ebb\u0e8d\u0eb2\u0ea1"),
+            (r"\bmerge\b", "\u1019\u103c\u1014\u103a\u1019\u102c"),
+            (r"\bjoin\b", "\u1781\u17d2\u1798\u17c2\u179a"))
+SEA_TERMS = [r for _, r in SEA_REPL]
+
+
+def _q_unicode_sea_topk(spark, sf_dir):
+    """Lao/Myanmar/Khmer Complex_Context tokenizer gate (LineBreak=SA runs,
+    ``{ComplexContextEx}+ -> SOUTH_EAST_ASIAN_TYPE``,
+    StandardTokenizerImpl.jflex:100,274): inject one word per script —
+    each contiguous SA run (with its dependent vowels and subjoined
+    consonant marks) is ONE term. Oracle: same derivation with the shared
+    ``_SEA_PAIRS``-built regex."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_unisea/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in SEA_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="standard", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(" ".join(SEA_TERMS), k=50, mode="wand"))
+
+
 # HTML markup injections: inline tag, block tag, comment-split word,
 # entity separator, script block — the strip chain must recover the words
 HTML_REPL = ((r"\btable\b", "<b>table</b>"),
@@ -1528,6 +1562,42 @@ def _q_redact_pii(spark, sf_dir):
         "doc_id",
         F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text"))
     return redact_pii(injected).orderBy("doc_id")
+
+
+# domain-mixture targets for the gates: zh over-requested (caps at
+# available), en/fr/de/es mixed under/over — exercises both paths
+MIX_WEIGHTS = {"en": 0.3, "zh": 0.5, "fr": 0.2}
+MIX_TOTAL = 400
+
+
+def _q_domain_mix_sample(spark, sf_dir):
+    """Domain-mixture resampling (training-data recipe step): per-lang
+    requested counts floor(total*w/Σw), fixed md5 permutation in-domain,
+    rank ≤ requested survives; short domains cap at available."""
+    from lucene_spark.pipeline.curation import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        domain_mix(docs, MIX_WEIGHTS, MIX_TOTAL, domain_col="lang")
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+def _q_domain_mix_report(spark, sf_dir):
+    """Achieved-vs-requested mixture audit: (lang, available, requested,
+    taken, achieved) with taken = least(requested, available) and achieved
+    = taken/Σtaken (exact int-ratio double)."""
+    from lucene_spark.pipeline.curation import domain_mix_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        domain_mix_report(docs, MIX_WEIGHTS, MIX_TOTAL, domain_col="lang")
+        .select("lang", F.col("available").cast("long").alias("available"),
+                F.col("requested").cast("long").alias("requested"),
+                F.col("taken").cast("long").alias("taken"), "achieved")
+        .orderBy("lang")
+    )
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -2284,7 +2354,10 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # complex_phrase_topk, payload_score_topk, span_payload_check_count,
     # multireader_topk, dedup_exact_substring, facet_double_ranges,
     # span_not_count, span_containing_count, facet_sum_dl, group_count,
-    # bool_nested_mix_topk, group_top3_source, pfor_topk)
+    # bool_nested_mix_topk, group_top3_source, pfor_topk,
+    # unicode_sea_topk, unicode_thai_topk, shingle_topk, word_break_suggest,
+    # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
+    # domain_mix_sample, domain_mix_report)
 )
 
 
@@ -2435,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_gc_topk": _q_unicode_gc_topk,
         # (added mid-round-4: past the 50-slot window — r5 rotation)
         "unicode_ext_topk": _q_unicode_ext_topk,
+        "unicode_sea_topk": _q_unicode_sea_topk,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -2457,6 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam,
         "rep_ngram_scores": _q_repetition,
         "sample_stratified": _q_sample_stratified,
+        "domain_mix_sample": _q_domain_mix_sample,
+        "domain_mix_report": _q_domain_mix_report,
         "redact_pii": _q_redact_pii,
         "highlight_snippets": _q_highlight,
         "passage_highlight": _q_passage_highlight,
@@ -2801,6 +2877,10 @@ LIMIT 25
         "decontam_overlap": po.contamination_sql(),
         "rep_ngram_scores": po.repetition_sql(),
         "sample_stratified": po.stratified_sample_sql(),
+        "domain_mix_sample": po.domain_mix_sql(
+            MIX_WEIGHTS, MIX_TOTAL, domain_col="lang"),
+        "domain_mix_report": po.domain_mix_report_sql(
+            MIX_WEIGHTS, MIX_TOTAL, domain_col="lang"),
         "redact_pii": po.redact_pii_sql(),
         "dedup_exact": po.dedup_exact_sql(),
         "dedup_minhash_lsh": po.dedup_minhash_sql(),
@@ -2859,6 +2939,10 @@ LIMIT 25
         "unicode_thai_topk": oracle.unicode_topk_sql(
             THAI_TERMS, 50, list(THAI_REPL),
             token_re=oracle.UNICODE_THAI_TOKEN_RE,
+        ),
+        "unicode_sea_topk": oracle.unicode_topk_sql(
+            SEA_TERMS, 50, list(SEA_REPL),
+            token_re=oracle.unicode_sea_token_re(),
         ),
         "html_strip_topk": _html_oracle_sql(),
         "feature_log_topk": oracle.feature_fn_topk_sql(

@@ -91,19 +91,40 @@ for _cp in range(0x410, 0x430):
 # (SURVEY §7.3).
 _EXT = "\u0300-\u036f\u3099\u309a\u200c\u200d\uff9e\uff9f"
 _EXT3 = "\u3099\u309a\u200c\u200d\uff9e\uff9f"
+# SE-Asian Complex_Context (LineBreak=SA) ranges — Thai, Lao, Myanmar,
+# Khmer letters + dependent vowels/tone marks (jflex ``ComplexContext =
+# [:LineBreak=Complex_Context:]``, ``StandardTokenizerImpl.jflex:100``).
+# A contiguous SA run — regardless of which SA scripts it mixes — is ONE
+# token (``{ComplexContextEx}+ -> SOUTH_EAST_ASIAN_TYPE``, jflex ``:274``).
+# Digits (U+0E50-59, 0ED0-D9, 1040-49, 1090-99, 17E0-E9) and section
+# punctuation are LB=NU/BA, not SA, hence the holes. Tai/Cham/Javanese SA
+# blocks and the Myanmar Extended blocks remain documented out (SURVEY §7.3).
+_SEA_PAIRS = (
+    (0x0E01, 0x0E3A), (0x0E40, 0x0E4E),                    # Thai
+    (0x0E81, 0x0E82), (0x0E84, 0x0E84), (0x0E86, 0x0E8A),  # Lao
+    (0x0E8C, 0x0EA3), (0x0EA5, 0x0EA5), (0x0EA7, 0x0EBD),
+    (0x0EC0, 0x0EC4), (0x0EC6, 0x0EC6), (0x0EC8, 0x0ECD),
+    (0x0EDC, 0x0EDF),
+    (0x1000, 0x103F), (0x1050, 0x108F), (0x109A, 0x109D),  # Myanmar
+    (0x1780, 0x17D3), (0x17D7, 0x17D7), (0x17DC, 0x17DD),  # Khmer
+)
+_SEA = "".join(chr(lo) + ("-" + chr(hi) if hi > lo else "")
+               for lo, hi in _SEA_PAIRS)
+_SEA_LOS = np.array([p[0] for p in _SEA_PAIRS], dtype=np.int32)
+_SEA_HIS = np.array([p[1] for p in _SEA_PAIRS], dtype=np.int32)
 _STANDARD_RE = re.compile(
     f"(?:[{_WORD_CLS}][{_EXT}]*)+"
     f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
     f"|(?<=[0-9]),(?=[0-9]))(?:[{_WORD_CLS}][{_EXT}]*)+)*"
     f"|(?:[가-힣\u1100-\u11ff][{_EXT3}]*)+"    # Hangul syllable+jamo runs (HangulEx+)
     f"|(?:[ァ-ヺー-ヾ\uff66-\uff9d][{_EXT3}]*)+"  # Katakana runs incl. halfwidth (KatakanaEx+)
-    f"|(?:[\u0e01-\u0e3a\u0e40-\u0e4e][{_EXT3}]*)+"  # Thai Complex_Context runs
+    f"|(?:[{_SEA}][{_EXT3}]*)+"  # SE-Asian Complex_Context (SA) runs
     f"|[一-鿿][{_EXT3}]*"         # Han: one ideograph per token (HanEx)
     f"|[ぁ-ゖゝ-ゟ][{_EXT3}]*"     # Hiragana: one char per token (HiraganaEx)
 )
 # a token must contain at least one letter or digit (pure "_" runs are not words)
 _HAS_ALNUM_RE = re.compile(
-    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ\u0e01-\u0e3a\u0e40-\u0e4e\uff66-\uff9d\u1100-\u11ff]")
+    f"[A-Za-z0-9{_LAT1}{_GREEK}{_CYR}一-鿿가-힣ァ-ヺー-ヾぁ-ゖゝ-ゟ{_SEA}\uff66-\uff9d\u1100-\u11ff]")
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
@@ -317,14 +338,17 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                             | ((cp >= 0xFF66) & (cp <= 0xFF9D)))
             hang = valid & (((cp >= 0xAC00) & (cp <= 0xD7A3))
                             | ((cp >= 0x1100) & (cp <= 0x11FF)))
-            # SE-Asian Complex_Context (Thai): one token per contiguous run
-            # (jflex ``{ComplexContextEx}+ → SOUTH_EAST_ASIAN_TYPE``,
-            # ``StandardTokenizerImpl.jflex:100,274``). Thai combining
-            # vowels/tone marks are themselves Complex_Context, so they sit
-            # inside the run naturally. Lao/Khmer/Myanmar stay documented
-            # out (SURVEY §7.3).
-            thai = valid & (((cp >= 0x0E01) & (cp <= 0x0E3A))
-                            | ((cp >= 0x0E40) & (cp <= 0x0E4E)))
+            # SE-Asian Complex_Context (Thai/Lao/Myanmar/Khmer): one token
+            # per contiguous SA run (jflex ``{ComplexContextEx}+ →
+            # SOUTH_EAST_ASIAN_TYPE``, ``StandardTokenizerImpl.jflex:100,
+            # 274``); combining vowels/tone marks are themselves SA, so
+            # they sit inside the run naturally. Range membership via one
+            # searchsorted over the shared ``_SEA_PAIRS`` table (the same
+            # table builds the regex-path class — parity by construction).
+            ri = np.searchsorted(_SEA_LOS, cp, side="right") - 1
+            sea = ri >= 0
+            sea[sea] = cp[sea] <= _SEA_HIS[ri[sea]]
+            sea &= valid
             # 3-byte Extend/Format chars (UAX#29 WB4 `X (Extend|Format|ZWJ)*
             # → X`, jflex ExtFmtZwj macros :85-95): kana voicing marks
             # U+3099/309A + ZWNJ U+200C / ZWJ U+200D. They glue LEFT — into
@@ -352,7 +376,7 @@ def _tokenize_ids_bytes(texts: pd.Series, *, joiners: bool, max_token_length: in
                         ee[m2] += 3
                 parts_s.append(ss)
                 parts_e.append(ee)
-            for m in (kata, hang, thai):
+            for m in (kata, hang, sea):
                 if not m.any():
                     continue
                 if ext3b is None:

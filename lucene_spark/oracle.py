@@ -380,6 +380,15 @@ UNICODE_THAI_TOKEN_RE = (
     "|[\u4e00-\u9fff]|[\u3041-\u3096\u309d-\u309f]")
 
 
+def unicode_sea_token_re() -> str:
+    """Token regex for SE-Asian Complex_Context oracles: SA runs (built
+    from the engine's own ``_SEA_PAIRS`` table, so the class is shared by
+    construction) + the Latin word class."""
+    from lucene_spark.analysis import _SEA
+
+    return f"[a-z0-9\u00e0-\u00f6\u00f8-\u00ff]+|[{_SEA}]+"
+
+
 def unicode_topk_sql(terms, k: int, replacements,
                      token_re: str = UNICODE_TOKEN_RE,
                      txt_wrap=None) -> str:

@@ -1,5 +1,5 @@
 """Training-data curation operators: eval-set decontamination, repetition
-scoring, and deterministic stratified sampling.
+scoring, deterministic stratified sampling, and domain-mixture resampling.
 
 Like the rest of ``lucene_spark.pipeline`` these are pure JVM DataFrame plans
 (no Python UDFs) over the deterministic contracts in ``contracts.py`` so the
@@ -190,6 +190,77 @@ def redact_pii(docs: DataFrame, patterns=PII_PATTERNS) -> DataFrame:
     has = reduce(lambda a, b: a | b,
                  [F.col(f"n_{name}") > 0 for name, _ in patterns])
     return out.withColumn("has_pii", has)
+
+
+def _mix_requested(weights: dict, total: int) -> dict:
+    """Per-domain requested counts: floor(total * w / Σw) — integer, so the
+    Spark plan and the DuckDB oracle agree bit-for-bit."""
+    wsum = float(sum(weights.values()))
+    return {d: int(total * w / wsum) for d, w in weights.items()}
+
+
+def domain_mix(
+    docs: DataFrame, weights: dict, total: int, domain_col: str = "source"
+) -> DataFrame:
+    """Deterministic domain-mixture resampling — the "data recipe" step of
+    a training pipeline (sample each domain toward target mixture weights,
+    e.g. up-weighting curated sources and down-weighting web crawl).
+
+    ``requested_d = floor(total * w_d / Σw)``; within each domain docs are
+    ranked by the fixed uniform permutation (md5(doc_id), doc_id) and rank
+    ≤ requested_d survive.  A domain with fewer rows than requested
+    contributes everything it has (the rank filter caps naturally);
+    domains absent from ``weights`` are dropped.  Returns
+    (domain_col, doc_id, rk).
+
+    Scale: the requested counts are a tiny literal map (no join); the only
+    shuffle is the window partition on the domain key.  A skewed giant
+    domain pays one per-domain sort — at real scale swap the full sort for
+    a two-pass rank-threshold estimate, but the exact rank keeps the
+    contract reproducible and oracle-checkable here.
+    """
+    req = _mix_requested(weights, total)
+    req_map = F.create_map(
+        *[F.lit(x) for d, n in sorted(req.items()) for x in (d, n)]
+    )
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(domain_col, "doc_id")
+        .withColumn("req", req_map[F.col(domain_col)])
+        .filter(F.col("req").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("req"))
+        .select(domain_col, "doc_id", "rk")
+    )
+
+
+def domain_mix_report(
+    docs: DataFrame, weights: dict, total: int, domain_col: str = "source"
+) -> DataFrame:
+    """Achieved-vs-requested mixture audit for :func:`domain_mix`:
+    (domain, available, requested, taken, achieved) where
+    ``taken = least(requested, available)`` and ``achieved`` is the
+    resulting mixture share ``taken / Σ taken`` (an exact int-ratio double,
+    cross-engine stable).  One groupBy on the domain key; the final share
+    is a window over ≤ #domains rows."""
+    req = _mix_requested(weights, total)
+    req_map = F.create_map(
+        *[F.lit(x) for d, n in sorted(req.items()) for x in (d, n)]
+    )
+    avail = (
+        docs.select(domain_col)
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("available"))
+        .withColumn("requested", req_map[F.col(domain_col)])
+        .filter(F.col("requested").isNotNull())
+        .withColumn("taken", F.least("requested", "available"))
+    )
+    wall = Window.partitionBy()
+    return avail.withColumn(
+        "achieved",
+        F.col("taken").cast("double") / F.sum("taken").over(wall).cast("double"),
+    ).select(domain_col, "available", "requested", "taken", "achieved")
 
 
 def line_dedup(docs: DataFrame) -> DataFrame:

@@ -677,6 +677,56 @@ ORDER BY lang, source, rk
 """
 
 
+def domain_mix_sql(weights: dict, total: int,
+                   domain_col: str = "lang") -> str:
+    """Oracle for curation.domain_mix: same floor-requested counts, same
+    (md5(doc_id), doc_id) in-domain permutation."""
+    from lucene_spark.pipeline.curation import _mix_requested
+
+    req = _mix_requested(weights, total)
+    vals = ",".join(f"('{d}', {n})" for d, n in sorted(req.items()))
+    return f"""
+WITH req(dom, n) AS (VALUES {vals}),
+ranked AS (
+  SELECT {domain_col} AS dom, doc_id,
+         row_number() OVER (
+           PARTITION BY {domain_col}
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+SELECT r.dom AS {domain_col}, r.doc_id, r.rk
+FROM ranked r JOIN req q ON q.dom = r.dom
+WHERE r.rk <= q.n
+ORDER BY 1, 3
+"""
+
+
+def domain_mix_report_sql(weights: dict, total: int,
+                          domain_col: str = "lang") -> str:
+    """Oracle for curation.domain_mix_report: taken = least(requested,
+    available); achieved = taken / Σ taken (exact int-ratio double)."""
+    from lucene_spark.pipeline.curation import _mix_requested
+
+    req = _mix_requested(weights, total)
+    vals = ",".join(f"('{d}', {n})" for d, n in sorted(req.items()))
+    return f"""
+WITH req(dom, requested) AS (VALUES {vals}),
+avail AS (
+  SELECT {domain_col} AS dom, count(*)::BIGINT AS available
+  FROM documents GROUP BY 1
+),
+j AS (
+  SELECT a.dom, a.available, q.requested::BIGINT AS requested,
+         least(q.requested, a.available)::BIGINT AS taken
+  FROM avail a JOIN req q ON q.dom = a.dom
+)
+SELECT dom AS {domain_col}, available, requested, taken,
+       taken::DOUBLE / sum(taken) OVER ()::DOUBLE AS achieved
+FROM j
+ORDER BY 1
+"""
+
+
 def redact_pii_sql() -> str:
     """PII scrub oracle — mirrors the gate's deterministic injection (every
     5th doc gets an email / phone / IPv4 suffix) and curation.redact_pii's

@@ -288,6 +288,38 @@ def test_stratified_sample_deterministic(spark, docs):
     assert (merged["source"] == merged["source_src"]).all()
 
 
+def test_domain_mix(spark):
+    from lucene_spark.pipeline.curation import (
+        _mix_requested, domain_mix, domain_mix_report)
+
+    full = spark.read.parquet(f"{SF}/documents.parquet")
+    weights = {"en": 0.3, "zh": 0.5, "fr": 0.2}
+    total = 400
+    req = _mix_requested(weights, total)
+    assert req == {"en": 120, "zh": 200, "fr": 80}
+
+    samp = domain_mix(full, weights, total, domain_col="lang").toPandas()
+    pop = full.toPandas().groupby("lang").size()
+    sizes = samp.groupby("lang").size()
+    # only weighted domains survive; each takes min(requested, available)
+    assert set(sizes.index) <= set(req)
+    for d, n in req.items():
+        assert sizes.get(d, 0) == min(n, int(pop.get(d, 0)))
+    # deterministic (no RNG state)
+    again = domain_mix(full, weights, total, domain_col="lang").toPandas()
+    key = ["lang", "rk"]
+    assert samp.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
+
+    rep = (domain_mix_report(full, weights, total, domain_col="lang")
+           .toPandas().set_index("lang"))
+    assert (rep["taken"] == rep[["requested", "available"]].min(axis=1)).all()
+    total_taken = int(rep["taken"].sum())
+    for d in rep.index:
+        assert rep.loc[d, "achieved"] == rep.loc[d, "taken"] / total_taken
+    assert abs(rep["achieved"].sum() - 1.0) < 1e-12
+
+
 def test_redact_pii(spark):
     from lucene_spark.pipeline.curation import redact_pii
 

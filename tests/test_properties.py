@@ -102,11 +102,12 @@ _TEXT_ALPHABET = st.text(
 
 # full extended alphabet: every script family + Extend/Format marks the
 # round-4 tokenizer supports — latin-1, greek, cyrillic, han, hiragana,
-# katakana (full+half width), hangul (syllable+jamo), thai, combining
-# diacritics, kana voicing (full+half width), ZWNJ/ZWJ, joiners, separators
+# katakana (full+half width), hangul (syllable+jamo), SE-Asian SA
+# (thai/lao/myanmar/khmer), combining diacritics, kana voicing
+# (full+half width), ZWNJ/ZWJ, joiners, separators
 _EXT_ALPHABET = st.text(
     alphabet=("abZ09_'.:, \t-?" "éßÿ" "Σσώ" "Яёж" "光值" "ぎらゝ" "バーｶﾅ"
-              "한글가" "ตค่า" "\u0300\u0301\u3099\u309a\uff9e"
+              "한글가" "ตค่า" "ກຳມ" "မန်ာ" "ខ្រ" "\u0300\u0301\u3099\u309a\uff9e"
               "\u200c\u200d"),
     max_size=80,
 )
@@ -185,7 +186,10 @@ def test_sloppy_matcher_invariants(pos_lists, slop):
 def _segment_from_docs(docs_tokens):
     """Encode a list of per-doc token streams as one-segment postings rows
     (one block per term), independent of the builder."""
-    from lucene_spark.indexing.blocks import encode_varints
+    from lucene_spark.indexing.blocks import CODEC_VARINT, _encode_one
+
+    def encode_varints(arr):  # tagged, as the builder writes them
+        return _encode_one(np.asarray(arr, dtype=np.int64), CODEC_VARINT)
 
     by_term: dict = {}
     for d, toks in enumerate(docs_tokens):

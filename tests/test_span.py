@@ -242,7 +242,9 @@ def test_span_kernel_rejects_global_docids():
     import numpy as np
 
     def varint(vals):
-        out = bytearray()
+        from lucene_spark.indexing.blocks import CODEC_VARINT
+
+        out = bytearray([CODEC_VARINT])  # tagged, as the builder writes
         for v in vals:
             while True:
                 b = v & 0x7F
@@ -366,7 +368,9 @@ def test_span_exclude_contain_combination_refused():
     import numpy as np
 
     def varint(vals):
-        out = bytearray()
+        from lucene_spark.indexing.blocks import CODEC_VARINT
+
+        out = bytearray([CODEC_VARINT])  # tagged, as the builder writes
         for v in vals:
             while True:
                 b = v & 0x7F
