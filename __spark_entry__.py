@@ -1903,6 +1903,18 @@ def _q_knn(spark, sf_dir):
     return s.knn_df(qvec, k=10).select("doc_id", "dot")
 
 
+def _q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid BM25+KNN retrieval fused by reciprocal rank (rrf =
+    Σ 1/(60+rank) over the two top-100 lists): the modern lexical+vector
+    combo over the same searcher (KnnFloatVectorQuery beside a text
+    query). Hash-exact: ≤2 IEEE contributions per doc."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = _searcher(spark, sf_dir)
+    s.set_vectors(emb.select(F.col("vec_id").alias("doc_id"), "embedding"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return s.hybrid_rrf_df(_parse(Q_OR), qvec, k=30, n_each=100)
+
+
 def _q_mm_binary_stats(spark, sf_dir):
     from lucene_spark.pipeline.multimodal import attach_payload, binary_stats
 
@@ -2357,7 +2369,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # bool_nested_mix_topk, group_top3_source, pfor_topk,
     # unicode_sea_topk, unicode_thai_topk, shingle_topk, word_break_suggest,
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
-    # domain_mix_sample, domain_mix_report)
+    # domain_mix_sample, domain_mix_report, hybrid_rrf_topk)
 )
 
 
@@ -2372,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_term_stats": _q_term_stats,
         "index_doc_norms": _q_doc_norms,
         "knn_topk": _q_knn,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "span_near_topk": _q_span_near,
         "facet_dl_ranges": _q_facet_dl_ranges,
         "facet_double_ranges": _q_facet_double_ranges,
@@ -2636,6 +2649,8 @@ def oracle_sql() -> dict[str, str]:
             for i, q in enumerate(MSEARCH_QS)
         ),
         "knn_topk": po.knn_brute_sql(0, 10),
+        "hybrid_rrf_topk": oracle.hybrid_rrf_sql(
+            _parse(Q_OR), 0, 30, n_each=100),
         "span_near_topk": oracle.span_near_topk_sql(
             ["table", "value"], 3, 50, in_order=True),
         "facet_dl_ranges": oracle.facet_ranges_sql(

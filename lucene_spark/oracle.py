@@ -4269,3 +4269,38 @@ summed AS (
 )
 """
     return f"WITH {BASE_CTES},{body}{_topk_tail(must, must_not, k)}"
+
+
+def hybrid_rrf_sql(query, query_vec_id: int, k: int,
+                   n_each: int = 100, k_rrf: int = 60) -> str:
+    """Reciprocal-rank-fusion oracle for ``IndexSearcher.hybrid_rrf_df``:
+    rank the BM25 top-n and the exact-KNN top-n independently, then
+    ``rrf = Σ CAST(1 AS DOUBLE)/(k_rrf + rank)`` (each doc has ≤ 2 IEEE
+    contributions → order-insensitive, hash-exact)."""
+    from lucene_spark.pipeline.oracles import knn_brute_sql
+
+    bm = bm25_topk_sql(query, n_each)
+    kn = knn_brute_sql(query_vec_id, n_each)
+    return f"""
+WITH bm AS ({bm}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM bm
+),
+kn AS ({kn}),
+knr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS rk
+  FROM kn
+),
+contrib AS (
+  SELECT doc_id, CAST(1 AS DOUBLE) / ({k_rrf} + rk) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, CAST(1 AS DOUBLE) / ({k_rrf} + rk) AS c FROM knr
+)
+SELECT doc_id, sum(c) AS rrf
+FROM contrib GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {k}
+"""

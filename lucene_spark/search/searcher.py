@@ -187,6 +187,41 @@ class IndexSearcher:
             filter_df = self.match_df(filter)
         return knn_topk_df(self.vectors, query_vec, k, filter_df, strategy)
 
+    def hybrid_rrf_df(self, query, query_vec, k: int = 10,
+                      n_each: int = 100, k_rrf: int = 60):
+        """Hybrid lexical+vector retrieval via reciprocal-rank fusion:
+        ``rrf(d) = Σ_list 1/(k_rrf + rank_d(list))`` over the BM25 top-n
+        and the KNN top-n (the standard hybrid-search combiner for a
+        KnnFloatVectorQuery running beside a text query; Lucene exposes
+        the same shape through TopDocs reciprocal-rank utilities in
+        ``demo/knn`` usage — semantics, not a port). Returns
+        (doc_id, rrf DOUBLE), rrf DESC / doc_id ASC, LIMIT k.
+
+        Scale: each list is its own bounded top-n (the WAND path and the
+        pushdown-pruned vector scan); fusion touches ≤ 2·n_each rows — a
+        driver-trivial plan regardless of corpus size. Determinism: each
+        doc gets ≤ 2 IEEE-double contributions (one per list), so the sum
+        is order-insensitive and hash-exact vs the SQL oracle."""
+        from pyspark.sql import Window, functions as F
+
+        hits = self.search(query, k=n_each, mode="auto")
+        bm = self.spark.createDataFrame(
+            [(int(h.doc_id), i + 1) for i, h in enumerate(hits)] or
+            [(None, None)], "doc_id long, rk int").filter(
+                F.col("doc_id").isNotNull())
+        wk = Window.orderBy(F.desc("dot"), F.asc("doc_id"))
+        kn = (self.knn_df(query_vec, k=n_each)
+              .withColumn("rk", F.row_number().over(wk)))
+        contrib = (
+            bm.select("doc_id",
+                      (F.lit(1.0) / (F.lit(k_rrf) + F.col("rk"))).alias("c"))
+            .unionByName(kn.select(
+                "doc_id",
+                (F.lit(1.0) / (F.lit(k_rrf) + F.col("rk"))).alias("c")))
+        )
+        return (contrib.groupBy("doc_id").agg(F.sum("c").alias("rrf"))
+                .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k))
+
     def set_geo(self, geo_df, lat_col: str = "lat", lon_col: str = "lon"):
         """Attach a (doc_id, lat, lon) geo doc-values DataFrame —
         ``LatLonPoint`` / ``LatLonDocValuesField`` storage re-expressed as

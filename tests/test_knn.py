@@ -262,3 +262,28 @@ def test_ivf_topk_tiny_corpus(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = ivf_topk(emb, n_queries=2, k=3, n_centroids=16, nprobe=4).collect()
     assert out  # produced candidates without shape errors
+
+
+def test_hybrid_rrf_vs_brute(knn_searcher, vectors_np, corpus_pdf):
+    """hybrid_rrf_df == brute RRF over the independently-computed BM25 and
+    KNN rankings (rrf = sum over lists of 1/(60+rank))."""
+    qvec = vectors_np[5].tolist()
+    q = " ".join(VOCAB[:2])  # terms guaranteed present in the synthetic corpus
+    n_each, k = 20, 10
+    got = {r["doc_id"]: r["rrf"]
+           for r in knn_searcher.hybrid_rrf_df(q, qvec, k=k,
+                                               n_each=n_each).collect()}
+
+    bm_rank = {h.doc_id: i + 1
+               for i, h in enumerate(knn_searcher.search(q, k=n_each))}
+    kn_rank = {d: i + 1
+               for i, (d, _) in enumerate(brute_topk(vectors_np, qvec,
+                                                     n_each))}
+    rrf = {}
+    for src_, ranks in (("bm", bm_rank), ("kn", kn_rank)):
+        for d, r in ranks.items():
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (60 + r)
+    exp = sorted(rrf.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert got == dict(exp)
+    # fused list must actually mix both sources when they disagree
+    assert set(got) & set(bm_rank) and set(got) & set(kn_rank)
