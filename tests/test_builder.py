@@ -183,3 +183,36 @@ def test_plan_boundaries_bounded_driver_collection(spark):
     b2 = plan_boundaries(df, 4, sample_mod=1, target_per_segment=4,
                          _stats=stats2)
     assert b1 == b2 and stats2 == stats               # deterministic
+
+
+def test_hot_term_skew_balanced(spark, tmp_path):
+    """North-rule hot-term skew evidence: a term carrying ~half of ALL
+    token occurrences must not unbalance the build. The tf aggregation is
+    two-stage with the SEGMENT as the salt — tf is counted per-segment
+    inside the Arrow kernel (a hot term never becomes a shuffle key; the
+    only build shuffle keys on the range-balanced doc sort key), and the
+    global term_stats merge sees at most n_segments pre-aggregated rows
+    per term. So per-segment input rows stay balanced no matter how
+    skewed the term distribution is, and the hot term's postings spread
+    across every segment as independent block runs."""
+    df = synthetic_transcripts(spark, 40)
+    hot = " hotzipfterm" * 20
+    df = df.withColumn("text", F.concat(F.col("text"), F.lit(hot)))
+    d = str(tmp_path / "skew_idx")
+    IndexBuilder(spark, d, num_segments=8).build(df)
+
+    man = spark.read.parquet(f"{d}/build_manifest").toPandas()
+    rows = man["rows_in"].to_numpy()
+    assert len(rows) == 8
+    # doc-key range partitioning: segments balanced despite 50% token skew
+    assert rows.max() <= 2.0 * max(1, rows.min())
+
+    post = spark.read.parquet(f"{d}/postings").filter(
+        F.col("term") == "hotzipfterm")
+    segs = {r["seg"] for r in post.select("seg").distinct().collect()}
+    assert segs == set(range(8))  # per-segment runs = the salt buckets
+    ts = spark.read.parquet(f"{d}/term_stats").filter(
+        F.col("term") == "hotzipfterm").collect()
+    n_docs = df.count()
+    assert len(ts) == 1 and ts[0]["df"] == n_docs
+    assert ts[0]["ttf"] == 20 * n_docs
