@@ -1107,6 +1107,41 @@ def _q_unicode_sea_topk(spark, sf_dir):
     return _hits_df(spark, s.search(" ".join(SEA_TERMS), k=50, mode="wand"))
 
 
+# CJK bigram gate: injected Han vocabulary (a 4-char run, a lone char, a
+# 2-char run) — the analyzer must emit overlapping bigrams + the lone
+# unigram, and BM25 must score over the bigram-expanded doc lengths
+CJK_REPL = ((r"\btable\b", "\u6570\u636e\u8868\u683c"),   # 数据表格
+            (r"\bvalue\b", "\u503c"),                        # 值
+            (r"\bscan\b", "\u626b\u63cf"))                  # 扫描
+CJK_QUERY_TERMS = ["\u6570\u636e", "\u636e\u8868", "\u8868\u683c",
+                   "\u503c", "\u626b\u63cf"]
+
+
+def _q_cjk_bigram_topk(spark, sf_dir):
+    """CJK bigram analysis gate (CJKBigramFilter.java:46-128, flags
+    HAN|HIRAGANA, outputUnigrams=false): index with analyzer="cjk_bigram"
+    over Han-injected text; each Han run contributes its overlapping
+    bigrams (lone char → unigram) to postings, norms, and stats. Oracle:
+    the same expansion as a DuckDB list expression."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_cjkbi/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in CJK_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="cjk_bigram", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(" ".join(CJK_QUERY_TERMS), k=50,
+                                    mode="wand"))
+
+
 # HTML markup injections: inline tag, block tag, comment-split word,
 # entity separator, script block — the strip chain must recover the words
 HTML_REPL = ((r"\btable\b", "<b>table</b>"),
@@ -2369,7 +2404,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # bool_nested_mix_topk, group_top3_source, pfor_topk,
     # unicode_sea_topk, unicode_thai_topk, shingle_topk, word_break_suggest,
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
-    # domain_mix_sample, domain_mix_report, hybrid_rrf_topk)
+    # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
+    # cjk_bigram_topk)
 )
 
 
@@ -2522,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (added mid-round-4: past the 50-slot window — r5 rotation)
         "unicode_ext_topk": _q_unicode_ext_topk,
         "unicode_sea_topk": _q_unicode_sea_topk,
+        "cjk_bigram_topk": _q_cjk_bigram_topk,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -2958,6 +2995,10 @@ LIMIT 25
         "unicode_sea_topk": oracle.unicode_topk_sql(
             SEA_TERMS, 50, list(SEA_REPL),
             token_re=oracle.unicode_sea_token_re(),
+        ),
+        "cjk_bigram_topk": oracle.unicode_topk_sql(
+            CJK_QUERY_TERMS, 50, list(CJK_REPL),
+            tokens_list_expr=oracle.cjk_bigram_tokens_expr,
         ),
         "html_strip_topk": _html_oracle_sql(),
         "feature_log_topk": oracle.feature_fn_topk_sql(

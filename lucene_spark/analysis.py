@@ -740,6 +740,82 @@ class ShingleAnalyzer:
                 lens)
 
 
+# CJK bigram tokenization: Han + Hiragana RUNS match as one unit so the
+# bigrammer sees intra-run adjacency; all other script families keep the
+# StandardAnalyzer shapes. Built from the same module constants.
+_CJK_BI_RE = re.compile(
+    f"(?:[{_WORD_CLS}][{_EXT}]*)+"
+    f"(?:(?:['.]|(?<=[{_LETTER_CLS}]):(?=[{_LETTER_CLS}])"
+    f"|(?<=[0-9]),(?=[0-9]))(?:[{_WORD_CLS}][{_EXT}]*)+)*"
+    f"|[\u4e00-\u9fff\u3041-\u3096\u309d-\u309f]+"  # Han+Hiragana runs
+    f"|(?:[\uac00-\ud7a3\u1100-\u11ff][{_EXT3}]*)+"
+    f"|(?:[\u30a1-\u30fa\u30fc-\u30fe\uff66-\uff9d][{_EXT3}]*)+"
+    f"|(?:[{_SEA}][{_EXT3}]*)+"
+)
+_CJK_BI_FIRST = re.compile("[\u4e00-\u9fff\u3041-\u3096\u309d-\u309f]")
+
+
+@dataclass
+class CJKBigramAnalyzer:
+    """CJKAnalyzer-lite: overlapping CJK character bigrams
+    (``analysis/common/.../cjk/CJKBigramFilter.java:46-128`` with flags
+    HAN|HIRAGANA, outputUnigrams=false): a run of n ≥ 2 Han/Hiragana chars
+    emits its n−1 overlapping bigrams, each at position increment 1; a lone
+    CJK char emits as a unigram (the filter's "single" fallback,
+    ``CJKBigramFilter.java:279-291``); every other token passes through the
+    standard chain unchanged. Documented divergences: bigrams form only
+    INSIDE a contiguous run (the reference filter also joins CJK singles
+    across separators because it tracks token types, not offsets — moot on
+    real CJK text, which has no separators), Katakana/Hangul runs pass
+    through unsplit (≡ flags without KATAKANA|HANGUL), and the reference
+    CJKAnalyzer's English stop set is not applied (empty stop set, as the
+    rest of this repo's chains)."""
+
+    max_token_length: int = MAX_TOKEN_LENGTH
+
+    name = "cjk_bigram"
+
+    def _expand(self, toks):
+        out = []
+        for t in toks:
+            if _CJK_BI_FIRST.match(t) and len(t) > 1:
+                out.extend(t[i:i + 2] for i in range(len(t) - 1))
+            else:
+                out.append(t)
+        return out
+
+    def tokenize_text(self, text: str) -> list[str]:
+        if not text:
+            return []
+        ml = self.max_token_length
+        toks = [
+            t.translate(_GC_LOWER).lower()
+            for t in _CJK_BI_RE.findall(text)
+            if len(t) <= ml and _HAS_ALNUM_RE.search(t)
+        ]
+        return self._expand(toks)
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        s = texts.fillna("")
+        out = s.str.findall(_CJK_BI_RE)
+        ml = self.max_token_length
+        return out.map(
+            lambda ts: self._expand([
+                t.translate(_GC_LOWER).lower() for t in ts
+                if len(t) <= ml and _HAS_ALNUM_RE.search(t)
+            ])
+        )
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
 def get_analyzer(name: str):
     if name == "standard":
         return StandardAnalyzer()
@@ -761,6 +837,8 @@ def get_analyzer(name: str):
         return FoldingAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
+    if name == "cjk_bigram":
+        return CJKBigramAnalyzer()
     if name == "shingle":
         return ShingleAnalyzer()
     if name.startswith("shingle"):  # "shingle3", "shingle4", …

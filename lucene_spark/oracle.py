@@ -389,9 +389,24 @@ def unicode_sea_token_re() -> str:
     return f"[a-z0-9\u00e0-\u00f6\u00f8-\u00ff]+|[{_SEA}]+"
 
 
+def cjk_bigram_tokens_expr(t: str) -> str:
+    """DuckDB LIST expression mirroring ``analysis.CJKBigramAnalyzer``:
+    word tokens pass through; a Han run of n chars becomes its n−1
+    overlapping bigrams (lone char stays a unigram)."""
+    return (
+        "flatten(list_transform("
+        f"regexp_extract_all({t}, "
+        "'[a-z0-9\u00e0-\u00f6\u00f8-\u00ff]+|[\u4e00-\u9fff]+'), "
+        "w -> CASE WHEN NOT regexp_matches(w, '^[\u4e00-\u9fff]') THEN [w] "
+        "WHEN length(w) = 1 THEN [w] "
+        "ELSE list_transform(range(1, length(w)), "
+        "i -> substr(w, i::INT, 2)) END))"
+    )
+
+
 def unicode_topk_sql(terms, k: int, replacements,
                      token_re: str = UNICODE_TOKEN_RE,
-                     txt_wrap=None) -> str:
+                     txt_wrap=None, tokens_list_expr=None) -> str:
     """Float32-bit-exact BM25 top-k over a corpus derived by injecting
     non-ASCII vocabulary (VERDICT r2 next-#6 gate): ``replacements`` is a
     list of (token_regex, replacement) applied to the raw text, then the
@@ -405,6 +420,11 @@ def unicode_topk_sql(terms, k: int, replacements,
     if txt_wrap is not None:
         # post-replacement text transform (e.g. the HTML-strip chain)
         t_expr = txt_wrap(t_expr)
+    # token derivation: a regex match list by default; ``tokens_list_expr``
+    # overrides with any DuckDB LIST-typed expression over the text (e.g.
+    # the CJK bigram expansion)
+    toks_list = (tokens_list_expr("t") if tokens_list_expr
+                 else f"regexp_extract_all(t, '{token_re}')")
     qvals = ",".join(
         f"({i}, '{t}', CAST(1.0 AS FLOAT))" for i, t in enumerate(terms)
     )
@@ -415,14 +435,14 @@ WITH docs0 AS (
   FROM documents
 ),
 toks AS (
-  SELECT did, unnest(regexp_extract_all(t, '{token_re}')) AS term
+  SELECT did, unnest({toks_list}) AS term
   FROM docs0
 ),
 tf AS (
   SELECT did, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
 ),
 dls AS (
-  SELECT did, len(regexp_extract_all(t, '{token_re}'))::BIGINT AS dl
+  SELECT did, len({toks_list})::BIGINT AS dl
   FROM docs0
 ),
 normmap(lo, hi) AS (VALUES {norm_map_values()}),

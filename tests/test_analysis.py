@@ -336,3 +336,31 @@ def test_shingle_analyzer():
     # size-3 variant via the registry suffix
     an3 = get_analyzer("shingle3")
     assert an3.tokenize_text("a b c d") == ["a b c", "b c d"]
+
+
+def test_cjk_bigram_analyzer():
+    """CJKBigramFilter semantics (flags HAN|HIRAGANA, outputUnigrams=false):
+    n-char runs → n−1 overlapping bigrams, lone char → unigram, other
+    scripts pass through; dl counts the EXPANDED stream."""
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("cjk_bigram")
+    assert an.tokenize_text("run 数据表格 scan") == [
+        "run", "数据", "据表", "表格", "scan"]
+    assert an.tokenize_text("lone 值 char") == ["lone", "值", "char"]
+    assert an.tokenize_text("ひらがな") == ["ひら", "らが", "がな"]
+    # Katakana / Hangul runs pass through unsplit (documented divergence)
+    assert an.tokenize_text("カタカナ 한글") == ["カタカナ", "한글"]
+    # uppercase latin lowers through the shared chain
+    assert an.tokenize_text("ABC 光值") == ["abc", "光值"]
+    s = pd.Series(["数据表格 x", None, ""], dtype=object)
+    lists = an.tokenize_series(s)
+    assert lists.tolist() == [["数据", "据表", "表格", "x"], [], []]
+    flat, lens = an.tokenize_flat(s)
+    assert lens.tolist() == [4, 0, 0]
+    assert flat.tolist() == ["数据", "据表", "表格", "x"]
+    # positions are ordinals over the expanded stream (posIncr 1 per bigram)
+    uniq, codes, cnt, pos = an.tokenize_ids(s, with_positions=True)
+    assert pos.tolist() == [0, 1, 2, 3]
