@@ -1142,6 +1142,35 @@ def _q_cjk_bigram_topk(spark, sf_dir):
                                     mode="wand"))
 
 
+# Synonym-graph gate (SynonymGraphFilter + QueryBuilder.analyzeGraphBoolean):
+# a multi-word rule (two alternatives: one phrase, one term), a
+# single→single rule (SynonymQuery blend), one unmatched term — all three
+# span shapes in one query; vocabulary is in-corpus
+SYN_RULES = (("hash join", ("merge join", "group")),
+             ("fast", ("slow",)))
+SYN_QUERY_TEXT = "hash join fast scan"
+
+
+def _syn_graph_query():
+    from lucene_spark.search.syngraph import SynonymMap, graph_boolean
+
+    smap = SynonymMap([(i, list(o)) for i, o in SYN_RULES], analyzer=_AN)
+    return graph_boolean(SYN_QUERY_TEXT, smap, _AN)
+
+
+def _q_syn_graph_topk(spark, sf_dir):
+    """Query-time synonym graph expansion
+    (``analysis/common/.../synonym/SynonymGraphFilter.java:88-110`` matching,
+    ``util/QueryBuilder.java`` analyzeGraphBoolean/newGraphSynonymQuery):
+    leftmost-longest rule matching over the analyzed query, each matched
+    span a SHOULD group of phrase/term alternatives (all-single-token spans
+    blend as SynonymQuery: df = max, tf summed), spans OR-composed; executed
+    by the recursive mixed kernel. Oracle: the nested BM25 SQL over the
+    SAME expanded tree."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.search(_syn_graph_query(), k=40))
+
+
 # HTML markup injections: inline tag, block tag, comment-split word,
 # entity separator, script block — the strip chain must recover the words
 HTML_REPL = ((r"\btable\b", "<b>table</b>"),
@@ -2405,7 +2434,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # unicode_sea_topk, unicode_thai_topk, shingle_topk, word_break_suggest,
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
-    # cjk_bigram_topk)
+    # cjk_bigram_topk, syn_graph_topk)
 )
 
 
@@ -2559,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_ext_topk": _q_unicode_ext_topk,
         "unicode_sea_topk": _q_unicode_sea_topk,
         "cjk_bigram_topk": _q_cjk_bigram_topk,
+        "syn_graph_topk": _q_syn_graph_topk,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -2996,6 +3026,7 @@ LIMIT 25
             SEA_TERMS, 50, list(SEA_REPL),
             token_re=oracle.unicode_sea_token_re(),
         ),
+        "syn_graph_topk": oracle.nested_topk_sql(_syn_graph_query(), 40),
         "cjk_bigram_topk": oracle.unicode_topk_sql(
             CJK_QUERY_TERMS, 50, list(CJK_REPL),
             tokens_list_expr=oracle.cjk_bigram_tokens_expr,

@@ -263,7 +263,7 @@ class BruteForceIndex:
             if docs is None:
                 return []
             return [(int(d), float(F32(q.boost))) for d in docs[:k]]
-        if isinstance(q, ast.TermQuery):
+        if isinstance(q, (ast.TermQuery, ast.SynonymQuery)):
             q = ast.BooleanQuery(((ast.SHOULD, q),))
         if not isinstance(q, ast.BooleanQuery):
             raise NotImplementedError(
@@ -462,6 +462,23 @@ class BruteForceIndex:
             elif isinstance(tq, ast.TermQuery):
                 hit = self.postings.get(tq.term)
                 dfs = [hit[0].size] if hit is not None else []
+            elif isinstance(tq, ast.SynonymQuery):
+                # blended pseudo-term (SynonymQuery.java:205-222): tf summed
+                # per doc across PRESENT members, df = max over present
+                members = [self.postings[t]
+                           for t in dict.fromkeys(tq.terms)
+                           if t in self.postings]
+                if not members:
+                    hit, dfs = None, []
+                else:
+                    uniq, inv = np.unique(
+                        np.concatenate([m[0] for m in members]),
+                        return_inverse=True)
+                    tfsum = np.zeros(uniq.size, dtype=np.int64)
+                    np.add.at(tfsum, inv,
+                              np.concatenate([m[1] for m in members]))
+                    hit = (uniq, tfsum)
+                    dfs = [max(m[0].size for m in members)]
             else:
                 raise NotImplementedError(
                     f"BruteForceIndex._bool_eval does not model "

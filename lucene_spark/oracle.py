@@ -745,12 +745,13 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
                         "phrase leaves: engine + sloppy_pair oracles)")
                 phrase_ctes.append(
                     _phrase_freq_cte(f"nph{len(phrase_ctes)}", sub.terms))
-            elif isinstance(sub, (ast.MatchAllDocsQuery, ast.MultiTermQuery)):
+            elif isinstance(sub, (ast.MatchAllDocsQuery, ast.MultiTermQuery,
+                                  ast.SynonymQuery)):
                 pass  # rendered inline in node_sql
             else:
                 raise NotImplementedError(
                     "nested oracle supports term / exact-phrase / multiterm"
-                    " / match-all leaves only")
+                    " / synonym / match-all leaves only")
 
     collect(q)
     # no scoring leaves (FILTER/MUST_NOT-only trees): an empty VALUES list
@@ -790,6 +791,30 @@ def nested_topk_sql(query, k: int, doc_where: str = "TRUE") -> str:
                            f" FROM {name} p JOIN dlen d ON d.did = p.did")
                 else:
                     rel = f"SELECT did, CAST(0 AS FLOAT) AS s FROM {name}"
+            elif isinstance(sub, ast.SynonymQuery):
+                # SynonymQuery leaf: tf summed across members, one BM25
+                # score with blended df = max over PRESENT members
+                # (SynonymQuery.java:205-222; absent members have no tf /
+                # tstats rows, so they drop from both sum and max like the
+                # engine's present-filter)
+                tl = ",".join(f"'{t}'" for t in dict.fromkeys(sub.terms))
+                b = float(np.float32(sub.boost))
+                w = (f"(CAST({b!r} AS FLOAT) * CAST(ln(1 + "
+                     f"((SELECT n FROM fstats) - mxdf + 0.5) / (mxdf + 0.5))"
+                     f" AS FLOAT))")
+                if occ in (ast.MUST, ast.SHOULD):
+                    rel = (
+                        f"SELECT sy.did, ({w}) - ({w}) / "
+                        f"(CAST(1 AS FLOAT) + CAST(sy.tfsum AS FLOAT)"
+                        f" * {_INV}) AS s "
+                        f"FROM (SELECT did, sum(tf)::BIGINT AS tfsum "
+                        f"FROM tf WHERE term IN ({tl}) GROUP BY did) sy "
+                        f"CROSS JOIN (SELECT max(df) AS mxdf FROM tstats "
+                        f"WHERE term IN ({tl})) mx "
+                        f"JOIN dlen d ON d.did = sy.did")
+                else:
+                    rel = (f"SELECT DISTINCT did, CAST(0 AS FLOAT) AS s "
+                           f"FROM tf WHERE term IN ({tl})")
             elif isinstance(sub, ast.MultiTermQuery):
                 # CONSTANT_SCORE rewrite: union doc set at f32(boost)
                 b = float(np.float32(sub.boost))

@@ -148,6 +148,28 @@ def _eval_boolean(rows, by_term, clauses, cache, min_should_match: int = 0):
             if c["occur"] in (MUST, SHOULD):
                 return d, np.full(d.size, np.float32(c["weight"]), dtype=F32)
             return d, None
+        if c["kind"] == "synonym":
+            # SynonymQuery clause (SynonymQuery.java:205-222 as a
+            # BooleanClause): tf summed across member terms per doc, ONE
+            # BM25 score with the pre-blended weight (df = max over the
+            # present members, computed at planning time)
+            parts = [term_postings(rows, by_term[t])
+                     for t in c["terms"] if t in by_term]
+            if not parts:
+                return None, None
+            uniq, inv = np.unique(np.concatenate([p[0] for p in parts]),
+                                  return_inverse=True)
+            tfsum = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(tfsum, inv, np.concatenate([p[1] for p in parts]))
+            norm = np.zeros(uniq.size, dtype=np.int64)
+            norm[inv] = np.concatenate([p[2] for p in parts])
+            if c["occur"] in (MUST, SHOULD):
+                w = np.float32(c["weight"])
+                inv_n = cache[norm & 0xFF]
+                denom = (F32(1.0)
+                         + (tfsum.astype(F32) * inv_n).astype(F32)).astype(F32)
+                return uniq, (w - (w / denom).astype(F32)).astype(F32)
+            return uniq, None
         if c["kind"] == "term":
             t = c["terms"][0]
             if t not in by_term:

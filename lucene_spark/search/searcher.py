@@ -754,6 +754,18 @@ class IndexSearcher:
                     by_field.setdefault(sub.field, set()).add(sub.term)
                     out.append((occur, "term1" if sub.df1 else "term",
                                 sub.field, (sub.term,), sub.boost, 0, None))
+                elif isinstance(sub, ast.SynonymQuery):
+                    # SynonymQuery as a BooleanClause (the QueryBuilder
+                    # analyzeGraphBoolean span shape — see syngraph.py):
+                    # blended weight computed in build() from member stats
+                    if sub.field != "text":
+                        raise NotImplementedError(
+                            "synonym clauses blend analyzed-field stats; "
+                            "keyword fields are unanalyzed")
+                    terms = tuple(dict.fromkeys(sub.terms))
+                    by_field.setdefault(sub.field, set()).update(terms)
+                    out.append((occur, "synonym", sub.field, terms,
+                                sub.boost, 0, None))
                 elif isinstance(sub, ast.MultiTermQuery):
                     terms = tuple(expand_terms_hybrid(self.reader, sub,
                                                       max_terms=100_000))
@@ -919,6 +931,28 @@ class IndexSearcher:
                                    if occur in (ast.MUST, ast.SHOULD)
                                    else 0.0),
                     })
+                    continue
+                if kind == "synonym":
+                    # blended stats: df = max over PRESENT members, absent
+                    # members drop silently (SynonymQuery builds its
+                    # TermStates from the terms that exist)
+                    present = tuple(t for t in terms if df_of(f, t) > 0)
+                    if not present:
+                        if occur in (ast.MUST, ast.FILTER):
+                            return None
+                        continue
+                    if occur in (ast.MUST, ast.SHOULD):
+                        scorer = self.reader.similarity_scorer(
+                            scoring_sim, boost,
+                            [max(df_of(f, t) for t in present)])
+                        w = float(scorer.weight)
+                    else:
+                        w = 0.0
+                    field_terms.setdefault(f, []).extend(present)
+                    clauses.append({
+                        "occur": occur, "kind": "synonym", "field": f,
+                        "terms": tuple(f + sep + t for t in present),
+                        "weight": w, "slop": 0})
                     continue
                 kw_term = f != "text" and kind in ("term", "term1")
                 if f != "text" and kind == "phrase" and occur == ast.MUST:
@@ -3873,6 +3907,9 @@ class IndexSearcher:
                     elif c["kind"] == "const":
                         freq = (1.0 if any(tf_of(f, t) for t in raw_terms)
                                 else 0.0)
+                    elif c["kind"] == "synonym":
+                        # blended pseudo-term: freq = Σ member tf
+                        freq = float(sum(tf_of(f, t) for t in raw_terms))
                     else:
                         freq = float(tf_of(f, raw_terms[0]))
                     if c["kind"] == "const":
