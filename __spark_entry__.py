@@ -1572,6 +1572,19 @@ def _q_text_tokens(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_seq_pack_report(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pretraining packing):
+    docs concatenate in doc_id order (BPE-ish tokens + 1 EOS each), the
+    stream chunks into fixed 512-token context windows; per pack:
+    contributing docs, tokens inside, docs contained entirely. The global
+    token-offset prefix sum is distributed (bucketed two-stage cumsum, no
+    single-partition window — curation._doc_token_starts)."""
+    from lucene_spark.pipeline.curation import pack_report
+
+    return (pack_report(_docs(spark, sf_dir), 512)
+            .orderBy("pack_id").limit(100))
+
+
 def _q_text_fingerprint(spark, sf_dir):
     from lucene_spark.pipeline.textqc import fingerprints
 
@@ -2434,7 +2447,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # unicode_sea_topk, unicode_thai_topk, shingle_topk, word_break_suggest,
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
-    # cjk_bigram_topk, syn_graph_topk)
+    # cjk_bigram_topk, syn_graph_topk, seq_pack_report)
 )
 
 
@@ -2604,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
+        "seq_pack_report": _q_seq_pack_report,
         "text_fingerprint": _q_text_fingerprint,
         # curation ops (added mid-round-4: past the 50-slot window by
         # design — oracle + pytest covered now; rotate into the r5 window)
@@ -2975,6 +2989,7 @@ LIMIT 25
         "text_langid": po.lang_id_sql(),
         "text_quality": po.quality_sql(),
         "text_token_counts": po.token_counts_sql(),
+        "seq_pack_report": po.pack_report_sql(512),
         "text_fingerprint": po.fingerprints_sql(),
         "highlight_snippets": oracle.highlight_sql(["table", "value"], 4, 100),
         "passage_highlight": oracle.passage_highlight_sql(

@@ -36,6 +36,7 @@ from lucene_spark.pipeline.contracts import (
     shingles_col,
     tokens_col,
 )
+from lucene_spark.pipeline.textqc import BPE_RE
 
 
 def contamination_check(
@@ -439,3 +440,98 @@ def html_strip_sql_expr(expr: str = "coalesce(text, '')") -> str:
         r = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
         out = f"regexp_replace({out}, '{p}', {r}, 'gs')"
     return out
+
+
+# --------------------------------------------------------------- packing --
+
+def _doc_token_starts(docs: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """(doc_id, n_tok, start) — each doc's token count (BPE-ish regex + one
+    EOS separator, the standard concat-and-chunk accounting) and its global
+    start offset in the doc_id-ordered token stream.
+
+    The global prefix sum is DISTRIBUTED: docs bucket by doc_id range
+    (contiguous buckets preserve the global order), per-bucket token sums
+    reduce to ``n_buckets`` rows on the driver, their exclusive cumsum
+    broadcasts back as bucket base offsets, and the within-bucket running
+    sum is a window partitioned BY BUCKET — never a single-partition global
+    window. At 10^12 docs this is one shuffle on the bucket key plus a
+    1024-row driver exchange; bucket skew is bounded because doc_ids are
+    dense row numbers.
+    """
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    n_tok = (F.size(F.regexp_extract_all(t, F.lit(BPE_RE), F.lit(0)))
+             .cast("long") + F.lit(1))
+    base = docs.select("doc_id", n_tok.alias("n_tok"))
+    hi = base.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        return base.withColumn("start", F.lit(0).cast("long"))
+    span = (int(hi) // n_buckets) + 1
+    with_b = base.withColumn("bucket",
+                             (F.col("doc_id") / F.lit(span)).cast("long"))
+    sums = (with_b.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+            .orderBy("bucket").collect())
+    off, offsets = 0, {}
+    for r in sums:
+        offsets[int(r["bucket"])] = off
+        off += int(r["btok"])
+    off_df = with_b.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket long, base long")
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        with_b.join(F.broadcast(off_df), "bucket")
+        .withColumn("start",
+                    (F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+                     + F.col("base")).cast("long"))
+        .select("doc_id", "n_tok", "start")
+    )
+
+
+def pack_spans(docs: DataFrame, context_len: int,
+               n_buckets: int = 1024) -> DataFrame:
+    """(doc_id, n_tok, start, pack_first, pack_last) — concat-and-chunk
+    sequence packing: the doc_id-ordered token stream (each doc = its
+    BPE-ish tokens + 1 EOS) chunks into fixed ``context_len`` windows; a
+    doc spans every pack its tokens fall into (docs longer than one window
+    cross pack boundaries — the standard GPT-style pretraining packing)."""
+    s = _doc_token_starts(docs, n_buckets)
+    L = F.lit(int(context_len))
+    return (
+        s.withColumn("pack_first", (F.col("start") / L).cast("long"))
+        .withColumn("pack_last",
+                    ((F.col("start") + F.col("n_tok") - 1) / L).cast("long"))
+    )
+
+
+def pack_report(docs: DataFrame, context_len: int,
+                n_buckets: int = 1024) -> DataFrame:
+    """(pack_id, n_docs, n_tokens, n_full_docs) per context window:
+    how many docs contribute tokens, how many tokens land in the window
+    (== context_len except the final partial pack), and how many docs sit
+    ENTIRELY inside it (never split across a boundary). The explode emits
+    one row per (doc, pack) intersection — bounded by n_tok/context_len + 1
+    rows per doc, so giant docs fan out proportionally to their length and
+    the per-pack aggregation keys are uniform by construction."""
+    L = int(context_len)
+    spans = pack_spans(docs, L, n_buckets)
+    per = (
+        spans.select(
+            "doc_id", "start", "n_tok",
+            F.explode(F.sequence("pack_first", "pack_last")).alias("pack_id"))
+        .withColumn("lo", F.greatest(F.col("start"),
+                                     F.col("pack_id") * F.lit(L)))
+        .withColumn("hi", F.least(F.col("start") + F.col("n_tok"),
+                                  (F.col("pack_id") + 1) * F.lit(L)))
+    )
+    return (
+        per.groupBy("pack_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("hi") - F.col("lo")).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when((F.col("start") >= F.col("pack_id") * F.lit(L))
+                       & (F.col("start") + F.col("n_tok")
+                          <= (F.col("pack_id") + 1) * F.lit(L)), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_full_docs"),
+        )
+    )

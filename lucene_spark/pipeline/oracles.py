@@ -912,3 +912,42 @@ WHERE d.dup_tokens > 0
 ORDER BY d.dup_tokens DESC, a.doc_id ASC
 LIMIT {k}
 """
+
+
+def pack_report_sql(context_len: int, k: int = 100) -> str:
+    """Sequence-packing report (mirrors curation.pack_report): docs
+    concatenate in doc_id order (BPE-ish tokens + 1 EOS each), the stream
+    chunks into fixed context windows; per pack: contributing docs, tokens
+    landing inside, docs contained entirely."""
+    L = int(context_len)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT + 1 AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS st
+  FROM d
+),
+per AS (
+  SELECT s.doc_id, s.st, s.n_tok, r.pack_id
+  FROM s, unnest(range(s.st // {L}, (s.st + s.n_tok - 1) // {L} + 1))
+       AS r(pack_id)
+)
+SELECT pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(least(st + n_tok, (pack_id + 1) * {L})
+           - greatest(st, pack_id * {L}))::BIGINT AS n_tokens,
+       sum(CASE WHEN st >= pack_id * {L}
+                 AND st + n_tok <= (pack_id + 1) * {L}
+            THEN 1 ELSE 0 END)::BIGINT AS n_full_docs
+FROM per
+GROUP BY pack_id
+ORDER BY pack_id
+LIMIT {k}
+"""

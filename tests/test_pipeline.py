@@ -500,3 +500,36 @@ def test_html_strip_rules(spark):
     want = [py_strip(c) for c in cases]
     assert got_spark == want
     assert got_duck == want
+
+
+def test_sequence_packing(spark, docs):
+    """pack_report invariants: token conservation, full packs == L tokens,
+    boundary-crossing docs counted in every pack they touch, determinism
+    under repartitioning (the distributed prefix sum must not depend on
+    physical layout)."""
+    from lucene_spark.pipeline.curation import pack_report, pack_spans
+
+    L = 128
+    spans = pack_spans(docs, L).toPandas().sort_values("doc_id")
+    rep = pack_report(docs, L).toPandas().sort_values("pack_id")
+    # token conservation: every token lands in exactly one pack
+    assert rep["n_tokens"].sum() == spans["n_tok"].sum()
+    import numpy as np
+
+    # starts are the exclusive prefix sum in doc_id order
+    starts = np.concatenate([[0], spans["n_tok"].to_numpy()[:-1].cumsum()])
+    assert (spans["start"].to_numpy() == starts).all()
+    # all but the final pack are exactly full
+    assert (rep["n_tokens"].to_numpy()[:-1] == L).all()
+    # a doc spanning a boundary appears in >1 pack and is never "full"
+    crossing = spans[spans["pack_first"] < spans["pack_last"]]
+    assert len(crossing) > 0  # 128-token windows must split some docs
+    assert rep["n_docs"].sum() == len(spans) + (
+        crossing["pack_last"] - crossing["pack_first"]).sum()
+    # determinism under physical layout
+    rep2 = (pack_report(docs.repartition(13), L)
+            .toPandas().sort_values("pack_id").reset_index(drop=True))
+    assert rep2.equals(rep.reset_index(drop=True))
+    # empty corpus → empty report
+    empty = pack_report(docs.filter(F.lit(False)), L)
+    assert empty.count() == 0
