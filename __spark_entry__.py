@@ -1585,6 +1585,27 @@ def _q_seq_pack_report(spark, sf_dir):
             .orderBy("pack_id").limit(100))
 
 
+MEMQ_TERMS = ("table", "value", "query")
+
+
+def _q_memory_index_scores(spark, sf_dir):
+    """MemoryIndex (``memory/.../MemoryIndex.java:236-259``): each of the
+    first 100 docs scored as its OWN single-document driver-local index
+    (docCount=1, sumTTF=dl, df=1 per present term) against a 3-term OR —
+    the percolation / one-off-scoring shape. Deliberately driver-side: the
+    reference class is an in-RAM per-document structure, not a distributed
+    job."""
+    from lucene_spark.memory import MemoryIndex
+
+    pdf = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "text").orderBy("doc_id").limit(100).toPandas())
+    q = " ".join(MEMQ_TERMS)
+    rows = [(int(r.doc_id),
+             float(MemoryIndex.from_text(r.text or "").search(q)))
+            for r in pdf.itertuples()]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def _q_text_fingerprint(spark, sf_dir):
     from lucene_spark.pipeline.textqc import fingerprints
 
@@ -2447,7 +2468,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # unicode_sea_topk, unicode_thai_topk, shingle_topk, word_break_suggest,
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
-    # cjk_bigram_topk, syn_graph_topk, seq_pack_report)
+    # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
+    # memory_index_scores)
 )
 
 
@@ -2618,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_tokens,
         "seq_pack_report": _q_seq_pack_report,
+        "memory_index_scores": _q_memory_index_scores,
         "text_fingerprint": _q_text_fingerprint,
         # curation ops (added mid-round-4: past the 50-slot window by
         # design — oracle + pytest covered now; rotate into the r5 window)
@@ -2990,6 +3013,8 @@ LIMIT 25
         "text_quality": po.quality_sql(),
         "text_token_counts": po.token_counts_sql(),
         "seq_pack_report": po.pack_report_sql(512),
+        "memory_index_scores": oracle.memory_index_scores_sql(
+            MEMQ_TERMS, 100),
         "text_fingerprint": po.fingerprints_sql(),
         "highlight_snippets": oracle.highlight_sql(["table", "value"], 4, 100),
         "passage_highlight": oracle.passage_highlight_sql(

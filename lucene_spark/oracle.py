@@ -4349,3 +4349,58 @@ FROM contrib GROUP BY doc_id
 ORDER BY rrf DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def memory_index_scores_sql(terms, n_docs: int = 100) -> str:
+    """MemoryIndex per-doc scoring oracle (``memory/.../MemoryIndex.java``
+    search :236-259): each of the first ``n_docs`` docs is its OWN
+    single-document index — collection stats per doc are docCount = 1,
+    sumTotalTermFreq = dl (→ avgdl = f32(dl)), df = 1 for every present
+    term — and the query's SHOULD terms sum per-term BM25 scores. Float32
+    op order mirrors ``similarity.norm_cache`` per step; docs matching no
+    term score 0.0 (MemoryIndex.search returns 0.0f on no match)."""
+    tl = ",".join(f"'{t}'" for t in dict.fromkeys(terms))
+    # idf with df = 1, N = 1: f32(ln(1 + 0.5/1.5)) — one constant
+    w = "CAST(ln(1 + 0.5 / 1.5) AS FLOAT)"
+    # norm_cache op order, avgdl = f32(dl): LT*b → /avgdl → (1-b)+ → k1* → 1/
+    inv = (f"CAST(CAST(1 AS FLOAT) / CAST({K1} * CAST("
+           f"(CAST(1 AS FLOAT) - {B}) + CAST(CAST(CAST(d.dlen AS FLOAT)"
+           f" * {B} AS FLOAT) / CAST(d.dl AS FLOAT) AS FLOAT)"
+           f" AS FLOAT) AS FLOAT) AS FLOAT)")
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id AS did, lower(coalesce(text, '')) AS t
+  FROM documents ORDER BY doc_id LIMIT {int(n_docs)}
+),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term
+  FROM docs0
+),
+tf AS (
+  SELECT did, term, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY 1, 2
+),
+dls AS (
+  SELECT did, len(regexp_extract_all(t, '[a-z0-9]+'))::BIGINT AS dl
+  FROM docs0
+),
+normmap(lo, hi) AS (VALUES {norm_map_values()}),
+dlen AS (
+  SELECT d.did, d.dl, m.lo AS dlen
+  FROM dls d JOIN normmap m ON d.dl BETWEEN m.lo AND m.hi
+),
+cs AS (
+  SELECT tf.did,
+         ({w}) - ({w}) / (CAST(1 AS FLOAT)
+                          + CAST(CAST(tf.tf AS FLOAT) * {inv} AS FLOAT)) AS s
+  FROM tf JOIN dlen d ON d.did = tf.did
+)
+SELECT d0.did AS doc_id,
+       CAST(coalesce(sc.score, CAST(0 AS FLOAT)) AS DOUBLE) AS score
+FROM docs0 d0
+LEFT JOIN (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM cs GROUP BY did
+) sc ON sc.did = d0.did
+ORDER BY doc_id
+"""
