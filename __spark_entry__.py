@@ -1171,6 +1171,36 @@ def _q_syn_graph_topk(spark, sf_dir):
     return _hits_df(spark, s.search(_syn_graph_query(), k=40))
 
 
+# Edge-ngram gate: with an edge-ngram index a user's PREFIX is an exact
+# term — these are prefixes of in-corpus words (table/value/query/scan)
+EDGE_TERMS = ("tab", "val", "quer", "sc")
+
+
+def _q_edge_ngram_topk(spark, sf_dir):
+    """Edge n-gram autocomplete indexing
+    (``analysis/common/.../ngram/EdgeNGramTokenFilter.java:92-135``,
+    min=2 max=4, preserveOriginal=false): every word indexes its 2..4-char
+    prefixes, so prefix search is a single TERM lookup (no dictionary
+    expansion); BM25 scores over the expanded stream (flat-position
+    divergence documented at the analyzer). Oracle: the same prefix
+    expansion as a DuckDB list expression."""
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_edge/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    from lucene_spark.corpus import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="edge_ngram", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    q = ast.BooleanQuery(tuple(
+        (ast.SHOULD, ast.TermQuery(g)) for g in EDGE_TERMS))
+    return _hits_df(spark, s.search(q, k=50, mode="wand"))
+
+
 # HTML markup injections: inline tag, block tag, comment-split word,
 # entity separator, script block — the strip chain must recover the words
 HTML_REPL = ((r"\btable\b", "<b>table</b>"),
@@ -2469,7 +2499,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
-    # memory_index_scores)
+    # memory_index_scores, edge_ngram_topk)
 )
 
 
@@ -2624,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_sea_topk": _q_unicode_sea_topk,
         "cjk_bigram_topk": _q_cjk_bigram_topk,
         "syn_graph_topk": _q_syn_graph_topk,
+        "edge_ngram_topk": _q_edge_ngram_topk,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -3067,6 +3098,9 @@ LIMIT 25
             token_re=oracle.unicode_sea_token_re(),
         ),
         "syn_graph_topk": oracle.nested_topk_sql(_syn_graph_query(), 40),
+        "edge_ngram_topk": oracle.unicode_topk_sql(
+            list(EDGE_TERMS), 50, [],
+            tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),
         "cjk_bigram_topk": oracle.unicode_topk_sql(
             CJK_QUERY_TERMS, 50, list(CJK_REPL),
             tokens_list_expr=oracle.cjk_bigram_tokens_expr,

@@ -740,6 +740,52 @@ class ShingleAnalyzer:
                 lens)
 
 
+@dataclass(frozen=True)
+class EdgeNGramAnalyzer:
+    """Edge n-grams over the StandardAnalyzer stream — the autocomplete /
+    search-as-you-type indexing chain (``analysis/common/src/java/org/
+    apache/lucene/analysis/ngram/EdgeNGramTokenFilter.java:92-135``): each
+    word emits its prefixes of length ``min_gram``..min(``max_gram``,
+    len(word)); words shorter than ``min_gram`` drop
+    (preserveOriginal=false, the reference default :34). With an
+    edge-ngram index a user's prefix IS an exact term — prefix search
+    becomes a single term lookup instead of a dictionary expansion.
+    Documented divergence (same contract as the Shingle / CJK rows): the
+    reference emits all grams of one word at the SAME position (first gram
+    carries the increment, rest posIncr 0, :118-121) and discountOverlaps
+    norms count only the originals; this flat stream emits every gram at
+    posIncr 1, so positions are expanded-stream ordinals and dl counts all
+    grams — the gate's oracle re-derives exactly that accounting."""
+
+    min_gram: int = 2
+    max_gram: int = 4
+
+    name = "edge_ngram"
+
+    def _delegate(self):
+        return StandardAnalyzer()
+
+    def _expand(self, toks):
+        mn, mx = self.min_gram, self.max_gram
+        return [t[:g] for t in toks if len(t) >= mn
+                for g in range(mn, min(mx, len(t)) + 1)]
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self._expand(self._delegate().tokenize_text(text))
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return self._delegate().tokenize_series(texts).map(self._expand)
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
 # CJK bigram tokenization: Han + Hiragana RUNS match as one unit so the
 # bigrammer sees intra-run adjacency; all other script families keep the
 # StandardAnalyzer shapes. Built from the same module constants.
@@ -843,6 +889,11 @@ def get_analyzer(name: str):
         return ShingleAnalyzer()
     if name.startswith("shingle"):  # "shingle3", "shingle4", …
         return ShingleAnalyzer(shingle_size=int(name[len("shingle"):]))
+    if name == "edge_ngram":
+        return EdgeNGramAnalyzer()
+    if name.startswith("edge_ngram"):  # "edge_ngram1_3", "edge_ngram2_5", …
+        mn, mx = name[len("edge_ngram"):].split("_")
+        return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
     raise ValueError(f"unknown analyzer: {name}")
 
 

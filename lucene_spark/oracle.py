@@ -404,6 +404,23 @@ def cjk_bigram_tokens_expr(t: str) -> str:
     )
 
 
+def edge_ngram_tokens_expr(min_gram: int = 2, max_gram: int = 4):
+    """Factory: DuckDB LIST expression mirroring
+    ``analysis.EdgeNGramAnalyzer`` — each word expands to its prefixes of
+    length min_gram..min(max_gram, len), shorter words drop."""
+    def expr(t: str) -> str:
+        return (
+            f"flatten(list_transform("
+            f"regexp_extract_all({t}, '[a-z0-9]+'), "
+            f"w -> CASE WHEN length(w) < {int(min_gram)} "
+            f"THEN []::VARCHAR[] "
+            f"ELSE list_transform("
+            f"range({int(min_gram)}, least(length(w), {int(max_gram)}) + 1),"
+            f" g -> substr(w, 1, g::INT)) END))"
+        )
+    return expr
+
+
 def unicode_topk_sql(terms, k: int, replacements,
                      token_re: str = UNICODE_TOKEN_RE,
                      txt_wrap=None, tokens_list_expr=None) -> str:

@@ -364,3 +364,27 @@ def test_cjk_bigram_analyzer():
     # positions are ordinals over the expanded stream (posIncr 1 per bigram)
     uniq, codes, cnt, pos = an.tokenize_ids(s, with_positions=True)
     assert pos.tolist() == [0, 1, 2, 3]
+
+
+def test_edge_ngram_analyzer():
+    """EdgeNGramTokenFilter semantics (min=2, max=4,
+    preserveOriginal=false): word → prefixes 2..min(4, len); shorter
+    words drop; registry parses size suffixes."""
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("edge_ngram")
+    assert an.tokenize_text("table x scan") == [
+        "ta", "tab", "tabl", "sc", "sca", "scan"]
+    assert an.tokenize_text("ab") == ["ab"]
+    assert an.tokenize_text("a") == []
+    # uppercase lowers through the shared standard chain
+    assert an.tokenize_text("TABLE") == ["ta", "tab", "tabl"]
+    s = pd.Series(["go table", None, ""], dtype=object)
+    assert an.tokenize_series(s).tolist() == [
+        ["go", "ta", "tab", "tabl"], [], []]
+    flat, lens = an.tokenize_flat(s)
+    assert lens.tolist() == [4, 0, 0]
+    an13 = get_analyzer("edge_ngram1_3")
+    assert an13.tokenize_text("scan a") == ["s", "sc", "sca", "a"]
