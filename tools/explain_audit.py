@@ -267,6 +267,16 @@ def main(sf_dir: str):
                      capture(geo_s.geo_polygon_df(e.GEO_POLY_LATS,
                                                   e.GEO_POLY_LONS))))
 
+    from lucene_spark.pipeline.curation import pack_report
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    sections.append(("sequence packing report — expect the prefix sum "
+                     "DISTRIBUTED: window partitioned BY BUCKET (never an "
+                     "empty/global partition spec), bucket offsets joined "
+                     "as a BROADCAST, no Python anywhere",
+                     capture(pack_report(docs_df, 512))))
+
     import re
 
     checks = []
@@ -400,6 +410,17 @@ def main(sf_dir: str):
                    "Python" not in sections[27][1]
                    and "pnpoly" not in sections[27][1].lower()
                    and "Filter" in sections[27][1]))
+    checks.append(("sequence packing: bucket-partitioned window (no "
+                   "global/empty partition spec), broadcast bucket "
+                   "offsets, no Python eval (applySchemaToPythonRDD is "
+                   "just the 1024-row offsets createDataFrame)",
+                   bool(re.search(r"windowspecdefinition\(bucket",
+                                  sections[28][1]))
+                   and not re.search(r"windowspecdefinition\((?!bucket)",
+                                     sections[28][1])
+                   and "BroadcastHashJoin" in sections[28][1]
+                   and "PythonUDF" not in sections[28][1]
+                   and "InPandas" not in sections[28][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
