@@ -1201,6 +1201,34 @@ def _q_edge_ngram_topk(spark, sf_dir):
     return _hits_df(spark, s.search(q, k=50, mode="wand"))
 
 
+# N-gram gate: infix fragments of in-corpus words (table/value/query)
+# become exact terms under the 3-gram index
+NGRAM_TERMS = ("abl", "alu", "uer")
+
+
+def _q_ngram_infix_topk(spark, sf_dir):
+    """Full n-gram substring indexing
+    (``analysis/common/.../ngram/NGramTokenFilter.java:98-140``, min=max=3,
+    preserveOriginal=false): every word indexes its 3-char grams at every
+    offset, so an INFIX fragment is a single term lookup (`*frag*` without
+    dictionary scans); BM25 over the expanded stream. Oracle: the same
+    position-major gram expansion as a DuckDB list expression."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_ngram/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="ngram", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    q = ast.BooleanQuery(tuple(
+        (ast.SHOULD, ast.TermQuery(g)) for g in NGRAM_TERMS))
+    return _hits_df(spark, s.search(q, k=50, mode="wand"))
+
+
 # HTML markup injections: inline tag, block tag, comment-split word,
 # entity separator, script block — the strip chain must recover the words
 HTML_REPL = ((r"\btable\b", "<b>table</b>"),
@@ -2499,7 +2527,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
-    # memory_index_scores, edge_ngram_topk)
+    # memory_index_scores, edge_ngram_topk, ngram_infix_topk)
 )
 
 
@@ -2655,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_bigram_topk": _q_cjk_bigram_topk,
         "syn_graph_topk": _q_syn_graph_topk,
         "edge_ngram_topk": _q_edge_ngram_topk,
+        "ngram_infix_topk": _q_ngram_infix_topk,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -3101,6 +3130,9 @@ LIMIT 25
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),
+        "ngram_infix_topk": oracle.unicode_topk_sql(
+            list(NGRAM_TERMS), 50, [],
+            tokens_list_expr=oracle.ngram_tokens_expr(3, 3)),
         "cjk_bigram_topk": oracle.unicode_topk_sql(
             CJK_QUERY_TERMS, 50, list(CJK_REPL),
             tokens_list_expr=oracle.cjk_bigram_tokens_expr,

@@ -786,6 +786,55 @@ class EdgeNGramAnalyzer:
                 lens)
 
 
+@dataclass(frozen=True)
+class NGramAnalyzer:
+    """All character n-grams over the StandardAnalyzer stream — the
+    substring-search indexing chain (``analysis/common/src/java/org/apache/
+    lucene/analysis/ngram/NGramTokenFilter.java:98-140``,
+    preserveOriginal=false): each word emits, position-major (the
+    reference's curPos-outer loop :122-131), its grams of length
+    ``min_gram``..``max_gram`` at every start offset; words shorter than
+    ``min_gram`` drop. With an n-gram index an infix fragment IS an exact
+    term — `*frag*` wildcard search becomes a term lookup. Same
+    flat-position divergence contract as the EdgeNGram / Shingle / CJK
+    rows (reference emits all grams of one word at one position)."""
+
+    min_gram: int = 3
+    max_gram: int = 3
+
+    name = "ngram"
+
+    def _delegate(self):
+        return StandardAnalyzer()
+
+    def _expand(self, toks):
+        mn, mx = self.min_gram, self.max_gram
+        out = []
+        for t in toks:
+            n = len(t)
+            for i in range(n):  # position-major like the reference loop
+                for g in range(mn, mx + 1):
+                    if i + g > n:
+                        break
+                    out.append(t[i:i + g])
+        return out
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self._expand(self._delegate().tokenize_text(text))
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return self._delegate().tokenize_series(texts).map(self._expand)
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
 # CJK bigram tokenization: Han + Hiragana RUNS match as one unit so the
 # bigrammer sees intra-run adjacency; all other script families keep the
 # StandardAnalyzer shapes. Built from the same module constants.
@@ -894,6 +943,11 @@ def get_analyzer(name: str):
     if name.startswith("edge_ngram"):  # "edge_ngram1_3", "edge_ngram2_5", …
         mn, mx = name[len("edge_ngram"):].split("_")
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
+    if name == "ngram":
+        return NGramAnalyzer()
+    if name.startswith("ngram"):  # "ngram2_3", "ngram4_4", …
+        mn, mx = name[len("ngram"):].split("_")
+        return NGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
     raise ValueError(f"unknown analyzer: {name}")
 
 

@@ -421,6 +421,24 @@ def edge_ngram_tokens_expr(min_gram: int = 2, max_gram: int = 4):
     return expr
 
 
+def ngram_tokens_expr(min_gram: int = 3, max_gram: int = 3):
+    """Factory: DuckDB LIST expression mirroring ``analysis.NGramAnalyzer``
+    — each word expands position-major to its grams of length
+    min_gram..max_gram at every start offset; shorter words drop."""
+    mn, mx = int(min_gram), int(max_gram)
+
+    def expr(t: str) -> str:
+        return (
+            f"flatten(list_transform("
+            f"regexp_extract_all({t}, '[a-z0-9]+'), "
+            f"w -> flatten(list_transform(range(1, length(w) + 1), "
+            f"i -> list_transform("
+            f"range({mn}, least({mx}, length(w) - i + 1) + 1), "
+            f"g -> substr(w, i::INT, g::INT))))))"
+        )
+    return expr
+
+
 def unicode_topk_sql(terms, k: int, replacements,
                      token_re: str = UNICODE_TOKEN_RE,
                      txt_wrap=None, tokens_list_expr=None) -> str:

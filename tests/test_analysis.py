@@ -388,3 +388,18 @@ def test_edge_ngram_analyzer():
     assert lens.tolist() == [4, 0, 0]
     an13 = get_analyzer("edge_ngram1_3")
     assert an13.tokenize_text("scan a") == ["s", "sc", "sca", "a"]
+
+
+def test_ngram_analyzer():
+    """NGramTokenFilter semantics (position-major loop, min..max grams per
+    start offset, preserveOriginal=false): sub-min words drop."""
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("ngram")  # 3..3
+    assert an.tokenize_text("table") == ["tab", "abl", "ble"]
+    assert an.tokenize_text("ab x") == []
+    an23 = get_analyzer("ngram2_3")
+    # position-major: at each offset emit sizes 2 then 3
+    assert an23.tokenize_text("abcd") == [
+        "ab", "abc", "bc", "bcd", "cd"]
+    assert an23.tokenize_text("AB") == ["ab"]
