@@ -1460,6 +1460,29 @@ def _q_monitor_batch(spark, sf_dir):
     return mon.match_batch(batch)
 
 
+def _q_percolate_complex(spark, sf_dir):
+    """MemoryIndex-tier percolation (Presearcher candidate join +
+    executor-side per-doc MemoryIndex verification —
+    ``monitor/Presearcher.java`` + ``monitor/CandidateMatcher.java``):
+    four complex registered shapes the JVM tier cannot express — a nested
+    boolean, a sloppy phrase, a prefix multiterm (the ANYTOKEN presearch
+    fallback), and a MUST_NOT boolean."""
+    from pyspark.sql import Window
+
+    from lucene_spark.streaming.monitor import StreamingMonitor
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy(F.format_string("c%010d", F.col("doc_id")))
+    batch = docs.select(
+        (F.row_number().over(w) - 1).cast("long").alias("doc_id"), "text")
+    mon = StreamingMonitor(spark, analyzer="simple")
+    mon.register("q_nested", "(table AND value) OR (query AND customer)")
+    mon.register("q_sloppy", '"table value"~2')
+    mon.register("q_prefix", ast.MultiTermQuery("prefix", "merg"))
+    mon.register("q_not", "+query -table")
+    return mon.match_batch(batch)
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling-window event aggregation (unified batch/stream plan —
     F.window groupBy; on streams the same plan runs stateful with a
@@ -2527,7 +2550,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # add_indexes_topk, html_strip_topk, feature_log/sigmoid_topk,
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
-    # memory_index_scores, edge_ngram_topk, ngram_infix_topk)
+    # memory_index_scores, edge_ngram_topk, ngram_infix_topk,
+    # percolate_complex)
 )
 
 
@@ -2666,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck_terms": _q_spellcheck,
         "percolate_queries": _q_percolate,
         "monitor_batch": _q_monitor_batch,
+        "percolate_complex": _q_percolate_complex,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "doc_range_dl": _q_doc_range,
@@ -3025,6 +3050,7 @@ LIMIT 25
             "spark", ["table", "value"], list(PHRASE_TERMS)),
         "monitor_batch": oracle.percolate_sql(
             "spark", ["table", "value"], list(PHRASE_TERMS)),
+        "percolate_complex": oracle.percolate_complex_sql(),
         "events_windowed": oracle.events_windowed_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "sort_by_dl_topk": oracle.sort_by_dl_sql(

@@ -4439,3 +4439,39 @@ LEFT JOIN (
 ) sc ON sc.did = d0.did
 ORDER BY doc_id
 """
+
+
+def percolate_complex_sql() -> str:
+    """MemoryIndex-tier percolation oracle (Presearcher + per-doc verify,
+    ``monitor/CandidateMatcher.java``): four complex registered shapes —
+    a nested boolean, a sloppy 2-term phrase, a prefix multiterm
+    (ANYTOKEN presearch path), and a MUST_NOT boolean — each as a plain
+    match-set SELECT; the engine's candidate filter must lose nothing."""
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE},
+has AS (SELECT DISTINCT did, term FROM tf)
+SELECT 'q_nested' AS query_id, did AS doc_id FROM (
+  SELECT a.did
+  FROM has a JOIN has b ON b.did = a.did
+  WHERE (a.term = 'table' AND b.term = 'value')
+     OR (a.term = 'query' AND b.term = 'customer')
+  GROUP BY a.did
+)
+UNION ALL
+SELECT 'q_sloppy', did FROM (
+  SELECT a.did
+  FROM toksp a JOIN toksp b ON b.did = a.did
+  WHERE a.term = 'table' AND b.term = 'value'
+    AND abs(b.pos - a.pos - 1) <= 2
+  GROUP BY a.did
+)
+UNION ALL
+SELECT 'q_prefix', did FROM (
+  SELECT DISTINCT did FROM tf WHERE term LIKE 'merg%'
+)
+UNION ALL
+SELECT 'q_not', did FROM (
+  SELECT DISTINCT did FROM tf WHERE term = 'query'
+    AND did NOT IN (SELECT did FROM tf WHERE term = 'table')
+)
+"""

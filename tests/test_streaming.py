@@ -261,8 +261,8 @@ def test_streaming_monitor_percolates_stream(spark, corpus, tmp_path):
     mon.register("q_and", f"+{VOCAB[1]} +{VOCAB[3]}")
     mon.register("q_dup", f"+{VOCAB[1]} +{VOCAB[1]}")  # duplicated MUST term
     mon.register("q_phrase", '"casige baca"')
-    with pytest.raises(NotImplementedError):
-        mon.register("q_bad", f"{VOCAB[0]} {VOCAB[1]}")  # pure SHOULD
+    # pure SHOULD registers via the MemoryIndex tier (presearch = term union)
+    mon.register("q_or", f"{VOCAB[0]} {VOCAB[2]}")
 
     mon.open_stream(
         spark.readStream.schema(docs.schema).parquet(src), out, ckpt
@@ -288,6 +288,8 @@ def test_streaming_monitor_percolates_stream(spark, corpus, tmp_path):
         if any(a == "casige" and b == "baca"
                for a, b in zip(toks, toks[1:])):
             exp.add(("q_phrase", r["doc_id"]))
+        if VOCAB[0] in toks or VOCAB[2] in toks:
+            exp.add(("q_or", r["doc_id"]))
     assert got == exp
     assert any(q == "q_phrase" for q, _ in exp)  # phrase actually exercised
 
@@ -298,3 +300,74 @@ def test_streaming_monitor_percolates_stream(spark, corpus, tmp_path):
     ).awaitTermination(120)
     assert {(r["query_id"], r["doc_id"])
             for r in mon.matches(out).collect()} == exp
+
+
+def test_monitor_memoryindex_tier(spark, corpus):
+    """Complex query shapes (nested boolean, sloppy phrase, prefix
+    multiterm, MUST_NOT) percolate via the Presearcher + per-doc
+    MemoryIndex tier; results equal brute-force MemoryIndex over every
+    doc (candidate filtering must lose nothing)."""
+    from pyspark.sql import Window
+
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.memory import MemoryIndex
+    from lucene_spark.search import ast
+    from lucene_spark.streaming.monitor import StreamingMonitor
+
+    docs = corpus.select(
+        F.row_number().over(
+            Window.orderBy("conv_id", "turn_idx")
+        ).cast("long").alias("doc_id"),
+        "text",
+    ).filter(F.col("doc_id") <= 120).cache()
+
+    v = VOCAB
+    queries = {
+        "q_nested": f"({v[0]} AND {v[1]}) OR ({v[2]} AND {v[3]})",
+        "q_sloppy": f'"{v[0]} {v[1]}"~3',
+        "q_prefix": ast.MultiTermQuery("prefix", v[5][:4]),  # ANYTOKEN
+        "q_not": f"+{v[2]} -{v[0]}",
+        "q_msm": f"({v[0]} {v[1]} {v[4]})~2",
+    }
+    mon = StreamingMonitor(spark)
+    for qid, q in queries.items():
+        mon.register(qid, q)
+    got = {(r["query_id"], r["doc_id"])
+           for r in mon.match_batch(docs).collect()}
+
+    exp = set()
+    for r in docs.collect():
+        mi = MemoryIndex.from_text(r["text"] or "")
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = ast.parse(q, mon.analyzer)
+            if mi.matches(q):
+                exp.add((qid, r["doc_id"]))
+    assert got == exp
+    assert {q for q, _ in exp} == set(queries)  # every shape matched >=1 doc
+
+
+def test_presearch_terms_soundness():
+    """_presearch_terms must never exclude a matchable doc: required
+    clause's set covers; pure-SHOULD unions; ANYTOKEN on inextractable."""
+    from lucene_spark.search import ast
+    from lucene_spark.streaming.monitor import _presearch_terms
+
+    tq = ast.TermQuery
+    assert _presearch_terms(tq("a")) == {"a"}
+    assert _presearch_terms(ast.PhraseQuery(("a", "b"))) == {"a", "b"}
+    assert _presearch_terms(ast.BooleanQuery((
+        (ast.MUST, tq("a")), (ast.SHOULD, tq("b"))))) == {"a"}
+    assert _presearch_terms(ast.BooleanQuery((
+        (ast.SHOULD, tq("a")), (ast.SHOULD, tq("b"))))) == {"a", "b"}
+    # SHOULD with an inextractable member -> ANYTOKEN
+    assert _presearch_terms(ast.BooleanQuery((
+        (ast.SHOULD, tq("a")),
+        (ast.SHOULD, ast.MultiTermQuery("prefix", "x"))))) is None
+    # keyword-field-only / matchall -> ANYTOKEN
+    assert _presearch_terms(tq("user", field="role")) is None
+    assert _presearch_terms(ast.MatchAllDocsQuery()) is None
+    # required-but-inextractable -> ANYTOKEN (NOT the should union)
+    assert _presearch_terms(ast.BooleanQuery((
+        (ast.MUST, ast.MultiTermQuery("prefix", "x")),
+        (ast.SHOULD, tq("a"))))) is None
