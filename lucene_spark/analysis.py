@@ -697,8 +697,34 @@ class SimpleAnalyzer:
         return uniq[codes] if codes.size else np.array([], dtype=object), lens
 
 
+class _ExpandingAnalyzer:
+    """Shared plumbing for analyzers that rewrite a delegate token stream
+    through a per-doc ``_expand(tokens) -> tokens`` (shingles, edge/n-grams,
+    CJK bigrams): one flat posIncr-1 stream, ids/flat via the common token-
+    list encoder. Subclasses define ``_expand`` (and may override the
+    tokenize_* pair when they need a different raw tokenizer)."""
+
+    def _delegate(self):
+        return StandardAnalyzer()
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self._expand(self._delegate().tokenize_text(text))
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return self._delegate().tokenize_series(texts).map(self._expand)
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
 @dataclass(frozen=True)
-class ShingleAnalyzer:
+class ShingleAnalyzer(_ExpandingAnalyzer):
     """Word n-grams over the StandardAnalyzer stream — the
     ``ShingleAnalyzerWrapper(delegate, N, N, " ", outputUnigrams=false,
     outputUnigramsIfNoShingles=false, fillerToken=null)`` configuration
@@ -716,32 +742,13 @@ class ShingleAnalyzer:
 
     name = "shingle"
 
-    def _delegate(self):
-        return StandardAnalyzer()
-
-    def tokenize_text(self, text: str) -> list[str]:
-        toks = self._delegate().tokenize_text(text)
+    def _expand(self, toks):
         k = self.shingle_size
         return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
-    def tokenize_series(self, texts: pd.Series) -> pd.Series:
-        k = self.shingle_size
-        return self._delegate().tokenize_series(texts).map(
-            lambda ts: [" ".join(ts[i:i + k])
-                        for i in range(len(ts) - k + 1)])
-
-    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
-        return _ids_from_token_lists(
-            self.tokenize_series(texts), len(texts), with_positions)
-
-    def tokenize_flat(self, texts: pd.Series):
-        uniq, codes, lens = self.tokenize_ids(texts)
-        return (uniq[codes] if codes.size else np.array([], dtype=object),
-                lens)
-
 
 @dataclass(frozen=True)
-class EdgeNGramAnalyzer:
+class EdgeNGramAnalyzer(_ExpandingAnalyzer):
     """Edge n-grams over the StandardAnalyzer stream — the autocomplete /
     search-as-you-type indexing chain (``analysis/common/src/java/org/
     apache/lucene/analysis/ngram/EdgeNGramTokenFilter.java:92-135``): each
@@ -762,32 +769,14 @@ class EdgeNGramAnalyzer:
 
     name = "edge_ngram"
 
-    def _delegate(self):
-        return StandardAnalyzer()
-
     def _expand(self, toks):
         mn, mx = self.min_gram, self.max_gram
         return [t[:g] for t in toks if len(t) >= mn
                 for g in range(mn, min(mx, len(t)) + 1)]
 
-    def tokenize_text(self, text: str) -> list[str]:
-        return self._expand(self._delegate().tokenize_text(text))
-
-    def tokenize_series(self, texts: pd.Series) -> pd.Series:
-        return self._delegate().tokenize_series(texts).map(self._expand)
-
-    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
-        return _ids_from_token_lists(
-            self.tokenize_series(texts), len(texts), with_positions)
-
-    def tokenize_flat(self, texts: pd.Series):
-        uniq, codes, lens = self.tokenize_ids(texts)
-        return (uniq[codes] if codes.size else np.array([], dtype=object),
-                lens)
-
 
 @dataclass(frozen=True)
-class NGramAnalyzer:
+class NGramAnalyzer(_ExpandingAnalyzer):
     """All character n-grams over the StandardAnalyzer stream — the
     substring-search indexing chain (``analysis/common/src/java/org/apache/
     lucene/analysis/ngram/NGramTokenFilter.java:98-140``,
@@ -804,9 +793,6 @@ class NGramAnalyzer:
 
     name = "ngram"
 
-    def _delegate(self):
-        return StandardAnalyzer()
-
     def _expand(self, toks):
         mn, mx = self.min_gram, self.max_gram
         out = []
@@ -818,21 +804,6 @@ class NGramAnalyzer:
                         break
                     out.append(t[i:i + g])
         return out
-
-    def tokenize_text(self, text: str) -> list[str]:
-        return self._expand(self._delegate().tokenize_text(text))
-
-    def tokenize_series(self, texts: pd.Series) -> pd.Series:
-        return self._delegate().tokenize_series(texts).map(self._expand)
-
-    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
-        return _ids_from_token_lists(
-            self.tokenize_series(texts), len(texts), with_positions)
-
-    def tokenize_flat(self, texts: pd.Series):
-        uniq, codes, lens = self.tokenize_ids(texts)
-        return (uniq[codes] if codes.size else np.array([], dtype=object),
-                lens)
 
 
 # CJK bigram tokenization: Han + Hiragana RUNS match as one unit so the
@@ -851,7 +822,7 @@ _CJK_BI_FIRST = re.compile("[\u4e00-\u9fff\u3041-\u3096\u309d-\u309f]")
 
 
 @dataclass
-class CJKBigramAnalyzer:
+class CJKBigramAnalyzer(_ExpandingAnalyzer):
     """CJKAnalyzer-lite: overlapping CJK character bigrams
     (``analysis/common/.../cjk/CJKBigramFilter.java:46-128`` with flags
     HAN|HIRAGANA, outputUnigrams=false): a run of n ≥ 2 Han/Hiragana chars
@@ -883,32 +854,28 @@ class CJKBigramAnalyzer:
         if not text:
             return []
         ml = self.max_token_length
+        # length cap applies to EMITTED tokens (post-expansion): a long Han
+        # run still yields its 2-char bigrams — the reference tokenizer
+        # emits one token per ideograph, so run length never caps there
         toks = [
             t.translate(_GC_LOWER).lower()
             for t in _CJK_BI_RE.findall(text)
-            if len(t) <= ml and _HAS_ALNUM_RE.search(t)
+            if _HAS_ALNUM_RE.search(t)
         ]
-        return self._expand(toks)
+        return [t for t in self._expand(toks) if len(t) <= ml]
 
     def tokenize_series(self, texts: pd.Series) -> pd.Series:
         s = texts.fillna("")
         out = s.str.findall(_CJK_BI_RE)
         ml = self.max_token_length
         return out.map(
-            lambda ts: self._expand([
-                t.translate(_GC_LOWER).lower() for t in ts
-                if len(t) <= ml and _HAS_ALNUM_RE.search(t)
-            ])
+            lambda ts: [
+                t for t in self._expand([
+                    t.translate(_GC_LOWER).lower() for t in ts
+                    if _HAS_ALNUM_RE.search(t)
+                ]) if len(t) <= ml
+            ]
         )
-
-    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
-        return _ids_from_token_lists(
-            self.tokenize_series(texts), len(texts), with_positions)
-
-    def tokenize_flat(self, texts: pd.Series):
-        uniq, codes, lens = self.tokenize_ids(texts)
-        return (uniq[codes] if codes.size else np.array([], dtype=object),
-                lens)
 
 
 def get_analyzer(name: str):

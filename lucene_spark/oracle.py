@@ -4448,11 +4448,10 @@ def percolate_complex_sql() -> str:
     (ANYTOKEN presearch path), and a MUST_NOT boolean — each as a plain
     match-set SELECT; the engine's candidate filter must lose nothing."""
     return f"""
-WITH {BASE_CTES},{_TOKSP_CTE},
-has AS (SELECT DISTINCT did, term FROM tf)
+WITH {BASE_CTES},{_TOKSP_CTE}
 SELECT 'q_nested' AS query_id, did AS doc_id FROM (
   SELECT a.did
-  FROM has a JOIN has b ON b.did = a.did
+  FROM tf a JOIN tf b ON b.did = a.did
   WHERE (a.term = 'table' AND b.term = 'value')
      OR (a.term = 'query' AND b.term = 'customer')
   GROUP BY a.did

@@ -461,7 +461,11 @@ def _doc_token_starts(docs: DataFrame, n_buckets: int = 1024) -> DataFrame:
     t = F.lower(F.coalesce(F.col("text"), F.lit("")))
     n_tok = (F.size(F.regexp_extract_all(t, F.lit(BPE_RE), F.lit(0)))
              .cast("long") + F.lit(1))
-    base = docs.select("doc_id", n_tok.alias("n_tok"))
+    # persist the tokenized counts: three actions read this relation (the
+    # max-id probe, the bucket-sums collect, the final plan) and the
+    # regexp tokenization dominates — cached rows are two longs per doc
+    # (~16 B/doc), small even at 10^12 docs spread over executors
+    base = docs.select("doc_id", n_tok.alias("n_tok")).persist()
     hi = base.agg(F.max("doc_id")).first()[0]
     if hi is None:
         return base.withColumn("start", F.lit(0).cast("long"))

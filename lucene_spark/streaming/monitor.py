@@ -113,11 +113,15 @@ class StreamingMonitor:
         elif (isinstance(query, ast.PhraseQuery) and query.slop == 0
               and query.field == "text"):
             self._specs[query_id] = ("phrase", tuple(query.terms))
-        elif isinstance(query, ast.BooleanQuery) and all(
+        elif isinstance(query, ast.BooleanQuery) \
+                and query.min_should_match == 0 and all(
             occ == ast.MUST and isinstance(sub, ast.TermQuery)
             and sub.field == "text"
             for occ, sub in query.clauses
         ):
+            # msm > 0 with zero SHOULD clauses matches nothing under the
+            # engine/MemoryIndex semantics — such queries must take the
+            # mem tier, not the conjunction fast path
             self._specs[query_id] = (
                 "and", tuple(sub.term for _, sub in query.clauses))
         else:

@@ -403,3 +403,20 @@ def test_ngram_analyzer():
     assert an23.tokenize_text("abcd") == [
         "ab", "abc", "bc", "bcd", "cd"]
     assert an23.tokenize_text("AB") == ["ab"]
+
+
+def test_cjk_bigram_long_run_not_capped():
+    """max_token_length caps EMITTED tokens, not the raw Han run: a 300-char
+    run still yields its 299 bigrams (the reference tokenizer emits one
+    token per ideograph — run length never caps there); a 300-char latin
+    word still drops."""
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("cjk_bigram")
+    run = "一" * 300
+    toks = an.tokenize_text(run)
+    assert len(toks) == 299 and toks[0] == "一一"
+    assert an.tokenize_text("x" * 300) == []
+    assert an.tokenize_series(pd.Series([run])).iloc[0] == toks

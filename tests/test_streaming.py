@@ -371,3 +371,26 @@ def test_presearch_terms_soundness():
     assert _presearch_terms(ast.BooleanQuery((
         (ast.MUST, ast.MultiTermQuery("prefix", "x")),
         (ast.SHOULD, tq("a"))))) is None
+
+
+def test_monitor_msm_conjunction_not_fast_pathed(spark, corpus):
+    """'(a AND b)~1' has msm=1 with zero SHOULD clauses — it matches
+    NOTHING under the engine semantics; the all-MUST JVM fast path must
+    not claim it (r4 review finding)."""
+    from pyspark.sql import Window
+
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.streaming.monitor import StreamingMonitor
+
+    docs = corpus.select(
+        F.row_number().over(
+            Window.orderBy("conv_id", "turn_idx")
+        ).cast("long").alias("doc_id"), "text",
+    ).filter(F.col("doc_id") <= 40)
+    mon = StreamingMonitor(spark)
+    mon.register("q_msm0", f"+{VOCAB[0]} +{VOCAB[1]}")
+    mon.register("q_msm1", f"({VOCAB[0]} AND {VOCAB[1]})~1")
+    got = mon.match_batch(docs).collect()
+    qids = {r["query_id"] for r in got}
+    assert "q_msm1" not in qids      # matches nothing
+    assert "q_msm0" in qids          # plain conjunction still matches
