@@ -43,15 +43,19 @@ def main():
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--keyword-fields", default="",
                     help="comma-separated atomic keyword fields (e.g. role)")
+    ap.add_argument("--format", default="auto",
+                    choices=["auto", "parquet", "iceberg", "table"],
+                    help="input format: Iceberg catalog table in "
+                         "production, parquet path here (auto sniffs)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.tables import read_transcript_table
 
     spark = SparkSession.builder.appName("lucene_spark_build").getOrCreate()
-    df = (spark.read.table(args.input) if "/" not in args.input
-          else spark.read.parquet(args.input))
+    df = read_transcript_table(spark, args.input, fmt=args.format)
     nseg = args.segments or max(
         spark.sparkContext.defaultParallelism * 2, df.count() // 31_250
     )

@@ -216,3 +216,26 @@ def test_hot_term_skew_balanced(spark, tmp_path):
     n_docs = df.count()
     assert len(ts) == 1 and ts[0]["df"] == n_docs
     assert ts[0]["ttf"] == 20 * n_docs
+
+
+def test_read_transcript_table_formats(spark, tmp_path):
+    """tables.read_transcript_table: parquet path, catalog table (temp
+    view), auto sniffing, and a CLEAR error for fmt='iceberg' without the
+    runtime (no silent fallback)."""
+    import pytest
+
+    from lucene_spark.corpus import synthetic_transcripts
+    from lucene_spark.tables import iceberg_available, read_transcript_table
+
+    df = synthetic_transcripts(spark, 10)
+    p = str(tmp_path / "tt")
+    df.write.mode("overwrite").parquet(p)
+    assert read_transcript_table(spark, p).count() == df.count()          # auto→parquet
+    assert read_transcript_table(spark, p, "parquet").count() == df.count()
+    df.createOrReplaceTempView("tt_view")
+    assert read_transcript_table(spark, "tt_view", "table").count() == df.count()
+    assert not iceberg_available(spark)  # sandbox has no iceberg jar
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        read_transcript_table(spark, "cat.db.t", "iceberg")
+    with pytest.raises(ValueError):
+        read_transcript_table(spark, p, "orc2")
