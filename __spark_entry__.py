@@ -1635,6 +1635,28 @@ def _q_ann_lsh(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _q_ann_hnsw(spark, sf_dir):
+    """Per-segment HNSW vector search
+    (``core/codecs/lucene95/Lucene95HnswVectorsFormat.java``,
+    ``core/util/hnsw/HnswGraphBuilder.java:34``): graphs built inside each
+    segment's applyInPandas task, persisted as adjacency parquet, searched
+    by per-segment fan-out + bounded k-merge (one HNSW per segment — the
+    reference's exact architecture). Oracle: the exact brute-force SQL —
+    at gate scale ef=64 attains recall 1 deterministically, so the gate is
+    hash-exact; the approximate regime pins in pytest (recall/determinism/
+    round-trip)."""
+    import os as _os
+
+    from lucene_spark.pipeline.simsearch import build_hnsw, hnsw_topk
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_hnsw/{tag}"
+    if not _os.path.exists(f"{d}/_SUCCESS"):
+        build_hnsw(_emb(spark, sf_dir), d)
+    return hnsw_topk(spark, _emb(spark, sf_dir), d) \
+        .orderBy("query_id", "rank")
+
+
 def _q_text_langid(spark, sf_dir):
     from lucene_spark.pipeline.textqc import lang_id
 
@@ -2551,7 +2573,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
     # memory_index_scores, edge_ngram_topk, ngram_infix_topk,
-    # percolate_complex)
+    # percolate_complex, ann_hnsw_topk)
 )
 
 
@@ -2709,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syn_graph_topk": _q_syn_graph_topk,
         "edge_ngram_topk": _q_edge_ngram_topk,
         "ngram_infix_topk": _q_ngram_infix_topk,
+        "ann_hnsw_topk": _q_ann_hnsw,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -3093,6 +3116,7 @@ LIMIT 25
         "dedup_ngram_jaccard": po.dedup_ngram_topk_sql(),
         "dedup_embedding": po.dedup_embedding_sql(),
         "ann_brute_topk": po.ann_brute_sql(),
+        "ann_hnsw_topk": po.ann_brute_sql(),
         "ann_lsh_topk": po.ann_lsh_sql(),
         "ann_ivf_topk": po.ann_ivf_sql(),
         "text_langid": po.lang_id_sql(),

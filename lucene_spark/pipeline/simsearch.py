@@ -214,3 +214,95 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+# -------------------------------------------------------------------- HNSW --
+# Per-segment HNSW graphs (Lucene95HnswVectorsFormat architecture): build
+# inside each segment's applyInPandas task, persist adjacency parquet, search
+# by per-segment fan-out + bounded k-merge. Graph walks are not
+# SQL-expressible — driver gate is rows-only; recall/determinism pin in
+# pytest (see search/hnsw.py docstring).
+
+def build_hnsw(emb: DataFrame, out_dir: str, num_segments: int = 4,
+               m: int = 8, ef_construction: int = 64) -> None:
+    """Build per-segment HNSW graphs over the quantized embeddings and
+    persist (seg, node, level, neighbors) adjacency parquet. One shuffle
+    (the seg grouping); each graph builds executor-side over only its
+    segment's vectors."""
+    import pandas as pd
+
+    from lucene_spark.search.hnsw import SegmentHnsw, node_levels
+
+    q = quantized_embeddings(emb).withColumn(
+        "seg", (F.col("vec_id") % num_segments).cast("int"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        g = SegmentHnsw(vecs, node_levels(ids), m, ef_construction)
+        rows = g.to_rows(seg, ids)
+        return pd.DataFrame(rows,
+                            columns=["seg", "node", "level", "neighbors"])
+
+    (q.groupBy("seg")
+     .applyInPandas(build,
+                    "seg int, node long, level int, neighbors array<long>")
+     .write.mode("overwrite").partitionBy("seg").parquet(out_dir))
+
+
+def hnsw_topk(spark, emb: DataFrame, index_dir: str, n_queries: int = 5,
+              k: int = 10, ef_search: int = 64,
+              num_segments: int = 4) -> DataFrame:
+    """(query_id, rank, neighbor_id, dot) — approximate top-k via the
+    per-segment HNSW graphs: the tiny query set broadcasts in the task
+    closure, each segment walks ONLY its graph and returns k rows per
+    query, the global merge ranks k from num_segments × k candidates
+    (the same bounded-merge shape as per-segment text top-k)."""
+    import pandas as pd
+
+    from lucene_spark.search.hnsw import graph_from_rows, graph_search
+
+    qe = quantized_embeddings(emb)
+    qrows = qe.filter(F.col("vec_id") < n_queries).collect()
+    queries = sorted((int(r["vec_id"]),
+                      np.asarray(r["q"], dtype=np.int64)) for r in qrows)
+    graph = spark.read.parquet(index_dir)
+    corpus = qe.withColumn(
+        "seg", (F.col("vec_id") % num_segments).cast("int"))
+
+    def search(key, gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_n, out_d = [], [], []
+        if len(gpdf) and len(vpdf):
+            ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            vecs = np.stack(vpdf["q"].to_numpy()[order]).astype(np.int64)
+            pos = {int(v): i for i, v in enumerate(ids)}
+            rows = [(int(r["seg"]), int(r["node"]), int(r["level"]),
+                     list(r["neighbors"])) for _, r in gpdf.iterrows()]
+            adj, entry, top = graph_from_rows(rows, pos)
+            for qid, qv in queries:
+                # k+1 then drop a self-match (the query may live here)
+                for s, n in graph_search(vecs, adj, entry, top, qv,
+                                         k + 1, ef_search):
+                    nid = int(ids[n])
+                    if nid != qid:
+                        out_q.append(qid)
+                        out_n.append(nid)
+                        out_d.append(int(s))
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int64"),
+            "neighbor_id": pd.Series(out_n, dtype="int64"),
+            "dot": pd.Series(out_d, dtype="int64")})
+
+    cand = (graph.groupBy("seg").cogroup(corpus.groupBy("seg"))
+            .applyInPandas(search,
+                           "query_id long, neighbor_id long, dot long"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"),
+                                               F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dot"))

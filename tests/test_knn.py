@@ -287,3 +287,62 @@ def test_hybrid_rrf_vs_brute(knn_searcher, vectors_np, corpus_pdf):
     assert got == dict(exp)
     # fused list must actually mix both sources when they disagree
     assert set(got) & set(bm_rank) and set(got) & set(kn_rank)
+
+
+def test_hnsw_graph_recall_determinism_roundtrip():
+    """Pure-graph invariants: recall@10 >= 0.9 on 600 random vectors at
+    ef=64, identical rebuilds, serialization round-trip, level
+    distribution decays geometrically."""
+    import numpy as np
+
+    from lucene_spark.search.hnsw import (
+        SegmentHnsw,
+        graph_from_rows,
+        graph_search,
+        node_levels,
+    )
+
+    n, k, ef = 600, 10, 64
+    rng = np.random.RandomState(7)
+    V = rng.randint(-50, 50, size=(n, 32)).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    lv = node_levels(ids)
+    hist = np.bincount(lv)
+    assert hist[0] > hist[1] > hist[2]  # geometric level decay
+    g = SegmentHnsw(V, lv)
+    recalls = []
+    for qi in range(10):
+        got = [x for _, x in g.search(V[qi], k + 1, ef) if x != qi][:k]
+        sims = V @ V[qi]
+        exact = [int(x) for x in np.lexsort((ids, -sims)) if x != qi][:k]
+        recalls.append(len(set(got) & set(exact)) / k)
+    assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.95
+    # deterministic rebuild
+    g2 = SegmentHnsw(V, lv)
+    assert g.search(V[3], 10) == g2.search(V[3], 10)
+    # parquet-row round trip
+    rows = g.to_rows(0, ids)
+    adj, entry, top = graph_from_rows(rows, {int(i): int(i) for i in ids})
+    assert g.search(V[5], 10) == graph_search(V, adj, entry, top, V[5], 10)
+    # empty graph
+    g0 = SegmentHnsw(V[:0], lv[:0])
+    assert g0.search(V[0], 5) == []
+
+
+def test_hnsw_spark_end_to_end(spark, tmp_path):
+    """build_hnsw + hnsw_topk over the sf0.001 embeddings: deterministic
+    across runs and (at this scale / ef=64) identical to brute force —
+    the driver gate's contract."""
+    from lucene_spark.pipeline.simsearch import brute_topk, build_hnsw, hnsw_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "hnsw")
+    build_hnsw(emb, d)
+    got = hnsw_topk(spark, emb, d).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exact = brute_topk(emb).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(exact)
+    got2 = hnsw_topk(spark, emb, d).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got2.equals(got)
