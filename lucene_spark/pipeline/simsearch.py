@@ -306,3 +306,47 @@ def hnsw_topk(spark, emb: DataFrame, index_dir: str, n_queries: int = 5,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "dot"))
+
+
+def hnsw_topk_single(spark, vectors: DataFrame, index_dir: str,
+                     query_vec, k: int = 10,
+                     ef_search: int = 64) -> DataFrame:
+    """(doc_id, dot) top-k for ONE query vector via the per-segment HNSW
+    graphs — the searcher's ``KnnQuery(strategy="hnsw")`` execution path.
+    ``vectors``: (doc_id, embedding); ``index_dir``: built by
+    :func:`build_hnsw` over the same table (doc_id as vec_id)."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.contracts import EMB_SCALE
+    from lucene_spark.search.hnsw import graph_from_rows, graph_search
+
+    graph = spark.read.parquet(index_dir)
+    num_segments = int(graph.agg(F.max("seg")).first()[0]) + 1
+    qv = np.floor(np.asarray(query_vec, dtype=np.float64)
+                  * float(EMB_SCALE)).astype(np.int64)
+    corpus = quantized_embeddings(
+        vectors.select(F.col("doc_id").alias("vec_id"), "embedding")
+    ).withColumn("seg", (F.col("vec_id") % num_segments).cast("int"))
+
+    def search(key, gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        out_n, out_d = [], []
+        if len(gpdf) and len(vpdf):
+            ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            vecs = np.stack(vpdf["q"].to_numpy()[order]).astype(np.int64)
+            pos = {int(v): i for i, v in enumerate(ids)}
+            rows = [(int(r["seg"]), int(r["node"]), int(r["level"]),
+                     list(r["neighbors"])) for _, r in gpdf.iterrows()]
+            adj, entry, top = graph_from_rows(rows, pos)
+            for s, n in graph_search(vecs, adj, entry, top, qv,
+                                     k, ef_search):
+                out_n.append(int(ids[n]))
+                out_d.append(int(s))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_n, dtype="int64"),
+            "dot": pd.Series(out_d, dtype="int64")})
+
+    cand = (graph.groupBy("seg").cogroup(corpus.groupBy("seg"))
+            .applyInPandas(search, "doc_id long, dot long"))
+    return cand.orderBy(F.desc("dot"), F.asc("doc_id")).limit(k)

@@ -61,14 +61,32 @@ def query_band_keys(qvec_quantized: list[int], bands: int = 4,
 def knn_topk_df(vectors: DataFrame, query_vec, k: int,
                 filter_df: DataFrame | None = None,
                 strategy: str = "exact", bands: int = 4,
-                band_bits: int = 16) -> DataFrame:
+                band_bits: int = 16, hnsw_dir: str | None = None,
+                spark=None) -> DataFrame:
     """Top-k (doc_id, dot) for one query vector over a
     (doc_id, embedding array<float>) doc-values DataFrame.
 
     ``filter_df``: optional (doc_id) match set — the reference's pre-filter
     semantics (k nearest AMONG the filtered docs, not post-filtered), applied
-    as a semi-join BEFORE ranking. ``strategy``: "exact" | "lsh".
+    as a semi-join BEFORE ranking. ``strategy``: "exact" | "lsh" | "hnsw"
+    (requires ``hnsw_dir`` from ``simsearch.build_hnsw`` over this table;
+    unfiltered only — the reference's filtered-HNSW walk that skips
+    non-matching nodes inside the beam is a documented cut, filtered
+    queries take the exact path).
     """
+    if strategy == "hnsw":
+        if filter_df is not None:
+            raise NotImplementedError(
+                "filtered HNSW (AbstractKnnVectorQuery's acceptDocs-aware "
+                "graph walk) is not implemented — use strategy='exact' for "
+                "filtered KNN")
+        if hnsw_dir is None or spark is None:
+            raise ValueError(
+                "strategy='hnsw' needs set_vectors(df, hnsw_dir=...) with "
+                "a graph built by simsearch.build_hnsw")
+        from lucene_spark.pipeline.simsearch import hnsw_topk_single
+
+        return hnsw_topk_single(spark, vectors, hnsw_dir, query_vec, k)
     q = quantized_embeddings(vectors.select(
         F.col("doc_id").alias("vec_id"), "embedding"))
     qq = quantize_query(query_vec)

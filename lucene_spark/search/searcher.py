@@ -157,11 +157,15 @@ class IndexSearcher:
             out[int(seg)] = (int(lo), int(hi))
         return out
 
-    def set_vectors(self, vectors_df):
+    def set_vectors(self, vectors_df, hnsw_dir: str | None = None):
         """Attach a (doc_id, embedding array<float>) doc-values DataFrame —
         the per-field vector storage of ``Lucene95HnswVectorsFormat``
-        re-expressed as a columnar side table. Required for KnnQuery."""
+        re-expressed as a columnar side table. Required for KnnQuery.
+        ``hnsw_dir``: optional pre-built per-segment HNSW adjacency
+        (``simsearch.build_hnsw`` over this table) enabling
+        ``strategy="hnsw"``."""
         self.vectors = vectors_df
+        self.hnsw_dir = hnsw_dir
         return self
 
     def knn_search(self, query_vec, k: int = 10, filter=None,
@@ -185,7 +189,9 @@ class IndexSearcher:
             if isinstance(filter, str):
                 filter = self.parse(filter)
             filter_df = self.match_df(filter)
-        return knn_topk_df(self.vectors, query_vec, k, filter_df, strategy)
+        return knn_topk_df(self.vectors, query_vec, k, filter_df, strategy,
+                           hnsw_dir=getattr(self, "hnsw_dir", None),
+                           spark=self.spark)
 
     def hybrid_rrf_df(self, query, query_vec, k: int = 10,
                       n_each: int = 100, k_rrf: int = 60):

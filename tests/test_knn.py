@@ -346,3 +346,27 @@ def test_hnsw_spark_end_to_end(spark, tmp_path):
     got2 = hnsw_topk(spark, emb, d).toPandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert got2.equals(got)
+
+
+def test_knn_strategy_hnsw_in_searcher(spark, index_dir, tmp_path):
+    """KnnQuery strategy='hnsw' through the searcher surface: equals the
+    exact strategy at this scale; filtered HNSW raises the documented
+    NotImplementedError; missing graph dir raises clearly."""
+    import pytest
+
+    from lucene_spark.pipeline.simsearch import build_hnsw
+    from lucene_spark.search.searcher import IndexSearcher
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.selectExpr("vec_id as doc_id", "embedding")
+    hd = str(tmp_path / "hnswknn")
+    build_hnsw(emb, hd)
+    s = IndexSearcher(spark, index_dir).set_vectors(vecs, hnsw_dir=hd)
+    qv = emb.filter("vec_id = 3").first()["embedding"]
+    assert s.knn_search(qv, 10, strategy="hnsw") == \
+        s.knn_search(qv, 10, strategy="exact")
+    with pytest.raises(NotImplementedError, match="filtered"):
+        s.knn_search(qv, 5, filter="anything", strategy="hnsw")
+    s2 = IndexSearcher(spark, index_dir).set_vectors(vecs)
+    with pytest.raises(ValueError, match="hnsw"):
+        s2.knn_search(qv, 5, strategy="hnsw")
