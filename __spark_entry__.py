@@ -1657,6 +1657,25 @@ def _q_ann_hnsw(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _q_ann_euclidean(spark, sf_dir):
+    """VectorSimilarityFunction.EUCLIDEAN parity
+    (``core/index/VectorSimilarityFunction.java``): exact k-NN by squared
+    euclidean distance (1/(1+d²) ranks ≡ d² ASC) — pure integer math over
+    the quantized vectors, hash-exact cross-engine."""
+    from lucene_spark.pipeline.simsearch import euclidean_topk
+
+    return euclidean_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def _q_ann_cosine(spark, sf_dir):
+    """VectorSimilarityFunction.COSINE parity: exact k-NN by cosine —
+    integer dot/norms then three correctly-rounded IEEE double ops, so the
+    DuckDB oracle reproduces scores bit-for-bit."""
+    from lucene_spark.pipeline.simsearch import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
 def _q_text_langid(spark, sf_dir):
     from lucene_spark.pipeline.textqc import lang_id
 
@@ -2573,7 +2592,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # domain_mix_sample, domain_mix_report, hybrid_rrf_topk,
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
     # memory_index_scores, edge_ngram_topk, ngram_infix_topk,
-    # percolate_complex, ann_hnsw_topk)
+    # percolate_complex, ann_hnsw_topk, ann_euclidean_topk,
+    # ann_cosine_topk)
 )
 
 
@@ -2732,6 +2752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_topk": _q_edge_ngram_topk,
         "ngram_infix_topk": _q_ngram_infix_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
+        "ann_euclidean_topk": _q_ann_euclidean,
+        "ann_cosine_topk": _q_ann_cosine,
         "msearch_topk": _q_msearch,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
@@ -3117,6 +3139,8 @@ LIMIT 25
         "dedup_embedding": po.dedup_embedding_sql(),
         "ann_brute_topk": po.ann_brute_sql(),
         "ann_hnsw_topk": po.ann_brute_sql(),
+        "ann_euclidean_topk": po.ann_euclidean_sql(),
+        "ann_cosine_topk": po.ann_cosine_sql(),
         "ann_lsh_topk": po.ann_lsh_sql(),
         "ann_ivf_topk": po.ann_ivf_sql(),
         "text_langid": po.lang_id_sql(),

@@ -951,3 +951,67 @@ GROUP BY pack_id
 ORDER BY pack_id
 LIMIT {k}
 """
+
+
+def ann_euclidean_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Mirror of simsearch.euclidean_topk — integer squared distances."""
+    return f"""
+WITH {QEMB},
+qcomps AS (
+  SELECT vec_id AS query_id, v, j FROM comps WHERE vec_id < {n_queries}
+),
+alld AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id,
+         sum((qc.v - c.v) * (qc.v - c.v))::BIGINT AS dist2
+  FROM qcomps qc
+  JOIN comps c ON c.j = qc.j AND c.vec_id != qc.query_id
+  GROUP BY qc.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
+  FROM alld
+)
+SELECT query_id, rnk::INT AS rank, neighbor_id, dist2
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ann_cosine_sql(n_queries: int = 5, k: int = 10) -> str:
+    """Mirror of simsearch.cosine_topk — exact integer dot/norms, then the
+    same three IEEE double ops (divide, sqrt, sqrt are correctly rounded →
+    bit-identical across engines)."""
+    return f"""
+WITH {QEMB},
+norms AS (
+  SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM comps GROUP BY vec_id
+),
+qcomps AS (
+  SELECT vec_id AS query_id, v, j FROM comps WHERE vec_id < {n_queries}
+),
+alld AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id,
+         sum(qc.v * c.v)::BIGINT AS dot
+  FROM qcomps qc
+  JOIN comps c ON c.j = qc.j AND c.vec_id != qc.query_id
+  GROUP BY qc.query_id, c.vec_id
+),
+scored AS (
+  SELECT a.query_id, a.neighbor_id,
+         (a.dot::DOUBLE / sqrt(nq.n2::DOUBLE) / sqrt(nn.n2::DOUBLE)) AS cos
+  FROM alld a
+  JOIN norms nq ON nq.vec_id = a.query_id
+  JOIN norms nn ON nn.vec_id = a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk::INT AS rank, neighbor_id, cos
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rank
+"""

@@ -350,3 +350,65 @@ def hnsw_topk_single(spark, vectors: DataFrame, index_dir: str,
     cand = (graph.groupBy("seg").cogroup(corpus.groupBy("seg"))
             .applyInPandas(search, "doc_id long, dot long"))
     return cand.orderBy(F.desc("dot"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------- other similarity functions --
+# VectorSimilarityFunction parity (core/index/VectorSimilarityFunction.java:
+# EUCLIDEAN, DOT_PRODUCT (brute_topk above), COSINE; MAXIMUM_INNER_PRODUCT
+# ranks identically to DOT_PRODUCT). Euclidean stays pure-integer (exact
+# cross-engine); cosine uses IEEE doubles (sqrt is correctly rounded, so
+# DuckDB reproduces it bit-for-bit).
+
+def euclidean_topk(emb: DataFrame, n_queries: int = 5,
+                   k: int = 10) -> DataFrame:
+    """(query_id, rank, neighbor_id, dist2) — exact k-NN by SQUARED
+    euclidean distance over the quantized vectors (EUCLIDEAN similarity:
+    1/(1+d²) ranks identically to d² ascending). Integer math throughout."""
+    q = quantized_embeddings(emb)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                d2.alias("dist2")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dist2"))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5,
+                k: int = 10) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) — exact k-NN by cosine over the
+    quantized vectors (COSINE similarity: (1+cos)/2 ranks identically to
+    cos). dot and the two squared norms are exact integers; the final
+    cos = dot / sqrt(na) / sqrt(nb) is three correctly-rounded IEEE double
+    ops, reproduced bit-for-bit by the SQL oracle."""
+    q = quantized_embeddings(emb)
+    nrm = F.aggregate(F.transform(F.col("q"), lambda x: x * x),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    qn = q.select("vec_id", "q", nrm.alias("n2"))
+    queries = qn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"))
+    dot = F.aggregate(F.zip_with(F.col("qq"), F.col("q"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (
+        qn.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            (dot.cast("double")
+             / F.sqrt(F.col("qn2").cast("double"))
+             / F.sqrt(F.col("n2").cast("double"))).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos"))

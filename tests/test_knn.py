@@ -370,3 +370,33 @@ def test_knn_strategy_hnsw_in_searcher(spark, index_dir, tmp_path):
     s2 = IndexSearcher(spark, index_dir).set_vectors(vecs)
     with pytest.raises(ValueError, match="hnsw"):
         s2.knn_search(qv, 5, strategy="hnsw")
+
+
+def test_euclidean_cosine_topk(spark):
+    """VectorSimilarityFunction EUCLIDEAN/COSINE variants: ranking sanity
+    vs numpy recomputation on the sf0.001 embeddings."""
+    import numpy as np
+
+    from lucene_spark.pipeline.simsearch import cosine_topk, euclidean_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                 * 1000.0).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+
+    got_e = euclidean_topk(emb, n_queries=2, k=5).toPandas()
+    got_c = cosine_topk(emb, n_queries=2, k=5).toPandas()
+    for qid in (0, 1):
+        qv = V[ids == qid][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        d2[ids == qid] = 2**62
+        exp = ids[np.lexsort((ids, d2))][:5].tolist()
+        assert got_e[got_e.query_id == qid].sort_values("rank")[
+            "neighbor_id"].tolist() == exp
+        cos = (V @ qv) / np.sqrt((V * V).sum(axis=1)) / np.sqrt(qv @ qv)
+        cos[ids == qid] = -2.0
+        expc = ids[np.lexsort((ids, -cos))][:5].tolist()
+        assert got_c[got_c.query_id == qid].sort_values("rank")[
+            "neighbor_id"].tolist() == expc
+    assert got_c["cos"].between(-1.0000001, 1.0000001).all()
