@@ -1728,6 +1728,17 @@ def _q_memory_index_scores(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-style document quality filter (the published MassiveText
+    rule family): per-doc fail bitmask over 7 integer-exact rules (word
+    count, mean word length, symbol ratio, alpha-word fraction, stopword
+    floor, duplicate-line fraction) + keep flag. One codegen projection —
+    a map-only pass at any scale."""
+    from lucene_spark.pipeline.curation import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_text_fingerprint(spark, sf_dir):
     from lucene_spark.pipeline.textqc import fingerprints
 
@@ -2593,7 +2604,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
     # memory_index_scores, edge_ngram_topk, ngram_infix_topk,
     # percolate_complex, ann_hnsw_topk, ann_euclidean_topk,
-    # ann_cosine_topk)
+    # ann_cosine_topk, gopher_filter)
 )
 
 
@@ -2771,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_tokens,
         "seq_pack_report": _q_seq_pack_report,
         "memory_index_scores": _q_memory_index_scores,
+        "gopher_filter": _q_gopher_filter,
         "text_fingerprint": _q_text_fingerprint,
         # curation ops (added mid-round-4: past the 50-slot window by
         # design — oracle + pytest covered now; rotate into the r5 window)
@@ -3147,6 +3159,7 @@ LIMIT 25
         "text_quality": po.quality_sql(),
         "text_token_counts": po.token_counts_sql(),
         "seq_pack_report": po.pack_report_sql(512),
+        "gopher_filter": po.gopher_filter_sql(),
         "memory_index_scores": oracle.memory_index_scores_sql(
             MEMQ_TERMS, 100),
         "text_fingerprint": po.fingerprints_sql(),

@@ -36,7 +36,7 @@ from lucene_spark.pipeline.contracts import (
     shingles_col,
     tokens_col,
 )
-from lucene_spark.pipeline.textqc import BPE_RE
+from lucene_spark.pipeline.textqc import BPE_RE, STOPWORDS
 
 
 def contamination_check(
@@ -539,3 +539,59 @@ def pack_report(docs: DataFrame, context_len: int,
             ).cast("long").alias("n_full_docs"),
         )
     )
+
+
+# ---------------------------------------------------------- gopher filter --
+
+def gopher_filter(docs: DataFrame, min_words: int = 10,
+                  max_words: int = 100_000) -> DataFrame:
+    """(doc_id, n_words, fail_mask, keep) — Gopher-style document quality
+    rules (the published repetition/quality heuristics of the Gopher
+    corpus pipeline, integer-exact so the oracle matches bit-for-bit).
+
+    fail_mask bit i set ⇔ rule i failed:
+      0: word count < min_words            1: word count > max_words
+      2: mean word length outside [3, 10]  (3n ≤ alpha_chars ≤ 10n)
+      3: symbol-to-word ratio > 0.1        (10·(#'#' + #'...') > n)
+      4: < 80% of words contain a letter   (5·alpha_words < 4n)
+      5: < 2 stopwords
+      6: duplicate-line fraction > 0.3     (10·dup_lines > 3·n_lines)
+    keep ⇔ fail_mask == 0. One codegen projection + a tiny per-doc line
+    aggregation — no shuffle beyond the doc_id-unique groupBy, no Python.
+    """
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    words = F.split(F.trim(t), r"\s+")
+    words = F.filter(words, lambda w: w != F.lit(""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).alias("n_wchars"),
+        F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+        .cast("long").alias("n_sym"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        .cast("long").alias("n_alpha_words"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+        .cast("long").alias("n_stop"),
+        F.size(F.split(t, "\n")).cast("long").alias("n_lines"),
+        (F.size(F.split(t, "\n"))
+         - F.size(F.array_distinct(F.split(t, "\n"))))
+        .cast("long").alias("dup_lines"),
+    )
+    mask = (
+        F.when(F.col("n_words") < min_words, 1).otherwise(0)
+        + F.when(F.col("n_words") > max_words, 2).otherwise(0)
+        + F.when((3 * F.col("n_words") > F.col("n_wchars"))
+                 | (F.col("n_wchars") > 10 * F.col("n_words")), 4)
+        .otherwise(0)
+        + F.when(10 * F.col("n_sym") > F.col("n_words"), 8).otherwise(0)
+        + F.when(5 * F.col("n_alpha_words") < 4 * F.col("n_words"), 16)
+        .otherwise(0)
+        + F.when(F.col("n_stop") < 2, 32).otherwise(0)
+        + F.when(10 * F.col("dup_lines") > 3 * F.col("n_lines"), 64)
+        .otherwise(0)
+    ).cast("long")
+    return (base.withColumn("fail_mask", mask)
+            .withColumn("keep", F.col("fail_mask") == 0)
+            .select("doc_id", "n_words", "fail_mask", "keep"))

@@ -1015,3 +1015,50 @@ SELECT query_id, rnk::INT AS rank, neighbor_id, cos
 FROM ranked WHERE rnk <= {k}
 ORDER BY query_id, rank
 """
+
+
+def gopher_filter_sql(min_words: int = 10, max_words: int = 100_000) -> str:
+    """Mirror of curation.gopher_filter — every rule an integer compare.
+    DuckDB's regexp split + list ops recompute the same counts."""
+    stops = ",".join(f"'{s}'" for s in sorted(STOPWORDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+w AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                     x -> x != '') AS words,
+         regexp_split_to_array(t, '\\n') AS lines
+  FROM d
+),
+base AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(words, x -> length(x))),
+                  0)::BIGINT AS n_wchars,
+         len(regexp_extract_all(t, '#|\\.\\.\\.'))::BIGINT AS n_sym,
+         len(list_filter(words,
+                         x -> regexp_matches(x, '[a-z]')))::BIGINT
+           AS n_alpha_words,
+         len(list_filter(words, x -> x IN ({stops})))::BIGINT AS n_stop,
+         len(lines)::BIGINT AS n_lines,
+         (len(lines) - len(list_distinct(lines)))::BIGINT AS dup_lines
+  FROM w
+),
+m AS (
+  SELECT doc_id, n_words,
+         (CASE WHEN n_words < {int(min_words)} THEN 1 ELSE 0 END
+          + CASE WHEN n_words > {int(max_words)} THEN 2 ELSE 0 END
+          + CASE WHEN 3 * n_words > n_wchars
+                   OR n_wchars > 10 * n_words THEN 4 ELSE 0 END
+          + CASE WHEN 10 * n_sym > n_words THEN 8 ELSE 0 END
+          + CASE WHEN 5 * n_alpha_words < 4 * n_words THEN 16 ELSE 0 END
+          + CASE WHEN n_stop < 2 THEN 32 ELSE 0 END
+          + CASE WHEN 10 * dup_lines > 3 * n_lines THEN 64 ELSE 0 END
+         )::BIGINT AS fail_mask
+  FROM base
+)
+SELECT doc_id, n_words, fail_mask, fail_mask = 0 AS keep
+FROM m ORDER BY doc_id
+"""

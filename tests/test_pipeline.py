@@ -533,3 +533,32 @@ def test_sequence_packing(spark, docs):
     # empty corpus → empty report
     empty = pack_report(docs.filter(F.lit(False)), L)
     assert empty.count() == 0
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule bit fires on a crafted doc; clean docs keep."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.curation import gopher_filter
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog while the sun "
+            "shines bright today"),
+        (1, "short text here"),                           # rule 0 (min words)
+        (2, "the " + "supercalifragilistic " * 30),       # rule 2 (mwl high)
+        (3, "the cat ### sat ... on ### the ... mat ..."  # rule 3 (symbols)
+            + " and it is a fine day"),
+        (4, "the cat 1 2 3 4 5 6 7 8 9 10 11 12 is in"),  # rule 4 (alpha)
+        (5, "cat dog bird fish horse cow sheep goat pig duck hen fox"),  # 5
+        (6, "the cat is here\nsame line\nsame line\nsame line\nand the "
+            "dog is there too okay"),                     # rule 6 (dup lines)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[0]["keep"] and got[0]["fail_mask"] == 0
+    assert got[1]["fail_mask"] & 1
+    assert got[2]["fail_mask"] & 4
+    assert got[3]["fail_mask"] & 8
+    assert got[4]["fail_mask"] & 16
+    assert got[5]["fail_mask"] & 32
+    assert got[6]["fail_mask"] & 64
