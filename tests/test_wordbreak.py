@@ -78,3 +78,60 @@ def test_combine(searcher):
     got2 = word_combine_suggest(searcher.reader, present[:2], k=5)
     assert all(comb != present[0] + present[1]
                for _, _, comb, _ in got2)
+
+
+def test_string_distance_reference_goldens():
+    """JaroWinklerDistance + NGramDistance ports match the reference test
+    expectations (TestJaroWinklerDistance.java / TestNGramDistance.java)."""
+    from lucene_spark.search.suggest import jaro_winkler as jw
+    from lucene_spark.search.suggest import ngram_similarity as ng
+
+    assert jw("al", "al") == 1.0
+    assert 0.961 < jw("martha", "marhta") < 0.962
+    assert 0.832 < jw("jones", "johnson") < 0.833
+    assert 0.958 < jw("abcvwxyz", "cabvwxyz") < 0.959
+    assert 0.84 < jw("dwayne", "duane") < 0.841
+    assert 0.813 < jw("dixon", "dicksonx") < 0.814
+    assert jw("fvie", "ten") == 0.0
+    assert jw("zac ephron", "zac efron") > jw("zac ephron", "kai ephron")
+    # the reference's UNCAPPED prefix (vs textbook Winkler's 4-cap):
+    # "table"/"tables" shares a 5-char prefix → bonus uses all 5
+    assert abs(jw("table", "tables") - 0.9722222) < 1e-6
+    for nsz, cases in {
+        1: [("martha", "marhta", 0.6666), ("jones", "johnson", 0.4285),
+            ("abcvwxyz", "cabvwxyz", 0.75), ("dixon", "dicksonx", 0.5),
+            ("natural", "contrary", 0.25)],
+        2: [("martha", "marhta", 0.6666), ("abcvwxyz", "cabvwxyz", 0.625),
+            ("dwayne", "duane", 0.5833), ("a", "aa", 0.5)],
+    }.items():
+        for a, b, exp in cases:
+            assert abs(ng(a, b, nsz) - exp) < 0.001, (nsz, a, b)
+    assert ng("al", "al", 2) == 1.0 and ng("b", "a", 1) == 0.0
+
+
+def test_spell_suggest_pluggable_distance(spark, index_dir):
+    """spell_suggest(distance=...) ranks the SAME DL candidate set by the
+    plugged similarity (DirectSpellChecker.setDistance)."""
+    import pytest
+
+    from lucene_spark.search.reader import IndexReader
+    from lucene_spark.search.suggest import (
+        jaro_winkler,
+        spell_suggest,
+    )
+
+    rd = IndexReader(spark, index_dir)
+    base = spell_suggest(rd, "cas", k=10)       # DL ranking
+    jws = spell_suggest(rd, "cas", k=10, distance="jaro_winkler")
+    assert base and jws
+    assert {t for t, _, _ in jws} <= {t for t, _, _ in base} or \
+        len(jws) == len(base)  # same candidate pool, re-ranked
+    # ranking really is by the plugged similarity
+    sims = [s for _, _, s in jws]
+    assert sims == sorted(sims, reverse=True)
+    assert all(abs(s - jaro_winkler("cas", t)) < 1e-9 for t, _, s in jws)
+    ngs = spell_suggest(rd, "cas", k=10, distance="ngram")
+    assert [s for _, _, s in ngs] == sorted(
+        (s for _, _, s in ngs), reverse=True)
+    with pytest.raises(ValueError):
+        spell_suggest(rd, "cas", distance="nope")
