@@ -514,3 +514,48 @@ STRING_DISTANCES = {
     "jaro_winkler": jaro_winkler,
     "ngram": ngram_similarity,
 }
+
+
+def levenshtein_similarity(target: str, other: str) -> float:
+    """``suggest/spell/LevenshteinDistance.java``: plain Levenshtein scaled
+    as 1 − dist/max(len)."""
+    n, m = len(target), len(other)
+    if n == 0 or m == 0:
+        return 1.0 if n == m else 0.0
+    p = list(range(n + 1))
+    for j in range(1, m + 1):
+        d = [j] + [0] * n
+        for i in range(1, n + 1):
+            cost = 0 if target[i - 1] == other[j - 1] else 1
+            d[i] = min(d[i - 1] + 1, p[i] + 1, p[i - 1] + cost)
+        p = d
+    return 1.0 - (float(p[n]) / max(n, m))
+
+
+def lucene_levenshtein_similarity(target: str, other: str) -> float:
+    """``suggest/spell/LuceneLevenshteinDistance.java:45-104``: the
+    transposition-aware (OSA) edit distance DirectSpellChecker uses
+    internally, scaled 1 − dist/MIN(len) — note min, unlike the plain
+    variant's max (the reference's deliberate asymmetry; can go negative
+    for very different strings, matching the Java)."""
+    n, m = len(target), len(other)
+    if n == 0 or m == 0:
+        return 0.0 if n == m else float(max(n, m))
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for j in range(1, m + 1):
+        for i in range(1, n + 1):
+            cost = 0 if target[i - 1] == other[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and target[i - 1] == other[j - 2]
+                    and target[i - 2] == other[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return 1.0 - (float(d[n][m]) / min(n, m))
+
+
+STRING_DISTANCES["levenshtein"] = levenshtein_similarity
+STRING_DISTANCES["lucene_levenshtein"] = lucene_levenshtein_similarity

@@ -135,3 +135,25 @@ def test_spell_suggest_pluggable_distance(spark, index_dir):
         (s for _, _, s in ngs), reverse=True)
     with pytest.raises(ValueError):
         spell_suggest(rd, "cas", distance="nope")
+
+
+def test_levenshtein_distance_goldens():
+    """LevenshteinDistance + LuceneLevenshteinDistance reference goldens
+    (TestLevenshteinDistance.java; the Lucene variant scales by MIN len
+    and counts transpositions as one edit)."""
+    from lucene_spark.search.suggest import (
+        levenshtein_similarity as lev,
+        lucene_levenshtein_similarity as llev,
+    )
+
+    assert lev("al", "al") == 1.0
+    assert abs(lev("martha", "marhta") - 0.6666) < 0.001
+    assert abs(lev("jones", "johnson") - 0.4285) < 0.001
+    assert abs(lev("abcvwxyz", "cabvwxyz") - 0.75) < 0.001
+    assert abs(lev("dwayne", "duane") - 0.666) < 0.001
+    assert abs(lev("dixon", "dicksonx") - 0.5) < 0.001
+    assert lev("six", "ten") == 0.0
+    # Lucene variant: transposition is ONE edit; scaled by min length
+    assert llev("martha", "marhta") == 1.0 - 1.0 / 6   # one transposition
+    assert llev("ab", "bca") == 1.0 - 3.0 / 2          # parallel edits: 3
+    assert llev("al", "al") == 1.0
