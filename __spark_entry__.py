@@ -1229,6 +1229,38 @@ def _q_ngram_infix_topk(spark, sf_dir):
     return _hits_df(spark, s.search(q, k=50, mode="wand"))
 
 
+XML_QUERY = """
+<BooleanQuery>
+  <Clause occurs="must"><UserQuery>+table value</UserQuery></Clause>
+  <Clause occurs="should">
+    <TermsQuery fieldName="text">query customer</TermsQuery>
+  </Clause>
+  <Clause occurs="filter">
+    <RangeQuery fieldName="text" lowerTerm="a" upperTerm="m"/>
+  </Clause>
+  <Clause occurs="mustNot"><TermQuery fieldName="text">spark</TermQuery></Clause>
+</BooleanQuery>
+"""
+
+
+def _xml_query():
+    from lucene_spark.search.xmlparser import parse_xml
+
+    return parse_xml(XML_QUERY, _AN)
+
+
+def _q_xml_query_topk(spark, sf_dir):
+    """XML query parser (``queryparser/xml/CoreParser.java:55,88-135``):
+    an XML boolean mixing a UserQuery (classic passthrough), an analyzed
+    TermsQuery, a filter RangeQuery, and a prohibited TermQuery — parsed
+    to the standard AST and executed by the recursive mixed kernel.
+    Oracle: the nested BM25 SQL over the SAME parsed tree."""
+    from lucene_spark.search.xmlparser import parse_xml
+
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.search(_xml_query(), k=40))
+
+
 # HTML markup injections: inline tag, block tag, comment-split word,
 # entity separator, script block — the strip chain must recover the words
 HTML_REPL = ((r"\btable\b", "<b>table</b>"),
@@ -2604,7 +2636,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
     # memory_index_scores, edge_ngram_topk, ngram_infix_topk,
     # percolate_complex, ann_hnsw_topk, ann_euclidean_topk,
-    # ann_cosine_topk, gopher_filter)
+    # ann_cosine_topk, gopher_filter, xml_query_topk)
 )
 
 
@@ -2762,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syn_graph_topk": _q_syn_graph_topk,
         "edge_ngram_topk": _q_edge_ngram_topk,
         "ngram_infix_topk": _q_ngram_infix_topk,
+        "xml_query_topk": _q_xml_query_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3214,6 +3247,7 @@ LIMIT 25
             token_re=oracle.unicode_sea_token_re(),
         ),
         "syn_graph_topk": oracle.nested_topk_sql(_syn_graph_query(), 40),
+        "xml_query_topk": oracle.nested_topk_sql(_xml_query(), 40),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),
