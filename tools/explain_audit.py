@@ -277,6 +277,21 @@ def main(sf_dir: str):
                      "as a BROADCAST, no Python anywhere",
                      capture(pack_report(docs_df, 512))))
 
+    import shutil
+
+    from lucene_spark.pipeline.simsearch import build_hnsw, hnsw_topk
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hnsw_d = "/tmp/lucene_spark_audit_hnsw"
+    if not os.path.exists(f"{hnsw_d}/_SUCCESS"):
+        shutil.rmtree(hnsw_d, ignore_errors=True)
+        build_hnsw(emb_df, hnsw_d)
+    sections.append(("HNSW per-segment search — expect ONE cogrouped "
+                     "Arrow kernel (graph + vectors co-partitioned by "
+                     "seg, adjacency never on the driver), bounded "
+                     "TakeOrdered-style k-merge, no shuffle joins",
+                     capture(hnsw_topk(spark, emb_df, hnsw_d))))
+
     import re
 
     checks = []
@@ -421,6 +436,11 @@ def main(sf_dir: str):
                    and "BroadcastHashJoin" in sections[28][1]
                    and "PythonUDF" not in sections[28][1]
                    and "InPandas" not in sections[28][1]))
+    checks.append(("HNSW search: one cogrouped Arrow kernel over "
+                   "seg-partitioned graph+vectors, no shuffle join",
+                   "FlatMapCoGroupsInPandas" in sections[29][1]
+                   and "SortMergeJoin" not in sections[29][1]
+                   and "BroadcastHashJoin" not in sections[29][1]))
 
     out = ["# BENCH/PLANS.md — physical-plan audit (auto-generated)\n"]
     out.append("## Checks\n")
