@@ -1677,16 +1677,28 @@ def _q_ann_hnsw(spark, sf_dir):
     at gate scale ef=64 attains recall 1 deterministically, so the gate is
     hash-exact; the approximate regime pins in pytest (recall/determinism/
     round-trip)."""
-    import os as _os
+    import json
 
     from lucene_spark.pipeline.simsearch import build_hnsw, hnsw_topk
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     d = f"/tmp/lucene_spark_driver_hnsw/{tag}"
-    if not _os.path.exists(f"{d}/_SUCCESS"):
-        build_hnsw(_emb(spark, sf_dir), d)
-    return hnsw_topk(spark, _emb(spark, sf_dir), d) \
-        .orderBy("query_id", "rank")
+    # cache keyed on a corpus fingerprint (count + vec_id fold) — a
+    # regenerated same-named corpus must rebuild, never walk a stale graph
+    emb = _emb(spark, sf_dir)
+    row = emb.agg(F.count("*").cast("long"),
+                  F.bit_xor(F.col("vec_id")).cast("long")).first()
+    fp = {"n": int(row[0]), "xor": int(row[1] or 0)}
+    fp_path = f"{d}/_corpus_fp.json"  # "_" prefix: invisible to the parquet listing
+    fresh = False
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            fresh = json.load(f) == fp
+    if not (fresh and os.path.exists(f"{d}/_SUCCESS")):
+        build_hnsw(emb, d)
+        with open(fp_path, "w") as f:
+            json.dump(fp, f)
+    return hnsw_topk(spark, emb, d).orderBy("query_id", "rank")
 
 
 def _q_ann_euclidean(spark, sf_dir):

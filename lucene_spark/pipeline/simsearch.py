@@ -218,17 +218,29 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
 # -------------------------------------------------------------------- HNSW --
 # Per-segment HNSW graphs (Lucene95HnswVectorsFormat architecture): build
-# inside each segment's applyInPandas task, persist adjacency parquet, search
-# by per-segment fan-out + bounded k-merge. Graph walks are not
-# SQL-expressible — driver gate is rows-only; recall/determinism pin in
-# pytest (see search/hnsw.py docstring).
+# inside each segment's applyInPandas task, persist adjacency parquet +
+# hnsw_meta.json (segment count / M / efc — readers NEVER guess the
+# partitioning), search by per-segment fan-out + bounded k-merge. Graph
+# walks are not SQL-expressible by construction; the gate pins the
+# recall-1 configuration against the exact brute SQL instead.
+
+def _hnsw_meta_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "_hnsw_meta.json")  # "_"-prefixed: invisible to the parquet file listing
+
 
 def build_hnsw(emb: DataFrame, out_dir: str, num_segments: int = 4,
                m: int = 8, ef_construction: int = 64) -> None:
     """Build per-segment HNSW graphs over the quantized embeddings and
-    persist (seg, node, level, neighbors) adjacency parquet. One shuffle
-    (the seg grouping); each graph builds executor-side over only its
-    segment's vectors."""
+    persist (seg, node, level, neighbors) adjacency parquet plus a
+    ``_hnsw_meta.json`` (num_segments/m/efc — the search side reads the
+    REAL build partitioning instead of inferring it from which segments
+    happen to be non-empty). One shuffle (the seg grouping); each graph
+    builds executor-side over only its segment's vectors."""
+    import json
+    import os
+
     import pandas as pd
 
     from lucene_spark.search.hnsw import SegmentHnsw, node_levels
@@ -251,20 +263,57 @@ def build_hnsw(emb: DataFrame, out_dir: str, num_segments: int = 4,
      .applyInPandas(build,
                     "seg int, node long, level int, neighbors array<long>")
      .write.mode("overwrite").partitionBy("seg").parquet(out_dir))
+    with open(_hnsw_meta_path(out_dir), "w") as f:
+        json.dump({"num_segments": int(num_segments), "m": int(m),
+                   "ef_construction": int(ef_construction)}, f)
+
+
+def _hnsw_num_segments(index_dir: str) -> int:
+    import json
+
+    with open(_hnsw_meta_path(index_dir)) as f:
+        return int(json.load(f)["num_segments"])
+
+
+def _hnsw_segment_search(gpdf, vpdf, queries, per_seg: int, ef_search: int):
+    """Shared cogrouped kernel: one segment's (graph rows, vector rows) ×
+    the broadcast query list → [(query_id, neighbor_id, dot)] with up to
+    ``per_seg`` rows per query (callers over-fetch by one when a
+    self-match will be dropped afterwards).
+    Row extraction is columnar (numpy zip) — never pandas iterrows."""
+    from lucene_spark.search.hnsw import graph_from_rows, graph_search
+
+    if not len(gpdf) or not len(vpdf):
+        return []
+    ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = np.stack(vpdf["q"].to_numpy()[order]).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = list(zip(gpdf["seg"].to_numpy().tolist(),
+                    gpdf["node"].to_numpy().tolist(),
+                    gpdf["level"].to_numpy().tolist(),
+                    (list(x) for x in gpdf["neighbors"].to_numpy())))
+    adj, entry, top = graph_from_rows(rows, pos)
+    out = []
+    for qid, qv in queries:
+        for s, n in graph_search(vecs, adj, entry, top, qv,
+                                 per_seg, ef_search):
+            out.append((qid, int(ids[n]), int(s)))
+    return out
 
 
 def hnsw_topk(spark, emb: DataFrame, index_dir: str, n_queries: int = 5,
-              k: int = 10, ef_search: int = 64,
-              num_segments: int = 4) -> DataFrame:
+              k: int = 10, ef_search: int = 64) -> DataFrame:
     """(query_id, rank, neighbor_id, dot) — approximate top-k via the
     per-segment HNSW graphs: the tiny query set broadcasts in the task
     closure, each segment walks ONLY its graph and returns k rows per
     query, the global merge ranks k from num_segments × k candidates
-    (the same bounded-merge shape as per-segment text top-k)."""
+    (the same bounded-merge shape as per-segment text top-k). Segment
+    count comes from the index's own metadata."""
     import pandas as pd
 
-    from lucene_spark.search.hnsw import graph_from_rows, graph_search
-
+    num_segments = _hnsw_num_segments(index_dir)
     qe = quantized_embeddings(emb)
     qrows = qe.filter(F.col("vec_id") < n_queries).collect()
     queries = sorted((int(r["vec_id"]),
@@ -274,29 +323,13 @@ def hnsw_topk(spark, emb: DataFrame, index_dir: str, n_queries: int = 5,
         "seg", (F.col("vec_id") % num_segments).cast("int"))
 
     def search(key, gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
-        out_q, out_n, out_d = [], [], []
-        if len(gpdf) and len(vpdf):
-            ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids)
-            ids = ids[order]
-            vecs = np.stack(vpdf["q"].to_numpy()[order]).astype(np.int64)
-            pos = {int(v): i for i, v in enumerate(ids)}
-            rows = [(int(r["seg"]), int(r["node"]), int(r["level"]),
-                     list(r["neighbors"])) for _, r in gpdf.iterrows()]
-            adj, entry, top = graph_from_rows(rows, pos)
-            for qid, qv in queries:
-                # k+1 then drop a self-match (the query may live here)
-                for s, n in graph_search(vecs, adj, entry, top, qv,
-                                         k + 1, ef_search):
-                    nid = int(ids[n])
-                    if nid != qid:
-                        out_q.append(qid)
-                        out_n.append(nid)
-                        out_d.append(int(s))
+        hits = [(q, n, d) for q, n, d
+                in _hnsw_segment_search(gpdf, vpdf, queries, k + 1, ef_search)
+                if n != q]
         return pd.DataFrame({
-            "query_id": pd.Series(out_q, dtype="int64"),
-            "neighbor_id": pd.Series(out_n, dtype="int64"),
-            "dot": pd.Series(out_d, dtype="int64")})
+            "query_id": pd.Series([h[0] for h in hits], dtype="int64"),
+            "neighbor_id": pd.Series([h[1] for h in hits], dtype="int64"),
+            "dot": pd.Series([h[2] for h in hits], dtype="int64")})
 
     cand = (graph.groupBy("seg").cogroup(corpus.groupBy("seg"))
             .applyInPandas(search,
@@ -314,38 +347,26 @@ def hnsw_topk_single(spark, vectors: DataFrame, index_dir: str,
     """(doc_id, dot) top-k for ONE query vector via the per-segment HNSW
     graphs — the searcher's ``KnnQuery(strategy="hnsw")`` execution path.
     ``vectors``: (doc_id, embedding); ``index_dir``: built by
-    :func:`build_hnsw` over the same table (doc_id as vec_id)."""
+    :func:`build_hnsw` over the same table (doc_id as vec_id). The query
+    quantizes through the SAME float32 contract as the exact path
+    (``knn.quantize_query``) so both strategies score identically."""
     import pandas as pd
 
-    from lucene_spark.pipeline.contracts import EMB_SCALE
-    from lucene_spark.search.hnsw import graph_from_rows, graph_search
+    from lucene_spark.search.knn import quantize_query
 
+    num_segments = _hnsw_num_segments(index_dir)
+    qv = np.asarray(quantize_query(query_vec), dtype=np.int64)
+    queries = [(-1, qv)]
     graph = spark.read.parquet(index_dir)
-    num_segments = int(graph.agg(F.max("seg")).first()[0]) + 1
-    qv = np.floor(np.asarray(query_vec, dtype=np.float64)
-                  * float(EMB_SCALE)).astype(np.int64)
     corpus = quantized_embeddings(
         vectors.select(F.col("doc_id").alias("vec_id"), "embedding")
     ).withColumn("seg", (F.col("vec_id") % num_segments).cast("int"))
 
     def search(key, gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
-        out_n, out_d = [], []
-        if len(gpdf) and len(vpdf):
-            ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids)
-            ids = ids[order]
-            vecs = np.stack(vpdf["q"].to_numpy()[order]).astype(np.int64)
-            pos = {int(v): i for i, v in enumerate(ids)}
-            rows = [(int(r["seg"]), int(r["node"]), int(r["level"]),
-                     list(r["neighbors"])) for _, r in gpdf.iterrows()]
-            adj, entry, top = graph_from_rows(rows, pos)
-            for s, n in graph_search(vecs, adj, entry, top, qv,
-                                     k, ef_search):
-                out_n.append(int(ids[n]))
-                out_d.append(int(s))
+        hits = _hnsw_segment_search(gpdf, vpdf, queries, k, ef_search)
         return pd.DataFrame({
-            "doc_id": pd.Series(out_n, dtype="int64"),
-            "dot": pd.Series(out_d, dtype="int64")})
+            "doc_id": pd.Series([h[1] for h in hits], dtype="int64"),
+            "dot": pd.Series([h[2] for h in hits], dtype="int64")})
 
     cand = (graph.groupBy("seg").cogroup(corpus.groupBy("seg"))
             .applyInPandas(search, "doc_id long, dot long"))

@@ -54,16 +54,21 @@ def _boost(e: ET.Element) -> float:
 
 
 def _boosted(q, b: float):
+    """Apply a group boost: leaves multiply their boost (the reference's
+    BoostQuery rewrite); a BooleanQuery — which carries no boost of its
+    own, exactly like the reference — distributes onto its SCORING
+    clauses (MUST/SHOULD), mirroring ``ast._combined_boost`` semantics."""
     if b == 1.0:
         return q
-    if hasattr(q, "boosted"):
-        return q.boosted(b)
-    try:
-        return type(q)(**{**q.__dict__, "boost": q.boost * b})
-    except TypeError:
-        import dataclasses
+    if isinstance(q, ast.BooleanQuery):
+        return ast.BooleanQuery(
+            tuple((occ, _boosted(sub, b)
+                   if occ in (ast.MUST, ast.SHOULD) else sub)
+                  for occ, sub in q.clauses),
+            min_should_match=q.min_should_match)
+    import dataclasses
 
-        return dataclasses.replace(q, boost=q.boost * b)
+    return dataclasses.replace(q, boost=q.boost * b)
 
 
 def _text(e: ET.Element) -> str:
@@ -151,11 +156,18 @@ class XmlQueryParser:
                 self._query(subs[0], field), boost=_boost(e))
         if tag == "DisjunctionMaxQuery":
             terms = []
+            f = _field(e, field)
             for c in e:
                 if c.tag != "TermQuery":
                     raise ParserException(
                         "v1 DisjunctionMaxQuery children must be "
                         "TermQuery elements (engine dismax takes terms)")
+                # never silently ignore child attributes the engine's
+                # single-field / unweighted dismax cannot honor
+                if _field(c, f) != f or _boost(c) != 1.0:
+                    raise ParserException(
+                        "v1 DisjunctionMaxQuery children cannot carry "
+                        "their own fieldName/boost")
                 terms.append(_text(c))
             return ast.DisjunctionMaxQuery(
                 tuple(terms), tie_breaker=float(e.get("tieBreaker", "0.0")),

@@ -58,10 +58,12 @@ TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg Spark runtime is on the session classpath."""
     try:
-        # real class-load probe — py4j resolves package paths lazily, so
-        # attribute access alone never fails for a missing class
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.source.SparkTable")
+        # probe through SPARK's classloader (Utils.classForName), not the
+        # py4j gateway/system loader — jars added via spark.jars /
+        # --packages land in Spark's MutableURLClassLoader, invisible to a
+        # plain java.lang.Class.forName(String)
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.spark.source.SparkTable", False, False)
         return True
     except Exception:
         return False

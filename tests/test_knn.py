@@ -400,3 +400,44 @@ def test_euclidean_cosine_topk(spark):
         assert got_c[got_c.query_id == qid].sort_values("rank")[
             "neighbor_id"].tolist() == expc
     assert got_c["cos"].between(-1.0000001, 1.0000001).all()
+
+
+def test_hnsw_meta_and_segment_mismatch(spark, tmp_path):
+    """The search side reads num_segments from _hnsw_meta.json — a build
+    with a gappy id space (no id ≡ 3 mod 4 → segment 3 empty) must still
+    search correctly (r4 review finding: max(seg)+1 inference broke
+    this)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.simsearch import (
+        _hnsw_num_segments,
+        build_hnsw,
+        hnsw_topk,
+    )
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") % 4 != 3))
+    d = str(tmp_path / "gappy")
+    build_hnsw(emb, d, num_segments=4)
+    assert _hnsw_num_segments(d) == 4
+    got = hnsw_topk(spark, emb, d).toPandas()
+    assert len(got) > 0
+    assert (got["neighbor_id"] % 4 != 3).all()
+
+
+def test_hnsw_single_quantizes_like_exact(spark, index_dir, tmp_path):
+    """strategy='hnsw' must quantize the query through the float32
+    contract (knn.quantize_query) — boundary values like 1.998 diverge
+    under a float64 shortcut (r4 review finding)."""
+    from lucene_spark.pipeline.simsearch import build_hnsw
+    from lucene_spark.search.searcher import IndexSearcher
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.selectExpr("vec_id as doc_id", "embedding")
+    hd = str(tmp_path / "qz")
+    build_hnsw(emb, hd)
+    s = IndexSearcher(spark, index_dir).set_vectors(vecs, hnsw_dir=hd)
+    dim = len(emb.first()["embedding"])
+    qv = [1.998] * dim  # floors differently under float64 vs float32
+    assert s.knn_search(qv, 10, strategy="hnsw") == \
+        s.knn_search(qv, 10, strategy="exact")

@@ -103,3 +103,24 @@ def test_xml_span_executes(searcher):
     assert [h.doc_id for h in searcher.search(xml, 20)] == \
         [h.doc_id for h in searcher.search(direct, 20)]
     assert searcher.count(xml) > 0
+
+
+def test_boost_on_composite_elements():
+    """boost on TermsQuery/BooleanQuery/UserQuery distributes onto scoring
+    clauses (r4 review finding: AttributeError on boost-less booleans)."""
+    q = parse_xml('<TermsQuery boost="2.0" fieldName="text">alpha beta'
+                  "</TermsQuery>", AN)
+    assert all(t.boost == 2.0 for _, t in q.clauses)
+    u = parse_xml('<UserQuery boost="3.0">alpha beta -gamma</UserQuery>', AN)
+    boosts = {t.term: t.boost for o, t in u.clauses}
+    assert boosts["alpha"] == 3.0 and boosts["beta"] == 3.0
+    assert boosts["gamma"] == 1.0  # MUST_NOT never scores → boost untouched
+    b = parse_xml('<BooleanQuery boost="2.0">'
+                  '<Clause occurs="must"><TermQuery>x</TermQuery></Clause>'
+                  "</BooleanQuery>", AN)
+    # single-must collapses after normalize; boost survived
+    assert b.boost == 2.0
+    # dismax children cannot carry their own attrs (explicit raise)
+    with pytest.raises(ParserException):
+        parse_xml('<DisjunctionMaxQuery><TermQuery boost="2">a</TermQuery>'
+                  "</DisjunctionMaxQuery>", AN)
