@@ -1229,6 +1229,21 @@ def _q_ngram_infix_topk(spark, sf_dir):
     return _hits_df(spark, s.search(q, k=50, mode="wand"))
 
 
+FLT_TEXT = "tabel valeu"  # two typo'd in-corpus words
+
+
+def _q_fuzzy_like_this_topk(spark, sf_dir):
+    """FuzzyLikeThisQuery (``sandbox/.../FuzzyLikeThisQuery.java:192-330``):
+    fuzzify every analyzed source term, per-source top-50 variants by
+    FuzzyTermsEnum boost, variant score = f32(boost²·classic-idf(df_src)),
+    global top-8 searched as SHOULD df1-TermQueries (the newTermQuery
+    artificial-stats hack). Oracle: the SQL re-derives expansion, boosts,
+    df_src fallback, selection, and df=1 BM25 weights independently."""
+    s = _searcher(spark, sf_dir)
+    return _hits_df(spark, s.fuzzy_like_this(
+        FLT_TEXT, k=40, prefix_length=1, max_num_terms=8))
+
+
 XML_QUERY = """
 <BooleanQuery>
   <Clause occurs="must"><UserQuery>+table value</UserQuery></Clause>
@@ -2648,7 +2663,8 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # cjk_bigram_topk, syn_graph_topk, seq_pack_report,
     # memory_index_scores, edge_ngram_topk, ngram_infix_topk,
     # percolate_complex, ann_hnsw_topk, ann_euclidean_topk,
-    # ann_cosine_topk, gopher_filter, xml_query_topk)
+    # ann_cosine_topk, gopher_filter, xml_query_topk,
+    # fuzzy_like_this_topk)
 )
 
 
@@ -2807,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_topk": _q_edge_ngram_topk,
         "ngram_infix_topk": _q_ngram_infix_topk,
         "xml_query_topk": _q_xml_query_topk,
+        "fuzzy_like_this_topk": _q_fuzzy_like_this_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3260,6 +3277,8 @@ LIMIT 25
         ),
         "syn_graph_topk": oracle.nested_topk_sql(_syn_graph_query(), 40),
         "xml_query_topk": oracle.nested_topk_sql(_xml_query(), 40),
+        "fuzzy_like_this_topk": oracle.fuzzy_like_this_topk_sql(
+            FLT_TEXT.split(), 40, prefix_len=1, max_num_terms=8),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -4474,3 +4474,92 @@ SELECT 'q_not', did FROM (
     AND did NOT IN (SELECT did FROM tf WHERE term = 'table')
 )
 """
+
+
+def fuzzy_like_this_topk_sql(src_terms, k: int, max_edits: int = 2,
+                             prefix_len: int = 0, max_num_terms: int = 50,
+                             max_variants: int = 50) -> str:
+    """FuzzyLikeThisQuery oracle (``sandbox/.../FuzzyLikeThisQuery.java:
+    192-330``): the SQL independently (1) expands each source term's
+    OSA-DL window with the prefix filter, (2) boosts ed==0→1f else
+    1f−ed/min(len), (3) takes the per-source top ``max_variants`` by
+    (boost DESC, term ASC), (4) scores each kept variant
+    f32(f32(boost²)·ClassicSimilarity.idf(df_src, N)) with df_src = the
+    SOURCE term's df or the INTEGER average of all enumerated variants'
+    dfs when absent (:237-241), (5) keeps the global top
+    ``max_num_terms`` by (score DESC, term ASC), and (6) sums per-doc
+    BM25 clause scores where every clause uses ARTIFICIAL df = 1
+    (``newTermQuery`` :262-274) and boost = the variant score."""
+    svals = ",".join(f"('{t}')" for t in src_terms)
+    return f"""
+WITH {BASE_CTES},
+src(sterm) AS (VALUES {svals}),
+vars AS (
+  SELECT s.sterm, t.term, t.df,
+         damerau_levenshtein(t.term, s.sterm) AS ed
+  FROM src s JOIN tstats t
+    ON damerau_levenshtein(t.term, s.sterm) <= {int(max_edits)}
+   AND substr(t.term, 1, {int(prefix_len)})
+       = substr(s.sterm, 1, {int(prefix_len)})
+),
+boosted AS (
+  SELECT sterm, term, df, ed,
+         CASE WHEN ed = 0 THEN CAST(1 AS FLOAT)
+              ELSE CAST(1 AS FLOAT)
+                   - CAST(ed AS FLOAT)
+                     / CAST(least(length(term), length(sterm)) AS FLOAT)
+         END AS boost
+  FROM vars
+),
+srcdf AS (
+  SELECT b.sterm,
+         CASE WHEN max(CASE WHEN b.term = b.sterm THEN b.df END) IS NOT NULL
+              THEN max(CASE WHEN b.term = b.sterm THEN b.df END)
+              ELSE CAST(floor(sum(b.df) / count(*)) AS BIGINT)
+         END AS df_src
+  FROM boosted b GROUP BY b.sterm
+),
+topv AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY sterm
+                                   ORDER BY boost DESC, term ASC) AS rn
+    FROM boosted b
+  ) WHERE rn <= {int(max_variants)}
+),
+scoredv AS (
+  SELECT v.sterm, v.term,
+         CAST(CAST(v.boost * v.boost AS FLOAT)
+              * CAST(ln(((SELECT n FROM fstats) + 1)
+                        / CAST(s.df_src + 1 AS DOUBLE)) + 1.0 AS FLOAT)
+              AS FLOAT) AS score
+  FROM topv v JOIN srcdf s ON s.sterm = v.sterm
+),
+kept AS (
+  SELECT term, score FROM scoredv
+  ORDER BY score DESC, term ASC LIMIT {int(max_num_terms)}
+),
+weights AS (
+  SELECT term,
+         CAST(score * CAST(ln(1 + ((SELECT n FROM fstats) - 1 + 0.5)
+                                 / (1 + 0.5)) AS FLOAT) AS FLOAT) AS w
+  FROM kept
+),
+clause_scores AS (
+  SELECT tf.did,
+         w.w - w.w / (CAST(1 AS FLOAT)
+                      + CAST(tf.tf AS FLOAT)
+                        * (CAST(1 AS FLOAT)
+                           / ({K1} * ((CAST(1 AS FLOAT) - {B})
+                                      + ({B} * CAST(d.dlen AS FLOAT))
+                                        / (SELECT avgdl FROM fstats))))) AS s
+  FROM tf
+  JOIN weights w ON w.term = tf.term
+  JOIN dlen d ON d.did = tf.did
+),
+summed AS (
+  SELECT did, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM clause_scores GROUP BY did
+)
+SELECT did AS doc_id, CAST(score AS DOUBLE) AS score
+FROM summed ORDER BY score DESC, did ASC LIMIT {k}
+"""

@@ -12,6 +12,7 @@ checks WAND == naive disjunction; our pytest does the same).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -1971,6 +1972,93 @@ class IndexSearcher:
             return self.search(q, k)
         finally:
             self.reader.term_stats_override = saved
+
+    def fuzzy_like_this(self, query_text: str, k: int = 10,
+                        field: str = "text", max_edits: int = 2,
+                        prefix_length: int = 0, max_num_terms: int = 50,
+                        max_variants: int = 50):
+        """FuzzyLikeThisQuery
+        (``sandbox/src/java/org/apache/lucene/sandbox/queries/
+        FuzzyLikeThisQuery.java:192-330``): fuzzify EVERY analyzed source
+        term, keep the best differentiating variants, and search them as a
+        SHOULD boolean — FuzzyQuery × MoreLikeThis with the reference's
+        special scoring factors:
+
+        1. Per source term (deduped, ``processedTerms``): dictionary
+           variants within OSA-DL ``max_edits`` sharing ``prefix_length``,
+           each with the FuzzyTermsEnum boost (ed==0 → 1f else
+           1f − ed/min(len)); top ``MAX_VARIANTS_PER_TERM`` (=50) by
+           (boost DESC, term ASC) (`ScoreTermQueue.lessThan`).
+        2. Variant score = f32(f32(boost²) · ClassicSimilarity.idf(df_src,
+           N)) where df_src is the SOURCE term's df — variants deliberately
+           do NOT use their own idf ("this would favour rarer terms eg
+           misspellings", class javadoc) — falling back to the INTEGER
+           average of all enumerated variants' dfs when the source is
+           corpus-absent (:237-241). Divergence documented: the engine
+           enumerates every DL-window candidate (no competitive-boost
+           enumeration pruning), which can only perturb this df==0
+           fallback.
+        3. Keep the global top ``max_num_terms`` by (score DESC, term ASC)
+           and search them as SHOULD TermQueries with boost = score and
+           ARTIFICIAL df = ttf = 1 (``newTermQuery``'s TermStates hack
+           :262-274 — the ``df1`` flag), grouped per source term (groups
+           are pure-SHOULD so the normalize flatten preserves the
+           reference's no-coord semantics).
+        """
+        from lucene_spark.search import multiterm as mt
+
+        tokens = list(dict.fromkeys(
+            self.analyzer.tokenize_text(query_text)))
+        n_docs = self.reader.stats_doc_count
+        global_q: list[tuple[float, str, str]] = []  # (score, variant, src)
+        for src in tokens:
+            cand = mt.expand_terms(
+                self.reader,
+                ast.MultiTermQuery("fuzzy", src, max_edits=max_edits,
+                                   field=field))
+            pre = src[:prefix_length]
+            scored = []
+            for t in cand:
+                if prefix_length and not t.startswith(pre):
+                    continue
+                ed = 0 if t == src else mt.damerau_levenshtein(t, src)
+                boost = (np.float32(1.0) if ed == 0 else
+                         np.float32(1.0) - np.float32(ed)
+                         / np.float32(min(len(t), len(src))))
+                scored.append((float(boost), t))
+            if not scored:
+                continue
+            stats = self.reader.term_stats([t for _, t in scored],
+                                           field=field)
+            df_src = stats.get(src, {}).get("df", 0)
+            if df_src == 0:
+                # integer average of ALL enumerated variants' dfs
+                df_src = (sum(stats[t]["df"] for _, t in scored)
+                          // len(scored))
+            scored.sort(key=lambda bt: (-bt[0], bt[1]))
+            idf = np.float32(
+                math.log((n_docs + 1) / float(df_src + 1)) + 1.0)
+            for b, t in scored[:max_variants]:
+                score = float(np.float32(
+                    np.float32(np.float32(b) * np.float32(b)) * idf))
+                global_q.append((score, t, src))
+        if not global_q:
+            return []
+        global_q.sort(key=lambda x: (-x[0], x[1]))
+        kept = global_q[:max_num_terms]
+        groups: dict[str, list] = {}
+        for score, t, src in kept:
+            groups.setdefault(src, []).append((score, t))
+        subs = []
+        for src in sorted(groups):
+            vs = groups[src]
+            clauses = tuple(
+                (ast.SHOULD, ast.TermQuery(t, field, boost=s, df1=True))
+                for s, t in vs)
+            subs.append(clauses[0][1] if len(vs) == 1
+                        else ast.BooleanQuery(clauses))
+        q = ast.BooleanQuery(tuple((ast.SHOULD, s) for s in subs))
+        return self.search(q, k)
 
     def multiterm_scored_search(self, q: "ast.MultiTermQuery", k: int = 10,
                                 max_clause_count: int = 1024):

@@ -195,3 +195,31 @@ def test_fuzzy_blended_exact_match_gets_unit_boost(searcher):
 
 def test_fuzzy_blended_no_candidates_is_empty(searcher):
     assert searcher.fuzzy_blended_search("zzzzzzzzzzzz", k=5) == []
+
+
+def test_fuzzy_like_this(spark, index_dir):
+    """FuzzyLikeThisQuery: typo'd multi-term text still retrieves the
+    clean terms' documents; deterministic; respects max_num_terms."""
+    from lucene_spark.corpus import VOCAB
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir)
+    v0, v1 = VOCAB[0], VOCAB[1]
+    typo = v0[:-1] + ("x" if v0[-1] != "x" else "y")
+    hits = s.fuzzy_like_this(f"{typo} {v1}", k=30, prefix_length=1,
+                             max_num_terms=8)
+    assert hits
+    # docs containing the CLEAN v0 dominate (the typo fuzzifies back)
+    clean = {h.doc_id for h in s.search(f"{v0} {v1}", 30)}
+    got = {h.doc_id for h in hits}
+    assert len(got & clean) >= len(got) // 2
+    # deterministic
+    again = s.fuzzy_like_this(f"{typo} {v1}", k=30, prefix_length=1,
+                              max_num_terms=8)
+    assert [(h.doc_id, h.score) for h in hits] == \
+        [(h.doc_id, h.score) for h in again]
+    # max_num_terms=1 keeps only the single best variant globally
+    one = s.fuzzy_like_this(f"{typo} {v1}", k=30, max_num_terms=1)
+    assert one and len({h.score for h in one}) <= len(one)
+    # nothing fuzzifiable -> empty
+    assert s.fuzzy_like_this("zzqqxxyyzz", k=5) == []
