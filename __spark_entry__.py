@@ -732,6 +732,55 @@ def _q_english_stem(spark, sf_dir):
     return _hits_df(spark, s.search("tables values", k=50, mode="wand"))
 
 
+def _q_phonetic(encoder: str, query: str):
+    """Phonetic analysis gate factory (PhoneticFilter.java inject=false +
+    commons-codec encoder — analysis_phonetic.py): index with the phonetic
+    analyzer so misspellings land on the same code term, query with
+    misspelled words. Oracle: literal code-map VALUES CTE (the english-gate
+    construction) — DuckDB recomputes the coded index + BM25 independently."""
+
+    def run(spark, sf_dir):
+        from lucene_spark.corpus import transcripts_from_documents
+        from lucene_spark.indexing.builder import IndexBuilder
+        from lucene_spark.search.searcher import IndexSearcher
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        d = f"/tmp/lucene_spark_driver_phon/{tag}_{encoder}"
+        resume = os.path.exists(f"{d}/manifest.json")
+        t = transcripts_from_documents(spark, sf_dir)
+        IndexBuilder(spark, d, analyzer=f"phonetic_{encoder}",
+                     num_segments=6).build(t, resume=resume)
+        s = IndexSearcher(spark, d)
+        return _hits_df(spark, s.search(query, k=50, mode="wand"))
+
+    return run
+
+
+def _phonetic_oracle_sql(encoder: str, query: str, k: int = 50) -> str:
+    """Literal code-map oracle for the phonetic gates: enumerate the gate
+    corpus vocabulary with DuckDB, encode it with the pytest-golden-verified
+    encoder via the SAME ``filter_token`` the engine uses, embed the map as
+    a VALUES CTE (english-gate construction, ``_english_oracle_sql``)."""
+    import duckdb
+
+    from lucene_spark.analysis_phonetic import PhoneticAnalyzer
+
+    a = PhoneticAnalyzer(encoder)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    toks = duckdb.sql(
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(coalesce(text,'')),"
+        " '[a-z0-9]+')) AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    vocab = {t for (t,) in toks} | set(query.split())
+    code_map = {t: a.filter_token(t) for t in sorted(vocab)}
+    coded_query = [code_map[w] for w in query.split()]
+    # stopword set must be non-empty for the NOT IN list; the empty string
+    # never tokenizes, so this is a no-op filter
+    return oracle.english_topk_sql(coded_query, k, code_map, {""})
+
+
 def _conv_searcher(spark, sf_dir):
     """Searcher over the multi-turn chunked corpus (conversations genuinely
     have many children) — shared by the join / diversified gates."""
@@ -2824,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_infix_topk": _q_ngram_infix_topk,
         "xml_query_topk": _q_xml_query_topk,
         "fuzzy_like_this_topk": _q_fuzzy_like_this_topk,
+        "phonetic_soundex_topk": _q_phonetic("soundex", "tabel valyu"),
+        "phonetic_metaphone_topk": _q_phonetic("metaphone", "taybel valew"),
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3279,6 +3330,10 @@ LIMIT 25
         "xml_query_topk": oracle.nested_topk_sql(_xml_query(), 40),
         "fuzzy_like_this_topk": oracle.fuzzy_like_this_topk_sql(
             FLT_TEXT.split(), 40, prefix_len=1, max_num_terms=8),
+        "phonetic_soundex_topk": _phonetic_oracle_sql(
+            "soundex", "tabel valyu"),
+        "phonetic_metaphone_topk": _phonetic_oracle_sql(
+            "metaphone", "taybel valew"),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

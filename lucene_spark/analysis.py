@@ -910,6 +910,10 @@ def get_analyzer(name: str):
     if name.startswith("edge_ngram"):  # "edge_ngram1_3", "edge_ngram2_5", …
         mn, mx = name[len("edge_ngram"):].split("_")
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
+    if name.startswith("phonetic_"):  # phonetic_soundex / _refined_soundex / _metaphone
+        from lucene_spark.analysis_phonetic import PhoneticAnalyzer
+
+        return PhoneticAnalyzer(encoder=name[len("phonetic_"):])
     if name == "ngram":
         return NGramAnalyzer()
     if name.startswith("ngram"):  # "ngram2_3", "ngram4_4", …
