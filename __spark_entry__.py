@@ -732,6 +732,35 @@ def _q_english_stem(spark, sf_dir):
     return _hits_df(spark, s.search("tables values", k=50, mode="wand"))
 
 
+CGRAM_QUERY_TEXT = "the table value"
+
+
+def _q_common_grams_topk(spark, sf_dir):
+    """CommonGramsFilter gate (CommonGramsFilter.java:40-118): index with
+    analyzer="common_grams" so stopword-adjacent pairs also emit '_'-joined
+    gram terms; the query text re-analyzes through the same chain, so 'the
+    table' contributes the exact term 'the_table'. The classic parser
+    analyzes each whitespace word separately (QueryParserBase.java:455), so
+    an unquoted pair never forms a gram at query time; the engine query
+    instead names the gram term directly — '_' is UAX#29 ExtendNumLet, so
+    'the_table' is one standard token. The four SHOULD terms equal the
+    oracle's analysis of 'the table value'. Oracle: the same expansion as a
+    DuckDB list expression."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_cgram/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    IndexBuilder(spark, d, analyzer="common_grams", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(
+        spark, s.search("the the_table table value", k=50, mode="wand"))
+
+
 def _q_phonetic(encoder: str, query: str):
     """Phonetic analysis gate factory (PhoneticFilter.java inject=false +
     commons-codec encoder — analysis_phonetic.py): index with the phonetic
@@ -779,6 +808,19 @@ def _phonetic_oracle_sql(encoder: str, query: str, k: int = 50) -> str:
     # stopword set must be non-empty for the NOT IN list; the empty string
     # never tokenizes, so this is a no-op filter
     return oracle.english_topk_sql(coded_query, k, code_map, {""})
+
+
+def _common_grams_oracle_sql(k: int = 50) -> str:
+    """Oracle for the common-grams gate: query terms via the engine's own
+    pytest-pinned analyzer expansion, corpus tokens via the equivalent
+    DuckDB list expression (both sides recompute independently)."""
+    from lucene_spark.analysis import CommonGramsAnalyzer
+    from lucene_spark.analysis_en import ENGLISH_STOP_WORDS
+
+    terms = CommonGramsAnalyzer().tokenize_text(CGRAM_QUERY_TEXT)
+    return oracle.unicode_topk_sql(
+        terms, k, [],
+        tokens_list_expr=oracle.common_grams_tokens_expr(ENGLISH_STOP_WORDS))
 
 
 def _conv_searcher(spark, sf_dir):
@@ -2875,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_like_this_topk": _q_fuzzy_like_this_topk,
         "phonetic_soundex_topk": _q_phonetic("soundex", "tabel valyu"),
         "phonetic_metaphone_topk": _q_phonetic("metaphone", "taybel valew"),
+        "common_grams_topk": _q_common_grams_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3334,6 +3377,7 @@ LIMIT 25
             "soundex", "tabel valyu"),
         "phonetic_metaphone_topk": _phonetic_oracle_sql(
             "metaphone", "taybel valew"),
+        "common_grams_topk": _common_grams_oracle_sql(),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -747,6 +747,40 @@ class ShingleAnalyzer(_ExpandingAnalyzer):
         return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+class CommonGramsAnalyzer(_ExpandingAnalyzer):
+    """CommonGramsFilter over the StandardAnalyzer stream
+    (``analysis/common/src/java/org/apache/lucene/analysis/commongrams/
+    CommonGramsFilter.java:40-118``): every adjacent word pair where either
+    side is a common word additionally emits the '_'-joined gram
+    (GRAM_TYPE separator :49), in the reference's emission order (first
+    word's unigram, then the gram, then the second word's unigram) — so
+    high-frequency stopword phrases like 'the_table' become single exact
+    terms and phrase queries over them become term lookups. Common set
+    defaults to the classic English stop set, the reference's documented
+    pairing (``CommonGramsFilterFactory``). Same flat posIncr-1 stream
+    contract as the Shingle / EdgeNGram rows (the reference emits the gram
+    at posIncr 0 and discounts it from norms; here positions are
+    expanded-stream ordinals and dl counts grams — the gate's oracle
+    re-derives exactly that accounting)."""
+
+    name = "common_grams"
+
+    def __init__(self, common_words=None):
+        if common_words is None:
+            from lucene_spark.analysis_en import ENGLISH_STOP_WORDS
+
+            common_words = ENGLISH_STOP_WORDS
+        self.common_words = frozenset(common_words)
+
+    def _expand(self, toks):
+        common, out = self.common_words, []
+        for i, t in enumerate(toks):
+            out.append(t)
+            if i + 1 < len(toks) and (t in common or toks[i + 1] in common):
+                out.append(f"{t}_{toks[i + 1]}")
+        return out
+
+
 @dataclass(frozen=True)
 class EdgeNGramAnalyzer(_ExpandingAnalyzer):
     """Edge n-grams over the StandardAnalyzer stream — the autocomplete /
@@ -910,6 +944,8 @@ def get_analyzer(name: str):
     if name.startswith("edge_ngram"):  # "edge_ngram1_3", "edge_ngram2_5", …
         mn, mx = name[len("edge_ngram"):].split("_")
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
+    if name == "common_grams":
+        return CommonGramsAnalyzer()
     if name.startswith("phonetic_"):  # phonetic_soundex / _refined_soundex / _metaphone
         from lucene_spark.analysis_phonetic import PhoneticAnalyzer
 

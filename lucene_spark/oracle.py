@@ -439,6 +439,27 @@ def ngram_tokens_expr(min_gram: int = 3, max_gram: int = 3):
     return expr
 
 
+def common_grams_tokens_expr(common_words):
+    """Factory: DuckDB LIST expression mirroring
+    ``analysis.CommonGramsAnalyzer`` — each word emits itself, plus the
+    '_'-joined bigram with the next word when either side is common."""
+    words = ", ".join(f"'{w}'" for w in sorted(common_words))
+
+    def expr(t: str) -> str:
+        base = f"regexp_extract_all({t}, '[a-z0-9]+')"
+        return (
+            f"flatten(list_transform(range(1, len({base}) + 1), i -> "
+            f"CASE WHEN i < len({base}) AND ("
+            f"list_contains([{words}], {base}[i::INT]) OR "
+            f"list_contains([{words}], {base}[(i+1)::INT])) "
+            f"THEN [{base}[i::INT], "
+            f"{base}[i::INT] || '_' || {base}[(i+1)::INT]] "
+            f"ELSE [{base}[i::INT]] END))"
+        )
+
+    return expr
+
+
 def unicode_topk_sql(terms, k: int, replacements,
                      token_re: str = UNICODE_TOKEN_RE,
                      txt_wrap=None, tokens_list_expr=None) -> str:
