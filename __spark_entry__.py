@@ -785,16 +785,15 @@ def _q_phonetic(encoder: str, query: str):
     return run
 
 
-def _phonetic_oracle_sql(encoder: str, query: str, k: int = 50) -> str:
-    """Literal code-map oracle for the phonetic gates: enumerate the gate
-    corpus vocabulary with DuckDB, encode it with the pytest-golden-verified
-    encoder via the SAME ``filter_token`` the engine uses, embed the map as
-    a VALUES CTE (english-gate construction, ``_english_oracle_sql``)."""
+def _token_map_oracle_sql(analyzer, query: str, k: int = 50) -> str:
+    """Literal token-map oracle for vocabulary-level filter chains
+    (phonetic encoders, light stemmers): enumerate the gate corpus
+    vocabulary with DuckDB, map it with the pytest-golden-verified
+    ``filter_token`` the engine itself uses, embed the map as a VALUES CTE
+    (english-gate construction, ``_english_oracle_sql``) so DuckDB
+    recomputes the mapped index + BM25 independently."""
     import duckdb
 
-    from lucene_spark.analysis_phonetic import PhoneticAnalyzer
-
-    a = PhoneticAnalyzer(encoder)
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                             "/root/testdata/sf0.01")
     toks = duckdb.sql(
@@ -803,11 +802,45 @@ def _phonetic_oracle_sql(encoder: str, query: str, k: int = 50) -> str:
         f"read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     vocab = {t for (t,) in toks} | set(query.split())
-    code_map = {t: a.filter_token(t) for t in sorted(vocab)}
+    code_map = {t: analyzer.filter_token(t) for t in sorted(vocab)}
     coded_query = [code_map[w] for w in query.split()]
     # stopword set must be non-empty for the NOT IN list; the empty string
     # never tokenizes, so this is a no-op filter
     return oracle.english_topk_sql(coded_query, k, code_map, {""})
+
+
+def _phonetic_oracle_sql(encoder: str, query: str, k: int = 50) -> str:
+    from lucene_spark.analysis_phonetic import PhoneticAnalyzer
+
+    return _token_map_oracle_sql(PhoneticAnalyzer(encoder), query, k)
+
+
+def _light_stem_oracle_sql(lang: str, query: str, k: int = 50) -> str:
+    from lucene_spark.analysis_lang import LightStemAnalyzer
+
+    return _token_map_oracle_sql(LightStemAnalyzer(lang), query, k)
+
+
+def _q_light_stem(lang: str, query: str):
+    """Light-stemmer gate factory (GermanLightStemFilter.java /
+    FrenchLightStemFilter.java — analysis_lang.py): index with the
+    light-stem analyzer so morphological variants land on the same stem."""
+
+    def run(spark, sf_dir):
+        from lucene_spark.corpus import transcripts_from_documents
+        from lucene_spark.indexing.builder import IndexBuilder
+        from lucene_spark.search.searcher import IndexSearcher
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        d = f"/tmp/lucene_spark_driver_lstem/{tag}_{lang}"
+        resume = os.path.exists(f"{d}/manifest.json")
+        t = transcripts_from_documents(spark, sf_dir)
+        IndexBuilder(spark, d, analyzer=lang, num_segments=6).build(
+            t, resume=resume)
+        s = IndexSearcher(spark, d)
+        return _hits_df(spark, s.search(query, k=50, mode="wand"))
+
+    return run
 
 
 def _common_grams_oracle_sql(k: int = 50) -> str:
@@ -2918,6 +2951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_soundex_topk": _q_phonetic("soundex", "tabel valyu"),
         "phonetic_metaphone_topk": _q_phonetic("metaphone", "taybel valew"),
         "common_grams_topk": _q_common_grams_topk,
+        "german_light_topk": _q_light_stem("german_light", "tables values"),
+        "french_light_topk": _q_light_stem("french_light", "tables values"),
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3378,6 +3413,10 @@ LIMIT 25
         "phonetic_metaphone_topk": _phonetic_oracle_sql(
             "metaphone", "taybel valew"),
         "common_grams_topk": _common_grams_oracle_sql(),
+        "german_light_topk": _light_stem_oracle_sql(
+            "german_light", "tables values"),
+        "french_light_topk": _light_stem_oracle_sql(
+            "french_light", "tables values"),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -946,6 +946,10 @@ def get_analyzer(name: str):
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
     if name == "common_grams":
         return CommonGramsAnalyzer()
+    if name in ("german_light", "french_light"):
+        from lucene_spark.analysis_lang import LightStemAnalyzer
+
+        return LightStemAnalyzer(lang=name)
     if name.startswith("phonetic_"):  # phonetic_soundex / _refined_soundex / _metaphone
         from lucene_spark.analysis_phonetic import PhoneticAnalyzer
 

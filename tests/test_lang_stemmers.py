@@ -1,0 +1,89 @@
+"""German/French light stemmer parity vs the reference's golden data.
+
+The reference pins these stemmers with full-vocabulary data files
+(``delighttestdata.zip`` 35k pairs, ``frlighttestdata.zip`` 20k pairs,
+vocabulary tests in ``TestGermanLightStemFilter.java`` /
+``TestFrenchLightStemFilter.java``); when the reference tree is present we
+replay the ENTIRE vocabulary, else the inline subset keeps the algorithm
+pinned.
+"""
+
+import os
+import zipfile
+
+import pandas as pd
+import pytest
+
+from lucene_spark.analysis_lang import (
+    LightStemAnalyzer,
+    french_light_stem,
+    german_light_stem,
+)
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+# inline subset of the reference golden files (public Apache test data)
+DE_GOLDENS = [
+    ("aalglatten", "aalglatt"), ("häuser", "haus"), ("hauses", "haus"),
+    ("tables", "tabl"), ("bildern", "bild"), ("schönste", "schon"),
+]
+FR_GOLDENS = [
+    ("chevaux", "cheval"), ("cheval", "cheval"), ("hiboux", "hibou"),
+    ("chantés", "chant"), ("chanter", "chant"), ("baronnes", "baron"),
+    ("investissement", "investi"), ("justificatrice", "justifi"),
+    ("communicateur", "comuniqu"), ("pratiquement", "pratiqu"),
+    ("administrativement", "administratif"),
+]
+
+
+@pytest.mark.parametrize("word,stem", DE_GOLDENS)
+def test_german_inline_goldens(word, stem):
+    assert german_light_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", FR_GOLDENS)
+def test_french_inline_goldens(word, stem):
+    assert french_light_stem(word) == stem
+
+
+def _replay(zip_path, fname, stem_fn):
+    if not os.path.exists(zip_path):
+        pytest.skip("reference tree not available")
+    data = zipfile.ZipFile(zip_path).read(fname).decode("utf-8")
+    bad = [
+        (w, want, stem_fn(w))
+        for w, want in (ln.split("\t") for ln in data.splitlines() if ln)
+        if stem_fn(w) != want
+    ]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_german_full_vocabulary():
+    _replay(f"{_REF}/de/delighttestdata.zip", "delight.txt",
+            german_light_stem)
+
+
+def test_french_full_vocabulary():
+    _replay(f"{_REF}/fr/frlighttestdata.zip", "frlight.txt",
+            french_light_stem)
+
+
+def test_keyword_marker_exclusions():
+    a = LightStemAnalyzer("german_light", exclusions={"tables"})
+    assert a.filter_token("tables") == "tables"
+    assert a.filter_token("bildern") == "bild"
+
+
+def test_ids_path_matches_text_path():
+    for lang in ("german_light", "french_light"):
+        from lucene_spark.analysis import get_analyzer
+        a = get_analyzer(lang)
+        texts = pd.Series(
+            ["tables values bildern chevaux", "chantés baronnes", None, ""])
+        uniq, codes, per_row = a.tokenize_ids(texts)
+        flat = [uniq[c] for c in codes]
+        rows, i = [], 0
+        for n in per_row:
+            rows.append(flat[i:i + n])
+            i += n
+        assert rows == [a.tokenize_text(t or "") for t in texts]
