@@ -2953,6 +2953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_grams_topk": _q_common_grams_topk,
         "german_light_topk": _q_light_stem("german_light", "tables values"),
         "french_light_topk": _q_light_stem("french_light", "tables values"),
+        # representative for the 7 remaining UniNE stemmers (es/it/sv/pt/
+        # fi/hu/ru — each pinned by its full reference vocabulary in
+        # tests/test_lang_stemmers.py)
+        "spanish_light_topk": _q_light_stem("spanish_light", "tables values"),
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3417,6 +3421,8 @@ LIMIT 25
             "german_light", "tables values"),
         "french_light_topk": _light_stem_oracle_sql(
             "french_light", "tables values"),
+        "spanish_light_topk": _light_stem_oracle_sql(
+            "spanish_light", "tables values"),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -224,9 +224,402 @@ def french_light_stem(word: str) -> str:
     return _fr_norm(s)
 
 
+_ES_IT_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+})
+
+
+def spanish_light_stem(word: str) -> str:
+    """Spanish light stem (``es/SpanishLightStemmer.java:60-114``, Savoy
+    CLEF-2001): fold accents, strip final o/a/e and plural -s forms
+    (-eses→-es, -ces→-z)."""
+    if len(word) < 5:
+        return word
+    s = list(word.translate(_ES_IT_FOLD))
+    n = len(s)
+    last = s[n - 1]
+    if last in "oae":
+        return "".join(s[:n - 1])
+    if last == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return "".join(s[:n - 2])
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            s[n - 3] = "z"
+            return "".join(s[:n - 2])
+        if s[n - 2] in "oae":
+            return "".join(s[:n - 2])
+    return "".join(s)
+
+
+def italian_light_stem(word: str) -> str:
+    """Italian light stem (``it/ItalianLightStemmer.java:60-115``, Savoy
+    CLEF-2001): fold accents, strip final vowel (plus plural i/h marker)."""
+    if len(word) < 6:
+        return word
+    s = word.translate(_ES_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last in "ao":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+def swedish_light_stem(word: str) -> str:
+    """Swedish light stem (``sv/SwedishLightStemmer.java:63-100``, Savoy
+    CLEF-2003): strip final -s, then definite/comparative suffixes."""
+    s = word
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:n - 5]
+    if n > 6 and s[n - 4:] in ("arne", "erna", "ande", "else",
+                              "aste", "orna", "aren"):
+        return s[:n - 4]
+    if n > 5 and s[n - 3:] in ("are", "ast", "het"):
+        return s[:n - 3]
+    if n > 4 and s[n - 2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:n - 2]
+    if n > 3 and s[-1] in "taen":
+        return s[:n - 1]
+    return s
+
+
+_PT_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ç": "c",
+})
+
+
+def _pt_remove_suffix(s: list[str]) -> list[str]:
+    n = len(s)
+
+    def ends(suf):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    if n > 4 and ends("es") and s[n - 3] in "rslz":
+        return s[:n - 2]
+    if n > 3 and ends("ns"):
+        s[n - 2] = "m"
+        return s[:n - 1]
+    if n > 4 and (ends("eis") or ends("éis")):
+        s[n - 3] = "e"
+        s[n - 2] = "l"
+        return s[:n - 1]
+    if n > 4 and ends("ais"):
+        s[n - 2] = "l"
+        return s[:n - 1]
+    if n > 4 and ends("óis"):
+        s[n - 3] = "o"
+        s[n - 2] = "l"
+        return s[:n - 1]
+    if n > 4 and ends("is"):
+        s[n - 1] = "l"
+        return s
+    if n > 3 and (ends("ões") or ends("ães")):
+        s = s[:n - 1]
+        s[-2] = "ã"
+        s[-1] = "o"
+        return s
+    if n > 6 and ends("mente"):
+        return s[:n - 5]
+    if n > 3 and s[n - 1] == "s":
+        return s[:n - 1]
+    return s
+
+
+def _pt_norm_feminine(s: list[str]) -> list[str]:
+    n = len(s)
+
+    def ends(suf):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    if n > 7 and (ends("inha") or ends("iaca") or ends("eira")):
+        s[n - 1] = "o"
+        return s
+    if n > 6:
+        if (ends("osa") or ends("ica") or ends("ida") or ends("ada")
+                or ends("iva") or ends("ama")):
+            s[n - 1] = "o"
+            return s
+        if ends("ona"):
+            s[n - 3] = "ã"
+            s[n - 2] = "o"
+            return s[:n - 1]
+        if ends("ora"):
+            return s[:n - 1]
+        if ends("esa"):
+            s[n - 3] = "ê"
+            return s[:n - 1]
+        if ends("na"):
+            s[n - 1] = "o"
+            return s
+    return s
+
+
+def portuguese_light_stem(word: str) -> str:
+    """Portuguese light stem (``pt/PortugueseLightStemmer.java:63-209``,
+    UniNE): plural/adverb suffix removal (with the -ões→-ão / -is→-l
+    rewrites), feminine normalization, final-vowel strip, THEN accent fold
+    (the reference folds last, so suffix checks see accented forms)."""
+    if len(word) < 4:
+        return word
+    s = _pt_remove_suffix(list(word))
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return "".join(s).translate(_PT_FOLD)
+
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: list[str], n: int) -> int:
+    if n > 8:
+        if "".join(s[n - 3:n]) == "kin":
+            return _fi_step1(s, n - 3)
+        if "".join(s[n - 2:n]) == "ko":
+            return _fi_step1(s, n - 2)
+    if n > 11:
+        if "".join(s[n - 8:n]) == "dellinen":
+            return n - 8
+        if "".join(s[n - 9:n]) == "dellisuus":
+            return n - 9
+    return n
+
+
+def finnish_light_stem(word: str) -> str:
+    """Finnish light stem (``fi/FinnishLightStemmer.java:63-233``, Savoy
+    CLEF-2003): fold ä/å/ö, strip clitics (-kin/-ko), case endings (with
+    the -hde→-ksi and -nnen→-s rewrites), then the two normalization
+    passes incl. the k/p/t geminate collapse."""
+    if len(word) < 4:
+        return word
+    s = list(word.translate(str.maketrans({"ä": "a", "å": "a", "ö": "o"})))
+    n = _fi_step1(s, len(s))
+
+    def ends(m, suf):
+        return m >= len(suf) and "".join(s[m - len(suf):m]) == suf
+
+    # step2
+    if n > 5:
+        if ends(n, "lla") or ends(n, "tse") or ends(n, "sti"):
+            n -= 3
+        elif ends(n, "ni"):
+            n -= 2
+        elif ends(n, "aa"):
+            n -= 1
+    # step3
+    done = False
+    if n > 8:
+        if ends(n, "nnen"):
+            s[n - 4] = "s"
+            n, done = n - 3, True
+        elif ends(n, "ntena"):
+            s[n - 5] = "s"
+            n, done = n - 4, True
+        elif ends(n, "tten"):
+            n, done = n - 4, True
+        elif ends(n, "eiden"):
+            n, done = n - 5, True
+    if not done and n > 6:
+        if (ends(n, "neen") or ends(n, "niin") or ends(n, "seen")
+                or ends(n, "teen") or ends(n, "inen")):
+            n, done = n - 4, True
+        elif s[n - 3] == "h" and s[n - 2] in _FI_VOWELS and s[n - 1] == "n":
+            n, done = n - 3, True
+        elif ends(n, "den"):
+            s[n - 3] = "s"
+            n, done = n - 2, True
+        elif ends(n, "ksen"):
+            s[n - 4] = "s"
+            n, done = n - 3, True
+        elif (ends(n, "ssa") or ends(n, "sta") or ends(n, "lla")
+                or ends(n, "lta") or ends(n, "tta") or ends(n, "ksi")
+                or ends(n, "lle")):
+            n, done = n - 3, True
+    if not done and n > 5:
+        if ends(n, "na") or ends(n, "ne"):
+            n, done = n - 2, True
+        elif ends(n, "nei"):
+            n, done = n - 3, True
+    if not done and n > 4:
+        if ends(n, "ja") or ends(n, "ta"):
+            n -= 2
+        elif s[n - 1] == "a":
+            n -= 1
+        elif s[n - 1] == "n" and s[n - 2] in _FI_VOWELS:
+            n -= 2
+        elif s[n - 1] == "n":
+            n -= 1
+    # norm1
+    if n > 5 and ends(n, "hde"):
+        s[n - 3] = "k"
+        s[n - 2] = "s"
+        s[n - 1] = "i"
+    if n > 4 and (ends(n, "ei") or ends(n, "at")):
+        n -= 2
+    elif n > 3 and s[n - 1] in "tsjeai":
+        n -= 1
+    # norm2
+    if n > 8 and s[n - 1] in "eou":
+        n -= 1
+    if n > 4:
+        if s[n - 1] == "i":
+            n -= 1
+        if n > 4:
+            out = [s[0]]
+            for ch in s[1:n]:
+                if ch == out[-1] and ch in "kpt":
+                    continue
+                out.append(ch)
+            return "".join(out)
+    return "".join(s[:n])
+
+
+_HU_FOLD = str.maketrans({
+    "á": "a", "ë": "e", "é": "e", "í": "i",
+    "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+    "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+})
+
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def hungarian_light_stem(word: str) -> str:
+    """Hungarian light stem (``hu/HungarianLightStemmer.java:62-242``,
+    UniNE): fold accents, remove case endings, possessive markers, the -k
+    plural, then the final-vowel normalization."""
+    s = list(word.translate(_HU_FOLD))
+    n = len(s)
+
+    def ends(m, suf):
+        return m >= len(suf) and "".join(s[m - len(suf):m]) == suf
+
+    # removeCase
+    if n > 6 and ends(n, "kent"):
+        n -= 4
+    else:
+        done = False
+        if n > 5:
+            if (ends(n, "nak") or ends(n, "nek") or ends(n, "val")
+                    or ends(n, "vel") or ends(n, "ert") or ends(n, "rol")
+                    or ends(n, "ban") or ends(n, "ben") or ends(n, "bol")
+                    or ends(n, "nal") or ends(n, "nel") or ends(n, "hoz")
+                    or ends(n, "hez") or ends(n, "tol")):
+                n, done = n - 3, True
+            elif ((ends(n, "al") or ends(n, "el"))
+                    and s[n - 3] not in _HU_VOWELS
+                    and s[n - 3] == s[n - 4]):
+                n, done = n - 3, True
+        if not done and n > 4:
+            if (ends(n, "at") or ends(n, "et") or ends(n, "ot")
+                    or ends(n, "va") or ends(n, "ve") or ends(n, "ra")
+                    or ends(n, "re") or ends(n, "ba") or ends(n, "be")
+                    or ends(n, "ul") or ends(n, "ig")):
+                n -= 2
+            elif ((ends(n, "on") or ends(n, "en"))
+                    and s[n - 3] not in _HU_VOWELS):
+                n -= 2
+            elif s[n - 1] in "tn":
+                n -= 1
+            elif (s[n - 1] in "ae" and s[n - 2] == s[n - 3]
+                    and s[n - 2] not in _HU_VOWELS):
+                n -= 2
+    # removePossessive
+    done = False
+    if n > 6:
+        if (s[n - 5] not in _HU_VOWELS
+                and (ends(n, "atok") or ends(n, "otok") or ends(n, "etek"))):
+            n, done = n - 4, True
+        elif ends(n, "itek") or ends(n, "itok"):
+            n, done = n - 4, True
+    if not done and n > 5:
+        if (s[n - 4] not in _HU_VOWELS
+                and (ends(n, "unk") or ends(n, "tok") or ends(n, "tek"))):
+            n, done = n - 3, True
+        elif s[n - 4] in _HU_VOWELS and ends(n, "juk"):
+            n, done = n - 3, True
+        elif ends(n, "ink"):
+            n, done = n - 3, True
+    if not done and n > 4:
+        if (s[n - 3] not in _HU_VOWELS
+                and (ends(n, "am") or ends(n, "em") or ends(n, "om")
+                     or ends(n, "ad") or ends(n, "ed") or ends(n, "od")
+                     or ends(n, "uk"))):
+            n, done = n - 2, True
+        elif (s[n - 3] in _HU_VOWELS
+                and (ends(n, "nk") or ends(n, "ja") or ends(n, "je"))):
+            n, done = n - 2, True
+        elif ends(n, "im") or ends(n, "id") or ends(n, "ik"):
+            n, done = n - 2, True
+    if not done and n > 3:
+        if s[n - 1] in "ae":
+            if s[n - 2] not in _HU_VOWELS:
+                n -= 1
+        elif s[n - 1] in "md":
+            if s[n - 2] in _HU_VOWELS:
+                n -= 1
+        elif s[n - 1] == "i":
+            n -= 1
+    # removePlural
+    if n > 3 and s[n - 1] == "k":
+        n = n - 2 if (s[n - 2] in "aoe" and n > 4) else n - 1
+    # normalize
+    if n > 3 and s[n - 1] in "aeio":
+        n -= 1
+    return "".join(s[:n])
+
+
+def russian_light_stem(word: str) -> str:
+    """Russian light stem (``ru/RussianLightStemmer.java:63-148``, Dolamic
+    & Savoy): remove case endings, then normalize final ь/и/нн."""
+    s = word
+    n = len(s)
+    if n > 6 and s[n - 4:] in ("иями", "оями"):
+        n -= 4
+    elif n > 5 and s[n - 3:n] in (
+            "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+            "ери", "ими", "ого", "ому", "ыми", "оев"):
+        n -= 3
+    elif n > 4 and s[n - 2:n] in (
+            "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+            "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+            "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми"):
+        n -= 2
+    elif n > 3 and s[n - 1] in "аеиоуйыяь":
+        n -= 1
+    # normalize
+    if n > 3:
+        if s[n - 1] in "ьи":
+            n -= 1
+        elif s[n - 1] == "н" and s[n - 2] == "н":
+            n -= 1
+    return s[:n]
+
+
 STEMMERS = {
     "german_light": german_light_stem,
     "french_light": french_light_stem,
+    "spanish_light": spanish_light_stem,
+    "italian_light": italian_light_stem,
+    "swedish_light": swedish_light_stem,
+    "portuguese_light": portuguese_light_stem,
+    "finnish_light": finnish_light_stem,
+    "hungarian_light": hungarian_light_stem,
+    "russian_light": russian_light_stem,
 }
 
 

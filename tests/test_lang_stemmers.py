@@ -68,6 +68,20 @@ def test_french_full_vocabulary():
             french_light_stem)
 
 
+@pytest.mark.parametrize("lang,zname,fname,fn", [
+    ("es", "eslighttestdata.zip", "eslight.txt", "spanish_light"),
+    ("it", "itlighttestdata.zip", "itlight.txt", "italian_light"),
+    ("sv", "svlighttestdata.zip", "svlight.txt", "swedish_light"),
+    ("pt", "ptlighttestdata.zip", "ptlight.txt", "portuguese_light"),
+    ("fi", "filighttestdata.zip", "filight.txt", "finnish_light"),
+    ("hu", "hulighttestdata.zip", "hulight.txt", "hungarian_light"),
+    ("ru", "rulighttestdata.zip", "rulight.txt", "russian_light"),
+])
+def test_other_full_vocabularies(lang, zname, fname, fn):
+    from lucene_spark.analysis_lang import STEMMERS
+    _replay(f"{_REF}/{lang}/{zname}", fname, STEMMERS[fn])
+
+
 def test_keyword_marker_exclusions():
     a = LightStemAnalyzer("german_light", exclusions={"tables"})
     assert a.filter_token("tables") == "tables"
