@@ -2957,6 +2957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fi/hu/ru — each pinned by its full reference vocabulary in
         # tests/test_lang_stemmers.py)
         "spanish_light_topk": _q_light_stem("spanish_light", "tables values"),
+        "english_minimal_topk": _q_light_stem(
+            "english_minimal", "tables values"),
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3423,6 +3425,8 @@ LIMIT 25
             "french_light", "tables values"),
         "spanish_light_topk": _light_stem_oracle_sql(
             "spanish_light", "tables values"),
+        "english_minimal_topk": _light_stem_oracle_sql(
+            "english_minimal", "tables values"),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -946,6 +946,10 @@ def get_analyzer(name: str):
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
     if name == "common_grams":
         return CommonGramsAnalyzer()
+    if name.endswith("_minimal"):  # german/french/english/portuguese_minimal
+        from lucene_spark.analysis_lang import LightStemAnalyzer
+
+        return LightStemAnalyzer(lang=name)
     if name.endswith("_light"):  # german/french/spanish/…_light stemmers
         from lucene_spark.analysis_lang import LightStemAnalyzer
 

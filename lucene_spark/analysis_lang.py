@@ -610,6 +610,101 @@ def russian_light_stem(word: str) -> str:
     return s[:n]
 
 
+def german_minimal_stem(word: str) -> str:
+    """German minimal stem (``de/GermanMinimalStemmer.java:60-104``,
+    Savoy's minimal plural stripper): fold umlauts, strip -nen / -en/-se/
+    -es/-er pairs / single n,e,s,r."""
+    if len(word) < 5:
+        return word
+    s = word.translate(str.maketrans({"ä": "a", "ö": "o", "ü": "u"}))
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:n - 3]
+    if n > 5 and s[n - 2:] in ("en", "se", "es", "er"):
+        return s[:n - 2]
+    if s[n - 1] in "nesr":
+        return s[:n - 1]
+    return s
+
+
+def french_minimal_stem(word: str) -> str:
+    """French minimal stem (``fr/FrenchMinimalStemmer.java:56-70``):
+    -aux→-al, else strip one each of s/r/e/é then a trailing double."""
+    if len(word) < 6:
+        return word
+    s = list(word)
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s[-2] = "l"
+        return "".join(s[:-1])
+    if s[-1] == "s":
+        del s[-1]
+    if s[-1] == "r":
+        del s[-1]
+    if s[-1] == "e":
+        del s[-1]
+    if s[-1] == "é":
+        del s[-1]
+    if s[-1] == s[-2] and s[-1].isalpha():
+        del s[-1]
+    return "".join(s)
+
+
+def english_minimal_stem(word: str) -> str:
+    """English minimal stem (``en/EnglishMinimalStemmer.java:24-44``,
+    S-stemmer, Donna Harman): plural -s removal only (-ies→-y except
+    -aies/-eies; -us/-ss and vowel+es forms kept)."""
+    n = len(word)
+    if n < 3 or word[n - 1] != "s":
+        return word
+    p = word[n - 2]
+    if p in "us":
+        return word
+    if p == "e":
+        if n > 3 and word[n - 3] == "i" and word[n - 4] not in "ae":
+            return word[:n - 3] + "y"
+        if word[n - 3] in "iaoe":
+            return word
+    return word[:n - 1]
+
+
+# RSLP "Plural" step of portuguese.rslp (min=3, whole-word exceptions,
+# conditional suffix 's'; rules fire first-match in order)
+_PT_PLURAL_RULES = (
+    ("ns", 1, "m", frozenset()),
+    ("ões", 3, "ão", frozenset()),
+    ("ães", 1, "ão", frozenset({"mães"})),
+    ("ais", 1, "al", frozenset({"cais", "mais"})),
+    ("éis", 2, "el", frozenset()),
+    ("eis", 2, "el", frozenset()),
+    ("óis", 2, "ol", frozenset()),
+    ("is", 2, "il", frozenset({"lápis", "cais", "mais", "crúcis",
+                               "biquínis", "pois", "depois", "dois",
+                               "leis"})),
+    ("les", 3, "l", frozenset()),
+    ("res", 3, "r", frozenset({"árvores"})),
+    ("s", 2, "", frozenset({"aliás", "pires", "lápis", "cais", "mais",
+                            "mas", "menos", "férias", "fezes", "pêsames",
+                            "crúcis", "gás", "atrás", "moisés", "através",
+                            "convés", "ês", "país", "após", "ambas",
+                            "ambos", "messias", "depois"})),
+)
+
+
+def portuguese_minimal_stem(word: str) -> str:
+    """Portuguese minimal stem (``pt/PortugueseMinimalStemmer.java:29-37``:
+    the RSLP "Plural" step of ``portuguese.rslp``, applied via
+    ``RSLPStemmerBase.Step.apply:218-238`` — first matching rule fires,
+    whole-word exception sets)."""
+    if len(word) < 3 or not word.endswith("s"):
+        return word
+    for suf, mn, rep, exc in _PT_PLURAL_RULES:
+        if (word.endswith(suf) and len(word) - len(suf) >= mn
+                and word not in exc):
+            return word[:len(word) - len(suf)] + rep
+    return word
+
+
 STEMMERS = {
     "german_light": german_light_stem,
     "french_light": french_light_stem,
@@ -620,6 +715,10 @@ STEMMERS = {
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
     "russian_light": russian_light_stem,
+    "german_minimal": german_minimal_stem,
+    "french_minimal": french_minimal_stem,
+    "english_minimal": english_minimal_stem,
+    "portuguese_minimal": portuguese_minimal_stem,
 }
 
 

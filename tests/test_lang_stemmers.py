@@ -76,10 +76,32 @@ def test_french_full_vocabulary():
     ("fi", "filighttestdata.zip", "filight.txt", "finnish_light"),
     ("hu", "hulighttestdata.zip", "hulight.txt", "hungarian_light"),
     ("ru", "rulighttestdata.zip", "rulight.txt", "russian_light"),
+    ("de", "deminimaltestdata.zip", "deminimal.txt", "german_minimal"),
+    ("fr", "frminimaltestdata.zip", "frminimal.txt", "french_minimal"),
+    ("pt", "ptminimaltestdata.zip", "ptminimal.txt", "portuguese_minimal"),
 ])
 def test_other_full_vocabularies(lang, zname, fname, fn):
     from lucene_spark.analysis_lang import STEMMERS
     _replay(f"{_REF}/{lang}/{zname}", fname, STEMMERS[fn])
+
+
+# EnglishMinimalStemmer (S-stemmer) — TestEnglishMinimalStemFilter.java:51-59
+@pytest.mark.parametrize("word,stem", [
+    ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+    ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+    ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+    ("serious", "serious"), ("", ""),
+])
+def test_english_minimal_goldens(word, stem):
+    from lucene_spark.analysis_lang import english_minimal_stem
+    assert english_minimal_stem(word) == stem
+
+
+def test_minimal_registry():
+    from lucene_spark.analysis import get_analyzer
+    for name in ("german_minimal", "french_minimal", "english_minimal",
+                 "portuguese_minimal"):
+        assert get_analyzer(name).name == name
 
 
 def test_keyword_marker_exclusions():
