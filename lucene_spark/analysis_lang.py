@@ -705,6 +705,87 @@ def portuguese_minimal_stem(word: str) -> str:
     return word
 
 
+def _norwegian_light(bokmaal: bool):
+    """NorwegianLightStemmer (``no/NorwegianLightStemmer.java:84-182``,
+    flags BOKMAAL xor NYNORSK — the two written standards share the common
+    endings and differ on the dialect-specific ones)."""
+    nynorsk = not bokmaal
+
+    def stem(word: str) -> str:
+        s = word
+        n = len(s)
+        if n > 4 and s[n - 1] == "s":  # possessive -s, continue
+            n -= 1
+        e = s[:n]
+        if n > 7 and ((bokmaal and (e.endswith("heter") or e.endswith("heten")))
+                      or (nynorsk and e.endswith("heita"))):
+            return s[:n - 5]
+        if n > 8 and nynorsk and (e.endswith("heiter") or e.endswith("leiken")
+                                  or e.endswith("leikar")):
+            return s[:n - 6]
+        if n > 5 and (e.endswith("dom") or (bokmaal and e.endswith("het"))):
+            return s[:n - 3]
+        if n > 6 and nynorsk and (e.endswith("heit") or e.endswith("semd")
+                                  or e.endswith("leik")):
+            return s[:n - 4]
+        if n > 7 and (e.endswith("elser") or e.endswith("elsen")):
+            return s[:n - 5]
+        if n > 6 and ((bokmaal and e.endswith("ende"))
+                      or (nynorsk and e.endswith("ande"))
+                      or e.endswith("else")
+                      or (bokmaal and e.endswith("este"))
+                      or (nynorsk and e.endswith("aste"))
+                      or (bokmaal and e.endswith("eren"))
+                      or (nynorsk and e.endswith("aren"))):
+            return s[:n - 4]
+        if n > 5 and ((bokmaal and e.endswith("ere"))
+                      or (nynorsk and e.endswith("are"))
+                      or (bokmaal and e.endswith("est"))
+                      or (nynorsk and e.endswith("ast"))
+                      or e.endswith("ene")
+                      or (nynorsk and e.endswith("ane"))):
+            return s[:n - 3]
+        if n > 4 and (e.endswith("er") or e.endswith("en") or e.endswith("et")
+                      or (nynorsk and e.endswith("ar"))
+                      or (bokmaal and e.endswith("st"))
+                      or e.endswith("te")):
+            return s[:n - 2]
+        if n > 3 and s[n - 1] in "aen":
+            return s[:n - 1]
+        return s[:n]
+
+    return stem
+
+
+def _norwegian_minimal(bokmaal: bool):
+    """NorwegianMinimalStemmer (``no/NorwegianMinimalStemmer.java:81-109``):
+    known noun plural forms + genitive -s only."""
+    nynorsk = not bokmaal
+
+    def stem(word: str) -> str:
+        s = word
+        n = len(s)
+        if n > 4 and s[n - 1] == "s":
+            n -= 1
+        e = s[:n]
+        if n > 5 and (e.endswith("ene") or (nynorsk and e.endswith("ane"))):
+            return s[:n - 3]
+        if n > 4 and (e.endswith("er") or e.endswith("en") or e.endswith("et")
+                      or (nynorsk and e.endswith("ar"))):
+            return s[:n - 2]
+        if n > 3 and s[n - 1] in "ae":
+            return s[:n - 1]
+        return s[:n]
+
+    return stem
+
+
+norwegian_light_stem = _norwegian_light(bokmaal=True)
+nynorsk_light_stem = _norwegian_light(bokmaal=False)
+norwegian_minimal_stem = _norwegian_minimal(bokmaal=True)
+nynorsk_minimal_stem = _norwegian_minimal(bokmaal=False)
+
+
 STEMMERS = {
     "german_light": german_light_stem,
     "french_light": french_light_stem,
@@ -715,6 +796,10 @@ STEMMERS = {
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
     "russian_light": russian_light_stem,
+    "norwegian_light": norwegian_light_stem,
+    "nynorsk_light": nynorsk_light_stem,
+    "norwegian_minimal": norwegian_minimal_stem,
+    "nynorsk_minimal": nynorsk_minimal_stem,
     "german_minimal": german_minimal_stem,
     "french_minimal": french_minimal_stem,
     "english_minimal": english_minimal_stem,

@@ -97,6 +97,27 @@ def test_english_minimal_goldens(word, stem):
     assert english_minimal_stem(word) == stem
 
 
+@pytest.mark.parametrize("fname,fn", [
+    ("nb_light.txt", "norwegian_light"),
+    ("nn_light.txt", "nynorsk_light"),
+    ("nb_minimal.txt", "norwegian_minimal"),
+    ("nn_minimal.txt", "nynorsk_minimal"),
+])
+def test_norwegian_vocabularies(fname, fn):
+    # Norwegian goldens ship as plain txt (TestNorwegianLightStemFilter
+    # testVocabulary / testNynorskVocabulary data files)
+    path = f"{_REF}/no/{fname}"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    from lucene_spark.analysis_lang import STEMMERS
+    stem = STEMMERS[fn]
+    with open(path, encoding="utf-8") as fh:
+        pairs = [ln.strip().split("\t") for ln in fh
+                 if ln.strip() and not ln.startswith("#")]
+    bad = [(w, want, stem(w)) for w, want in pairs if stem(w) != want]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
 def test_minimal_registry():
     from lucene_spark.analysis import get_analyzer
     for name in ("german_minimal", "french_minimal", "english_minimal",
