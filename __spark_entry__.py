@@ -761,6 +761,66 @@ def _q_common_grams_topk(spark, sf_dir):
         spark, s.search("the the_table table value", k=50, mode="wand"))
 
 
+# Greek analysis gate: inject pre-folded Greek vocabulary (the
+# GreekLowerCaseFilter fold itself is pinned by the 343 reference vectors
+# in tests/test_greek.py), index with the Greek chain, query inflected
+# forms that stem to the injected words' stems
+GREEK_REPL = ((r"\btable\b", "τραπεζια"), (r"\bvalue\b", "τιμεσ"))
+GREEK_QUERY = "τραπεζι τιμη"
+GREEK_TOKEN_RE = "[a-z0-9α-ω]+"
+
+
+def _q_greek_topk(spark, sf_dir):
+    """GreekAnalyzer end-to-end (GreekAnalyzer.java:35-47 chain —
+    analysis_el.py): 'τραπεζι' and the injected plural 'τραπεζια' stem to
+    the same term. Oracle: literal token-map VALUES CTE over the injected
+    corpus with a Greek-aware token class."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_greek/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in GREEK_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="greek", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(GREEK_QUERY, k=50, mode="wand"))
+
+
+def _greek_oracle_sql(k: int = 50) -> str:
+    import duckdb
+
+    from lucene_spark.analysis_el import GREEK_STOP_WORDS, GreekAnalyzer
+
+    a = GreekAnalyzer()
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    t_expr = "lower(coalesce(text,''))"
+    for pat, rep in GREEK_REPL:
+        t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
+    toks = duckdb.sql(
+        f"SELECT DISTINCT unnest(regexp_extract_all({t_expr},"
+        f" '{GREEK_TOKEN_RE}')) AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    vocab = {t for (t,) in toks} | set(GREEK_QUERY.split())
+    code_map = {}
+    for t in sorted(vocab):
+        mapped = a.filter_token(t)
+        if mapped is not None:
+            code_map[t] = mapped
+    coded_query = [code_map[w] for w in GREEK_QUERY.split()]
+    return oracle.english_topk_sql(
+        coded_query, k, code_map, GREEK_STOP_WORDS,
+        token_re=GREEK_TOKEN_RE, replacements=list(GREEK_REPL))
+
+
 def _q_phonetic(encoder: str, query: str):
     """Phonetic analysis gate factory (PhoneticFilter.java inject=false +
     commons-codec encoder — analysis_phonetic.py): index with the phonetic
@@ -2959,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanish_light_topk": _q_light_stem("spanish_light", "tables values"),
         "english_minimal_topk": _q_light_stem(
             "english_minimal", "tables values"),
+        "greek_topk": _q_greek_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3427,6 +3488,7 @@ LIMIT 25
             "spanish_light", "tables values"),
         "english_minimal_topk": _light_stem_oracle_sql(
             "english_minimal", "tables values"),
+        "greek_topk": _greek_oracle_sql(),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -946,6 +946,10 @@ def get_analyzer(name: str):
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
     if name == "common_grams":
         return CommonGramsAnalyzer()
+    if name == "greek":
+        from lucene_spark.analysis_el import GreekAnalyzer
+
+        return GreekAnalyzer()
     if name.endswith("_minimal"):  # german/french/english/portuguese_minimal
         from lucene_spark.analysis_lang import LightStemAnalyzer
 

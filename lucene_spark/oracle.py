@@ -250,7 +250,8 @@ SELECT did AS doc_id, dl, dlen::BIGINT AS dlen FROM dlen ORDER BY did
 """
 
 
-def english_ctes(stem_map: dict[str, str], stopwords) -> str:
+def english_ctes(stem_map: dict[str, str], stopwords,
+                 token_re: str = "[a-z0-9]+", replacements=()) -> str:
     """Base CTEs with the EnglishAnalyzer chain: tokenize → stop-filter →
     Porter stem via a LITERAL vocabulary map.
 
@@ -269,16 +270,19 @@ def english_ctes(stem_map: dict[str, str], stopwords) -> str:
         f"('{k}','{v}')" for k, v in sorted(stem_map.items())
     )
     stoplist = ", ".join(f"'{w}'" for w in sorted(stopwords))
+    t_expr = "lower(coalesce(text, ''))"
+    for pat, rep in replacements:  # vocabulary injection (unicode gates)
+        t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
     return f"""
 docs0 AS (
   SELECT row_number() OVER (ORDER BY printf('c%010d', doc_id)) - 1 AS did,
          lang, source,
-         lower(coalesce(text, '')) AS t
+         {t_expr} AS t
   FROM documents
 ),
 stemmap(raw, st) AS (VALUES {mvals}),
 rawtoks AS (
-  SELECT did, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS raw FROM docs0
+  SELECT did, unnest(regexp_extract_all(t, '{token_re}')) AS raw FROM docs0
 ),
 toks AS (
   SELECT r.did, coalesce(m.st, r.raw) AS term
@@ -309,15 +313,16 @@ tstats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 
 
 def english_topk_sql(stemmed_terms, k: int, stem_map: dict[str, str],
-                     stopwords) -> str:
-    """Float32-bit-exact BM25 top-k over the English-analyzed corpus for a
-    flat SHOULD query of (already-stemmed) terms."""
+                     stopwords, token_re: str = "[a-z0-9]+",
+                     replacements=()) -> str:
+    """Float32-bit-exact BM25 top-k over a token-mapped (stemmed / encoded)
+    corpus for a flat SHOULD query of (already-mapped) terms."""
     qvals = ",".join(
         f"({i}, '{t}', CAST(1.0 AS FLOAT))"
         for i, t in enumerate(stemmed_terms)
     )
     return f"""
-WITH {english_ctes(stem_map, stopwords)},
+WITH {english_ctes(stem_map, stopwords, token_re, replacements)},
 qterms(cid, term, boost) AS (VALUES {qvals}),
 weights AS (
   SELECT q.cid, q.term,
