@@ -821,6 +821,59 @@ def _greek_oracle_sql(k: int = 50) -> str:
         token_re=GREEK_TOKEN_RE, replacements=list(GREEK_REPL))
 
 
+# Bulgarian stemmer gate: Cyrillic vocabulary injection, same construction
+# as the Greek gate ('таблици' and the injected definite plural 'таблиците'
+# both stem to 'таблик' via the ц→к rewrite)
+BG_REPL = ((r"\btable\b", "таблиците"), (r"\bvalue\b", "ценности"))
+BG_QUERY = "таблици ценност"
+BG_TOKEN_RE = "[a-z0-9а-я]+"
+
+
+def _q_bulgarian_topk(spark, sf_dir):
+    """BulgarianStemmer end-to-end (BulgarianStemmer.java:36-135 —
+    analysis_lang.bulgarian_stem; 101 reference vectors replayed in
+    tests/test_lang_stemmers.py)."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_bg/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in BG_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="bulgarian_light", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(BG_QUERY, k=50, mode="wand"))
+
+
+def _bulgarian_oracle_sql(k: int = 50) -> str:
+    import duckdb
+
+    from lucene_spark.analysis_lang import bulgarian_stem
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    t_expr = "lower(coalesce(text,''))"
+    for pat, rep in BG_REPL:
+        t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
+    toks = duckdb.sql(
+        f"SELECT DISTINCT unnest(regexp_extract_all({t_expr},"
+        f" '{BG_TOKEN_RE}')) AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    vocab = {t for (t,) in toks} | set(BG_QUERY.split())
+    code_map = {t: bulgarian_stem(t) for t in sorted(vocab)}
+    coded_query = [code_map[w] for w in BG_QUERY.split()]
+    return oracle.english_topk_sql(
+        coded_query, k, code_map, {""},
+        token_re=BG_TOKEN_RE, replacements=list(BG_REPL))
+
+
 def _q_phonetic(encoder: str, query: str):
     """Phonetic analysis gate factory (PhoneticFilter.java inject=false +
     commons-codec encoder — analysis_phonetic.py): index with the phonetic
@@ -3020,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_minimal_topk": _q_light_stem(
             "english_minimal", "tables values"),
         "greek_topk": _q_greek_topk,
+        "bulgarian_topk": _q_bulgarian_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3489,6 +3543,7 @@ LIMIT 25
         "english_minimal_topk": _light_stem_oracle_sql(
             "english_minimal", "tables values"),
         "greek_topk": _greek_oracle_sql(),
+        "bulgarian_topk": _bulgarian_oracle_sql(),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

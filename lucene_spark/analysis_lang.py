@@ -786,6 +786,72 @@ norwegian_minimal_stem = _norwegian_minimal(bokmaal=True)
 nynorsk_minimal_stem = _norwegian_minimal(bokmaal=False)
 
 
+def bulgarian_stem(word: str) -> str:
+    """Bulgarian light stem (``bg/BulgarianStemmer.java:36-135``, Savoy
+    BUIR): -ища, definite-article removal, plural reduction with the
+    ц→к / з→г / е→я rewrites, then final я/а/о/е strips and the ен/ъN
+    normalizations."""
+    if len(word) < 4:
+        return word
+    s = list(word)
+    n = len(s)
+
+    def ew(m, suf):
+        return m >= len(suf) and s[m - len(suf):m] == list(suf)
+
+    if n > 5 and ew(n, "ища"):
+        return "".join(s[:n - 3])
+    # removeArticle
+    if n > 6 and ew(n, "ият"):
+        n -= 3
+    elif n > 5 and (ew(n, "ът") or ew(n, "то") or ew(n, "те") or ew(n, "та")
+                    or ew(n, "ия")):
+        n -= 2
+    elif n > 4 and ew(n, "ят"):
+        n -= 2
+    # removePlural
+    if n > 6 and ew(n, "овци"):
+        n -= 3
+    elif n > 6 and ew(n, "ове"):
+        n -= 3
+    elif n > 6 and ew(n, "еве"):
+        s[n - 3] = "й"
+        n -= 2
+    elif n > 5 and ew(n, "ища"):
+        n -= 3
+    elif n > 5 and ew(n, "та"):
+        n -= 2
+    elif n > 5 and ew(n, "ци"):
+        s[n - 2] = "к"
+        n -= 1
+    elif n > 5 and ew(n, "зи"):
+        s[n - 2] = "г"
+        n -= 1
+    elif n > 5 and s[n - 3] == "е" and s[n - 1] == "и":
+        s[n - 3] = "я"
+        n -= 1
+    elif n > 4 and ew(n, "си"):
+        s[n - 2] = "х"
+        n -= 1
+    elif n > 4 and ew(n, "и"):
+        n -= 1
+    # final vowel strips
+    if n > 3:
+        if ew(n, "я"):
+            n -= 1
+        if ew(n, "а") or ew(n, "о") or ew(n, "е"):
+            n -= 1
+    # ен → н (the paper's duplicated rule, fixed like the reference)
+    if n > 4 and ew(n, "ен"):
+        s[n - 2] = "н"
+        n -= 1
+    # ъN → N
+    if n > 5 and s[n - 2] == "ъ":
+        s[n - 2] = s[n - 1]
+        n -= 1
+    return "".join(s[:n])
+
+
 STEMMERS = {
     "german_light": german_light_stem,
     "french_light": french_light_stem,
@@ -796,6 +862,7 @@ STEMMERS = {
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
     "russian_light": russian_light_stem,
+    "bulgarian_light": bulgarian_stem,
     "norwegian_light": norwegian_light_stem,
     "nynorsk_light": nynorsk_light_stem,
     "norwegian_minimal": norwegian_minimal_stem,

@@ -118,6 +118,34 @@ def test_norwegian_vocabularies(fname, fn):
     assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
 
 
+def test_bulgarian_reference_vectors():
+    # TestBulgarianStemmer.java pins 101 word→stem pairs; extract and
+    # replay all of them when the reference tree is present
+    import re
+    path = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/bg/TestBulgarianStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    from lucene_spark.analysis_lang import bulgarian_stem
+    src = open(path, encoding="utf-8").read()
+    pairs = re.findall(
+        r'assertAnalyzesTo\(\s*a,\s*"([^"]*)",\s*new String\[\]\s*\{"([^"]*)"\}\)',
+        src)
+    assert len(pairs) >= 100
+    bad = [(w, want, bulgarian_stem(w)) for w, want in pairs
+           if bulgarian_stem(w) != want]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_bulgarian_inline_goldens():
+    from lucene_spark.analysis_lang import bulgarian_stem
+    # ц→к plural rewrite, definite article, vowel strips
+    assert bulgarian_stem("таблиците") == "таблик"
+    assert bulgarian_stem("таблици") == "таблик"
+    assert bulgarian_stem("ценности") == "ценност"
+    assert bulgarian_stem("кон") == "кон"  # < 4 chars unstemmed
+
+
 def test_minimal_registry():
     from lucene_spark.analysis import get_analyzer
     for name in ("german_minimal", "french_minimal", "english_minimal",
