@@ -2227,6 +2227,25 @@ def _q_span_near(spark, sf_dir):
     return _hits_df(spark, hits)
 
 
+# TermAutomatonQuery gate: a genuinely branching DAG — 'fast' then either
+# (scan|join) adjacent, or scan after one ANY gap (two path lengths)
+TA_TRANSITIONS = ((0, 1, "fast"), (1, 3, ("scan", "join")),
+                  (1, 2, None), (2, 3, "scan"))
+TA_PATHS = ([(0, "fast"), (1, ("scan", "join"))],
+            [(0, "fast"), (2, "scan")])
+
+
+def _q_term_automaton(spark, sf_dir):
+    """TermAutomatonQuery (sandbox/TermAutomatonQuery.java — DAG of term +
+    ANY arcs, search/automaton.py): constant-score top-50 by docID. The
+    oracle enumerates the automaton's accepting paths as a UNION of
+    positions self-joins."""
+    s = _searcher(spark, sf_dir)
+    hits = s.search(ast.TermAutomatonQuery(
+        transitions=TA_TRANSITIONS, n_states=4, accept=(3,)), k=50)
+    return _hits_df(spark, hits)
+
+
 def _q_span_unordered_count(spark, sf_dir):
     """Unordered span_near hit count (NearSpansUnordered semantics)."""
     s = _searcher(spark, sf_dir)
@@ -3074,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "english_minimal", "tables values"),
         "greek_topk": _q_greek_topk,
         "bulgarian_topk": _q_bulgarian_topk,
+        "term_automaton_topk": _q_term_automaton,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3544,6 +3564,7 @@ LIMIT 25
             "english_minimal", "tables values"),
         "greek_topk": _greek_oracle_sql(),
         "bulgarian_topk": _bulgarian_oracle_sql(),
+        "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

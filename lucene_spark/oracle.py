@@ -3107,6 +3107,42 @@ LIMIT {k}
 """
 
 
+def term_automaton_topk_sql(paths, k: int, boost: float = 1.0) -> str:
+    """TermAutomatonQuery oracle (``sandbox/.../TermAutomatonQuery.java``
+    constant-score v1 contract): k smallest docIDs where SOME accepting
+    path matches. An acyclic automaton's accepting paths enumerate finitely;
+    ``paths`` lists them as sequences of (position_offset, slot) term
+    anchors — ANY arcs contribute only the offset gap (the scorer advances
+    any-arcs unconditionally, ``TermAutomatonScorer.java:276-300``). Each
+    path becomes one positions self-join; the automaton is their UNION."""
+    parts = []
+    for path in paths:
+        joins = "".join(
+            f"\n    JOIN toksp t{i} ON t{i}.did = t0.did"
+            for i in range(1, len(path)))
+        conds = []
+        for i, (off, slot) in enumerate(path):
+            if isinstance(slot, tuple):
+                conds.append(
+                    f"t{i}.term IN ({', '.join(repr(a) for a in slot)})")
+            else:
+                conds.append(f"t{i}.term = '{slot}'")
+            if i:
+                conds.append(f"t{i}.pos = t0.pos + {int(off - path[0][0])}")
+        parts.append(
+            f"  SELECT t0.did FROM toksp t0{joins}\n"
+            f"  WHERE {' AND '.join(conds)}")
+    union = "\n  UNION\n".join(parts)
+    return f"""
+WITH {BASE_CTES},{_TOKSP_CTE}
+SELECT did AS doc_id, CAST({boost!r} AS DOUBLE) AS score FROM (
+{union}
+)
+ORDER BY doc_id ASC
+LIMIT {k}
+"""
+
+
 def interval_topk_sql(slots, k: int, in_order: bool = True,
                       max_gaps: int | None = None, pivot: float = 1.0,
                       boost: float = 1.0,

@@ -238,6 +238,25 @@ class IntervalQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class TermAutomatonQuery:
+    """Token-automaton query (``sandbox/.../TermAutomatonQuery.java:90-260``):
+    ``transitions`` is a tuple of (from_state, to_state, slot) arcs where a
+    slot is a term, a tuple of alternative terms, or None for an ANY arc
+    (advances one position unconditionally — ``TermAutomatonScorer.java:
+    276-300``); a match is any token run driving state 0 to an accept
+    state. v1 contract: acyclic automata, no leading/trailing ANY (the
+    reference forbids those two as well, :157/:167), constant-score match
+    set (count / k smallest docIDs — the freq-based similarity scoring is
+    a documented cut, same contract as the span family)."""
+
+    transitions: tuple
+    n_states: int
+    accept: tuple
+    field: str = "text"
+    boost: float = 1.0
+
+
 SPAN_QUERY_TYPES = (SpanNearQuery, SpanFirstQuery, SpanNotQuery,
                     SpanContainingQuery, SpanWithinQuery)
 
@@ -313,6 +332,10 @@ def normalize(q):
         return ConstantScoreQuery(inner, q.boost)
     if isinstance(q, SPAN_QUERY_TYPES):
         if not q.terms:
+            return MatchNoDocsQuery()
+        return q
+    if isinstance(q, TermAutomatonQuery):
+        if not q.transitions:
             return MatchNoDocsQuery()
         return q
     if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery,

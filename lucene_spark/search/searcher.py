@@ -514,6 +514,14 @@ class IndexSearcher:
             rows = self._collect(df.orderBy("doc_id").limit(k))
             b = float(F32(query.boost))
             return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
+        if isinstance(query, ast.TermAutomatonQuery):
+            # same constant-score contract as the span family
+            df = self._automaton_match_df(query)
+            if df is None:
+                return []
+            rows = self._collect(df.orderBy("doc_id").limit(k))
+            b = float(F32(query.boost))
+            return [ScoreDoc(int(r["doc_id"]), b) for r in rows]
         if isinstance(query, ast.IntervalQuery):
             return self._search_intervals(query, k)
         if isinstance(query, ast.KnnQuery):
@@ -1326,6 +1334,52 @@ class IndexSearcher:
             .applyInPandas(run_segment, "doc_id long")
         )
 
+    def _automaton_match_df(self, q: "ast.TermAutomatonQuery"):
+        """(doc_id) DataFrame of TermAutomatonQuery matches — per-segment
+        DAG kernel fan-out (``automaton.segment_term_automaton``). None when
+        NO query term exists in the corpus (every path needs at least one
+        term arc, so nothing can accept)."""
+        from lucene_spark.search.automaton import (
+            segment_term_automaton,
+            validate_automaton,
+        )
+
+        transitions = tuple(
+            (int(u), int(v), tuple(s) if isinstance(s, list) else s)
+            for u, v, s in q.transitions)
+        validate_automaton(transitions, int(q.n_states), tuple(q.accept))
+        flat = sorted({t for _, _, slot in transitions if slot is not None
+                       for t in (slot if isinstance(slot, tuple) else (slot,))})
+        stats = self.reader.term_stats(flat, field=q.field)
+        present = [t for t in flat if stats.get(t, {}).get("df", 0) > 0]
+        if not present:
+            return None
+        if not self.reader.manifest.get("positions", False):
+            raise ValueError("index was built without positions")
+        postings = self.reader.postings(present, field=q.field)
+        cols = ["term", "first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "norms", "positions", "doc_offset"]
+        dload = self.reader.deleted_loader()
+        n_states, accept = int(q.n_states), tuple(q.accept)
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = {c: pdf[c].to_numpy() for c in cols}
+            off = np.int64(rows["doc_offset"][0])
+            # segment-LOCAL docIDs into the kernel (doc·2^34 keys), offset out
+            rows["first_doc"] = rows["first_doc"].astype(np.int64)
+            rows["last_doc"] = rows["last_doc"].astype(np.int64)
+            d = segment_term_automaton(rows, transitions, n_states,
+                                       accept) + off
+            if d.size and dload:
+                d = d[~np.isin(d, dload(pdf["seg"].iloc[0]) + off)]
+            return pd.DataFrame({"doc_id": d})
+
+        return (
+            postings.select("seg", *cols)
+            .groupBy("seg")
+            .applyInPandas(run_segment, "doc_id long")
+        )
+
     def interval_scored_df(self, q: ast.IntervalQuery):
         """(doc_id, score) DataFrame of an IntervalQuery's full match set —
         per-segment minimal-interval kernel fan-out
@@ -1448,6 +1502,9 @@ class IndexSearcher:
             return int(self.match_df(query.query).count())
         if isinstance(query, ast.SPAN_QUERY_TYPES):
             df = self._span_match_df(query)
+            return 0 if df is None else int(df.count())
+        if isinstance(query, ast.TermAutomatonQuery):
+            df = self._automaton_match_df(query)
             return 0 if df is None else int(df.count())
         if isinstance(query, ast.IntervalQuery):
             df = self.interval_scored_df(query)
