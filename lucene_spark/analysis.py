@@ -950,6 +950,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_el import GreekAnalyzer
 
         return GreekAnalyzer()
+    if name in ("indonesian", "indonesian_inflectional"):
+        from lucene_spark.analysis_lang import LightStemAnalyzer
+
+        return LightStemAnalyzer(lang=name)
     if name.endswith("_minimal"):  # german/french/english/portuguese_minimal
         from lucene_spark.analysis_lang import LightStemAnalyzer
 

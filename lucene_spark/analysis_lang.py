@@ -852,6 +852,164 @@ def bulgarian_stem(word: str) -> str:
     return "".join(s[:n])
 
 
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64)
+
+
+def indonesian_stem(word: str, derivational: bool = True) -> str:
+    """Indonesian stemmer (``id/IndonesianStemmer.java:42-270``, Asian/
+    Williams/Tahaghoghi): inflectional suffixes (particles, possessive
+    pronouns) always; derivational prefixes/suffixes with the reference's
+    fired-rule branching and removed-prefix flag guards. ``numSyllables``
+    gates every step, decremented per removed affix."""
+    s = list(word)
+    syll = sum(ch in "aeiou" for ch in s)
+    flags = 0
+
+    def ends(suf):
+        return len(s) >= len(suf) and s[len(s) - len(suf):] == list(suf)
+
+    def starts(pre):
+        return len(s) >= len(pre) and s[:len(pre)] == list(pre)
+
+    def remove_particle():
+        nonlocal syll
+        if ends("kah") or ends("lah") or ends("pun"):
+            syll -= 1
+            del s[-3:]
+
+    def remove_possessive():
+        nonlocal syll
+        if ends("ku") or ends("mu"):
+            syll -= 1
+            del s[-2:]
+        elif ends("nya"):
+            syll -= 1
+            del s[-3:]
+
+    def first_order_prefix():
+        nonlocal syll, flags
+        if starts("meng"):
+            flags |= _ID_MENG
+            syll -= 1
+            del s[:4]
+        elif starts("meny") and len(s) > 4 and s[4] in "aeiou":
+            flags |= _ID_MENG
+            s[3] = "s"
+            syll -= 1
+            del s[:3]
+        elif starts("men") or starts("mem"):
+            flags |= _ID_MENG
+            syll -= 1
+            del s[:3]
+        elif starts("me"):
+            flags |= _ID_MENG
+            syll -= 1
+            del s[:2]
+        elif starts("peng"):
+            flags |= _ID_PENG
+            syll -= 1
+            del s[:4]
+        elif starts("peny") and len(s) > 4 and s[4] in "aeiou":
+            flags |= _ID_PENG
+            s[3] = "s"
+            syll -= 1
+            del s[:3]
+        elif starts("peny"):
+            flags |= _ID_PENG
+            syll -= 1
+            del s[:4]
+        elif starts("pen") and len(s) > 3 and s[3] in "aeiou":
+            flags |= _ID_PENG
+            s[2] = "t"
+            syll -= 1
+            del s[:2]
+        elif starts("pen") or starts("pem"):
+            flags |= _ID_PENG
+            syll -= 1
+            del s[:3]
+        elif starts("di"):
+            flags |= _ID_DI
+            syll -= 1
+            del s[:2]
+        elif starts("ter"):
+            flags |= _ID_TER
+            syll -= 1
+            del s[:3]
+        elif starts("ke"):
+            flags |= _ID_KE
+            syll -= 1
+            del s[:2]
+
+    def second_order_prefix():
+        nonlocal syll, flags
+        if starts("ber"):
+            flags |= _ID_BER
+            syll -= 1
+            del s[:3]
+        elif len(s) == 7 and starts("belajar"):
+            flags |= _ID_BER
+            syll -= 1
+            del s[:3]
+        elif (starts("be") and len(s) > 4 and s[2] not in "aeiou"
+                and s[3] == "e" and s[4] == "r"):
+            flags |= _ID_BER
+            syll -= 1
+            del s[:2]
+        elif starts("per"):
+            syll -= 1
+            del s[:3]
+        elif len(s) == 7 and starts("pelajar"):
+            syll -= 1
+            del s[:3]
+        elif starts("pe"):
+            flags |= _ID_PE
+            syll -= 1
+            del s[:2]
+
+    def remove_suffix():
+        nonlocal syll
+        if (ends("kan") and not flags & _ID_KE and not flags & _ID_PENG
+                and not flags & _ID_PE):
+            syll -= 1
+            del s[-3:]
+        elif (ends("an") and not flags & _ID_DI and not flags & _ID_MENG
+                and not flags & _ID_TER):
+            syll -= 1
+            del s[-2:]
+        elif (ends("i") and not ends("si") and not flags & _ID_BER
+                and not flags & _ID_KE and not flags & _ID_PENG):
+            syll -= 1
+            del s[-1:]
+
+    if syll > 2:
+        remove_particle()
+    if syll > 2:
+        remove_possessive()
+    if derivational:
+        old = len(s)
+        if syll > 2:
+            first_order_prefix()
+        if old != len(s):  # a first-order rule fired
+            old = len(s)
+            if syll > 2:
+                remove_suffix()
+            if old != len(s):  # a suffix rule fired
+                if syll > 2:
+                    second_order_prefix()
+        else:
+            if syll > 2:
+                second_order_prefix()
+            if syll > 2:
+                remove_suffix()
+    return "".join(s)
+
+
+def indonesian_inflectional_stem(word: str) -> str:
+    """IndonesianStemFilter(stemDerivational=false) — inflectional only."""
+    return indonesian_stem(word, derivational=False)
+
+
 STEMMERS = {
     "german_light": german_light_stem,
     "french_light": french_light_stem,
@@ -863,6 +1021,8 @@ STEMMERS = {
     "hungarian_light": hungarian_light_stem,
     "russian_light": russian_light_stem,
     "bulgarian_light": bulgarian_stem,
+    "indonesian": indonesian_stem,
+    "indonesian_inflectional": indonesian_inflectional_stem,
     "norwegian_light": norwegian_light_stem,
     "nynorsk_light": nynorsk_light_stem,
     "norwegian_minimal": norwegian_minimal_stem,

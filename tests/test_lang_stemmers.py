@@ -146,6 +146,39 @@ def test_bulgarian_inline_goldens():
     assert bulgarian_stem("кон") == "кон"  # < 4 chars unstemmed
 
 
+def test_indonesian_reference_vectors():
+    # TestIndonesianStemmer.java: analyzer 'a' = derivational (63 vectors),
+    # 'b' = inflectional-only (4 vectors)
+    import re
+    path = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/id/TestIndonesianStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    from lucene_spark.analysis_lang import (
+        indonesian_inflectional_stem,
+        indonesian_stem,
+    )
+    src = open(path, encoding="utf-8").read()
+    for var, fn, floor in [("a", indonesian_stem, 60),
+                           ("b", indonesian_inflectional_stem, 4)]:
+        pairs = re.findall(
+            r'checkOneTerm\(\s*' + var + r',\s*"([^"]*)",\s*"([^"]*)"\)', src)
+        assert len(pairs) >= floor
+        bad = [(w, want, fn(w)) for w, want in pairs if fn(w) != want]
+        assert not bad, f"{var}: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_indonesian_inline_goldens():
+    from lucene_spark.analysis_lang import indonesian_stem
+    # derivational: meny→s rewrite, ber- prefix, -kan suffix with flag guard
+    assert indonesian_stem("menyapu") == "sapu"
+    assert indonesian_stem("berlari") == "lari"
+    assert indonesian_stem("bukunya") == "buku"
+    assert indonesian_stem("bukukah") == "buku"
+    # ≤2 syllables stay unstemmed (English tokens mostly pass through)
+    assert indonesian_stem("tables") == "tables"
+
+
 def test_minimal_registry():
     from lucene_spark.analysis import get_analyzer
     for name in ("german_minimal", "french_minimal", "english_minimal",
