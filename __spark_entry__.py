@@ -821,6 +821,51 @@ def _greek_oracle_sql(k: int = 50) -> str:
         token_re=GREEK_TOKEN_RE, replacements=list(GREEK_REPL))
 
 
+# UAX29URLEmailTokenizer gate: inject an email and a URL; both index as
+# SINGLE exact terms (the web-corpus tokenization), queried as term clauses
+UE_REPL = ((r"\btable\b", "support@example.com"),
+           (r"\bvalue\b", "https://docs.example.com/api?q=1"))
+UE_TERMS = ("support@example.com", "https://docs.example.com/api?q=1")
+
+
+def _q_url_email_topk(spark, sf_dir):
+    """UAX29URLEmailTokenizer (lite) end-to-end
+    (analysis/common/.../email/UAX29URLEmailTokenizerImpl.jflex:185,198 —
+    analysis.URLEmailAnalyzer): URLs/emails are single BM25 terms. The
+    query uses AST TermQueries (the classic parser's ':' field syntax
+    would split a URL string)."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_ue/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in UE_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="url_email", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    q = ast.BooleanQuery(tuple(
+        (ast.SHOULD, ast.TermQuery(term)) for term in UE_TERMS))
+    return _hits_df(spark, s.search(q, k=50, mode="wand"))
+
+
+def _url_email_oracle_sql(k: int = 50) -> str:
+    """Oracle for the URL/email gate: the SAME pattern string tokenizes in
+    DuckDB RE2 (leftmost-first alternation in both engines — parity
+    pytest-pinned in tests/test_urlemail.py)."""
+    from lucene_spark.analysis import URL_EMAIL_PATTERN
+
+    return oracle.unicode_topk_sql(
+        list(UE_TERMS), k, list(UE_REPL),
+        tokens_list_expr=lambda t:
+            f"regexp_extract_all({t}, '{URL_EMAIL_PATTERN}')")
+
+
 # Bulgarian stemmer gate: Cyrillic vocabulary injection, same construction
 # as the Greek gate ('таблици' and the injected definite plural 'таблиците'
 # both stem to 'таблик' via the ц→к rewrite)
@@ -3094,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greek_topk": _q_greek_topk,
         "bulgarian_topk": _q_bulgarian_topk,
         "term_automaton_topk": _q_term_automaton,
+        "url_email_topk": _q_url_email_topk,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3565,6 +3611,7 @@ LIMIT 25
         "greek_topk": _greek_oracle_sql(),
         "bulgarian_topk": _bulgarian_oracle_sql(),
         "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
+        "url_email_topk": _url_email_oracle_sql(),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -747,6 +747,53 @@ class ShingleAnalyzer(_ExpandingAnalyzer):
         return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+# UAX29URLEmailTokenizer (lite): URL and EMAIL token types kept whole
+# (analysis/common/.../email/UAX29URLEmailTokenizerImpl.jflex:185,198 —
+# URL = HTTP/FTP/FILE url grammar, EMAIL = localPart "@" domain), everything
+# else the word chain. Lite scope (documented): http(s)/ftp schemes with
+# host[:port][/path][?query][#fragment], RFC-lite email localpart/domain;
+# the full jflex grammar's FILE urls, bracketed IPv6 hosts, and
+# scheme-less www hosts are out. The SAME pattern string drives the engine
+# (python re) and the gate oracle (DuckDB RE2) — alternation is
+# leftmost-first in both, EMAIL before URL before words.
+URL_EMAIL_PATTERN = (
+    r"[a-z0-9._%+-]+@[a-z0-9-]+(?:\.[a-z0-9-]+)+"          # EMAIL
+    r"|(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?"           # URL host[:port]
+    r"(?:/[a-z0-9._/%+&=~#?-]*)?"                          # [/path?query]
+    r"|[a-z0-9]+"                                          # word fallback
+)
+
+
+class URLEmailAnalyzer:
+    """UAX29URLEmailTokenizer (lite) + LowerCaseFilter: URLs and email
+    addresses index as SINGLE exact terms — the web-corpus tokenization the
+    reference ships for mailto:/href extraction — other text as plain
+    lowercase words."""
+
+    name = "url_email"
+    max_token_length = 255
+
+    _RE = re.compile(URL_EMAIL_PATTERN)
+
+    def tokenize_text(self, text: str) -> list[str]:
+        if not text:
+            return []
+        return [t for t in self._RE.findall(text.lower())
+                if len(t) <= self.max_token_length]
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(self.tokenize_text)
+
+    def tokenize_ids(self, texts: pd.Series, with_positions: bool = False):
+        return _ids_from_token_lists(
+            self.tokenize_series(texts), len(texts), with_positions)
+
+    def tokenize_flat(self, texts: pd.Series):
+        uniq, codes, lens = self.tokenize_ids(texts)
+        return (uniq[codes] if codes.size else np.array([], dtype=object),
+                lens)
+
+
 class CommonGramsAnalyzer(_ExpandingAnalyzer):
     """CommonGramsFilter over the StandardAnalyzer stream
     (``analysis/common/src/java/org/apache/lucene/analysis/commongrams/
@@ -946,6 +993,8 @@ def get_analyzer(name: str):
         return EdgeNGramAnalyzer(min_gram=int(mn), max_gram=int(mx))
     if name == "common_grams":
         return CommonGramsAnalyzer()
+    if name == "url_email":
+        return URLEmailAnalyzer()
     if name == "greek":
         from lucene_spark.analysis_el import GreekAnalyzer
 
