@@ -854,6 +854,48 @@ def _q_url_email_topk(spark, sf_dir):
     return _hits_df(spark, s.search(q, k=50, mode="wand"))
 
 
+# URL-level dedup gate: three injected URLs, two of which canonicalize to
+# the same key (fragment / trailing-slash variants)
+UD_REPL = ((r"\btable\b", "https://ex.com/a#frag"),
+           (r"\bvalue\b", "https://ex.com/a/"),
+           (r"\bscan\b", "https://ex.com/b?x=1"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level dedup (C4-style pre-dedup on canonical source URL —
+    pipeline/dedup.py url_dedup): injected fragment/trailing-slash variants
+    collapse to one canonical group."""
+    from lucene_spark.pipeline.dedup import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in UD_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    return url_dedup(docs.withColumn("text", txt)).orderBy("url")
+
+
+def _url_dedup_oracle_sql() -> str:
+    from lucene_spark.analysis import URL_PATTERN
+
+    t_expr = "lower(coalesce(text,''))"
+    for pat, rep in UD_REPL:
+        t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH docs0 AS (SELECT doc_id, {t_expr} AS t FROM documents),
+occurrences AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '{URL_PATTERN}')) AS u
+  FROM docs0
+),
+urls AS (
+  SELECT DISTINCT doc_id,
+         regexp_replace(regexp_replace(u, '#.*$', ''), '/+$', '') AS url
+  FROM occurrences
+)
+SELECT url, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS canonical_doc
+FROM urls GROUP BY url ORDER BY url
+"""
+
+
 def _url_email_oracle_sql(k: int = 50) -> str:
     """Oracle for the URL/email gate: the SAME pattern string tokenizes in
     DuckDB RE2 (leftmost-first alternation in both engines — parity
@@ -3140,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulgarian_topk": _q_bulgarian_topk,
         "term_automaton_topk": _q_term_automaton,
         "url_email_topk": _q_url_email_topk,
+        "url_dedup": _q_url_dedup,
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3612,6 +3655,7 @@ LIMIT 25
         "bulgarian_topk": _bulgarian_oracle_sql(),
         "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
         "url_email_topk": _url_email_oracle_sql(),
+        "url_dedup": _url_dedup_oracle_sql(),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

@@ -756,12 +756,10 @@ class ShingleAnalyzer(_ExpandingAnalyzer):
 # scheme-less www hosts are out. The SAME pattern string drives the engine
 # (python re) and the gate oracle (DuckDB RE2) — alternation is
 # leftmost-first in both, EMAIL before URL before words.
-URL_EMAIL_PATTERN = (
-    r"[a-z0-9._%+-]+@[a-z0-9-]+(?:\.[a-z0-9-]+)+"          # EMAIL
-    r"|(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?"           # URL host[:port]
-    r"(?:/[a-z0-9._/%+&=~#?-]*)?"                          # [/path?query]
-    r"|[a-z0-9]+"                                          # word fallback
-)
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9-]+(?:\.[a-z0-9-]+)+"
+URL_PATTERN = (r"(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?"  # host[:port]
+               r"(?:/[a-z0-9._/%+&=~#?-]*)?")               # [/path?query]
+URL_EMAIL_PATTERN = f"{EMAIL_PATTERN}|{URL_PATTERN}|[a-z0-9]+"
 
 
 class URLEmailAnalyzer:

@@ -29,6 +29,43 @@ from lucene_spark.pipeline.contracts import (
 )
 
 
+# ------------------------------------------------------------- URL-level ----
+
+def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, url) exploded — one row per URL occurrence, JVM-side
+    (``regexp_extract_all`` in codegen; the pattern is the URL alternative
+    of the UAX29URLEmailTokenizer-lite chain, shared with the oracle)."""
+    from lucene_spark.analysis import URL_PATTERN
+
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"regexp_extract_all(lower(coalesce({text_col}, '')),"
+            f" '{URL_PATTERN}', 0)")).alias("url"),
+    )
+
+
+def canonical_url(col):
+    """Canonicalization: strip the #fragment and trailing slashes — the
+    C4-style URL key (scheme/host already lowercased by extraction)."""
+    return F.regexp_replace(F.regexp_replace(col, "#.*$", ""), "/+$", "")
+
+
+def url_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, n_docs, canonical_doc) — URL-level dedup groups: documents
+    sharing a canonical URL collapse to one group keyed by the smallest
+    docID (the C4/web-pipeline pre-dedup on source URL). Two-stage hash agg
+    on the canonical-URL key; no skew (URL keys are near-unique, and a
+    boilerplate URL shared by millions of docs still reduces map-side)."""
+    urls = (extract_urls(docs, text_col)
+            .select("doc_id", canonical_url(F.col("url")).alias("url"))
+            .distinct())
+    return urls.groupBy("url").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
 # ---------------------------------------------------------------- exact -----
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

@@ -47,3 +47,17 @@ def test_ids_path_and_registry():
         rows.append(flat[i:i + n])
         i += n
     assert rows == [a.tokenize_text(t or "") for t in texts]
+
+
+def test_url_dedup_canonicalization(spark):
+    from lucene_spark.pipeline.dedup import url_dedup
+    docs = spark.createDataFrame(
+        [(1, "see https://ex.com/a#frag here"),
+         (2, "see https://ex.com/a/ there"),
+         (3, "see https://ex.com/a/ twice https://ex.com/a/ and"),
+         (4, "other https://ex.com/b?x=1"),
+         (5, "no urls at all")],
+        "doc_id long, text string")
+    rows = {r["url"]: (r["n_docs"], r["canonical_doc"])
+            for r in url_dedup(docs).collect()}
+    assert rows == {"https://ex.com/a": (3, 1), "https://ex.com/b?x=1": (1, 4)}
