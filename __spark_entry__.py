@@ -1021,10 +1021,17 @@ def _light_stem_oracle_sql(lang: str, query: str, k: int = 50) -> str:
     return _token_map_oracle_sql(LightStemAnalyzer(lang), query, k)
 
 
+def _porter2_oracle_sql(query: str, k: int = 50) -> str:
+    from lucene_spark.analysis_porter2 import Porter2Analyzer
+
+    return _token_map_oracle_sql(Porter2Analyzer(), query, k)
+
+
 def _q_light_stem(lang: str, query: str):
-    """Light-stemmer gate factory (GermanLightStemFilter.java /
-    FrenchLightStemFilter.java — analysis_lang.py): index with the
-    light-stem analyzer so morphological variants land on the same stem."""
+    """Stemmer-analyzer gate factory (GermanLightStemFilter.java /
+    FrenchLightStemFilter.java / SnowballFilter — analysis_lang.py,
+    analysis_porter2.py): index with the stemming analyzer so morphological
+    variants land on the same stem."""
 
     def run(spark, sf_dir):
         from lucene_spark.corpus import transcripts_from_documents
@@ -3183,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_automaton_topk": _q_term_automaton,
         "url_email_topk": _q_url_email_topk,
         "url_dedup": _q_url_dedup,
+        "porter2_topk": _q_light_stem("porter2", "tables values"),
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3656,6 +3664,7 @@ LIMIT 25
         "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
         "url_email_topk": _url_email_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),
+        "porter2_topk": _porter2_oracle_sql("tables values"),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

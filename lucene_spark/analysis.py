@@ -993,6 +993,10 @@ def get_analyzer(name: str):
         return CommonGramsAnalyzer()
     if name == "url_email":
         return URLEmailAnalyzer()
+    if name == "porter2":
+        from lucene_spark.analysis_porter2 import Porter2Analyzer
+
+        return Porter2Analyzer()
     if name == "greek":
         from lucene_spark.analysis_el import GreekAnalyzer
 

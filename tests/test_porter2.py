@@ -1,0 +1,58 @@
+"""Porter2 (Snowball English) parity vs the reference's golden vocabulary
+(``analysis/common/src/test/.../snowball/english.zip`` — 2000 word/stem
+pairs shipped with the reference's own TestSnowballVocab)."""
+
+import os
+import zipfile
+
+import pandas as pd
+import pytest
+
+from lucene_spark.analysis_porter2 import Porter2Analyzer, porter2_stem
+
+_ZIP = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/english.zip")
+
+INLINE = [
+    # exceptional forms + algorithm spot checks (snowballstem.org examples)
+    ("skies", "sky"), ("dying", "die"), ("news", "news"),
+    ("consign", "consign"), ("consigned", "consign"),
+    ("consolingly", "consol"), ("generate", "generat"),
+    ("generically", "generic"), ("communities", "communiti"),
+    ("knavishly", "knavish"), ("arsenic", "arsenic"),
+    ("proceed", "proceed"), ("exceeding", "exceed"),
+    ("tables", "tabl"), ("cry", "cri"), ("by", "by"),
+    ("hopping", "hop"), ("hoping", "hope"), ("tanned", "tan"),
+    ("falling", "fall"), ("knitting", "knit"),
+]
+
+
+@pytest.mark.parametrize("word,stem", INLINE)
+def test_inline(word, stem):
+    assert porter2_stem(word) == stem
+
+
+def test_full_golden_vocabulary():
+    if not os.path.exists(_ZIP):
+        pytest.skip("reference tree not available")
+    z = zipfile.ZipFile(_ZIP)
+    voc = z.read("voc.txt").decode().split()
+    out = z.read("output.txt").decode().split()
+    bad = [(w, want, porter2_stem(w)) for w, want in zip(voc, out)
+           if porter2_stem(w) != want]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_analyzer_paths():
+    from lucene_spark.analysis import get_analyzer
+    a = get_analyzer("porter2")
+    assert isinstance(a, Porter2Analyzer)
+    texts = pd.Series(["the tables were dying", "generically hopping", None])
+    uniq, codes, per_row = a.tokenize_ids(texts)
+    flat = [uniq[c] for c in codes]
+    rows, i = [], 0
+    for n in per_row:
+        rows.append(flat[i:i + n])
+        i += n
+    assert rows == [a.tokenize_text(t or "") for t in texts]
+    assert rows[0] == ["the", "tabl", "were", "die"]
