@@ -997,6 +997,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_porter2 import Porter2Analyzer
 
         return Porter2Analyzer()
+    if name == "danish":
+        from lucene_spark.analysis_da import DanishAnalyzer
+
+        return DanishAnalyzer()
     if name == "greek":
         from lucene_spark.analysis_el import GreekAnalyzer
 

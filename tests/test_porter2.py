@@ -56,3 +56,45 @@ def test_analyzer_paths():
         i += n
     assert rows == [a.tokenize_text(t or "") for t in texts]
     assert rows[0] == ["the", "tabl", "were", "die"]
+
+
+_SNOWBALL = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+             "lucene/analysis/snowball")
+
+
+def _replay_zip(zname, stem_fn):
+    path = f"{_SNOWBALL}/{zname}"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    z = zipfile.ZipFile(path)
+    voc = z.read("voc.txt").decode().split()
+    out = z.read("output.txt").decode().split()
+    return [(w, want, stem_fn(w)) for w, want in zip(voc, out)
+            if stem_fn(w) != want]
+
+
+def test_danish_full_golden():
+    from lucene_spark.analysis_da import danish_stem
+    bad = _replay_zip("danish.zip", danish_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_danish_registry():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_da import DanishAnalyzer
+    assert isinstance(get_analyzer("danish"), DanishAnalyzer)
+
+
+def test_core_porter1_vs_snowball_porter_golden():
+    """Lucene-core PorterStemmer (our `english` chain) against the snowball
+    'porter' golden: the ONLY divergences are the core implementation's
+    documented departures (PorterStemmer.java header: the bli→ble /
+    logi→log deviations and the ≤2-letter guard)."""
+    from lucene_spark.analysis_en import porter_stem
+    bad = _replay_zip("porter.zip", porter_stem)
+    assert {(w, want, got) for w, want, got in bad} == {
+        ("visibly", "visibli", "visibl"),   # bli → ble departure
+        ("palynology", "palynologi", "palynolog"),  # logi → log departure
+        ("rs", "r", "rs"),                  # ≤2-letter guard
+        ("uy", "ui", "uy"),                 # ≤2-letter guard
+    }
