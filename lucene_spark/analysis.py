@@ -1001,6 +1001,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_da import DanishAnalyzer
 
         return DanishAnalyzer()
+    if name == "dutch":
+        from lucene_spark.analysis_nl import DutchAnalyzer
+
+        return DutchAnalyzer()
     if name == "greek":
         from lucene_spark.analysis_el import GreekAnalyzer
 

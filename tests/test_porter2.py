@@ -98,3 +98,18 @@ def test_core_porter1_vs_snowball_porter_golden():
         ("rs", "r", "rs"),                  # ≤2-letter guard
         ("uy", "ui", "uy"),                 # ≤2-letter guard
     }
+
+
+def test_dutch_full_golden():
+    from lucene_spark.analysis_nl import dutch_stem
+    bad = _replay_zip("dutch.zip", dutch_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_dutch_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_nl import DutchAnalyzer, dutch_stem
+    assert isinstance(get_analyzer("dutch"), DutchAnalyzer)
+    assert dutch_stem("overheid") == "over"      # R2 heid after the floor
+    assert dutch_stem("adellijke") == "adel"     # e-ending then lijk
+    assert dutch_stem("lichamelijk") == "licham"
