@@ -1005,6 +1005,14 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "swedish_snowball":
+        from lucene_spark.analysis_da import SwedishSnowballAnalyzer
+
+        return SwedishSnowballAnalyzer()
+    if name == "norwegian_snowball":
+        from lucene_spark.analysis_da import NorwegianSnowballAnalyzer
+
+        return NorwegianSnowballAnalyzer()
     if name == "greek":
         from lucene_spark.analysis_el import GreekAnalyzer
 

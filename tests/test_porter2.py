@@ -113,3 +113,20 @@ def test_dutch_inline():
     assert dutch_stem("overheid") == "over"      # R2 heid after the floor
     assert dutch_stem("adellijke") == "adel"     # e-ending then lijk
     assert dutch_stem("lichamelijk") == "licham"
+
+
+def test_swedish_norwegian_snowball_goldens():
+    from lucene_spark.analysis_da import (
+        norwegian_snowball_stem,
+        swedish_stem,
+    )
+    for zname, fn in (("swedish.zip", swedish_stem),
+                      ("norwegian.zip", norwegian_snowball_stem)):
+        bad = _replay_zip(zname, fn)
+        assert not bad, f"{zname}: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_snowball_scandinavian_registry():
+    from lucene_spark.analysis import get_analyzer
+    for name in ("swedish_snowball", "norwegian_snowball"):
+        assert get_analyzer(name).name == name
