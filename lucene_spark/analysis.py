@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "german_snowball":
+        from lucene_spark.analysis_de import GermanSnowballAnalyzer
+
+        return GermanSnowballAnalyzer()
     if name == "swedish_snowball":
         from lucene_spark.analysis_da import SwedishSnowballAnalyzer
 

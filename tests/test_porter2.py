@@ -130,3 +130,18 @@ def test_snowball_scandinavian_registry():
     from lucene_spark.analysis import get_analyzer
     for name in ("swedish_snowball", "norwegian_snowball"):
         assert get_analyzer(name).name == name
+
+
+def test_german_snowball_golden():
+    from lucene_spark.analysis_de import german_snowball_stem
+    bad = _replay_zip("german.zip", german_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_german_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_de import german_snowball_stem
+    assert get_analyzer("german_snowball").name == "german_snowball"
+    assert german_snowball_stem("engsten") == "engst"  # st needs ≥3 before
+    assert german_snowball_stem("größe") == "gross"    # ß→ss + postlude
+    assert german_snowball_stem("verhältnisse") == "verhaltnis"  # niss rule
