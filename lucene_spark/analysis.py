@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "russian_snowball":
+        from lucene_spark.analysis_ru import RussianSnowballAnalyzer
+
+        return RussianSnowballAnalyzer()
     if name == "german_snowball":
         from lucene_spark.analysis_de import GermanSnowballAnalyzer
 

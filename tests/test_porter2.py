@@ -145,3 +145,18 @@ def test_german_snowball_inline():
     assert german_snowball_stem("engsten") == "engst"  # st needs ≥3 before
     assert german_snowball_stem("größe") == "gross"    # ß→ss + postlude
     assert german_snowball_stem("verhältnisse") == "verhaltnis"  # niss rule
+
+
+def test_russian_snowball_golden():
+    from lucene_spark.analysis_ru import russian_snowball_stem
+    bad = _replay_zip("russian.zip", russian_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_russian_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_ru import russian_snowball_stem
+    assert get_analyzer("russian_snowball").name == "russian_snowball"
+    # ешь is an а/я-context verb suffix: without the context only ь strips
+    assert russian_snowball_stem("выйдешь") == "выйдеш"
+    assert russian_snowball_stem("читаешь") == "чита"
