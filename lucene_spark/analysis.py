@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "spanish_snowball":
+        from lucene_spark.analysis_es import SpanishSnowballAnalyzer
+
+        return SpanishSnowballAnalyzer()
     if name == "russian_snowball":
         from lucene_spark.analysis_ru import RussianSnowballAnalyzer
 

@@ -160,3 +160,19 @@ def test_russian_snowball_inline():
     # ешь is an а/я-context verb suffix: without the context only ь strips
     assert russian_snowball_stem("выйдешь") == "выйдеш"
     assert russian_snowball_stem("читаешь") == "чита"
+
+
+def test_spanish_snowball_golden():
+    from lucene_spark.analysis_es import spanish_snowball_stem
+    bad = _replay_zip("spanish.zip", spanish_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_spanish_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_es import spanish_snowball_stem
+    assert get_analyzer("spanish_snowball").name == "spanish_snowball"
+    # golden-verified: logía→log, osa→R2 delete, RV-blocked pronoun
+    assert spanish_snowball_stem("astrología") == "astrolog"
+    assert spanish_snowball_stem("dolorosa") == "dolor"
+    assert spanish_snowball_stem("dárselo") == "darsel"
