@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "italian_snowball":
+        from lucene_spark.analysis_it import ItalianSnowballAnalyzer
+
+        return ItalianSnowballAnalyzer()
     if name == "spanish_snowball":
         from lucene_spark.analysis_es import SpanishSnowballAnalyzer
 

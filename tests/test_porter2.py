@@ -176,3 +176,18 @@ def test_spanish_snowball_inline():
     assert spanish_snowball_stem("astrología") == "astrolog"
     assert spanish_snowball_stem("dolorosa") == "dolor"
     assert spanish_snowball_stem("dárselo") == "darsel"
+
+
+def test_italian_snowball_golden():
+    from lucene_spark.analysis_it import italian_snowball_stem
+    bad = _replay_zip("italian.zip", italian_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_italian_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_it import italian_snowball_stem
+    assert get_analyzer("italian_snowball").name == "italian_snowball"
+    # RV blocks the c/g+h strip on short stems; logia→log
+    assert italian_snowball_stem("fughe") == "fugh"
+    assert italian_snowball_stem("biologia") == "biolog"
