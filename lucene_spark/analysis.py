@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "portuguese_snowball":
+        from lucene_spark.analysis_pt import PortugueseSnowballAnalyzer
+
+        return PortugueseSnowballAnalyzer()
     if name == "italian_snowball":
         from lucene_spark.analysis_it import ItalianSnowballAnalyzer
 

@@ -191,3 +191,18 @@ def test_italian_snowball_inline():
     # RV blocks the c/g+h strip on short stems; logia→log
     assert italian_snowball_stem("fughe") == "fugh"
     assert italian_snowball_stem("biologia") == "biolog"
+
+
+def test_portuguese_snowball_golden():
+    from lucene_spark.analysis_pt import portuguese_snowball_stem
+    bad = _replay_zip("portuguese.zip", portuguese_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_portuguese_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_pt import portuguese_snowball_stem
+    assert get_analyzer("portuguese_snowball").name == "portuguese_snowball"
+    # nasal marking round-trip and the logia rewrite
+    assert portuguese_snowball_stem("corações") == "coraçõ"
+    assert portuguese_snowball_stem("biologia") == "biolog"
