@@ -1025,6 +1025,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_de import GermanSnowballAnalyzer
 
         return GermanSnowballAnalyzer()
+    if name == "german2_snowball":
+        from lucene_spark.analysis_de import German2SnowballAnalyzer
+
+        return German2SnowballAnalyzer()
     if name == "swedish_snowball":
         from lucene_spark.analysis_da import SwedishSnowballAnalyzer
 

@@ -22,15 +22,48 @@ _ST_END = frozenset("bdfghklmnt")
 _POSTLUDE = str.maketrans({"U": "u", "Y": "y", "ä": "a", "ö": "o", "ü": "u"})
 
 
-def german_snowball_stem(word: str) -> str:
-    # prelude
-    w = word.replace("ß", "ss")
+def _mark_uy(w: str) -> str:
     chars = list(w)
     for i in range(1, len(chars) - 1):
         if (chars[i] in "uy" and chars[i - 1] in _VOW
                 and chars[i + 1] in _VOW):
             chars[i] = chars[i].upper()
-    w = "".join(chars)
+    return "".join(chars)
+
+
+def german2_snowball_stem(word: str) -> str:
+    """German2 variant (``org/tartarus/snowball/ext/German2Stemmer.java``):
+    marks intervocalic u/y FIRST, then rewrites ß→ss and ae/oe/ue → ä/ö/ü
+    (qu protected, marked U exempt by case), and runs the shared German
+    suffix core."""
+    chars = list(_mark_uy(word))
+    res: list[str] = []
+    i, n = 0, len(chars)
+    while i < n:
+        c = chars[i]
+        if c == "ß":
+            res.append("s")
+            res.append("s")
+            i += 1
+        elif c == "q" and i + 1 < n and chars[i + 1] == "u":
+            res.append("q")
+            res.append("u")
+            i += 2
+        elif (c in "aou" and i + 1 < n and chars[i + 1] == "e"):
+            res.append({"a": "ä", "o": "ö", "u": "ü"}[c])
+            i += 2
+        else:
+            res.append(c)
+            i += 1
+    return _german_core("".join(res))
+
+
+def german_snowball_stem(word: str) -> str:
+    # prelude: ß→ss, then intervocalic u/y marking
+    return _german_core(_mark_uy(word.replace("ß", "ss")))
+
+
+def _german_core(w: str) -> str:
 
     # regions: R1 floored at 3, p2 scans on from the raw position
     def _scan(s: str, i: int) -> int:
@@ -108,3 +141,11 @@ class GermanSnowballAnalyzer(EnglishAnalyzer):
 
     def filter_token(self, t: str) -> str | None:
         return german_snowball_stem(t)
+
+
+class German2SnowballAnalyzer(EnglishAnalyzer):
+    name = "german2_snowball"
+    max_token_length = 255
+
+    def filter_token(self, t: str) -> str | None:
+        return german2_snowball_stem(t)

@@ -206,3 +206,18 @@ def test_portuguese_snowball_inline():
     # nasal marking round-trip and the logia rewrite
     assert portuguese_snowball_stem("corações") == "coraçõ"
     assert portuguese_snowball_stem("biologia") == "biolog"
+
+
+def test_german2_snowball_golden():
+    from lucene_spark.analysis_de import german2_snowball_stem
+    bad = _replay_zip("german2.zip", german2_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_german2_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_de import german2_snowball_stem
+    assert get_analyzer("german2_snowball").name == "german2_snowball"
+    # ae/oe/ue fold to umlauts (then postlude-unfold); qu and marked U exempt
+    assert german2_snowball_stem("quelle") == "quell"
+    assert german2_snowball_stem("bauer") == "bau"
