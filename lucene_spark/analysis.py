@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "irish":
+        from lucene_spark.analysis_ga import IrishAnalyzer
+
+        return IrishAnalyzer()
     if name == "portuguese_snowball":
         from lucene_spark.analysis_pt import PortugueseSnowballAnalyzer
 

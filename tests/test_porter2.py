@@ -221,3 +221,18 @@ def test_german2_inline():
     # ae/oe/ue fold to umlauts (then postlude-unfold); qu and marked U exempt
     assert german2_snowball_stem("quelle") == "quell"
     assert german2_snowball_stem("bauer") == "bau"
+
+
+def test_irish_golden():
+    from lucene_spark.analysis_ga import irish_stem
+    bad = _replay_zip("irish.zip", irish_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_irish_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_ga import irish_stem
+    assert get_analyzer("irish").name == "irish"
+    # eclipsis/lenition restoration: bhf→f, gc→c
+    assert irish_stem("bhfeidhm") == "feidhm"
+    assert irish_stem("gcarr") == "carr"
