@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "hungarian_snowball":
+        from lucene_spark.analysis_hu import HungarianSnowballAnalyzer
+
+        return HungarianSnowballAnalyzer()
     if name == "irish":
         from lucene_spark.analysis_ga import IrishAnalyzer
 

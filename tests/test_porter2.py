@@ -236,3 +236,17 @@ def test_irish_inline():
     # eclipsis/lenition restoration: bhf→f, gc→c
     assert irish_stem("bhfeidhm") == "feidhm"
     assert irish_stem("gcarr") == "carr"
+
+
+def test_hungarian_snowball_golden():
+    from lucene_spark.analysis_hu import hungarian_snowball_stem
+    bad = _replay_zip("hungarian.zip", hungarian_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_hungarian_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_hu import hungarian_snowball_stem
+    assert get_analyzer("hungarian_snowball").name == "hungarian_snowball"
+    # instrumental with undoubling; vowel-start R1 counts digraphs as one
+    assert hungarian_snowball_stem("dobbal") == "dob"
