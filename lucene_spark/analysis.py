@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "finnish_snowball":
+        from lucene_spark.analysis_fi import FinnishSnowballAnalyzer
+
+        return FinnishSnowballAnalyzer()
     if name == "hungarian_snowball":
         from lucene_spark.analysis_hu import HungarianSnowballAnalyzer
 

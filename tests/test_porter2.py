@@ -250,3 +250,20 @@ def test_hungarian_snowball_inline():
     assert get_analyzer("hungarian_snowball").name == "hungarian_snowball"
     # instrumental with undoubling; vowel-start R1 counts digraphs as one
     assert hungarian_snowball_stem("dobbal") == "dob"
+
+
+def test_finnish_snowball_golden():
+    from lucene_spark.analysis_fi import finnish_snowball_stem
+    bad = _replay_zip("finnish.zip", finnish_snowball_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_finnish_snowball_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_fi import finnish_snowball_stem
+    assert get_analyzer("finnish_snowball").name == "finnish_snowball"
+    # among-routine fallback: seen's LONG fails → n + AEI tidy
+    assert finnish_snowball_stem("ajaakseen") == "ajaaks"
+    # tidy rules are fully R1-confined
+    assert finnish_snowball_stem("aula") == "aula"
+    assert finnish_snowball_stem("eräällä") == "erä"
