@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "romanian":
+        from lucene_spark.analysis_ro import RomanianAnalyzer
+
+        return RomanianAnalyzer()
     if name == "finnish_snowball":
         from lucene_spark.analysis_fi import FinnishSnowballAnalyzer
 

@@ -267,3 +267,16 @@ def test_finnish_snowball_inline():
     # tidy rules are fully R1-confined
     assert finnish_snowball_stem("aula") == "aula"
     assert finnish_snowball_stem("eräällä") == "erä"
+
+
+def test_romanian_golden():
+    from lucene_spark.analysis_ro import romanian_stem
+    bad = _replay_zip("romanian.zip", romanian_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_romanian_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_ro import romanian_stem
+    assert get_analyzer("romanian").name == "romanian"
+    assert romanian_stem("abilităţi") == "abil"  # combo abilităţi→abil
