@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "nepali":
+        from lucene_spark.analysis_ne import NepaliAnalyzer
+
+        return NepaliAnalyzer()
     if name == "romanian":
         from lucene_spark.analysis_ro import RomanianAnalyzer
 

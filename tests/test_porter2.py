@@ -280,3 +280,14 @@ def test_romanian_inline():
     from lucene_spark.analysis_ro import romanian_stem
     assert get_analyzer("romanian").name == "romanian"
     assert romanian_stem("abilităţi") == "abil"  # combo abilităţi→abil
+
+
+def test_nepali_golden():
+    from lucene_spark.analysis_ne import nepali_stem
+    bad = _replay_zip("nepali.zip", nepali_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_nepali_registry():
+    from lucene_spark.analysis import get_analyzer
+    assert get_analyzer("nepali").name == "nepali"
