@@ -291,3 +291,19 @@ def test_nepali_golden():
 def test_nepali_registry():
     from lucene_spark.analysis import get_analyzer
     assert get_analyzer("nepali").name == "nepali"
+
+
+def test_lovins_golden():
+    from lucene_spark.analysis_lovins import lovins_stem
+    bad = _replay_zip("lovins.zip", lovins_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_lovins_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_lovins import lovins_stem
+    assert get_analyzer("lovins").name == "lovins"
+    # the famous one-pass longest-match + respell behavior
+    assert lovins_stem("nationally") == "nat"  # ionally removed
+    assert lovins_stem("induction") == "induc"   # uct → uc respell
+    assert lovins_stem("believe") == "belief"    # iev → ief respell
