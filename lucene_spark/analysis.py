@@ -1005,6 +1005,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_nl import DutchAnalyzer
 
         return DutchAnalyzer()
+    if name == "kp":
+        from lucene_spark.analysis_kp import KpAnalyzer
+
+        return KpAnalyzer()
     if name == "lovins":
         from lucene_spark.analysis_lovins import LovinsAnalyzer
 

@@ -307,3 +307,19 @@ def test_lovins_inline():
     assert lovins_stem("nationally") == "nat"  # ionally removed
     assert lovins_stem("induction") == "induc"   # uct → uc respell
     assert lovins_stem("believe") == "belief"    # iev → ief respell
+
+
+def test_kp_golden():
+    from lucene_spark.analysis_kp import kp_stem
+    bad = _replay_zip("kp.zip", kp_stem)
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_kp_inline():
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis_kp import kp_stem
+    assert get_analyzer("kp").name == "kp"
+    # vowel lengthening with its golden-caught abort contexts
+    assert kp_stem("bunkeren") == "bunker"      # abort: [cons][AOU-2-back]
+    assert kp_stem("technologies") == "technoloog"  # lengthen past insert
+    assert kp_stem("jetje") == "jet"            # je branch fall-through
