@@ -2325,8 +2325,37 @@ def _q_span_near(spark, sf_dir):
 # (scan|join) adjacent, or scan after one ANY gap (two path lengths)
 TA_TRANSITIONS = ((0, 1, "fast"), (1, 3, ("scan", "join")),
                   (1, 2, None), (2, 3, "scan"))
-TA_PATHS = ([(0, "fast"), (1, ("scan", "join"))],
-            [(0, "fast"), (2, "scan")])
+
+
+def _ta_paths(transitions, start=0, accept=(3,)):
+    """Enumerate the automaton's accepting paths as (position-offset, label)
+    lists by DFS over the transition DAG — derived mechanically so the oracle
+    always verifies exactly the automaton the engine executes (ADVICE r4 #3:
+    a hand-maintained path enumeration can silently drift from the
+    transitions). ANY arcs (label None) consume a position without emitting a
+    term constraint, mirroring TermAutomatonQuery.createState/addAnyTransition
+    (sandbox/TermAutomatonQuery.java)."""
+    adj: dict[int, list] = {}
+    for src, dst, label in transitions:
+        adj.setdefault(src, []).append((dst, label))
+    out = []
+
+    def walk(state, off, emitted):
+        if state in accept and emitted:
+            out.append(list(emitted))
+        for dst, label in adj.get(state, ()):
+            if label is None:
+                walk(dst, off + 1, emitted)
+            else:
+                emitted.append((off, label))
+                walk(dst, off + 1, emitted)
+                emitted.pop()
+
+    walk(start, 0, [])
+    return tuple(out)
+
+
+TA_PATHS = _ta_paths(TA_TRANSITIONS)
 
 
 def _q_term_automaton(spark, sf_dir):

@@ -757,8 +757,12 @@ class ShingleAnalyzer(_ExpandingAnalyzer):
 # (python re) and the gate oracle (DuckDB RE2) — alternation is
 # leftmost-first in both, EMAIL before URL before words.
 EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9-]+(?:\.[a-z0-9-]+)+"
-URL_PATTERN = (r"(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?"  # host[:port]
-               r"(?:/[a-z0-9._/%+&=~#?-]*)?")               # [/path?query]
+# host structured like the email domain — label(.label)* — so a sentence-final
+# 'http://x.com.' tokenizes as 'http://x.com' (the jflex DomainName grammar
+# never emits a trailing/doubled dot; ADVICE r4 #1)
+URL_PATTERN = (r"(?:https?|ftp)://[a-z0-9-]+(?:\.[a-z0-9-]+)*"  # host
+               r"(?::[0-9]+)?"                                  # [:port]
+               r"(?:/[a-z0-9._/%+&=~#?-]*)?")                   # [/path?query]
 URL_EMAIL_PATTERN = f"{EMAIL_PATTERN}|{URL_PATTERN}|[a-z0-9]+"
 
 

@@ -37,11 +37,14 @@ def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of the UAX29URLEmailTokenizer-lite chain, shared with the oracle)."""
     from lucene_spark.analysis import URL_PATTERN
 
+    # pattern passed as a literal Column, NOT interpolated into an F.expr SQL
+    # string — the SQL parser processes backslash escapes in string literals,
+    # so the '\.' in the host grammar would silently become '.' (any char)
     return docs.select(
         "doc_id",
-        F.explode(F.expr(
-            f"regexp_extract_all(lower(coalesce({text_col}, '')),"
-            f" '{URL_PATTERN}', 0)")).alias("url"),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(URL_PATTERN), F.lit(0))).alias("url"),
     )
 
 
