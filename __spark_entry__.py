@@ -908,6 +908,62 @@ def _url_email_oracle_sql(k: int = 50) -> str:
             f"regexp_extract_all({t}, '{URL_EMAIL_PATTERN}')")
 
 
+# ICU folding gate (VERDICT r4 next-#5): inject composed-accent, sharp-s and
+# Greek tonos/dialytika/final-sigma forms; all fold to the plain query words
+# (ICUFoldingFilter.java:55 NFKC_CF + TR#30 foldings — analysis_icu.py; the
+# 14 reference vectors replayed in tests/test_icu.py)
+ICU_REPL = ((r"\btable\b", "résumé"), (r"\bvalue\b", "straße"),
+            (r"\bscan\b", "μάϊος"))
+ICU_QUERY = "resume strasse μαιοσ"
+ICU_TOKEN_RE = "[a-z0-9ßà-öø-ÿα-ωά-ώ]+"
+
+
+def _q_icu_fold_topk(spark, sf_dir):
+    """ICUFoldingAnalyzer end-to-end: 'résumé'/'straße'/'μάϊος' in the corpus
+    match the unaccented ASCII/plain-Greek query terms. Oracle: literal
+    token-map VALUES CTE over the injected corpus with an accent-aware token
+    class, mapped via the pytest-pinned icu_fold."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_icu/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in ICU_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="icu_folding", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(ICU_QUERY, k=50, mode="wand"))
+
+
+def _icu_fold_oracle_sql(k: int = 50) -> str:
+    import duckdb
+
+    from lucene_spark.analysis_icu import icu_fold
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    t_expr = "lower(coalesce(text,''))"
+    for pat, rep in ICU_REPL:
+        t_expr = f"regexp_replace({t_expr}, '{pat}', '{rep}', 'g')"
+    toks = duckdb.sql(
+        f"SELECT DISTINCT unnest(regexp_extract_all({t_expr},"
+        f" '{ICU_TOKEN_RE}')) AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    vocab = {t for (t,) in toks} | set(ICU_QUERY.split())
+    code_map = {t: icu_fold(t) for t in sorted(vocab)}
+    coded_query = [code_map[w] for w in ICU_QUERY.split()]
+    return oracle.english_topk_sql(
+        coded_query, k, code_map, {""},
+        token_re=ICU_TOKEN_RE, replacements=list(ICU_REPL))
+
+
 # Bulgarian stemmer gate: Cyrillic vocabulary injection, same construction
 # as the Greek gate ('таблици' and the injected definite plural 'таблиците'
 # both stem to 'таблик' via the ц→к rewrite)
@@ -1048,6 +1104,48 @@ def _q_light_stem(lang: str, query: str):
         return _hits_df(spark, s.search(query, k=50, mode="wand"))
 
     return run
+
+
+# Multi-language stemmer parity gate (VERDICT r4 next-#1: collapse the
+# per-language analysis tail into ONE rotating driver row). Each language
+# runs its own end-to-end build+search (own analyzer chain, own index) and
+# the results union under a lang key; the oracle UNION ALLs each language's
+# independent DuckDB oracle. Every individual stemmer stays pinned at full
+# reference-vocabulary granularity in tests/test_lang_stemmers.py /
+# test_greek.py / test_porter2.py — this gate is the driver-level
+# cross-check that the chains run end-to-end inside the engine.
+_ML_STEM_LANGS = ("german_light", "french_light", "spanish_light",
+                  "english_minimal", "porter2")
+
+
+def _q_multilang_stem(spark, sf_dir):
+    """Union of seven per-language stemming-analyzer top-50s keyed by lang
+    (GermanLightStemFilter / FrenchLightStemFilter / SpanishLightStemFilter /
+    EnglishMinimalStemFilter / SnowballFilter(porter2) / GreekAnalyzer /
+    BulgarianAnalyzer)."""
+    parts = []
+    for lang in _ML_STEM_LANGS:
+        parts.append(
+            _q_light_stem(lang, "tables values")(spark, sf_dir)
+            .select(F.lit(lang).alias("lang"), "doc_id", "score"))
+    parts.append(_q_greek_topk(spark, sf_dir)
+                 .select(F.lit("greek").alias("lang"), "doc_id", "score"))
+    parts.append(_q_bulgarian_topk(spark, sf_dir)
+                 .select(F.lit("bulgarian").alias("lang"), "doc_id", "score"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _multilang_stem_oracle_sql() -> str:
+    subs = [(lang, _light_stem_oracle_sql(lang, "tables values"))
+            for lang in _ML_STEM_LANGS if lang != "porter2"]
+    subs.append(("porter2", _porter2_oracle_sql("tables values")))
+    subs.append(("greek", _greek_oracle_sql()))
+    subs.append(("bulgarian", _bulgarian_oracle_sql()))
+    return "\nUNION ALL\n".join(
+        f"SELECT '{lang}' AS lang, * FROM ({sql})" for lang, sql in subs)
 
 
 def _common_grams_oracle_sql(k: int = 50) -> str:
@@ -3206,20 +3304,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_soundex_topk": _q_phonetic("soundex", "tabel valyu"),
         "phonetic_metaphone_topk": _q_phonetic("metaphone", "taybel valew"),
         "common_grams_topk": _q_common_grams_topk,
-        "german_light_topk": _q_light_stem("german_light", "tables values"),
-        "french_light_topk": _q_light_stem("french_light", "tables values"),
-        # representative for the 7 remaining UniNE stemmers (es/it/sv/pt/
-        # fi/hu/ru — each pinned by its full reference vocabulary in
-        # tests/test_lang_stemmers.py)
-        "spanish_light_topk": _q_light_stem("spanish_light", "tables values"),
-        "english_minimal_topk": _q_light_stem(
-            "english_minimal", "tables values"),
-        "greek_topk": _q_greek_topk,
-        "bulgarian_topk": _q_bulgarian_topk,
+        # the per-language stemmer tail (german/french/spanish light,
+        # english-minimal, porter2, greek, bulgarian — and by proxy the
+        # other UniNE/snowball stemmers, each pinned by its full reference
+        # vocabulary in tests/test_lang_stemmers.py) collapses into ONE
+        # union gate so the whole family fits a single driver window slot
+        "multilang_stem_topk": _q_multilang_stem,
+        "icu_fold_topk": _q_icu_fold_topk,
         "term_automaton_topk": _q_term_automaton,
         "url_email_topk": _q_url_email_topk,
         "url_dedup": _q_url_dedup,
-        "porter2_topk": _q_light_stem("porter2", "tables values"),
         "ann_hnsw_topk": _q_ann_hnsw,
         "ann_euclidean_topk": _q_ann_euclidean,
         "ann_cosine_topk": _q_ann_cosine,
@@ -3680,20 +3774,11 @@ LIMIT 25
         "phonetic_metaphone_topk": _phonetic_oracle_sql(
             "metaphone", "taybel valew"),
         "common_grams_topk": _common_grams_oracle_sql(),
-        "german_light_topk": _light_stem_oracle_sql(
-            "german_light", "tables values"),
-        "french_light_topk": _light_stem_oracle_sql(
-            "french_light", "tables values"),
-        "spanish_light_topk": _light_stem_oracle_sql(
-            "spanish_light", "tables values"),
-        "english_minimal_topk": _light_stem_oracle_sql(
-            "english_minimal", "tables values"),
-        "greek_topk": _greek_oracle_sql(),
-        "bulgarian_topk": _bulgarian_oracle_sql(),
+        "multilang_stem_topk": _multilang_stem_oracle_sql(),
+        "icu_fold_topk": _icu_fold_oracle_sql(),
         "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
         "url_email_topk": _url_email_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),
-        "porter2_topk": _porter2_oracle_sql("tables values"),
         "edge_ngram_topk": oracle.unicode_topk_sql(
             list(EDGE_TERMS), 50, [],
             tokens_list_expr=oracle.edge_ngram_tokens_expr(2, 4)),

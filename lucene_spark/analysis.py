@@ -980,6 +980,10 @@ def get_analyzer(name: str):
         return KeywordAnalyzer()
     if name == "standard_folding":
         return FoldingAnalyzer()
+    if name == "icu_folding":
+        from lucene_spark.analysis_icu import ICUFoldingAnalyzer
+
+        return ICUFoldingAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
     if name == "cjk_bigram":
