@@ -964,6 +964,52 @@ def _icu_fold_oracle_sql(k: int = 50) -> str:
         token_re=ICU_TOKEN_RE, replacements=list(ICU_REPL))
 
 
+# Japanese morphological gate (VERDICT r4 next-#4): inject Japanese
+# sentences segmented by the kuromoji-analogue Viterbi lattice
+# (JapaneseTokenizer.java:87 — analysis_ja.py; reference vectors replayed in
+# tests/test_ja.py). The oracle is INDEPENDENT of the lattice: it injects
+# HAND-WRITTEN golden segmentations, space-joined, so a wrong engine
+# segmentation changes tf/dl/df and fails the float32 BM25 hash compare.
+JA_REPL = ((r"\btable\b", "データベースのテーブルを検索した"),
+           (r"\bvalue\b", "日本語の形態素解析"),
+           (r"\bscan\b", "関西国際空港に行った"))
+JA_GOLDEN = ((r"\btable\b", "データベース の テーブル を 検索 し た"),
+             (r"\bvalue\b", "日本語 の 形態素 解析"),
+             (r"\bscan\b", "関西 国際 空港 に 行っ た"))
+JA_QUERY = "テーブル 空港 解析"
+JA_TOKEN_RE = "[a-z0-9ぁ-ゖァ-ヺー一-鿿]+"
+
+
+def _q_ja_morph_topk(spark, sf_dir):
+    """JapaneseAnalyzer end-to-end: dictionary-lattice segmentation of the
+    injected sentences, BM25 top-50 for query words that only exist INSIDE
+    those sentences (no pre-tokenized spaces on the engine side)."""
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_ja/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in JA_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="japanese", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(JA_QUERY, k=50, mode="wand"))
+
+
+def _ja_morph_oracle_sql(k: int = 50) -> str:
+    # goldens are space-joined, so the plain token class reads them back as
+    # independent terms — no token map needed (identity over the vocab)
+    return oracle.unicode_topk_sql(
+        list(JA_QUERY.split()), k, list(JA_GOLDEN),
+        tokens_list_expr=lambda t: f"regexp_extract_all({t}, '{JA_TOKEN_RE}')")
+
+
 # Bulgarian stemmer gate: Cyrillic vocabulary injection, same construction
 # as the Greek gate ('таблици' and the injected definite plural 'таблиците'
 # both stem to 'таблик' via the ц→к rewrite)
@@ -3311,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # union gate so the whole family fits a single driver window slot
         "multilang_stem_topk": _q_multilang_stem,
         "icu_fold_topk": _q_icu_fold_topk,
+        "ja_morph_topk": _q_ja_morph_topk,
         "term_automaton_topk": _q_term_automaton,
         "url_email_topk": _q_url_email_topk,
         "url_dedup": _q_url_dedup,
@@ -3776,6 +3823,7 @@ LIMIT 25
         "common_grams_topk": _common_grams_oracle_sql(),
         "multilang_stem_topk": _multilang_stem_oracle_sql(),
         "icu_fold_topk": _icu_fold_oracle_sql(),
+        "ja_morph_topk": _ja_morph_oracle_sql(),
         "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
         "url_email_topk": _url_email_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),

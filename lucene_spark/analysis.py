@@ -984,6 +984,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_icu import ICUFoldingAnalyzer
 
         return ICUFoldingAnalyzer()
+    if name == "japanese":
+        from lucene_spark.analysis_ja import JapaneseAnalyzer
+
+        return JapaneseAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
     if name == "cjk_bigram":
