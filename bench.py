@@ -214,6 +214,49 @@ def run(sf_dir: str, cpus: int, out=sys.stdout, keep_index: bool = False):
         reps.append(time.time() - t)
     extra["simple_not"] = sorted(reps)[1]
 
+    # round-5 ops (VERDICT r4 next-#10): synonym blending, HNSW ANN, and a
+    # curation pass get latency tracking alongside the headline queries
+    syn_q = _ast.SynonymQuery((VOCAB[0], VOCAB[3]))
+    searcher.search(syn_q, 10)  # warm
+    reps = []
+    for _ in range(3):
+        t = time.time()
+        searcher.search(syn_q, 10)
+        reps.append(time.time() - t)
+    extra["syn_blend"] = sorted(reps)[1]
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from lucene_spark.pipeline.simsearch import build_hnsw, hnsw_topk
+
+        emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+        hdir = ("/tmp/lucene_spark_bench_hnsw/"
+                f"{os.path.basename(os.path.normpath(sf_dir))}")
+        t = time.time()
+        build_hnsw(emb, hdir)
+        extra["hnsw_build"] = time.time() - t
+        hnsw_topk(spark, emb, hdir, n_queries=5, k=10).collect()  # warm
+        reps = []
+        for _ in range(3):
+            t = time.time()
+            hnsw_topk(spark, emb, hdir, n_queries=5, k=10).collect()
+            reps.append(time.time() - t)
+        extra["hnsw_topk"] = sorted(reps)[1]
+
+    from lucene_spark.pipeline.curation import gopher_filter
+
+    bench_docs = corpus.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text")
+    agg = lambda: (gopher_filter(bench_docs)  # noqa: E731
+                   .agg(F.sum(F.col("keep").cast("long"))).collect())
+    agg()  # warm
+    reps = []
+    for _ in range(2):
+        t = time.time()
+        agg()
+        reps.append(time.time() - t)
+    extra["gopher_filter"] = min(reps)
+
     total = sum(timings.values())
     result = {
         "metric": "index_build_sec_plus_topk_query_latency",

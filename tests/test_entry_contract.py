@@ -38,3 +38,69 @@ def test_window_head_not_overfull():
     assert len(present) <= entry.GATE_WINDOW, (
         f"{len(present)} priority gates > {entry.GATE_WINDOW}-slot window"
     )
+
+
+# ---- staleness manifest (VERDICT r4 wrong-#4 / next-#9) --------------------
+
+import glob  # noqa: E402
+import json  # noqa: E402
+import math  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _manifest():
+    with open(os.path.join(REPO, "gate_rounds.json")) as f:
+        return json.load(f)
+
+
+def _driver_rows_by_gate():
+    rows = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for gate, res in json.load(open(path)).items():
+            if res.get("err") is None:
+                rows.setdefault(gate, []).append(rnd)
+    return rows
+
+
+def test_manifest_covers_every_gate_and_matches_correctness_files():
+    m = _manifest()
+    qs = set(entry.queries())
+    assert set(m["gates"]) == qs, (
+        "gate_rounds.json out of date — rerun tools/gate_manifest.py: "
+        f"missing={qs - set(m['gates'])} stale={set(m['gates']) - qs}")
+    rows = _driver_rows_by_gate()
+    for gate, info in m["gates"].items():
+        assert info["verified"] == sorted(rows.get(gate, [])), gate
+    assert m["window"] == entry.GATE_WINDOW
+
+
+def test_no_gate_staleness_exceeds_rotation_bound():
+    """Every gate must earn a driver row at least every ceil(N/window)
+    rounds, counting from the round it was added."""
+    m = _manifest()
+    current = m["generated_round"] + 1  # the round this window will run in
+    bound = math.ceil(len(m["gates"]) / m["window"])
+    over = {
+        g: current - max(info["verified"] + [info["added"]])
+        for g, info in m["gates"].items()
+        if current - max(info["verified"] + [info["added"]]) > bound
+    }
+    assert not over, (
+        f"gates past the {bound}-round staleness bound "
+        f"(rotate them into _WINDOW_HEAD): {over}")
+
+
+def test_window_draws_from_never_verified_pool_first():
+    """While any gate has zero driver rows, the window may contain ONLY such
+    gates — the rotation can't re-verify green gates while others have no
+    evidence at all."""
+    m = _manifest()
+    never = {g for g, info in m["gates"].items() if not info["verified"]}
+    if len(never) < entry.GATE_WINDOW:
+        return  # pool smaller than the window: mixed windows are fine
+    qs = list(entry.queries())
+    window = qs[: entry.GATE_WINDOW]
+    revisits = [g for g in window if g not in never]
+    assert not revisits, f"window re-verifies while backlog exists: {revisits}"
