@@ -1010,6 +1010,61 @@ def _ja_morph_oracle_sql(k: int = 50) -> str:
         tokens_list_expr=lambda t: f"regexp_extract_all({t}, '{JA_TOKEN_RE}')")
 
 
+# Korean (nori-analogue) leg of the CJK morphological gate — same
+# construction: engine segments unspaced sentences with the shared lattice
+# (KoreanTokenizer.java — analysis_ko.py), oracle injects hand-written
+# golden segmentations (josa split off nouns per TestKoreanTokenizer).
+KO_REPL = ((r"\btable\b", "한국어의 형태소 분석"),
+           (r"\bvalue\b", "데이터를 검색했다"))
+KO_GOLDEN = ((r"\btable\b", "한국어 의 형태소 분석"),
+             (r"\bvalue\b", "데이터 를 검색 했다"))
+KO_QUERY = "형태소 검색"
+KO_TOKEN_RE = "[a-z0-9가-힣]+"
+
+
+def _q_ko_morph_topk(spark, sf_dir):
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_ko/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in KO_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="korean", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(KO_QUERY, k=50, mode="wand"))
+
+
+def _ko_morph_oracle_sql(k: int = 50) -> str:
+    return oracle.unicode_topk_sql(
+        list(KO_QUERY.split()), k, list(KO_GOLDEN),
+        tokens_list_expr=lambda t: f"regexp_extract_all({t}, '{KO_TOKEN_RE}')")
+
+
+def _q_cjk_morph_topk(spark, sf_dir):
+    """Japanese + Korean morphological analysis in ONE driver row: each
+    language's end-to-end lattice-segmented build+search unioned under a
+    lang key (the multilang_stem_topk collapse pattern)."""
+    ja = _q_ja_morph_topk(spark, sf_dir).select(
+        F.lit("ja").alias("lang"), "doc_id", "score")
+    ko = _q_ko_morph_topk(spark, sf_dir).select(
+        F.lit("ko").alias("lang"), "doc_id", "score")
+    return ja.unionByName(ko)
+
+
+def _cjk_morph_oracle_sql(k: int = 50) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{lang}' AS lang, * FROM ({sql})"
+        for lang, sql in (("ja", _ja_morph_oracle_sql(k)),
+                          ("ko", _ko_morph_oracle_sql(k))))
+
+
 # Bulgarian stemmer gate: Cyrillic vocabulary injection, same construction
 # as the Greek gate ('таблици' and the injected definite plural 'таблиците'
 # both stem to 'таблик' via the ц→к rewrite)
@@ -3128,7 +3183,7 @@ _WINDOW_HEAD: tuple[str, ...] = (
     # -- ANN exact tiers (judge next-#7)
     "ann_euclidean_topk", "ann_cosine_topk",
     # -- new round-5 gates (never-verified by definition)
-    "multilang_stem_topk", "icu_fold_topk", "ja_morph_topk",
+    "multilang_stem_topk", "icu_fold_topk", "cjk_morph_topk",
     # -- analysis-family representatives (rotating; the rest of the tail is
     # collapsed into multilang_stem_topk or queued in gate_rounds.json)
     "term_automaton_topk", "cjk_bigram_topk", "url_email_topk",
@@ -3304,7 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # union gate so the whole family fits a single driver window slot
         "multilang_stem_topk": _q_multilang_stem,
         "icu_fold_topk": _q_icu_fold_topk,
-        "ja_morph_topk": _q_ja_morph_topk,
+        "cjk_morph_topk": _q_cjk_morph_topk,
         "term_automaton_topk": _q_term_automaton,
         "url_email_topk": _q_url_email_topk,
         "url_dedup": _q_url_dedup,
@@ -3770,7 +3825,7 @@ LIMIT 25
         "common_grams_topk": _common_grams_oracle_sql(),
         "multilang_stem_topk": _multilang_stem_oracle_sql(),
         "icu_fold_topk": _icu_fold_oracle_sql(),
-        "ja_morph_topk": _ja_morph_oracle_sql(),
+        "cjk_morph_topk": _cjk_morph_oracle_sql(),
         "term_automaton_topk": oracle.term_automaton_topk_sql(TA_PATHS, 50),
         "url_email_topk": _url_email_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),

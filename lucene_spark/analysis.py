@@ -988,6 +988,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_ja import JapaneseAnalyzer
 
         return JapaneseAnalyzer()
+    if name == "korean":
+        from lucene_spark.analysis_ko import KoreanAnalyzer
+
+        return KoreanAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
     if name == "cjk_bigram":

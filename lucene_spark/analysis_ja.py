@@ -112,10 +112,31 @@ _HIRA_RE = re.compile(f"[{_HIRA}]+$")
 
 
 class JapaneseTokenizer:
-    """Viterbi lattice segmenter over one Japanese script run."""
+    """Viterbi lattice segmenter over one Japanese script run.
+
+    The lattice machinery is language-agnostic (nori's KoreanTokenizer is
+    the same architecture over a mecab-ko dictionary —
+    ``analysis/nori/src/java/org/apache/lucene/analysis/ko/
+    KoreanTokenizer.java``); subclasses override the dictionary, the
+    particle class, and the unknown-word grouping classes
+    (:mod:`lucene_spark.analysis_ko`)."""
+
+    default_dict: dict[str, int] | None = None  # None → JA_DICT
+    particles: frozenset = None  # None → JA_PARTICLES
+    # regexes anchored with $: character classes whose unknown runs GROUP
+    # into one candidate token (kana for ja, Hangul for ko); anything else
+    # unknown emits per-char candidates (kanji/hanja)
+    group_classes: tuple = None  # None → (_KATA_RE, _HIRA_RE)
 
     def __init__(self, entries: dict[str, int] | None = None):
-        self.entries = dict(JA_DICT if entries is None else entries)
+        if entries is None:
+            entries = (self.default_dict
+                       if self.default_dict is not None else JA_DICT)
+        self.entries = dict(entries)
+        if self.particles is None:
+            self.particles = JA_PARTICLES
+        if self.group_classes is None:
+            self.group_classes = (_KATA_RE, _HIRA_RE)
         # first-char prefix index (the FST prefix-walk analogue)
         self.by_first: dict[str, list[tuple[str, int]]] = {}
         for w, c in self.entries.items():
@@ -126,18 +147,19 @@ class JapaneseTokenizer:
     def _unknown_candidates(self, run: str, i: int):
         """Unknown-word edges at position i, per character class."""
         ch = run[i]
-        if _KATA_RE.match(ch) or _HIRA_RE.match(ch):
-            # grouped same-class run candidate + single-char fallback
-            cls = _KATA_RE if _KATA_RE.match(ch) else _HIRA_RE
-            j = i + 1
-            while j < len(run) and cls.match(run[j]):
-                j += 1
-            out = [(run[i:j],
-                    UNK_KANA_RUN_COST + UNK_KANA_RUN_CHAR_COST * (j - i - 1))]
-            if j > i + 1:
-                out.append((ch, UNK_KANA_CHAR_COST))
-            return out
-        return [(ch, UNK_KANJI_CHAR_COST)]  # kanji: per-char
+        for cls in self.group_classes:
+            if cls.match(ch):
+                # grouped same-class run candidate + single-char fallback
+                j = i + 1
+                while j < len(run) and cls.match(run[j]):
+                    j += 1
+                out = [(run[i:j],
+                        UNK_KANA_RUN_COST
+                        + UNK_KANA_RUN_CHAR_COST * (j - i - 1))]
+                if j > i + 1:
+                    out.append((ch, UNK_KANA_CHAR_COST))
+                return out
+        return [(ch, UNK_KANJI_CHAR_COST)]  # kanji/hanja: per-char
 
     def segment(self, run: str) -> list[str]:
         n = len(run)
@@ -156,7 +178,7 @@ class JapaneseTokenizer:
                      if run.startswith(w, i)]
             cands.extend(self._unknown_candidates(run, i))
             for w, c in cands:
-                cls = 1 if w in JA_PARTICLES else 0
+                cls = 1 if w in self.particles else 0
                 j = i + len(w)
                 for prev, base in srcs:
                     conn = 0
@@ -187,9 +209,11 @@ class JapaneseAnalyzer:
 
     name = "japanese"
     max_token_length = 255
+    tokenizer_cls = JapaneseTokenizer
+    run_re = _JA_RUN_RE  # which script runs route through the lattice
 
     def __init__(self, entries: dict[str, int] | None = None):
-        self._tok = JapaneseTokenizer(entries)
+        self._tok = self.tokenizer_cls(entries)
         self._seg = lru_cache(maxsize=65536)(
             lambda run: tuple(self._tok.segment(run)))
 
@@ -198,10 +222,10 @@ class JapaneseAnalyzer:
             return []
         out: list[str] = []
         for m in re.finditer(
-                f"{_JA_RUN_RE.pattern}|{_ASCII_RE.pattern}",
+                f"{self.run_re.pattern}|{_ASCII_RE.pattern}",
                 text.lower()):
             t = m.group()
-            if _JA_RUN_RE.match(t):
+            if self.run_re.match(t):
                 out.extend(self._seg(t))
             elif len(t) <= self.max_token_length:
                 out.append(t)

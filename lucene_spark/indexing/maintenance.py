@@ -130,16 +130,18 @@ class IndexMaintenance:
             .filter((F.col("field") == field) & (F.col("term") == term)
                     & F.col("seg").isin(segs))
         )
-        cols = ["first_doc", "count", "doc_gaps", "tfs"]
+        cols = ["first_doc", "last_doc", "count", "doc_gaps"]
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            from lucene_spark.indexing.blocks import decode_doc_ids_batch
+
             seg = int(pdf["seg"].iloc[0])
-            parts = [
-                decode_block(pdf["first_doc"].iloc[i], pdf["count"].iloc[i],
-                             pdf["doc_gaps"].iloc[i], pdf["tfs"].iloc[i])[0]
-                for i in range(len(pdf))
-            ]
-            hit = np.unique(np.concatenate(parts))
+            # one batched decode across all of the term's blocks — a hot
+            # term's delete touches thousands of blocks per segment
+            docs, _ = decode_doc_ids_batch(
+                pdf["first_doc"].to_numpy(), pdf["last_doc"].to_numpy(),
+                pdf["count"].to_numpy(), list(pdf["doc_gaps"].to_numpy()))
+            hit = np.unique(docs)
             old = deleted_for_segment(index_dir, seg, old_live)
             new = np.union1d(old, hit)
             write_deleted(index_dir, seg, new, out_live)

@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _ADDED_OVERRIDES = {
     "multilang_stem_topk": 5,
     "icu_fold_topk": 5,
-    "ja_morph_topk": 5,
+    "cjk_morph_topk": 5,
 }
 
 
