@@ -366,6 +366,24 @@ def decode_block_positions(positions: bytes, tfs_decoded: np.ndarray):
     return flat, tstarts
 
 
+def decode_positions_batch(pos_bufs, tfs_decoded):
+    """Batched inverse of the positions encoding across MANY blocks.
+
+    ``tfs_decoded`` is the per-posting tf array over ALL blocks in buffer
+    order. The per-block math of :func:`decode_block_positions` (cumsum of
+    deltas, re-anchored at every posting start) is position-local to each
+    posting, so chaining every block's delta buffer through one
+    ``_decode_tagged_many`` call and applying the same formula globally is
+    exact. Returns (flat_abs_positions, per_posting_offsets).
+    """
+    deltas = _decode_tagged_many(list(pos_bufs))
+    tfs = np.asarray(tfs_decoded, dtype=np.int64)
+    tstarts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    cum = np.cumsum(deltas)
+    cum_before = np.concatenate([[0], cum])[tstarts]
+    return cum - np.repeat(cum_before, tfs), tstarts
+
+
 def decode_block(first_doc: int, count: int, doc_gaps: bytes, tfs: bytes,
                  norms: bytes | None = None):
     """Inverse of encode_term_blocks for one block → (doc_ids, tfs[, norms])."""

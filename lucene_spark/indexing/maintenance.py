@@ -40,8 +40,6 @@ import pyarrow.parquet as pq
 
 from lucene_spark.indexing.blocks import (
     codec_id,
-    decode_block,
-    decode_block_positions,
     encode_segment_blocks,
 )
 from lucene_spark.indexing.builder import (
@@ -434,10 +432,13 @@ class IndexMaintenance:
         postings = spark.read.parquet(f"{index_dir}/postings")
         post_in = postings.filter(F.col("seg").isin(list(run_of))) \
             .withColumn("run", run_map_expr[F.col("seg")])
-        pcols = ["seg", "field", "term", "block_id", "first_doc", "count",
-                 "doc_gaps", "tfs", "norms", "positions"]
+        pcols = ["seg", "field", "term", "block_id", "first_doc", "last_doc",
+                 "count", "doc_gaps", "tfs", "norms", "positions"]
 
         def merge_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+            from lucene_spark.indexing.blocks import (decode_blocks_batch,
+                                                      decode_positions_batch)
+
             run_id = int(pdf["run"].iloc[0])
             bases, live = run_remap(run_id)
             new_seg = new_ids[run_id]
@@ -446,36 +447,36 @@ class IndexMaintenance:
             # per field: decode blocks in (term, RUN-POSITION, block) order —
             # run position is doc order (segment-id order is not, once a
             # prior compaction assigned fresh ids), so the concatenation is
-            # (term, new docID)-sorted and remapping stays monotone
+            # (term, new docID)-sorted and remapping stays monotone. All of
+            # a field's blocks decode in ONE batched pass (no per-block
+            # Python loop — merges read every posting of the index).
             for fval, fpdf in pdf.groupby("field", sort=True):
                 fpdf = fpdf.assign(_pos=fpdf["seg"].map(pos_of))
                 fpdf = fpdf.sort_values(["term", "_pos", "block_id"])
                 has_pos = any(len(p) > 0 for p in fpdf["positions"])
-                parts = {"term": [], "d": [], "tf": [], "nm": [], "pos": []}
-                for row in fpdf.itertuples(index=False):
-                    d, tf, nm = decode_block(row.first_doc, row.count,
-                                             row.doc_gaps, row.tfs, row.norms)
-                    d = d + bases[row.seg]
-                    keep = np.isin(d, live)
-                    if not keep.any():
-                        continue
-                    parts["term"].append(
-                        np.full(int(keep.sum()), row.term, dtype=object))
-                    parts["d"].append(np.searchsorted(live, d[keep]))
-                    parts["tf"].append(tf[keep])
-                    parts["nm"].append(nm[keep])
-                    if has_pos:
-                        flat, _ = decode_block_positions(row.positions, tf)
-                        parts["pos"].append(flat[np.repeat(keep, tf)])
-                if not parts["d"]:
+                counts = fpdf["count"].to_numpy().astype(np.int64)
+                d, tf, nm, _ = decode_blocks_batch(
+                    fpdf["first_doc"].to_numpy(), fpdf["last_doc"].to_numpy(),
+                    counts, list(fpdf["doc_gaps"].to_numpy()),
+                    list(fpdf["tfs"].to_numpy()),
+                    list(fpdf["norms"].to_numpy()))
+                d = d + np.repeat(
+                    fpdf["seg"].map(bases).to_numpy(np.int64), counts)
+                keep = np.isin(d, live)
+                if not keep.any():
                     continue
+                terms_flat = np.repeat(fpdf["term"].to_numpy(object), counts)
+                pos_flat = None
+                if has_pos:
+                    flat, _ = decode_positions_batch(
+                        list(fpdf["positions"].to_numpy()), tf)
+                    pos_flat = flat[np.repeat(keep, tf)].astype(np.int64)
                 cols = encode_segment_blocks(
-                    np.concatenate(parts["term"]),
-                    np.concatenate(parts["d"]).astype(np.int64),
-                    np.concatenate(parts["tf"]).astype(np.int64),
-                    np.concatenate(parts["nm"]).astype(np.int64),
-                    pos_flat=(np.concatenate(parts["pos"]).astype(np.int64)
-                              if has_pos else None),
+                    terms_flat[keep],
+                    np.searchsorted(live, d[keep]).astype(np.int64),
+                    tf[keep].astype(np.int64),
+                    nm[keep].astype(np.int64),
+                    pos_flat=pos_flat,
                     codec=codec,
                 )
                 out_parts.append(cols)

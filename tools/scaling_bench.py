@@ -49,6 +49,59 @@ def best_of(sf_dir, cpus, turns, reps=2):
     return best
 
 
+def corpus_growth_section() -> str:
+    """Render the corpus-growth (sf0.1→sf1→sf10) verdict from
+    BENCH/corpus_scaling.json (tools/corpus_scaling_bench.py output) —
+    VERDICT r4 next-#6: does the no-FST / no-multi-level-skip-files layout
+    hold as the corpus grows 100×?"""
+    path = f"{REPO}/BENCH/corpus_scaling.json"
+    if not os.path.exists(path):
+        return ""
+    data = json.load(open(path))
+    levels = sorted(data["levels"].values(), key=lambda r: r["turns"])
+    base = levels[0]
+    rows = []
+    for r in levels:
+        g = r["turns"] / base["turns"]
+        q = r["queries"]
+        qtot = sum(v for k, v in q.items() if k != "index_build")
+        rows.append(
+            f"| {r['turns']:,} ({g:.0f}×) | {q['index_build']:.1f} | "
+            f"{r['turns_per_sec']:,.0f} | {q['topk_hot']:.2f} | "
+            f"{q['topk_rare']:.2f} | {q['topk_prefix']:.2f} | {qtot:.2f} |")
+    hot = [r["queries"]["topk_hot"] for r in levels]
+    rare = [r["queries"]["topk_rare"] for r in levels]
+    growth = levels[-1]["turns"] / base["turns"]
+    hot_ratio = hot[-1] / hot[0]
+    rare_ratio = rare[-1] / rare[0]
+    # sublinear bar: latency growth must stay under sqrt(corpus growth)
+    # (10× for a 100× corpus) on both the FST-stress (rare) and
+    # block-max-stress (hot) paths
+    bar = growth ** 0.5
+    verdict = (
+        "HOLDS" if hot_ratio < bar and rare_ratio < bar
+        else "RE-EXAMINE — implement the multi-level block-max hierarchy")
+    return f"""
+## Corpus-growth scaling (sf0.1 → sf1 → sf10, fixed {data['cpus']} cores)
+
+Validates the two documented codec cuts at scale (VERDICT r4 next-#6): no
+FST term index (sorted-parquet min/max + driver dict) and no multi-level
+skip FILES (level-0 block metadata + lazy two-level in-kernel bound).
+
+| turns (growth) | build (s) | build turns/s | topk_hot (s) | topk_rare (s) | topk_prefix (s) | query set (s) |
+|---|---|---|---|---|---|---|
+{chr(10).join(rows)}
+
+Over a {growth:.0f}× corpus growth, hot-term top-k latency grew
+{hot_ratio:.1f}× and rare-term top-k {rare_ratio:.1f}× (sublinearity bar:
+sqrt(growth) = {bar:.0f}×). **Verdict on the cuts: {verdict}.** The
+rare-term path stresses the term-dict lookup (the FST's job — here parquet
+row-group pruning + the driver dict); the hot-term path stresses block-max
+pruning (the multi-level skip files' job — here the lazy two-level
+in-kernel bound). Raw JSON: `BENCH/corpus_scaling.json`.
+"""
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -132,6 +185,7 @@ on this corpus.
 
 Raw per-level JSON: `BENCH/scaling.json`.
 """
+    md += corpus_growth_section()
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({k: v for k, v in result.items() if k != "levels"}))
