@@ -1047,22 +1047,59 @@ def _ko_morph_oracle_sql(k: int = 50) -> str:
         tokens_list_expr=lambda t: f"regexp_extract_all({t}, '{KO_TOKEN_RE}')")
 
 
+# Chinese (smartcn-analogue) leg — same construction again.
+ZH_REPL = ((r"\btable\b", "中文分词的结果"),
+           (r"\bvalue\b", "我购买了道具和服装"))
+ZH_GOLDEN = ((r"\btable\b", "中文 分词 的 结果"),
+             (r"\bvalue\b", "我 购买 了 道具 和 服装"))
+ZH_QUERY = "分词 服装"
+ZH_TOKEN_RE = "[a-z0-9一-鿿]+"
+
+
+def _q_zh_morph_topk(spark, sf_dir):
+    from lucene_spark.corpus import transcripts_from_documents
+    from lucene_spark.indexing.builder import IndexBuilder
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = f"/tmp/lucene_spark_driver_zh/{tag}"
+    resume = os.path.exists(f"{d}/manifest.json")
+    t = transcripts_from_documents(spark, sf_dir)
+    txt = F.lower(F.col("text"))
+    for pat, rep in ZH_REPL:
+        txt = F.regexp_replace(txt, pat, rep)
+    t = t.withColumn("text", txt)
+    IndexBuilder(spark, d, analyzer="smart_chinese", num_segments=6).build(
+        t, resume=resume)
+    s = IndexSearcher(spark, d)
+    return _hits_df(spark, s.search(ZH_QUERY, k=50, mode="wand"))
+
+
+def _zh_morph_oracle_sql(k: int = 50) -> str:
+    return oracle.unicode_topk_sql(
+        list(ZH_QUERY.split()), k, list(ZH_GOLDEN),
+        tokens_list_expr=lambda t: f"regexp_extract_all({t}, '{ZH_TOKEN_RE}')")
+
+
 def _q_cjk_morph_topk(spark, sf_dir):
-    """Japanese + Korean morphological analysis in ONE driver row: each
-    language's end-to-end lattice-segmented build+search unioned under a
-    lang key (the multilang_stem_topk collapse pattern)."""
+    """Japanese + Korean + Chinese morphological analysis in ONE driver
+    row: each language's end-to-end lattice-segmented build+search unioned
+    under a lang key (the multilang_stem_topk collapse pattern)."""
     ja = _q_ja_morph_topk(spark, sf_dir).select(
         F.lit("ja").alias("lang"), "doc_id", "score")
     ko = _q_ko_morph_topk(spark, sf_dir).select(
         F.lit("ko").alias("lang"), "doc_id", "score")
-    return ja.unionByName(ko)
+    zh = _q_zh_morph_topk(spark, sf_dir).select(
+        F.lit("zh").alias("lang"), "doc_id", "score")
+    return ja.unionByName(ko).unionByName(zh)
 
 
 def _cjk_morph_oracle_sql(k: int = 50) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT '{lang}' AS lang, * FROM ({sql})"
         for lang, sql in (("ja", _ja_morph_oracle_sql(k)),
-                          ("ko", _ko_morph_oracle_sql(k))))
+                          ("ko", _ko_morph_oracle_sql(k)),
+                          ("zh", _zh_morph_oracle_sql(k))))
 
 
 # Bulgarian stemmer gate: Cyrillic vocabulary injection, same construction

@@ -992,6 +992,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_ko import KoreanAnalyzer
 
         return KoreanAnalyzer()
+    if name == "smart_chinese":
+        from lucene_spark.analysis_zh import ChineseAnalyzer
+
+        return ChineseAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
     if name == "cjk_bigram":
