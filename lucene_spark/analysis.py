@@ -996,6 +996,10 @@ def get_analyzer(name: str):
         from lucene_spark.analysis_zh import ChineseAnalyzer
 
         return ChineseAnalyzer()
+    if name == "thai":
+        from lucene_spark.analysis_th import ThaiAnalyzer
+
+        return ThaiAnalyzer()
     if name == "delimited_payload":
         return DelimitedPayloadAnalyzer()
     if name == "cjk_bigram":
