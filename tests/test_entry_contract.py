@@ -54,10 +54,15 @@ def _manifest():
         return json.load(f)
 
 
-def _driver_rows_by_gate():
+def _driver_rows_by_gate(upto_round=None):
     rows = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if upto_round is not None and rnd >= upto_round:
+            continue  # the manifest snapshots rounds STRICTLY BEFORE its
+            # generated_round: the driver writes CORRECTNESS_r{N}.json after
+            # round N's manifest was generated; it's folded in when the
+            # manifest regenerates at round N+1's start
         for gate, res in json.load(open(path)).items():
             if res.get("err") is None:
                 rows.setdefault(gate, []).append(rnd)
@@ -70,10 +75,28 @@ def test_manifest_covers_every_gate_and_matches_correctness_files():
     assert set(m["gates"]) == qs, (
         "gate_rounds.json out of date — rerun tools/gate_manifest.py: "
         f"missing={qs - set(m['gates'])} stale={set(m['gates']) - qs}")
-    rows = _driver_rows_by_gate()
+    rows = _driver_rows_by_gate(upto_round=m["generated_round"])
     for gate, info in m["gates"].items():
         assert info["verified"] == sorted(rows.get(gate, [])), gate
     assert m["window"] == entry.GATE_WINDOW
+
+
+def test_manifest_not_stale_against_newer_rounds():
+    """A CORRECTNESS file from a round NEWER than the manifest snapshot is
+    allowed transiently (the driver writes it after this round ends), but
+    at most one such round may exist — two or more means a whole round ran
+    without regenerating the manifest, so the rotation window was computed
+    from stale staleness data."""
+    m = _manifest()
+    newer = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= m["generated_round"]:
+            newer.add(rnd)
+    assert len(newer) <= 1, (
+        f"gate_rounds.json generated in round {m['generated_round']} but "
+        f"driver rows exist for rounds {sorted(newer)} — rerun "
+        "tools/gate_manifest.py and reorder _WINDOW_HEAD")
 
 
 def test_no_gate_staleness_exceeds_rotation_bound():

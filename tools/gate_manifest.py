@@ -40,6 +40,8 @@ def build(current_round: int) -> dict:
     rows: dict[str, list[int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if rnd >= current_round:
+            continue  # manifest snapshots rounds STRICTLY BEFORE its own
         data = json.load(open(path))
         for gate, res in data.items():
             if res.get("err") is None:
