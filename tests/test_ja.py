@@ -68,46 +68,97 @@ def test_segmentation_is_exhaustive_and_lossless():
         assert "".join(t.segment(run)) == run
 
 
+def dict_path_cost(tok, words):
+    """Word costs + 2-class connection penalties of a dictionary-only path
+    (None if any word is out-of-lexicon)."""
+    from lucene_spark.analysis_ja import CONN_NN, CONN_PP
+
+    cost, prev = 0, None
+    for w in words:
+        if w not in tok.entries:
+            return None
+        cls = 1 if w in tok.particles else 0
+        cost += tok.entries[w]
+        if prev is not None:
+            cost += CONN_PP if (prev == 1 and cls == 1) else (
+                CONN_NN if (prev == 0 and cls == 0) else 0)
+        prev = cls
+    return cost
+
+
+def brute_force_best_path(tok, run):
+    """Min-cost dictionary-only segmentation by exhaustive enumeration
+    (word costs + the 2-class connection penalties) — the oracle for the
+    lattice's Viterbi across every language instantiation."""
+    import itertools
+
+    def path_cost(words):
+        return dict_path_cost(tok, words)
+
+    n = len(run)
+    bestc, bestp = None, None
+    for cuts in itertools.product([0, 1], repeat=n - 1):
+        words, s = [], 0
+        for k, c in enumerate(cuts, 1):
+            if c:
+                words.append(run[s:k])
+                s = k
+        words.append(run[s:])
+        pc = path_cost(words)
+        if pc is not None and (bestc is None or pc < bestc):
+            bestc, bestp = pc, words
+    return bestp
+
+
 def test_viterbi_minimality_brute_force():
     # the lattice's answer must equal brute-force min-cost enumeration
     # (word costs + 2-class connection costs) on short runs
-    import itertools
-
     t = JapaneseTokenizer()
-    from lucene_spark.analysis_ja import CONN_NN, CONN_PP, JA_PARTICLES
-
-    def path_cost(words):
-        cost, prev = 0, None
-        for w in words:
-            if w not in t.entries:
-                return None  # brute force only walks dictionary paths
-            cls = 1 if w in JA_PARTICLES else 0
-            cost += t.entries[w]
-            if prev is not None:
-                cost += CONN_PP if (prev == 1 and cls == 1) else (
-                    CONN_NN if (prev == 0 and cls == 0) else 0)
-            prev = cls
-        return cost
-
-    def brute(run):
-        n = len(run)
-        bestc, bestp = None, None
-        for cuts in itertools.product([0, 1], repeat=n - 1):
-            words, s = [], 0
-            for k, c in enumerate(cuts, 1):
-                if c:
-                    words.append(run[s:k])
-                    s = k
-            words.append(run[s:])
-            pc = path_cost(words)
-            if pc is not None and (bestc is None or pc < bestc):
-                bestc, bestp = pc, words
-        return bestp
-
     for run in ["東京都", "もものうち", "すもももも", "日本語の試験"]:
-        expect = brute(run)
+        expect = brute_force_best_path(t, run)
         if expect is not None:
             assert t.segment(run) == expect, run
+
+
+def test_viterbi_minimality_all_language_instantiations():
+    from lucene_spark.analysis_ko import KoreanTokenizer
+    from lucene_spark.analysis_th import ThaiTokenizer
+    from lucene_spark.analysis_zh import ChineseTokenizer
+
+    for tok, runs in [
+        (KoreanTokenizer(), ["화학이외의것", "데이터를", "것을것"]),
+        (ChineseTokenizer(), ["搜索引擎", "我购买了道具", "数据库的数据"]),
+        (ThaiTokenizer(), ["การที่ได้", "งานดี", "ว่างานดี"]),
+    ]:
+        for run in runs:
+            expect = brute_force_best_path(tok, run)
+            if expect is not None:
+                assert tok.segment(run) == expect, (type(tok).__name__, run)
+
+
+def test_viterbi_minimality_randomized():
+    """Hypothesis: any concatenation of up to 4 dictionary words must
+    segment into SOME min-cost dictionary path (random compositions surface
+    crossing ambiguities no hand-picked case covers)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = sorted(JA_DICT)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from(words), min_size=1, max_size=4))
+    def check(ws):
+        run = "".join(ws)
+        if len(run) > 8:
+            return  # keep the 2^(n-1) brute enumeration cheap
+        t = JapaneseTokenizer()
+        expect = brute_force_best_path(t, run)
+        if expect is not None:
+            got = t.segment(run)
+            # equal-cost ties are legal — compare path COST, not the path
+            assert dict_path_cost(t, got) == dict_path_cost(t, expect), run
+
+    check()
 
 
 def test_analyzer_series_and_ids_paths():
