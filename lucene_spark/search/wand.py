@@ -139,6 +139,9 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
     b_first = block_rows["first_doc"][kb].astype(np.int64)
     b_last = block_rows["last_doc"][kb].astype(np.int64)
 
+    kept_codes = codes[kb]  # factorized term codes of the kept blocks
+    code_of = {u: i for i, u in enumerate(uniq)}
+
     # a MUST term absent from this segment → nothing can match here
     seg_terms = set(b_term.tolist())
     if any(t not in seg_terms for t in must_terms):
@@ -161,12 +164,12 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
     b_minnm = np.array(
         [imp_norms[i][0] if len(imp_norms[i]) else 1 for i in kb],
         dtype=np.int64)
-    # factorize terms to int codes ONCE: all per-term block selection below
-    # is then pure C-level integer compares, never an O(terms × blocks)
-    # Python comprehension (hot terms reach thousands of blocks per segment)
+    # per-term block selection over the prologue's factorized int codes:
+    # pure C-level integer compares, never an O(terms × blocks) Python
+    # object-array equality (hot terms reach thousands of blocks/segment)
     has_imp = ilens > 0
     term_mask: dict[str, np.ndarray] = {
-        t: (b_term == t) & has_imp for t in by_term
+        t: (kept_codes == code_of.get(t, -1)) & has_imp for t in by_term
     }
     b_max = np.zeros(kb.size, dtype=np.float64)  # level-1 (loose) bound
     term_scoring: dict[str, list] = {}
