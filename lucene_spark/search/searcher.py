@@ -3124,10 +3124,6 @@ class IndexSearcher:
         score — documented divergence). Returns a distributed
         (doc_id, score float) DataFrame; per-segment numpy kernel, one
         pushed-down postings scan, nothing collected."""
-        from lucene_spark.indexing.blocks import (
-            decode_block,
-            decode_block_payloads,
-        )
 
         if fn not in self.PAYLOAD_FNS:
             raise ValueError(f"fn must be one of {self.PAYLOAD_FNS}")
@@ -3136,31 +3132,35 @@ class IndexSearcher:
                 "index was built without payloads; rebuild with "
                 "IndexBuilder(..., analyzer='delimited_payload')")
         postings = self.reader.postings([term], field=field)
-        cols = ["first_doc", "count", "doc_gaps", "tfs", "payloads",
-                "doc_offset"]
+        cols = ["first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "payloads", "doc_offset"]
         dload = self.reader.deleted_loader()
         span_mult = float(F32(boost)) if include_span_score else None
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            d_parts, s_parts = [], []
-            for _, r in pdf.iterrows():
-                d, tf = decode_block(r["first_doc"], r["count"],
-                                     r["doc_gaps"], r["tfs"])
-                flat, offs = decode_block_payloads(r["payloads"], tf)
-                pay = flat.astype(np.float32)
-                if fn == "max":
-                    agg = np.maximum.reduceat(pay, offs)
-                elif fn == "min":
-                    agg = np.minimum.reduceat(pay, offs)
-                else:
-                    agg = np.add.reduceat(pay, offs).astype(np.float32)
-                    if fn == "avg":
-                        agg = (agg / tf.astype(np.float32)).astype(
-                            np.float32)
-                d_parts.append(d)
-                s_parts.append(agg.astype(np.float32))
-            d = np.concatenate(d_parts)
-            s = np.concatenate(s_parts)
+            from lucene_spark.indexing.blocks import (decode_blocks_batch,
+                                                      decode_posting_bufs)
+
+            # one batched decode across ALL of the term's blocks (payload
+            # buffers carry no cross-block state, so the per-posting
+            # reduceat over the chained flat array is exact)
+            counts = pdf["count"].to_numpy().astype(np.int64)
+            d, tf, _ = decode_blocks_batch(
+                pdf["first_doc"].to_numpy(), pdf["last_doc"].to_numpy(),
+                counts, list(pdf["doc_gaps"].to_numpy()),
+                list(pdf["tfs"].to_numpy()))
+            pay = decode_posting_bufs(
+                list(pdf["payloads"].to_numpy())).astype(np.float32)
+            offs = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
+            if fn == "max":
+                s = np.maximum.reduceat(pay, offs)
+            elif fn == "min":
+                s = np.minimum.reduceat(pay, offs)
+            else:
+                s = np.add.reduceat(pay, offs).astype(np.float32)
+                if fn == "avg":
+                    s = (s / tf.astype(np.float32)).astype(np.float32)
+            s = s.astype(np.float32)
             off = np.int64(pdf["doc_offset"].iloc[0])
             d = d.astype(np.int64) + off
             if span_mult is not None:
@@ -3205,10 +3205,6 @@ class IndexSearcher:
         payload list — composite spans are a documented gap), constant
         score like the engine's other span queries. Returns the
         distributed (doc_id) match set."""
-        from lucene_spark.indexing.blocks import (
-            decode_block,
-            decode_block_payloads,
-        )
 
         if op not in self._PAYLOAD_OPS:
             raise ValueError(f"op must be one of {sorted(self._PAYLOAD_OPS)}")
@@ -3219,22 +3215,26 @@ class IndexSearcher:
         cmp = self._PAYLOAD_OPS[op]
         val = np.int64(value)
         postings = self.reader.postings([term], field=field)
-        cols = ["first_doc", "count", "doc_gaps", "tfs", "payloads",
-                "doc_offset"]
+        cols = ["first_doc", "last_doc", "count", "doc_gaps", "tfs",
+                "payloads", "doc_offset"]
         dload = self.reader.deleted_loader()
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            parts = []
-            for _, r in pdf.iterrows():
-                d, tf = decode_block(r["first_doc"], r["count"],
-                                     r["doc_gaps"], r["tfs"])
-                flat, offs = decode_block_payloads(r["payloads"], tf)
-                ok = cmp(flat, val)
-                # any-occurrence-per-posting: count of hits in each
-                # posting's payload slice > 0
-                hits = np.add.reduceat(ok.astype(np.int64), offs) > 0
-                parts.append(d[hits])
-            d = np.concatenate(parts).astype(np.int64)
+            from lucene_spark.indexing.blocks import (decode_blocks_batch,
+                                                      decode_posting_bufs)
+
+            counts = pdf["count"].to_numpy().astype(np.int64)
+            d, tf, _ = decode_blocks_batch(
+                pdf["first_doc"].to_numpy(), pdf["last_doc"].to_numpy(),
+                counts, list(pdf["doc_gaps"].to_numpy()),
+                list(pdf["tfs"].to_numpy()))
+            flat = decode_posting_bufs(list(pdf["payloads"].to_numpy()))
+            offs = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
+            ok = cmp(flat, val)
+            # any-occurrence-per-posting: count of hits in each posting's
+            # payload slice > 0 (one global reduceat over all blocks)
+            hits = np.add.reduceat(ok.astype(np.int64), offs) > 0
+            d = d[hits].astype(np.int64)
             off = np.int64(pdf["doc_offset"].iloc[0])
             d = d + off
             if dload:
