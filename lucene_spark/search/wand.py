@@ -77,7 +77,6 @@ def segment_topk(block_rows, clauses: list[ClauseSpec], k: int,
         for c in clauses if c.scorer is not None)
 
     terms = block_rows["term"]
-    n_blocks = len(terms)
     # clauses are a multiset for MUST/SHOULD (Lucene scores duplicates twice);
     # group them per term, each clause keeps its own weight
     by_term: dict[str, list[ClauseSpec]] = {}
