@@ -20,10 +20,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 KERNEL_MODULES = [
     "lucene_spark/search/wand.py",
     "lucene_spark/search/multiterm.py",
+    "lucene_spark/search/searcher.py",
     "lucene_spark/indexing/maintenance.py",
 ]
 
-_BLOCK_LOOP = re.compile(r"for\s+\w+\s+in\s+range\((?:n_blocks|len\(pdf\))\)")
+# per-block interpreted loops over the kernel's input frame: explicit
+# range loops AND pandas row iteration over `pdf` (the kernel-arg naming
+# convention) — driver-side iteration over small frames keeps other names
+_BLOCK_LOOP = re.compile(
+    r"for\s+\w+\s+in\s+range\((?:n_blocks|len\(pdf\))\)"
+    r"|for\s+[\w,\s]+\s+in\s+pdf\.iterrows\(\)")
 
 
 def test_no_per_block_python_loops_on_kernel_paths():
